@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.ColumnOps
+
+/** SURVEY §2 core operator inventory, re-expressed as verifiable queries over
+  * the driver test tables. Each entry names the §2 row(s) it covers.
+  *
+  * Determinism rules (driver hash-compares against DuckDB):
+  *  - every query has a total ORDER BY;
+  *  - no raw double sums (see [[ColumnOps.exactSum]]);
+  *  - integer aggregates cast to BIGINT on the DuckDB side (its sum(int)
+  *    widens to HUGEINT).
+  */
+object CoreOps {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // S1 + column pruning: projected scan. Filter/projection reach the
+    // parquet reader (PushedFilters / ReadSchema in explain).
+    QueryDef(
+      "q_s1_scan",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .filter(col("l_returnflag") === "R")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // P1: metadata-supplied selectExpr transformations
+    // (reference: src/main/scala/datalake/processing/Processing.scala:280-287).
+    QueryDef(
+      "q_p1_transform",
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1 - l_discount) AS net_price,
+        |       upper(l_returnflag) AS rf
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .selectExpr(
+          "l_orderkey", "l_linenumber",
+          "l_extendedprice * (1 - l_discount) AS net_price",
+          "upper(l_returnflag) AS rf")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // P2: calculated columns via expr()
+    // (reference: src/main/scala/datalake/processing/Processing.scala:259-272).
+    QueryDef(
+      "q_p2_calculated",
+      """SELECT o_orderkey,
+        |       concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+        |       CAST(year(o_orderdate) AS INTEGER) AS order_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("status_prio", expr("concat(o_orderstatus, '-', o_orderpriority)"))
+        .withColumn("order_year", expr("year(o_orderdate)"))
+        .select("o_orderkey", "status_prio", "order_year")
+        .orderBy("o_orderkey")
+    },
+
+    // P3: metadata-typed casts
+    // (reference: src/main/scala/datalake/processing/Processing.scala:225-233).
+    QueryDef(
+      "q_p3_cast",
+      """SELECT o_orderkey,
+        |       CAST(o_totalprice AS DECIMAL(12,2)) AS total_dec,
+        |       CAST(o_orderdate AS DATE) AS order_date,
+        |       CAST(o_orderkey AS VARCHAR) AS key_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          col("o_totalprice").cast("decimal(12,2)").as("total_dec"),
+          col("o_orderdate").cast("date").as("order_date"),
+          col("o_orderkey").cast("string").as("key_str"))
+        .orderBy("o_orderkey")
+    },
+
+    // P4: column renames
+    // (reference: src/main/scala/datalake/processing/Processing.scala:236-244).
+    QueryDef(
+      "q_p4_rename",
+      """SELECT c_custkey AS customer_key, c_name AS customer_name,
+        |       c_mktsegment AS segment
+        |FROM customer ORDER BY customer_key""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "customer_key")
+        .withColumnRenamed("c_name", "customer_name")
+        .withColumnRenamed("c_mktsegment", "segment")
+        .orderBy("customer_key")
+    },
+
+    // P5: name normalization + sys_* drop
+    // (reference: src/main/scala/datalake/core/implicits.scala:13-26).
+    QueryDef(
+      "q_p5_normalize",
+      """SELECT event_id AS eventid, event_type AS eventtype, value AS valuetotal
+        |FROM events ORDER BY eventid""".stripMargin) { (s, d) =>
+      val dirty = Tables.events(s, d)
+        .select(
+          col("event_id").as("event id"),
+          col("event_type").as("event.type"),
+          col("value").as("value(total)"),
+          col("props").as("sys_props"))
+      ColumnOps.normalize(dirty).orderBy("eventid")
+    },
+
+    // P6 + P10 + P11: equality slice filter, IN partition filter, boolean guards
+    // (reference: Processing.scala:305-307, Merge.scala:38-48,75-83).
+    QueryDef(
+      "q_p6_filters",
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND o_totalprice > 1000.0
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F"
+          && col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          && col("o_totalprice") > 1000.0)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // P9: inclusive watermark-window predicate
+    // (reference: src/main/scala/datalake/processing/ProcessStrategy.scala:86-153).
+    QueryDef(
+      "q_p9_watermark_window",
+      """SELECT l_orderkey, l_linenumber, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <= TIMESTAMP '1995-12-31 23:59:59'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") <= lit("1995-12-31 23:59:59").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // A1: watermark max aggregation (one global row)
+    // (reference: src/main/scala/datalake/processing/Processing.scala:123-135).
+    QueryDef(
+      "q_a1_watermark_max",
+      "SELECT max(ts) AS ts_max, max(event_id) AS id_max FROM events") { (s, d) =>
+      Tables.events(s, d)
+        .agg(max(col("ts")).as("ts_max"), max(col("event_id")).as("id_max"))
+    },
+
+    // A2: duplicate business-key detection
+    // (reference: src/main/scala/datalake/processing/Processing.scala:192-199).
+    QueryDef(
+      "q_a2_dup_detect",
+      """SELECT l_orderkey, count(*) AS cnt FROM lineitem
+        |GROUP BY l_orderkey HAVING count(*) > 1
+        |ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .orderBy("l_orderkey")
+    },
+
+    // A3: distinct partition values
+    // (reference: src/main/scala/datalake/processing/Processing.scala:148-151).
+    QueryDef(
+      "q_a3_distinct",
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority") { (s, d) =>
+      Tables.orders(s, d).select("o_orderpriority").distinct().orderBy("o_orderpriority")
+    },
+
+    // A4: record counts per group (count() metric surface)
+    QueryDef(
+      "q_a4_counts",
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
+    // O1: latest-by-timestamp top-1 (Catalyst plans TakeOrderedAndProject)
+    // (reference: src/main/scala/datalake/core/WatermarkData.scala:32-35).
+    QueryDef(
+      "q_o1_latest",
+      """SELECT event_id, ts, event_type FROM events
+        |ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .select("event_id", "ts", "event_type")
+        .limit(1)
+    },
+
+    // J1: equi-join + aggregate (MERGE match join shape). The dimension side
+    // is broadcast; sum is decimal-exact so the result is shuffle-order-free.
+    QueryDef(
+      "q_j1_join_agg",
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(ColumnOps.exactSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    },
+
+    // J3: left-semi join (unchanged-count join, reference Historic.scala:142-149)
+    QueryDef(
+      "q_j3_semi",
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d)
+      val li = Tables.lineitem(s, d).select("l_suppkey")
+      sup.join(li, sup("s_suppkey") === li("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    },
+
+    // J4: left-anti join (whenNotMatchedBySource delete inference,
+    // reference Merge.scala:113-122).
+    QueryDef(
+      "q_j4_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // §2.7 hash surface: SourceHash + PK hash (sha2/concat_ws contract,
+    // reference Processing.scala:168-205). Only int/string inputs — double
+    // to-string formatting is not identical across engines.
+    QueryDef(
+      "q_f_hash",
+      """SELECT c_custkey,
+        |       sha256(concat_ws('_', CAST(c_custkey AS VARCHAR))) AS pk_hash,
+        |       sha256(concat_ws('', CAST(c_custkey AS VARCHAR), c_name,
+        |                        c_mktsegment)) AS source_hash
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          ColumnOps.primaryKeyHash(Seq("c_custkey")).as("pk_hash"),
+          ColumnOps.sourceHash(Seq("c_custkey", "c_name", "c_mktsegment")).as("source_hash"))
+        .orderBy("c_custkey")
+    },
+
+    // Window functions (beyond-parity capability; SURVEY §2.6 notes the
+    // reference lacks them — SCD2 can be re-derived with them).
+    QueryDef(
+      "q_w_window",
+      """SELECT event_id, user_id,
+        |       CAST(row_number() OVER w AS INTEGER) AS rn,
+        |       lag(event_type) OVER w AS prev_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, rn""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(
+          col("event_id"), col("user_id"),
+          row_number().over(w).as("rn"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .orderBy("user_id", "rn")
+    }
+  )
+}
