@@ -1,0 +1,243 @@
+package graft.metadata
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.time.{LocalDate, ZoneId}
+
+/** Parsed metadata: environment + connections + entities, with O(1) lookups,
+  * the environment→connection→entity settings cascade, and `${var}` path
+  * interpolation.
+  *
+  * The reference evaluates path templates with a runtime Scala ToolBox
+  * compiler (reference: src/main/scala/datalake/core/Expressions.scala:66-94);
+  * we deliberately use plain `${var}` substitution instead — scala-compiler
+  * is not a safe cluster dependency and nothing in the documented templates
+  * needs more than substitution.
+  */
+final class Metadata(
+    val environment: Environment,
+    val connections: Seq[Connection],
+    val entities: Seq[Entity]) {
+
+  private val entityById: Map[Int, Entity] = {
+    val dup = entities.groupBy(_.id).collect { case (id, es) if es.size > 1 => id }
+    if (dup.nonEmpty)
+      throw new MetadataException(s"Duplicate entity ids: ${dup.mkString(", ")}")
+    entities.map(e => e.id -> e).toMap
+  }
+  private val connectionByName: Map[String, Connection] =
+    connections.map(c => c.name.toLowerCase -> c).toMap
+
+  def getEntity(id: Int): Entity =
+    entityById.getOrElse(id, throw new EntityNotFoundException(s"Entity $id not found"))
+  def getConnection(name: String): Connection =
+    connectionByName.getOrElse(name.toLowerCase,
+      throw new ConnectionNotFoundException(s"Connection '$name' not found"))
+
+  def getEntitiesByConnection(connection: String): Seq[Entity] =
+    entities.filter(_.connection.equalsIgnoreCase(connection))
+  def getEntitiesByGroup(group: String): Seq[Entity] =
+    entities.filter(_.group.equalsIgnoreCase(group))
+
+  /** entity.enabled ∧ connection.enabled (reference: Entity.scala:81-82). */
+  def isEnabled(e: Entity): Boolean =
+    e.enabled && connectionByName.get(e.connection.toLowerCase).forall(_.enabled)
+
+  /** Settings cascade environment → connection → entity via JObject merge
+    * (reference: Entity.scala:124-127). */
+  def resolvedSettings(e: Entity): JObject = {
+    val conn = connectionByName.get(e.connection.toLowerCase)
+      .map(_.settings).getOrElse(JObject())
+    environment.settings.merge(conn).merge(e.settings)
+  }
+
+  /** `${var}` interpolation over path/table templates
+    * (reference: Entity.scala:237-257). Supported vars: today, entity,
+    * destination, connection, root_folder, settings_<key>. */
+  def interpolate(template: String, e: Entity): String = {
+    val settings = resolvedSettings(e)
+    val today = LocalDate.now(ZoneId.of(environment.timezone)).toString
+    val base = Map(
+      "today" -> today,
+      "entity" -> e.name,
+      "destination" -> e.destination,
+      "connection" -> e.connection,
+      "root_folder" -> environment.rootFolder)
+    "\\$\\{([A-Za-z0-9_]+)\\}".r.replaceAllIn(template, m => {
+      val key = m.group(1)
+      val v = base.getOrElse(key,
+        if (key.startsWith("settings_"))
+          settings \ key.stripPrefix("settings_") match {
+            case JString(s) => s
+            case JInt(i)    => i.toString
+            case _          => m.matched
+          }
+        else m.matched)
+      java.util.regex.Matcher.quoteReplacement(v)
+    })
+  }
+
+  def bronzePath(e: Entity): String = {
+    val t = resolvedSettings(e) \ "bronze_path" match {
+      case JString(s) => s
+      case _          => environment.bronzePath
+    }
+    interpolate(t, e)
+  }
+
+  /** Silver output: `silver_table` setting → catalog table, else path
+    * (reference: Entity.scala:145-192 semantics). */
+  def silverLocation(e: Entity): OutputLocation =
+    resolvedSettings(e) \ "silver_table" match {
+      case JString(t) if t.nonEmpty => TableLocation(interpolate(t, e))
+      case _ =>
+        val t = resolvedSettings(e) \ "silver_path" match {
+          case JString(s) => s
+          case _          => environment.silverPath
+        }
+        PathLocation(interpolate(t, e))
+    }
+}
+
+object Metadata {
+
+  /** Parse from a raw JSON string (reference: StringMetadataSettings /
+    * DatalakeMetadataSettings.scala:37-62). */
+  def fromJson(json: String): Metadata = {
+    val root = JsonMethods.parse(json)
+    val env = parseEnvironment(root \ "environment")
+    val conns = root \ "connections" match {
+      case JArray(cs) => cs.map(parseConnection)
+      case _          => Nil
+    }
+    val ents = root \ "entities" match {
+      case JArray(es) => es.map(parseEntity)
+      case _          => Nil
+    }
+    new Metadata(env, conns, ents)
+  }
+
+  /** Load one JSON file (any Hadoop-visible FS) — reference:
+    * JsonMetadataSettings.scala:8-15. */
+  def fromFile(spark: org.apache.spark.sql.SparkSession, path: String): Metadata = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try fromJson(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** Merge every `*.json` in a folder (reference:
+    * JsonFolderMetadataSettings.scala:11-33). */
+  def fromFolder(spark: org.apache.spark.sql.SparkSession, dir: String): Metadata = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".json"))
+      .sortBy(_.getPath.getName)
+    val merged = files.foldLeft(JObject(): JValue) { (acc, f) =>
+      val in = fs.open(f.getPath)
+      val j = try JsonMethods.parse(
+        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+      acc.merge(j)
+    }
+    val env = parseEnvironment(merged \ "environment")
+    val conns = merged \ "connections" match {
+      case JArray(cs) => cs.map(parseConnection); case _ => Nil
+    }
+    val ents = merged \ "entities" match {
+      case JArray(es) => es.map(parseEntity); case _ => Nil
+    }
+    new Metadata(env, conns, ents)
+  }
+
+  private def str(j: JValue, default: String = ""): String = j match {
+    case JString(s) => s
+    case JInt(i)    => i.toString
+    case _          => default
+  }
+  private def optStr(j: JValue): Option[String] = j match {
+    case JString(s) if s.nonEmpty => Some(s)
+    case _                        => None
+  }
+  private def bool(j: JValue, default: Boolean): Boolean = j match {
+    case JBool(b)   => b
+    case JString(s) => s.equalsIgnoreCase("true")
+    case _          => default
+  }
+  private def obj(j: JValue): JObject = j match {
+    case o: JObject => o
+    case _          => JObject()
+  }
+
+  private def parseEnvironment(j: JValue): Environment = {
+    val d = Environment()
+    Environment(
+      name = str(j \ "name", d.name),
+      timezone = str(j \ "timezone", d.timezone),
+      rootFolder = str(j \ "root_folder", d.rootFolder),
+      rawPath = str(j \ "raw_path", d.rawPath),
+      bronzePath = str(j \ "bronze_path", d.bronzePath),
+      silverPath = str(j \ "silver_path", d.silverPath),
+      systemFieldPrefix = str(j \ "systemfield_prefix", d.systemFieldPrefix),
+      settings = obj(j \ "settings"))
+  }
+
+  private def parseConnection(j: JValue): Connection =
+    Connection(
+      name = str(j \ "name"),
+      enabled = bool(j \ "enabled", default = true),
+      settings = obj(j \ "settings"))
+
+  private def parseColumn(j: JValue): EntityColumn =
+    EntityColumn(
+      name = str(j \ "name"),
+      newName = optStr(j \ "newname"),
+      dataTypeName = optStr(j \ "datatype"),
+      fieldRoles = j \ "fieldroles" match {
+        case JArray(rs) => rs.map(str(_))
+        case _          => Nil
+      },
+      expression = optStr(j \ "expression"))
+
+  private def parseWatermark(j: JValue): WatermarkDef =
+    WatermarkDef(
+      columnName = str(j \ "column"),
+      operation = str(j \ "operation", ">="),
+      expression = str(j \ "expression", "'${last_value}'"))
+
+  private def parseEntity(j: JValue): Entity =
+    Entity(
+      id = j \ "id" match {
+        case JInt(i) => i.toInt
+        case JString(s) => s.toInt
+        case _ => throw new MetadataException(s"Entity missing id: ${JsonMethods.compact(j)}")
+      },
+      name = str(j \ "name"),
+      enabled = bool(j \ "enabled", default = true),
+      connection = str(j \ "connection"),
+      group = str(j \ "group"),
+      destinationOverride = optStr(j \ "destination"),
+      processType = ProcessType.parse(str(j \ "processtype", "full")),
+      watermark = j \ "watermark" match {
+        case JArray(ws) => ws.map(parseWatermark)
+        case o: JObject => Seq(parseWatermark(o))
+        case _          => Nil
+      },
+      columns = j \ "columns" match {
+        case JArray(cs) => cs.map(parseColumn)
+        case _          => Nil
+      },
+      settings = obj(j \ "settings"),
+      transformations = j \ "transformations" match {
+        case JArray(ts) => ts.map {
+          case JString(s) => EntityTransformation(Seq(s))
+          case t => t \ "expressions" match {
+            case JArray(es) => EntityTransformation(es.map(str(_)))
+            case _          => EntityTransformation(Nil)
+          }
+        }
+        case _ => Nil
+      })
+}

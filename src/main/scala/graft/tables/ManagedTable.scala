@@ -1,0 +1,293 @@
+package graft.tables
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import graft.metadata.{MetadataException, OutputLocation, PathLocation, TableLocation}
+
+/** Versioned Parquet table with snapshot isolation — the vanilla-Spark
+  * replacement for the reference's Delta Lake tables (SURVEY §7.3).
+  *
+  * Layout:
+  * {{{
+  *   <root>/_graft/manifests/v<version>.json   // immutable snapshots
+  *   <root>/_graft/_current                    // version pointer (atomic swap)
+  *   <root>/data/<commit-uuid>/...             // immutable data files
+  * }}}
+  *
+  * Writers produce new data files under a fresh commit directory, then
+  * publish a manifest listing the full file set of the new version, then
+  * atomically swap the pointer. Readers resolve the pointer once and read
+  * exactly the files the manifest names — never a directory listing — so
+  * concurrent reads see a consistent snapshot while a write is in flight,
+  * and a crashed write leaves only unreferenced garbage.
+  *
+  * Scale notes (100 TB, 1000 executors):
+  *  - partition values are tracked per file, so `replacePartitions` commits
+  *    touch only affected partitions: a merge into one day of a
+  *    date-partitioned table rewrites that day, not the table;
+  *  - pruning happens on the driver against the manifest (like Delta's log),
+  *    then Spark's parquet scan gets an explicit, already-pruned file list;
+  *  - the manifest is O(files); at very large file counts it should shard —
+  *    single-writer-per-entity (the reference's model, reference:
+  *    Processing.scala one-writer pipeline) keeps commit coordination out
+  *    of scope.
+  *
+  * Partition columns are duplicated into `__gp_<name>` directory keys at
+  * write time so the real columns stay inside the data files — readers get
+  * the full schema without hive-style partition reconstruction.
+  */
+final class ManagedTable(spark: SparkSession, val rootPath: String) {
+
+  private val root = new Path(rootPath)
+  private val metaDir = new Path(root, "_graft")
+  private val manifestsDir = new Path(metaDir, "manifests")
+  private val pointerFile = new Path(metaDir, "_current")
+  private val dataDir = new Path(root, "data")
+
+  private def fs: FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists: Boolean = fs.exists(pointerFile)
+
+  def currentVersion: Option[Long] =
+    if (!exists) None
+    else {
+      val in = fs.open(pointerFile)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+
+  def manifest: Option[Manifest] = currentVersion.map(readManifest)
+
+  def readManifest(version: Long): Manifest = {
+    val p = new Path(manifestsDir, f"v$version%020d.json")
+    val in = fs.open(p)
+    try Manifest.fromJsonString(
+      new String(in.readAllBytes(), StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** Current snapshot as a DataFrame. */
+  def read(): DataFrame = readSnapshot(requireManifest)
+
+  /** Time travel: the table as of `version`. */
+  def readVersion(version: Long): DataFrame = readSnapshot(readManifest(version))
+
+  /** Snapshot restricted to partitions accepted by `keep` — pruning happens
+    * driver-side against the manifest; the scan opens only surviving files. */
+  def readPartitions(keep: Map[String, String] => Boolean): DataFrame = {
+    val m = requireManifest
+    readFiles(m, m.files.filter(f => keep(f.partitionValues)))
+  }
+
+  /** Convenience: partitions whose values appear in `wanted`
+    * (column → allowed string values). Empty map → full snapshot. */
+  def readPartitionsIn(wanted: Map[String, Set[String]]): DataFrame =
+    if (wanted.isEmpty) read()
+    else readPartitions(pv => wanted.forall { case (c, vs) => pv.get(c).exists(vs) })
+
+  private def requireManifest: Manifest =
+    manifest.getOrElse(throw new MetadataException(s"Table $rootPath does not exist"))
+
+  private def readSnapshot(m: Manifest): DataFrame = readFiles(m, m.files)
+
+  private def readFiles(m: Manifest, files: Seq[TableFile]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else
+      spark.read.schema(m.schema)
+        .parquet(files.map(f => new Path(root, f.path).toString): _*)
+
+  // ---------------------------------------------------------------- writes
+
+  /** Replace the whole table. */
+  def overwriteAll(df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val files = writeCommit(df, partitionBy)
+    commit(df, partitionBy, files, "overwrite")
+  }
+
+  /** Dynamic partition overwrite: replace only the partitions present in
+    * `df`, keep every other partition's files (Spark's
+    * `partitionOverwriteMode=dynamic` semantics, reference: Full.scala:38-45). */
+  def overwriteDynamic(df: DataFrame, partitionBy: Seq[String]): Unit =
+    manifest match {
+      case None => overwriteAll(df, partitionBy)
+      case Some(m) =>
+        val newFiles = writeCommit(df, partitionBy)
+        val replaced = newFiles.map(_.partitionValues).toSet
+        val kept = m.files.filterNot(f => replaced.contains(f.partitionValues))
+        commit(df, partitionBy, kept ++ newFiles, "overwriteDynamic")
+    }
+
+  /** Append rows; schema must match (missing source columns are an error —
+    * reference contract, MergeProcessingSpec.scala:323-368). */
+  def append(df: DataFrame): Unit =
+    manifest match {
+      case None => overwriteAll(df)
+      case Some(m) =>
+        requireSchemaCompatible(df, m)
+        val newFiles = writeCommit(df, m.partitionColumns)
+        commit(df, m.partitionColumns, m.files ++ newFiles, "append")
+    }
+
+  /** Merge/compaction commit primitive: atomically replace the content of
+    * `partitions` (every file whose partition values appear in the set) with
+    * `df`. `partitions == None` replaces all files (unpartitioned merge). */
+  def replacePartitions(
+      partitions: Option[Seq[Map[String, String]]],
+      df: DataFrame): Unit = {
+    val m = requireManifest
+    requireSchemaCompatible(df, m)
+    val newFiles = writeCommit(df, m.partitionColumns)
+    val kept = partitions match {
+      case None => Nil
+      case Some(ps) =>
+        val replaced = ps.toSet
+        m.files.filterNot(f => replaced.contains(f.partitionValues))
+    }
+    commit(df, m.partitionColumns, kept ++ newFiles, "replacePartitions")
+  }
+
+  /** Drop data/manifests older than the current version (no time travel
+    * afterwards). Current snapshot files are kept wherever they live. */
+  def vacuum(): Unit = {
+    val m = requireManifest
+    val live = m.files
+      .map(f => fs.makeQualified(new Path(root, f.path)).toString).toSet
+    if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
+      val commitFiles = listParquet(st.getPath)
+      if (commitFiles.forall(p => !live.contains(fs.makeQualified(p).toString)))
+        fs.delete(st.getPath, true)
+    }
+    if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).foreach { st =>
+      val v = st.getPath.getName.stripPrefix("v").stripSuffix(".json")
+      if (v.forall(_.isDigit) && v.toLong < m.version) fs.delete(st.getPath, false)
+    }
+  }
+
+  // ------------------------------------------------------------- internals
+
+  private def requireSchemaCompatible(df: DataFrame, m: Manifest): Unit = {
+    val targetCols = m.schema.fields.map(f => f.name.toLowerCase).toSet
+    val srcCols = df.schema.fields.map(_.name.toLowerCase).toSet
+    val missing = targetCols -- srcCols
+    if (missing.nonEmpty)
+      throw new MetadataException(
+        s"Source is missing target column(s): ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  /** Write `df` as immutable files under a fresh commit dir; return the
+    * created [[TableFile]]s with their partition values. One distributed
+    * write job regardless of partition count. */
+  private def writeCommit(df: DataFrame, partitionBy: Seq[String]): Seq[TableFile] = {
+    val commitId = UUID.randomUUID().toString
+    val commitDir = new Path(dataDir, commitId)
+    if (partitionBy.isEmpty) {
+      df.write.parquet(commitDir.toString)
+      listParquet(commitDir).map(p => TableFile(rel(p), Map.empty))
+    } else {
+      val dirCols = partitionBy.map(c => s"__gp_$c")
+      val withDirCols = partitionBy.zip(dirCols).foldLeft(df) {
+        case (d, (c, dc)) => d.withColumn(dc, col(s"`$c`").cast("string"))
+      }
+      withDirCols.write.partitionBy(dirCols: _*).parquet(commitDir.toString)
+      listParquet(commitDir).map { p =>
+        val relPath = rel(p)
+        val pv = relPath.split('/').iterator
+          .filter(_.contains("="))
+          .map { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            k.stripPrefix("__gp_") -> hiveUnescape(v)
+          }
+          .toMap
+        TableFile(relPath, pv)
+      }
+    }
+  }
+
+  private def listParquet(dir: Path): Seq[Path] = {
+    val it = fs.listFiles(dir, true)
+    val buf = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) buf += st.getPath
+    }
+    buf.result()
+  }
+
+  private def rel(p: Path): String = {
+    val rootUri = fs.makeQualified(root).toUri.getPath
+    val pUri = fs.makeQualified(p).toUri.getPath
+    pUri.stripPrefix(rootUri).stripPrefix("/")
+  }
+
+  /** Undo Spark's hive-style escaping of partition directory values. */
+  private def hiveUnescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.result()
+  }
+
+  private def commit(
+      df: DataFrame,
+      partitionBy: Seq[String],
+      files: Seq[TableFile],
+      operation: String): Unit = {
+    val next = currentVersion.map(_ + 1).getOrElse(0L)
+    val m = Manifest(
+      version = next,
+      schemaJson = df.schema.json,
+      partitionColumns = partitionBy,
+      files = files,
+      operation = operation,
+      timestampMs = System.currentTimeMillis())
+    fs.mkdirs(manifestsDir)
+    writeFile(new Path(manifestsDir, f"v$next%020d.json"), m.toJsonString)
+    // atomic pointer swap: tmp write + rename-with-overwrite
+    val tmp = new Path(metaDir, s"_current.tmp.${UUID.randomUUID()}")
+    writeFile(tmp, next.toString)
+    val fc = FileContext.getFileContext(
+      root.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, pointerFile, Options.Rename.OVERWRITE)
+  }
+
+  private def writeFile(p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
+object ManagedTable {
+
+  def apply(spark: SparkSession, path: String): ManagedTable =
+    new ManagedTable(spark, path)
+
+  /** Resolve a metadata output location. Catalog tables (`db.table`) map to
+    * a warehouse-dir layout — the offline container has no external
+    * metastore; the layout matches what `saveAsTable` would use. */
+  def forLocation(spark: SparkSession, loc: OutputLocation): ManagedTable =
+    loc match {
+      case PathLocation(p) => new ManagedTable(spark, p)
+      case TableLocation(t) =>
+        val warehouse = spark.conf.get(
+          "spark.sql.warehouse.dir", "spark-warehouse")
+        val parts = t.split('.')
+        val sub = if (parts.length == 2) s"${parts(0)}.db/${parts(1)}" else t
+        new ManagedTable(spark, s"$warehouse/$sub")
+    }
+}

@@ -1,0 +1,74 @@
+package graft.tables
+
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** One committed version of a [[ManagedTable]]: the schema, the partition
+  * columns, and the exact data files (with their partition values) that make
+  * up the table at this version.
+  *
+  * This is the vanilla-Spark stand-in for a Delta transaction log snapshot:
+  * readers never list data directories — they read the manifest and open
+  * exactly the files it names, so partial writes are invisible until the
+  * version pointer moves. Partition values are recorded per file, which
+  * gives driver-side partition pruning (only matching files are handed to
+  * the parquet scan) exactly where Delta prunes on file stats.
+  */
+final case class TableFile(path: String, partitionValues: Map[String, String])
+
+final case class Manifest(
+    version: Long,
+    schemaJson: String,
+    partitionColumns: Seq[String],
+    files: Seq[TableFile],
+    operation: String,
+    timestampMs: Long) {
+
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  def toJsonString: String = {
+    val j = JObject(
+      "version" -> JLong(version),
+      "schemaJson" -> JString(schemaJson),
+      "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
+      "operation" -> JString(operation),
+      "timestampMs" -> JLong(timestampMs),
+      "files" -> JArray(files.map { f =>
+        JObject(
+          "path" -> JString(f.path),
+          "partitionValues" -> JObject(
+            f.partitionValues.map { case (k, v) => k -> JString(v) }.toList))
+      }.toList))
+    JsonMethods.compact(JsonMethods.render(j))
+  }
+}
+
+object Manifest {
+  def fromJsonString(s: String): Manifest = {
+    val j = JsonMethods.parse(s)
+    def str(v: JValue): String = v match { case JString(x) => x; case _ => "" }
+    def lng(v: JValue): Long = v match {
+      case JLong(x) => x; case JInt(x) => x.toLong; case _ => 0L
+    }
+    Manifest(
+      version = lng(j \ "version"),
+      schemaJson = str(j \ "schemaJson"),
+      partitionColumns = (j \ "partitionColumns") match {
+        case JArray(xs) => xs.map(str); case _ => Nil
+      },
+      files = (j \ "files") match {
+        case JArray(fs) => fs.map { f =>
+          TableFile(
+            str(f \ "path"),
+            (f \ "partitionValues") match {
+              case JObject(kvs) => kvs.map { case (k, v) => k -> str(v) }.toMap
+              case _            => Map.empty[String, String]
+            })
+        }
+        case _ => Nil
+      },
+      operation = str(j \ "operation"),
+      timestampMs = lng(j \ "timestampMs"))
+  }
+}

@@ -1,0 +1,177 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Delta-MERGE-equivalent over a [[ManagedTable]] (SURVEY §7.3).
+  *
+  * Semantics mirror Delta's builder (reference usage:
+  * src/main/scala/datalake/processing/Merge.scala:96-125,
+  * Historic.scala:75-106): `whenMatched` / `whenNotMatched` /
+  * `whenNotMatchedBySource` clauses, evaluated in declaration order, first
+  * match wins; unmatched-by-any-clause rows pass through unchanged.
+  *
+  * Execution is one declarative DataFrame program:
+  * {{{
+  *   target (partition-pruned) FULL OUTER JOIN source ON <condition>
+  *   → per-column CASE chain picks target/source/override value
+  *   → action tag column → metrics (single aggregate)
+  *   → atomic replacePartitions commit
+  * }}}
+  *
+  * Scale behavior: the join shuffles on the (already hashed, uniformly
+  * distributed) PK — no skew by construction. Only partitions named in
+  * `prunePartitions` are read and rewritten; the rest of the table is not
+  * touched. The resolved set is persisted once (MEMORY_AND_DISK) so metrics
+  * + write share one computation — it holds only the affected partitions,
+  * not the table.
+  *
+  * Conditions and set-expressions are Spark SQL strings over `target.` /
+  * `source.` aliases, exactly like Delta's API.
+  */
+final class MergeBuilder private[tables] (
+    table: ManagedTable,
+    source: DataFrame,
+    condition: String) {
+
+  import MergeBuilder._
+
+  private var clauses = Vector.empty[Clause]
+  private var pruned: Option[Seq[Map[String, String]]] = None
+
+  /** Restrict the merge to these partitions (column → string value, one map
+    * per partition). Target files outside them are neither read nor
+    * rewritten. The caller guarantees every source row falls inside. */
+  def prunePartitions(parts: Seq[Map[String, String]]): this.type = {
+    pruned = Some(parts); this
+  }
+
+  def whenMatchedUpdateAll(cond: Option[String] = None): this.type =
+    add(Clause(Matched, cond, UpdateAll))
+  def whenMatchedUpdate(set: Map[String, String], cond: Option[String] = None): this.type =
+    add(Clause(Matched, cond, UpdateSet(set)))
+  def whenMatchedDelete(cond: Option[String] = None): this.type =
+    add(Clause(Matched, cond, Delete))
+  def whenNotMatchedInsertAll(cond: Option[String] = None): this.type =
+    add(Clause(NotMatched, cond, InsertAll))
+  def whenNotMatchedBySourceUpdate(
+      set: Map[String, String], cond: Option[String] = None): this.type =
+    add(Clause(NotMatchedBySource, cond, UpdateSet(set)))
+  def whenNotMatchedBySourceDelete(cond: Option[String] = None): this.type =
+    add(Clause(NotMatchedBySource, cond, Delete))
+
+  private def add(c: Clause): this.type = { clauses :+= c; this }
+
+  /** Run the merge; returns per-action row counts keyed by clause index
+    * (`m0`, `nm1`, `bs0`, …) plus `unchanged` (rows no clause touched). */
+  def execute(): MergeMetrics = {
+    val m = table.manifest.getOrElse(
+      throw new graft.metadata.MetadataException(
+        s"MERGE target ${table.rootPath} does not exist"))
+    val targetCols = m.schema.fields.map(_.name).toSeq
+
+    val target = pruned match {
+      case Some(ps) if m.partitionColumns.nonEmpty =>
+        val wanted = ps.toSet
+        table.readPartitions(wanted.contains)
+      case _ => table.read()
+    }
+
+    val t = target.withColumn(TFlag, lit(true)).alias("target")
+    val s = source.withColumn(SFlag, lit(true)).alias("source")
+    val joined = t.join(s, expr(condition), "full_outer")
+
+    val isMatched = col(TFlag).isNotNull && col(SFlag).isNotNull
+    val sourceOnly = col(SFlag).isNotNull && col(TFlag).isNull
+    val targetOnly = col(TFlag).isNotNull && col(SFlag).isNull
+
+    def scope(k: ClauseKind): Column = k match {
+      case Matched            => isMatched
+      case NotMatched         => sourceOnly
+      case NotMatchedBySource => targetOnly
+    }
+    def clauseCond(c: Clause): Column =
+      c.cond.map(e => scope(c.kind) && expr(e)).getOrElse(scope(c.kind))
+    def tag(i: Int, c: Clause): String = c.kind match {
+      case Matched            => s"m$i"
+      case NotMatched         => s"nm$i"
+      case NotMatchedBySource => s"bs$i"
+    }
+
+    val indexed = clauses.zipWithIndex
+    // action tag: first clause whose scope+condition holds; else keep/drop
+    val actionCol = indexed.foldRight(
+      when(sourceOnly, lit(DropTag)).otherwise(lit(UnchangedTag))) {
+      case ((c, i), rest) => when(clauseCond(c), lit(tagFor(c, tag(i, c)))).otherwise(rest)
+    }
+
+    // per-column value: walk the same clause chain
+    def valueFor(c: Clause, colName: String): Column = c.action match {
+      case UpdateAll      => col(s"source.`$colName`")
+      case InsertAll      => col(s"source.`$colName`")
+      case UpdateSet(set) => set.get(colName).map(expr)
+        .getOrElse(col(s"target.`$colName`"))
+      case Delete         => col(s"target.`$colName`") // dropped by action filter
+    }
+    val outCols = targetCols.map { name =>
+      indexed.foldRight(col(s"target.`$name`")) { case ((c, i), rest) =>
+        when(clauseCond(c), valueFor(c, name)).otherwise(rest)
+      }.as(name)
+    }
+
+    val resolved = joined.select(outCols :+ actionCol.as(ActionCol): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = resolved.groupBy(ActionCol).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val kept = resolved
+        .filter(col(ActionCol) =!= DropTag && !col(ActionCol).startsWith(DeletePrefix))
+        .drop(ActionCol)
+      table.replacePartitions(pruned.filter(_ => m.partitionColumns.nonEmpty), kept)
+      MergeMetrics(counts - DropTag)
+    } finally resolved.unpersist()
+  }
+
+  private def tagFor(c: Clause, base: String): String =
+    c.action match {
+      case Delete => DeletePrefix + base
+      case _      => base
+    }
+}
+
+object MergeBuilder {
+  private[tables] sealed trait ClauseKind
+  private[tables] case object Matched extends ClauseKind
+  private[tables] case object NotMatched extends ClauseKind
+  private[tables] case object NotMatchedBySource extends ClauseKind
+
+  private[tables] sealed trait MergeAction
+  private[tables] case object UpdateAll extends MergeAction
+  private[tables] case object InsertAll extends MergeAction
+  private[tables] final case class UpdateSet(set: Map[String, String]) extends MergeAction
+  private[tables] case object Delete extends MergeAction
+
+  private[tables] final case class Clause(
+      kind: ClauseKind, cond: Option[String], action: MergeAction)
+
+  private[tables] val TFlag = "__graft_t"
+  private[tables] val SFlag = "__graft_s"
+  private[tables] val ActionCol = "__graft_action"
+  private[tables] val DropTag = "drop"
+  private[tables] val UnchangedTag = "unchanged"
+  private[tables] val DeletePrefix = "del:"
+
+  /** Row counts per clause tag; `unchanged` = rows carried through untouched
+    * (within the pruned partitions). */
+  final case class MergeMetrics(byTag: Map[String, Long]) {
+    def count(tag: String): Long = byTag.getOrElse(tag, 0L)
+    def total: Long = byTag.values.sum
+  }
+}
+
+/** Entry point mirroring Delta's `DeltaTable.merge`. */
+object MergeInto {
+  def apply(table: ManagedTable, source: DataFrame, condition: String): MergeBuilder =
+    new MergeBuilder(table, source, condition)
+}

@@ -1,0 +1,114 @@
+package graft.tables
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.nio.file.Files
+
+class ManagedTableSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft-test").toString
+
+  import scala.jdk.CollectionConverters._
+  def df(rows: Seq[(Int, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("id", "name", "part")
+  }
+
+  test("overwrite + read round-trip, versioning") {
+    val t = ManagedTable(spark, tmp() + "/t1")
+    t.exists shouldBe false
+    t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "y"))))
+    t.exists shouldBe true
+    t.currentVersion shouldBe Some(0L)
+    t.read().count() shouldBe 2
+    t.overwriteAll(df(Seq((3, "c", "z"))))
+    t.currentVersion shouldBe Some(1L)
+    t.read().count() shouldBe 1
+    t.readVersion(0).count() shouldBe 2 // time travel
+  }
+
+  test("append preserves existing rows; missing column fails") {
+    val t = ManagedTable(spark, tmp() + "/t2")
+    t.overwriteAll(df(Seq((1, "a", "x"))))
+    t.append(df(Seq((2, "b", "y"))))
+    t.read().count() shouldBe 2
+    val bad = df(Seq((3, "c", "z"))).drop("name")
+    val ex = intercept[graft.metadata.MetadataException](t.append(bad))
+    ex.getMessage should include("name")
+  }
+
+  test("partitioned write: partition values tracked, pruned read, dynamic overwrite") {
+    val t = ManagedTable(spark, tmp() + "/t3")
+    t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "y"), (3, "c", "y"))), Seq("part"))
+    val m = t.manifest.get
+    m.partitionColumns shouldBe Seq("part")
+    m.files.flatMap(_.partitionValues.get("part")).toSet shouldBe Set("x", "y")
+    // pruned read only touches files of partition y
+    val pr = t.readPartitionsIn(Map("part" -> Set("y")))
+    pr.collect().map(_.getInt(0)).sorted shouldBe Array(2, 3)
+    // partition columns still present in data (not stripped to dirs)
+    pr.columns should contain("part")
+    // dynamic overwrite replaces only partition y
+    t.overwriteDynamic(df(Seq((9, "z", "y"))), Seq("part"))
+    t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 9)
+  }
+
+  test("merge: upsert + soft delete + delete inference") {
+    val t = ManagedTable(spark, tmp() + "/t4")
+    // target: ids 1,2,3 all part x
+    t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "x"), (3, "c", "x"))))
+    // source: 2 updated, 4 new, 1 absent (→ delete inference), 3 absent
+    val src = df(Seq((2, "B", "x"), (4, "d", "x")))
+    val metrics = MergeInto(t, src, "target.id = source.id")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .whenNotMatchedBySourceUpdate(
+        Map("name" -> "'DELETED'"), cond = Some("target.id = 1"))
+      .execute()
+    val out = t.read().collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    out shouldBe Array((1, "DELETED"), (2, "B"), (3, "c"), (4, "d"))
+    metrics.count("m0") shouldBe 1 // updated
+    metrics.count("nm1") shouldBe 1 // inserted
+    metrics.count("bs2") shouldBe 1 // delete-inferred
+    metrics.count("unchanged") shouldBe 1 // id 3
+  }
+
+  test("merge with partition pruning only rewrites affected partitions") {
+    val t = ManagedTable(spark, tmp() + "/t5")
+    t.overwriteAll(
+      df(Seq((1, "a", "x"), (2, "b", "y"), (3, "c", "y"))), Seq("part"))
+    val filesBefore = t.manifest.get.files
+      .filter(_.partitionValues.get("part").contains("x"))
+    val src = df(Seq((2, "B", "y")))
+    MergeInto(t, src, "target.id = source.id")
+      .prunePartitions(Seq(Map("part" -> "y")))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val out = t.read().collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    out shouldBe Array((1, "a"), (2, "B"), (3, "c"))
+    // partition x files untouched (same physical files still referenced)
+    val filesAfterX = t.manifest.get.files
+      .filter(_.partitionValues.get("part").contains("x"))
+    filesAfterX shouldBe filesBefore
+  }
+
+  test("vacuum drops unreferenced commits, keeps current snapshot") {
+    val t = ManagedTable(spark, tmp() + "/t6")
+    t.overwriteAll(df(Seq((1, "a", "x"))))
+    t.overwriteAll(df(Seq((2, "b", "x"))))
+    t.vacuum()
+    t.read().collect().map(_.getInt(0)) shouldBe Array(2)
+    intercept[Exception](t.readVersion(0).collect())
+  }
+}
