@@ -1,0 +1,222 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.metadata.ProcessType
+import graft.tables.{ManagedTable, MergeInto}
+
+/** Processing strategies (reference: src/main/scala/datalake/processing/
+  * Full.scala, Merge.scala, Historic.scala), re-expressed over the managed
+  * Parquet table layer. */
+sealed trait Strategy {
+  def run(p: Processing): ProcessingSummary
+
+  /** First-run probe: only "table missing" diverts to Full; any other
+    * failure propagates (hardening per reference ProcessStrategy.scala:44-65). */
+  protected def isFirstRun(p: Processing): Boolean = !p.table.exists
+
+  /** Inclusive watermark-window condition over `target`, bounding delete
+    * inference (reference: ProcessStrategy.scala:86-153). Columns are the
+    * post-rename/normalize names. */
+  protected def watermarkWindowCondition(p: Processing): Option[String] = {
+    val parts = p.source.watermarkValues.flatMap { case (wm, currentOpt) =>
+      val colName = graft.core.ColumnOps.normalizeName(
+        p.entity.columns.find(_.name == wm.columnName).map(_.finalName)
+          .getOrElse(wm.columnName))
+      val prev = p.watermarkStore.lastValue(p.entity.id, wm.columnName)
+        .flatMap(stored => p.watermarkStore.evaluateExpression(wm, stored))
+      (prev, currentOpt) match {
+        case (Some(lo), Some(hi)) =>
+          Some(s"target.`$colName` >= '${sqlEscape(lo)}' AND " +
+            s"target.`$colName` <= '${sqlEscape(hi)}'")
+        case _ => None
+      }
+    }
+    if (parts.isEmpty) None else Some(parts.mkString("(", ") AND (", ")"))
+  }
+
+  private def sqlEscape(s: String): String = s.replace("'", "''")
+
+  /** Partition IN-pruning facts from the slice (reference:
+    * Merge.scala:38-48): every partition the slice touches, as string values
+    * matching the table's directory encoding. */
+  protected def prunedPartitions(p: Processing): Option[Seq[Map[String, String]]] =
+    if (p.source.partitionColumns.isEmpty) None else Some(p.source.partitionValues)
+}
+
+/** Overwrite with dynamic partition replacement (reference: Full.scala:38-66). */
+final class FullStrategy extends Strategy {
+  def run(p: Processing): ProcessingSummary = {
+    val df = p.source.df
+    val n = df.count()
+    val partCols = p.normalizedPartitionColumns
+    if (p.table.exists && partCols.nonEmpty) p.table.overwriteDynamic(df, partCols)
+    else p.table.overwriteAll(df, partCols)
+    ProcessingSummary(p.entity.id, "full", recordsInSlice = n, inserted = n)
+  }
+}
+
+/** CDC-style upsert + soft delete (reference: Merge.scala:24-147).
+  *
+  * Clause order matters (first match wins):
+  *   m0 source-deleted   → update(deleted, lastSeen)
+  *   m1 hash ≠           → updateAll
+  *   m2 hash =           → touch lastSeen
+  *   nm3 not-deleted     → insertAll
+  *   bs4 window ∧ alive  → infer delete
+  */
+final class MergeStrategy extends Strategy {
+  def run(p: Processing): ProcessingSummary = {
+    if (isFirstRun(p)) {
+      val full = new FullStrategy().run(p)
+      return full.copy(strategy = "merge")
+    }
+    val sys = p.sys
+    val df = p.source.df
+    val n = df.count()
+    val pk = p.pkColumn
+    val ts = s"'${p.processingTimeString}'"
+
+    val builder = MergeInto(p.table, df, s"target.`$pk` = source.`$pk`")
+    prunedPartitions(p).foreach(builder.prunePartitions)
+    builder
+      .whenMatchedUpdate(
+        Map(sys.deleted -> "true",
+          sys.lastSeen -> s"source.`${sys.lastSeen}`"),
+        cond = Some(s"source.`${sys.deleted}` = true"))
+      .whenMatchedUpdateAll(
+        cond = Some(s"target.`${sys.sourceHash}` != source.`${sys.sourceHash}`"))
+      .whenMatchedUpdate(
+        Map(sys.lastSeen -> s"source.`${sys.lastSeen}`"))
+      .whenNotMatchedInsertAll(
+        cond = Some(s"source.`${sys.deleted}` = false"))
+    if (p.deleteMissing) {
+      val window = watermarkWindowCondition(p)
+      val guard = s"target.`${sys.deleted}` = false"
+      val cond = window.map(w => s"($w) AND $guard").getOrElse(guard)
+      builder.whenNotMatchedBySourceUpdate(
+        Map(sys.deleted -> "true",
+          sys.lastSeen -> s"CAST($ts AS TIMESTAMP_NTZ)"),
+        cond = Some(cond))
+    }
+    val m = builder.execute()
+
+    val softDeleted = m.count("m0") + m.count("bs4")
+    val updated = m.count("m1")
+    val touched = m.count("m2")
+    val inserted = m.count("nm3")
+    ProcessingSummary(p.entity.id, "merge", recordsInSlice = n,
+      inserted = inserted, updated = updated, deleted = softDeleted,
+      touched = touched, unchanged = touched)
+  }
+}
+
+/** SCD Type 2 version history (reference: Historic.scala:16-167).
+  *
+  * Unlike the reference's two-step Delta MERGE + append (close versions,
+  * then re-join and append the new ones — Historic.scala:75-128), this is a
+  * single atomic pass: one full-outer join against current versions, with
+  * changed keys emitting BOTH the closed old version and the new current
+  * version via array+explode. One shuffle, one commit — a reader can never
+  * observe a closed version without its successor.
+  */
+final class HistoricStrategy extends Strategy {
+  def run(p: Processing): ProcessingSummary = {
+    if (isFirstRun(p)) {
+      val full = new FullStrategy().run(p)
+      return full.copy(strategy = "historic")
+    }
+    val sys = p.sys
+    val pk = p.pkColumn
+    val src = p.source.df
+    val n = src.count()
+    val ptNtz = lit(p.processingTimeString).cast("timestamp_ntz")
+
+    val manifest = p.table.manifest.get
+    val targetCols: Seq[String] = manifest.schema.fields.map(_.name).toSeq
+    // fail early, naming missing source columns (reference contract)
+    val missing = targetCols.filterNot(src.columns.contains)
+    if (missing.nonEmpty)
+      throw new graft.metadata.MetadataException(
+        s"Source is missing target column(s): ${missing.mkString(", ")}")
+
+    val pruned = prunedPartitions(p)
+    val target = pruned match {
+      case Some(ps) => p.table.readPartitions(ps.toSet.contains)
+      case None     => p.table.read()
+    }
+
+    val t = target.withColumn("__graft_t", lit(true)).alias("target")
+    val s = src.withColumn("__graft_s", lit(true)).alias("source")
+    // match only current versions: history rows fall out as target-only
+    val joined = t.join(s,
+      expr(s"target.`$pk` = source.`$pk` AND target.`${sys.isCurrent}` = true"),
+      "full_outer")
+
+    val isMatched = col("__graft_t").isNotNull && col("__graft_s").isNotNull
+    val sourceOnly = col("__graft_s").isNotNull && col("__graft_t").isNull
+    val targetOnly = col("__graft_t").isNotNull && col("__graft_s").isNull
+    val changed = isMatched &&
+      col(s"target.`${sys.sourceHash}`") =!= col(s"source.`${sys.sourceHash}`")
+
+    def targetRow(overrides: Map[String, Column] = Map.empty): Column =
+      struct(targetCols.map(c =>
+        overrides.getOrElse(c, col(s"target.`$c`")).as(c)): _*)
+    def sourceRow: Column = struct(targetCols.map(c => col(s"source.`$c`").as(c)): _*)
+
+    val closedOld = targetRow(Map(
+      sys.validTo -> ptNtz,
+      sys.isCurrent -> lit(false)))
+
+    val deleteCond: Column = if (p.deleteMissing) {
+      val window = watermarkWindowCondition(p).map(expr).getOrElse(lit(true))
+      targetOnly && col(s"target.`${sys.isCurrent}`") === true &&
+        col(s"target.`${sys.deleted}`") === false && window
+    } else lit(false)
+    val deletedClosed = targetRow(Map(
+      sys.deleted -> lit(true),
+      sys.isCurrent -> lit(false),
+      sys.validTo -> ptNtz,
+      sys.lastSeen -> ptNtz))
+
+    val emitted = joined.select(
+      when(changed, array(closedOld, sourceRow))          // close + new version
+        .when(isMatched, array(targetRow()))              // unchanged current
+        .when(sourceOnly, array(sourceRow))               // brand-new key
+        .when(deleteCond, array(deletedClosed))           // inferred delete
+        .otherwise(array(targetRow()))                    // history / untouched
+        .as("__rows"),
+      when(changed, "updated")
+        .when(isMatched, "unchanged")
+        .when(sourceOnly, "inserted")
+        .when(deleteCond, "deleted")
+        .otherwise("kept").as("__action"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      val counts = emitted.groupBy("__action").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val out = emitted
+        .select(explode(col("__rows")).as("__r"))
+        .select(targetCols.map(c => col(s"__r.`$c`").as(c)): _*)
+      p.table.replacePartitions(pruned, out)
+
+      val updated = counts.getOrElse("updated", 0L)
+      val inserted = counts.getOrElse("inserted", 0L)
+      val unchanged = counts.getOrElse("unchanged", 0L)
+      // identity: inserted + updated + unchanged == recordsInSlice
+      ProcessingSummary(p.entity.id, "historic", recordsInSlice = n,
+        inserted = inserted, updated = updated,
+        deleted = counts.getOrElse("deleted", 0L), unchanged = unchanged)
+    } finally emitted.unpersist()
+  }
+}
+
+object Strategy {
+  def forType(t: ProcessType): Strategy = t match {
+    case ProcessType.Full     => new FullStrategy()
+    case ProcessType.Merge    => new MergeStrategy()
+    case ProcessType.Historic => new HistoricStrategy()
+  }
+}

@@ -274,6 +274,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
 
 object ManagedTable {
 
+  /** Directory marker Spark uses for null partition values. */
+  val NullPartitionValue = "__HIVE_DEFAULT_PARTITION__"
+
   def apply(spark: SparkSession, path: String): ManagedTable =
     new ManagedTable(spark, path)
 

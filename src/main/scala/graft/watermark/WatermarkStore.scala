@@ -1,0 +1,91 @@
+package graft.watermark
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.metadata.WatermarkDef
+import graft.tables.ManagedTable
+
+/** Batch-incremental bookmark persistence: an append-only log in the system
+  * area, latest-by-timestamp wins (reference:
+  * src/main/scala/datalake/core/WatermarkData.scala:14-96). "Watermark" here
+  * is the reference's meaning — max ingested value per (entity, column) —
+  * not Spark's event-time watermark.
+  *
+  * Values are stored stringly with their JVM source type; `None$` is the
+  * reset sentinel (reference: WatermarkData.scala:35-40,59,83).
+  */
+final class WatermarkStore(spark: SparkSession, systemPath: String) {
+
+  import WatermarkStore._
+
+  private val table = ManagedTable(spark, s"$systemPath/watermark")
+
+  def write(
+      entityId: Int,
+      values: Seq[(WatermarkDef, Option[String])],
+      timestamp: String): Unit = {
+    if (values.isEmpty) return
+    val rows = values.map { case (wm, v) =>
+      Row(entityId, wm.columnName,
+        java.time.LocalDateTime.parse(timestamp.replace(' ', 'T')),
+        v.map(_ => "java.lang.String").getOrElse(ResetSentinel),
+        v.getOrElse(ResetSentinel))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Schema)
+    if (table.exists) table.append(df) else table.overwriteAll(df)
+  }
+
+  def reset(entityId: Int, columnName: String, timestamp: String): Unit =
+    write(entityId, Seq(WatermarkDef(columnName) -> None), timestamp)
+
+  /** Latest stored value for (entity, column); None if never written or
+    * reset (reference: WatermarkData.scala:26-47). */
+  def lastValue(entityId: Int, columnName: String): Option[String] = {
+    if (!table.exists) return None
+    val rows = table.read()
+      .filter(col("entity_id") === entityId && col("column_name") === columnName)
+      .orderBy(col("timestamp").desc)
+      .select("value")
+      .head(1)
+    rows.headOption.map(_.getString(0)).filter(_ != ResetSentinel)
+  }
+
+  /** Evaluate a watermark expression against the stored value.
+    *
+    * The reference compiles these with a runtime Scala ToolBox
+    * (reference: Expressions.scala:66-94, Watermark.scala:78-94); we
+    * substitute the documented bindings and evaluate the result as a Spark
+    * SQL scalar — a deliberate dialect change (SQL, not Scala) since
+    * scala-compiler is not a safe cluster dependency. Bindings: last_value,
+    * watermark (alias), b19_epoch_day / reflex_now (days since 1900-01-01).
+    * Failure → None, watermark skipped (reference: Watermark.scala:44-53).
+    */
+  def evaluateExpression(wm: WatermarkDef, lastValue: String): Option[String] = {
+    val epochDay1900 = java.time.LocalDate.now()
+      .toEpochDay - java.time.LocalDate.of(1900, 1, 1).toEpochDay
+    val substituted = wm.expression
+      .replace("${last_value}", lastValue)
+      .replace("${watermark}", lastValue)
+      .replace("${b19_epoch_day}", epochDay1900.toString)
+      .replace("${reflex_now}", epochDay1900.toString)
+    try {
+      val r = spark.sql(s"SELECT CAST(($substituted) AS STRING)").head()
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    } catch {
+      case _: Exception => None
+    }
+  }
+}
+
+object WatermarkStore {
+  val ResetSentinel = "None$"
+  val Schema: StructType = StructType(Seq(
+    StructField("entity_id", IntegerType),
+    StructField("column_name", StringType),
+    StructField("timestamp", TimestampNTZType),
+    StructField("source_type", StringType),
+    StructField("value", StringType)))
+}

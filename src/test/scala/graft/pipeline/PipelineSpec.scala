@@ -1,0 +1,373 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.nio.file.Files
+
+import graft.metadata._
+import graft.watermark.WatermarkStore
+
+/** End-to-end pipeline + strategy semantics, mirroring the reference's
+  * integration suites (reference: src/test/scala/datalake/processing/
+  * FullProcessingSpec.scala, MergeProcessingSpec.scala,
+  * HistoricProcessingSpec.scala, InferDeletesSpec.scala). */
+class PipelineSpec extends AnyFunSuite with Matchers {
+
+  implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  val T1 = "2024-01-10T10:00:00"
+  val T2 = "2024-01-11T10:00:00"
+  val T3 = "2024-01-12T10:00:00"
+
+  /** Fresh metadata rooted in a temp dir; one merge entity + one historic
+    * entity + one full entity over the same logical source. */
+  def fixture(prefix: String = "", extraEntity: String = ""): Metadata = {
+    val root = Files.createTempDirectory("graft-pipe").toString
+    Metadata.fromJson(s"""{
+      "environment": {
+        "name": "test", "timezone": "UTC", "root_folder": "$root",
+        "systemfield_prefix": "$prefix"
+      },
+      "connections": [ { "name": "src1", "enabled": true } ],
+      "entities": [
+        { "id": 1, "name": "cust", "connection": "src1", "processtype": "full",
+          "columns": [
+            { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+            { "name": "name", "datatype": "string" },
+            { "name": "Administration", "datatype": "string", "fieldroles": ["partition"] }
+          ] },
+        { "id": 2, "name": "cust_m", "connection": "src1", "processtype": "merge",
+          "settings": { "delete_missing": true },
+          "watermark": [ { "column": "SeqNr" } ],
+          "columns": [
+            { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+            { "name": "SeqNr", "datatype": "integer" },
+            { "name": "name", "datatype": "string" }
+          ] },
+        { "id": 3, "name": "cust_h", "connection": "src1", "processtype": "historic",
+          "settings": { "delete_missing": true },
+          "columns": [
+            { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+            { "name": "name", "datatype": "string" }
+          ] }
+        $extraEntity
+      ]
+    }""")
+  }
+
+  def writeSlice(md: Metadata, e: Entity, slice: String, df: DataFrame): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(s"${md.bronzePath(e)}/$slice")
+
+  def run(md: Metadata, id: Int, slice: String, time: String): ProcessingSummary =
+    new Processing(md, md.getEntity(id), slice,
+      Map("processing.time" -> time)).process()
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------------ Full
+
+  test("full: overwrite write, system columns, PK hash, partitioning") {
+    val md = fixture()
+    val e = md.getEntity(1)
+    writeSlice(md, e, "s1.parquet",
+      Seq((1, "alice", "950"), (2, "bob", "951")).toDF("ID", "name", "Administration"))
+    val sum = run(md, 1, "s1.parquet", T1)
+    sum.inserted shouldBe 2
+    sum.recordsInSlice shouldBe 2
+
+    val p = new Processing(md, e, "s1.parquet")
+    val out = p.table.read()
+    out.count() shouldBe 2
+    out.columns should contain allOf
+      ("ID", "name", "Administration", "PK_cust", "SourceHash",
+        "deleted", "lastSeen", "source_filename")
+    // partition tracked in the manifest
+    p.table.manifest.get.partitionColumns shouldBe Seq("Administration")
+    // PK = sha256 of businesskey joined by '_'
+    val pk = out.filter($"ID" === 1).select("PK_cust").head.getString(0)
+    pk shouldBe java.security.MessageDigest.getInstance("SHA-256")
+      .digest("1".getBytes).map("%02x".format(_)).mkString
+    out.select("source_filename").head.getString(0) shouldBe "s1.parquet"
+  }
+
+  test("full: second run replaces only touched partitions (dynamic overwrite)") {
+    val md = fixture()
+    val e = md.getEntity(1)
+    writeSlice(md, e, "s1.parquet",
+      Seq((1, "alice", "950"), (2, "bob", "951")).toDF("ID", "name", "Administration"))
+    run(md, 1, "s1.parquet", T1)
+    // second slice only touches partition 950
+    writeSlice(md, e, "s2.parquet",
+      Seq((9, "zoe", "950")).toDF("ID", "name", "Administration"))
+    run(md, 1, "s2.parquet", T2)
+    val out = new Processing(md, e, "x").table.read()
+    out.select("ID").collect().map(_.getInt(0)).sorted shouldBe Array(2, 9)
+  }
+
+  test("system-field prefix is applied") {
+    val md = fixture(prefix = "zz_")
+    val e = md.getEntity(1)
+    writeSlice(md, e, "s1.parquet",
+      Seq((1, "alice", "950")).toDF("ID", "name", "Administration"))
+    run(md, 1, "s1.parquet", T1)
+    val cols = new Processing(md, e, "x").table.read().columns
+    cols should contain allOf ("zz_SourceHash", "zz_deleted", "zz_lastSeen")
+    cols should contain("PK_cust") // PK is not prefixed (reference contract)
+  }
+
+  // ----------------------------------------------------------------- Merge
+
+  def mergeSlice(rows: Seq[(Int, Int, String)]): DataFrame =
+    rows.toDF("ID", "SeqNr", "name")
+
+  test("merge: first run diverts to full; then update/touch/insert") {
+    val md = fixture()
+    val e = md.getEntity(2)
+    writeSlice(md, e, "s1.parquet",
+      mergeSlice(Seq((1, 1, "a"), (2, 1, "b"), (3, 1, "c"))))
+    val first = run(md, 2, "s1.parquet", T1)
+    first.strategy shouldBe "merge"
+    first.inserted shouldBe 3
+
+    // 1 updated (new name ⇒ hash≠), 2 byte-identical (touch), 4 inserted;
+    // 3 missing and inside the watermark window [1,2] → inferred delete
+    writeSlice(md, e, "s2.parquet",
+      mergeSlice(Seq((1, 2, "A"), (2, 1, "b"), (4, 2, "d"))))
+    val sum = run(md, 2, "s2.parquet", T2)
+    sum.inserted shouldBe 1
+    sum.updated shouldBe 1
+    sum.unchanged shouldBe 1
+    sum.deleted shouldBe 1
+
+    val out = new Processing(md, e, "x").table.read()
+      .select("ID", "name", "deleted", "lastSeen")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2),
+        r.getAs[java.time.LocalDateTime]("lastSeen"))).sortBy(_._1)
+    out.map(t => (t._1, t._2, t._3)) shouldBe Array(
+      (1, "A", false), (2, "b", false), (3, "c", true), (4, "d", false))
+    val t2 = java.time.LocalDateTime.parse(T2)
+    out(0)._4 shouldBe t2 // updated
+    out(1)._4 shouldBe t2 // touched
+  }
+
+  test("merge: source-supplied deleted flag soft-deletes the target row") {
+    val md = fixture()
+    val e = md.getEntity(2)
+    writeSlice(md, e, "s1.parquet", mergeSlice(Seq((1, 1, "a"), (2, 1, "b"))))
+    run(md, 2, "s1.parquet", T1)
+    writeSlice(md, e, "s2.parquet",
+      Seq((1, 2, "a", true)).toDF("ID", "SeqNr", "name", "deleted"))
+    val sum = run(md, 2, "s2.parquet", T2)
+    // row 1 soft-deleted by the source flag; row 2 (missing, in window) inferred
+    sum.deleted shouldBe 2
+    val out = new Processing(md, e, "x").table.read()
+      .filter($"ID" === 1).select("deleted").head.getBoolean(0)
+    out shouldBe true
+  }
+
+  test("merge: delete inference bounded by the watermark window") {
+    val md = fixture()
+    val e = md.getEntity(2)
+    // run 1: SeqNr 1..3 present
+    writeSlice(md, e, "s1.parquet",
+      mergeSlice(Seq((1, 1, "a"), (2, 2, "b"), (3, 3, "c"))))
+    run(md, 2, "s1.parquet", T1)
+    // run 2: window = [prev=3, cur=5]; row 2 (SeqNr=2) is OUTSIDE the window →
+    // NOT delete-inferred; row 3 (SeqNr=3, in window, missing) → deleted
+    writeSlice(md, e, "s2.parquet", mergeSlice(Seq((1, 5, "a2"))))
+    val sum = run(md, 2, "s2.parquet", T2)
+    val out = new Processing(md, e, "x").table.read()
+      .select("ID", "deleted").collect()
+      .map(r => (r.getInt(0), r.getBoolean(1))).sortBy(_._1)
+    out shouldBe Array((1, false), (2, false), (3, true))
+    sum.deleted shouldBe 1
+  }
+
+  test("merge: already-deleted rows are not re-deleted (guard)") {
+    val md = fixture()
+    val e = md.getEntity(2)
+    writeSlice(md, e, "s1.parquet", mergeSlice(Seq((1, 1, "a"), (2, 1, "b"))))
+    run(md, 2, "s1.parquet", T1)
+    writeSlice(md, e, "s2.parquet", mergeSlice(Seq((2, 2, "b2"))))
+    run(md, 2, "s2.parquet", T2).deleted shouldBe 1 // row 1 inferred-deleted
+    writeSlice(md, e, "s3.parquet", mergeSlice(Seq((2, 3, "b3"))))
+    run(md, 2, "s3.parquet", T3).deleted shouldBe 0 // not repeated
+  }
+
+  test("merge: missing source column fails naming the column") {
+    val md = fixture()
+    val e = md.getEntity(2)
+    writeSlice(md, e, "s1.parquet", mergeSlice(Seq((1, 1, "a"))))
+    run(md, 2, "s1.parquet", T1)
+    writeSlice(md, e, "s2.parquet", Seq((1, 2)).toDF("ID", "SeqNr"))
+    val ex = intercept[Exception](run(md, 2, "s2.parquet", T2))
+    ex.getMessage.toLowerCase should include("name")
+  }
+
+  test("merge: extra source column tolerated (drift)") {
+    val md = fixture()
+    val e = md.getEntity(2)
+    writeSlice(md, e, "s1.parquet", mergeSlice(Seq((1, 1, "a"))))
+    run(md, 2, "s1.parquet", T1)
+    writeSlice(md, e, "s2.parquet",
+      Seq((1, 2, "a2", "extra")).toDF("ID", "SeqNr", "name", "note"))
+    run(md, 2, "s2.parquet", T2).updated shouldBe 1
+    new Processing(md, e, "x").table.read()
+      .filter($"ID" === 1).select("name").head.getString(0) shouldBe "a2"
+  }
+
+  test("empty slice: merge preserves target") {
+    val md = fixture()
+    val e = md.getEntity(2)
+    writeSlice(md, e, "s1.parquet", mergeSlice(Seq((1, 1, "a"))))
+    run(md, 2, "s1.parquet", T1)
+    writeSlice(md, e, "s2.parquet", mergeSlice(Nil))
+    run(md, 2, "s2.parquet", T2)
+    new Processing(md, e, "x").table.read().count() shouldBe 1
+  }
+
+  // -------------------------------------------------------------- Historic
+
+  test("historic: version chain with ValidFrom/ValidTo/IsCurrent") {
+    val md = fixture()
+    val e = md.getEntity(3)
+    writeSlice(md, e, "s1.parquet", Seq((1, "a"), (2, "b")).toDF("ID", "name"))
+    run(md, 3, "s1.parquet", T1)
+
+    writeSlice(md, e, "s2.parquet", Seq((1, "a2"), (2, "b")).toDF("ID", "name"))
+    val sum = run(md, 3, "s2.parquet", T2)
+    sum.updated shouldBe 1
+    sum.unchanged shouldBe 1
+    // identity: inserted + updated + unchanged == recordsInSlice
+    (sum.inserted + sum.updated + sum.unchanged) shouldBe sum.recordsInSlice
+
+    val out = new Processing(md, e, "x").table.read()
+      .select("ID", "name", "ValidFrom", "ValidTo", "IsCurrent")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        r.getAs[java.time.LocalDateTime]("ValidFrom"),
+        r.getAs[java.time.LocalDateTime]("ValidTo"), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3))
+    out.length shouldBe 3
+    val t1 = java.time.LocalDateTime.parse(T1)
+    val t2 = java.time.LocalDateTime.parse(T2)
+    val sentinel = java.time.LocalDateTime.parse("2999-12-31T00:00:00")
+    // id=1: closed old version + open new one; temporal integrity ValidTo==next ValidFrom
+    out(0) shouldBe ((1, "a", t1, t2, false))
+    out(1) shouldBe ((1, "a2", t2, sentinel, true))
+    out(2) shouldBe ((2, "b", t1, sentinel, true))
+  }
+
+  test("historic: delete inference closes current version only") {
+    val md = fixture()
+    val e = md.getEntity(3)
+    writeSlice(md, e, "s1.parquet", Seq((1, "a"), (2, "b")).toDF("ID", "name"))
+    run(md, 3, "s1.parquet", T1)
+    writeSlice(md, e, "s2.parquet", Seq((1, "a2")).toDF("ID", "name"))
+    val sum = run(md, 3, "s2.parquet", T2)
+    sum.deleted shouldBe 1
+
+    val rows = new Processing(md, e, "x").table.read()
+      .select("ID", "name", "IsCurrent", "deleted")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2), r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2))
+    rows should contain((2, "b", false, true)) // closed + flagged
+    // historic rows (IsCurrent=false) of id=1's old version not delete-flagged
+    rows.filter(_._1 == 1).map(_._4).toSet shouldBe Set(false)
+
+    // third run: id=2 still absent — no repeat delete of a non-current row
+    writeSlice(md, e, "s3.parquet", Seq((1, "a3")).toDF("ID", "name"))
+    run(md, 3, "s3.parquet", T3).deleted shouldBe 0
+  }
+
+  // ------------------------------------------------------------- pipeline
+
+  test("duplicate business keys are fatal") {
+    val md = fixture()
+    val e = md.getEntity(1)
+    writeSlice(md, e, "s1.parquet",
+      Seq((1, "a", "950"), (1, "b", "950")).toDF("ID", "name", "Administration"))
+    intercept[DuplicateBusinesskeyException](run(md, 1, "s1.parquet", T1))
+  }
+
+  test("calculated column failure is fatal; success adds the column") {
+    val extra = """,
+      { "id": 9, "name": "calc", "connection": "src1", "processtype": "full",
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+          { "name": "twice", "datatype": "integer", "expression": "ID * 2" }
+        ] },
+      { "id": 10, "name": "badcalc", "connection": "src1", "processtype": "full",
+        "columns": [
+          { "name": "boom", "expression": "this is not ( sql" }
+        ] }"""
+    val md = fixture(extraEntity = extra)
+    val e = md.getEntity(9)
+    writeSlice(md, e, "s1.parquet", Seq((1, "x")).toDF("ID", "name"))
+    run(md, 9, "s1.parquet", T1)
+    new Processing(md, e, "x").table.read()
+      .select("twice").head.getInt(0) shouldBe 2
+
+    val bad = md.getEntity(10)
+    writeSlice(md, bad, "s1.parquet", Seq((1, "x")).toDF("ID", "name"))
+    intercept[CalculatedColumnException](run(md, 10, "s1.parquet", T1))
+  }
+
+  test("rename + normalize + sys_* drop in the chain") {
+    val extra = """,
+      { "id": 11, "name": "ren", "connection": "src1", "processtype": "full",
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+          { "name": "first name", "newname": "firstname" }
+        ] }"""
+    val md = fixture(extraEntity = extra)
+    val e = md.getEntity(11)
+    writeSlice(md, e, "s1.parquet",
+      Seq((1, "al", "junk")).toDF("ID", "first name", "sys_internal"))
+    run(md, 11, "s1.parquet", T1)
+    val cols = new Processing(md, e, "x").table.read().columns
+    cols should contain("firstname")
+    cols should not contain "sys_internal"
+  }
+
+  // ------------------------------------------------------------ watermarks
+
+  test("watermark store: write, latest wins, reset sentinel, expression eval") {
+    val md = fixture()
+    val ws = new WatermarkStore(spark, md.environment.systemPath)
+    ws.write(2, Seq(WatermarkDef("SeqNr") -> Some("5")), "2024-01-10 10:00:00.000")
+    ws.write(2, Seq(WatermarkDef("SeqNr") -> Some("9")), "2024-01-11 10:00:00.000")
+    ws.lastValue(2, "SeqNr") shouldBe Some("9")
+    ws.reset(2, "SeqNr", "2024-01-12 10:00:00.000")
+    ws.lastValue(2, "SeqNr") shouldBe None
+
+    // default expression: identity over the stored value
+    ws.evaluateExpression(WatermarkDef("c"), "42") shouldBe Some("42")
+    // SQL rewrite of the stored value (reference's date-buffer use case)
+    ws.evaluateExpression(
+      WatermarkDef("c", expression = "date_sub(CAST('${last_value}' AS DATE), 7)"),
+      "2024-01-10") shouldBe Some("2024-01-03")
+    // invalid expression → None (skip), reference Watermark.scala:44-53
+    ws.evaluateExpression(
+      WatermarkDef("c", expression = "not ( valid sql"), "x") shouldBe None
+  }
+
+  test("watermark persisted per run and drives the next window") {
+    val md = fixture()
+    val e = md.getEntity(2)
+    writeSlice(md, e, "s1.parquet", mergeSlice(Seq((1, 3, "a"))))
+    run(md, 2, "s1.parquet", T1)
+    val ws = new WatermarkStore(spark, md.environment.systemPath)
+    ws.lastValue(2, "SeqNr") shouldBe Some("3")
+    writeSlice(md, e, "s2.parquet", mergeSlice(Seq((1, 7, "a2"))))
+    run(md, 2, "s2.parquet", T2)
+    ws.lastValue(2, "SeqNr") shouldBe Some("7")
+  }
+}
