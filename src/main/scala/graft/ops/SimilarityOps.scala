@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), as a training-data pipeline needs for embedding-based
+  * near-dup removal and retrieval.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    O(queries × corpus); fine when the query set is small or the corpus
+  *    is broadcastable.
+  *  - [[lshTopK]]: random-hyperplane LSH (sign bits → bucket key) — the
+  *    scale path. Candidates come from an equi-join on the bucket key, so
+  *    the shuffle is O(n), and per-query work is only its bucket.
+  *
+  * All arithmetic is a deterministic left-fold over doubles (strict IEEE
+  * order), so results are bit-identical across engines and partitionings —
+  * required for the DuckDB oracle hash-compare.
+  */
+object SimilarityOps {
+
+  /** OR-amplified sign-LSH: `Tables` independent hash tables of
+    * `BitsPerTable` hyperplane bits each. A corpus vector is a candidate
+    * if it collides with the query in ANY table — more tables raise
+    * recall, more bits shrink buckets. 6×4 gives ~0.5+ recall@3 on
+    * uniform-random 64-d embeddings while scanning a fraction of the
+    * corpus per query. */
+  val Tables = 6
+  val BitsPerTable = 4
+
+  /** Deterministic hyperplane coefficients: plane p, dimension j →
+    * a value in [-1, 1] with 3 decimals. Shared with the SQL oracle as
+    * literals. Plane index = table * BitsPerTable + bit. */
+  def planeCoefficients(dims: Int): Seq[Seq[Double]] =
+    (0 until Tables * BitsPerTable).map { p =>
+      (0 until dims).map { j =>
+        val k = (p * dims + j).toLong * 2654435761L
+        ((k % 2001 + 2001) % 2001 - 1000) / 1000.0
+      }
+    }
+
+  /** Cast a float embedding to double once, up front. */
+  def asDouble(embedding: Column): Column =
+    transform(embedding, x => x.cast("double"))
+
+  /** Strict left-fold sum — matches a sequential SQL fold bit-for-bit. */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column = foldSum(zip_with(a, b, _ * _))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(foldSum(zip_with(a, a, _ * _)) * foldSum(zip_with(b, b, _ * _)))
+
+  /** Bucket keys, one per hash table: key bit b set iff
+    * dot(v, plane_{t*BitsPerTable+b}) >= 0. Generated as flat arithmetic
+    * over `element_at`, so it compiles into whole-stage codegen (no
+    * per-row loop). */
+  def lshBucketKeys(vec: Column, dims: Int): Column = {
+    val planes = planeCoefficients(dims)
+    array((0 until Tables).map { t =>
+      (0 until BitsPerTable).map { b =>
+        val coefs = planes(t * BitsPerTable + b)
+        val d = coefs.zipWithIndex.map { case (c, j) =>
+          lit(c) * element_at(vec, j + 1)
+        }.reduce(_ + _)
+        when(d >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Exact cosine top-k of `corpus` for each row of `queries`.
+    * Output: (query_id, neighbor_id, rank, cos). */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** LSH-bucketed cosine top-k: candidates collide with the query in at
+    * least one hash table. The candidate set comes from an equi-join on
+    * (table, key) — O(n) shuffle — followed by exact cosine only on
+    * candidates. Approximate: recall vs [[bruteForceTopK]] is asserted in
+    * OpsSpec. */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dims: Int, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    def tableRows(df: DataFrame, id: String, vec: String) =
+      df.select(col(id), posexplode(lshBucketKeys(col(vec), dims)))
+        .select(col(id), col("pos").as("tbl"), col("col").as("key"))
+    val candidates = tableRows(q, "query_id", "qv").alias("a")
+      .join(tableRows(c, "neighbor_id", "cv").alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key")
+          && col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val scored = candidates
+      .join(q, "query_id")
+      .join(c, "neighbor_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+}

@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{SimilarityOps, TextOps}
+
+/** Training-data pipeline operators (dedup family, similarity search, text
+  * analysis, multimodal plumbing) as oracle-verified queries over the
+  * `documents` / `embeddings` tables.
+  *
+  * Each oracle mirrors the Spark implementation operation-for-operation —
+  * including floating-point fold order — so results hash-match exactly.
+  * Shared primitives: `H(s) = int(sha256(s)[0:8])` (Spark:
+  * `conv(substr(sha2(s,256),1,8),16,10)`; DuckDB:
+  * `CAST('0x'||substr(sha256(s),1,8) AS BIGINT)`).
+  */
+object TrainingOps {
+
+  // ------------------------------------------------- oracle SQL fragments
+
+  /** DuckDB: portable 32-bit string hash. */
+  private def H(s: String): String =
+    s"CAST(('0x' || substr(sha256($s), 1, 8)) AS BIGINT)"
+
+  private val Words = raw"string_split_regex(text, '\s+')"
+
+  /** DuckDB: distinct word-bigram shingles per doc (CTE body). */
+  private val ShingleDocs =
+    s"""SELECT doc_id AS id,
+       |  list_distinct(CASE WHEN len(ws) < 2 THEN []
+       |    ELSE list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1])
+       |  END) AS sh
+       |FROM (SELECT doc_id, $Words AS ws FROM documents)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------ dedup: exact
+    QueryDef(
+      "q_td_dedup_exact",
+      """SELECT sha256(text) AS content_sha, min(doc_id) AS canonical_id,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY content_sha""".stripMargin) { (s, d) =>
+      TextOps.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("content_sha")
+    },
+
+    // ----------------------------------------- dedup: MinHash + LSH bands
+    QueryDef("q_td_minhash_lsh", minHashOracle) { (s, d) =>
+      TextOps.minHashNearDupPairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    },
+
+    // -------------------------------------------------- dedup: SimHash
+    QueryDef("q_td_simhash", simHashOracle) { (s, d) =>
+      TextOps.simHashSignatures(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // --------------------------------- dedup: blocked n-gram Jaccard pairs
+    QueryDef(
+      "q_td_ngram_jaccard",
+      s"""WITH d AS (
+         |  SELECT w.id, ds.source AS blk, w.sh
+         |  FROM ($ShingleDocs) w JOIN documents ds ON ds.doc_id = w.id
+         |  WHERE len(w.sh) > 0)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       len(list_intersect(a.sh, b.sh)) AS inter,
+         |       len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+         |FROM d a JOIN d b ON a.blk = b.blk AND a.id < b.id
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      TextOps.blockedJaccardPairs(
+        Tables.documents(s, d), "doc_id", "text", col("source"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // --------------------------------------- similarity: brute-force kNN
+    QueryDef("q_td_knn_brute", knnOracle) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      SimilarityOps.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // ----------------------------------------- similarity: sign-LSH ANN
+    QueryDef("q_td_knn_lsh", annOracle) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      SimilarityOps.lshTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", dims = 64, k = 3)
+        .orderBy("query_id", "rank")
+    },
+
+    // ------------------------------------------------ text: language ID
+    QueryDef("q_td_lang_id", langOracle) { (s, d) =>
+      val doc = Tables.documents(s, d)
+      val ws = TextOps.tokens(col("text"))
+      val scores = TextOps.langScores(ws).map { case (l, c) => c.as(s"n_$l") }
+      doc.select(
+        (col("doc_id") +: scores :+ TextOps.langGuess(ws).as("guess")): _*)
+        .orderBy("doc_id")
+    },
+
+    // -------------------------------------------- text: quality metrics
+    QueryDef(
+      "q_td_quality",
+      s"""SELECT doc_id, n_tokens, n_distinct, n_punct, n_stopwords,
+         |  round((CAST(n_distinct AS DOUBLE) / n_tokens)
+         |        * (1.0 - CAST(n_punct AS DOUBLE) / n_chars), 4) AS quality
+         |FROM (
+         |  SELECT doc_id, n_chars,
+         |    len($Words) AS n_tokens,
+         |    len(list_distinct($Words)) AS n_distinct,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+         |    len(list_filter($Words, w -> list_contains(
+         |      [${TextOps.StopwordsByLang.head._2.map(w => s"'$w'").mkString(",")}], w)))
+         |      AS n_stopwords
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.qualityMetrics(Tables.documents(s, d), "doc_id", "text", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // --------------------------------------------- text: token counting
+    QueryDef(
+      "q_td_tokens",
+      s"""SELECT doc_id, len($Words) AS ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         |    AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ----------------------------------------------- text: fingerprints
+    QueryDef(
+      "q_td_fingerprint",
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform($Words, w -> ${H("w")})),
+         |    (a, b) -> (a * 131 + b) % ${TextOps.FingerprintPrime}) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.fingerprints(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------- multimodal: binary plumbing
+    // Opaque binary payload column + typed metadata extraction. The decode
+    // itself is the deterministic stand-in (see graft.ops.MultimodalOps for
+    // the partition-level pipeline); here the Spark-side plumbing — binary
+    // column, byte length, content hash, derived dimensions — is verified.
+    QueryDef(
+      "q_td_multimodal_meta",
+      s"""SELECT doc_id,
+         |  octet_length(encode(text)) AS n_bytes,
+         |  sha256(text) AS content_sha,
+         |  ${H("text")} % 1920 AS fake_width,
+         |  ${H("text")} % 1080 AS fake_height
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          sha2(col("text"), 256).as("content_sha"),
+          (TextOps.portableHash(col("text")) % 1920).as("fake_width"),
+          (TextOps.portableHash(col("text")) % 1080).as("fake_height"))
+        .orderBy("doc_id")
+    }
+  )
+
+  // --------------------------------------------------- generated oracles
+
+  private def minHashOracle: String = {
+    val sigCols = TextOps.MinHashA.zip(TextOps.MinHashB).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"list_min(list_transform(hs, h -> ($a * h + $b) % ${TextOps.MinHashPrime})) AS s$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until TextOps.Bands).map { j =>
+      val slots = (0 until TextOps.RowsPerBand)
+        .map(r => s"s${j * TextOps.RowsPerBand + r}").mkString(", ")
+      s"SELECT id, $j AS pos, concat_ws(':', $slots) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT id, sh, list_transform(sh, s -> ${H("s")}) AS hs
+       |  FROM ($ShingleDocs) WHERE len(sh) > 0),
+       |sig AS (SELECT id,
+       |  $sigCols
+       |  FROM d),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.pos = b.pos AND a.key = b.key AND a.id < b.id)
+       |SELECT p.id_a, p.id_b,
+       |  len(list_intersect(x.sh, y.sh)) AS inter,
+       |  len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS uni
+       |FROM pairs p JOIN d x ON x.id = p.id_a JOIN d y ON y.id = p.id_b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private def simHashOracle: String = {
+    val terms = (0 until TextOps.SimHashBits).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(hs,
+         |    h -> CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString("\n + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, list_transform(list_distinct($Words), w -> ${H("w")}) AS hs
+       |  FROM documents)
+       |SELECT doc_id,
+       | $terms
+       | AS simhash
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  /** Sequential left-fold sum with 0.0 seed — bit-identical to Spark's
+    * `aggregate(_, 0.0, (a,x) -> a+x)`. */
+  private def foldSumSql(items: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $items), (a, b) -> a + b)"
+
+  private def cosineSql(x: String, y: String): String = {
+    def dot(p: String, q: String) =
+      foldSumSql(s"list_transform(range(1, len($p) + 1), i -> $p[i] * $q[i])")
+    s"${dot(x, y)} / sqrt(${dot(x, x)} * ${dot(y, y)})"
+  }
+
+  private def knnOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${cosineSql("q.v", "c.v")} AS cos
+       |  FROM e q, e c
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM s)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Per-table bucket-key expression with the same literal coefficients
+    * and strict left-assoc addition as [[SimilarityOps.lshBucketKeys]]. */
+  private def lshKeySql(vec: String, table: Int): String = {
+    val planes = SimilarityOps.planeCoefficients(64)
+    (0 until SimilarityOps.BitsPerTable).map { b =>
+      val coefs = planes(table * SimilarityOps.BitsPerTable + b)
+      val d = coefs.zipWithIndex
+        .map { case (c, j) => s"$c * $vec[${j + 1}]" }.mkString(" + ")
+      s"(CASE WHEN ($d) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n + ")
+  }
+
+  private def annOracle: String = {
+    val tableSelects = (0 until SimilarityOps.Tables).map { t =>
+      s"SELECT vec_id, $t AS tbl,\n ${lshKeySql("v", t)}\n AS key FROM e"
+    }.mkString("\n UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (
+       | $tableSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM b a JOIN b c
+       |    ON a.tbl = c.tbl AND a.key = c.key AND a.vec_id <> c.vec_id
+       |  WHERE a.vec_id < 10),
+       |s AS (
+       |  SELECT query_id, neighbor_id, ${cosineSql("q.v", "c.v")} AS cos
+       |  FROM cand JOIN e q ON q.vec_id = query_id
+       |            JOIN e c ON c.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM s)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def langOracle: String = {
+    val counts = TextOps.StopwordsByLang.map { case (lang, stops) =>
+      s"len(list_filter($Words, w -> list_contains(" +
+        s"[${stops.map(w => s"'$w'").mkString(",")}], w))) AS n_$lang"
+    }.mkString(",\n  ")
+    // nested CASE equivalent to the strict-argmax fold in TextOps.langGuess
+    val langs = TextOps.StopwordsByLang.map(_._1)
+    val cases = langs.indices.reverse.drop(1).map { i =>
+      val prior = langs.take(i + 1).map(l => s"n_$l")
+      val greatestPrior =
+        if (prior.size == 1) prior.head else s"greatest(${prior.mkString(", ")})"
+      s"WHEN n_${langs(i + 1)} > $greatestPrior THEN '${langs(i + 1)}'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, ${langs.map(l => s"n_$l").mkString(", ")},
+       |  CASE $cases
+       |    ELSE '${langs.head}' END AS guess
+       |FROM (SELECT doc_id, $counts FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+}

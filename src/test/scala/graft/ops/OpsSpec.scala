@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Library-level behavior of the training-data operators (the SQL-oracle
+  * queries verify engine parity; these verify semantics and the ANN
+  * quality bound). */
+class OpsSpec extends AnyFunSuite with Matchers {
+
+  implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = TextOps.exactDupGroups(
+      docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z")), "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    out shouldBe Array((1L, 2L), (3L, 1L))
+  }
+
+  test("minhash LSH finds near-identical docs, skips unrelated ones") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again"
+    val near2 = "the quick brown fox jumps over the lazy dog again and once"
+    val far = "completely different content about spark catalyst optimizer internals"
+    val pairs = TextOps.minHashNearDupPairs(
+      docs((1L, near1), (2L, near2), (3L, far)), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 3L))
+    pairs should not contain ((2L, 3L))
+  }
+
+  test("simhash: identical docs share a signature; different docs differ") {
+    val out = TextOps.simHashSignatures(
+      docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+        (3L, "epsilon zeta eta theta iota kappa")), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) shouldBe out(2L)
+    out(1L) should not be out(3L)
+  }
+
+  test("ANN (sign-LSH) recall vs brute force is usable") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val brute = SimilarityOps.bruteForceTopK(q, e, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ann = SimilarityOps.lshTopK(q, e, "vec_id", "embedding", 64, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall@3 over 20 queries with 6 tables × 4 bits: each table keeps
+    // ~1/16 of the corpus, so this is a genuine quality bar
+    val recall = brute.count(ann.contains).toDouble / brute.length
+    recall should be >= 0.4
+    // every returned neighbor must share the query's bucket (by construction)
+    ann.size should be > 0
+  }
+
+  test("brute-force kNN ranks the nearest vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)), // ~cos 0.995 with q0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    out.map(_.getLong(1)).toSeq shouldBe Seq(1L, 2L)
+    out.head.getDouble(3) should be > 0.9
+  }
+
+  test("language ID picks the language with most stopword hits") {
+    val out = docs(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "der hund ist ein tier und das ist gut"))
+      .select(col("doc_id"), TextOps.langGuess(TextOps.tokens(col("text"))).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "en"
+    out(2L) shouldBe "de"
+  }
+
+  test("multimodal: pack → decode stub → features keeps schema and determinism") {
+    val recs = MultimodalOps.pack(
+      docs((1L, "hello world payload"), (2L, "another doc")), "doc_id", "text")
+    val collected = recs.collect().sortBy(_.id)
+    collected.map(_.id).toSeq shouldBe Seq(1L, 2L)
+    collected.head.meta.nBytes shouldBe "hello world payload".getBytes.length.toLong
+    collected.head.meta.contentSha should have length 64
+    collected.head.meta.width should (be >= 0 and be < 1920)
+
+    val feats = MultimodalOps.extractFeatures(recs).collect().sortBy(_.id)
+    feats.head.features should have length 8
+    // deterministic: same input → same features
+    val feats2 = MultimodalOps.extractFeatures(recs).collect().sortBy(_.id)
+    feats.head.features.toSeq shouldBe feats2.head.features.toSeq
+
+    val meta = MultimodalOps.metadataOnly(recs)
+    meta.columns.toSeq shouldBe
+      Seq("id", "mediaType", "nBytes", "contentSha", "width", "height")
+
+    val frames = MultimodalOps.sampleFrames(recs, stride = 1).collect()
+    frames.map(_._1).distinct.sorted.toSeq shouldBe Seq(1L, 2L)
+  }
+
+  test("fingerprint is order-sensitive") {
+    val out = TextOps.fingerprints(
+      docs((1L, "a b c"), (2L, "c b a")), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) should not be out(2L)
+  }
+}
