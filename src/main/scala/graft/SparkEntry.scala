@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    CoreOps.all ++ TrainingOps.all
+    CoreOps.all ++ TrainingOps.all ++ EngineOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.metadata.Metadata
+import graft.pipeline.Processing
+
+/** The engine itself under the oracle: these queries stage slices derived
+  * from the `customer` table into a scratch bronze area, run the real
+  * bronze→silver pipeline (two processing runs with pinned processing
+  * times), and return the silver table — while the oracle SQL states the
+  * expected merged state declaratively over the same source rows.
+  *
+  * This puts MERGE upsert + delete inference (S9/J1/J4) and SCD2
+  * versioning (Historic) into the hash-compared correctness gate, not just
+  * ScalaTest.
+  */
+object EngineOps {
+
+  private val T1 = "2024-01-10T10:00:00"
+  private val T2 = "2024-01-11T10:00:00"
+
+  private def scratch(spark: SparkSession, sfDir: String, name: String): String = {
+    val root = s"/tmp/graft_engine/${name}_${math.abs(sfDir.hashCode)}"
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    root
+  }
+
+  /** Slice 1: customers with key % 3 != 0. */
+  private def slice1(s: SparkSession, d: String, withAcct: Boolean): DataFrame = {
+    val base = Tables.customer(s, d).filter(col("c_custkey") % 3 =!= 0)
+    project(base, withAcct, changed = false)
+  }
+
+  /** Slice 2: customers with key % 2 == 0; names of key % 5 == 0 upper-cased
+    * (the "changed" rows). */
+  private def slice2(s: SparkSession, d: String, withAcct: Boolean): DataFrame = {
+    val base = Tables.customer(s, d).filter(col("c_custkey") % 2 === 0)
+    project(base, withAcct, changed = true)
+  }
+
+  private def project(df: DataFrame, withAcct: Boolean, changed: Boolean): DataFrame = {
+    val name =
+      if (changed)
+        when(col("c_custkey") % 5 === 0, upper(col("c_name"))).otherwise(col("c_name"))
+      else col("c_name")
+    val cols = Seq(
+      col("c_custkey").as("ID"),
+      name.as("name"),
+      col("c_mktsegment").as("segment")) ++
+      (if (withAcct) Seq(col("c_acctbal").cast("decimal(12,2)").as("acct")) else Nil)
+    df.select(cols: _*)
+  }
+
+  private def metadataJson(root: String, processType: String, deleteMissing: Boolean,
+      withAcct: Boolean): String = {
+    val acctCol =
+      if (withAcct) """, { "name": "acct", "datatype": "decimal(12,2)" }""" else ""
+    s"""{
+       |  "environment": { "name": "engineq", "timezone": "UTC",
+       |                   "root_folder": "$root" },
+       |  "connections": [ { "name": "c1" } ],
+       |  "entities": [
+       |    { "id": 1, "name": "cust", "connection": "c1",
+       |      "processtype": "$processType",
+       |      "settings": { "delete_missing": $deleteMissing },
+       |      "columns": [
+       |        { "name": "ID", "datatype": "long", "fieldroles": ["businesskey"] },
+       |        { "name": "name", "datatype": "string" },
+       |        { "name": "segment", "datatype": "string" }$acctCol
+       |      ] } ]
+       |}""".stripMargin
+  }
+
+  private def runTwo(spark: SparkSession, sfDir: String, name: String,
+      processType: String, deleteMissing: Boolean, withAcct: Boolean): DataFrame = {
+    implicit val s: SparkSession = spark
+    val root = scratch(spark, sfDir, name)
+    val md = Metadata.fromJson(metadataJson(root, processType, deleteMissing, withAcct))
+    val e = md.getEntity(1)
+    val bronze = md.bronzePath(e)
+    slice1(spark, sfDir, withAcct).coalesce(1)
+      .write.mode("overwrite").parquet(s"$bronze/s1.parquet")
+    slice2(spark, sfDir, withAcct).coalesce(1)
+      .write.mode("overwrite").parquet(s"$bronze/s2.parquet")
+    new Processing(md, e, "s1.parquet", Map("processing.time" -> T1)).process()
+    new Processing(md, e, "s2.parquet", Map("processing.time" -> T2)).process()
+    new Processing(md, e, "s2.parquet").table.read()
+  }
+
+  // DuckDB slice CTEs (must mirror slice1/slice2 exactly)
+  private def sliceSql(withAcct: Boolean): String = {
+    val acct1 = if (withAcct) ", CAST(c_acctbal AS DECIMAL(12,2)) AS acct" else ""
+    s"""s1 AS (SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment$acct1
+       |  FROM customer WHERE c_custkey % 3 <> 0),
+       |s2 AS (SELECT c_custkey AS id,
+       |  CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) ELSE c_name END AS name,
+       |  c_mktsegment AS segment$acct1
+       |  FROM customer WHERE c_custkey % 2 = 0)""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // S9 + J1 + J4: the 4-clause MERGE with unbounded delete inference.
+    // After run 2: s2 rows upserted (all touched at T2); s1-only rows
+    // soft-deleted at T2.
+    QueryDef(
+      "q_e_merge_upsert",
+      s"""WITH ${sliceSql(withAcct = true)}
+         |SELECT COALESCE(s2.id, s1.id) AS ID,
+         |       COALESCE(s2.name, s1.name) AS name,
+         |       COALESCE(s2.segment, s1.segment) AS segment,
+         |       COALESCE(s2.acct, s1.acct) AS acct,
+         |       (s2.id IS NULL) AS deleted,
+         |       TIMESTAMP '2024-01-11 10:00:00' AS lastSeen
+         |FROM s1 FULL JOIN s2 ON s1.id = s2.id
+         |ORDER BY ID""".stripMargin) { (s, d) =>
+      runTwo(s, d, "merge", "merge", deleteMissing = true, withAcct = true)
+        .select("ID", "name", "segment", "acct", "deleted", "lastSeen")
+        .orderBy("ID")
+    },
+
+    // Historic/SCD2: changed keys carry a closed version (ValidTo = T2)
+    // plus an open successor; new keys open at T2; untouched keys keep T1.
+    QueryDef(
+      "q_e_scd2_history",
+      s"""WITH ${sliceSql(withAcct = false)}
+         |SELECT s1.id AS ID, s1.name AS name, s1.segment AS segment,
+         |       TIMESTAMP '2024-01-10 10:00:00' AS ValidFrom,
+         |       TIMESTAMP '2999-12-31 00:00:00' AS ValidTo,
+         |       true AS IsCurrent
+         |FROM s1 LEFT JOIN s2 ON s1.id = s2.id
+         |WHERE s2.id IS NULL OR s1.name = s2.name
+         |UNION ALL
+         |SELECT s1.id, s1.name, s1.segment,
+         |       TIMESTAMP '2024-01-10 10:00:00',
+         |       TIMESTAMP '2024-01-11 10:00:00', false
+         |FROM s1 JOIN s2 ON s1.id = s2.id WHERE s1.name <> s2.name
+         |UNION ALL
+         |SELECT s2.id, s2.name, s2.segment,
+         |       TIMESTAMP '2024-01-11 10:00:00',
+         |       TIMESTAMP '2999-12-31 00:00:00', true
+         |FROM s1 JOIN s2 ON s1.id = s2.id WHERE s1.name <> s2.name
+         |UNION ALL
+         |SELECT s2.id, s2.name, s2.segment,
+         |       TIMESTAMP '2024-01-11 10:00:00',
+         |       TIMESTAMP '2999-12-31 00:00:00', true
+         |FROM s2 LEFT JOIN s1 ON s1.id = s2.id WHERE s1.id IS NULL
+         |ORDER BY ID, ValidFrom""".stripMargin) { (s, d) =>
+      runTwo(s, d, "scd2", "historic", deleteMissing = false, withAcct = false)
+        .select("ID", "name", "segment", "ValidFrom", "ValidTo", "IsCurrent")
+        .orderBy("ID", "ValidFrom")
+    }
+  )
+}
