@@ -1,0 +1,132 @@
+package graft.log
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.time.format.DateTimeFormatter
+import java.time.{LocalDateTime, ZoneOffset}
+import java.util.UUID
+import scala.collection.mutable
+
+import graft.pipeline.ProcessingSummary
+
+/** Structured run logging (reference: src/main/scala/datalake/log/ —
+  * DatalakeLogManager.scala:13-38, ParquetAppender.scala:54-140,
+  * TableAppender.scala:104-155).
+  *
+  * Log rows are buffered on the driver and flushed as batched Parquet
+  * appends so logging never blocks the processing job mid-flight: a flush
+  * is one small Spark job, triggered at a row threshold or explicitly at
+  * run end (the reference flushes from an async Log4j appender thread; we
+  * keep the same buffer/threshold contract with a plain thread-safe
+  * buffer — no Log4j plugin machinery needed for capability parity).
+  */
+object LogSchema {
+  val fields: StructType = StructType(Seq(
+    StructField("timestamp", TimestampNTZType),
+    StructField("level", StringType),
+    StructField("logger", StringType),
+    StructField("message", StringType),
+    StructField("run_id", StringType),
+    StructField("entity_id", IntegerType),
+    StructField("payload_json", StringType)))
+}
+
+final case class LogRecord(
+    timestamp: LocalDateTime,
+    level: String,
+    logger: String,
+    message: String,
+    runId: String,
+    entityId: Int,
+    payloadJson: String)
+
+/** Buffered Parquet log sink (reference: ParquetAppender.scala:84-117;
+  * buffer threshold semantics `:54-62,126-140`). */
+final class ParquetLogSink(
+    spark: SparkSession,
+    path: String,
+    flushThreshold: Int = 10) {
+
+  private val buffer = mutable.ArrayBuffer.empty[LogRecord]
+
+  def append(r: LogRecord): Unit = {
+    val toFlush = buffer.synchronized {
+      buffer += r
+      if (buffer.size >= flushThreshold) {
+        val batch = buffer.toVector; buffer.clear(); Some(batch)
+      } else None
+    }
+    toFlush.foreach(write)
+  }
+
+  def flush(): Unit = {
+    val toFlush = buffer.synchronized {
+      if (buffer.isEmpty) None
+      else { val batch = buffer.toVector; buffer.clear(); Some(batch) }
+    }
+    toFlush.foreach(write)
+  }
+
+  def pending: Int = buffer.synchronized(buffer.size)
+
+  private def write(batch: Vector[LogRecord]): Unit = {
+    val rows = batch.map(r => Row(
+      r.timestamp, r.level, r.logger, r.message, r.runId, r.entityId, r.payloadJson))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), LogSchema.fields)
+      .write.mode("append").parquet(path)
+  }
+
+  def read(): DataFrame = spark.read.schema(LogSchema.fields).parquet(path)
+}
+
+/** VARIANT-payload log table (reference: TableAppender.scala:128-155,
+  * payload assembly ParquetAppender.scala:103-109): the JSON payload is
+  * stored as a Spark 4 `VARIANT` column built with `parse_json`, giving
+  * typed field access (`variant_get`) without a fixed payload schema. */
+final class VariantLogSink(spark: SparkSession, path: String) {
+
+  def append(df: DataFrame): Unit =
+    df.withColumn("payload", parse_json(col("payload_json")))
+      .drop("payload_json")
+      .write.mode("append").parquet(path)
+
+  def read(): DataFrame = spark.read.parquet(path)
+}
+
+/** Per-run logging context: run_id + summary serialization
+  * (reference: DatalakeLogManager.scala:13-38). */
+final class RunLogger(
+    sink: ParquetLogSink,
+    val runId: String = UUID.randomUUID().toString) {
+
+  private def now(): LocalDateTime = LocalDateTime.now(ZoneOffset.UTC)
+
+  def info(logger: String, message: String, entityId: Int = -1,
+      payloadJson: String = "{}"): Unit =
+    sink.append(LogRecord(now(), "INFO", logger, message, runId, entityId, payloadJson))
+
+  def error(logger: String, message: String, entityId: Int = -1,
+      payloadJson: String = "{}"): Unit =
+    sink.append(LogRecord(now(), "ERROR", logger, message, runId, entityId, payloadJson))
+
+  /** Structured ProcessingSummary log row — the reference's audit record. */
+  def summary(s: ProcessingSummary): Unit = {
+    val json =
+      s"""{"strategy":"${s.strategy}","records_in_slice":${s.recordsInSlice},""" +
+        s""""inserted":${s.inserted},"updated":${s.updated},"deleted":${s.deleted},""" +
+        s""""unchanged":${s.unchanged},"touched":${s.touched},""" +
+        s""""duration_ms":${s.durationMs}}"""
+    sink.append(LogRecord(now(), "INFO", "graft.processing", "processing summary",
+      runId, s.entityId, json))
+  }
+
+  def close(): Unit = sink.flush()
+}
+
+object RunLogger {
+  val TimestampFormat: DateTimeFormatter =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+}

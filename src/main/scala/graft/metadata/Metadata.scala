@@ -86,6 +86,24 @@ final class Metadata(
     interpolate(t, e)
   }
 
+  /** Lazily-created shared run logger when the environment configures a
+    * `log_path` setting (reference: log wiring via Log4jConfigurator). */
+  @volatile private var loggerCache: Option[graft.log.RunLogger] = None
+  def runLogger(spark: org.apache.spark.sql.SparkSession): Option[graft.log.RunLogger] =
+    environment.settings \ "log_path" match {
+      case JString(p) if p.nonEmpty =>
+        if (loggerCache.isEmpty) synchronized {
+          if (loggerCache.isEmpty)
+            loggerCache = Some(new graft.log.RunLogger(
+              new graft.log.ParquetLogSink(spark, interpolateEnv(p))))
+        }
+        loggerCache
+      case _ => None
+    }
+
+  private def interpolateEnv(template: String): String =
+    template.replace("${root_folder}", environment.rootFolder)
+
   /** Silver output: `silver_table` setting → catalog table, else path
     * (reference: Entity.scala:145-192 semantics). */
   def silverLocation(e: Entity): OutputLocation =

@@ -86,9 +86,14 @@ final class Processing(
     entity.partitionColumns.map(ColumnOps.normalizeName)
 
   /** Run a strategy (default: the entity's configured process type), then
-    * persist watermarks; always unpersist (reference: Processing.scala:320-351). */
+    * persist watermarks; always unpersist and flush logs
+    * (reference: Processing.scala:320-351). Audit rows go to the buffered
+    * Parquet log sink when the environment configures `log_path`. */
   def process(strategyOverride: Option[ProcessType] = None): ProcessingSummary = {
     val t0 = System.nanoTime()
+    val logger = metadata.runLogger(spark)
+    logger.foreach(_.info("graft.processing",
+      s"processing start: entity ${entity.name}, slice $sliceFile", entity.id))
     try {
       val strategy = strategyOverride.getOrElse(entity.processType)
       val summary = strategy match {
@@ -97,9 +102,17 @@ final class Processing(
         case ProcessType.Historic => new HistoricStrategy().run(this)
       }
       watermarkStore.write(entity.id, source.watermarkValues, processingTimeString)
-      summary.copy(durationMs = (System.nanoTime() - t0) / 1000000)
+      val done = summary.copy(durationMs = (System.nanoTime() - t0) / 1000000)
+      logger.foreach(_.summary(done))
+      done
+    } catch {
+      case e: Throwable =>
+        logger.foreach(_.error("graft.processing",
+          s"processing failed: ${e.getMessage}", entity.id))
+        throw e
     } finally {
       cached.foreach(_.df.unpersist())
+      logger.foreach(_.close())
     }
   }
 

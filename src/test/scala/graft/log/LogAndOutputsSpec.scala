@@ -1,0 +1,92 @@
+package graft.log
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.nio.file.Files
+
+import graft.metadata.Metadata
+import graft.outputs.DataFactory
+import graft.pipeline.ProcessingSummary
+
+class LogAndOutputsSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft-log").toString
+
+  test("parquet log sink: threshold flush + explicit flush + summary payload") {
+    val sink = new ParquetLogSink(spark, tmp() + "/logs", flushThreshold = 3)
+    val logger = new RunLogger(sink)
+    logger.info("graft.test", "one")
+    logger.info("graft.test", "two")
+    sink.pending shouldBe 2 // below threshold: nothing written yet
+    logger.info("graft.test", "three") // hits threshold → flush
+    sink.pending shouldBe 0
+    logger.summary(ProcessingSummary(7, "merge", recordsInSlice = 10,
+      inserted = 3, updated = 2, unchanged = 5, durationMs = 123))
+    logger.close() // explicit flush of the remainder
+
+    val rows = sink.read()
+    rows.count() shouldBe 4
+    rows.select("run_id").distinct().count() shouldBe 1
+    val summary = rows.filter(col("message") === "processing summary").head()
+    summary.getAs[Int]("entity_id") shouldBe 7
+    summary.getAs[String]("payload_json") should include(""""inserted":3""")
+  }
+
+  test("variant log sink: JSON payload stored as VARIANT, queryable") {
+    val path = tmp() + "/vlogs"
+    val sink = new VariantLogSink(spark, path)
+    import spark.implicits._
+    sink.append(Seq(
+      ("run1", """{"inserted": 3, "strategy": "merge"}"""),
+      ("run1", """{"inserted": 9, "strategy": "full"}"""))
+      .toDF("run_id", "payload_json"))
+    val back = sink.read()
+      .select(expr("variant_get(payload, '$.inserted', 'int')").as("ins"))
+      .collect().map(_.getInt(0)).sorted
+    back shouldBe Array(3, 9)
+  }
+
+  test("datafactory: enabled entities serialized with resolved locations") {
+    implicit val md: Metadata = Metadata.fromJson("""{
+      "environment": { "name": "t", "root_folder": "/data" },
+      "connections": [ { "name": "c1" }, { "name": "dead", "enabled": false } ],
+      "entities": [
+        { "id": 1, "name": "cust", "connection": "c1", "group": "g1",
+          "processtype": "merge",
+          "watermark": [ { "column": "seq" } ],
+          "columns": [ { "name": "id", "fieldroles": ["businesskey"] } ] },
+        { "id": 2, "name": "ord", "connection": "c1", "group": "g2",
+          "settings": { "silver_table": "silver.orders" } },
+        { "id": 3, "name": "gone", "connection": "dead", "group": "g1" },
+        { "id": 4, "name": "off", "connection": "c1", "group": "g1",
+          "enabled": false }
+      ]
+    }""")
+
+    val g1 = DataFactory.getConfigItems(DataFactory.ByGroup("g1"))
+    g1 should include(""""name":"cust"""")
+    g1 should not include """"name":"gone""""  // disabled connection
+    g1 should not include """"name":"off""""   // disabled entity
+    g1 should include("/data/bronze/c1/cust")
+    g1 should include(""""watermark":["seq"]""")
+
+    val byConn = DataFactory.getConfigItems(DataFactory.ByConnection("c1"))
+    byConn should include(""""name":"ord"""")
+    byConn should include(""""type":"table"""")
+    byConn should include("silver.orders")
+
+    DataFactory.getConfigItems(DataFactory.ById(1)) should include(""""id":1""")
+    DataFactory.getConfigItems(DataFactory.ByConnectionGroup("c1", "g2")) should
+      include(""""name":"ord"""")
+  }
+}

@@ -337,6 +337,25 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     cols should not contain "sys_internal"
   }
 
+  test("processing logs audit + summary rows when log_path is configured") {
+    val root = Files.createTempDirectory("graft-logpipe").toString
+    val md = Metadata.fromJson(s"""{
+      "environment": { "name": "t", "timezone": "UTC", "root_folder": "$root",
+        "settings": { "log_path": "$${root_folder}/system/logs" } },
+      "connections": [ { "name": "src1" } ],
+      "entities": [
+        { "id": 1, "name": "cust", "connection": "src1", "processtype": "full",
+          "columns": [ { "name": "ID", "datatype": "integer",
+                         "fieldroles": ["businesskey"] } ] } ]
+    }""")
+    val e = md.getEntity(1)
+    writeSlice(md, e, "s1.parquet", Seq((1, "a")).toDF("ID", "name"))
+    run(md, 1, "s1.parquet", T1)
+    val logs = spark.read.parquet(s"$root/system/logs")
+    logs.filter(col("message").startsWith("processing start")).count() shouldBe 1
+    logs.filter(col("message") === "processing summary").count() shouldBe 1
+  }
+
   // ------------------------------------------------------------ watermarks
 
   test("watermark store: write, latest wins, reset sentinel, expression eval") {
