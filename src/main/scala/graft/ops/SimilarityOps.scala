@@ -56,17 +56,16 @@ object SimilarityOps {
     dot(a, b) / sqrt(foldSum(zip_with(a, a, _ * _)) * foldSum(zip_with(b, b, _ * _)))
 
   /** Bucket keys, one per hash table: key bit b set iff
-    * dot(v, plane_{t*BitsPerTable+b}) >= 0. Generated as flat arithmetic
-    * over `element_at`, so it compiles into whole-stage codegen (no
-    * per-row loop). */
+    * dot(v, plane_{t*BitsPerTable+b}) >= 0. The dot product is a fold over
+    * a literal coefficient array — a compact expression tree (vs. 64
+    * unrolled terms per plane) that stays inside codegen and keeps the
+    * strict sequential FP order the SQL oracle mirrors. */
   def lshBucketKeys(vec: Column, dims: Int): Column = {
     val planes = planeCoefficients(dims)
     array((0 until Tables).map { t =>
       (0 until BitsPerTable).map { b =>
-        val coefs = planes(t * BitsPerTable + b)
-        val d = coefs.zipWithIndex.map { case (c, j) =>
-          lit(c) * element_at(vec, j + 1)
-        }.reduce(_ + _)
+        val coefs = typedLit(planes(t * BitsPerTable + b).toArray)
+        val d = aggregate(zip_with(vec, coefs, _ * _), lit(0.0), (acc, x) => acc + x)
         when(d >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)

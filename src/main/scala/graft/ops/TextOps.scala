@@ -26,15 +26,22 @@ object TextOps {
     * signed-64 range for x < 2^32. */
   val MinHashA: Seq[Long] = Seq(
     1610612741L, 805306457L, 402653189L, 201326611L,
-    100663319L, 50331653L, 25165843L, 12582917L)
+    100663319L, 50331653L, 25165843L, 12582917L,
+    1073741827L, 536870923L, 268435459L, 134217757L,
+    67108879L, 33554467L, 16777259L, 8388617L)
   val MinHashB: Seq[Long] = Seq(
     1566083941L, 988446091L, 1023456789L, 731245879L,
-    354654323L, 1200956321L, 876543211L, 456789123L)
+    354654323L, 1200956321L, 876543211L, 456789123L,
+    91138289L, 1843267211L, 667894213L, 210987341L,
+    1934567801L, 87654329L, 1345678917L, 543216789L)
   def minHashK: Int = MinHashA.size
 
-  /** LSH banding: 4 bands × 2 rows over the 8-signature. */
+  /** LSH banding: 4 bands × 4 rows over the 16-signature. Collision
+    * probability per band is J⁴ — selective enough that unrelated docs
+    * (J ≈ 0.05) almost never become candidates, while true near-dups
+    * (J ≥ 0.8) collide in some band with p ≈ 0.93. */
   val Bands = 4
-  val RowsPerBand = 2
+  val RowsPerBand = 4
 
   /** SimHash signature width (bits). */
   val SimHashBits = 16
@@ -54,6 +61,19 @@ object TextOps {
       .otherwise(transform(
         sequence(lit(1), size(words) - 1),
         i => concat(element_at(words, i), lit("_"), element_at(words, i + 1))))
+
+  /** Modulus keeping combined shingle hashes in 32-bit range. */
+  val ShingleMod = 4294967296L
+
+  /** Numeric bigram-shingle hashes from per-word hashes: hash each word
+    * once, then combine adjacent pairs arithmetically — no per-shingle
+    * string building or re-hashing. `wordHashes` must be a bound column. */
+  def bigramShingleHashes(wordHashes: Column): Column =
+    when(size(wordHashes) < 2, array().cast("array<long>"))
+      .otherwise(transform(
+        sequence(lit(1), size(wordHashes) - 1),
+        i => pmod(element_at(wordHashes, i) * 1000003L
+          + element_at(wordHashes, i + 1), lit(ShingleMod))))
 
   /** Hashes of an array of strings (multiset, order preserved). */
   def hashAll(strings: Column): Column = transform(strings, portableHash(_))
@@ -105,15 +125,41 @@ object TextOps {
     * self-equi-join on (band, key) → distinct pairs → re-join the two
     * shingle sets → intersect counts. The only shuffles are the band join
     * and the two id joins — all equi, all AQE-coalesced. */
+  /** Per-doc distinct shingle-hash sets — computed through EXPLODED rows,
+    * not per-row array lambdas: higher-order functions evaluate
+    * interpreted (CodegenFallback) and Catalyst's CollapseProject fuses
+    * staged projections back into nested lambdas, making sha-per-shingle
+    * O(tokens²) per row. Exploding instead keeps every step — tokenize,
+    * sha256 per word, adjacent-pair combine via `lead`, per-doc set — in
+    * whole-stage codegen, with linear work and two doc-id shuffles. This
+    * is also the shape that scales: (doc, shingle) rows hash-partition
+    * evenly across executors regardless of document length skew. */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("__id"),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
+    val wh = tok.select(col("__id"), col("__pos"), portableHash(col("__w")).as("__h"))
+    val w = Window.partitionBy("__id").orderBy("__pos")
+    wh.withColumn("__h2", lead("__h", 1).over(w))
+      .filter(col("__h2").isNotNull)
+      .select(col("__id"),
+        pmod(col("__h") * 1000003L + col("__h2"), lit(ShingleMod)).as("__s"))
+      .groupBy("__id").agg(collect_set(col("__s")).as("__hs"))
+  }
+
   def minHashNearDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val docs = df.select(
-      col(idCol).as("__id"),
-      array_distinct(bigramShingles(tokens(col(textCol)))).as("__sh"))
-      .withColumn("__hs", hashAll(col("__sh")))
-      .filter(size(col("__sh")) > 0)
+    // distinct shingle hashes per doc: the unit of both minhashing and the
+    // exact-Jaccard check (long compares beat string compares; a 32-bit
+    // collision only merges two shingles, deterministically on both sides).
+    // Persisted: the band self-join + two set joins would otherwise
+    // recompute the sha256 lambdas 4x. The cached form is just
+    // (id, long[]) — a few MB per million docs.
+    val docs = shingleSets(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bands = docs
-      .select(col("__id"), posexplode(bandKeys(minHashSignature(col("__hs")))))
+      .select(col("__id"), minHashSignature(col("__hs")).as("__sig"))
+      .select(col("__id"), posexplode(bandKeys(col("__sig"))))
       .select(col("__id"), concat_ws("#", col("pos"), col("col")).as("__band"))
 
     val pairs = bands.alias("a")
@@ -122,14 +168,14 @@ object TextOps {
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
 
-    val sets = docs.select(col("__id"), col("__sh"))
+    val sets = docs.select(col("__id"), col("__hs"))
     pairs
-      .join(sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
-      .join(sets.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+      .join(sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__hs", "hs_a"), "id_a")
+      .join(sets.withColumnRenamed("__id", "id_b").withColumnRenamed("__hs", "hs_b"), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
-        (size(col("sh_a")) + size(col("sh_b"))
-          - size(array_intersect(col("sh_a"), col("sh_b")))).as("uni"))
+        size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"),
+        (size(col("hs_a")) + size(col("hs_b"))
+          - size(array_intersect(col("hs_a"), col("hs_b")))).as("uni"))
   }
 
   /** Per-doc SimHash signatures (16-bit) over distinct tokens. Docs with
@@ -144,17 +190,17 @@ object TextOps {
     * primitive. */
   def blockedJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: Column): DataFrame = {
-    val docs = df.select(
-      col(idCol).as("__id"),
-      blockCol.as("__blk"),
-      array_distinct(bigramShingles(tokens(col(textCol)))).as("__sh"))
-      .filter(size(col("__sh")) > 0)
+    val docs = shingleSets(df, idCol, textCol)
+      .join(df.select(col(idCol).as("__id"), blockCol.as("__blk")), "__id")
+      // persisted for the same reason as minHashNearDupPairs: the
+      // self-join would recompute the interpreted sha256 lambdas per side
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.alias("a").join(docs.alias("b"),
         col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        size(array_intersect(col("a.__sh"), col("b.__sh"))).as("inter"),
-        (size(col("a.__sh")) + size(col("b.__sh"))
-          - size(array_intersect(col("a.__sh"), col("b.__sh")))).as("uni"))
+        size(array_intersect(col("a.__hs"), col("b.__hs"))).as("inter"),
+        (size(col("a.__hs")) + size(col("b.__hs"))
+          - size(array_intersect(col("a.__hs"), col("b.__hs")))).as("uni"))
   }
 
   // ---------------------------------------------------- text analysis API

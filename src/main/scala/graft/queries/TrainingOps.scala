@@ -24,13 +24,17 @@ object TrainingOps {
 
   private val Words = raw"string_split_regex(text, '\s+')"
 
-  /** DuckDB: distinct word-bigram shingles per doc (CTE body). */
+  /** DuckDB: distinct word-bigram shingle HASHES per doc (CTE body) —
+    * mirrors `array_distinct(bigramShingleHashes(hashAll(tokens(...))))`:
+    * words hashed once, adjacent pairs combined arithmetically. */
   private val ShingleDocs =
     s"""SELECT doc_id AS id,
-       |  list_distinct(CASE WHEN len(ws) < 2 THEN []
-       |    ELSE list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1])
-       |  END) AS sh
-       |FROM (SELECT doc_id, $Words AS ws FROM documents)""".stripMargin
+       |  list_distinct(CASE WHEN len(hw) < 2 THEN CAST([] AS BIGINT[])
+       |    ELSE list_transform(range(1, len(hw)),
+       |      i -> (hw[i] * 1000003 + hw[i+1]) % ${graft.ops.TextOps.ShingleMod})
+       |  END) AS hs
+       |FROM (SELECT doc_id, list_transform($Words, w -> ${H("w")}) AS hw
+       |      FROM documents)""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
 
@@ -60,16 +64,20 @@ object TrainingOps {
     QueryDef(
       "q_td_ngram_jaccard",
       s"""WITH d AS (
-         |  SELECT w.id, ds.source AS blk, w.sh
+         |  SELECT w.id,
+         |    ds.source || '#' || CAST(ds.n_chars // 256 AS VARCHAR) AS blk, w.hs
          |  FROM ($ShingleDocs) w JOIN documents ds ON ds.doc_id = w.id
-         |  WHERE len(w.sh) > 0)
+         |  WHERE len(w.hs) > 0)
          |SELECT a.id AS id_a, b.id AS id_b,
-         |       len(list_intersect(a.sh, b.sh)) AS inter,
-         |       len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+         |       len(list_intersect(a.hs, b.hs)) AS inter,
+         |       len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS uni
          |FROM d a JOIN d b ON a.blk = b.blk AND a.id < b.id
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      // block on (source, size bucket): docs of very different length
+      // cannot be near-dups, so the quadratic stays inside small cells
       TextOps.blockedJaccardPairs(
-        Tables.documents(s, d), "doc_id", "text", col("source"))
+        Tables.documents(s, d), "doc_id", "text",
+        concat_ws("#", col("source"), floor(col("n_chars") / 256)))
         .orderBy("id_a", "id_b")
     },
 
@@ -180,8 +188,7 @@ object TrainingOps {
       s"SELECT id, $j AS pos, concat_ws(':', $slots) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH d AS (
-       |  SELECT id, sh, list_transform(sh, s -> ${H("s")}) AS hs
-       |  FROM ($ShingleDocs) WHERE len(sh) > 0),
+       |  SELECT id, hs FROM ($ShingleDocs) WHERE len(hs) > 0),
        |sig AS (SELECT id,
        |  $sigCols
        |  FROM d),
@@ -192,8 +199,8 @@ object TrainingOps {
        |  FROM bands a JOIN bands b
        |    ON a.pos = b.pos AND a.key = b.key AND a.id < b.id)
        |SELECT p.id_a, p.id_b,
-       |  len(list_intersect(x.sh, y.sh)) AS inter,
-       |  len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS uni
+       |  len(list_intersect(x.hs, y.hs)) AS inter,
+       |  len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS uni
        |FROM pairs p JOIN d x ON x.id = p.id_a JOIN d y ON y.id = p.id_b
        |ORDER BY id_a, id_b""".stripMargin
   }
@@ -238,14 +245,15 @@ object TrainingOps {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Per-table bucket-key expression with the same literal coefficients
-    * and strict left-assoc addition as [[SimilarityOps.lshBucketKeys]]. */
+    * and the same sequential fold as [[SimilarityOps.lshBucketKeys]]. */
   private def lshKeySql(vec: String, table: Int): String = {
     val planes = SimilarityOps.planeCoefficients(64)
     (0 until SimilarityOps.BitsPerTable).map { b =>
       val coefs = planes(table * SimilarityOps.BitsPerTable + b)
-      val d = coefs.zipWithIndex
-        .map { case (c, j) => s"$c * $vec[${j + 1}]" }.mkString(" + ")
-      s"(CASE WHEN ($d) >= 0 THEN ${1L << b} ELSE 0 END)"
+        .mkString("[", ", ", "]")
+      val d = foldSumSql(
+        s"list_transform(range(1, len($vec) + 1), i -> $vec[i] * ($coefs)[i])")
+      s"(CASE WHEN $d >= 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("\n + ")
   }
 
