@@ -146,6 +146,25 @@ object Metadata {
     finally in.close()
   }
 
+  /** Load config JSON from a JDBC source (reference:
+    * SqlMetadataSettings.scala:27-51 — `SELECT config FROM
+    * cfg.fnGetFoundationConfig()` on SQL Server). Driver-agnostic: any
+    * JDBC driver on the classpath works; the query must return one row
+    * whose first column is the full metadata JSON document. */
+  def fromJdbc(
+      spark: org.apache.spark.sql.SparkSession,
+      url: String,
+      query: String,
+      connectionProperties: Map[String, String] = Map.empty): Metadata = {
+    val reader = spark.read.format("jdbc")
+      .option("url", url)
+      .option("query", query)
+    val json = connectionProperties.foldLeft(reader) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load().head().getString(0)
+    fromJson(json)
+  }
+
   /** Merge every `*.json` in a folder (reference:
     * JsonFolderMetadataSettings.scala:11-33). */
   def fromFolder(spark: org.apache.spark.sql.SparkSession, dir: String): Metadata = {

@@ -78,6 +78,12 @@ final class MergeStrategy extends Strategy {
     val pk = p.pkColumn
     val ts = s"'${p.processingTimeString}'"
 
+    // warn on drift before merging (reference: Merge.scala:85-89)
+    p.table.manifest.foreach { m =>
+      graft.core.SchemaDrift.warnings(df.schema, m.schema).foreach(w =>
+        org.slf4j.LoggerFactory.getLogger(classOf[MergeStrategy]).warn(w))
+    }
+
     val builder = MergeInto(p.table, df, s"target.`$pk` = source.`$pk`")
     prunedPartitions(p).foreach(builder.prunePartitions)
     builder

@@ -153,6 +153,28 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     commit(df, m.partitionColumns, kept ++ newFiles, "replacePartitions")
   }
 
+  /** Compact partitions whose file count reached `minFiles`: their rows are
+    * rewritten as one file per partition (unpartitioned tables compact to
+    * `targetFiles`). A steady stream of small merge commits otherwise
+    * degrades scan performance — at scale this runs as a background
+    * maintenance pass; the atomic pointer swap means readers never block.
+    * Untouched partitions keep their existing files byte-for-byte. */
+  def compact(minFiles: Int = 2, targetFiles: Int = 1): Unit = {
+    val m = requireManifest
+    if (m.partitionColumns.isEmpty) {
+      if (m.files.size >= minFiles)
+        replacePartitions(None, read().coalesce(targetFiles))
+    } else {
+      val affected = m.files.groupBy(_.partitionValues)
+        .filter(_._2.size >= minFiles).keys.toSet
+      if (affected.nonEmpty) {
+        val df = readPartitions(affected.contains)
+          .repartition(m.partitionColumns.map(c => col(s"`$c`")): _*)
+        replacePartitions(Some(affected.toSeq), df)
+      }
+    }
+  }
+
   /** Drop data/manifests older than the current version (no time travel
     * afterwards). Current snapshot files are kept wherever they live. */
   def vacuum(): Unit = {
