@@ -337,6 +337,22 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     cols should not contain "sys_internal"
   }
 
+  test("bronze catalog-table source with slice filter (S2)") {
+    val extra = """,
+      { "id": 12, "name": "tbl", "connection": "src1", "processtype": "full",
+        "settings": { "bronze_table": "bronze_events" },
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] } ] }"""
+    val md = fixture(extraEntity = extra)
+    Seq((1, "a", "s1.parquet"), (2, "b", "s1.parquet"), (3, "c", "s2.parquet"))
+      .toDF("ID", "name", "source_filename")
+      .createOrReplaceTempView("bronze_events")
+    run(md, 12, "s1.parquet", T1)
+    val out = new Processing(md, md.getEntity(12), "x").table.read()
+    out.select("ID").collect().map(_.getInt(0)).sorted shouldBe Array(1, 2)
+    out.select("source_filename").distinct().head.getString(0) shouldBe "s1.parquet"
+  }
+
   test("processing logs audit + summary rows when log_path is configured") {
     val root = Files.createTempDirectory("graft-logpipe").toString
     val md = Metadata.fromJson(s"""{
