@@ -372,6 +372,28 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     logs.filter(col("message") === "processing summary").count() shouldBe 1
   }
 
+  test("runner: group processing isolates failures, parallel run works") {
+    val extra = """,
+      { "id": 20, "name": "g_ok", "connection": "src1", "group": "grp",
+        "processtype": "full",
+        "columns": [ { "name": "ID", "datatype": "integer",
+                       "fieldroles": ["businesskey"] } ] },
+      { "id": 21, "name": "g_bad", "connection": "src1", "group": "grp",
+        "processtype": "full",
+        "columns": [ { "name": "boom", "expression": "not ( sql" } ] },
+      { "id": 22, "name": "g_off", "connection": "src1", "group": "grp",
+        "enabled": false }"""
+    val md = fixture(extraEntity = extra)
+    writeSlice(md, md.getEntity(20), "s1.parquet", Seq((1, "a")).toDF("ID", "name"))
+    writeSlice(md, md.getEntity(21), "s1.parquet", Seq((1, "a")).toDF("ID", "name"))
+
+    val results = Runner.processGroup(md, "grp", "s1.parquet",
+      Map("processing.time" -> T1), parallelism = 2)
+    results.map(_.entityId).sorted shouldBe Seq(20, 21) // disabled excluded
+    results.find(_.entityId == 20).get.result.isRight shouldBe true
+    results.find(_.entityId == 21).get.result.isLeft shouldBe true
+  }
+
   // ------------------------------------------------------------ watermarks
 
   test("watermark store: write, latest wins, reset sentinel, expression eval") {
