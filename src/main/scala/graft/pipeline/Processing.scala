@@ -55,15 +55,28 @@ final class Processing(
   val watermarkStore = new WatermarkStore(spark, metadata.environment.systemPath)
 
   private var cached: Option[DatalakeSource] = None
+  private var statsCache: Option[SliceStats] = None
+
+  /** Record count + max PK multiplicity in ONE aggregation job over the
+    * cached slice: empty-slice warning, duplicate-businesskey guard, and
+    * the strategies' record count all read from it — three fewer passes
+    * per run than computing each separately. */
+  def sliceStats: SliceStats = statsCache.getOrElse {
+    val df = source.df
+    val s =
+      if (entity.businessKeyColumns.nonEmpty && df.columns.contains(pkColumn)) {
+        val r = df.groupBy(col(s"`$pkColumn`")).agg(count(lit(1)).as("cnt"))
+          .agg(sum("cnt"), max("cnt")).head()
+        if (r.isNullAt(0)) SliceStats(0L, 0L)
+        else SliceStats(r.getLong(0), r.getLong(1))
+      } else SliceStats(df.count(), 1L)
+    statsCache = Some(s)
+    s
+  }
 
   /** Memoized transformed slice (reference: Processing.scala:84-121). */
   def source: DatalakeSource = cached.getOrElse {
     val df = transformChain(readSlice()).persist(StorageLevel.MEMORY_AND_DISK)
-    if (df.isEmpty)
-      // empty slice: warn, still process (reference: Processing.scala:109-111)
-      org.slf4j.LoggerFactory.getLogger(classOf[Processing])
-        .warn(s"Slice $sliceFile for entity ${entity.name} is empty")
-    checkDuplicateBusinessKeys(df)
     val wmValues = entity.watermark.map { wm =>
       val v = df.agg(max(col(s"`${wm.columnName}`")).cast("string")).head().getString(0)
       wm -> Option(v)
@@ -95,6 +108,11 @@ final class Processing(
     logger.foreach(_.info("graft.processing",
       s"processing start: entity ${entity.name}, slice $sliceFile", entity.id))
     try {
+      if (sliceStats.total == 0)
+        // empty slice: warn, still process (reference: Processing.scala:109-111)
+        org.slf4j.LoggerFactory.getLogger(classOf[Processing])
+          .warn(s"Slice $sliceFile for entity ${entity.name} is empty")
+      checkDuplicateBusinessKeys()
       val strategy = strategyOverride.getOrElse(entity.processType)
       val summary = strategy match {
         case ProcessType.Full     => new FullStrategy().run(this)
@@ -220,17 +238,21 @@ final class Processing(
     df.withColumn(sys.lastSeen, lit(processingTimeString).cast("timestamp_ntz"))
 
   /** Duplicate business keys are fatal
-    * (reference: Processing.scala:190-200). */
-  private def checkDuplicateBusinessKeys(df: DataFrame): Unit =
-    if (entity.businessKeyColumns.nonEmpty && df.columns.contains(pkColumn)) {
-      val dups = df.groupBy(col(s"`$pkColumn`")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > 1).limit(1).collect()
-      if (dups.nonEmpty)
-        throw new DuplicateBusinesskeyException(
-          s"Duplicate business key(s) in slice for entity ${entity.name}, " +
-            s"e.g. $pkColumn=${dups.head.getString(0)}")
+    * (reference: Processing.scala:190-200). The fast path reads
+    * [[sliceStats]]; an example key is fetched only on failure. */
+  private def checkDuplicateBusinessKeys(): Unit =
+    if (sliceStats.maxPkCount > 1) {
+      val example = source.df.groupBy(col(s"`$pkColumn`"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+        .limit(1).collect().head.getString(0)
+      throw new DuplicateBusinesskeyException(
+        s"Duplicate business key(s) in slice for entity ${entity.name}, " +
+          s"e.g. $pkColumn=$example")
     }
 }
+
+/** One-pass slice statistics: total rows + max primary-key multiplicity. */
+final case class SliceStats(total: Long, maxPkCount: Long)
 
 /** Structured run metrics (reference: DatalakeLogManager.scala:13-38). */
 final case class ProcessingSummary(

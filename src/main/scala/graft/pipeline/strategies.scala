@@ -49,7 +49,7 @@ sealed trait Strategy {
 final class FullStrategy extends Strategy {
   def run(p: Processing): ProcessingSummary = {
     val df = p.source.df
-    val n = df.count()
+    val n = p.sliceStats.total
     val partCols = p.normalizedPartitionColumns
     if (p.table.exists && partCols.nonEmpty) p.table.overwriteDynamic(df, partCols)
     else p.table.overwriteAll(df, partCols)
@@ -74,7 +74,7 @@ final class MergeStrategy extends Strategy {
     }
     val sys = p.sys
     val df = p.source.df
-    val n = df.count()
+    val n = p.sliceStats.total
     val pk = p.pkColumn
     val ts = s"'${p.processingTimeString}'"
 
@@ -136,7 +136,7 @@ final class HistoricStrategy extends Strategy {
     val sys = p.sys
     val pk = p.pkColumn
     val src = p.source.df
-    val n = src.count()
+    val n = p.sliceStats.total
     val ptNtz = lit(p.processingTimeString).cast("timestamp_ntz")
 
     val manifest = p.table.manifest.get
