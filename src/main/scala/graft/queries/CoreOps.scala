@@ -256,6 +256,49 @@ object CoreOps {
         .orderBy("c_custkey")
     },
 
+    // Multi-way star join (region ⋈ nation ⋈ supplier ⋈ lineitem): the
+    // shape Catalyst should plan as chained broadcasts over the one big
+    // fact scan — exercises join reordering at scale.
+    QueryDef(
+      "q_j2_multiway",
+      """SELECT r_name, n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(ColumnOps.exactSum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // Rollup aggregation (beyond-parity: SURVEY §2.4 notes the reference
+    // has no grouping sets — the capability matters for mart-style
+    // outputs over silver tables).
+    QueryDef(
+      "q_a5_rollup",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          ColumnOps.exactSum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
     // Window functions (beyond-parity capability; SURVEY §2.6 notes the
     // reference lacks them — SCD2 can be re-derived with them).
     QueryDef(
