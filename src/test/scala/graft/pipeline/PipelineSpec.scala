@@ -394,6 +394,71 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     results.find(_.entityId == 21).get.result.isLeft shouldBe true
   }
 
+  test("historic with partition columns rewrites only touched partitions") {
+    val extra = """,
+      { "id": 30, "name": "hp", "connection": "src1", "processtype": "historic",
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+          { "name": "name", "datatype": "string" },
+          { "name": "Adm", "datatype": "string", "fieldroles": ["partition"] } ] }"""
+    val md = fixture(extraEntity = extra)
+    val e = md.getEntity(30)
+    writeSlice(md, e, "s1.parquet",
+      Seq((1, "a", "950"), (2, "b", "951")).toDF("ID", "name", "Adm"))
+    run(md, 30, "s1.parquet", T1)
+    val filesBefore = new Processing(md, e, "x").table.manifest.get.files
+      .filter(_.partitionValues.get("Adm").contains("951"))
+
+    // slice only touches partition 950; 951's history must stay intact
+    writeSlice(md, e, "s2.parquet", Seq((1, "a2", "950")).toDF("ID", "name", "Adm"))
+    val sum = run(md, 30, "s2.parquet", T2)
+    sum.updated shouldBe 1
+
+    val t = new Processing(md, e, "x").table
+    // untouched partition: same physical files
+    t.manifest.get.files.filter(_.partitionValues.get("Adm").contains("951")) shouldBe
+      filesBefore
+    val rows = t.read().select("ID", "name", "IsCurrent")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).sortBy(t => (t._1, t._2))
+    rows shouldBe Array((1, "a", false), (1, "a2", true), (2, "b", true))
+  }
+
+  test("entity without businesskey: no PK column, full load works") {
+    val extra = """,
+      { "id": 31, "name": "nopk", "connection": "src1", "processtype": "full",
+        "columns": [ { "name": "v", "datatype": "string" } ] }"""
+    val md = fixture(extraEntity = extra)
+    val e = md.getEntity(31)
+    writeSlice(md, e, "s1.parquet", Seq((1, "x"), (2, "y")).toDF("ID", "v"))
+    val sum = run(md, 31, "s1.parquet", T1)
+    sum.inserted shouldBe 2
+    val cols = new Processing(md, e, "x").table.read().columns
+    cols should not contain "PK_nopk"
+    cols should contain("SourceHash")
+  }
+
+  test("cluster_by setting sorts rows within written files") {
+    val extra = """,
+      { "id": 32, "name": "clu", "connection": "src1", "processtype": "full",
+        "settings": { "cluster_by": "seq" },
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+          { "name": "seq", "datatype": "integer" } ] }"""
+    val md = fixture(extraEntity = extra)
+    val e = md.getEntity(32)
+    val shuffled = scala.util.Random.shuffle((1 to 500).toList)
+      .map(i => (i, i)).toDF("ID", "seq").repartition(2)
+    writeSlice(md, e, "s1.parquet", shuffled)
+    run(md, 32, "s1.parquet", T1)
+    val t = new Processing(md, e, "x").table
+    // every physical file individually sorted by seq
+    t.manifest.get.files.foreach { f =>
+      val vals = spark.read.parquet(s"${t.rootPath}/${f.path}")
+        .select("seq").collect().map(_.getInt(0))
+      vals.toSeq shouldBe vals.sorted.toSeq
+    }
+  }
+
   // ------------------------------------------------------------ watermarks
 
   test("watermark store: write, latest wins, reset sentinel, expression eval") {
