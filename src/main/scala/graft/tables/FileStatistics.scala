@@ -1,0 +1,83 @@
+package graft.tables
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.LogicalTypeAnnotation
+
+import scala.jdk.CollectionConverters._
+
+/** Extracts per-file min/max column statistics from parquet footers at
+  * commit time (the writer already produced them; this only reads
+  * metadata, not data).
+  *
+  * Scale note: footer reads here run on the driver, one per newly-written
+  * file — fine for the per-slice commit sizes this engine produces
+  * (hundreds of files). A bulk backfill over millions of files would
+  * distribute this with `spark.parallelize(paths).map(...)`; the manifest
+  * format is the same either way.
+  */
+object FileStatistics {
+
+  /** Min/max for every top-level primitive column the footer has stats
+    * for. Types map to the three comparison domains of [[ColStats]]:
+    * int32/int64 (incl. date/timestamp logical types) → long,
+    * float/double → double, UTF8 binary → string. */
+  def fromFooter(conf: Configuration, file: Path): Map[String, ColStats] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val acc = scala.collection.mutable.Map.empty[String, ColStats]
+      for (block <- blocks; chunk <- block.getColumns.asScala) {
+        val pathParts = chunk.getPath.toArray
+        if (pathParts.length == 1) { // top-level columns only
+          val name = pathParts(0)
+          val st = chunk.getStatistics
+          if (st != null && !st.isEmpty && st.hasNonNullValue) {
+            val primitive = chunk.getPrimitiveType
+            val logical = primitive.getLogicalTypeAnnotation
+            val parsed: Option[ColStats] = primitive.getPrimitiveTypeName match {
+              case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+                Some(ColStats("long",
+                  st.genericGetMin.asInstanceOf[Number].longValue.toString,
+                  st.genericGetMax.asInstanceOf[Number].longValue.toString))
+              case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
+                Some(ColStats("double",
+                  st.genericGetMin.asInstanceOf[Number].doubleValue.toString,
+                  st.genericGetMax.asInstanceOf[Number].doubleValue.toString))
+              case PrimitiveTypeName.BINARY
+                  if logical == LogicalTypeAnnotation.stringType() =>
+                Some(ColStats("string",
+                  st.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
+                  st.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8))
+              case _ => None
+            }
+            parsed.foreach { s =>
+              acc.get(name) match {
+                case None => acc(name) = s
+                case Some(prev) =>
+                  acc(name) = ColStats(s.typ,
+                    minOf(prev, prev.min, s.min), maxOf(prev, prev.max, s.max))
+              }
+            }
+          }
+        }
+      }
+      acc.toMap
+    } catch {
+      case _: Exception => Map.empty // stats are an optimization, never fatal
+    } finally reader.close()
+  }
+
+  private def minOf(ref: ColStats, a: String, b: String): String =
+    if (cmp(ref, a, b) <= 0) a else b
+  private def maxOf(ref: ColStats, a: String, b: String): String =
+    if (cmp(ref, a, b) >= 0) a else b
+  private def cmp(ref: ColStats, a: String, b: String): Int = ref.typ match {
+    case "string" => a.compareTo(b)
+    case _        => BigDecimal(a).compare(BigDecimal(b))
+  }
+}

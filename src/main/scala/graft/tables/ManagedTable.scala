@@ -91,6 +91,30 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     if (wanted.isEmpty) read()
     else readPartitions(pv => wanted.forall { case (c, vs) => pv.get(c).exists(vs) })
 
+  /** Data skipping: files whose [lower, upper] range (inclusive, either
+    * side optional) can overlap `column`'s per-file min/max. Files without
+    * stats for the column are conservatively kept. */
+  def filesInRange(
+      column: String, lower: Option[Any], upper: Option[Any]): Seq[TableFile] = {
+    val m = requireManifest
+    m.files.filter(f =>
+      f.stats.get(column).forall(_.overlaps(lower, upper)))
+  }
+
+  /** Range scan with manifest-level file skipping: the driver hands the
+    * parquet scan only files whose footer stats overlap the range —
+    * Delta-style data skipping on top of Spark's own row-group pruning.
+    * The predicate is re-applied to the surviving rows, so the result
+    * equals `read().filter(...)` exactly. */
+  def readRange(column: String, lower: Option[Any], upper: Option[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val m = requireManifest
+    val base = readFiles(m, filesInRange(column, lower, upper))
+    val c = col(s"`$column`")
+    val withLo = lower.map(l => base.filter(c >= l)).getOrElse(base)
+    upper.map(u => withLo.filter(c <= u)).getOrElse(withLo)
+  }
+
   private def requireManifest: Manifest =
     manifest.getOrElse(throw new MetadataException(s"Table $rootPath does not exist"))
 
@@ -209,9 +233,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private def writeCommit(df: DataFrame, partitionBy: Seq[String]): Seq[TableFile] = {
     val commitId = UUID.randomUUID().toString
     val commitDir = new Path(dataDir, commitId)
+    val conf = spark.sparkContext.hadoopConfiguration
     if (partitionBy.isEmpty) {
       df.write.parquet(commitDir.toString)
-      listParquet(commitDir).map(p => TableFile(rel(p), Map.empty))
+      listParquet(commitDir).map(p =>
+        TableFile(rel(p), Map.empty, FileStatistics.fromFooter(conf, p)))
     } else {
       val dirCols = partitionBy.map(c => s"__gp_$c")
       val withDirCols = partitionBy.zip(dirCols).foldLeft(df) {
@@ -227,7 +253,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
             k.stripPrefix("__gp_") -> hiveUnescape(v)
           }
           .toMap
-        TableFile(relPath, pv)
+        TableFile(relPath, pv, FileStatistics.fromFooter(conf, p))
       }
     }
   }

@@ -5,17 +5,40 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 /** One committed version of a [[ManagedTable]]: the schema, the partition
-  * columns, and the exact data files (with their partition values) that make
-  * up the table at this version.
+  * columns, and the exact data files (with their partition values and
+  * column statistics) that make up the table at this version.
   *
   * This is the vanilla-Spark stand-in for a Delta transaction log snapshot:
   * readers never list data directories — they read the manifest and open
   * exactly the files it names, so partial writes are invisible until the
-  * version pointer moves. Partition values are recorded per file, which
-  * gives driver-side partition pruning (only matching files are handed to
-  * the parquet scan) exactly where Delta prunes on file stats.
+  * version pointer moves. Partition values and min/max column stats are
+  * recorded per file, giving driver-side partition pruning AND data
+  * skipping (Delta-style file stats) before the parquet scan ever opens a
+  * footer.
   */
-final case class TableFile(path: String, partitionValues: Map[String, String])
+
+/** Per-file min/max for one column. `typ` ∈ long | double | string; values
+  * are stringified in a lexicographically-safe way only for `string` —
+  * numeric types compare through BigDecimal. */
+final case class ColStats(typ: String, min: String, max: String) {
+
+  /** Can a value in [lower, upper] (either side optional, inclusive)
+    * possibly exist in this file? */
+  def overlaps(lower: Option[Any], upper: Option[Any]): Boolean = {
+    def cmp(a: String, b: String): Int = typ match {
+      case "string" => a.compareTo(b)
+      case _        => BigDecimal(a).compare(BigDecimal(b))
+    }
+    val loOk = lower.forall(l => cmp(max, l.toString) >= 0)
+    val hiOk = upper.forall(u => cmp(min, u.toString) <= 0)
+    loOk && hiOk
+  }
+}
+
+final case class TableFile(
+    path: String,
+    partitionValues: Map[String, String],
+    stats: Map[String, ColStats] = Map.empty)
 
 final case class Manifest(
     version: Long,
@@ -38,7 +61,13 @@ final case class Manifest(
         JObject(
           "path" -> JString(f.path),
           "partitionValues" -> JObject(
-            f.partitionValues.map { case (k, v) => k -> JString(v) }.toList))
+            f.partitionValues.map { case (k, v) => k -> JString(v) }.toList),
+          "stats" -> JObject(f.stats.map { case (c, s) =>
+            c -> JObject(
+              "t" -> JString(s.typ),
+              "min" -> JString(s.min),
+              "max" -> JString(s.max))
+          }.toList))
       }.toList))
     JsonMethods.compact(JsonMethods.render(j))
   }
@@ -64,6 +93,12 @@ object Manifest {
             (f \ "partitionValues") match {
               case JObject(kvs) => kvs.map { case (k, v) => k -> str(v) }.toMap
               case _            => Map.empty[String, String]
+            },
+            (f \ "stats") match {
+              case JObject(kvs) => kvs.map { case (c, v) =>
+                c -> ColStats(str(v \ "t"), str(v \ "min"), str(v \ "max"))
+              }.toMap
+              case _ => Map.empty[String, ColStats]
             })
         }
         case _ => Nil

@@ -67,6 +67,32 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     md.getEntity(5).name shouldBe "dbent"
   }
 
+  test("data skipping: manifest stats prune files outside the range") {
+    import org.apache.spark.sql.functions.col
+    val t = ManagedTable(spark, tmp() + "/skip")
+    // range-partitioned write → each file covers a disjoint seq range
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("seq", "v")
+      .repartitionByRange(4, col("seq"))
+    t.overwriteAll(df)
+    val files = t.manifest.get.files
+    files.size shouldBe 4
+    // every file carries long stats for seq and string stats for v
+    files.foreach { f =>
+      f.stats("seq").typ shouldBe "long"
+      f.stats("v").typ shouldBe "string"
+    }
+    // a 50-wide range inside one quartile keeps exactly one file
+    t.filesInRange("seq", Some(300L), Some(320L)).size shouldBe 1
+    // open-ended ranges work
+    t.filesInRange("seq", Some(900L), None).size shouldBe 1
+    t.filesInRange("seq", None, None).size shouldBe 4
+    // unknown column: conservatively keeps everything
+    t.filesInRange("nope", Some(1), Some(2)).size shouldBe 4
+    // result equals a full-scan filter
+    t.readRange("seq", Some(300L), Some(320L))
+      .collect().map(_.getLong(0)).sorted shouldBe (300L to 320L).toArray
+  }
+
   test("schema drift: new vs missing columns reported by name") {
     val src = Seq((1, "a", 2.0)).toDF("id", "name", "extra").schema
     val tgt = Seq((1, "a", true)).toDF("id", "name", "flag").schema
