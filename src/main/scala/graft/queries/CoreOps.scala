@@ -299,6 +299,19 @@ object CoreOps {
           col("o_orderpriority").asc_nulls_first)
     },
 
+    // Tumbling event-time windows — the same expression StreamOps uses on
+    // live streams, verified in batch against epoch-bucket arithmetic.
+    QueryDef(
+      "q_w_tumbling",
+      """SELECT make_timestamp(CAST(floor(epoch(ts)/300)*300*1000000 AS BIGINT))
+        |         AS window_start,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      graft.streaming.StreamOps.tumblingCounts(
+        Tables.events(s, d), "ts", "5 minutes", "10 minutes")
+        .orderBy("window_start", "event_type")
+    },
+
     // Window functions (beyond-parity capability; SURVEY §2.6 notes the
     // reference lacks them — SCD2 can be re-derived with them).
     QueryDef(

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Event-time streaming analytics over an events stream (batch or
+  * streaming DataFrame — the expressions are identical; only the source
+  * differs).
+  *
+  * These are the Structured Streaming capabilities a training-data
+  * pipeline needs on live event feeds: watermarked tumbling-window
+  * aggregation (late data dropped after the delay) and stateful
+  * sessionization via `flatMapGroupsWithState` with event-time timeouts.
+  * State is per-key in the state store — sized by active keys, not
+  * history.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts per event type with an event-time watermark:
+    * on a stream, windows finalize (and state is dropped) once the
+    * watermark passes their end. */
+  def tumblingCounts(
+      events: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(
+        window(col(tsCol), windowDuration).as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("win.start").as("window_start"),
+        col("event_type"), col("n"))
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String)
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long)
+
+  /** Internal per-user session accumulator (public: encoder codegen needs
+    * constructor access). */
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Gap-based sessionization: a user's events belong to one session until
+    * a quiet period of `gapMs`. Sessions emit when the event-time
+    * watermark passes last-event + gap (timeout), so output is final. */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long,
+      watermarkDelay: String)(implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(
+              userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+          } else {
+            val events = batch.toSeq.sortBy(_.ts.getTime)
+            var emitted = List.empty[Session]
+            var cur = state.getOption
+            events.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                case Some(s) => // gap exceeded within the batch: emit, restart
+                  emitted ::= Session(
+                    userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            emitted.reverseIterator
+          }
+      }
+  }
+}

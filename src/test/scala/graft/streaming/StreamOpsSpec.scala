@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.sql.Timestamp
+
+class StreamOpsSpec extends AnyFunSuite with Matchers {
+
+  implicit lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  import spark.implicits._
+  import StreamOps._
+
+  def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-10 10:$minute%02d:00")
+
+  test("windowed counts with watermark finalize on a real stream") {
+    val input = MemoryStream[Event](spark)
+    val q = tumblingCounts(input.toDF(), "ts", "5 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("wins")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(
+        Event(1, ts(1), "click"), Event(2, ts(2), "click"), Event(1, ts(3), "view"))
+      q.processAllAvailable()
+      // advance the watermark far past the first window → it finalizes
+      input.addData(Event(9, ts(30), "click"))
+      q.processAllAvailable()
+      input.addData(Event(9, ts(45), "click"))
+      q.processAllAvailable()
+
+      val rows = spark.table("wins")
+        .select("window_start", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      rows should contain(Timestamp.valueOf("2024-01-10 10:00:00"), "click", 2L)
+      rows should contain(Timestamp.valueOf("2024-01-10 10:00:00"), "view", 1L)
+    } finally q.stop()
+  }
+
+  test("sessionization emits final sessions after the gap times out") {
+    val input = MemoryStream[Event](spark)
+    val sessions = sessionize(input.toDS(), gapMs = 5 * 60 * 1000, "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // burst 1: user 7, minutes 1-3 (one session)
+      input.addData(Event(7, ts(1), "a"), Event(7, ts(2), "b"), Event(7, ts(3), "c"))
+      q.processAllAvailable()
+      // much later event advances the watermark beyond burst1.last + gap
+      input.addData(Event(8, ts(40), "z"))
+      q.processAllAvailable()
+      input.addData(Event(8, ts(55), "z"))
+      q.processAllAvailable()
+
+      val out = spark.table("sess").as[Session].collect()
+      val s7 = out.filter(_.user_id == 7L)
+      s7 should have length 1
+      s7.head.session_start shouldBe ts(1)
+      s7.head.session_end shouldBe ts(3)
+      s7.head.n_events shouldBe 3L
+    } finally q.stop()
+  }
+
+  test("in-batch gap split emits two sessions for one user") {
+    val input = MemoryStream[Event](spark)
+    val sessions = sessionize(input.toDS(), gapMs = 5 * 60 * 1000, "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("sess2")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // one batch containing two bursts separated by > gap: the first
+      // session emits immediately (closed inside the batch)
+      input.addData(
+        Event(5, ts(1), "a"), Event(5, ts(2), "b"),
+        Event(5, ts(20), "c"), Event(5, ts(21), "d"))
+      q.processAllAvailable()
+      val out = spark.table("sess2").as[Session].collect()
+      out should have length 1
+      out.head.n_events shouldBe 2L
+      out.head.session_end shouldBe ts(2)
+    } finally q.stop()
+  }
+}
