@@ -84,7 +84,8 @@ final class MergeStrategy extends Strategy {
         org.slf4j.LoggerFactory.getLogger(classOf[MergeStrategy]).warn(w))
     }
 
-    val builder = MergeInto(p.table, df, s"target.`$pk` = source.`$pk`")
+    // keyed merge: broadcast the slice, never shuffle the silver table
+    val builder = MergeInto.byKey(p.table, df, pk)
     prunedPartitions(p).foreach(builder.prunePartitions)
     builder
       .whenMatchedUpdate(
@@ -153,15 +154,16 @@ final class HistoricStrategy extends Strategy {
       case None     => p.table.read()
     }
 
+    // Broadcast plan (same shape as MergeBuilder.executeKeyed): the target
+    // is scanned once, never shuffled. History rows (IsCurrent=false) fall
+    // out as unmatched; brand-new keys come from a small anti-join.
     val t = target.withColumn("__graft_t", lit(true)).alias("target")
     val s = src.withColumn("__graft_s", lit(true)).alias("source")
-    // match only current versions: history rows fall out as target-only
-    val joined = t.join(s,
+    val joined = t.join(broadcast(s),
       expr(s"target.`$pk` = source.`$pk` AND target.`${sys.isCurrent}` = true"),
-      "full_outer")
+      "left_outer")
 
     val isMatched = col("__graft_t").isNotNull && col("__graft_s").isNotNull
-    val sourceOnly = col("__graft_s").isNotNull && col("__graft_t").isNull
     val targetOnly = col("__graft_t").isNotNull && col("__graft_s").isNull
     val changed = isMatched &&
       col(s"target.`${sys.sourceHash}`") =!= col(s"source.`${sys.sourceHash}`")
@@ -186,19 +188,26 @@ final class HistoricStrategy extends Strategy {
       sys.validTo -> ptNtz,
       sys.lastSeen -> ptNtz))
 
-    val emitted = joined.select(
+    val resolved = joined.select(
       when(changed, array(closedOld, sourceRow))          // close + new version
         .when(isMatched, array(targetRow()))              // unchanged current
-        .when(sourceOnly, array(sourceRow))               // brand-new key
         .when(deleteCond, array(deletedClosed))           // inferred delete
         .otherwise(array(targetRow()))                    // history / untouched
         .as("__rows"),
       when(changed, "updated")
         .when(isMatched, "unchanged")
-        .when(sourceOnly, "inserted")
         .when(deleteCond, "deleted")
-        .otherwise("kept").as("__action"))
+        .otherwise("kept").as("__action"),
+      when(isMatched, col(s"source.`$pk`")).as("__mk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val matchedKeys = resolved.filter(col("__mk").isNotNull)
+      .select(col("__mk").as(pk)).distinct()
+    val inserts = src.alias("source")
+      .join(broadcast(matchedKeys), Seq(pk), "left_anti")
+      .select(array(sourceRow).as("__rows"), lit("inserted").as("__action"),
+        lit(null).cast("string").as("__mk"))
+    val emitted = resolved.unionByName(inserts)
 
     try {
       val counts = emitted.groupBy("__action").count()
@@ -215,7 +224,7 @@ final class HistoricStrategy extends Strategy {
       ProcessingSummary(p.entity.id, "historic", recordsInSlice = n,
         inserted = inserted, updated = updated,
         deleted = counts.getOrElse("deleted", 0L), unchanged = unchanged)
-    } finally emitted.unpersist()
+    } finally resolved.unpersist()
   }
 }
 

@@ -33,7 +33,8 @@ import org.apache.spark.storage.StorageLevel
 final class MergeBuilder private[tables] (
     table: ManagedTable,
     source: DataFrame,
-    condition: String) {
+    condition: String,
+    keyColumn: Option[String] = None) {
 
   import MergeBuilder._
 
@@ -65,18 +66,32 @@ final class MergeBuilder private[tables] (
 
   /** Run the merge; returns per-action row counts keyed by clause index
     * (`m0`, `nm1`, `bs0`, …) plus `unchanged` (rows no clause touched). */
-  def execute(): MergeMetrics = {
-    val m = table.manifest.getOrElse(
-      throw new graft.metadata.MetadataException(
-        s"MERGE target ${table.rootPath} does not exist"))
-    val targetCols = m.schema.fields.map(_.name).toSeq
+  def execute(): MergeMetrics =
+    keyColumn match {
+      case Some(k) => executeKeyed(k)
+      case None    => executeGeneric()
+    }
 
-    val target = pruned match {
+  private def prunedTarget(m: Manifest): DataFrame =
+    pruned match {
       case Some(ps) if m.partitionColumns.nonEmpty =>
         val wanted = ps.toSet
         table.readPartitions(wanted.contains)
       case _ => table.read()
     }
+
+  private def requireTarget: Manifest =
+    table.manifest.getOrElse(
+      throw new graft.metadata.MetadataException(
+        s"MERGE target ${table.rootPath} does not exist"))
+
+  /** Generic-condition path: one full-outer join. Correct for any ON
+    * condition, but shuffles BOTH sides — used only when the condition is
+    * not a plain key equality. */
+  private def executeGeneric(): MergeMetrics = {
+    val m = requireTarget
+    val targetCols = m.schema.fields.map(_.name).toSeq
+    val target = prunedTarget(m)
 
     val t = target.withColumn(TFlag, lit(true)).alias("target")
     val s = source.withColumn(SFlag, lit(true)).alias("source")
@@ -138,6 +153,93 @@ final class MergeBuilder private[tables] (
       case Delete => DeletePrefix + base
       case _      => base
     }
+
+  /** Keyed fast path: the target table is NEVER shuffled.
+    *
+    * {{{
+    *   j       = target ⟕ broadcast(source) ON target.k = source.k
+    *             // matched + target-only rows, one pass over pruned target
+    *   matched = j.filter(matched).select(k)          // ≈ slice-sized
+    *   inserts = source ⟂anti broadcast(matched)      // small × small
+    *   result  = resolve(j) ∪ inserts
+    * }}}
+    *
+    * At 100 TB the generic full-outer plan sort-merge-shuffles the whole
+    * target on the PK; here the target is only scanned (partition-pruned,
+    * then streamed through a broadcast hash join). `j` is persisted once
+    * and shared by the action resolution, the matched-key extraction, and
+    * the metrics aggregate, so the target is read exactly once. */
+  private def executeKeyed(k: String): MergeMetrics = {
+    val m = requireTarget
+    val targetCols = m.schema.fields.map(_.name).toSeq
+
+    val t = prunedTarget(m).withColumn(TFlag, lit(true)).alias("target")
+    val s = source.withColumn(SFlag, lit(true)).alias("source")
+    val joined = t.join(broadcast(s),
+      col(s"target.`$k`") === col(s"source.`$k`"), "left_outer")
+
+    val isMatched = col(TFlag).isNotNull && col(SFlag).isNotNull
+    val targetOnly = col(TFlag).isNotNull && col(SFlag).isNull
+
+    def scope(kind: ClauseKind): Column = kind match {
+      case Matched            => isMatched
+      case NotMatched         => lit(false) // source-only rows handled below
+      case NotMatchedBySource => targetOnly
+    }
+    def clauseCond(c: Clause): Column =
+      c.cond.map(e => scope(c.kind) && expr(e)).getOrElse(scope(c.kind))
+    def tag(i: Int, c: Clause): String = c.kind match {
+      case Matched            => s"m$i"
+      case NotMatched         => s"nm$i"
+      case NotMatchedBySource => s"bs$i"
+    }
+
+    val indexed = clauses.zipWithIndex
+    val actionCol = indexed.foldRight(lit(UnchangedTag): Column) {
+      case ((c, i), rest) => when(clauseCond(c), lit(tagFor(c, tag(i, c)))).otherwise(rest)
+    }
+    def valueFor(c: Clause, colName: String): Column = c.action match {
+      case UpdateAll | InsertAll => col(s"source.`$colName`")
+      case UpdateSet(set) => set.get(colName).map(expr)
+        .getOrElse(col(s"target.`$colName`"))
+      case Delete => col(s"target.`$colName`")
+    }
+    val outCols = targetCols.map { name =>
+      indexed.foldRight(col(s"target.`$name`")) { case ((c, i), rest) =>
+        when(clauseCond(c), valueFor(c, name)).otherwise(rest)
+      }.as(name)
+    }
+
+    val resolved = joined
+      .select(outCols ++ Seq(actionCol.as(ActionCol), col(s"source.`$k`").as(MatchKey)): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // insert side: source rows whose key matched nothing in the target
+      val matchedKeys = resolved.filter(col(MatchKey).isNotNull)
+        .select(col(MatchKey).as(k)).distinct()
+      val unmatched = source.alias("source")
+        .join(broadcast(matchedKeys), Seq(k), "left_anti")
+      val insertClauses = indexed.filter(_._1.kind == NotMatched)
+      val insertAction = insertClauses.foldRight(lit(DropTag): Column) {
+        case ((c, i), rest) =>
+          when(c.cond.map(expr).getOrElse(lit(true)), lit(tagFor(c, tag(i, c))))
+            .otherwise(rest)
+      }
+      // a NotMatched clause's action is InsertAll (or conditional drop)
+      val inserts = unmatched
+        .select(targetCols.map(n => col(s"source.`$n`").as(n))
+          :+ insertAction.as(ActionCol) :+ lit(null).cast("string").as(MatchKey): _*)
+
+      val all = resolved.unionByName(inserts)
+      val counts = all.groupBy(ActionCol).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val kept = all
+        .filter(col(ActionCol) =!= DropTag && !col(ActionCol).startsWith(DeletePrefix))
+        .drop(ActionCol, MatchKey)
+      table.replacePartitions(pruned.filter(_ => m.partitionColumns.nonEmpty), kept)
+      MergeMetrics(counts - DropTag)
+    } finally resolved.unpersist()
+  }
 }
 
 object MergeBuilder {
@@ -158,6 +260,7 @@ object MergeBuilder {
   private[tables] val TFlag = "__graft_t"
   private[tables] val SFlag = "__graft_s"
   private[tables] val ActionCol = "__graft_action"
+  private[tables] val MatchKey = "__graft_mk"
   private[tables] val DropTag = "drop"
   private[tables] val UnchangedTag = "unchanged"
   private[tables] val DeletePrefix = "del:"
@@ -174,4 +277,11 @@ object MergeBuilder {
 object MergeInto {
   def apply(table: ManagedTable, source: DataFrame, condition: String): MergeBuilder =
     new MergeBuilder(table, source, condition)
+
+  /** Key-equality merge (`target.k = source.k`): takes the broadcast plan
+    * that never shuffles the target — the right choice whenever the merge
+    * key is a single column, i.e. every pipeline PK merge. */
+  def byKey(table: ManagedTable, source: DataFrame, keyColumn: String): MergeBuilder =
+    new MergeBuilder(table, source,
+      s"target.`$keyColumn` = source.`$keyColumn`", Some(keyColumn))
 }

@@ -103,6 +103,50 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     filesAfterX shouldBe filesBefore
   }
 
+  test("keyed merge (broadcast plan) matches the generic full-outer plan") {
+    def setup(): ManagedTable = {
+      val t = ManagedTable(spark, tmp() + "/k")
+      t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "x"), (3, "c", "x"))))
+      t
+    }
+    val src = df(Seq((2, "B", "x"), (3, "c", "x"), (4, "d", "x")))
+    def clauses(b: MergeBuilder): MergeBuilder = b
+      .whenMatchedUpdateAll(cond = Some("target.name != source.name"))
+      .whenMatchedUpdate(Map("part" -> "'touched'"))
+      .whenNotMatchedInsertAll(cond = Some("source.id != 99"))
+      .whenNotMatchedBySourceUpdate(Map("name" -> "'GONE'"))
+
+    val tg = setup()
+    val mg = clauses(MergeInto(tg, src, "target.id = source.id")).execute()
+    val tk = setup()
+    val mk = clauses(MergeInto.byKey(tk, src, "id")).execute()
+
+    val rows = (t: ManagedTable) => t.read().collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    rows(tk) shouldBe rows(tg)
+    rows(tk) shouldBe Seq((1, "GONE", "x"), (2, "B", "x"),
+      (3, "c", "touched"), (4, "d", "x"))
+    mk.byTag shouldBe mg.byTag
+    mk.count("m0") shouldBe 1  // updated
+    mk.count("m1") shouldBe 1  // touched
+    mk.count("nm2") shouldBe 1 // inserted
+    mk.count("bs3") shouldBe 1 // delete-inferred
+  }
+
+  test("keyed merge with partition pruning leaves other partitions untouched") {
+    val t = ManagedTable(spark, tmp() + "/kp")
+    t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "y"))), Seq("part"))
+    val before = t.manifest.get.files.filter(_.partitionValues.get("part").contains("x"))
+    MergeInto.byKey(t, df(Seq((2, "B", "y"), (5, "e", "y"))), "id")
+      .prunePartitions(Seq(Map("part" -> "y")))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    t.read().collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1) shouldBe
+      Array((1, "a"), (2, "B"), (5, "e"))
+    t.manifest.get.files.filter(_.partitionValues.get("part").contains("x")) shouldBe before
+  }
+
   test("vacuum drops unreferenced commits, keeps current snapshot") {
     val t = ManagedTable(spark, tmp() + "/t6")
     t.overwriteAll(df(Seq((1, "a", "x"))))
