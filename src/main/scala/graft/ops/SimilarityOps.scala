@@ -56,16 +56,17 @@ object SimilarityOps {
     dot(a, b) / sqrt(foldSum(zip_with(a, a, _ * _)) * foldSum(zip_with(b, b, _ * _)))
 
   /** Bucket keys, one per hash table: key bit b set iff
-    * dot(v, plane_{t*BitsPerTable+b}) >= 0. The dot product is a fold over
-    * a literal coefficient array — a compact expression tree (vs. 64
-    * unrolled terms per plane) that stays inside codegen and keeps the
-    * strict sequential FP order the SQL oracle mirrors. */
-  def lshBucketKeys(vec: Column, dims: Int): Column = {
+    * dot(v, plane_{t*BitsPerTable+b}) >= 0. Dot products run through the
+    * codegen'd [[graft.functions.DotProduct]] expression against literal
+    * coefficient arrays — same strict sequential FP order as the SQL
+    * oracle's fold. Caller must have run `GraftFunctions.register`. */
+  def lshBucketKeys(vecName: String, dims: Int): Column = {
     val planes = planeCoefficients(dims)
     array((0 until Tables).map { t =>
       (0 until BitsPerTable).map { b =>
-        val coefs = typedLit(planes(t * BitsPerTable + b).toArray)
-        val d = aggregate(zip_with(vec, coefs, _ * _), lit(0.0), (acc, x) => acc + x)
+        val coefs = planes(t * BitsPerTable + b)
+          .map(c => s"${c}D").mkString("array(", ", ", ")")
+        val d = expr(s"graft_dot(`$vecName`, $coefs)")
         when(d >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
@@ -76,11 +77,12 @@ object SimilarityOps {
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", expr("graft_cosine(qv, cv)"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -96,10 +98,11 @@ object SimilarityOps {
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, dims: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
     def tableRows(df: DataFrame, id: String, vec: String) =
-      df.select(col(id), posexplode(lshBucketKeys(col(vec), dims)))
+      df.select(col(id), posexplode(lshBucketKeys(vec, dims)))
         .select(col(id), col("pos").as("tbl"), col("col").as("key"))
     val candidates = tableRows(q, "query_id", "qv").alias("a")
       .join(tableRows(c, "neighbor_id", "cv").alias("b"),
@@ -110,7 +113,7 @@ object SimilarityOps {
     val scored = candidates
       .join(q, "query_id")
       .join(c, "neighbor_id")
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", expr("graft_cosine(qv, cv)"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -263,4 +263,18 @@ object TextOps {
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
       fingerprint(hashAll(tokens(col(textCol)))).as("fingerprint"))
+
+  /** Redaction patterns applied in order (training-data PII scrubbing):
+    * emails, URLs, long digit runs. */
+  val RedactionRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "[0-9]{6,}" -> "<NUM>")
+
+  /** Scrub PII-ish spans from a text column — codegen'd regexp_replace
+    * chain, no UDF. */
+  def redact(text: Column): Column =
+    RedactionRules.foldLeft(text) { case (c, (pattern, repl)) =>
+      regexp_replace(c, pattern, repl)
+    }
 }

@@ -150,6 +150,20 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // ------------------------------------------------- text: PII redaction
+    QueryDef(
+      "q_td_redact",
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    'https?://[^\\s]+', '<URL>', 'g'),
+         |    '[0-9]{6,}', '<NUM>', 'g') AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.redact(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    },
+
     // ------------------------------------------- multimodal: binary plumbing
     // Opaque binary payload column + typed metadata extraction. The decode
     // itself is the deterministic stand-in (see graft.ops.MultimodalOps for

@@ -481,6 +481,43 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       WatermarkDef("c", expression = "not ( valid sql"), "x") shouldBe None
   }
 
+  test("epoch-day bindings and multi-column watermark windows") {
+    val md = fixture()
+    val ws = new WatermarkStore(spark, md.environment.systemPath)
+    // ${b19_epoch_day} / ${reflex_now}: days since 1900-01-01 (reference
+    // Watermark.scala:78-94); expression arithmetic over the binding
+    val days = java.time.LocalDate.now().toEpochDay -
+      java.time.LocalDate.of(1900, 1, 1).toEpochDay
+    ws.evaluateExpression(
+      WatermarkDef("c", expression = "${b19_epoch_day} - 1"),
+      "ignored") shouldBe Some((days - 1).toString)
+
+    // two watermark columns → conjunction of two inclusive windows
+    val extra = """,
+      { "id": 40, "name": "mw", "connection": "src1", "processtype": "merge",
+        "settings": { "delete_missing": true },
+        "watermark": [ { "column": "SeqNr" }, { "column": "Rev" } ],
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+          { "name": "SeqNr", "datatype": "integer" },
+          { "name": "Rev", "datatype": "integer" },
+          { "name": "name", "datatype": "string" } ] }"""
+    val md2 = fixture(extraEntity = extra)
+    val e = md2.getEntity(40)
+    writeSlice(md2, e, "s1.parquet",
+      Seq((1, 1, 10, "a"), (2, 2, 20, "b"), (3, 3, 30, "c"))
+        .toDF("ID", "SeqNr", "Rev", "name"))
+    run(md2, 40, "s1.parquet", T1)
+    // window: SeqNr in [3,5] AND Rev in [30,50] — row 3 (3,30) inside →
+    // deleted; rows 1,2 outside on both columns → kept
+    writeSlice(md2, e, "s2.parquet",
+      Seq((4, 5, 50, "d")).toDF("ID", "SeqNr", "Rev", "name"))
+    val sum = run(md2, 40, "s2.parquet", T2)
+    sum.deleted shouldBe 1
+    new Processing(md2, e, "x").table.read()
+      .filter($"deleted").select("ID").collect().map(_.getInt(0)) shouldBe Array(3)
+  }
+
   test("watermark persisted per run and drives the next window") {
     val md = fixture()
     val e = md.getEntity(2)
