@@ -109,4 +109,17 @@ object MultimodalOps {
   def metadataOnly(records: Dataset[MediaRecord])(
       implicit spark: SparkSession): DataFrame =
     records.toDF().select(col("id"), col("meta.*"))
+
+  /** Repartition by BYTE budget, not row count: media rows vary from KB to
+    * GB, so row-count partitioning makes decode tasks wildly uneven. Uses
+    * recorded payload sizes to pick a partition count targeting
+    * `targetBytesPerPartition` per task. */
+  def repartitionByBytes(
+      records: Dataset[MediaRecord], targetBytesPerPartition: Long)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import org.apache.spark.sql.functions.sum
+    val total = records.toDF().agg(sum(col("meta.nBytes"))).head().getLong(0)
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytesPerPartition).toInt)
+    records.repartition(parts)
+  }
 }

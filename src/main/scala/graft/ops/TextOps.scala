@@ -277,4 +277,15 @@ object TextOps {
     RedactionRules.foldLeft(text) { case (c, (pattern, repl)) =>
       regexp_replace(c, pattern, repl)
     }
+
+  /** Deterministic train/val/test assignment from a stable id hash —
+    * reproducible across runs, clusters, and engines (no RNG state).
+    * Buckets: [0,trainPct) → train, [trainPct,trainPct+valPct) → val,
+    * rest → test. */
+  def splitAssignment(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val bucket = pmod(portableHash(id.cast("string")), lit(100))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
 }

@@ -164,6 +164,63 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // ------------------------------------ deterministic train/val/test split
+    QueryDef(
+      "q_td_split",
+      s"""SELECT doc_id,
+         |  CASE WHEN ${H("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |       WHEN ${H("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.splitAssignment(col("doc_id")).as("split"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------- end-to-end curation pipeline as one declarative plan
+    // redact → quality-gate → exact-dedup (keep canonical) → split → counts:
+    // the composition a real training-data curation job runs, verified as
+    // one oracle query.
+    QueryDef(
+      "q_td_curation",
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      'https?://[^\\s]+', '<URL>', 'g'),
+         |      '[0-9]{6,}', '<NUM>', 'g') AS clean,
+         |    len(list_distinct($Words)) AS n_distinct,
+         |    len($Words) AS n_tokens
+         |  FROM documents),
+         |gated AS (
+         |  SELECT * FROM scored
+         |  WHERE n_tokens >= 20 AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3),
+         |dedup AS (
+         |  SELECT min(doc_id) AS doc_id, sha256(clean) AS content_sha
+         |  FROM gated GROUP BY sha256(clean))
+         |SELECT
+         |  CASE WHEN ${H("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |       WHEN ${H("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  count(*) AS n_docs
+         |FROM dedup GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ws = TextOps.tokens(col("text"))
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.redact(col("text")).as("clean"),
+        size(array_distinct(ws)).as("n_distinct"),
+        size(ws).as("n_tokens"))
+      val gated = scored.filter(col("n_tokens") >= 20 &&
+        col("n_distinct").cast("double") / col("n_tokens") >= 0.3)
+      val dedup = gated.groupBy(sha2(col("clean"), 256).as("content_sha"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      dedup
+        .groupBy(TextOps.splitAssignment(col("doc_id")).as("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("split")
+    },
+
     // ------------------------------------------- multimodal: binary plumbing
     // Opaque binary payload column + typed metadata extraction. The decode
     // itself is the deterministic stand-in (see graft.ops.MultimodalOps for

@@ -110,6 +110,28 @@ class OpsSpec extends AnyFunSuite with Matchers {
     frames.map(_._1).distinct.sorted.toSeq shouldBe Seq(1L, 2L)
   }
 
+  test("multimodal byte-budget repartitioning evens out decode tasks") {
+    val recs = MultimodalOps.pack(
+      docs((1L, "x" * 100), (2L, "y" * 100), (3L, "z" * 100)), "doc_id", "text")
+    val rebal = MultimodalOps.repartitionByBytes(recs, targetBytesPerPartition = 150)
+    rebal.rdd.getNumPartitions shouldBe 2 // 300 bytes / 150 per task
+    rebal.collect().map(_.id).sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+  }
+
+  test("deterministic split is stable and roughly proportioned") {
+    val df = (1L to 1000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val a = df.select(TextOps.splitAssignment(col("doc_id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    a("train") should (be > 700L and be < 900L)
+    a("val") should (be > 50L and be < 150L)
+    // stable: same assignment on recompute
+    val row = df.filter(col("doc_id") === 42)
+      .select(TextOps.splitAssignment(col("doc_id"))).head.getString(0)
+    val row2 = df.filter(col("doc_id") === 42)
+      .select(TextOps.splitAssignment(col("doc_id"))).head.getString(0)
+    row shouldBe row2
+  }
+
   test("fingerprint is order-sensitive") {
     val out = TextOps.fingerprints(
       docs((1L, "a b c"), (2L, "c b a")), "doc_id", "text")

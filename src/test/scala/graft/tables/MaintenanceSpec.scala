@@ -93,6 +93,21 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
       .collect().map(_.getLong(0)).sorted shouldBe (300L to 320L).toArray
   }
 
+  test("crashed writes are invisible: stray data files never reach readers") {
+    val t = ManagedTable(spark, tmp() + "/atomic")
+    t.overwriteAll(Seq((1, "a")).toDF("id", "v"))
+    // simulate a writer that died after producing files but before commit:
+    // drop a parquet file into the data area with no manifest reference
+    Seq((99, "ghost")).toDF("id", "v").coalesce(1)
+      .write.parquet(t.rootPath + "/data/deadbeef-crashed-commit")
+    t.read().collect().map(_.getInt(0)) shouldBe Array(1) // reader unaffected
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2)
+    // vacuum clears the orphaned commit
+    t.vacuum()
+    t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2)
+  }
+
   test("schema drift: new vs missing columns reported by name") {
     val src = Seq((1, "a", 2.0)).toDF("id", "name", "extra").schema
     val tgt = Seq((1, "a", true)).toDF("id", "name", "flag").schema
