@@ -118,8 +118,12 @@ object MultimodalOps {
       records: Dataset[MediaRecord], targetBytesPerPartition: Long)(
       implicit spark: SparkSession): Dataset[MediaRecord] = {
     import org.apache.spark.sql.functions.sum
-    val total = records.toDF().agg(sum(col("meta.nBytes"))).head().getLong(0)
-    val parts = math.max(1, math.ceil(total.toDouble / targetBytesPerPartition).toInt)
-    records.repartition(parts)
+    val row = records.toDF().agg(sum(col("meta.nBytes"))).head()
+    if (row.isNullAt(0)) records // empty dataset: nothing to rebalance
+    else {
+      val total = row.getLong(0)
+      val parts = math.max(1, math.ceil(total.toDouble / targetBytesPerPartition).toInt)
+      records.repartition(parts)
+    }
   }
 }

@@ -78,8 +78,14 @@ final class Processing(
   def source: DatalakeSource = cached.getOrElse {
     val df = transformChain(readSlice()).persist(StorageLevel.MEMORY_AND_DISK)
     val wmValues = entity.watermark.map { wm =>
-      val v = df.agg(max(col(s"`${wm.columnName}`")).cast("string")).head().getString(0)
-      wm -> Option(v)
+      // resolve through rename+normalize; a column absent from the slice
+      // yields None (watermark skipped), matching the reference's
+      // missing-column tolerance
+      val name = watermarkColumnName(wm)
+      val v =
+        if (!df.columns.contains(name)) None
+        else Option(df.agg(max(col(s"`$name`")).cast("string")).head().getString(0))
+      wm -> v
     }
     val partCols = normalizedPartitionColumns
     val partValues =
@@ -97,6 +103,14 @@ final class Processing(
   /** Partition columns after rename+normalize (their on-disk names). */
   def normalizedPartitionColumns: Seq[String] =
     entity.partitionColumns.map(ColumnOps.normalizeName)
+
+  /** A watermark column's post-rename/normalize name — the namespace of
+    * the transformed slice AND the silver table. Metadata refers to
+    * watermark columns by their ORIGINAL source name. */
+  def watermarkColumnName(wm: WatermarkDef): String =
+    ColumnOps.normalizeName(
+      entity.columns.find(_.name == wm.columnName).map(_.finalName)
+        .getOrElse(wm.columnName))
 
   /** Run a strategy (default: the entity's configured process type), then
     * persist watermarks; always unpersist and flush logs

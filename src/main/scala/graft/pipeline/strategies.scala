@@ -21,9 +21,7 @@ sealed trait Strategy {
     * post-rename/normalize names. */
   protected def watermarkWindowCondition(p: Processing): Option[String] = {
     val parts = p.source.watermarkValues.flatMap { case (wm, currentOpt) =>
-      val colName = graft.core.ColumnOps.normalizeName(
-        p.entity.columns.find(_.name == wm.columnName).map(_.finalName)
-          .getOrElse(wm.columnName))
+      val colName = p.watermarkColumnName(wm)
       val prev = p.watermarkStore.lastValue(p.entity.id, wm.columnName)
         .flatMap(stored => p.watermarkStore.evaluateExpression(wm, stored))
       (prev, currentOpt) match {

@@ -129,42 +129,61 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
 
   // ---------------------------------------------------------------- writes
 
+  /** All mutations serialize on a per-path JVM lock: the commit protocol
+    * (read current version -> write manifest v+1 -> swap pointer) is not
+    * safe under concurrent writers, and this engine's concurrency model is
+    * many entities on ONE driver (Runner.parallelism) — a process-wide
+    * mutex per table (incl. the shared watermark table) is exactly the
+    * coordination needed. Cross-driver writers remain single-writer by
+    * contract, as in the reference. */
+  private def withWriteLock[A](f: => A): A =
+    ManagedTable.lockFor(fs.makeQualified(root).toString).synchronized(f)
+
   /** Replace the whole table. */
-  def overwriteAll(df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    val files = writeCommit(df, partitionBy)
-    commit(df, partitionBy, files, "overwrite")
-  }
+  def overwriteAll(df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+    withWriteLock {
+      val files = writeCommit(df, partitionBy)
+      commit(df, partitionBy, files, "overwrite")
+    }
 
   /** Dynamic partition overwrite: replace only the partitions present in
     * `df`, keep every other partition's files (Spark's
     * `partitionOverwriteMode=dynamic` semantics, reference: Full.scala:38-45). */
   def overwriteDynamic(df: DataFrame, partitionBy: Seq[String]): Unit =
-    manifest match {
+    withWriteLock { manifest match {
       case None => overwriteAll(df, partitionBy)
       case Some(m) =>
         val newFiles = writeCommit(df, partitionBy)
         val replaced = newFiles.map(_.partitionValues).toSet
         val kept = m.files.filterNot(f => replaced.contains(f.partitionValues))
         commit(df, partitionBy, kept ++ newFiles, "overwriteDynamic")
-    }
+    } }
+
+  /** Atomic "append, creating the table if absent": the exists-check runs
+    * INSIDE the write lock, so two concurrent first-writers serialize into
+    * create-then-append instead of racing into two overwrites (a bare
+    * `if (exists) append else overwriteAll` at the call site would lose
+    * the first writer's rows). */
+  def appendOrCreate(df: DataFrame): Unit =
+    withWriteLock { if (exists) append(df) else overwriteAll(df) }
 
   /** Append rows; schema must match (missing source columns are an error —
     * reference contract, MergeProcessingSpec.scala:323-368). */
   def append(df: DataFrame): Unit =
-    manifest match {
+    withWriteLock { manifest match {
       case None => overwriteAll(df)
       case Some(m) =>
         requireSchemaCompatible(df, m)
         val newFiles = writeCommit(df, m.partitionColumns)
         commit(df, m.partitionColumns, m.files ++ newFiles, "append")
-    }
+    } }
 
   /** Merge/compaction commit primitive: atomically replace the content of
     * `partitions` (every file whose partition values appear in the set) with
     * `df`. `partitions == None` replaces all files (unpartitioned merge). */
   def replacePartitions(
       partitions: Option[Seq[Map[String, String]]],
-      df: DataFrame): Unit = {
+      df: DataFrame): Unit = withWriteLock {
     val m = requireManifest
     requireSchemaCompatible(df, m)
     val newFiles = writeCommit(df, m.partitionColumns)
@@ -183,7 +202,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * degrades scan performance — at scale this runs as a background
     * maintenance pass; the atomic pointer swap means readers never block.
     * Untouched partitions keep their existing files byte-for-byte. */
-  def compact(minFiles: Int = 2, targetFiles: Int = 1): Unit = {
+  def compact(minFiles: Int = 2, targetFiles: Int = 1): Unit = withWriteLock {
     val m = requireManifest
     if (m.partitionColumns.isEmpty) {
       if (m.files.size >= minFiles)
@@ -219,12 +238,21 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   // ------------------------------------------------------------- internals
 
   private def requireSchemaCompatible(df: DataFrame, m: Manifest): Unit = {
-    val targetCols = m.schema.fields.map(f => f.name.toLowerCase).toSet
-    val srcCols = df.schema.fields.map(_.name.toLowerCase).toSet
-    val missing = targetCols -- srcCols
+    val targetFields = m.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val srcFields = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val missing = targetFields.keySet -- srcFields.keySet
     if (missing.nonEmpty)
       throw new MetadataException(
         s"Source is missing target column(s): ${missing.toSeq.sorted.mkString(", ")}")
+    // a silently-committed type change would make the existing parquet
+    // files unreadable under the new manifest schema — fail at write time
+    val retyped = targetFields.collect {
+      case (n, tf) if srcFields(n).dataType != tf.dataType =>
+        s"${tf.name} (${tf.dataType.simpleString} -> ${srcFields(n).dataType.simpleString})"
+    }
+    if (retyped.nonEmpty)
+      throw new MetadataException(
+        s"Source changes column type(s): ${retyped.toSeq.sorted.mkString(", ")}")
   }
 
   /** Write `df` as immutable files under a fresh commit dir; return the
@@ -324,6 +352,10 @@ object ManagedTable {
 
   /** Directory marker Spark uses for null partition values. */
   val NullPartitionValue = "__HIVE_DEFAULT_PARTITION__"
+
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[tables] def lockFor(qualifiedPath: String): Object =
+    locks.computeIfAbsent(qualifiedPath, _ => new Object)
 
   def apply(spark: SparkSession, path: String): ManagedTable =
     new ManagedTable(spark, path)

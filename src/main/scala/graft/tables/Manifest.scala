@@ -23,16 +23,22 @@ import org.json4s.jackson.JsonMethods
 final case class ColStats(typ: String, min: String, max: String) {
 
   /** Can a value in [lower, upper] (either side optional, inclusive)
-    * possibly exist in this file? */
-  def overlaps(lower: Option[Any], upper: Option[Any]): Boolean = {
-    def cmp(a: String, b: String): Int = typ match {
-      case "string" => a.compareTo(b)
-      case _        => BigDecimal(a).compare(BigDecimal(b))
+    * possibly exist in this file? Non-comparable inputs (e.g. a
+    * date-string bound against raw epoch stats, NaN/Infinity doubles)
+    * conservatively return true — skipping is an optimization and must
+    * never drop files. */
+  def overlaps(lower: Option[Any], upper: Option[Any]): Boolean =
+    try {
+      def cmp(a: String, b: String): Int = typ match {
+        case "string" => a.compareTo(b)
+        case _        => BigDecimal(a).compare(BigDecimal(b))
+      }
+      val loOk = lower.forall(l => cmp(max, l.toString) >= 0)
+      val hiOk = upper.forall(u => cmp(min, u.toString) <= 0)
+      loOk && hiOk
+    } catch {
+      case _: NumberFormatException => true
     }
-    val loOk = lower.forall(l => cmp(max, l.toString) >= 0)
-    val hiOk = upper.forall(u => cmp(min, u.toString) <= 0)
-    loOk && hiOk
-  }
 }
 
 final case class TableFile(

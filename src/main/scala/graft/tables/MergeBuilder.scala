@@ -43,7 +43,11 @@ final class MergeBuilder private[tables] (
 
   /** Restrict the merge to these partitions (column → string value, one map
     * per partition). Target files outside them are neither read nor
-    * rewritten. The caller guarantees every source row falls inside. */
+    * rewritten. The caller guarantees every source row falls inside AND
+    * that matching target rows can only live inside them — i.e. partition
+    * columns must be immutable per key (the reference's partition-IN-filter
+    * contract, Merge.scala:38-48: a key that moves partitions would be
+    * missed and re-inserted). */
   def prunePartitions(parts: Seq[Map[String, String]]): this.type = {
     pruned = Some(parts); this
   }
@@ -172,6 +176,15 @@ final class MergeBuilder private[tables] (
   private def executeKeyed(k: String): MergeMetrics = {
     val m = requireTarget
     val targetCols = m.schema.fields.map(_.name).toSeq
+
+    // Delta raises on multiple source rows matching one target row; a
+    // silent join-multiplication would duplicate target rows. The source
+    // is slice-sized (it gets broadcast), so this guard is one cheap agg.
+    val dup = source.groupBy(col(s"`$k`")).count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new graft.metadata.MetadataException(
+        s"MERGE source has multiple rows for key $k=${dup.head.get(0)}")
 
     val t = prunedTarget(m).withColumn(TFlag, lit(true)).alias("target")
     val s = source.withColumn(SFlag, lit(true)).alias("source")

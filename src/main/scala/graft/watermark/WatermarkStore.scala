@@ -22,24 +22,33 @@ final class WatermarkStore(spark: SparkSession, systemPath: String) {
 
   private val table = ManagedTable(spark, s"$systemPath/watermark")
 
+  /** Persist observed watermark values. `None` values (empty slice /
+    * all-null column) are SKIPPED, not written: an empty increment must
+    * not destroy the stored bookmark (reference filters nulls the same
+    * way — getWatermarkValues). Reset is only explicit via [[reset]]. */
   def write(
       entityId: Int,
       values: Seq[(WatermarkDef, Option[String])],
-      timestamp: String): Unit = {
-    if (values.isEmpty) return
-    val rows = values.map { case (wm, v) =>
-      Row(entityId, wm.columnName,
-        java.time.LocalDateTime.parse(timestamp.replace(' ', 'T')),
-        v.map(_ => "java.lang.String").getOrElse(ResetSentinel),
-        v.getOrElse(ResetSentinel))
+      timestamp: String): Unit =
+    writeRows(values.collect { case (wm, Some(v)) =>
+      (entityId, wm.columnName, timestamp, "java.lang.String", v)
+    })
+
+  /** Explicit reset: stores the `None$` sentinel so [[lastValue]] returns
+    * None until the next real value. */
+  def reset(entityId: Int, columnName: String, timestamp: String): Unit =
+    writeRows(Seq((entityId, columnName, timestamp, ResetSentinel, ResetSentinel)))
+
+  private def writeRows(
+      rows: Seq[(Int, String, String, String, String)]): Unit = {
+    if (rows.isEmpty) return
+    val data = rows.map { case (id, col, ts, typ, v) =>
+      Row(id, col, java.time.LocalDateTime.parse(ts.replace(' ', 'T')), typ, v)
     }
     val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), Schema)
-    if (table.exists) table.append(df) else table.overwriteAll(df)
+      spark.sparkContext.parallelize(data, 1), Schema)
+    table.appendOrCreate(df)
   }
-
-  def reset(entityId: Int, columnName: String, timestamp: String): Unit =
-    write(entityId, Seq(WatermarkDef(columnName) -> None), timestamp)
 
   /** Latest stored value for (entity, column); None if never written or
     * reset (reference: WatermarkData.scala:26-47). */
@@ -66,9 +75,12 @@ final class WatermarkStore(spark: SparkSession, systemPath: String) {
   def evaluateExpression(wm: WatermarkDef, lastValue: String): Option[String] = {
     val epochDay1900 = java.time.LocalDate.now()
       .toEpochDay - java.time.LocalDate.of(1900, 1, 1).toEpochDay
+    // values are data-derived: escape quotes so e.g. "O'Brien" can't break
+    // (or inject into) the generated SQL
+    val escaped = lastValue.replace("'", "''")
     val substituted = wm.expression
-      .replace("${last_value}", lastValue)
-      .replace("${watermark}", lastValue)
+      .replace("${last_value}", escaped)
+      .replace("${watermark}", escaped)
       .replace("${b19_epoch_day}", epochDay1900.toString)
       .replace("${reflex_now}", epochDay1900.toString)
     try {

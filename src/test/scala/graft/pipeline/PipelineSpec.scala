@@ -518,6 +518,62 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .filter($"deleted").select("ID").collect().map(_.getInt(0)) shouldBe Array(3)
   }
 
+  test("empty slice does NOT destroy the stored watermark") {
+    val md = fixture()
+    val e = md.getEntity(2)
+    writeSlice(md, e, "s1.parquet", mergeSlice(Seq((1, 7, "a"))))
+    run(md, 2, "s1.parquet", T1)
+    val ws = new WatermarkStore(spark, md.environment.systemPath)
+    ws.lastValue(2, "SeqNr") shouldBe Some("7")
+    // empty increment: bookmark must survive (an unintended reset would
+    // unbound the next run's delete inference)
+    writeSlice(md, e, "s2.parquet", mergeSlice(Nil))
+    run(md, 2, "s2.parquet", T2)
+    ws.lastValue(2, "SeqNr") shouldBe Some("7")
+  }
+
+  test("watermark on a renamed column resolves through the rename") {
+    val extra = """,
+      { "id": 41, "name": "wmren", "connection": "src1", "processtype": "merge",
+        "watermark": [ { "column": "Modified Date" } ],
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+          { "name": "Modified Date", "newname": "modified_dt",
+            "datatype": "integer" } ] }"""
+    val md = fixture(extraEntity = extra)
+    val e = md.getEntity(41)
+    writeSlice(md, e, "s1.parquet",
+      Seq((1, 5)).toDF("ID", "Modified Date"))
+    run(md, 41, "s1.parquet", T1)
+    new WatermarkStore(spark, md.environment.systemPath)
+      .lastValue(41, "Modified Date") shouldBe Some("5")
+  }
+
+  test("parallel runner: concurrent watermark commits do not lose rows") {
+    val extra = """,
+      { "id": 50, "name": "pa", "connection": "src1", "group": "pgrp",
+        "processtype": "merge", "watermark": [ { "column": "SeqNr" } ],
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+          { "name": "SeqNr", "datatype": "integer" } ] },
+      { "id": 51, "name": "pb", "connection": "src1", "group": "pgrp",
+        "processtype": "merge", "watermark": [ { "column": "SeqNr" } ],
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+          { "name": "SeqNr", "datatype": "integer" } ] }"""
+    val md = fixture(extraEntity = extra)
+    Seq(50, 51).foreach { id =>
+      writeSlice(md, md.getEntity(id), "s1.parquet",
+        Seq((1, id)).toDF("ID", "SeqNr"))
+    }
+    val results = Runner.processGroup(md, "pgrp", "s1.parquet",
+      Map("processing.time" -> T1), parallelism = 2)
+    results.forall(_.result.isRight) shouldBe true
+    val ws = new WatermarkStore(spark, md.environment.systemPath)
+    ws.lastValue(50, "SeqNr") shouldBe Some("50")
+    ws.lastValue(51, "SeqNr") shouldBe Some("51")
+  }
+
   test("watermark persisted per run and drives the next window") {
     val md = fixture()
     val e = md.getEntity(2)

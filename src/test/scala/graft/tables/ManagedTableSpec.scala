@@ -147,6 +147,26 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.manifest.get.files.filter(_.partitionValues.get("part").contains("x")) shouldBe before
   }
 
+  test("keyed merge rejects duplicate source keys") {
+    val t = ManagedTable(spark, tmp() + "/dup")
+    t.overwriteAll(df(Seq((1, "a", "x"))))
+    val ex = intercept[graft.metadata.MetadataException] {
+      MergeInto.byKey(t, df(Seq((1, "b", "x"), (1, "c", "x"))), "id")
+        .whenMatchedUpdateAll().execute()
+    }
+    ex.getMessage should include("multiple rows")
+  }
+
+  test("append rejects a column type change (would brick old files)") {
+    import spark.implicits._
+    val t = ManagedTable(spark, tmp() + "/retype")
+    t.overwriteAll(Seq((1, 10)).toDF("id", "amount"))
+    val ex = intercept[graft.metadata.MetadataException] {
+      t.append(Seq((2, "not-an-int")).toDF("id", "amount"))
+    }
+    ex.getMessage should include("amount")
+  }
+
   test("vacuum drops unreferenced commits, keeps current snapshot") {
     val t = ManagedTable(spark, tmp() + "/t6")
     t.overwriteAll(df(Seq((1, "a", "x"))))
