@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the single latest right row with
+  * `right.time <= left.time` within the same key. Spark has no native
+  * operator for this (DuckDB/kdb do); the naive formulation is a range
+  * join that explodes into O(L×R) per key.
+  *
+  * Implementation is the scalable union-window pattern:
+  * {{{
+  *   tag left/right → union → window per key ordered by (time, side)
+  *   → last(right-row STRUCT, ignoreNulls) carries the most recent right
+  *   row forward as one unit → keep left rows
+  * }}}
+  * ONE shuffle on the key (the window), no join explosion. The right row
+  * travels as a struct so its columns can never mix across rows even when
+  * individual right values are null. Right rows sort BEFORE left rows at
+  * equal time, so equality means "right visible to left" (inclusive
+  * as-of, matching `ASOF JOIN ... ON l.t >= r.t`).
+  *
+  * `right` must be unique per (key, time) — pre-aggregate if not; ties
+  * would otherwise be carrier-order-dependent.
+  */
+object AsOfJoin {
+
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightValueCols: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightValueCols.map { c =>
+        val f = right.schema(c)
+        org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true)
+      })
+
+    val l = left
+      .select(Seq(col(s"`$keyCol`").as("__key"),
+        col(s"`$leftTimeCol`").as("__time"),
+        lit(1).as("__side"), // left sorts after right at equal time
+        lit(null).cast(rStructType).as("__r"))
+        ++ leftCols.map(c => col(s"`$c`")): _*)
+
+    val r = right
+      .select(Seq(col(s"`$keyCol`").as("__key"),
+        col(s"`$rightTimeCol`").as("__time"),
+        lit(0).as("__side"),
+        struct(rightValueCols.map(c => col(s"`$c`")): _*).as("__r"))
+        ++ leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val w = Window.partitionBy("__key")
+      .orderBy(col("__time"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"`$c`"))
+        ++ rightValueCols.map(c => col(s"__asof.`$c`").as(s"asof_$c")): _*)
+  }
+}

@@ -299,6 +299,29 @@ object CoreOps {
           col("o_orderpriority").asc_nulls_first)
     },
 
+    // As-of join (operator Spark lacks natively; DuckDB's ASOF JOIN is the
+    // oracle): each event picks up the latest preceding click of its user
+    // via the single-shuffle union-window implementation.
+    QueryDef(
+      "q_j5_asof",
+      """WITH r AS (
+        |  SELECT user_id, ts, max(event_id) AS ref_event
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, r.ref_event AS asof_ref_event
+        |FROM events l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val right = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("ref_event"))
+      graft.ops.AsOfJoin.asOf(
+        ev.select("event_id", "user_id", "ts"), right,
+        keyCol = "user_id", leftTimeCol = "ts", rightTimeCol = "ts",
+        rightValueCols = Seq("ref_event"))
+        .select("event_id", "user_id", "asof_ref_event")
+        .orderBy("event_id")
+    },
+
     // Tumbling event-time windows — the same expression StreamOps uses on
     // live streams, verified in batch against epoch-bucket arithmetic.
     QueryDef(

@@ -132,6 +132,21 @@ class OpsSpec extends AnyFunSuite with Matchers {
     row shouldBe row2
   }
 
+  test("as-of join picks the latest right row at or before each left time") {
+    import graft.ops.AsOfJoin
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 15L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100), (1L, 18L, 180), (2L, 99L, 990))
+      .toDF("k", "rt", "price")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("price"))
+      .collect().map(r => (r.getString(2), if (r.isNullAt(3)) -1 else r.getInt(3)))
+      .toMap
+    out("a") shouldBe 100 // inclusive: right@10 visible to left@10
+    out("b") shouldBe 180 // latest ≤ 20
+    out("c") shouldBe -1  // nothing at or before 5
+    out("d") shouldBe -1  // key 2's only right row is later
+  }
+
   test("fingerprint is order-sensitive") {
     val out = TextOps.fingerprints(
       docs((1L, "a b c"), (2L, "c b a")), "doc_id", "text")
