@@ -322,6 +322,28 @@ object CoreOps {
         .orderBy("event_id")
     },
 
+    // Bucketed range join (no equi key): events matched into overlapping
+    // value bands. The naive plan is a nested-loop cross product; binning
+    // turns it into a hash equi-join on the bin id.
+    QueryDef(
+      "q_j6_range",
+      """WITH bands AS (
+        |  SELECT i AS band_id, i * 23.0 AS lo, i * 23.0 + 40.0 AS hi
+        |  FROM range(0, 20) t(i))
+        |SELECT e.event_id, b.band_id
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
+        |ORDER BY event_id, band_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val bands = (0 until 20)
+        .map(i => (i.toLong, i * 23.0, i * 23.0 + 40.0))
+        .toDF("band_id", "lo", "hi")
+      graft.ops.RangeJoin.pointInInterval(
+        Tables.events(s, d).select("event_id", "value"), bands,
+        pointCol = "value", loCol = "lo", hiCol = "hi", binWidth = 40.0)
+        .select("event_id", "band_id")
+        .orderBy("event_id", "band_id")
+    },
+
     // Tumbling event-time windows — the same expression StreamOps uses on
     // live streams, verified in batch against epoch-bucket arithmetic.
     QueryDef(

@@ -147,6 +147,20 @@ class OpsSpec extends AnyFunSuite with Matchers {
     out("d") shouldBe -1  // key 2's only right row is later
   }
 
+  test("bucketed range join equals the naive range join") {
+    import graft.ops.RangeJoin
+    val points = Seq.tabulate(200)(i => (i.toLong, i * 0.7)).toDF("pid", "x")
+    val intervals = Seq((1L, 10.0, 25.0), (2L, 24.9, 30.0), (3L, 140.0, 200.0))
+      .toDF("iid", "lo", "hi")
+    val naive = points.join(intervals,
+        col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val bucketed = RangeJoin.pointInInterval(points, intervals, "x", "lo", "hi", 7.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    bucketed shouldBe naive
+    naive.length should be > 0
+  }
+
   test("fingerprint is order-sensitive") {
     val out = TextOps.fingerprints(
       docs((1L, "a b c"), (2L, "c b a")), "doc_id", "text")
