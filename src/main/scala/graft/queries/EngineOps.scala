@@ -57,9 +57,10 @@ object EngineOps {
   }
 
   private def metadataJson(root: String, processType: String, deleteMissing: Boolean,
-      withAcct: Boolean): String = {
+      withAcct: Boolean, watermarked: Boolean = false): String = {
     val acctCol =
       if (withAcct) """, { "name": "acct", "datatype": "decimal(12,2)" }""" else ""
+    val wm = if (watermarked) """"watermark": [ { "column": "ID" } ],""" else ""
     s"""{
        |  "environment": { "name": "engineq", "timezone": "UTC",
        |                   "root_folder": "$root" },
@@ -67,6 +68,7 @@ object EngineOps {
        |  "entities": [
        |    { "id": 1, "name": "cust", "connection": "c1",
        |      "processtype": "$processType",
+       |      $wm
        |      "settings": { "delete_missing": $deleteMissing },
        |      "columns": [
        |        { "name": "ID", "datatype": "long", "fieldroles": ["businesskey"] },
@@ -77,10 +79,12 @@ object EngineOps {
   }
 
   private def runTwo(spark: SparkSession, sfDir: String, name: String,
-      processType: String, deleteMissing: Boolean, withAcct: Boolean): DataFrame = {
+      processType: String, deleteMissing: Boolean, withAcct: Boolean,
+      watermarked: Boolean = false): DataFrame = {
     implicit val s: SparkSession = spark
     val root = scratch(spark, sfDir, name)
-    val md = Metadata.fromJson(metadataJson(root, processType, deleteMissing, withAcct))
+    val md = Metadata.fromJson(
+      metadataJson(root, processType, deleteMissing, withAcct, watermarked))
     val e = md.getEntity(1)
     val bronze = md.bronzePath(e)
     slice1(spark, sfDir, withAcct).coalesce(1)
@@ -121,6 +125,35 @@ object EngineOps {
          |ORDER BY ID""".stripMargin) { (s, d) =>
       runTwo(s, d, "merge", "merge", deleteMissing = true, withAcct = true)
         .select("ID", "name", "segment", "acct", "deleted", "lastSeen")
+        .orderBy("ID")
+    },
+
+    // Watermark-window-bounded delete inference (P9 + J4 under the
+    // oracle): with a watermark on ID, run 2's window is
+    // [max(ID in slice1), max(ID in slice2)] inclusive — ONLY missing rows
+    // inside that window are soft-deleted; earlier missing rows stay
+    // untouched with their run-1 lastSeen.
+    QueryDef(
+      "q_e_merge_watermark",
+      s"""WITH ${sliceSql(withAcct = false)},
+         |w1 AS (SELECT max(id) AS m FROM s1),
+         |w2 AS (SELECT max(id) AS m FROM s2)
+         |SELECT COALESCE(s2.id, s1.id) AS ID,
+         |       COALESCE(s2.name, s1.name) AS name,
+         |       COALESCE(s2.segment, s1.segment) AS segment,
+         |       (s2.id IS NULL AND
+         |        s1.id >= (SELECT m FROM w1) AND s1.id <= (SELECT m FROM w2))
+         |         AS deleted,
+         |       CASE WHEN s2.id IS NOT NULL
+         |              OR (s1.id >= (SELECT m FROM w1)
+         |                  AND s1.id <= (SELECT m FROM w2))
+         |            THEN TIMESTAMP '2024-01-11 10:00:00'
+         |            ELSE TIMESTAMP '2024-01-10 10:00:00' END AS lastSeen
+         |FROM s1 FULL JOIN s2 ON s1.id = s2.id
+         |ORDER BY ID""".stripMargin) { (s, d) =>
+      runTwo(s, d, "merge_wm", "merge", deleteMissing = true, withAcct = false,
+        watermarked = true)
+        .select("ID", "name", "segment", "deleted", "lastSeen")
         .orderBy("ID")
     },
 
