@@ -90,6 +90,31 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Embedding near-duplicate pairs over a whole corpus: candidate pairs
+    * collide in at least one LSH table; exact cosine keeps pairs at or
+    * above `threshold`. The corpus-scale companion of [[lshTopK]] —
+    * shuffle is O(n × tables), never O(n²). */
+  def embeddingNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+    val rows = c.select(col("__id"), posexplode(lshBucketKeys("__v", dims)))
+      .select(col("__id"), col("pos").as("tbl"), col("col").as("key"))
+    val pairs = rows.alias("a")
+      .join(rows.alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key")
+          && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    pairs
+      .join(c.select(col("__id").as("id_a"), col("__v").as("va")), "id_a")
+      .join(c.select(col("__id").as("id_b"), col("__v").as("vb")), "id_b")
+      .withColumn("cos", expr("graft_cosine(va, vb)"))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** LSH-bucketed cosine top-k: candidates collide with the query in at
     * least one hash table. The candidate set comes from an equi-join on
     * (table, key) — O(n) shuffle — followed by exact cosine only on

@@ -97,6 +97,13 @@ object TrainingOps {
         .orderBy("query_id", "rank")
     },
 
+    // -------------------------------- dedup: embedding-cosine near-dup pairs
+    QueryDef("q_td_embed_neardup", embedNearDupOracle) { (s, d) =>
+      SimilarityOps.embeddingNearDupPairs(
+        Tables.embeddings(s, d), "vec_id", "embedding", dims = 64, threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
     // ------------------------------------------------ text: language ID
     QueryDef("q_td_lang_id", langOracle) { (s, d) =>
       val doc = Tables.documents(s, d)
@@ -349,6 +356,23 @@ object TrainingOps {
        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM s)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def embedNearDupOracle: String = {
+    val tableSelects = (0 until SimilarityOps.Tables).map { t =>
+      s"SELECT vec_id, $t AS tbl,\n ${lshKeySql("v", t)}\n AS key FROM e"
+    }.mkString("\n UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (
+       | $tableSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM b a JOIN b c
+       |    ON a.tbl = c.tbl AND a.key = c.key AND a.vec_id < c.vec_id)
+       |SELECT id_a, id_b, cos FROM (
+       |  SELECT id_a, id_b, ${cosineSql("x.v", "y.v")} AS cos
+       |  FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b)
+       |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
   }
 
   private def langOracle: String = {
