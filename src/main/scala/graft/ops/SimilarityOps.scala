@@ -90,6 +90,48 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their
+    * nearest-centroid cell once; a query probes only its `nProbe` nearest
+    * cells, scanning ~nProbe/nCentroids of the corpus. The codebook here
+    * is deterministic (the first `nCentroids` corpus vectors) so results
+    * are reproducible and oracle-verifiable — in production the codebook
+    * comes from an offline k-means fit and the index mechanics are
+    * identical. Assignment is one linear pass (n × nCentroids); no
+    * shuffle grows with n². */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val cents = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("centv"))
+
+    def cells(df: DataFrame, id: String, vec: String, keep: Int) = {
+      val w = Window.partitionBy(id)
+        .orderBy(expr(s"graft_cosine($vec, centv)").desc, col("cid"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= keep)
+        .select(col(id), col("cid"))
+    }
+
+    val assignment = cells(c, "neighbor_id", "cv", 1)
+    val probes = cells(q, "query_id", "qv", nProbe)
+    val candidates = probes.join(assignment, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+
+    val scored = candidates
+      .join(q, "query_id").join(c, "neighbor_id")
+      .withColumn("cos", expr("graft_cosine(qv, cv)"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Embedding near-duplicate pairs over a whole corpus: candidate pairs
     * collide in at least one LSH table; exact cosine keeps pairs at or
     * above `threshold`. The corpus-scale companion of [[lshTopK]] —

@@ -89,6 +89,15 @@ object TrainingOps {
         .orderBy("query_id", "rank")
     },
 
+    // --------------------------------------------- similarity: IVF ANN
+    QueryDef("q_td_knn_ivf", ivfOracle) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      SimilarityOps.ivfTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        nCentroids = 16, nProbe = 2, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // ----------------------------------------- similarity: sign-LSH ANN
     QueryDef("q_td_knn_lsh", annOracle) { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -357,6 +366,36 @@ object TrainingOps {
        |  FROM s)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
+
+  private def ivfOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS centv FROM e WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, cent.cid, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${cosineSql("e.v", "cent.centv")} DESC, cent.cid) AS rn
+       |    FROM e, cent)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, cent.cid, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${cosineSql("e.v", "cent.centv")} DESC, cent.cid) AS rn
+       |    FROM e, cent WHERE e.vec_id < 10)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id),
+       |s AS (
+       |  SELECT query_id, neighbor_id, ${cosineSql("q.v", "c.v")} AS cos
+       |  FROM cand JOIN e q ON q.vec_id = query_id
+       |            JOIN e c ON c.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM s)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private def embedNearDupOracle: String = {
     val tableSelects = (0 until SimilarityOps.Tables).map { t =>

@@ -64,6 +64,19 @@ class OpsSpec extends AnyFunSuite with Matchers {
     ann.size should be > 0
   }
 
+  test("IVF ANN recall vs brute force is usable") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val brute = SimilarityOps.bruteForceTopK(q, e, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = SimilarityOps.ivfTopK(q, e, "vec_id", "embedding",
+      nCentroids = 16, nProbe = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing 4/16 cells scans ~25% of the corpus
+    val recall = brute.count(ivf.contains).toDouble / brute.length
+    recall should be >= 0.4
+  }
+
   test("brute-force kNN ranks the nearest vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
