@@ -278,6 +278,20 @@ object TextOps {
       regexp_replace(c, pattern, repl)
     }
 
+  /** Deterministic stratified sample: up to `perStratum` rows per stratum,
+    * chosen by hash order (stable across runs/partitionings — no RNG
+    * state). One window over the stratum key; at scale this is a single
+    * shuffle and each stratum caps its own output. */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String, perStratum: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(s"`$stratumCol`"))
+      .orderBy(portableHash(col(s"`$idCol`").cast("string")), col(s"`$idCol`"))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
   /** Deterministic train/val/test assignment from a stable id hash —
     * reproducible across runs, clusters, and engines (no RNG state).
     * Buckets: [0,trainPct) → train, [trainPct,trainPct+valPct) → val,

@@ -180,6 +180,20 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // -------------------------------------- deterministic stratified sample
+    QueryDef(
+      "q_td_sample",
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY ${H("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 25 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.stratifiedSample(
+        Tables.documents(s, d).select("doc_id", "lang"), "doc_id", "lang", 25)
+        .orderBy("doc_id")
+    },
+
     // ------------------------------------ deterministic train/val/test split
     QueryDef(
       "q_td_split",
