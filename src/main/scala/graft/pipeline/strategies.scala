@@ -155,14 +155,14 @@ final class HistoricStrategy extends Strategy {
     // Broadcast plan (same shape as MergeBuilder.executeKeyed): the target
     // is scanned once, never shuffled. History rows (IsCurrent=false) fall
     // out as unmatched; brand-new keys come from a small anti-join.
-    val t = target.withColumn("__graft_t", lit(true)).alias("target")
-    val s = src.withColumn("__graft_s", lit(true)).alias("source")
+    val t = target.withColumn(graft.tables.MergeBuilder.TFlag, lit(true)).alias("target")
+    val s = src.withColumn(graft.tables.MergeBuilder.SFlag, lit(true)).alias("source")
     val joined = t.join(broadcast(s),
       expr(s"target.`$pk` = source.`$pk` AND target.`${sys.isCurrent}` = true"),
       "left_outer")
 
-    val isMatched = col("__graft_t").isNotNull && col("__graft_s").isNotNull
-    val targetOnly = col("__graft_t").isNotNull && col("__graft_s").isNull
+    val isMatched = col(graft.tables.MergeBuilder.TFlag).isNotNull && col(graft.tables.MergeBuilder.SFlag).isNotNull
+    val targetOnly = col(graft.tables.MergeBuilder.TFlag).isNotNull && col(graft.tables.MergeBuilder.SFlag).isNull
     val changed = isMatched &&
       col(s"target.`${sys.sourceHash}`") =!= col(s"source.`${sys.sourceHash}`")
 

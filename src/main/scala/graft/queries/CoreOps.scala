@@ -280,6 +280,22 @@ object CoreOps {
         .orderBy("r_name", "n_name")
     },
 
+    // Exact percentiles (sort-based, linear interpolation — identical
+    // arithmetic in both engines, so doubles hash-match).
+    QueryDef(
+      "q_a6_percentile",
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS med_qty,
+        |       quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // Rollup aggregation (beyond-parity: SURVEY §2.4 notes the reference
     // has no grouping sets — the capability matters for mart-style
     // outputs over silver tables).

@@ -270,8 +270,8 @@ object MergeBuilder {
   private[tables] final case class Clause(
       kind: ClauseKind, cond: Option[String], action: MergeAction)
 
-  private[tables] val TFlag = "__graft_t"
-  private[tables] val SFlag = "__graft_s"
+  private[graft] val TFlag = "__graft_t"
+  private[graft] val SFlag = "__graft_s"
   private[tables] val ActionCol = "__graft_action"
   private[tables] val MatchKey = "__graft_mk"
   private[tables] val DropTag = "drop"
