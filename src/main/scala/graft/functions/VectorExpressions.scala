@@ -27,6 +27,9 @@ case class DotProduct(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExprChecks.arraysOfDouble(prettyName, left, right)
   override def dataType: DataType = DoubleType
+  // can yield null even for non-null inputs (null elements) — without
+  // this Catalyst elides the null bit for non-nullable children
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
@@ -35,7 +38,10 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null // fold semantics
+      dot += a.getDouble(i) * b.getDouble(i); i += 1
+    }
     dot
   }
 
@@ -47,6 +53,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double ${ev.value}Acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  ${ev.value}Acc += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = ${ev.value}Acc;
@@ -66,6 +73,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExprChecks.arraysOfDouble(prettyName, left, right)
   override def dataType: DataType = DoubleType
+  // null for null elements AND zero-norm vectors
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
@@ -75,11 +84,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null // fold semantics
       val x = a.getDouble(i); val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / math.sqrt(na * nb)
+    if (na * nb == 0.0) null // zero-norm vector: cosine undefined, not NaN
+    else dot / math.sqrt(na * nb)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -95,10 +106,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $x = $a.getDouble($i); double $y = $b.getDouble($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |if ($na * $nb == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb); }
        """.stripMargin
     })
 

@@ -59,10 +59,22 @@ object AsOfJoin {
       .orderBy(col("__time"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l.unionByName(r)
+    // SQL join semantics for nulls: a null key or time never matches.
+    // Null-keyed/timed RIGHT rows are dropped (they could match nothing);
+    // null-keyed/timed LEFT rows bypass the window and keep null as-of
+    // values (a windowed null key would otherwise "join" other null keys,
+    // and a null right time would sort NULLS FIRST into every carry).
+    val validL = l.filter(col("__key").isNotNull && col("__time").isNotNull)
+    val validR = r.filter(col("__key").isNotNull && col("__time").isNotNull)
+    val matched = validL.unionByName(validR)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"`$c`"))
         ++ rightValueCols.map(c => col(s"__asof.`$c`").as(s"asof_$c")): _*)
+    val unmatched = l
+      .filter(col("__key").isNull || col("__time").isNull)
+      .select(leftCols.map(c => col(s"`$c`"))
+        ++ rightValueCols.map(c => col(s"__r.`$c`").as(s"asof_$c")): _*)
+    matched.unionByName(unmatched)
   }
 }

@@ -26,6 +26,12 @@ object RangeJoin {
       hiCol: String,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "inputs must not contain a __bin column")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals must have disjoint column names; shared: " +
+        s"${shared.toSeq.sorted.mkString(", ")}")
     val p = points.withColumn("__bin", floor(col(s"`$pointCol`") / binWidth))
     val i = intervals.withColumn("__bin",
       explode(sequence(

@@ -50,10 +50,17 @@ object SimilarityOps {
   private def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
+  /** HOF-fold reference implementations of the codegen'd `graft_dot` /
+    * `graft_cosine` expressions — usable without function registration;
+    * the expressions are the hot-path equivalents. */
   def dot(a: Column, b: Column): Column = foldSum(zip_with(a, b, _ * _))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(foldSum(zip_with(a, a, _ * _)) * foldSum(zip_with(b, b, _ * _)))
+  def cosine(a: Column, b: Column): Column = {
+    val norms = foldSum(zip_with(a, a, _ * _)) * foldSum(zip_with(b, b, _ * _))
+    // zero-norm vector: cosine undefined — null, not NaN (NaN sorts ABOVE
+    // every real cosine in Spark and would rank as everyone's top match)
+    when(norms === 0.0, lit(null)).otherwise(dot(a, b) / sqrt(norms))
+  }
 
   /** Bucket keys, one per hash table: key bit b set iff
     * dot(v, plane_{t*BitsPerTable+b}) >= 0. Dot products run through the
@@ -105,7 +112,9 @@ object SimilarityOps {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val cents = corpus.filter(col(idCol) < nCentroids)
+    // codebook = first nCentroids vectors in id order — works for any
+    // orderable id domain (not just 0-based ints)
+    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("centv"))
 
     def cells(df: DataFrame, id: String, vec: String, keep: Int) = {

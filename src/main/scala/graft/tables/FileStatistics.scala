@@ -27,8 +27,11 @@ object FileStatistics {
     * int32/int64 (incl. date/timestamp logical types) → long,
     * float/double → double, UTF8 binary → string. */
   def fromFooter(conf: Configuration, file: Path): Map[String, ColStats] = {
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    var reader: ParquetFileReader = null
     try {
+      // open() eagerly reads the footer — it must sit inside the catch:
+      // stats are an optimization and must never fail a commit
+      reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       val blocks = reader.getFooter.getBlocks.asScala
       val acc = scala.collection.mutable.Map.empty[String, ColStats]
       for (block <- blocks; chunk <- block.getColumns.asScala) {
@@ -39,7 +42,12 @@ object FileStatistics {
           if (st != null && !st.isEmpty && st.hasNonNullValue) {
             val primitive = chunk.getPrimitiveType
             val logical = primitive.getLogicalTypeAnnotation
+            val isDecimal =
+              logical.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
             val parsed: Option[ColStats] = primitive.getPrimitiveTypeName match {
+              // decimal int32/int64 footers store UNSCALED values — skipping
+              // against scaled bounds would drop files; record no stats
+              case _ if isDecimal => None
               case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
                 Some(ColStats("long",
                   st.genericGetMin.asInstanceOf[Number].longValue.toString,
@@ -69,7 +77,7 @@ object FileStatistics {
       acc.toMap
     } catch {
       case _: Exception => Map.empty // stats are an optimization, never fatal
-    } finally reader.close()
+    } finally if (reader != null) reader.close()
   }
 
   private def minOf(ref: ColStats, a: String, b: String): String =
@@ -77,7 +85,7 @@ object FileStatistics {
   private def maxOf(ref: ColStats, a: String, b: String): String =
     if (cmp(ref, a, b) >= 0) a else b
   private def cmp(ref: ColStats, a: String, b: String): Int = ref.typ match {
-    case "string" => a.compareTo(b)
+    case "string" => ColStats.compareUtf8(a, b) // parquet's binary stat order
     case _        => BigDecimal(a).compare(BigDecimal(b))
   }
 }

@@ -30,7 +30,10 @@ final case class ColStats(typ: String, min: String, max: String) {
   def overlaps(lower: Option[Any], upper: Option[Any]): Boolean =
     try {
       def cmp(a: String, b: String): Int = typ match {
-        case "string" => a.compareTo(b)
+        // parquet computed the min/max in unsigned UTF-8 byte order —
+        // compare the same way (String.compareTo's UTF-16 order disagrees
+        // beyond the BMP and would skip files that contain matches)
+        case "string" => ColStats.compareUtf8(a, b)
         case _        => BigDecimal(a).compare(BigDecimal(b))
       }
       val loOk = lower.forall(l => cmp(max, l.toString) >= 0)
@@ -39,6 +42,22 @@ final case class ColStats(typ: String, min: String, max: String) {
     } catch {
       case _: NumberFormatException => true
     }
+}
+
+object ColStats {
+  /** Unsigned byte-wise UTF-8 comparison — parquet's binary stat order. */
+  def compareUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
 }
 
 final case class TableFile(

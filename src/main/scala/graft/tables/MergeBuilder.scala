@@ -97,7 +97,10 @@ final class MergeBuilder private[tables] (
     val targetCols = m.schema.fields.map(_.name).toSeq
     val target = prunedTarget(m)
 
-    val t = target.withColumn(TFlag, lit(true)).alias("target")
+    val t = target
+      .withColumn(TFlag, lit(true))
+      .withColumn(TRowId, monotonically_increasing_id())
+      .alias("target")
     val s = source.withColumn(SFlag, lit(true)).alias("source")
     val joined = t.join(s, expr(condition), "full_outer")
 
@@ -139,14 +142,23 @@ final class MergeBuilder private[tables] (
       }.as(name)
     }
 
-    val resolved = joined.select(outCols :+ actionCol.as(ActionCol): _*)
+    val resolved = joined
+      .select(outCols ++ Seq(actionCol.as(ActionCol),
+        when(col(SFlag).isNotNull, col(TRowId)).as(TRowId)): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // Delta contract: multiple source rows matching one target row is an
+      // error, not silent duplication
+      val multi = resolved.filter(col(TRowId).isNotNull)
+        .groupBy(TRowId).count().filter(col("count") > 1).limit(1).count()
+      if (multi > 0)
+        throw new graft.metadata.MetadataException(
+          "MERGE source has multiple rows matching one target row")
       val counts = resolved.groupBy(ActionCol).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val kept = resolved
         .filter(col(ActionCol) =!= DropTag && !col(ActionCol).startsWith(DeletePrefix))
-        .drop(ActionCol)
+        .drop(ActionCol, TRowId)
       table.replacePartitions(pruned.filter(_ => m.partitionColumns.nonEmpty), kept)
       MergeMetrics(counts - DropTag)
     } finally resolved.unpersist()
@@ -274,14 +286,18 @@ object MergeBuilder {
   private[graft] val SFlag = "__graft_s"
   private[tables] val ActionCol = "__graft_action"
   private[tables] val MatchKey = "__graft_mk"
+  private[tables] val TRowId = "__graft_tid"
   private[tables] val DropTag = "drop"
   private[tables] val UnchangedTag = "unchanged"
   private[tables] val DeletePrefix = "del:"
 
   /** Row counts per clause tag; `unchanged` = rows carried through untouched
-    * (within the pruned partitions). */
+    * (within the pruned partitions). Delete clauses are tracked internally
+    * as `del:<tag>`; `count` resolves either form so callers can use the
+    * documented `m0`/`nm1`/`bs0` keys uniformly. */
   final case class MergeMetrics(byTag: Map[String, Long]) {
-    def count(tag: String): Long = byTag.getOrElse(tag, 0L)
+    def count(tag: String): Long =
+      byTag.getOrElse(tag, byTag.getOrElse(DeletePrefix + tag, 0L))
     def total: Long = byTag.values.sum
   }
 }

@@ -40,6 +40,23 @@ class VectorExpressionsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("zero-norm vectors yield null, never NaN; null elements propagate") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(array(0.0D, 0.0D), array(1.0D, 2.0D)) AS zn, " +
+        "graft_dot(array(1.0D, CAST(null AS DOUBLE)), array(1.0D, 2.0D)) AS ne, " +
+        "graft_cosine(array(1.0D, CAST(null AS DOUBLE)), array(1.0D, 2.0D)) AS nc")
+      .head()
+    r.isNullAt(0) shouldBe true // zero-norm: undefined, not NaN
+    r.isNullAt(1) shouldBe true // null element: fold semantics
+    r.isNullAt(2) shouldBe true
+    // HOF reference implementation agrees
+    import graft.ops.SimilarityOps
+    val hof = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
+      .select(SimilarityOps.cosine(col("a"), col("b")).as("c")).head()
+    hof.isNullAt(0) shouldBe true
+  }
+
   test("null inputs yield null; works in pure SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -160,6 +160,20 @@ class OpsSpec extends AnyFunSuite with Matchers {
     out("d") shouldBe -1  // key 2's only right row is later
   }
 
+  test("as-of join: null keys/times never match (SQL join semantics)") {
+    import graft.ops.AsOfJoin
+    val left = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "nullkey"),
+      (Some(1L), None, "nulltime")).toDF("k", "t", "tag")
+    val right = Seq((Some(1L), Some(5L), 50), (Some(1L), None, 999),
+      (None, Some(1L), 888)).toDF("k", "rt", "price")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("price"))
+      .collect().map(r => (r.getString(2), if (r.isNullAt(3)) -1 else r.getInt(3)))
+      .toMap
+    out("a") shouldBe 50        // normal match; null-time right row ignored
+    out("nullkey") shouldBe -1  // null key matches nothing
+    out("nulltime") shouldBe -1 // null time matches nothing
+  }
+
   test("bucketed range join equals the naive range join") {
     import graft.ops.RangeJoin
     val points = Seq.tabulate(200)(i => (i.toLong, i * 0.7)).toDF("pid", "x")
