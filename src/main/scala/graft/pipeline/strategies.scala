@@ -82,8 +82,9 @@ final class MergeStrategy extends Strategy {
         org.slf4j.LoggerFactory.getLogger(classOf[MergeStrategy]).warn(w))
     }
 
-    // keyed merge: broadcast the slice, never shuffle the silver table
-    val builder = MergeInto.byKey(p.table, df, pk)
+    // keyed merge: broadcast the slice, never shuffle the silver table;
+    // PK uniqueness was already proven by the sliceStats dup guard
+    val builder = MergeInto.byKey(p.table, df, pk).assumeUniqueSourceKeys()
     prunedPartitions(p).foreach(builder.prunePartitions)
     builder
       .whenMatchedUpdate(

@@ -40,6 +40,12 @@ final class MergeBuilder private[tables] (
 
   private var clauses = Vector.empty[Clause]
   private var pruned: Option[Seq[Map[String, String]]] = None
+  private var sourceKeysUnique = false
+
+  /** Skip the keyed path's duplicate-source-key guard when the caller has
+    * already proven uniqueness (the pipeline's slice stats do) — saves one
+    * aggregation job per merge. */
+  def assumeUniqueSourceKeys(): this.type = { sourceKeysUnique = true; this }
 
   /** Restrict the merge to these partitions (column → string value, one map
     * per partition). Target files outside them are neither read nor
@@ -192,11 +198,13 @@ final class MergeBuilder private[tables] (
     // Delta raises on multiple source rows matching one target row; a
     // silent join-multiplication would duplicate target rows. The source
     // is slice-sized (it gets broadcast), so this guard is one cheap agg.
-    val dup = source.groupBy(col(s"`$k`")).count()
-      .filter(col("count") > 1).limit(1).collect()
-    if (dup.nonEmpty)
-      throw new graft.metadata.MetadataException(
-        s"MERGE source has multiple rows for key $k=${dup.head.get(0)}")
+    if (!sourceKeysUnique) {
+      val dup = source.groupBy(col(s"`$k`")).count()
+        .filter(col("count") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new graft.metadata.MetadataException(
+          s"MERGE source has multiple rows for key $k=${dup.head.get(0)}")
+    }
 
     val t = prunedTarget(m).withColumn(TFlag, lit(true)).alias("target")
     val s = source.withColumn(SFlag, lit(true)).alias("source")
