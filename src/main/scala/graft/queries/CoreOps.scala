@@ -373,6 +373,61 @@ object CoreOps {
         .orderBy("window_start", "event_type")
     },
 
+    // Set operations (SURVEY §2.6: unused by the reference — completing
+    // the relational surface).
+    QueryDef(
+      "q_s2_setops",
+      """SELECT c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
+        |  INTERSECT
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)
+        |UNION ALL
+        |SELECT -c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select("c_custkey")
+      val inter = c.filter(col("c_custkey") % 2 === 0)
+        .intersect(c.filter(col("c_custkey") % 3 === 0))
+      val exc = c.filter(col("c_custkey") % 5 === 0)
+        .except(c.filter(col("c_custkey") % 10 === 0))
+        .select((-col("c_custkey")).as("c_custkey"))
+      inter.unionByName(exc).orderBy("c_custkey")
+    },
+
+    // Pivot: status × priority count matrix (dynamic columns fixed up
+    // front so both engines emit the same schema).
+    QueryDef(
+      "q_a7_pivot",
+      """SELECT o_orderstatus,
+        |       count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+        |       count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+        |       count(*) FILTER (o_orderpriority = '5-LOW') AS low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "3-MEDIUM", "5-LOW"))
+        .count()
+        .select(col("o_orderstatus"),
+          coalesce(col("`1-URGENT`"), lit(0L)).as("urgent"),
+          coalesce(col("`3-MEDIUM`"), lit(0L)).as("medium"),
+          coalesce(col("`5-LOW`"), lit(0L)).as("low"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Semi-structured JSON column extraction (events.props).
+    QueryDef(
+      "q_f_json",
+      """SELECT event_id,
+        |       CAST(json_extract(props, '$.k') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy("event_id")
+    },
+
     // Window functions (beyond-parity capability; SURVEY §2.6 notes the
     // reference lacks them — SCD2 can be re-derived with them).
     QueryDef(

@@ -180,6 +180,19 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // ------------------------- explode + aggregate: corpus word frequencies
+    QueryDef(
+      "q_td_wordcount",
+      s"""SELECT w, count(*) AS n FROM (
+         |  SELECT unnest($Words) AS w FROM documents)
+         |GROUP BY w ORDER BY n DESC, w LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"))
+        .limit(20)
+    },
+
     // -------------------------------------- deterministic stratified sample
     QueryDef(
       "q_td_sample",

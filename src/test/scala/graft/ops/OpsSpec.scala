@@ -188,6 +188,17 @@ class OpsSpec extends AnyFunSuite with Matchers {
     naive.length should be > 0
   }
 
+  test("HLL sketch distinct counts land within rsd of exact (scale path)") {
+    // approx_count_distinct is the constant-memory path for cardinality at
+    // 100 TB (exact distinct shuffles every value); assert the error bound
+    // holds on real data. No oracle: Spark's HLL++ and DuckDB's HLL differ.
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val exact = li.select(countDistinct("l_orderkey")).head().getLong(0)
+    val approx = li.select(approx_count_distinct("l_orderkey", 0.02))
+      .head().getLong(0)
+    math.abs(approx - exact).toDouble / exact should be < 0.05
+  }
+
   test("fingerprint is order-sensitive") {
     val out = TextOps.fingerprints(
       docs((1L, "a b c"), (2L, "c b a")), "doc_id", "text")
