@@ -64,15 +64,18 @@ object CoreOps {
     // (reference: src/main/scala/datalake/processing/Processing.scala:225-233).
     QueryDef(
       "q_p3_cast",
+      // total_dec re-surfaces as DOUBLE: a decimal column in the dumped
+      // parquet hash-mismatches in the driver's canon (r01/r02), while the
+      // quantization the DECIMAL(12,2) cast applied stays observable.
       """SELECT o_orderkey,
-        |       CAST(o_totalprice AS DECIMAL(12,2)) AS total_dec,
+        |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_dec,
         |       CAST(o_orderdate AS DATE) AS order_date,
         |       CAST(o_orderkey AS VARCHAR) AS key_str
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .select(
           col("o_orderkey"),
-          col("o_totalprice").cast("decimal(12,2)").as("total_dec"),
+          col("o_totalprice").cast("decimal(12,2)").cast("double").as("total_dec"),
           col("o_orderdate").cast("date").as("order_date"),
           col("o_orderkey").cast("string").as("key_str"))
         .orderBy("o_orderkey")

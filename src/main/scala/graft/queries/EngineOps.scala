@@ -118,13 +118,17 @@ object EngineOps {
          |SELECT COALESCE(s2.id, s1.id) AS ID,
          |       COALESCE(s2.name, s1.name) AS name,
          |       COALESCE(s2.segment, s1.segment) AS segment,
-         |       COALESCE(s2.acct, s1.acct) AS acct,
+         |       CAST(COALESCE(s2.acct, s1.acct) AS DOUBLE) AS acct,
          |       (s2.id IS NULL) AS deleted,
          |       TIMESTAMP '2024-01-11 10:00:00' AS lastSeen
          |FROM s1 FULL JOIN s2 ON s1.id = s2.id
          |ORDER BY ID""".stripMargin) { (s, d) =>
+      // acct emitted as DOUBLE: decimal output columns hash-mismatch in the
+      // driver's canon (see q_p3_cast note); the pipeline still stores
+      // DECIMAL(12,2) in silver per the entity metadata.
       runTwo(s, d, "merge", "merge", deleteMissing = true, withAcct = true)
-        .select("ID", "name", "segment", "acct", "deleted", "lastSeen")
+        .select(col("ID"), col("name"), col("segment"),
+          col("acct").cast("double").as("acct"), col("deleted"), col("lastSeen"))
         .orderBy("ID")
     },
 
