@@ -134,7 +134,9 @@ object TextOps {
     * whole-stage codegen, with linear work and two doc-id shuffles. This
     * is also the shape that scales: (doc, shingle) rows hash-partition
     * evenly across executors regardless of document length skew. */
-  private def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Exploded (doc id, shingle hash) rows — the shared substrate for both
+    * the shingle-set aggregate and the MinHash signature aggregate. */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(idCol).as("__id"),
       posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
@@ -144,27 +146,42 @@ object TextOps {
       .filter(col("__h2").isNotNull)
       .select(col("__id"),
         pmod(col("__h") * 1000003L + col("__h2"), lit(ShingleMod)).as("__s"))
-      .groupBy("__id").agg(collect_set(col("__s")).as("__hs"))
   }
 
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    shingleRows(df, idCol, textCol)
+      .groupBy("__id").agg(collect_set(col("__s")).as("__hs"))
+
   def minHashNearDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // distinct shingle hashes per doc: the unit of both minhashing and the
-    // exact-Jaccard check (long compares beat string compares; a 32-bit
-    // collision only merges two shingles, deterministically on both sides).
-    // Persisted: the band self-join + two set joins would otherwise
-    // recompute the sha256 lambdas 4x. The cached form is just
-    // (id, long[]) — a few MB per million docs.
-    val docs = shingleSets(df, idCol, textCol)
+    // One hash-aggregate computes BOTH the distinct shingle set (exact
+    // Jaccard) and all k signature slots: min over the exploded rows equals
+    // min over the distinct set, and `min(pmod(...))` stays in whole-stage
+    // codegen — no interpreted array lambdas anywhere on the hot path, so
+    // a cache eviction re-derives the signatures at full codegen speed.
+    // Persisted: the band self-join + two set joins reuse it 4x; the
+    // cached form is (id, long[], 16 longs) — a few MB per million docs.
+    val sigAggs = MinHashA.zip(MinHashB).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__s") * a + b, lit(MinHashPrime))).as(s"__m$i")
+    }
+    val docs = shingleRows(df, idCol, textCol)
+      .groupBy("__id")
+      .agg(collect_set(col("__s")).as("__hs"), sigAggs: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val bands = docs
-      .select(col("__id"), minHashSignature(col("__hs")).as("__sig"))
-      .select(col("__id"), posexplode(bandKeys(col("__sig"))))
-      .select(col("__id"), concat_ws("#", col("pos"), col("col")).as("__band"))
+    // Band rows as (id, band index, struct of raw slots): the struct
+    // equi-join blocks identically to the oracle's concat'd key (fixed
+    // integer slots ⇒ concat is injective) without building strings.
+    val bandStructs = array((0 until Bands).map { j =>
+      struct((0 until RowsPerBand).map(r =>
+        col(s"__m${j * RowsPerBand + r}").as(s"k$r")): _*)
+    }: _*)
+    val bands = docs.select(col("__id"),
+      posexplode(bandStructs).as(Seq("__pos", "__key")))
 
     val pairs = bands.alias("a")
       .join(bands.alias("b"),
-        col("a.__band") === col("b.__band") && col("a.__id") < col("b.__id"))
+        col("a.__pos") === col("b.__pos") && col("a.__key") === col("b.__key")
+          && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
 
