@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph primitives for dedup-group resolution.
+  *
+  * Near-dup detection emits PAIRS; acting on them (keep one doc per
+  * group) needs connected COMPONENTS. This is the piece that turns
+  * `TextOps.minHashNearDupPairs` / `SimilarityOps.embeddingNearDupPairs`
+  * output into canonical group ids.
+  *
+  * Scale behavior: iterative min-label propagation — one equi-join + one
+  * hash-aggregate shuffle per round, converging in O(graph diameter)
+  * rounds. Near-dup graphs are dense clusters with tiny diameter (2-4), so
+  * the loop runs a handful of rounds regardless of corpus size, and every
+  * round is embarrassingly parallel on the node hash. Labels only ever
+  * decrease, so convergence is detected by comparing the per-round label
+  * SUM (exact decimal, no joins). Lineage is truncated each round with
+  * `localCheckpoint` to keep plan analysis O(1) per round.
+  */
+object GraphOps {
+
+  /** Connected components of an undirected edge list.
+    *
+    * Returns one row per node that appears in `edges`:
+    * `(node, component)` with `component` = minimum node id reachable
+    * (including itself) — a deterministic canonical group id.
+    *
+    * @param maxIters safety cap; propagation converges in O(diameter)
+    *                 rounds and stops as soon as no label changes.
+    */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val src = col(s"`$srcCol`").cast("long")
+    val dst = col(s"`$dstCol`").cast("long")
+    val sym = edges.select(src.as("a"), dst.as("b"))
+      .union(edges.select(dst.as("a"), src.as("b")))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    if (sym.isEmpty) {
+      sym.unpersist()
+      return Seq.empty[(Long, Long)].toDF("node", "component")
+    }
+
+    // init: each node labeled with min(itself, its neighbors) — the first
+    // propagation round fused into the node-list aggregation
+    var labels = sym
+      .groupBy(col("a").as("node"))
+      .agg(min(least(col("a"), col("b"))).as("component"))
+      .localCheckpoint()
+
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+
+    var prevSum = labelSum(labels)
+    var iter = 1
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborLabels = sym
+        .join(labels, sym("b") === labels("node"))
+        .select(sym("a").as("node"), col("component"))
+      val next = labels.union(neighborLabels)
+        .groupBy("node").agg(min("component").as("component"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Dedup groups from near-dup pairs: `(doc, group, is_canonical)` for
+    * every doc in at least one pair. Keep `is_canonical` rows, drop the
+    * rest — the standard corpus-dedup contract. */
+  def dedupGroups(pairs: DataFrame, idA: String, idB: String): DataFrame =
+    connectedComponents(pairs, idA, idB)
+      .select(col("node").as("doc_id"), col("component").as("group_id"),
+        (col("node") === col("component")).as("is_canonical"))
+}

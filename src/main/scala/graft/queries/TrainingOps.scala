@@ -54,6 +54,16 @@ object TrainingOps {
         .orderBy("id_a", "id_b")
     },
 
+    // ------------------------------- dedup: connected-component groups
+    // (pairs → transitive groups → canonical doc per group; the operator
+    // that makes pair output actionable at corpus scale)
+    QueryDef("q_td_dedup_groups", dedupGroupsOracle) { (s, d) =>
+      import graft.ops.GraphOps
+      val pairs = TextOps.minHashNearDupPairs(Tables.documents(s, d), "doc_id", "text")
+        .filter(col("inter") * 2 >= col("uni")) // J >= 0.5, integer-exact
+      GraphOps.dedupGroups(pairs, "id_a", "id_b").orderBy("doc_id")
+    },
+
     // -------------------------------------------------- dedup: SimHash
     QueryDef("q_td_simhash", simHashOracle) { (s, d) =>
       TextOps.simHashSignatures(Tables.documents(s, d), "doc_id", "text")
@@ -291,7 +301,9 @@ object TrainingOps {
 
   // --------------------------------------------------- generated oracles
 
-  private def minHashOracle: String = {
+  /** Shared CTE chain ending in `pairs(id_a, id_b, inter, uni)` — the
+    * MinHash+LSH candidate pairs with exact Jaccard counts. */
+  private def minHashPairsCtes: String = {
     val sigCols = TextOps.MinHashA.zip(TextOps.MinHashB).zipWithIndex.map {
       case ((a, b), i) =>
         s"list_min(list_transform(hs, h -> ($a * h + $b) % ${TextOps.MinHashPrime})) AS s$i"
@@ -301,23 +313,44 @@ object TrainingOps {
         .map(r => s"s${j * TextOps.RowsPerBand + r}").mkString(", ")
       s"SELECT id, $j AS pos, concat_ws(':', $slots) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT id, hs FROM ($ShingleDocs) WHERE len(hs) > 0),
        |sig AS (SELECT id,
        |  $sigCols
        |  FROM d),
        |bands AS (
        |  $bandSelects),
-       |pairs AS (
+       |cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM bands a JOIN bands b
-       |    ON a.pos = b.pos AND a.key = b.key AND a.id < b.id)
-       |SELECT p.id_a, p.id_b,
-       |  len(list_intersect(x.hs, y.hs)) AS inter,
-       |  len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS uni
-       |FROM pairs p JOIN d x ON x.id = p.id_a JOIN d y ON y.id = p.id_b
-       |ORDER BY id_a, id_b""".stripMargin
+       |    ON a.pos = b.pos AND a.key = b.key AND a.id < b.id),
+       |pairs AS (
+       |  SELECT p.id_a, p.id_b,
+       |    len(list_intersect(x.hs, y.hs)) AS inter,
+       |    len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS uni
+       |  FROM cand p JOIN d x ON x.id = p.id_a JOIN d y ON y.id = p.id_b)""".stripMargin
   }
+
+  private def minHashOracle: String =
+    s"""WITH $minHashPairsCtes
+       |SELECT id_a, id_b, inter, uni FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  /** Dedup groups: transitive closure (recursive CTE) over the
+    * Jaccard-thresholded near-dup pairs; group id = min reachable doc id.
+    * The threshold predicate is integer-exact (2*inter >= uni ⇔ J >= 0.5)
+    * so both engines select identical edges. */
+  private def dedupGroupsOracle: String =
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       |jp AS (SELECT id_a, id_b FROM pairs WHERE 2 * inter >= uni),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+       |          UNION SELECT id_b, id_a FROM jp),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS group_id,
+       |       a = least(a, min(b)) AS is_canonical
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   private def simHashOracle: String = {
     val terms = (0 until TextOps.SimHashBits).map { j =>

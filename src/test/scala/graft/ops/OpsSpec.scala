@@ -205,4 +205,29 @@ class OpsSpec extends AnyFunSuite with Matchers {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out(1L) should not be out(2L)
   }
+
+  test("connected components merge chains across edges") {
+    // 1-2, 2-3, 3-4 is one component (diameter 3 forces >1 propagation
+    // round); 10-11 a second; 20-21, 21-20 (reverse dup) a third
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 20L)).toDF("x", "y")
+    val comp = GraphOps.connectedComponents(edges, "x", "y")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comp shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+  }
+
+  test("connected components: empty edge list yields empty result") {
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    GraphOps.connectedComponents(empty, "x", "y").count() shouldBe 0L
+  }
+
+  test("dedup groups mark exactly one canonical doc per group") {
+    val edges = Seq((5L, 9L), (9L, 7L), (30L, 31L)).toDF("id_a", "id_b")
+    val g = GraphOps.dedupGroups(edges, "id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    g.toSet shouldBe Set((5L, 5L, true), (7L, 5L, false), (9L, 5L, false),
+      (30L, 30L, true), (31L, 30L, false))
+    g.groupBy(_._2).values.foreach(grp => grp.count(_._3) shouldBe 1)
+  }
 }
