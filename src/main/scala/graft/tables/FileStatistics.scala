@@ -14,13 +14,43 @@ import scala.jdk.CollectionConverters._
   * commit time (the writer already produced them; this only reads
   * metadata, not data).
   *
-  * Scale note: footer reads here run on the driver, one per newly-written
-  * file — fine for the per-slice commit sizes this engine produces
-  * (hundreds of files). A bulk backfill over millions of files would
-  * distribute this with `spark.parallelize(paths).map(...)`; the manifest
-  * format is the same either way.
+  * Scale note: [[forPaths]] reads footers on the driver below
+  * [[DistributedThreshold]] files (latency: no job setup for the common
+  * per-slice commit) and as a Spark job above it (throughput: a commit or
+  * backfill touching thousands of files fans footer reads out across
+  * executors). The manifest format is the same either way.
   */
 object FileStatistics {
+
+  /** Commit sizes below this read footers on the driver; at or above it
+    * the reads distribute across executors. */
+  val DistributedThreshold = 64
+
+  /** Per-file stats for `paths`, keyed by qualified path string; strategy
+    * picked by file count. */
+  def forPaths(spark: org.apache.spark.sql.SparkSession, conf: Configuration,
+      paths: Seq[Path]): Map[String, Map[String, ColStats]] =
+    if (paths.size < DistributedThreshold)
+      paths.map(p => p.toString -> fromFooter(conf, p)).toMap
+    else collectDistributed(spark, conf, paths)
+
+  /** Footer reads as a Spark job — one task per slice of files. The Hadoop
+    * conf travels as key/value pairs (Configuration is not serializable). */
+  def collectDistributed(spark: org.apache.spark.sql.SparkSession,
+      conf: Configuration, paths: Seq[Path]): Map[String, Map[String, ColStats]] = {
+    val confEntries = conf.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray
+    val strs = paths.map(_.toString)
+    val slices = math.max(1, math.min(strs.size / 16,
+      spark.sparkContext.defaultParallelism * 4))
+    spark.sparkContext.parallelize(strs, slices)
+      .mapPartitions { it =>
+        val c = new Configuration(false)
+        confEntries.foreach { case (k, v) => c.set(k, v) }
+        it.map(s => s -> fromFooter(c, new Path(s)))
+      }
+      .collect().toMap
+  }
 
   /** Min/max for every top-level primitive column the footer has stats
     * for. Types map to the three comparison domains of [[ColStats]]:

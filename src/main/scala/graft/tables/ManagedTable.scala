@@ -218,6 +218,27 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     }
   }
 
+  /** Backfill per-file min/max stats for manifest files that lack them
+    * (imported tables, commits where footer reads failed). Distributed
+    * above [[FileStatistics.DistributedThreshold]] files; commits a new
+    * manifest version, data files untouched. No-op when every file
+    * already has stats. */
+  def collectStatistics(): Unit = withWriteLock {
+    val m = requireManifest
+    val missing = m.files.filter(_.stats.isEmpty)
+    if (missing.nonEmpty) {
+      val paths = missing.map(f => new Path(root, f.path))
+      val stats = FileStatistics.forPaths(
+        spark, spark.sparkContext.hadoopConfiguration, paths)
+      val updated = m.files.map { f =>
+        if (f.stats.nonEmpty) f
+        else f.copy(stats =
+          stats.getOrElse(new Path(root, f.path).toString, Map.empty))
+      }
+      commitManifest(m.schemaJson, m.partitionColumns, updated, "collectStatistics")
+    }
+  }
+
   /** Drop data/manifests older than the current version (no time travel
     * afterwards). Current snapshot files are kept wherever they live. */
   def vacuum(): Unit = {
@@ -264,15 +285,19 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val conf = spark.sparkContext.hadoopConfiguration
     if (partitionBy.isEmpty) {
       df.write.parquet(commitDir.toString)
-      listParquet(commitDir).map(p =>
-        TableFile(rel(p), Map.empty, FileStatistics.fromFooter(conf, p)))
+      val paths = listParquet(commitDir)
+      val stats = FileStatistics.forPaths(spark, conf, paths)
+      paths.map(p =>
+        TableFile(rel(p), Map.empty, stats.getOrElse(p.toString, Map.empty)))
     } else {
       val dirCols = partitionBy.map(c => s"__gp_$c")
       val withDirCols = partitionBy.zip(dirCols).foldLeft(df) {
         case (d, (c, dc)) => d.withColumn(dc, col(s"`$c`").cast("string"))
       }
       withDirCols.write.partitionBy(dirCols: _*).parquet(commitDir.toString)
-      listParquet(commitDir).map { p =>
+      val paths = listParquet(commitDir)
+      val stats = FileStatistics.forPaths(spark, conf, paths)
+      paths.map { p =>
         val relPath = rel(p)
         val pv = relPath.split('/').iterator
           .filter(_.contains("="))
@@ -281,7 +306,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
             k.stripPrefix("__gp_") -> hiveUnescape(v)
           }
           .toMap
-        TableFile(relPath, pv, FileStatistics.fromFooter(conf, p))
+        TableFile(relPath, pv, stats.getOrElse(p.toString, Map.empty))
       }
     }
   }
@@ -322,11 +347,18 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       df: DataFrame,
       partitionBy: Seq[String],
       files: Seq[TableFile],
+      operation: String): Unit =
+    commitManifest(df.schema.json, partitionBy, files, operation)
+
+  private def commitManifest(
+      schemaJson: String,
+      partitionBy: Seq[String],
+      files: Seq[TableFile],
       operation: String): Unit = {
     val next = currentVersion.map(_ + 1).getOrElse(0L)
     val m = Manifest(
       version = next,
-      schemaJson = df.schema.json,
+      schemaJson = schemaJson,
       partitionColumns = partitionBy,
       files = files,
       operation = operation,

@@ -93,6 +93,54 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
       .collect().map(_.getLong(0)).sorted shouldBe (300L to 320L).toArray
   }
 
+  test("distributed footer stats equal driver-side stats") {
+    val dir = tmp() + "/stats"
+    (1 to 40).map(i => (i.toLong, s"v$i", i * 1.5)).toDF("id", "name", "score")
+      .repartition(4).write.parquet(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val paths = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    paths.size should be >= 2
+    val driverSide = paths.map(f =>
+      f.toString -> FileStatistics.fromFooter(conf, f)).toMap
+    val distributed = FileStatistics.collectDistributed(spark, conf, paths)
+    distributed shouldBe driverSide
+    // sanity: stats actually carry ranges
+    driverSide.values.flatMap(_.get("id")).map(_.min.toLong).min shouldBe 1L
+    driverSide.values.flatMap(_.get("id")).map(_.max.toLong).max shouldBe 40L
+  }
+
+  test("collectStatistics backfills manifest files lacking stats") {
+    val t = ManagedTable(spark, tmp() + "/bf")
+    t.overwriteAll(Seq((1L, "a"), (9L, "b")).toDF("id", "v"))
+    // simulate an imported/legacy manifest: strip the stats, re-commit
+    val m = t.readManifest(t.currentVersion.get)
+    val stripped = m.copy(version = m.version + 1,
+      files = m.files.map(_.copy(stats = Map.empty)))
+    val fs = new org.apache.hadoop.fs.Path(t.rootPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new org.apache.hadoop.fs.Path(
+      t.rootPath, f"_graft/manifests/v${stripped.version}%020d.json")
+    val out = fs.create(mp, true)
+    out.write(stripped.toJsonString.getBytes("UTF-8")); out.close()
+    val ptr = fs.create(new org.apache.hadoop.fs.Path(
+      t.rootPath, "_graft/_current"), true)
+    ptr.write(stripped.version.toString.getBytes("UTF-8")); ptr.close()
+    t.manifest.get.files.forall(_.stats.isEmpty) shouldBe true
+
+    t.collectStatistics()
+    val after = t.manifest.get
+    after.operation shouldBe "collectStatistics"
+    after.files.forall(_.stats.nonEmpty) shouldBe true
+    after.files.flatMap(_.stats.get("id")).map(_.min.toLong).min shouldBe 1L
+    // idempotent: a second call commits nothing
+    val v = t.currentVersion.get
+    t.collectStatistics()
+    t.currentVersion.get shouldBe v
+  }
+
   test("crashed writes are invisible: stray data files never reach readers") {
     val t = ManagedTable(spark, tmp() + "/atomic")
     t.overwriteAll(Seq((1, "a")).toDF("id", "v"))
