@@ -64,13 +64,34 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
 
   def manifest: Option[Manifest] = currentVersion.map(readManifest)
 
-  def readManifest(version: Long): Manifest = {
+  /** Version contents are immutable once published, so reconstructed
+    * snapshots memoize per table instance. */
+  private val snapshotCache =
+    scala.collection.mutable.Map.empty[Long, Manifest]
+
+  /** Snapshot at `version`, reconstructing incremental records through
+    * their base chain (bounded by [[Manifest.CheckpointInterval]]). */
+  def readManifest(version: Long): Manifest =
+    snapshotCache.getOrElseUpdate(version,
+      Manifest.recordFromJsonString(readRecordString(version)) match {
+        case Left(full) => full
+        case Right(inc) => inc.applyTo(readManifest(inc.baseVersion))
+      })
+
+  private def readRecordString(version: Long): String = {
     val p = new Path(manifestsDir, f"v$version%020d.json")
     val in = fs.open(p)
-    try Manifest.fromJsonString(
-      new String(in.readAllBytes(), StandardCharsets.UTF_8))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
   }
+
+  /** Manifest versions `version` depends on (itself through its nearest
+    * checkpoint) — the records vacuum must retain. */
+  private def chainVersions(version: Long): Set[Long] =
+    Manifest.recordFromJsonString(readRecordString(version)) match {
+      case Left(_)    => Set(version)
+      case Right(inc) => chainVersions(inc.baseVersion) + version
+    }
 
   /** Current snapshot as a DataFrame. */
   def read(): DataFrame = readSnapshot(requireManifest)
@@ -139,11 +160,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private def withWriteLock[A](f: => A): A =
     ManagedTable.lockFor(fs.makeQualified(root).toString).synchronized(f)
 
-  /** Replace the whole table. */
+  /** Replace the whole table. Always a full checkpoint record. */
   def overwriteAll(df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
     withWriteLock {
       val files = writeCommit(df, partitionBy)
-      commit(df, partitionBy, files, "overwrite")
+      commitDelta(df.schema.json, partitionBy, "overwrite",
+        base = None, adds = files, removes = Nil)
     }
 
   /** Dynamic partition overwrite: replace only the partitions present in
@@ -155,8 +177,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       case Some(m) =>
         val newFiles = writeCommit(df, partitionBy)
         val replaced = newFiles.map(_.partitionValues).toSet
-        val kept = m.files.filterNot(f => replaced.contains(f.partitionValues))
-        commit(df, partitionBy, kept ++ newFiles, "overwriteDynamic")
+        val removed = m.files.filter(f => replaced.contains(f.partitionValues))
+        commitDelta(df.schema.json, partitionBy, "overwriteDynamic",
+          base = Some(m), adds = newFiles, removes = removed.map(_.path))
     } }
 
   /** Atomic "append, creating the table if absent": the exists-check runs
@@ -175,7 +198,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       case Some(m) =>
         requireSchemaCompatible(df, m)
         val newFiles = writeCommit(df, m.partitionColumns)
-        commit(df, m.partitionColumns, m.files ++ newFiles, "append")
+        commitDelta(df.schema.json, m.partitionColumns, "append",
+          base = Some(m), adds = newFiles, removes = Nil)
     } }
 
   /** Merge/compaction commit primitive: atomically replace the content of
@@ -187,13 +211,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val m = requireManifest
     requireSchemaCompatible(df, m)
     val newFiles = writeCommit(df, m.partitionColumns)
-    val kept = partitions match {
-      case None => Nil
+    val removed = partitions match {
+      case None => m.files
       case Some(ps) =>
         val replaced = ps.toSet
-        m.files.filterNot(f => replaced.contains(f.partitionValues))
+        m.files.filter(f => replaced.contains(f.partitionValues))
     }
-    commit(df, m.partitionColumns, kept ++ newFiles, "replacePartitions")
+    commitDelta(df.schema.json, m.partitionColumns, "replacePartitions",
+      base = Some(m), adds = newFiles, removes = removed.map(_.path))
   }
 
   /** Compact partitions whose file count reached `minFiles`: their rows are
@@ -230,17 +255,19 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       val paths = missing.map(f => new Path(root, f.path))
       val stats = FileStatistics.forPaths(
         spark, spark.sparkContext.hadoopConfiguration, paths)
-      val updated = m.files.map { f =>
-        if (f.stats.nonEmpty) f
-        else f.copy(stats =
-          stats.getOrElse(new Path(root, f.path).toString, Map.empty))
-      }
-      commitManifest(m.schemaJson, m.partitionColumns, updated, "collectStatistics")
+      val updated = missing.map(f =>
+        f.copy(stats =
+          stats.getOrElse(new Path(root, f.path).toString, Map.empty)))
+      // restated entries travel as remove+add of the same paths
+      commitDelta(m.schemaJson, m.partitionColumns, "collectStatistics",
+        base = Some(m), adds = updated, removes = missing.map(_.path))
     }
   }
 
   /** Drop data/manifests older than the current version (no time travel
-    * afterwards). Current snapshot files are kept wherever they live. */
+    * afterwards). Current snapshot files are kept wherever they live, and
+    * so are the manifest records the current version reconstructs through
+    * (its incremental chain back to the nearest checkpoint). */
   def vacuum(): Unit = {
     val m = requireManifest
     val live = m.files
@@ -250,9 +277,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       if (commitFiles.forall(p => !live.contains(fs.makeQualified(p).toString)))
         fs.delete(st.getPath, true)
     }
+    val needed = chainVersions(m.version)
     if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).foreach { st =>
       val v = st.getPath.getName.stripPrefix("v").stripSuffix(".json")
-      if (v.forall(_.isDigit) && v.toLong < m.version) fs.delete(st.getPath, false)
+      if (v.forall(_.isDigit) && v.toLong < m.version && !needed.contains(v.toLong))
+        fs.delete(st.getPath, false)
     }
   }
 
@@ -343,28 +372,38 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     sb.result()
   }
 
-  private def commit(
-      df: DataFrame,
-      partitionBy: Seq[String],
-      files: Seq[TableFile],
-      operation: String): Unit =
-    commitManifest(df.schema.json, partitionBy, files, operation)
-
-  private def commitManifest(
+  /** Publish a new version. With a base snapshot, the record is an
+    * incremental delta — O(touched files) written, not O(table) — unless
+    * the version lands on a checkpoint boundary (or the delta is as big as
+    * the snapshot), where a full record bounds reconstruction chains. */
+  private def commitDelta(
       schemaJson: String,
       partitionBy: Seq[String],
-      files: Seq[TableFile],
-      operation: String): Unit = {
+      operation: String,
+      base: Option[Manifest],
+      adds: Seq[TableFile],
+      removes: Seq[String]): Unit = {
     val next = currentVersion.map(_ + 1).getOrElse(0L)
-    val m = Manifest(
-      version = next,
-      schemaJson = schemaJson,
-      partitionColumns = partitionBy,
-      files = files,
-      operation = operation,
-      timestampMs = System.currentTimeMillis())
+    val now = System.currentTimeMillis()
+    val removed = removes.toSet
+    val newFiles = base.map(_.files.filterNot(f => removed.contains(f.path)))
+      .getOrElse(Nil) ++ adds
+    val checkpoint = base.isEmpty ||
+      next % Manifest.CheckpointInterval == 0 ||
+      adds.size + removes.size >= newFiles.size // delta wouldn't be smaller
+    val (recordJson, snapshot) =
+      if (checkpoint) {
+        val m = Manifest(next, schemaJson, partitionBy, newFiles, operation, now)
+        (m.toJsonString, m)
+      } else {
+        val inc = IncrementalManifest(next, schemaJson, partitionBy,
+          base.get.version, adds, removes, operation, now)
+        (inc.toJsonString,
+          Manifest(next, schemaJson, partitionBy, newFiles, operation, now))
+      }
     fs.mkdirs(manifestsDir)
-    writeFile(new Path(manifestsDir, f"v$next%020d.json"), m.toJsonString)
+    writeFile(new Path(manifestsDir, f"v$next%020d.json"), recordJson)
+    snapshotCache(next) = snapshot
     // atomic pointer swap: tmp write + rename-with-overwrite
     val tmp = new Path(metaDir, s"_current.tmp.${UUID.randomUUID()}")
     writeFile(tmp, next.toString)

@@ -82,53 +82,118 @@ final case class Manifest(
       "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
       "operation" -> JString(operation),
       "timestampMs" -> JLong(timestampMs),
-      "files" -> JArray(files.map { f =>
-        JObject(
-          "path" -> JString(f.path),
-          "partitionValues" -> JObject(
-            f.partitionValues.map { case (k, v) => k -> JString(v) }.toList),
-          "stats" -> JObject(f.stats.map { case (c, s) =>
-            c -> JObject(
-              "t" -> JString(s.typ),
-              "min" -> JString(s.min),
-              "max" -> JString(s.max))
-          }.toList))
-      }.toList))
+      "files" -> Manifest.filesToJson(files))
     JsonMethods.compact(JsonMethods.render(j))
   }
 }
 
-object Manifest {
-  def fromJsonString(s: String): Manifest = {
-    val j = JsonMethods.parse(s)
-    def str(v: JValue): String = v match { case JString(x) => x; case _ => "" }
-    def lng(v: JValue): Long = v match {
-      case JLong(x) => x; case JInt(x) => x.toLong; case _ => 0L
-    }
-    Manifest(
-      version = lng(j \ "version"),
-      schemaJson = str(j \ "schemaJson"),
-      partitionColumns = (j \ "partitionColumns") match {
-        case JArray(xs) => xs.map(str); case _ => Nil
-      },
-      files = (j \ "files") match {
-        case JArray(fs) => fs.map { f =>
-          TableFile(
-            str(f \ "path"),
-            (f \ "partitionValues") match {
-              case JObject(kvs) => kvs.map { case (k, v) => k -> str(v) }.toMap
-              case _            => Map.empty[String, String]
-            },
-            (f \ "stats") match {
-              case JObject(kvs) => kvs.map { case (c, v) =>
-                c -> ColStats(str(v \ "t"), str(v \ "min"), str(v \ "max"))
-              }.toMap
-              case _ => Map.empty[String, ColStats]
-            })
-        }
-        case _ => Nil
-      },
-      operation = str(j \ "operation"),
-      timestampMs = lng(j \ "timestampMs"))
+/** One on-disk manifest record: either a full snapshot (checkpoint — the
+  * original format, still what readers of old tables find) or an
+  * incremental delta against `baseVersion` (adds + removed paths). A
+  * commit that touches one partition of a million-file table writes
+  * O(touched files), not O(table); [[graft.tables.ManagedTable]] writes a
+  * full checkpoint every [[Manifest.CheckpointInterval]] versions to bound
+  * reconstruction chains. */
+final case class IncrementalManifest(
+    version: Long,
+    schemaJson: String,
+    partitionColumns: Seq[String],
+    baseVersion: Long,
+    adds: Seq[TableFile],
+    removes: Seq[String],
+    operation: String,
+    timestampMs: Long) {
+
+  def toJsonString: String = {
+    val j = JObject(
+      "version" -> JLong(version),
+      "schemaJson" -> JString(schemaJson),
+      "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
+      "baseVersion" -> JLong(baseVersion),
+      "operation" -> JString(operation),
+      "timestampMs" -> JLong(timestampMs),
+      "adds" -> Manifest.filesToJson(adds),
+      "removes" -> JArray(removes.map(JString(_)).toList))
+    JsonMethods.compact(JsonMethods.render(j))
   }
+
+  /** Apply this delta to the base snapshot. */
+  def applyTo(base: Manifest): Manifest = {
+    val removed = removes.toSet
+    Manifest(version, schemaJson, partitionColumns,
+      base.files.filterNot(f => removed.contains(f.path)) ++ adds,
+      operation, timestampMs)
+  }
+}
+
+object Manifest {
+
+  /** Every Nth version is written as a full checkpoint, bounding the
+    * record chain a reader reconstructs. */
+  val CheckpointInterval = 10
+
+  private[tables] def filesToJson(files: Seq[TableFile]): JArray =
+    JArray(files.map { f =>
+      JObject(
+        "path" -> JString(f.path),
+        "partitionValues" -> JObject(
+          f.partitionValues.map { case (k, v) => k -> JString(v) }.toList),
+        "stats" -> JObject(f.stats.map { case (c, s) =>
+          c -> JObject(
+            "t" -> JString(s.typ),
+            "min" -> JString(s.min),
+            "max" -> JString(s.max))
+        }.toList))
+    }.toList)
+
+  private def str(v: JValue): String = v match { case JString(x) => x; case _ => "" }
+  private def lng(v: JValue): Long = v match {
+    case JLong(x) => x; case JInt(x) => x.toLong; case _ => 0L
+  }
+
+  private def filesFromJson(v: JValue): Seq[TableFile] = v match {
+    case JArray(fs) => fs.map { f =>
+      TableFile(
+        str(f \ "path"),
+        (f \ "partitionValues") match {
+          case JObject(kvs) => kvs.map { case (k, v) => k -> str(v) }.toMap
+          case _            => Map.empty[String, String]
+        },
+        (f \ "stats") match {
+          case JObject(kvs) => kvs.map { case (c, v) =>
+            c -> ColStats(str(v \ "t"), str(v \ "min"), str(v \ "max"))
+          }.toMap
+          case _ => Map.empty[String, ColStats]
+        })
+    }
+    case _ => Nil
+  }
+
+  /** Parse a record: `baseVersion` present ⇒ incremental delta, else full
+    * snapshot (the original round-1 format — old tables read unchanged). */
+  def recordFromJsonString(s: String): Either[Manifest, IncrementalManifest] = {
+    val j = JsonMethods.parse(s)
+    val common = (
+      lng(j \ "version"), str(j \ "schemaJson"),
+      (j \ "partitionColumns") match { case JArray(xs) => xs.map(str); case _ => Nil },
+      str(j \ "operation"), lng(j \ "timestampMs"))
+    (j \ "baseVersion") match {
+      case JNothing | JNull =>
+        Left(Manifest(common._1, common._2, common._3,
+          filesFromJson(j \ "files"), common._4, common._5))
+      case bv =>
+        Right(IncrementalManifest(common._1, common._2, common._3, lng(bv),
+          filesFromJson(j \ "adds"),
+          (j \ "removes") match { case JArray(xs) => xs.map(str); case _ => Nil },
+          common._4, common._5))
+    }
+  }
+
+  def fromJsonString(s: String): Manifest =
+    recordFromJsonString(s) match {
+      case Left(m) => m
+      case Right(inc) => throw new IllegalArgumentException(
+        s"Manifest v${inc.version} is incremental (base v${inc.baseVersion}); " +
+          "reconstruct through ManagedTable.readManifest")
+    }
 }

@@ -141,6 +141,44 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     t.currentVersion.get shouldBe v
   }
 
+  test("commits write O(delta) incremental records; checkpoints bound the chain") {
+    val t = ManagedTable(spark, tmp() + "/log")
+    t.overwriteAll(Seq((0, "base")).toDF("id", "v"))          // v0 checkpoint
+    (1 to 12).foreach(i => t.append(Seq((i, s"r$i")).toDF("id", "v")))
+    t.currentVersion.get shouldBe 12L
+
+    val fs = new org.apache.hadoop.fs.Path(t.rootPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def record(v: Long) = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        t.rootPath, f"_graft/manifests/v$v%020d.json"))
+      try Manifest.recordFromJsonString(new String(in.readAllBytes(), "UTF-8"))
+      finally in.close()
+    }
+    record(0).isLeft shouldBe true                       // initial checkpoint
+    record(5).isRight shouldBe true                      // plain append: delta
+    record(10).isLeft shouldBe true                      // interval checkpoint
+    record(12).toOption.get.baseVersion shouldBe 11L     // chains off v11
+
+    // a delta append carries only its own files
+    record(7).toOption.get.adds.size should be < 4
+    // reconstruction equals reality at every version
+    (0 to 12).foreach { v =>
+      ManagedTable(spark, t.rootPath).readVersion(v)
+        .collect().map(_.getInt(0)).sorted shouldBe (0 to v).toArray
+    }
+
+    // vacuum keeps the chain current depends on (v10..v12), drops the rest
+    t.vacuum()
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(
+      t.rootPath, "_graft/manifests")).map(_.getPath.getName).sorted
+    left.map(_.stripPrefix("v").stripSuffix(".json").toLong).toSeq shouldBe
+      Seq(10L, 11L, 12L)
+    // current still reconstructs after vacuum, from a fresh instance
+    ManagedTable(spark, t.rootPath).read()
+      .collect().map(_.getInt(0)).sorted shouldBe (0 to 12).toArray
+  }
+
   test("crashed writes are invisible: stray data files never reach readers") {
     val t = ManagedTable(spark, tmp() + "/atomic")
     t.overwriteAll(Seq((1, "a")).toDF("id", "v"))

@@ -25,6 +25,24 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     back.schema.fields.map(_.name).toSeq shouldBe Seq("id")
   }
 
+  test("incremental record round-trips and applies adds/removes to a base") {
+    val base = Manifest(3, "{}", Seq("day"),
+      Seq(TableFile("data/a.parquet", Map("day" -> "d1")),
+        TableFile("data/b.parquet", Map("day" -> "d2"))),
+      "overwrite", 1L)
+    val inc = IncrementalManifest(4, "{}", Seq("day"), baseVersion = 3,
+      adds = Seq(TableFile("data/c.parquet", Map("day" -> "d2"),
+        Map("id" -> ColStats("long", "5", "9")))),
+      removes = Seq("data/b.parquet"), operation = "replacePartitions",
+      timestampMs = 2L)
+    Manifest.recordFromJsonString(inc.toJsonString) shouldBe Right(inc)
+    val snap = inc.applyTo(base)
+    snap.version shouldBe 4
+    snap.files.map(_.path) shouldBe Seq("data/a.parquet", "data/c.parquet")
+    // the legacy full format parses as a full record (old tables readable)
+    Manifest.recordFromJsonString(base.toJsonString) shouldBe Left(base)
+  }
+
   test("overlaps: inclusive bounds, open ends, non-comparable keeps file") {
     val s = ColStats("long", "10", "20")
     s.overlaps(Some(20L), None) shouldBe true  // inclusive at max
