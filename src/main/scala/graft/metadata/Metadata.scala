@@ -83,21 +83,41 @@ final class Metadata(
       case JString(s) => s
       case _          => environment.bronzePath
     }
-    interpolate(t, e)
+    applySecureSuffix(interpolate(t, e), e, "bronze")
   }
 
-  /** Lazily-created shared run logger when the environment configures a
-    * `log_path` setting (reference: log wiring via Log4jConfigurator). */
-  @volatile private var loggerCache: Option[graft.log.RunLogger] = None
+  /** Secure entities get `environment.secureContainerSuffix` appended to
+    * their bronze/silver layer segment (reference: Entity.scala:197-206,
+    * Environment.scala:84-85): `.../bronze/...` → `.../bronze<suffix>/...`.
+    * The reference appends the suffix right after the fixed
+    * `<root>/<layer>` prefix; our templates carry the layer as a path
+    * segment, so the first segment equal to the layer name is rewritten. */
+  private def applySecureSuffix(path: String, e: Entity, layer: String): String =
+    if (!e.isSecure || environment.secureContainerSuffix.isEmpty) path
+    else {
+      val segs = path.split("/", -1)
+      val i = segs.indexWhere(_ == layer)
+      if (i < 0) path
+      else {
+        segs(i) = segs(i) + environment.secureContainerSuffix
+        segs.mkString("/")
+      }
+    }
+
+  /** Per-invocation run logger over ONE lazily-created shared sink when
+    * the environment configures `log_path`: every processing run gets a
+    * FRESH run_id (reference: DatalakeLogManager.scala:13-38 creates a run
+    * id per run), while the buffered Parquet sink — and its flush
+    * batching — is shared across runs and entities. */
+  @volatile private var sinkCache: Option[graft.log.ParquetLogSink] = None
   def runLogger(spark: org.apache.spark.sql.SparkSession): Option[graft.log.RunLogger] =
     environment.settings \ "log_path" match {
       case JString(p) if p.nonEmpty =>
-        if (loggerCache.isEmpty) synchronized {
-          if (loggerCache.isEmpty)
-            loggerCache = Some(new graft.log.RunLogger(
-              new graft.log.ParquetLogSink(spark, interpolateEnv(p))))
+        if (sinkCache.isEmpty) synchronized {
+          if (sinkCache.isEmpty)
+            sinkCache = Some(new graft.log.ParquetLogSink(spark, interpolateEnv(p)))
         }
-        loggerCache
+        Some(new graft.log.RunLogger(sinkCache.get))
       case _ => None
     }
 
@@ -105,7 +125,9 @@ final class Metadata(
     template.replace("${root_folder}", environment.rootFolder)
 
   /** Silver output: `silver_table` setting → catalog table, else path
-    * (reference: Entity.scala:145-192 semantics). */
+    * (reference: Entity.scala:145-192 semantics). The secure suffix
+    * applies to path locations only — catalog names have no container
+    * (reference suffixes paths at Entity.scala:204-206). */
   def silverLocation(e: Entity): OutputLocation =
     resolvedSettings(e) \ "silver_table" match {
       case JString(t) if t.nonEmpty => TableLocation(interpolate(t, e))
@@ -114,7 +136,7 @@ final class Metadata(
           case JString(s) => s
           case _          => environment.silverPath
         }
-        PathLocation(interpolate(t, e))
+        PathLocation(applySecureSuffix(interpolate(t, e), e, "silver"))
     }
 }
 
@@ -218,6 +240,8 @@ object Metadata {
       bronzePath = str(j \ "bronze_path", d.bronzePath),
       silverPath = str(j \ "silver_path", d.silverPath),
       systemFieldPrefix = str(j \ "systemfield_prefix", d.systemFieldPrefix),
+      secureContainerSuffix =
+        str(j \ "secure_container_suffix", d.secureContainerSuffix),
       settings = obj(j \ "settings"))
   }
 
@@ -256,6 +280,11 @@ object Metadata {
       connection = str(j \ "connection"),
       group = str(j \ "group"),
       destinationOverride = optStr(j \ "destination"),
+      secure = j \ "secure" match {
+        case JBool(b)   => Some(b)
+        case JString(s) => Some(s.equalsIgnoreCase("true"))
+        case _          => None
+      },
       processType = ProcessType.parse(str(j \ "processtype", "full")),
       watermark = j \ "watermark" match {
         case JArray(ws) => ws.map(parseWatermark)

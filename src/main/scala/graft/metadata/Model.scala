@@ -95,6 +95,7 @@ final case class Environment(
     bronzePath: String = "${root_folder}/bronze/${connection}/${entity}",
     silverPath: String = "${root_folder}/silver/${connection}/${destination}",
     systemFieldPrefix: String = "",
+    secureContainerSuffix: String = "",
     settings: JObject = JObject()) {
   def systemPath: String = s"$rootFolder/system"
 }
@@ -105,6 +106,24 @@ sealed trait OutputLocation
 final case class PathLocation(path: String) extends OutputLocation
 final case class TableLocation(table: String) extends OutputLocation
 
+/** Predicate over entity columns by field role and/or calculated-ness
+  * (reference: EntityColumnFilter.scala:3-8, applied at Entity.scala:107).
+  * `fieldRoles` matches columns carrying ANY of the given roles. */
+final case class EntityColumnFilter(
+    fieldRoles: Option[Seq[String]] = None,
+    hasExpression: Option[Boolean] = None) {
+  def matches(c: EntityColumn): Boolean =
+    fieldRoles.forall(rs => rs.exists(c.hasRole)) &&
+      hasExpression.forall(_ == c.isCalculated)
+}
+
+object EntityColumnFilter {
+  def apply(hasExpression: Boolean): EntityColumnFilter =
+    EntityColumnFilter(fieldRoles = None, hasExpression = Some(hasExpression))
+  def apply(fieldRoles: String*): EntityColumnFilter =
+    EntityColumnFilter(fieldRoles = Some(fieldRoles), hasExpression = None)
+}
+
 final case class Entity(
     id: Int,
     name: String,
@@ -112,6 +131,7 @@ final case class Entity(
     connection: String = "",
     group: String = "",
     destinationOverride: Option[String] = None,
+    secure: Option[Boolean] = None,
     processType: ProcessType = ProcessType.Full,
     watermark: Seq[WatermarkDef] = Nil,
     columns: Seq[EntityColumn] = Nil,
@@ -122,6 +142,14 @@ final case class Entity(
   def businessKeyColumns: Seq[String] = columns.filter(_.isBusinessKey).map(_.finalName)
   def partitionColumns: Seq[String] = columns.filter(_.isPartition).map(_.finalName)
   def primaryKeyColumnName: String = s"PK_$destination"
+
+  /** Secure entities live under suffixed bronze/silver containers
+    * (reference: Entity.scala:84-85,197-206). */
+  def isSecure: Boolean = secure.getOrElse(false)
+
+  /** Columns matching `filter` (reference: Entity.scala:107). */
+  def selectColumns(filter: EntityColumnFilter): Seq[EntityColumn] =
+    columns.filter(filter.matches)
 
   def settingString(key: String): Option[String] = settings \ key match {
     case JString(s)  => Some(s)

@@ -34,6 +34,18 @@ object AsOfJoin {
       rightTimeCol: String,
       rightValueCols: Seq[String]): DataFrame = {
 
+    // input guards, mirroring RangeJoin.pointInInterval: reserved working
+    // names or an output-name collision would silently produce duplicate
+    // columns / wrong carries
+    val reserved = Set("__key", "__time", "__side", "__r", "__asof")
+    val usedReserved =
+      (left.columns ++ right.columns).filter(reserved.contains).distinct
+    require(usedReserved.isEmpty,
+      s"inputs must not contain reserved column(s): ${usedReserved.sorted.mkString(", ")}")
+    val collisions = rightValueCols.map(c => s"asof_$c").filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"left already contains output column(s): ${collisions.sorted.mkString(", ")}")
+
     val leftCols = left.columns.toSeq
     val rStructType = org.apache.spark.sql.types.StructType(
       rightValueCols.map { c =>

@@ -39,14 +39,19 @@ object GraphOps {
 
     val src = col(s"`$srcCol`").cast("long")
     val dst = col(s"`$dstCol`").cast("long")
-    val sym = edges.select(src.as("a"), dst.as("b"))
-      .union(edges.select(dst.as("a"), src.as("b")))
+    // persist the (possibly very expensive) upstream pair plan FIRST: `sym`
+    // references it twice (forward + swapped), and without the persist the
+    // whole near-dup pipeline would execute twice
+    val in = edges.select(src.as("a"), dst.as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = in
+      .union(in.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     if (sym.isEmpty) {
-      sym.unpersist()
+      sym.unpersist(); in.unpersist()
       return Seq.empty[(Long, Long)].toDF("node", "component")
     }
 
@@ -62,6 +67,7 @@ object GraphOps {
         .getDecimal(0)
 
     var prevSum = labelSum(labels)
+    in.unpersist() // sym is materialized by the init aggregation above
     var iter = 1
     var converged = false
     while (!converged && iter < maxIters) {
@@ -78,6 +84,15 @@ object GraphOps {
       iter += 1
     }
     sym.unpersist()
+    // an unconverged exit means the labels are WRONG (some nodes still carry
+    // a non-minimal component id) — returning them silently would corrupt
+    // canonical-doc selection downstream. maxIters is an error bound, not a
+    // truncation point: component diameter > maxIters is a data shape this
+    // caller must opt into by raising the cap.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters iterations " +
+          "(component diameter exceeds the cap); raise maxIters")
     labels
   }
 

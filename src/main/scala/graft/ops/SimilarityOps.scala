@@ -126,7 +126,19 @@ object SimilarityOps {
         .select(col(id), col("cid"))
     }
 
-    val assignment = cells(c, "neighbor_id", "cv", 1)
+    // corpus assignment is top-1, so it needs no window sort: one linear
+    // hash-aggregate with min_by over (-cos, cid) — min of the struct picks
+    // the largest cosine, smallest cid on ties, and a null cosine
+    // (zero-norm vector) sorts last, exactly the window's
+    // `cos DESC NULLS LAST, cid ASC` order. The n×nCentroids rows never
+    // get sorted, only folded.
+    val assignment = c.crossJoin(broadcast(cents))
+      .withColumn("__cos", expr("graft_cosine(cv, centv)"))
+      .groupBy("neighbor_id")
+      .agg(min_by(col("cid"),
+        struct(coalesce(negate(col("__cos")), lit(Double.PositiveInfinity)),
+          col("cid"))).as("cid"))
+      .select("neighbor_id", "cid")
     val probes = cells(q, "query_id", "qv", nProbe)
     val candidates = probes.join(assignment, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -149,9 +161,14 @@ object SimilarityOps {
       corpus: DataFrame, idCol: String, vecCol: String,
       dims: Int, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // `c` feeds the bucket rows AND both sides of the candidate re-join;
+    // `rows` (24 graft_dot hyperplane products per vector) feeds both sides
+    // of the self-join — persist both or the dot products run 2-3×
     val c = corpus.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rows = c.select(col("__id"), posexplode(lshBucketKeys("__v", dims)))
       .select(col("__id"), col("pos").as("tbl"), col("col").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = rows.alias("a")
       .join(rows.alias("b"),
         col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key")

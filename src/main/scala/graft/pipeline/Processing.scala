@@ -133,7 +133,15 @@ final class Processing(
         case ProcessType.Merge    => new MergeStrategy().run(this)
         case ProcessType.Historic => new HistoricStrategy().run(this)
       }
-      watermarkStore.write(entity.id, source.watermarkValues, processingTimeString)
+      val wmTypes = source.watermarkValues.map { case (wm, _) =>
+        val name = watermarkColumnName(wm)
+        wm.columnName -> (
+          if (source.df.columns.contains(name))
+            WatermarkStore.jvmTypeName(source.df.schema(name).dataType)
+          else "java.lang.String")
+      }.toMap
+      watermarkStore.write(entity.id, source.watermarkValues,
+        processingTimeString, wmTypes)
       val done = summary.copy(durationMs = (System.nanoTime() - t0) / 1000000)
       logger.foreach(_.summary(done))
       done

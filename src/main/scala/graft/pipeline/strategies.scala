@@ -18,9 +18,12 @@ sealed trait Strategy {
 
   /** Inclusive watermark-window condition over `target`, bounding delete
     * inference (reference: ProcessStrategy.scala:86-153). Columns are the
-    * post-rename/normalize names. */
+    * post-rename/normalize names. All-or-none: if ANY configured watermark
+    * can't produce a bound (no stored value, failing expression, column
+    * absent from the slice), the whole window is None — a partial window
+    * would under-bound the deletes it was meant to limit. */
   protected def watermarkWindowCondition(p: Processing): Option[String] = {
-    val parts = p.source.watermarkValues.flatMap { case (wm, currentOpt) =>
+    val parts = p.source.watermarkValues.map { case (wm, currentOpt) =>
       val colName = p.watermarkColumnName(wm)
       val prev = p.watermarkStore.lastValue(p.entity.id, wm.columnName)
         .flatMap(stored => p.watermarkStore.evaluateExpression(wm, stored))
@@ -31,7 +34,43 @@ sealed trait Strategy {
         case _ => None
       }
     }
-    if (parts.isEmpty) None else Some(parts.mkString("(", ") AND (", ")"))
+    if (parts.isEmpty || parts.exists(_.isEmpty)) None
+    else Some(parts.flatten.mkString("(", ") AND (", ")"))
+  }
+
+  /** Whether and how to infer soft deletes for target rows absent from the
+    * slice (reference: Merge.scala:75-83, ProcessStrategy.scala:86-153).
+    *
+    *  - `None`              → skip inference entirely;
+    *  - `Some(None)`        → unbounded (snapshot semantics — the slice IS
+    *                          the full source extract);
+    *  - `Some(Some(cond))`  → bounded by the watermark window.
+    *
+    * Snapshot semantics apply ONLY to entities with no watermark
+    * configured. An entity WITH watermarks whose window cannot be built
+    * (broken expression, no stored bookmark, watermark column missing from
+    * the slice) gets NO inference — the reference's safe default: an
+    * incremental feed must never be mass-soft-deleted because its window
+    * evaluation failed. */
+  protected def deleteInferenceWindow(p: Processing): Option[Option[String]] = {
+    val log = org.slf4j.LoggerFactory.getLogger(classOf[Strategy])
+    if (!p.deleteMissing) None
+    else if (p.entity.watermark.isEmpty) {
+      log.info(s"Entity ${p.entity.name}: delete inference in snapshot mode " +
+        "(no watermark configured; all target rows absent from the slice are " +
+        "soft-deleted)")
+      Some(None)
+    } else watermarkWindowCondition(p) match {
+      case some @ Some(w) =>
+        log.info(s"Entity ${p.entity.name}: delete inference bounded by " +
+          s"watermark window $w")
+        Some(some)
+      case None =>
+        log.warn(s"Entity ${p.entity.name}: watermark window could not be " +
+          "built (no stored bookmark, failing expression, or watermark column " +
+          "absent from slice) — SKIPPING delete inference for this run")
+        None
+    }
   }
 
   private def sqlEscape(s: String): String = s.replace("'", "''")
@@ -97,8 +136,7 @@ final class MergeStrategy extends Strategy {
         Map(sys.lastSeen -> s"source.`${sys.lastSeen}`"))
       .whenNotMatchedInsertAll(
         cond = Some(s"source.`${sys.deleted}` = false"))
-    if (p.deleteMissing) {
-      val window = watermarkWindowCondition(p)
+    deleteInferenceWindow(p).foreach { window =>
       val guard = s"target.`${sys.deleted}` = false"
       val cond = window.map(w => s"($w) AND $guard").getOrElse(guard)
       builder.whenNotMatchedBySourceUpdate(
@@ -176,11 +214,13 @@ final class HistoricStrategy extends Strategy {
       sys.validTo -> ptNtz,
       sys.isCurrent -> lit(false)))
 
-    val deleteCond: Column = if (p.deleteMissing) {
-      val window = watermarkWindowCondition(p).map(expr).getOrElse(lit(true))
-      targetOnly && col(s"target.`${sys.isCurrent}`") === true &&
-        col(s"target.`${sys.deleted}`") === false && window
-    } else lit(false)
+    val deleteCond: Column = deleteInferenceWindow(p) match {
+      case Some(window) =>
+        targetOnly && col(s"target.`${sys.isCurrent}`") === true &&
+          col(s"target.`${sys.deleted}`") === false &&
+          window.map(expr).getOrElse(lit(true))
+      case None => lit(false)
+    }
     val deletedClosed = targetRow(Map(
       sys.deleted -> lit(true),
       sys.isCurrent -> lit(false),

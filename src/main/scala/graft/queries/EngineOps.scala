@@ -22,8 +22,15 @@ object EngineOps {
   private val T1 = "2024-01-10T10:00:00"
   private val T2 = "2024-01-11T10:00:00"
 
+  /** Collision-free directory key for a data dir: sha256 prefix of the
+    * path (Int hashCode collides silently, and abs(Int.MinValue) < 0). */
+  private def dirKey(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+
   private def scratch(spark: SparkSession, sfDir: String, name: String): String = {
-    val root = s"/tmp/graft_engine/${name}_${math.abs(sfDir.hashCode)}"
+    val root = s"/tmp/graft_engine/${name}_${dirKey(sfDir)}"
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
@@ -37,7 +44,7 @@ object EngineOps {
 
   private def ensureSlices(spark: SparkSession, sfDir: String,
       withAcct: Boolean): String = stagedSlices.synchronized {
-    val root = s"/tmp/graft_engine/slices_${math.abs(sfDir.hashCode)}" +
+    val root = s"/tmp/graft_engine/slices_${dirKey(sfDir)}" +
       (if (withAcct) "_acct" else "_plain")
     if (!stagedSlices.contains(root)) {
       val p = new Path(root)
@@ -80,10 +87,14 @@ object EngineOps {
 
   private def metadataJson(root: String, bronze: String, processType: String,
       deleteMissing: Boolean, withAcct: Boolean,
-      watermarked: Boolean = false): String = {
+      watermarked: Boolean = false,
+      wmExpression: String = "'${last_value}'"): String = {
     val acctCol =
       if (withAcct) """, { "name": "acct", "datatype": "decimal(12,2)" }""" else ""
-    val wm = if (watermarked) """"watermark": [ { "column": "ID" } ],""" else ""
+    val wm =
+      if (watermarked)
+        s""""watermark": [ { "column": "ID", "expression": "$wmExpression" } ],"""
+      else ""
     s"""{
        |  "environment": { "name": "engineq", "timezone": "UTC",
        |                   "root_folder": "$root" },
@@ -104,12 +115,14 @@ object EngineOps {
 
   private def runTwo(spark: SparkSession, sfDir: String, name: String,
       processType: String, deleteMissing: Boolean, withAcct: Boolean,
-      watermarked: Boolean = false): DataFrame = {
+      watermarked: Boolean = false,
+      wmExpression: String = "'${last_value}'"): DataFrame = {
     implicit val s: SparkSession = spark
     val root = scratch(spark, sfDir, name)
     val bronze = ensureSlices(spark, sfDir, withAcct)
     val md = Metadata.fromJson(
-      metadataJson(root, bronze, processType, deleteMissing, withAcct, watermarked))
+      metadataJson(root, bronze, processType, deleteMissing, withAcct,
+        watermarked, wmExpression))
     val e = md.getEntity(1)
     new Processing(md, e, "s1.parquet", Map("processing.time" -> T1)).process()
     new Processing(md, e, "s2.parquet", Map("processing.time" -> T2)).process()
@@ -177,6 +190,31 @@ object EngineOps {
          |ORDER BY ID""".stripMargin) { (s, d) =>
       runTwo(s, d, "merge_wm", "merge", deleteMissing = true, withAcct = false,
         watermarked = true)
+        .select("ID", "name", "segment", "deleted", "lastSeen")
+        .orderBy("ID")
+    },
+
+    // Safe-default delete inference (reference Merge.scala:75-83 /
+    // ProcessStrategy.scala:86-153): the entity HAS a watermark configured
+    // but its expression fails to evaluate, so the window cannot be built —
+    // delete inference must be SKIPPED, not fall back to unbounded snapshot
+    // deletes. After run 2: s2 rows upserted at T2; s1-only rows remain
+    // alive with their run-1 lastSeen.
+    QueryDef(
+      "q_e_merge_wm_broken",
+      s"""WITH ${sliceSql(withAcct = false)}
+         |SELECT COALESCE(s2.id, s1.id) AS ID,
+         |       COALESCE(s2.name, s1.name) AS name,
+         |       COALESCE(s2.segment, s1.segment) AS segment,
+         |       false AS deleted,
+         |       CASE WHEN s2.id IS NOT NULL
+         |            THEN TIMESTAMP '2024-01-11 10:00:00'
+         |            ELSE TIMESTAMP '2024-01-10 10:00:00' END AS lastSeen
+         |FROM s1 FULL JOIN s2 ON s1.id = s2.id
+         |ORDER BY ID""".stripMargin) { (s, d) =>
+      runTwo(s, d, "merge_wm_broken", "merge", deleteMissing = true,
+        withAcct = false, watermarked = true,
+        wmExpression = "no_such_function(${last_value})")
         .select("ID", "name", "segment", "deleted", "lastSeen")
         .orderBy("ID")
     },

@@ -47,6 +47,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private val metaDir = new Path(root, "_graft")
   private val manifestsDir = new Path(metaDir, "manifests")
   private val pointerFile = new Path(metaDir, "_current")
+  private val earliestFile = new Path(metaDir, "_earliest")
   private val dataDir = new Path(root, "data")
 
   private def fs: FileSystem =
@@ -65,18 +66,35 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   def manifest: Option[Manifest] = currentVersion.map(readManifest)
 
   /** Version contents are immutable once published, so reconstructed
-    * snapshots memoize per table instance. */
-  private val snapshotCache =
-    scala.collection.mutable.Map.empty[Long, Manifest]
+    * snapshots memoize per table instance. Access-ordered LRU bounded to
+    * the latest snapshot plus a checkpoint chain's worth of bases: a
+    * long-lived shared instance (e.g. the watermark table) must not retain
+    * an O(files) Manifest per committed version, and the map is
+    * synchronized because readers cache concurrently with commits. */
+  private val snapshotCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[java.lang.Long, Manifest](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[java.lang.Long, Manifest]): Boolean =
+        size > Manifest.CheckpointInterval + 1
+    })
 
   /** Snapshot at `version`, reconstructing incremental records through
-    * their base chain (bounded by [[Manifest.CheckpointInterval]]). */
-  def readManifest(version: Long): Manifest =
-    snapshotCache.getOrElseUpdate(version,
-      Manifest.recordFromJsonString(readRecordString(version)) match {
+    * their base chain (bounded by [[Manifest.CheckpointInterval]]).
+    * Computed outside the map lock (recursion through the chain must not
+    * deadlock); a racing duplicate reconstruction is benign — values are
+    * immutable and identical. */
+  def readManifest(version: Long): Manifest = {
+    val cached = snapshotCache.get(version)
+    if (cached != null) cached
+    else {
+      val m = Manifest.recordFromJsonString(readRecordString(version)) match {
         case Left(full) => full
         case Right(inc) => inc.applyTo(readManifest(inc.baseVersion))
-      })
+      }
+      snapshotCache.put(version, m)
+      m
+    }
+  }
 
   private def readRecordString(version: Long): String = {
     val p = new Path(manifestsDir, f"v$version%020d.json")
@@ -96,8 +114,26 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   /** Current snapshot as a DataFrame. */
   def read(): DataFrame = readSnapshot(requireManifest)
 
-  /** Time travel: the table as of `version`. */
-  def readVersion(version: Long): DataFrame = readSnapshot(readManifest(version))
+  /** Time travel: the table as of `version`. Versions below the vacuum
+    * horizon fail fast — their manifest record may still exist (chain
+    * retention) but their data files are gone, and a late
+    * FileNotFoundException mid-scan would be opaque. */
+  def readVersion(version: Long): DataFrame = {
+    earliestReadableVersion.foreach(e =>
+      if (version < e) throw new MetadataException(
+        s"Version $version of $rootPath was vacuumed " +
+          s"(earliest readable version is $e)"))
+    readSnapshot(readManifest(version))
+  }
+
+  /** Vacuum horizon: versions below this may reference deleted data. */
+  def earliestReadableVersion: Option[Long] =
+    if (!fs.exists(earliestFile)) None
+    else {
+      val in = fs.open(earliestFile)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
 
   /** Snapshot restricted to partitions accepted by `keep` — pruning happens
     * driver-side against the manifest; the scan opens only surviving files. */
@@ -267,8 +303,15 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   /** Drop data/manifests older than the current version (no time travel
     * afterwards). Current snapshot files are kept wherever they live, and
     * so are the manifest records the current version reconstructs through
-    * (its incremental chain back to the nearest checkpoint). */
-  def vacuum(): Unit = {
+    * (its incremental chain back to the nearest checkpoint).
+    *
+    * Runs under the write lock like every other mutation: concurrent with
+    * an in-flight writer it would otherwise see the pre-commit manifest
+    * and delete the writer's freshly-written, not-yet-published commit
+    * directory. Records the vacuum horizon so time travel below it fails
+    * fast ([[readVersion]]) instead of surfacing a FileNotFoundException
+    * mid-scan. */
+  def vacuum(): Unit = withWriteLock {
     val m = requireManifest
     val live = m.files
       .map(f => fs.makeQualified(new Path(root, f.path)).toString).toSet
@@ -283,6 +326,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       if (v.forall(_.isDigit) && v.toLong < m.version && !needed.contains(v.toLong))
         fs.delete(st.getPath, false)
     }
+    writeFile(earliestFile, m.version.toString)
   }
 
   // ------------------------------------------------------------- internals
@@ -294,6 +338,15 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     if (missing.nonEmpty)
       throw new MetadataException(
         s"Source is missing target column(s): ${missing.toSeq.sorted.mkString(", ")}")
+    // NEW source columns are adopted into the manifest schema (old files
+    // read them as null) — legal evolution, but never silent (reference
+    // warn-on-new contract, implicits.scala:28-59)
+    val added = srcFields.keySet -- targetFields.keySet
+    if (added.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(classOf[ManagedTable]).warn(
+        s"Schema drift on $rootPath: adopting new column(s) " +
+          s"${added.toSeq.sorted.map(srcFields(_).name).mkString(", ")} " +
+          "into the table schema; rows in existing files read them as null")
     // a silently-committed type change would make the existing parquet
     // files unreadable under the new manifest schema — fail at write time
     val retyped = targetFields.collect {
@@ -403,7 +456,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       }
     fs.mkdirs(manifestsDir)
     writeFile(new Path(manifestsDir, f"v$next%020d.json"), recordJson)
-    snapshotCache(next) = snapshot
+    snapshotCache.put(next, snapshot)
     // atomic pointer swap: tmp write + rename-with-overwrite
     val tmp = new Path(metaDir, s"_current.tmp.${UUID.randomUUID()}")
     writeFile(tmp, next.toString)

@@ -25,13 +25,18 @@ final class WatermarkStore(spark: SparkSession, systemPath: String) {
   /** Persist observed watermark values. `None` values (empty slice /
     * all-null column) are SKIPPED, not written: an empty increment must
     * not destroy the stored bookmark (reference filters nulls the same
-    * way — getWatermarkValues). Reset is only explicit via [[reset]]. */
+    * way — getWatermarkValues). Reset is only explicit via [[reset]].
+    * `sourceTypes` records the observed JVM type per column (reference:
+    * WatermarkData.scala:35-40 stores `value.getClass.getName`); values
+    * themselves travel stringly. */
   def write(
       entityId: Int,
       values: Seq[(WatermarkDef, Option[String])],
-      timestamp: String): Unit =
+      timestamp: String,
+      sourceTypes: Map[String, String] = Map.empty): Unit =
     writeRows(values.collect { case (wm, Some(v)) =>
-      (entityId, wm.columnName, timestamp, "java.lang.String", v)
+      (entityId, wm.columnName, timestamp,
+        sourceTypes.getOrElse(wm.columnName, "java.lang.String"), v)
     })
 
   /** Explicit reset: stores the `None$` sentinel so [[lastValue]] returns
@@ -94,6 +99,28 @@ final class WatermarkStore(spark: SparkSession, systemPath: String) {
 
 object WatermarkStore {
   val ResetSentinel = "None$"
+
+  /** JVM class name a column's max value would carry, from its Spark type —
+    * the `source_type` the reference persists (WatermarkData.scala:35-40),
+    * derived statically so no extra aggregation job runs. */
+  def jvmTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType       => "java.lang.String"
+      case IntegerType      => "java.lang.Integer"
+      case LongType         => "java.lang.Long"
+      case ShortType        => "java.lang.Short"
+      case ByteType         => "java.lang.Byte"
+      case DoubleType       => "java.lang.Double"
+      case FloatType        => "java.lang.Float"
+      case BooleanType      => "java.lang.Boolean"
+      case DateType         => "java.sql.Date"
+      case TimestampType    => "java.sql.Timestamp"
+      case TimestampNTZType => "java.time.LocalDateTime"
+      case _: DecimalType   => "java.math.BigDecimal"
+      case _                => "java.lang.String"
+    }
+  }
   val Schema: StructType = StructType(Seq(
     StructField("entity_id", IntegerType),
     StructField("column_name", StringType),

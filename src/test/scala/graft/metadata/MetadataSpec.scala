@@ -86,6 +86,50 @@ class MetadataSpec extends AnyFunSuite with Matchers {
     md.interpolate("${nope}", e1) shouldBe "${nope}"
   }
 
+  test("secure entities get the container suffix on bronze/silver paths") {
+    val md = Metadata.fromJson("""{
+      "environment": { "name": "sec", "root_folder": "/lake",
+                       "secure_container_suffix": "-secure" },
+      "connections": [ { "name": "erp" } ],
+      "entities": [
+        { "id": 1, "name": "salary", "connection": "erp", "secure": true },
+        { "id": 2, "name": "orders", "connection": "erp" },
+        { "id": 3, "name": "custom", "connection": "erp", "secure": true,
+          "settings": { "bronze_path": "${root_folder}/bronze/x/${entity}",
+                        "silver_path": "${root_folder}/silver/x/${entity}" } }
+      ] }""")
+    val e1 = md.getEntity(1)
+    e1.isSecure shouldBe true
+    md.bronzePath(e1) shouldBe "/lake/bronze-secure/erp/salary"
+    md.silverLocation(e1) shouldBe PathLocation("/lake/silver-secure/erp/salary")
+    // non-secure entity in the same environment: no suffix
+    md.bronzePath(md.getEntity(2)) shouldBe "/lake/bronze/erp/orders"
+    // per-entity path overrides are suffixed the same way
+    md.bronzePath(md.getEntity(3)) shouldBe "/lake/bronze-secure/x/custom"
+    md.silverLocation(md.getEntity(3)) shouldBe
+      PathLocation("/lake/silver-secure/x/custom")
+    // without a configured suffix, secure is a no-op
+    val md2 = Metadata.fromJson("""{
+      "environment": { "name": "nosuffix", "root_folder": "/lake" },
+      "connections": [ { "name": "erp" } ],
+      "entities": [ { "id": 1, "name": "salary", "connection": "erp",
+                      "secure": true } ] }""")
+    md2.bronzePath(md2.getEntity(1)) shouldBe "/lake/bronze/erp/salary"
+  }
+
+  test("entity column filter selects by fieldrole and expression presence") {
+    val e = Metadata.fromJson(baseJson).getEntity(1)
+    e.selectColumns(EntityColumnFilter("businesskey")).map(_.name) shouldBe
+      Seq("cust id")
+    e.selectColumns(EntityColumnFilter(hasExpression = true)).map(_.name) shouldBe
+      Seq("calc")
+    e.selectColumns(EntityColumnFilter(hasExpression = false))
+      .map(_.name) should contain("amount")
+    // multiple roles = ANY-of
+    e.selectColumns(EntityColumnFilter("businesskey", "partition"))
+      .map(_.name) shouldBe Seq("cust id")
+  }
+
   test("enabled = entity.enabled AND connection.enabled; lookups + errors") {
     val md = Metadata.fromJson(baseJson)
     md.isEnabled(md.getEntity(1)) shouldBe true

@@ -174,6 +174,40 @@ class OpsSpec extends AnyFunSuite with Matchers {
     out("nulltime") shouldBe -1 // null time matches nothing
   }
 
+  test("as-of join rejects reserved working names and output collisions") {
+    import graft.ops.AsOfJoin
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 50)).toDF("k", "rt", "price")
+    // reserved internal name on either side
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left.withColumnRenamed("tag", "__key"),
+        right, "k", "t", "rt", Seq("price"))
+    }.getMessage should include("__key")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right.withColumnRenamed("price", "__r"),
+        "k", "t", "rt", Seq("__r"))
+    }.getMessage should include("__r")
+    // left already carries the asof_<col> output name → wrong carries
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left.withColumn("asof_price", lit(0)),
+        right, "k", "t", "rt", Seq("price"))
+    }.getMessage should include("asof_price")
+  }
+
+  test("connected components throw when the iteration cap precludes convergence") {
+    import graft.ops.GraphOps
+    // a 12-node chain has diameter 11; 3 min-label rounds cannot converge —
+    // silently returning the partial labels would mislabel components
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      GraphOps.connectedComponents(chain, "a", "b", maxIters = 3)
+    }.getMessage should include("converge")
+    // with the cap lifted the same chain resolves to one component
+    val ok = GraphOps.connectedComponents(chain, "a", "b")
+      .select("component").distinct().collect()
+    ok.map(_.getLong(0)) shouldBe Array(0L)
+  }
+
   test("bucketed range join equals the naive range join") {
     import graft.ops.RangeJoin
     val points = Seq.tabulate(200)(i => (i.toLong, i * 0.7)).toDF("pid", "x")

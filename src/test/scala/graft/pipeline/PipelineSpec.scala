@@ -191,6 +191,68 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     sum.deleted shouldBe 1
   }
 
+  test("merge: broken watermark expression SKIPS delete inference (safe default)") {
+    // entity WITH a watermark whose expression cannot evaluate: the window
+    // is None, and the safe default (reference: Merge.scala:75-83) must
+    // skip the bySource clause instead of falling back to unbounded
+    // snapshot deletes — a failing expression on an incremental feed must
+    // never mass-soft-delete the target.
+    val extra = """,
+      { "id": 20, "name": "cust_wmb", "connection": "src1", "processtype": "merge",
+        "settings": { "delete_missing": true },
+        "watermark": [ { "column": "SeqNr",
+                         "expression": "no_such_function(${last_value})" } ],
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+          { "name": "SeqNr", "datatype": "integer" },
+          { "name": "name", "datatype": "string" }
+        ] }"""
+    val md = fixture(extraEntity = extra)
+    val e = md.getEntity(20)
+    writeSlice(md, e, "s1.parquet",
+      mergeSlice(Seq((1, 1, "a"), (2, 2, "b"), (3, 3, "c"))))
+    run(md, 20, "s1.parquet", T1)
+    // rows 2 and 3 are absent from slice 2; with the window unavailable,
+    // NO delete may be inferred and their run-1 lastSeen must survive
+    writeSlice(md, e, "s2.parquet", mergeSlice(Seq((1, 5, "a2"))))
+    val sum = run(md, 20, "s2.parquet", T2)
+    sum.deleted shouldBe 0
+    val out = new Processing(md, e, "x").table.read()
+      .select("ID", "deleted", "lastSeen")
+      .collect().map(r => (r.getInt(0), r.getBoolean(1),
+        r.getAs[java.time.LocalDateTime]("lastSeen"))).sortBy(_._1)
+    out.map(t => (t._1, t._2)) shouldBe Array((1, false), (2, false), (3, false))
+    out(1)._3 shouldBe java.time.LocalDateTime.parse(T1)
+    out(2)._3 shouldBe java.time.LocalDateTime.parse(T1)
+  }
+
+  test("historic: broken watermark expression SKIPS delete inference") {
+    val extra = """,
+      { "id": 21, "name": "hist_wmb", "connection": "src1", "processtype": "historic",
+        "settings": { "delete_missing": true },
+        "watermark": [ { "column": "SeqNr",
+                         "expression": "no_such_function(${last_value})" } ],
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+          { "name": "SeqNr", "datatype": "integer" },
+          { "name": "name", "datatype": "string" }
+        ] }"""
+    val md = fixture(extraEntity = extra)
+    val e = md.getEntity(21)
+    writeSlice(md, e, "s1.parquet", mergeSlice(Seq((1, 1, "a"), (2, 2, "b"))))
+    run(md, 21, "s1.parquet", T1)
+    // id=2 absent from slice 2: its current version must stay OPEN
+    // (IsCurrent=true, not deleted, sentinel ValidTo) — no inferred close
+    writeSlice(md, e, "s2.parquet", mergeSlice(Seq((1, 5, "a2"))))
+    val sum = run(md, 21, "s2.parquet", T2)
+    sum.deleted shouldBe 0
+    val rows = new Processing(md, e, "x").table.read()
+      .filter($"ID" === 2)
+      .select("IsCurrent", "deleted")
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)))
+    rows shouldBe Array((true, false))
+  }
+
   test("merge: already-deleted rows are not re-deleted (guard)") {
     val md = fixture()
     val e = md.getEntity(2)
@@ -370,6 +432,15 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     val logs = spark.read.parquet(s"$root/system/logs")
     logs.filter(col("message").startsWith("processing start")).count() shouldBe 1
     logs.filter(col("message") === "processing summary").count() shouldBe 1
+
+    // a second run over the SAME Metadata instance gets a FRESH run_id
+    // (reference: DatalakeLogManager creates a run id per processing run);
+    // the shared sink keeps collecting both runs' rows
+    writeSlice(md, e, "s2.parquet", Seq((2, "b")).toDF("ID", "name"))
+    run(md, 1, "s2.parquet", T2)
+    val logs2 = spark.read.parquet(s"$root/system/logs")
+    logs2.filter(col("message") === "processing summary")
+      .select("run_id").distinct().count() shouldBe 2
   }
 
   test("runner: group processing isolates failures, parallel run works") {
@@ -516,6 +587,22 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     sum.deleted shouldBe 1
     new Processing(md2, e, "x").table.read()
       .filter($"deleted").select("ID").collect().map(_.getInt(0)) shouldBe Array(3)
+  }
+
+  test("watermark rows persist the observed source type") {
+    // the system-table contract stores the JVM type of the observed value
+    // (reference: WatermarkData.scala:35-40), not a hardcoded String
+    val md = fixture()
+    val e = md.getEntity(2) // watermark on SeqNr, cast to integer by metadata
+    writeSlice(md, e, "s1.parquet", mergeSlice(Seq((1, 7, "a"))))
+    run(md, 2, "s1.parquet", T1)
+    val row = graft.tables.ManagedTable(spark, s"${md.environment.systemPath}/watermark")
+      .read().filter(col("entity_id") === 2 && col("column_name") === "SeqNr")
+      .select("source_type", "value").head
+    row.getString(0) shouldBe "java.lang.Integer"
+    row.getString(1) shouldBe "7"
+    WatermarkStore.jvmTypeName(
+      org.apache.spark.sql.types.TimestampNTZType) shouldBe "java.time.LocalDateTime"
   }
 
   test("empty slice does NOT destroy the stored watermark") {

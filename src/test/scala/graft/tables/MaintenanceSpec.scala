@@ -51,6 +51,53 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     t.read().count() shouldBe 3
   }
 
+  test("vacuum: time travel below the horizon fails fast, current stays readable") {
+    val t = ManagedTable(spark, tmp() + "/tv")
+    t.overwriteAll(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    val cur = t.currentVersion.get
+    t.vacuum()
+    t.earliestReadableVersion shouldBe Some(cur)
+    // vacuumed version: clear MetadataException, not a FileNotFound mid-scan
+    val ex = intercept[graft.metadata.MetadataException](t.readVersion(cur - 1))
+    ex.getMessage should include("vacuumed")
+    // current version still fully readable after vacuum
+    t.readVersion(cur).count() shouldBe 3
+    t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2, 3)
+    // and new commits after the vacuum time-travel normally
+    t.append(Seq((4, "d")).toDF("id", "v"))
+    t.readVersion(cur).count() shouldBe 3
+    t.read().count() shouldBe 4
+  }
+
+  test("vacuum is serialized with concurrent writers (no lost commits)") {
+    // vacuum races an appender on the SAME table: without the write lock it
+    // can observe the pre-commit manifest and delete the appender's
+    // freshly-written, not-yet-published commit directory. Under the lock,
+    // every appended row must survive and stay readable.
+    val t = ManagedTable(spark, tmp() + "/tc")
+    t.overwriteAll(Seq((0, "seed")).toDF("id", "v"))
+    val appends = 8
+    val writer = new Thread(() =>
+      (1 to appends).foreach(i => t.append(Seq((i, s"r$i")).toDF("id", "v"))))
+    writer.start()
+    (1 to appends).foreach { _ => t.vacuum() }
+    writer.join()
+    t.vacuum()
+    t.read().collect().map(_.getInt(0)).sorted shouldBe (0 to appends).toArray
+  }
+
+  test("append adopts NEW source columns; existing files read them as null") {
+    val t = ManagedTable(spark, tmp() + "/td")
+    t.overwriteAll(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b", "extra")).toDF("id", "v", "note"))
+    t.manifest.get.schema.fieldNames should contain("note")
+    val rows = t.read().orderBy("id").collect()
+    rows(0).isNullAt(rows(0).fieldIndex("note")) shouldBe true
+    rows(1).getString(rows(1).fieldIndex("note")) shouldBe "extra"
+  }
+
   test("jdbc metadata loader reads config from a database") {
     val url = "jdbc:derby:memory:graftmeta;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
