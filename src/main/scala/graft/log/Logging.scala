@@ -42,16 +42,17 @@ final case class LogRecord(
     entityId: Int,
     payloadJson: String)
 
-/** Buffered Parquet log sink (reference: ParquetAppender.scala:84-117;
-  * buffer threshold semantics `:54-62,126-140`). */
-final class ParquetLogSink(
-    spark: SparkSession,
-    path: String,
-    flushThreshold: Int = 10) {
+/** Buffered sink contract shared by the Parquet and catalog-table sinks:
+  * rows accumulate on the driver and flush as one small Spark job at the
+  * row threshold or explicitly at run end (reference buffer semantics:
+  * ParquetAppender.scala:54-62,126-140). */
+trait LogSink {
+  protected def flushThreshold: Int
+  protected def write(batch: Vector[LogRecord]): Unit
 
   private val buffer = mutable.ArrayBuffer.empty[LogRecord]
 
-  def append(r: LogRecord): Unit = {
+  final def append(r: LogRecord): Unit = {
     val toFlush = buffer.synchronized {
       buffer += r
       if (buffer.size >= flushThreshold) {
@@ -61,7 +62,7 @@ final class ParquetLogSink(
     toFlush.foreach(write)
   }
 
-  def flush(): Unit = {
+  final def flush(): Unit = {
     val toFlush = buffer.synchronized {
       if (buffer.isEmpty) None
       else { val batch = buffer.toVector; buffer.clear(); Some(batch) }
@@ -69,9 +70,16 @@ final class ParquetLogSink(
     toFlush.foreach(write)
   }
 
-  def pending: Int = buffer.synchronized(buffer.size)
+  final def pending: Int = buffer.synchronized(buffer.size)
+}
 
-  private def write(batch: Vector[LogRecord]): Unit = {
+/** Buffered Parquet log sink (reference: ParquetAppender.scala:84-117). */
+final class ParquetLogSink(
+    spark: SparkSession,
+    path: String,
+    protected val flushThreshold: Int = 10) extends LogSink {
+
+  protected def write(batch: Vector[LogRecord]): Unit = {
     val rows = batch.map(r => Row(
       r.timestamp, r.level, r.logger, r.message, r.runId, r.entityId, r.payloadJson))
     spark.createDataFrame(
@@ -80,6 +88,43 @@ final class ParquetLogSink(
   }
 
   def read(): DataFrame = spark.read.schema(LogSchema.fields).parquet(path)
+}
+
+/** Buffered CATALOG-TABLE log sink (reference: TableAppender.scala:104-155):
+  * creates the database/table on first flush (`CREATE TABLE IF NOT EXISTS …
+  * payload VARIANT`), stores the JSON payload as a Spark 4 `VARIANT`, and
+  * appends via `insertInto` with an explicit reorder to the TABLE's column
+  * order — `insertInto` binds by position, so a pre-existing table with a
+  * different column arrangement must not silently shear values. */
+final class TableLogSink(
+    spark: SparkSession,
+    val tableName: String,
+    protected val flushThreshold: Int = 10) extends LogSink {
+
+  import org.apache.spark.sql.functions.{col, parse_json}
+
+  protected def write(batch: Vector[LogRecord]): Unit = {
+    ensureTableExists()
+    val rows = batch.map(r => Row(
+      r.timestamp, r.level, r.logger, r.message, r.runId, r.entityId, r.payloadJson))
+    val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), LogSchema.fields)
+      .withColumn("payload", parse_json(col("payload_json")))
+      .drop("payload_json")
+    val tableCols = spark.table(tableName).columns.toSeq
+    df.select(tableCols.map(df.col): _*).write.insertInto(tableName)
+  }
+
+  private def ensureTableExists(): Unit = {
+    val parts = tableName.split('.')
+    if (parts.length == 2)
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${parts(0)}")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS $tableName (
+      `timestamp` TIMESTAMP_NTZ, level STRING, logger STRING, message STRING,
+      run_id STRING, entity_id INT, payload VARIANT) USING PARQUET""")
+  }
+
+  def read(): DataFrame = spark.table(tableName)
 }
 
 /** VARIANT-payload log table (reference: TableAppender.scala:128-155,
@@ -99,7 +144,7 @@ final class VariantLogSink(spark: SparkSession, path: String) {
 /** Per-run logging context: run_id + summary serialization
   * (reference: DatalakeLogManager.scala:13-38). */
 final class RunLogger(
-    sink: ParquetLogSink,
+    sink: LogSink,
     val runId: String = UUID.randomUUID().toString) {
 
   private def now(): LocalDateTime = LocalDateTime.now(ZoneOffset.UTC)

@@ -104,22 +104,33 @@ final class Metadata(
       }
     }
 
-  /** Per-invocation run logger over ONE lazily-created shared sink when
-    * the environment configures `log_path`: every processing run gets a
-    * FRESH run_id (reference: DatalakeLogManager.scala:13-38 creates a run
-    * id per run), while the buffered Parquet sink — and its flush
-    * batching — is shared across runs and entities. */
-  @volatile private var sinkCache: Option[graft.log.ParquetLogSink] = None
-  def runLogger(spark: org.apache.spark.sql.SparkSession): Option[graft.log.RunLogger] =
-    environment.settings \ "log_path" match {
-      case JString(p) if p.nonEmpty =>
-        if (sinkCache.isEmpty) synchronized {
-          if (sinkCache.isEmpty)
-            sinkCache = Some(new graft.log.ParquetLogSink(spark, interpolateEnv(p)))
-        }
-        Some(new graft.log.RunLogger(sinkCache.get))
-      case _ => None
+  /** Per-invocation run logger over ONE lazily-created shared sink:
+    * every processing run gets a FRESH run_id (reference:
+    * DatalakeLogManager.scala:13-38 creates a run id per run), while the
+    * buffered sink — and its flush batching — is shared across runs and
+    * entities. A `log_table` environment setting selects the catalog-table
+    * VARIANT sink (reference: TableAppender.scala:104-155); else `log_path`
+    * selects the Parquet sink; neither → no logging. */
+  @volatile private var sinkCache: Option[graft.log.LogSink] = None
+  def runLogger(spark: org.apache.spark.sql.SparkSession): Option[graft.log.RunLogger] = {
+    def sharedSink(mk: => graft.log.LogSink): graft.log.LogSink = {
+      if (sinkCache.isEmpty) synchronized {
+        if (sinkCache.isEmpty) sinkCache = Some(mk)
+      }
+      sinkCache.get
     }
+    environment.settings \ "log_table" match {
+      case JString(t) if t.nonEmpty =>
+        Some(new graft.log.RunLogger(sharedSink(
+          new graft.log.TableLogSink(spark, t))))
+      case _ => environment.settings \ "log_path" match {
+        case JString(p) if p.nonEmpty =>
+          Some(new graft.log.RunLogger(sharedSink(
+            new graft.log.ParquetLogSink(spark, interpolateEnv(p)))))
+        case _ => None
+      }
+    }
+  }
 
   private def interpolateEnv(template: String): String =
     template.replace("${root_folder}", environment.rootFolder)

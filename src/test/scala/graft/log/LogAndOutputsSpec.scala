@@ -22,6 +22,11 @@ class LogAndOutputsSpec extends AnyFunSuite with Matchers {
 
   def tmp(): String = Files.createTempDirectory("graft-log").toString
 
+  // catalog-table names must be unique per JVM run: the in-memory catalog
+  // dies with the session but managed-table LOCATIONS persist in the
+  // warehouse dir, and a name reuse trips LOCATION_ALREADY_EXISTS
+  val runTag: String = java.lang.Long.toHexString(System.nanoTime())
+
   test("parquet log sink: threshold flush + explicit flush + summary payload") {
     val sink = new ParquetLogSink(spark, tmp() + "/logs", flushThreshold = 3)
     val logger = new RunLogger(sink)
@@ -54,6 +59,58 @@ class LogAndOutputsSpec extends AnyFunSuite with Matchers {
       .select(expr("variant_get(payload, '$.inserted', 'int')").as("ins"))
       .collect().map(_.getInt(0)).sorted
     back shouldBe Array(3, 9)
+  }
+
+  test("table log sink: creates catalog table, VARIANT payload, insertInto reorder") {
+    // db-qualified name: the database is created on demand
+    // (reference: TableAppender.ensureTableExists)
+    val sink =
+      new TableLogSink(spark, s"graft_logdb_$runTag.run_logs", flushThreshold = 2)
+    val logger = new RunLogger(sink)
+    logger.info("graft.test", "one")
+    sink.pending shouldBe 1
+    logger.summary(ProcessingSummary(5, "merge", recordsInSlice = 4,
+      inserted = 4)) // hits threshold → table created + flushed
+    sink.pending shouldBe 0
+    logger.close()
+
+    val rows = spark.table(s"graft_logdb_$runTag.run_logs")
+    rows.count() shouldBe 2
+    // payload is a real VARIANT: typed field access works
+    rows.filter(col("message") === "processing summary")
+      .select(expr("variant_get(payload, '$.inserted', 'int')"))
+      .head.getInt(0) shouldBe 4
+    rows.select("run_id").distinct().count() shouldBe 1
+  }
+
+  test("table log sink: column reorder protects a pre-existing table layout") {
+    // insertInto binds by POSITION — a table created earlier with another
+    // column arrangement must still receive values in the right columns
+    val t = s"graft_logs_reordered_$runTag"
+    spark.sql(s"""CREATE TABLE $t (
+      run_id STRING, message STRING, `timestamp` TIMESTAMP_NTZ, level STRING,
+      logger STRING, payload VARIANT, entity_id INT) USING PARQUET""")
+    val sink = new TableLogSink(spark, t, flushThreshold = 1)
+    new RunLogger(sink, runId = "fixed-run").error("graft.test", "boom", entityId = 42)
+    val row = spark.table(t).head()
+    row.getAs[String]("level") shouldBe "ERROR"
+    row.getAs[String]("message") shouldBe "boom"
+    row.getAs[String]("run_id") shouldBe "fixed-run"
+    row.getAs[Int]("entity_id") shouldBe 42
+  }
+
+  test("metadata selects the table sink via log_table and keeps per-run ids fresh") {
+    val md = Metadata.fromJson(s"""{
+      "environment": { "name": "t", "root_folder": "/tmp/x",
+        "settings": { "log_table": "graft_md_logs_$runTag" } },
+      "connections": [], "entities": [] }""")
+    val l1 = md.runLogger(spark).get
+    val l2 = md.runLogger(spark).get
+    l1.runId should not be l2.runId // fresh run id per processing run
+    l1.info("graft.test", "a"); l1.close()
+    l2.info("graft.test", "b"); l2.close()
+    spark.table(s"graft_md_logs_$runTag")
+      .select("run_id").distinct().count() shouldBe 2
   }
 
   test("datafactory: enabled entities serialized with resolved locations") {
