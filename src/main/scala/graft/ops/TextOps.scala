@@ -297,16 +297,29 @@ object TextOps {
 
   /** Deterministic stratified sample: up to `perStratum` rows per stratum,
     * chosen by hash order (stable across runs/partitionings — no RNG
-    * state). One window over the stratum key; at scale this is a single
-    * shuffle and each stratum caps its own output. */
+    * state). `idCol` must be unique within a stratum (it is the
+    * tie-breaker of the total order).
+    *
+    * Two-phase exact top-k so a mega-stratum never serializes into one
+    * sort task: phase 1 ranks within (stratum, input split) — the skewed
+    * stratum is spread across splits, each task sorts only its own rows —
+    * and keeps `perStratum` survivors per group; phase 2 ranks the
+    * ≤ splits × perStratum survivors per stratum globally. The global
+    * top-k is a subset of the union of per-group top-ks, so the result is
+    * identical to a single whole-stratum window, row for row. */
   def stratifiedSample(
       df: DataFrame, idCol: String, stratumCol: String, perStratum: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(s"`$stratumCol`"))
-      .orderBy(portableHash(col(s"`$idCol`").cast("string")), col(s"`$idCol`"))
-    df.withColumn("__rn", row_number().over(w))
+    val ord = Seq(portableHash(col(s"`$idCol`").cast("string")), col(s"`$idCol`"))
+    val local = Window.partitionBy(col(s"`$stratumCol`"), col("__split"))
+      .orderBy(ord: _*)
+    val global = Window.partitionBy(col(s"`$stratumCol`")).orderBy(ord: _*)
+    df.withColumn("__split", spark_partition_id())
+      .withColumn("__rn", row_number().over(local))
       .filter(col("__rn") <= perStratum)
-      .drop("__rn")
+      .withColumn("__rn", row_number().over(global))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn", "__split")
   }
 
   /** Deterministic train/val/test assignment from a stable id hash —

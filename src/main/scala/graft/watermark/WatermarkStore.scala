@@ -53,6 +53,12 @@ final class WatermarkStore(spark: SparkSession, systemPath: String) {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(data, 1), Schema)
     table.appendOrCreate(df)
+    // the bookmark log is append-only (one tiny file per run); without
+    // periodic folding a long-lived deployment accumulates unbounded
+    // files + manifest entries on its hottest system table. Amortized:
+    // every CompactEvery appends, fold the log back to one file.
+    if (table.manifest.exists(_.files.size >= WatermarkStore.CompactEvery))
+      table.compact(minFiles = 2, targetFiles = 1)
   }
 
   /** Latest stored value for (entity, column); None if never written or
@@ -99,6 +105,10 @@ final class WatermarkStore(spark: SparkSession, systemPath: String) {
 
 object WatermarkStore {
   val ResetSentinel = "None$"
+
+  /** Auto-compact the append-only bookmark log once it reaches this many
+    * files (each processing run appends one). */
+  val CompactEvery = 16
 
   /** JVM class name a column's max value would carry, from its Spark type —
     * the `source_type` the reference persists (WatermarkData.scala:35-40),

@@ -208,6 +208,24 @@ class OpsSpec extends AnyFunSuite with Matchers {
     ok.map(_.getLong(0)) shouldBe Array(0L)
   }
 
+  test("two-phase stratified sample equals the single-window reference") {
+    import graft.ops.TextOps
+    import org.apache.spark.sql.expressions.Window
+    // heavy skew: one mega-stratum, two tiny ones, input split many ways
+    val rows = (1L to 5000L).map(i => (i, if (i <= 4900) "big" else if (i <= 4950) "mid" else "small"))
+    val df = rows.toDF("doc_id", "src").repartition(16)
+    val sampled = TextOps.stratifiedSample(df, "doc_id", "src", 25)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // reference: one window over the whole stratum
+    val ord = Seq(TextOps.portableHash(col("doc_id").cast("string")), col("doc_id"))
+    val ref = df.withColumn("__rn",
+        row_number().over(Window.partitionBy("src").orderBy(ord: _*)))
+      .filter(col("__rn") <= 25)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    sampled shouldBe ref
+    sampled.length shouldBe 25 + 25 + 25
+  }
+
   test("bucketed range join equals the naive range join") {
     import graft.ops.RangeJoin
     val points = Seq.tabulate(200)(i => (i.toLong, i * 0.7)).toDF("pid", "x")

@@ -619,6 +619,20 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     ws.lastValue(2, "SeqNr") shouldBe Some("7")
   }
 
+  test("watermark log auto-compacts: file count stays bounded, latest wins") {
+    val md = fixture()
+    val ws = new WatermarkStore(spark, md.environment.systemPath)
+    (1 to WatermarkStore.CompactEvery + 2).foreach { i =>
+      ws.write(9, Seq(WatermarkDef("Seq") -> Some(i.toString)),
+        f"2024-01-10 10:00:${i % 60}%02d.000")
+    }
+    val table = graft.tables.ManagedTable(
+      spark, s"${md.environment.systemPath}/watermark")
+    // without folding this would be CompactEvery+2 files (one per run)
+    table.manifest.get.files.size should be < WatermarkStore.CompactEvery
+    ws.lastValue(9, "Seq") shouldBe Some((WatermarkStore.CompactEvery + 2).toString)
+  }
+
   test("watermark on a renamed column resolves through the rename") {
     val extra = """,
       { "id": 41, "name": "wmren", "connection": "src1", "processtype": "merge",
