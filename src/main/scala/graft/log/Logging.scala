@@ -104,7 +104,7 @@ final class TableLogSink(
   import org.apache.spark.sql.functions.{col, parse_json}
 
   protected def write(batch: Vector[LogRecord]): Unit = {
-    ensureTableExists()
+    ensureTableExists
     val rows = batch.map(r => Row(
       r.timestamp, r.level, r.logger, r.message, r.runId, r.entityId, r.payloadJson))
     val df = spark.createDataFrame(
@@ -115,7 +115,10 @@ final class TableLogSink(
     df.select(tableCols.map(df.col): _*).write.insertInto(tableName)
   }
 
-  private def ensureTableExists(): Unit = {
+  // once-only and synchronized: two runs sharing the sink may flush
+  // concurrently, and racing CREATE TABLE calls can trip
+  // LOCATION_ALREADY_EXISTS even with IF NOT EXISTS
+  private lazy val ensureTableExists: Unit = {
     val parts = tableName.split('.')
     if (parts.length == 2)
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${parts(0)}")

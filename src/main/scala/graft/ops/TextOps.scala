@@ -300,26 +300,20 @@ object TextOps {
     * state). `idCol` must be unique within a stratum (it is the
     * tie-breaker of the total order).
     *
-    * Two-phase exact top-k so a mega-stratum never serializes into one
-    * sort task: phase 1 ranks within (stratum, input split) — the skewed
-    * stratum is spread across splits, each task sorts only its own rows —
-    * and keeps `perStratum` survivors per group; phase 2 ranks the
-    * ≤ splits × perStratum survivors per stratum globally. The global
-    * top-k is a subset of the union of per-group top-ks, so the result is
-    * identical to a single whole-stratum window, row for row. */
+    * Skew note: this does NOT serialize a mega-stratum into one sort task.
+    * The `row_number <= k` filter is pushed down by Spark's rank-limit
+    * rewrite into a PARTIAL `WindowGroupLimit` that runs per input split
+    * before the shuffle, so at most `perStratum` rows per stratum per
+    * split reach the reducer — the whole-stratum data never lands on one
+    * task (asserted against the physical plan in OpsSpec). */
   def stratifiedSample(
       df: DataFrame, idCol: String, stratumCol: String, perStratum: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ord = Seq(portableHash(col(s"`$idCol`").cast("string")), col(s"`$idCol`"))
-    val local = Window.partitionBy(col(s"`$stratumCol`"), col("__split"))
-      .orderBy(ord: _*)
-    val global = Window.partitionBy(col(s"`$stratumCol`")).orderBy(ord: _*)
-    df.withColumn("__split", spark_partition_id())
-      .withColumn("__rn", row_number().over(local))
+    val w = Window.partitionBy(col(s"`$stratumCol`"))
+      .orderBy(portableHash(col(s"`$idCol`").cast("string")), col(s"`$idCol`"))
+    df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= perStratum)
-      .withColumn("__rn", row_number().over(global))
-      .filter(col("__rn") <= perStratum)
-      .drop("__rn", "__split")
+      .drop("__rn")
   }
 
   /** Deterministic train/val/test assignment from a stable id hash —

@@ -208,22 +208,24 @@ class OpsSpec extends AnyFunSuite with Matchers {
     ok.map(_.getLong(0)) shouldBe Array(0L)
   }
 
-  test("two-phase stratified sample equals the single-window reference") {
+  test("stratified sample: partial rank-limit pushdown bounds reducer input") {
     import graft.ops.TextOps
-    import org.apache.spark.sql.expressions.Window
     // heavy skew: one mega-stratum, two tiny ones, input split many ways
-    val rows = (1L to 5000L).map(i => (i, if (i <= 4900) "big" else if (i <= 4950) "mid" else "small"))
+    val rows = (1L to 5000L).map(i =>
+      (i, if (i <= 4900) "big" else if (i <= 4950) "mid" else "small"))
     val df = rows.toDF("doc_id", "src").repartition(16)
     val sampled = TextOps.stratifiedSample(df, "doc_id", "src", 25)
+    sampled.count() shouldBe 25 + 25 + 25
+    // scale contract: the row_number <= k filter must reach a PARTIAL
+    // WindowGroupLimit below the shuffle, so a mega-stratum ships at most
+    // k rows per input split instead of its whole data to one reducer
+    val plan = sampled.queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+    plan should include("Partial")
+    // determinism: same rows on a different input partitioning
+    val again = TextOps.stratifiedSample(df.repartition(3), "doc_id", "src", 25)
       .select("doc_id").collect().map(_.getLong(0)).sorted
-    // reference: one window over the whole stratum
-    val ord = Seq(TextOps.portableHash(col("doc_id").cast("string")), col("doc_id"))
-    val ref = df.withColumn("__rn",
-        row_number().over(Window.partitionBy("src").orderBy(ord: _*)))
-      .filter(col("__rn") <= 25)
-      .select("doc_id").collect().map(_.getLong(0)).sorted
-    sampled shouldBe ref
-    sampled.length shouldBe 25 + 25 + 25
+    again shouldBe sampled.select("doc_id").collect().map(_.getLong(0)).sorted
   }
 
   test("bucketed range join equals the naive range join") {
