@@ -195,6 +195,69 @@ object TextOps {
           - size(array_intersect(col("hs_a"), col("hs_b")))).as("uni"))
   }
 
+  /** Benchmark-contamination scores — the decontamination primitive for
+    * training corpora: for every corpus doc, the fraction of its DISTINCT
+    * bigram shingles that appear anywhere in `benchmark` (n-gram overlap
+    * against a held-out evaluation set). Docs with no shingles (< 2
+    * tokens) score 0.0.
+    *
+    * Output: (doc_id, n_shingles, n_contaminated, contamination).
+    *
+    * Plan shape at 100 TB: two exploded shingle streams, a distinct
+    * each, one equi-join on the shingle hash, one count aggregate — every
+    * shuffle is a hash-partition on doc id or shingle hash, nothing
+    * pairwise, so work is linear in corpus tokens regardless of benchmark
+    * or corpus size. */
+  def contaminationScores(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val corpusShingles = shingleRows(corpus, idCol, textCol).distinct()
+    val benchShingles = shingleRows(benchmark, idCol, textCol)
+      .select(col("__s")).distinct()
+      .withColumn("__hit", lit(1))
+    val scored = corpusShingles
+      .join(benchShingles, Seq("__s"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_contaminated"))
+      .withColumnRenamed("__id", "doc_id")
+    corpus.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("n_contaminated").cast("double")
+          / col("n_shingles").cast("double"), lit(0.0)).as("contamination"))
+  }
+
+  /** Deterministic sequence packing: assign docs to token-budget bins for
+    * training-batch construction. Docs are sharded by id hash (`shards` ≈
+    * parallel writers), ordered deterministically within the shard
+    * (hash, id), and cut into bins by EXCLUSIVE-prefix token sums:
+    * `bin = prefix_tokens_before DIV maxTokens`. No bin starts past the
+    * budget; a bin may overflow by less than one document — the standard
+    * streaming approximation (exact greedy packing is inherently
+    * sequential state and cannot distribute). One window shuffle on the
+    * shard key; Spark's rank-limit machinery does not apply but the
+    * running sum is a single pass per shard partition.
+    *
+    * Output: (doc_id, shard, n_tokens, bin). */
+  def packSequences(
+      df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Long, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(shards > 0, "shards must be positive")
+    val base = df.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        portableHash(col(idCol).cast("string")).as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"(__cum - n_tokens) DIV $maxTokens").as("bin"))
+  }
+
   /** Per-doc SimHash signatures (16-bit) over distinct tokens. Docs with
     * equal signatures are near-dup candidates; grouping by signature is a
     * single aggregate. */

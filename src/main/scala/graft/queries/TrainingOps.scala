@@ -91,6 +91,47 @@ object TrainingOps {
         .orderBy("id_a", "id_b")
     },
 
+    // ------------------------------- decontamination: benchmark overlap
+    // (fraction of each doc's distinct bigram shingles appearing in the
+    // benchmark set — here the deterministic doc_id % 20 = 0 slice)
+    QueryDef(
+      "q_td_contamination",
+      s"""WITH sh AS ($ShingleDocs),
+         |corp AS (SELECT id, unnest(hs) AS h FROM sh),
+         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE id % 20 = 0),
+         |scored AS (SELECT c.id, count(*) AS t, count(b.h) AS m
+         |           FROM corp c LEFT JOIN bench b ON c.h = b.h GROUP BY c.id)
+         |SELECT d.doc_id, coalesce(s.t, 0) AS n_shingles,
+         |       coalesce(s.m, 0) AS n_contaminated,
+         |       coalesce(CAST(s.m AS DOUBLE) / CAST(s.t AS DOUBLE), 0.0)
+         |         AS contamination
+         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextOps.contaminationScores(
+        docs, docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // --------------------------------- packing: token-budget bins (512)
+    QueryDef(
+      "q_td_packing",
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($Words) AS BIGINT) AS n_tokens,
+         |    ${H("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |c AS (SELECT doc_id, h % 8 AS shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |       CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.packSequences(Tables.documents(s, d), "doc_id", "text",
+        maxTokens = 512L, shards = 8)
+        .orderBy("doc_id")
+    },
+
     // --------------------------------------- similarity: brute-force kNN
     QueryDef("q_td_knn_brute", knnOracle) { (s, d) =>
       val e = Tables.embeddings(s, d)

@@ -208,6 +208,49 @@ class OpsSpec extends AnyFunSuite with Matchers {
     ok.map(_.getLong(0)) shouldBe Array(0L)
   }
 
+  test("contamination scores: overlap fraction against a benchmark set") {
+    import graft.ops.TextOps
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),   // identical to benchmark doc
+      (2L, "the quick brown dog sleeps"),  // partial overlap
+      (3L, "completely different words entirely here"), // disjoint
+      (4L, "single")                       // < 2 tokens → no shingles
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val out = TextOps.contaminationScores(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out(1L) shouldBe ((4L, 4L, 1.0))  // all 4 bigrams contaminated
+    out(2L)._1 shouldBe 4L
+    out(2L)._2 shouldBe 2L            // "the_quick", "quick_brown"
+    out(2L)._3 shouldBe 0.5
+    out(3L) shouldBe ((4L, 0L, 0.0))
+    out(4L) shouldBe ((0L, 0L, 0.0))  // shingle-less doc still reported
+  }
+
+  test("sequence packing: bins never start past the budget, all docs placed") {
+    import graft.ops.TextOps
+    val docs = (1L to 300L)
+      .map(i => (i, Seq.fill((i % 37 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = TextOps.packSequences(docs, "doc_id", "text",
+      maxTokens = 100L, shards = 4)
+    packed.count() shouldBe 300 // every doc assigned exactly once
+    // a bin's exclusive-prefix start is < budget by construction; verify
+    // the consequence: per (shard, bin), tokens minus the overflowing last
+    // doc fit the budget (overflow is bounded by one document)
+    val bins = packed.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("t"), max("n_tokens").as("m"))
+      .collect()
+    all(bins.map(r => r.getLong(2) - r.getLong(3))) should be < 100L
+    // determinism: identical assignment on a different input partitioning
+    val again = TextOps.packSequences(docs.repartition(7), "doc_id", "text",
+      maxTokens = 100L, shards = 4)
+      .select("doc_id", "bin").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    again shouldBe packed.select("doc_id", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+  }
+
   test("stratified sample: partial rank-limit pushdown bounds reducer input") {
     import graft.ops.TextOps
     // heavy skew: one mega-stratum, two tiny ones, input split many ways
