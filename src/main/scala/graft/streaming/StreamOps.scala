@@ -37,6 +37,23 @@ object StreamOps {
         col("win.start").as("window_start"),
         col("event_type"), col("n"))
 
+  /** Streaming deduplication on arbitrary key columns (e.g. a content
+    * hash): only the FIRST arrival of each key within the watermark
+    * horizon is emitted. Built on `dropDuplicatesWithinWatermark`, so
+    * per-key dedup state is DROPPED once the event-time watermark passes —
+    * state is bounded by distinct keys per horizon, not all history, which
+    * is what makes continuous corpus-ingest dedup feasible: an unbounded
+    * `dropDuplicates` state would grow with every document ever seen.
+    * On a batch frame the same expression degenerates to a plain
+    * first-wins dedup. */
+  def streamingDedup(
+      df: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)
   final case class Session(
       user_id: Long,

@@ -45,6 +45,26 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming dedup emits first arrival only; state bounded by watermark") {
+    val input = MemoryStream[Event](spark)
+    val q = StreamOps.streamingDedup(
+        input.toDF(), "ts", Seq("event_type"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(Event(1, ts(1), "alpha"), Event(2, ts(2), "alpha"))
+      q.processAllAvailable()
+      // duplicate key in a LATER microbatch, still within the watermark
+      input.addData(Event(3, ts(3), "alpha"), Event(4, ts(4), "beta"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup")
+        .select("user_id", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      // first alpha (user 1) and first beta (user 4) only
+      rows shouldBe Array((1L, "alpha"), (4L, "beta"))
+    } finally q.stop()
+  }
+
   test("sessionization emits final sessions after the gap times out") {
     val input = MemoryStream[Event](spark)
     val sessions = sessionize(input.toDS(), gapMs = 5 * 60 * 1000, "1 minute")
