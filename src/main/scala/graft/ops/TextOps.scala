@@ -229,6 +229,30 @@ object TextOps {
           / col("n_shingles").cast("double"), lit(0.0)).as("contamination"))
   }
 
+  /** Repetition metrics — the Gopher-style quality signal for boilerplate
+    * and spam: how much of a document is repeated content. Per doc:
+    * total bigram occurrences, distinct bigrams, and the repeated
+    * fraction `1 - distinct/total` (0.0 for docs with < 2 tokens — nothing
+    * to repeat). One exploded stream and one count/count-distinct
+    * aggregate; linear in corpus tokens.
+    *
+    * Output: (doc_id, n_bigrams, n_distinct, repetition). */
+  def repetitionMetrics(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = shingleRows(df, idCol, textCol)
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count_distinct(col("__s")).as("n_distinct"))
+      .withColumnRenamed("__id", "doc_id")
+    df.select(col(idCol).as("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(lit(1.0) - col("n_distinct").cast("double")
+          / col("n_bigrams").cast("double"), lit(0.0)).as("repetition"))
+  }
+
   /** Deterministic sequence packing: assign docs to token-budget bins for
     * training-batch construction. Docs are sharded by id hash (`shards` ≈
     * parallel writers), ordered deterministically within the shard

@@ -113,6 +113,30 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // --------------------------- quality: repetition (boilerplate/spam)
+    QueryDef(
+      "q_td_repetition",
+      s"""WITH hw AS (SELECT doc_id,
+         |    list_transform($Words, w -> ${H("w")}) AS hw FROM documents),
+         |sh AS (SELECT doc_id,
+         |    CASE WHEN len(hw) < 2 THEN CAST([] AS BIGINT[])
+         |      ELSE list_transform(range(1, len(hw)),
+         |        i -> (hw[i] * 1000003 + hw[i+1]) % ${TextOps.ShingleMod})
+         |    END AS s FROM hw),
+         |x AS (SELECT doc_id, unnest(s) AS h FROM sh),
+         |c AS (SELECT doc_id, count(*) AS t, count(DISTINCT h) AS dd
+         |      FROM x GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(c.t, 0) AS n_bigrams,
+         |       coalesce(c.dd, 0) AS n_distinct,
+         |       coalesce(CAST(1.0 AS DOUBLE)
+         |         - CAST(c.dd AS DOUBLE) / CAST(c.t AS DOUBLE), 0.0)
+         |         AS repetition
+         |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      TextOps.repetitionMetrics(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // --------------------------------- packing: token-budget bins (512)
     QueryDef(
       "q_td_packing",

@@ -251,6 +251,34 @@ class OpsSpec extends AnyFunSuite with Matchers {
       .map(r => (r.getLong(0), r.getLong(1))).sorted
   }
 
+  test("repetition metrics flag duplicated content") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),       // 4 bigrams, 1 distinct
+      (2L, "all words here are different"),   // 4 bigrams, 4 distinct
+      (3L, "x")                                // no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out(1L) shouldBe ((4L, 1L, 0.75))
+    out(2L) shouldBe ((4L, 4L, 0.0))
+    out(3L) shouldBe ((0L, 0L, 0.0))
+  }
+
+  test("IVF corpus assignment is an aggregate, not a per-vector window sort") {
+    import graft.ops.SimilarityOps
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = SimilarityOps.ivfTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+        nCentroids = 16, nProbe = 4, k = 3)
+      .queryExecution.executedPlan.toString
+    // scale contract: the n×nCentroids corpus-assignment rows are FOLDED
+    // by a partial min_by aggregate (one row per vector crosses the
+    // shuffle), never ranked by a row_number window
+    plan should include("partial_min_by")
+  }
+
   test("stratified sample: partial rank-limit pushdown bounds reducer input") {
     import graft.ops.TextOps
     // heavy skew: one mega-stratum, two tiny ones, input split many ways
