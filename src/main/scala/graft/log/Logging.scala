@@ -31,6 +31,14 @@ object LogSchema {
     StructField("run_id", StringType),
     StructField("entity_id", IntegerType),
     StructField("payload_json", StringType)))
+
+  /** One log batch as a single-partition DataFrame — shared by both sinks
+    * so the record-to-row mapping cannot diverge. */
+  def toDataFrame(spark: SparkSession, batch: Vector[LogRecord]): DataFrame = {
+    val rows = batch.map(r => Row(
+      r.timestamp, r.level, r.logger, r.message, r.runId, r.entityId, r.payloadJson))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), fields)
+  }
 }
 
 final case class LogRecord(
@@ -51,6 +59,10 @@ trait LogSink {
   protected def write(batch: Vector[LogRecord]): Unit
 
   private val buffer = mutable.ArrayBuffer.empty[LogRecord]
+  // flush jobs serialize per sink: two concurrent append jobs into the
+  // same output path share one FileOutputCommitter _temporary staging dir,
+  // so a parallel flush could destroy the other's in-flight task files
+  private val writeLock = new Object
 
   final def append(r: LogRecord): Unit = {
     val toFlush = buffer.synchronized {
@@ -59,7 +71,7 @@ trait LogSink {
         val batch = buffer.toVector; buffer.clear(); Some(batch)
       } else None
     }
-    toFlush.foreach(write)
+    toFlush.foreach(b => writeLock.synchronized(write(b)))
   }
 
   final def flush(): Unit = {
@@ -67,7 +79,7 @@ trait LogSink {
       if (buffer.isEmpty) None
       else { val batch = buffer.toVector; buffer.clear(); Some(batch) }
     }
-    toFlush.foreach(write)
+    toFlush.foreach(b => writeLock.synchronized(write(b)))
   }
 
   final def pending: Int = buffer.synchronized(buffer.size)
@@ -79,13 +91,8 @@ final class ParquetLogSink(
     path: String,
     protected val flushThreshold: Int = 10) extends LogSink {
 
-  protected def write(batch: Vector[LogRecord]): Unit = {
-    val rows = batch.map(r => Row(
-      r.timestamp, r.level, r.logger, r.message, r.runId, r.entityId, r.payloadJson))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), LogSchema.fields)
-      .write.mode("append").parquet(path)
-  }
+  protected def write(batch: Vector[LogRecord]): Unit =
+    LogSchema.toDataFrame(spark, batch).write.mode("append").parquet(path)
 
   def read(): DataFrame = spark.read.schema(LogSchema.fields).parquet(path)
 }
@@ -104,27 +111,30 @@ final class TableLogSink(
   import org.apache.spark.sql.functions.{col, parse_json}
 
   protected def write(batch: Vector[LogRecord]): Unit = {
-    ensureTableExists
-    val rows = batch.map(r => Row(
-      r.timestamp, r.level, r.logger, r.message, r.runId, r.entityId, r.payloadJson))
-    val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), LogSchema.fields)
+    val df = LogSchema.toDataFrame(spark, batch)
       .withColumn("payload", parse_json(col("payload_json")))
       .drop("payload_json")
-    val tableCols = spark.table(tableName).columns.toSeq
-    df.select(tableCols.map(df.col): _*).write.insertInto(tableName)
+    df.select(tableColumns.map(df.col): _*).write.insertInto(tableName)
   }
 
-  // once-only and synchronized: two runs sharing the sink may flush
-  // concurrently, and racing CREATE TABLE calls can trip
-  // LOCATION_ALREADY_EXISTS even with IF NOT EXISTS
-  private lazy val ensureTableExists: Unit = {
+  // once-only (lazy init is synchronized): the table layout is immutable
+  // after creation, so DDL and column-order resolution run exactly once —
+  // not a catalog lookup per flush — and concurrent first flushes cannot
+  // race CREATE TABLE into LOCATION_ALREADY_EXISTS
+  private lazy val tableColumns: Seq[String] = {
     val parts = tableName.split('.')
-    if (parts.length == 2)
-      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${parts(0)}")
+    // db part for db.table; catalog.db.table keeps its catalog qualifier
+    // (reference handles both, TableAppender.ensureTableExists)
+    val db = parts.length match {
+      case 3 => Some(s"${parts(0)}.${parts(1)}")
+      case 2 => Some(parts(0))
+      case _ => None
+    }
+    db.foreach(d => spark.sql(s"CREATE DATABASE IF NOT EXISTS $d"))
     spark.sql(s"""CREATE TABLE IF NOT EXISTS $tableName (
       `timestamp` TIMESTAMP_NTZ, level STRING, logger STRING, message STRING,
       run_id STRING, entity_id INT, payload VARIANT) USING PARQUET""")
+    spark.table(tableName).columns.toSeq
   }
 
   def read(): DataFrame = spark.table(tableName)

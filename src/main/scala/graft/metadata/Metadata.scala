@@ -95,12 +95,20 @@ final class Metadata(
   private def applySecureSuffix(path: String, e: Entity, layer: String): String =
     if (!e.isSecure || environment.secureContainerSuffix.isEmpty) path
     else {
-      val segs = path.split("/", -1)
+      // search only BELOW the root folder: a root path segment that
+      // happens to be named "bronze"/"silver" (e.g. /mnt/bronze) must not
+      // swallow the suffix meant for the layer directory — the reference
+      // appends right after <root>/<layer>
+      val root = environment.rootFolder
+      val (head, tail) =
+        if (root.nonEmpty && path.startsWith(root)) (root, path.drop(root.length))
+        else ("", path)
+      val segs = tail.split("/", -1)
       val i = segs.indexWhere(_ == layer)
       if (i < 0) path
       else {
         segs(i) = segs(i) + environment.secureContainerSuffix
-        segs.mkString("/")
+        head + segs.mkString("/")
       }
     }
 

@@ -271,9 +271,11 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     require(maxTokens > 0, "maxTokens must be positive")
     require(shards > 0, "shards must be positive")
+    // null guards: a null text packs as 0 tokens and a null id hashes to
+    // bucket 0 — every doc gets a (shard, bin), never a null assignment
     val base = df.select(col(idCol).as("doc_id"),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"),
-        portableHash(col(idCol).cast("string")).as("__h"))
+        coalesce(size(tokens(col(textCol))).cast("long"), lit(0L)).as("n_tokens"),
+        coalesce(portableHash(col(idCol).cast("string")), lit(0L)).as("__h"))
       .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
     val w = Window.partitionBy("shard").orderBy(col("__h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

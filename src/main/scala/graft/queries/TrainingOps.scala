@@ -141,8 +141,8 @@ object TrainingOps {
     QueryDef(
       "q_td_packing",
       s"""WITH t AS (SELECT doc_id,
-         |    CAST(len($Words) AS BIGINT) AS n_tokens,
-         |    ${H("CAST(doc_id AS VARCHAR)")} AS h
+         |    CAST(coalesce(len($Words), 0) AS BIGINT) AS n_tokens,
+         |    coalesce(${H("CAST(doc_id AS VARCHAR)")}, 0) AS h
          |  FROM documents),
          |c AS (SELECT doc_id, h % 8 AS shard, n_tokens,
          |    sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id

@@ -326,7 +326,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       if (v.forall(_.isDigit) && v.toLong < m.version && !needed.contains(v.toLong))
         fs.delete(st.getPath, false)
     }
-    writeFile(earliestFile, m.version.toString)
+    // readers are lock-free: publish the horizon atomically (tmp + rename)
+    // like the _current pointer, never truncate-in-place
+    writeFileAtomic(earliestFile, m.version.toString)
   }
 
   // ------------------------------------------------------------- internals
@@ -458,17 +460,23 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     writeFile(new Path(manifestsDir, f"v$next%020d.json"), recordJson)
     snapshotCache.put(next, snapshot)
     // atomic pointer swap: tmp write + rename-with-overwrite
-    val tmp = new Path(metaDir, s"_current.tmp.${UUID.randomUUID()}")
-    writeFile(tmp, next.toString)
-    val fc = FileContext.getFileContext(
-      root.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, pointerFile, Options.Rename.OVERWRITE)
+    writeFileAtomic(pointerFile, next.toString)
   }
 
   private def writeFile(p: Path, content: String): Unit = {
     val out = fs.create(p, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Publish a small metadata file atomically: tmp write + rename-with-
+    * overwrite, so lock-free readers never observe a truncated file. */
+  private def writeFileAtomic(target: Path, content: String): Unit = {
+    val tmp = new Path(metaDir, s"${target.getName}.tmp.${UUID.randomUUID()}")
+    writeFile(tmp, content)
+    val fc = FileContext.getFileContext(
+      root.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, target, Options.Rename.OVERWRITE)
   }
 }
 

@@ -108,6 +108,15 @@ class MetadataSpec extends AnyFunSuite with Matchers {
     md.bronzePath(md.getEntity(3)) shouldBe "/lake/bronze-secure/x/custom"
     md.silverLocation(md.getEntity(3)) shouldBe
       PathLocation("/lake/silver-secure/x/custom")
+    // a root folder segment named like a layer must NOT take the suffix —
+    // only the layer directory below the root does
+    val md3 = Metadata.fromJson("""{
+      "environment": { "name": "sec", "root_folder": "/mnt/bronze",
+                       "secure_container_suffix": "-secure" },
+      "connections": [ { "name": "erp" } ],
+      "entities": [ { "id": 1, "name": "salary", "connection": "erp",
+                      "secure": true } ] }""")
+    md3.bronzePath(md3.getEntity(1)) shouldBe "/mnt/bronze/bronze-secure/erp/salary"
     // without a configured suffix, secure is a no-op
     val md2 = Metadata.fromJson("""{
       "environment": { "name": "nosuffix", "root_folder": "/lake" },

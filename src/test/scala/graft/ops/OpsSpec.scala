@@ -249,6 +249,13 @@ class OpsSpec extends AnyFunSuite with Matchers {
       .select("doc_id", "bin").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     again shouldBe packed.select("doc_id", "bin").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted
+    // null text still receives a real (shard, bin) assignment, at 0 tokens
+    val withNull = TextOps.packSequences(
+      Seq((1L, Some("a b c")), (2L, None)).toDF("doc_id", "text"),
+      "doc_id", "text", maxTokens = 10L, shards = 2)
+      .collect().map(r => (r.getLong(0), r.isNullAt(1) || r.isNullAt(3), r.getLong(2)))
+    withNull.foreach(_._2 shouldBe false)
+    withNull.find(_._1 == 2L).get._3 shouldBe 0L // null text → 0 tokens
   }
 
   test("repetition metrics flag duplicated content") {
