@@ -113,6 +113,25 @@ class LogAndOutputsSpec extends AnyFunSuite with Matchers {
       .select("run_id").distinct().count() shouldBe 2
   }
 
+  test("concurrent appends from parallel runs lose no log rows") {
+    // Runner.parallelism model: many entities logging through ONE shared
+    // sink; flush jobs serialize on the sink's write lock so concurrent
+    // threshold flushes cannot clobber each other's staging files
+    val path = tmp() + "/clogs"
+    val sink = new ParquetLogSink(spark, path, flushThreshold = 5)
+    val threads = (1 to 4).map { t =>
+      new Thread(() => {
+        val logger = new RunLogger(sink)
+        (1 to 25).foreach(i => logger.info("graft.test", s"t$t-m$i", entityId = t))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    sink.flush()
+    val rows = sink.read()
+    rows.count() shouldBe 100
+    rows.select("run_id").distinct().count() shouldBe 4
+  }
+
   test("datafactory: enabled entities serialized with resolved locations") {
     implicit val md: Metadata = Metadata.fromJson("""{
       "environment": { "name": "t", "root_folder": "/data" },
