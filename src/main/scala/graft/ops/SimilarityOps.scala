@@ -153,6 +153,96 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Distributed spherical k-means for IVF codebook training — the
+    * offline fit that turns [[ivfTopK]]'s deterministic seed codebook into
+    * a trained one. Seeded from the first `k` corpus vectors in id order
+    * (reproducible), then `iters` Lloyd rounds:
+    *
+    *  - assignment: crossJoin(broadcast(centroids)) + one `min_by`
+    *    partial aggregate per vector — the same linear, sort-free shape
+    *    the plan spec pins for [[ivfTopK]];
+    *  - update: element-wise mean per cluster through EXPLODED
+    *    (cluster, dim, value) rows — codegen hash aggregates, no
+    *    interpreted array lambdas — then L2-normalized (spherical
+    *    k-means, so each round's mean direction is the optimal centroid
+    *    for cosine assignment).
+    *
+    * Clusters that lose all members drop out (k shrinks) rather than
+    * being re-seeded, keeping the fit deterministic. Lineage is truncated
+    * each round with `localCheckpoint`. Returns `(cid, centv)` for
+    * [[ivfTopKWith]]. No SQL oracle: an iterative FP fixpoint is not
+    * reasonably expressible in portable SQL (like the HLL sketch, the
+    * contract is asserted in OpsSpec — the spherical objective is
+    * monotonically non-decreasing over rounds). */
+  def kMeansCodebook(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("centv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = c.crossJoin(broadcast(cents))
+        .withColumn("__cos", expr("graft_cosine(__v, centv)"))
+        .groupBy("__id")
+        .agg(min_by(struct(col("cid"), col("__v")),
+          struct(coalesce(negate(col("__cos")), lit(Double.PositiveInfinity)),
+            col("cid"))).as("__a"))
+        .select(col("__a.cid").as("cid"), col("__a.__v").as("__v"))
+      val byDim = assigned
+        .select(col("cid"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+      val norms = byDim.groupBy("cid")
+        .agg(sqrt(sum(col("m") * col("m"))).as("n"))
+      cents = byDim.join(norms, "cid")
+        .select(col("cid"), col("pos"),
+          when(col("n") > 0.0, col("m") / col("n")).otherwise(col("m")).as("u"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("u")))).as("pu"))
+        .select(col("cid"), expr("transform(pu, p -> p.u)").as("centv"))
+        .localCheckpoint()
+    }
+    c.unpersist()
+    cents
+  }
+
+  /** [[ivfTopK]] against an explicit codebook `(cid, centv)` — e.g. one
+    * trained by [[kMeansCodebook]]. Same probe-limited plan shape. */
+  def ivfTopKWith(
+      queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val cents = codebook.select(col("cid"), col("centv"))
+
+    val assignment = c.crossJoin(broadcast(cents))
+      .withColumn("__cos", expr("graft_cosine(cv, centv)"))
+      .groupBy("neighbor_id")
+      .agg(min_by(col("cid"),
+        struct(coalesce(negate(col("__cos")), lit(Double.PositiveInfinity)),
+          col("cid"))).as("cid"))
+      .select("neighbor_id", "cid")
+    val pw = Window.partitionBy("query_id")
+      .orderBy(expr("graft_cosine(qv, centv)").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nProbe)
+      .select("query_id", "cid")
+    val candidates = probes.join(assignment, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = candidates
+      .join(q, "query_id").join(c, "neighbor_id")
+      .withColumn("cos", expr("graft_cosine(qv, cv)"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Embedding near-duplicate pairs over a whole corpus: candidate pairs
     * collide in at least one LSH table; exact cosine keeps pairs at or
     * above `threshold`. The corpus-scale companion of [[lshTopK]] —

@@ -77,6 +77,32 @@ class OpsSpec extends AnyFunSuite with Matchers {
     recall should be >= 0.4
   }
 
+  test("k-means codebook training raises the spherical objective; trained IVF works") {
+    import graft.ops.SimilarityOps
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      emb.select(col("vec_id"), SimilarityOps.asDouble(col("embedding")).as("v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("c", expr("graft_cosine(v, centv)"))
+        .groupBy("vec_id").agg(max("c").as("m"))
+        .agg(sum("m")).head.getDouble(0)
+    val seed = SimilarityOps.kMeansCodebook(emb, "vec_id", "embedding", k = 8, iters = 0)
+    val one = SimilarityOps.kMeansCodebook(emb, "vec_id", "embedding", k = 8, iters = 1)
+    val two = SimilarityOps.kMeansCodebook(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val (o0, o1, o2) = (objective(seed), objective(one), objective(two))
+    // Lloyd rounds of spherical k-means never decrease the objective
+    o1 should be >= o0 - 1e-9
+    o2 should be >= o1 - 1e-9
+    o2 should be > o0 // and the fit genuinely moved off the raw seed
+
+    val out = SimilarityOps.ivfTopKWith(
+      emb.filter(col("vec_id") < 10), emb, two, "vec_id", "embedding",
+      nProbe = 3, k = 5)
+    out.groupBy("query_id").count().collect().foreach(_.getLong(1) should be <= 5L)
+    out.count() should be > 0L
+  }
+
   test("brute-force kNN ranks the nearest vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
