@@ -150,12 +150,49 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
 
   /** Data skipping: files whose [lower, upper] range (inclusive, either
     * side optional) can overlap `column`'s per-file min/max. Files without
-    * stats for the column are conservatively kept. */
+    * stats for the column are conservatively kept.
+    *
+    * Bounds are translated into the stats domain first (timestamps →
+    * epoch micros, dates → epoch days — the raw parquet footer encoding);
+    * a bound with no safe translation (e.g. a raw long against a
+    * timestamp column, whose Spark-filter cast semantics differ from the
+    * stats encoding) disables skipping on that side rather than risking
+    * wrongly-skipped files. */
   def filesInRange(
       column: String, lower: Option[Any], upper: Option[Any]): Seq[TableFile] = {
     val m = requireManifest
+    val dt = m.schema.fields.find(_.name == column).map(_.dataType)
+    val lo = lower.flatMap(statsBound(dt, _))
+    val hi = upper.flatMap(statsBound(dt, _))
     m.files.filter(f =>
-      f.stats.get(column).forall(_.overlaps(lower, upper)))
+      f.stats.get(column).forall(_.overlaps(lo, hi)))
+  }
+
+  /** A range bound in the footer-stats domain for a column of type `dt`;
+    * None when no translation is safe (skipping then stays off for that
+    * bound — an optimization must never drop rows). */
+  private def statsBound(
+      dt: Option[org.apache.spark.sql.types.DataType], v: Any): Option[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case Some(TimestampType) | Some(TimestampNTZType) => v match {
+        case t: java.sql.Timestamp =>
+          val i = t.toInstant
+          Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+        case i: java.time.Instant =>
+          Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+        case l: java.time.LocalDateTime =>
+          val i = l.toInstant(java.time.ZoneOffset.UTC)
+          Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+        case _ => None
+      }
+      case Some(DateType) => v match {
+        case d: java.sql.Date      => Some(d.toLocalDate.toEpochDay)
+        case d: java.time.LocalDate => Some(d.toEpochDay)
+        case _                      => None
+      }
+      case _ => Some(v)
+    }
   }
 
   /** Range scan with manifest-level file skipping: the driver hands the
@@ -193,7 +230,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * mutex per table (incl. the shared watermark table) is exactly the
     * coordination needed. Cross-driver writers remain single-writer by
     * contract, as in the reference. */
-  private def withWriteLock[A](f: => A): A =
+  private[tables] def withWriteLock[A](f: => A): A =
     ManagedTable.lockFor(fs.makeQualified(root).toString).synchronized(f)
 
   /** Replace the whole table. Always a full checkpoint record. */
@@ -211,6 +248,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     withWriteLock { manifest match {
       case None => overwriteAll(df, partitionBy)
       case Some(m) =>
+        // untouched partitions keep their old files but are read under the
+        // NEW manifest schema — a silently-committed retype/drop would make
+        // them unreadable or erase a column table-wide, so the same guard
+        // as append/replacePartitions applies
+        requireSchemaCompatible(df, m)
         val newFiles = writeCommit(df, partitionBy)
         val replaced = newFiles.map(_.partitionValues).toSet
         val removed = m.files.filter(f => replaced.contains(f.partitionValues))
@@ -291,12 +333,17 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       val paths = missing.map(f => new Path(root, f.path))
       val stats = FileStatistics.forPaths(
         spark, spark.sparkContext.hadoopConfiguration, paths)
-      val updated = missing.map(f =>
-        f.copy(stats =
-          stats.getOrElse(new Path(root, f.path).toString, Map.empty)))
+      // restate ONLY files that actually yielded stats: a file whose
+      // footer is unreadable would otherwise be restated empty forever,
+      // committing a useless new version on every maintenance cycle
+      val updated = missing.flatMap { f =>
+        stats.get(new Path(root, f.path).toString)
+          .filter(_.nonEmpty).map(s => f.copy(stats = s))
+      }
       // restated entries travel as remove+add of the same paths
-      commitDelta(m.schemaJson, m.partitionColumns, "collectStatistics",
-        base = Some(m), adds = updated, removes = missing.map(_.path))
+      if (updated.nonEmpty)
+        commitDelta(m.schemaJson, m.partitionColumns, "collectStatistics",
+          base = Some(m), adds = updated, removes = updated.map(_.path))
     }
   }
 
@@ -313,6 +360,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * mid-scan. */
   def vacuum(): Unit = withWriteLock {
     val m = requireManifest
+    // publish the horizon FIRST (atomically — readers are lock-free and
+    // must never see a truncated file): if vacuum crashes mid-delete, the
+    // fail-fast guard is already conservative instead of stale, and
+    // readVersion cannot regress to an opaque mid-scan FileNotFound
+    writeFileAtomic(earliestFile, m.version.toString)
     val live = m.files
       .map(f => fs.makeQualified(new Path(root, f.path)).toString).toSet
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
@@ -326,9 +378,6 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       if (v.forall(_.isDigit) && v.toLong < m.version && !needed.contains(v.toLong))
         fs.delete(st.getPath, false)
     }
-    // readers are lock-free: publish the horizon atomically (tmp + rename)
-    // like the _current pointer, never truncate-in-place
-    writeFileAtomic(earliestFile, m.version.toString)
   }
 
   // ------------------------------------------------------------- internals
@@ -417,7 +466,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+      if (c == '%' && i + 3 <= s.length) { // two hex chars must follow '%'
         try {
           sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
           i += 3

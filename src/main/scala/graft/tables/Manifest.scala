@@ -23,12 +23,22 @@ import org.json4s.jackson.JsonMethods
 final case class ColStats(typ: String, min: String, max: String) {
 
   /** Can a value in [lower, upper] (either side optional, inclusive)
-    * possibly exist in this file? Non-comparable inputs (e.g. a
-    * date-string bound against raw epoch stats, NaN/Infinity doubles)
-    * conservatively return true — skipping is an optimization and must
-    * never drop files. */
+    * possibly exist in this file? Non-comparable inputs (a numeric bound
+    * against string stats or vice versa — whose Spark-filter CAST
+    * semantics differ from the raw stats order — NaN/Infinity doubles,
+    * unparsable values) conservatively return true: skipping is an
+    * optimization and must never drop files. */
   def overlaps(lower: Option[Any], upper: Option[Any]): Boolean =
     try {
+      // a bound only participates when its runtime type lives in the same
+      // comparison domain as the stats; e.g. string stats "150" vs bound
+      // 99 must NOT compare textually — Spark's filter would cast "150"
+      // numerically and keep the row
+      def comparable(v: Any): Boolean = typ match {
+        case "string" => v.isInstanceOf[String]
+        case _ => v.isInstanceOf[java.lang.Number] ||
+          v.isInstanceOf[scala.math.BigDecimal]
+      }
       def cmp(a: String, b: String): Int = typ match {
         // parquet computed the min/max in unsigned UTF-8 byte order —
         // compare the same way (String.compareTo's UTF-16 order disagrees
@@ -36,8 +46,8 @@ final case class ColStats(typ: String, min: String, max: String) {
         case "string" => ColStats.compareUtf8(a, b)
         case _        => BigDecimal(a).compare(BigDecimal(b))
       }
-      val loOk = lower.forall(l => cmp(max, l.toString) >= 0)
-      val hiOk = upper.forall(u => cmp(min, u.toString) <= 0)
+      val loOk = lower.forall(l => !comparable(l) || cmp(max, l.toString) >= 0)
+      val hiOk = upper.forall(u => !comparable(u) || cmp(min, u.toString) <= 0)
       loOk && hiOk
     } catch {
       case _: NumberFormatException => true

@@ -42,9 +42,9 @@ final class MergeBuilder private[tables] (
   private var pruned: Option[Seq[Map[String, String]]] = None
   private var sourceKeysUnique = false
 
-  /** Skip the keyed path's duplicate-source-key guard when the caller has
-    * already proven uniqueness (the pipeline's slice stats do) — saves one
-    * aggregation job per merge. */
+  /** Skip the keyed path's multi-match guard when the caller has already
+    * proven source-key uniqueness (the pipeline's slice stats do) — saves
+    * one aggregation job per merge. */
   def assumeUniqueSourceKeys(): this.type = { sourceKeysUnique = true; this }
 
   /** Restrict the merge to these partitions (column → string value, one map
@@ -75,12 +75,20 @@ final class MergeBuilder private[tables] (
   private def add(c: Clause): this.type = { clauses :+= c; this }
 
   /** Run the merge; returns per-action row counts keyed by clause index
-    * (`m0`, `nm1`, `bs0`, …) plus `unchanged` (rows no clause touched). */
-  def execute(): MergeMetrics =
+    * (`m0`, `nm1`, `bs0`, …) plus `unchanged` (rows no clause touched).
+    *
+    * The whole read-resolve-commit runs under the table's write lock: the
+    * plan removes files of the manifest it READ, so an interleaved commit
+    * by another in-process writer (the supported `Runner.parallelism`
+    * model) between manifest resolution and `replacePartitions` would be
+    * silently erased. The lock is reentrant — the inner commit re-acquires
+    * it. */
+  def execute(): MergeMetrics = table.withWriteLock {
     keyColumn match {
       case Some(k) => executeKeyed(k)
       case None    => executeGeneric()
     }
+  }
 
   private def prunedTarget(m: Manifest): DataFrame =
     pruned match {
@@ -195,18 +203,10 @@ final class MergeBuilder private[tables] (
     val m = requireTarget
     val targetCols = m.schema.fields.map(_.name).toSeq
 
-    // Delta raises on multiple source rows matching one target row; a
-    // silent join-multiplication would duplicate target rows. The source
-    // is slice-sized (it gets broadcast), so this guard is one cheap agg.
-    if (!sourceKeysUnique) {
-      val dup = source.groupBy(col(s"`$k`")).count()
-        .filter(col("count") > 1).limit(1).collect()
-      if (dup.nonEmpty)
-        throw new graft.metadata.MetadataException(
-          s"MERGE source has multiple rows for key $k=${dup.head.get(0)}")
-    }
-
-    val t = prunedTarget(m).withColumn(TFlag, lit(true)).alias("target")
+    val t = prunedTarget(m)
+      .withColumn(TFlag, lit(true))
+      .withColumn(TRowId, monotonically_increasing_id())
+      .alias("target")
     val s = source.withColumn(SFlag, lit(true)).alias("source")
     val joined = t.join(broadcast(s),
       col(s"target.`$k`") === col(s"source.`$k`"), "left_outer")
@@ -244,9 +244,23 @@ final class MergeBuilder private[tables] (
     }
 
     val resolved = joined
-      .select(outCols ++ Seq(actionCol.as(ActionCol), col(s"source.`$k`").as(MatchKey)): _*)
+      .select(outCols ++ Seq(actionCol.as(ActionCol),
+        col(s"source.`$k`").as(MatchKey),
+        when(col(SFlag).isNotNull, col(TRowId)).as(TRowId)): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var all: DataFrame = null
     try {
+      // Delta contract (same check as the generic path): multiple source
+      // rows matching ONE TARGET ROW is an error — but duplicate source
+      // keys that match nothing are legal inserts of every row, so the
+      // guard counts matched target rows, not raw source keys
+      if (!sourceKeysUnique) {
+        val multi = resolved.filter(col(TRowId).isNotNull)
+          .groupBy(TRowId).count().filter(col("count") > 1).limit(1).count()
+        if (multi > 0)
+          throw new graft.metadata.MetadataException(
+            "MERGE source has multiple rows matching one target row")
+      }
       // insert side: source rows whose key matched nothing in the target
       val matchedKeys = resolved.filter(col(MatchKey).isNotNull)
         .select(col(MatchKey).as(k)).distinct()
@@ -261,17 +275,23 @@ final class MergeBuilder private[tables] (
       // a NotMatched clause's action is InsertAll (or conditional drop)
       val inserts = unmatched
         .select(targetCols.map(n => col(s"source.`$n`").as(n))
-          :+ insertAction.as(ActionCol) :+ lit(null).cast("string").as(MatchKey): _*)
+          :+ insertAction.as(ActionCol) :+ lit(null).cast("string").as(MatchKey)
+          :+ lit(null).cast("long").as(TRowId): _*)
 
-      val all = resolved.unionByName(inserts)
+      // persisted too: metrics and the write otherwise each re-run the
+      // insert anti-join and source scan
+      all = resolved.unionByName(inserts).persist(StorageLevel.MEMORY_AND_DISK)
       val counts = all.groupBy(ActionCol).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val kept = all
         .filter(col(ActionCol) =!= DropTag && !col(ActionCol).startsWith(DeletePrefix))
-        .drop(ActionCol, MatchKey)
+        .drop(ActionCol, MatchKey, TRowId)
       table.replacePartitions(pruned.filter(_ => m.partitionColumns.nonEmpty), kept)
       MergeMetrics(counts - DropTag)
-    } finally resolved.unpersist()
+    } finally {
+      resolved.unpersist()
+      if (all != null) all.unpersist()
+    }
   }
 }
 

@@ -157,6 +157,17 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     ex.getMessage should include("multiple rows")
   }
 
+  test("keyed merge: duplicate source keys matching NO target row insert both") {
+    // Delta contract: only multiple matches of ONE TARGET ROW error out;
+    // duplicates among pure inserts are legal (same as the generic path)
+    val t = ManagedTable(spark, tmp() + "/dupins")
+    t.overwriteAll(df(Seq((1, "a", "x"))))
+    MergeInto.byKey(t, df(Seq((9, "n1", "x"), (9, "n2", "x"))), "id")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    t.read().filter(col("id") === 9).count() shouldBe 2
+    t.read().count() shouldBe 3
+  }
+
   test("append rejects a column type change (would brick old files)") {
     import spark.implicits._
     val t = ManagedTable(spark, tmp() + "/retype")
