@@ -141,7 +141,13 @@ final case class Entity(
   def destination: String = destinationOverride.filter(_.nonEmpty).getOrElse(name)
   def businessKeyColumns: Seq[String] = columns.filter(_.isBusinessKey).map(_.finalName)
   def partitionColumns: Seq[String] = columns.filter(_.isPartition).map(_.finalName)
-  def primaryKeyColumnName: String = s"PK_$destination"
+  /** Normalized like every other column: the pipeline's final normalize
+    * step renames all DataFrame columns, so an un-normalized destination
+    * (e.g. "dbo.customers") would make the on-disk PK column silently
+    * diverge from this name — breaking the duplicate-key guard and the
+    * merge's key resolution. */
+  def primaryKeyColumnName: String =
+    s"PK_${graft.core.ColumnOps.normalizeName(destination)}"
 
   /** Secure entities live under suffixed bronze/silver containers
     * (reference: Entity.scala:84-85,197-206). */

@@ -127,12 +127,8 @@ final class Processing(
         org.slf4j.LoggerFactory.getLogger(classOf[Processing])
           .warn(s"Slice $sliceFile for entity ${entity.name} is empty")
       checkDuplicateBusinessKeys()
-      val strategy = strategyOverride.getOrElse(entity.processType)
-      val summary = strategy match {
-        case ProcessType.Full     => new FullStrategy().run(this)
-        case ProcessType.Merge    => new MergeStrategy().run(this)
-        case ProcessType.Historic => new HistoricStrategy().run(this)
-      }
+      val summary =
+        Strategy.forType(strategyOverride.getOrElse(entity.processType)).run(this)
       val wmTypes = source.watermarkValues.map { case (wm, _) =>
         val name = watermarkColumnName(wm)
         wm.columnName -> (

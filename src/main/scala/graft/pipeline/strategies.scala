@@ -73,7 +73,12 @@ sealed trait Strategy {
     }
   }
 
-  private def sqlEscape(s: String): String = s.replace("'", "''")
+  /** Escape a data-derived value for embedding in a Spark SQL literal:
+    * backslashes FIRST (they are escape characters under the default
+    * parser mode — a trailing `\` would otherwise escape the closing
+    * quote), then single quotes. */
+  private def sqlEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
 
   /** Partition IN-pruning facts from the slice (reference:
     * Merge.scala:38-48): every partition the slice touches, as string values
@@ -132,6 +137,9 @@ final class MergeStrategy extends Strategy {
         cond = Some(s"source.`${sys.deleted}` = true"))
       .whenMatchedUpdateAll(
         cond = Some(s"target.`${sys.sourceHash}` != source.`${sys.sourceHash}`"))
+      // deliberate reference parity (Merge.scala:108-110): the hash-equal
+      // touch updates ONLY lastSeen — a soft-deleted row whose content
+      // reappears unchanged stays deleted until its content changes
       .whenMatchedUpdate(
         Map(sys.lastSeen -> s"source.`${sys.lastSeen}`"))
       .whenNotMatchedInsertAll(
@@ -227,6 +235,10 @@ final class HistoricStrategy extends Strategy {
       sys.validTo -> ptNtz,
       sys.lastSeen -> ptNtz))
 
+    // deliberate reference parity (Historic.scala:83-91): no source-deleted
+    // clause (a CDC delete with unchanged content is "unchanged") and no
+    // lastSeen touch on unchanged currents — the reference's Historic
+    // merge has exactly these two clauses plus insertAll
     val resolved = joined.select(
       when(changed, array(closedOld, sourceRow))          // close + new version
         .when(isMatched, array(targetRow()))              // unchanged current

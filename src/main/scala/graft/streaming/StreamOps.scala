@@ -44,15 +44,18 @@ object StreamOps {
     * state is bounded by distinct keys per horizon, not all history, which
     * is what makes continuous corpus-ingest dedup feasible: an unbounded
     * `dropDuplicates` state would grow with every document ever seen.
-    * On a batch frame the same expression degenerates to a plain
-    * first-wins dedup. */
+    * A batch frame takes plain `dropDuplicates` (one arbitrary survivor
+    * per key — Spark rejects the within-watermark variant outside
+    * streaming). */
   def streamingDedup(
       df: DataFrame,
       tsCol: String,
       keyCols: Seq[String],
       watermarkDelay: String): DataFrame =
-    df.withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark(keyCols)
+    if (df.isStreaming)
+      df.withWatermark(tsCol, watermarkDelay)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else df.dropDuplicates(keyCols)
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)
   final case class Session(
@@ -92,7 +95,11 @@ object StreamOps {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                  // t may precede s.start (late-but-valid event newer than
+                  // the watermark): extend the session backward too, so
+                  // session_start never postdates a member event
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1))
                 case Some(s) => // gap exceeded within the batch: emit, restart
                   emitted ::= Session(
                     userId, new Timestamp(s.start), new Timestamp(s.last), s.n)

@@ -34,6 +34,10 @@ final class StreamingIngest(
   /** Start the stream. Each micro-batch runs the standard pipeline once
     * per distinct slice file discovered in the batch. */
   def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // fail fast on Full: an overwrite per micro-batch would reduce the
+    // silver table to the last batch's slices — data destruction, not
+    // ingestion (previously only reachable as an unused helper)
+    StreamingIngest.validate(entity)
     val bronze = metadata.bronzePath(entity)
     val schema = spark.read
       .option("recursiveFileLookup", "true").parquet(bronze).schema
@@ -55,7 +59,11 @@ final class StreamingIngest(
   /** One micro-batch: group the batch's rows by originating slice file and
     * run the configured strategy per slice, preserving slice provenance
     * and watermark semantics exactly as in batch mode. Slices are
-    * processed in name order so watermarks advance deterministically. */
+    * processed in name order so watermarks advance deterministically
+    * WITHIN a batch; the watermark store is latest-write-wins (reference
+    * contract), so a backfill slice landing in a LATER batch regresses
+    * the bookmark — deliver out-of-order corrections with delete
+    * inference disabled, or re-run the affected window. */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions._
     val bronze = new org.apache.hadoop.fs.Path(metadata.bronzePath(entity))

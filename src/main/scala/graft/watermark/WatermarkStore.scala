@@ -86,9 +86,10 @@ final class WatermarkStore(spark: SparkSession, systemPath: String) {
   def evaluateExpression(wm: WatermarkDef, lastValue: String): Option[String] = {
     val epochDay1900 = java.time.LocalDate.now()
       .toEpochDay - java.time.LocalDate.of(1900, 1, 1).toEpochDay
-    // values are data-derived: escape quotes so e.g. "O'Brien" can't break
-    // (or inject into) the generated SQL
-    val escaped = lastValue.replace("'", "''")
+    // values are data-derived: escape backslashes (escape chars under the
+    // default SQL parser mode) then quotes, so e.g. "C:\data\" or
+    // "O'Brien" can't break (or inject into) the generated SQL
+    val escaped = lastValue.replace("\\", "\\\\").replace("'", "''")
     val substituted = wm.expression
       .replace("${last_value}", escaped)
       .replace("${watermark}", escaped)

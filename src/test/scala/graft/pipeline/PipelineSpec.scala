@@ -532,6 +532,36 @@ class PipelineSpec extends AnyFunSuite with Matchers {
 
   // ------------------------------------------------------------ watermarks
 
+  test("pk column name is normalized for special-character destinations") {
+    // an un-normalized "PK_dbo.customers" would diverge from the column
+    // the normalize step actually writes, silently skipping the dup guard
+    val extra = """,
+      { "id": 50, "name": "dotted", "destination": "dbo.customers",
+        "connection": "src1", "processtype": "merge",
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+          { "name": "name", "datatype": "string" } ] }"""
+    val md = fixture(extraEntity = extra)
+    val e = md.getEntity(50)
+    e.primaryKeyColumnName shouldBe "PK_dbocustomers"
+    writeSlice(md, e, "s1.parquet", Seq((1, "a"), (2, "b")).toDF("ID", "name"))
+    run(md, 50, "s1.parquet", T1)
+    val out = new Processing(md, e, "x").table.read()
+    out.columns should contain("PK_dbocustomers")
+    // and the dup guard actually fires on the normalized column
+    writeSlice(md, e, "s2.parquet", Seq((3, "x"), (3, "y")).toDF("ID", "name"))
+    intercept[DuplicateBusinesskeyException](run(md, 50, "s2.parquet", T2))
+  }
+
+  test("watermark values with backslashes survive SQL embedding") {
+    val md = fixture()
+    val ws = new WatermarkStore(spark, md.environment.systemPath)
+    // a trailing backslash would escape the closing quote of the
+    // generated literal without the double-escape
+    ws.evaluateExpression(WatermarkDef("c"), "C:\\data\\") shouldBe Some("C:\\data\\")
+    ws.evaluateExpression(WatermarkDef("c"), "a\\d") shouldBe Some("a\\d")
+  }
+
   test("watermark store: write, latest wins, reset sentinel, expression eval") {
     val md = fixture()
     val ws = new WatermarkStore(spark, md.environment.systemPath)
