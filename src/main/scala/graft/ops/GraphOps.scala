@@ -37,6 +37,17 @@ object GraphOps {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // ids must be integral ALREADY: a silent cast of string/UUID ids would
+    // null every edge and return an empty result instead of an error —
+    // "no duplicates found" when dedup simply never ran. Map string ids
+    // through a stable hash (e.g. TextOps.portableHash) first.
+    Seq(srcCol, dstCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = edges.schema(c).dataType
+      require(Set[DataType](LongType, IntegerType, ShortType, ByteType)(dt),
+        s"connectedComponents requires integral node ids; column '$c' is " +
+          s"${dt.simpleString} — hash string ids to longs first")
+    }
     val src = col(s"`$srcCol`").cast("long")
     val dst = col(s"`$dstCol`").cast("long")
     // persist the (possibly very expensive) upstream pair plan FIRST: `sym`

@@ -96,6 +96,8 @@ object MultimodalOps {
     * payload (stands in for video frame sampling; same batch shape). */
   def sampleFrames(records: Dataset[MediaRecord], stride: Int)(
       implicit spark: SparkSession): Dataset[(Long, Int, Array[Byte])] = {
+    require(stride > 0, "stride must be positive") // fail on the driver,
+    // not with a per-row ArithmeticException inside an executor task
     import spark.implicits._
     records.flatMap { r =>
       r.payload.grouped(64).zipWithIndex.collect {

@@ -109,48 +109,12 @@ object SimilarityOps {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
       nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(queries.sparkSession)
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     // codebook = first nCentroids vectors in id order — works for any
-    // orderable id domain (not just 0-based ints)
+    // orderable id domain (not just 0-based ints); the index mechanics
+    // are entirely [[ivfTopKWith]]'s
     val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("centv"))
-
-    def cells(df: DataFrame, id: String, vec: String, keep: Int) = {
-      val w = Window.partitionBy(id)
-        .orderBy(expr(s"graft_cosine($vec, centv)").desc, col("cid"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= keep)
-        .select(col(id), col("cid"))
-    }
-
-    // corpus assignment is top-1, so it needs no window sort: one linear
-    // hash-aggregate with min_by over (-cos, cid) — min of the struct picks
-    // the largest cosine, smallest cid on ties, and a null cosine
-    // (zero-norm vector) sorts last, exactly the window's
-    // `cos DESC NULLS LAST, cid ASC` order. The n×nCentroids rows never
-    // get sorted, only folded.
-    val assignment = c.crossJoin(broadcast(cents))
-      .withColumn("__cos", expr("graft_cosine(cv, centv)"))
-      .groupBy("neighbor_id")
-      .agg(min_by(col("cid"),
-        struct(coalesce(negate(col("__cos")), lit(Double.PositiveInfinity)),
-          col("cid"))).as("cid"))
-      .select("neighbor_id", "cid")
-    val probes = cells(q, "query_id", "qv", nProbe)
-    val candidates = probes.join(assignment, "cid")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id").distinct()
-
-    val scored = candidates
-      .join(q, "query_id").join(c, "neighbor_id")
-      .withColumn("cos", expr("graft_cosine(qv, cv)"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    ivfTopKWith(queries, corpus, cents, idCol, vecCol, nProbe, k)
   }
 
   /** Distributed spherical k-means for IVF codebook training — the

@@ -21,8 +21,12 @@ object SkewOps {
   def saltedJoin(
       facts: DataFrame, dims: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // the salt must be DETERMINISTIC per row: monotonically_increasing_id
+    // (or rand) changes on recomputation after a fetch failure, routing
+    // rows to reducers that already finished — silent loss/duplication
+    // (the SPARK-23207 failure class). Hash of the full row is stable.
     val saltedFacts = facts.withColumn("__salt",
-      pmod(hash(col(s"`$key`"), monotonically_increasing_id()), lit(salts)))
+      pmod(hash(facts.columns.map(c => col(s"`$c`")): _*), lit(salts)))
     val saltedDims = dims
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
       .withColumn("__salt", col("__salt").cast("int"))

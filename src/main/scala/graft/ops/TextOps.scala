@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   *
   * All hash primitives are engine-portable (sha256-derived), so results
   * can be verified bit-for-bit against a SQL oracle.
+  *
+  * Caching note: the pairwise operators persist their per-doc substrate
+  * (shingle sets, signatures) because both sides of a self-join reference
+  * it; the cache lives as long as the returned plan. Long-lived sessions
+  * running many unrelated batches should `spark.catalog.clearCache()`
+  * between them (the bench harness does).
   */
 object TextOps {
 

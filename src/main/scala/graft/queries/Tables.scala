@@ -23,9 +23,11 @@ object Tables {
     val df = apply(spark, sfDir, "events")
     if (df.schema("ts").dataType == LongType)
       // cast to NTZ (session is UTC): matches the naive TIMESTAMP DuckDB
-      // produces, and the NTZ type Spark infers for the other tables
+      // produces, and the NTZ type Spark infers for the other tables.
+      // DIV, not `/`: epoch nanos exceed 2^53, so double division can be
+      // off by one micro vs DuckDB's exact integer truncation on read
       df.withColumn("ts",
-        timestamp_micros((col("ts") / 1000).cast("long")).cast("timestamp_ntz"))
+        timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
     else df
   }
 

@@ -75,7 +75,8 @@ object TrainingOps {
       "q_td_ngram_jaccard",
       s"""WITH d AS (
          |  SELECT w.id,
-         |    ds.source || '#' || CAST(ds.n_chars // 256 AS VARCHAR) AS blk, w.hs
+         |    coalesce(ds.source, '') || '#'
+         |      || CAST(ds.n_chars // 256 AS VARCHAR) AS blk, w.hs
          |  FROM ($ShingleDocs) w JOIN documents ds ON ds.doc_id = w.id
          |  WHERE len(w.hs) > 0)
          |SELECT a.id AS id_a, b.id AS id_b,
@@ -87,7 +88,11 @@ object TrainingOps {
       // cannot be near-dups, so the quadratic stays inside small cells
       TextOps.blockedJaccardPairs(
         Tables.documents(s, d), "doc_id", "text",
-        concat_ws("#", col("source"), floor(col("n_chars") / 256)))
+        // coalesce on BOTH sides (Spark + SQL): concat_ws skips NULLs
+        // while DuckDB's || propagates them — a null source would block
+        // by bucket alone here but vanish from the oracle entirely
+        concat_ws("#", coalesce(col("source"), lit("")),
+          floor(col("n_chars") / 256)))
         .orderBy("id_a", "id_b")
     },
 
@@ -440,7 +445,11 @@ object TrainingOps {
   private def cosineSql(x: String, y: String): String = {
     def dot(p: String, q: String) =
       foldSumSql(s"list_transform(range(1, len($p) + 1), i -> $p[i] * $q[i])")
-    s"${dot(x, y)} / sqrt(${dot(x, x)} * ${dot(y, y)})"
+    // zero-norm guard mirrors graft_cosine exactly: NULL, never NaN —
+    // DuckDB's 0.0/0.0 = NaN would sort ABOVE every real cosine and rank
+    // a zero vector as everyone's top match while Spark ranks it last
+    s"CASE WHEN ${dot(x, x)} * ${dot(y, y)} = 0 THEN NULL " +
+      s"ELSE ${dot(x, y)} / sqrt(${dot(x, x)} * ${dot(y, y)}) END"
   }
 
   private def knnOracle: String =
