@@ -207,6 +207,39 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Semantic clustering: assign every corpus vector to its nearest
+    * codebook centroid by cosine, and annotate each row with its cluster's
+    * population — the building block for topic bucketing, semantic dedup
+    * (drop all-but-one per tight cluster), and corpus composition reports.
+    *
+    * Output: `(vec_id, cluster_id, cos, cluster_size)`, one row per corpus
+    * vector. Ties and null cosines (zero-norm vectors) break to the lowest
+    * centroid id, matching `cos DESC NULLS LAST, cid ASC`.
+    *
+    * Scale shape: the codebook is broadcast (k centroids, k ≪ n), the
+    * assignment is one linear pass fused into a `min_by` partial
+    * aggregate — no window sort over n×k rows — and the size annotation
+    * is a single hash-partition on `cluster_id`. Nothing is quadratic in
+    * the corpus. Pair with [[kMeansCodebook]] for a trained codebook or
+    * any deterministic `(cid, centv)` frame for a reproducible one. */
+  def clusterAssignments(
+      corpus: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
+    val cents = codebook.select(col("cid"), col("centv"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("__cos", expr("graft_cosine(cv, centv)"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cid"), col("__cos").as("cos")),
+        struct(coalesce(negate(col("__cos")), lit(Double.PositiveInfinity)),
+          col("cid"))).as("__a"))
+      .select(col("vec_id"), col("__a.cid").as("cluster_id"),
+        col("__a.cos").as("cos"))
+    assigned.withColumn("cluster_size",
+      count(lit(1)).over(Window.partitionBy("cluster_id")))
+  }
+
   /** Embedding near-duplicate pairs over a whole corpus: candidate pairs
     * collide in at least one LSH table; exact cosine keeps pairs at or
     * above `threshold`. The corpus-scale companion of [[lshTopK]] —

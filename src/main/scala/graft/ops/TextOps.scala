@@ -158,31 +158,37 @@ object TextOps {
     shingleRows(df, idCol, textCol)
       .groupBy("__id").agg(collect_set(col("__s")).as("__hs"))
 
-  def minHashNearDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // One hash-aggregate computes BOTH the distinct shingle set (exact
-    // Jaccard) and all k signature slots: min over the exploded rows equals
-    // min over the distinct set, and `min(pmod(...))` stays in whole-stage
-    // codegen — no interpreted array lambdas anywhere on the hot path, so
-    // a cache eviction re-derives the signatures at full codegen speed.
-    // Persisted: the band self-join + two set joins reuse it 4x; the
-    // cached form is (id, long[], 16 longs) — a few MB per million docs.
+  /** Per-doc MinHash substrate: distinct shingle set + all k signature
+    * slots in ONE hash-aggregate — min over the exploded rows equals min
+    * over the distinct set, and `min(pmod(...))` stays in whole-stage
+    * codegen — no interpreted array lambdas anywhere on the hot path, so
+    * a cache eviction re-derives the signatures at full codegen speed.
+    * Persisted: band joins + set re-joins reuse it several times; the
+    * cached form is (id, long[], 16 longs) — a few MB per million docs. */
+  private def docSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sigAggs = MinHashA.zip(MinHashB).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("__s") * a + b, lit(MinHashPrime))).as(s"__m$i")
     }
-    val docs = shingleRows(df, idCol, textCol)
+    shingleRows(df, idCol, textCol)
       .groupBy("__id")
       .agg(collect_set(col("__s")).as("__hs"), sigAggs: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
-    // Band rows as (id, band index, struct of raw slots): the struct
-    // equi-join blocks identically to the oracle's concat'd key (fixed
-    // integer slots ⇒ concat is injective) without building strings.
+  /** Band rows as (id, band index, struct of raw slots): the struct
+    * equi-join blocks identically to the oracle's concat'd key (fixed
+    * integer slots ⇒ concat is injective) without building strings. */
+  private def bandRows(docs: DataFrame): DataFrame = {
     val bandStructs = array((0 until Bands).map { j =>
       struct((0 until RowsPerBand).map(r =>
         col(s"__m${j * RowsPerBand + r}").as(s"k$r")): _*)
     }: _*)
-    val bands = docs.select(col("__id"),
-      posexplode(bandStructs).as(Seq("__pos", "__key")))
+    docs.select(col("__id"), posexplode(bandStructs).as(Seq("__pos", "__key")))
+  }
+
+  def minHashNearDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = docSignatures(df, idCol, textCol)
+    val bands = bandRows(docs)
 
     val pairs = bands.alias("a")
       .join(bands.alias("b"),
@@ -196,6 +202,42 @@ object TextOps {
       .join(sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__hs", "hs_a"), "id_a")
       .join(sets.withColumnRenamed("__id", "id_b").withColumnRenamed("__hs", "hs_b"), "id_b")
       .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"),
+        (size(col("hs_a")) + size(col("hs_b"))
+          - size(array_intersect(col("hs_a"), col("hs_b")))).as("uni"))
+  }
+
+  /** Cross-corpus near-duplicate pairs: MinHash band candidates BETWEEN an
+    * incoming batch and an existing corpus — the incremental-dedup shape.
+    * A new crawl is checked against an already-deduplicated corpus without
+    * ever re-pairing the corpus against itself: the corpus side contributes
+    * only its (band, key) rows and shingle sets, so the join cost is
+    * O(batch bands) probes into a corpus-side hash relation, not
+    * O(corpus²).
+    *
+    * Returns `(in_id, corpus_id, inter, uni)` for every incoming doc that
+    * shares at least one LSH band with a corpus doc, with exact
+    * shingle-set Jaccard counts for thresholding. Drop incoming docs with
+    * any pair at/above the threshold to keep the corpus near-dup-free.
+    *
+    * At 100 TB the corpus-side signatures are computed once and stored
+    * (they are a narrow (id, 16 longs, set) projection); each incoming
+    * batch then shuffles only itself plus the matched band buckets. */
+  def crossCorpusNearDupPairs(
+      incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val inDocs = docSignatures(incoming, idCol, textCol)
+    val corpDocs = docSignatures(corpus, idCol, textCol)
+    val pairs = bandRows(inDocs).alias("a")
+      .join(bandRows(corpDocs).alias("b"),
+        col("a.__pos") === col("b.__pos") && col("a.__key") === col("b.__key"))
+      .select(col("a.__id").as("in_id"), col("b.__id").as("corpus_id"))
+      .distinct()
+    pairs
+      .join(inDocs.select(col("__id").as("in_id"), col("__hs").as("hs_a")), "in_id")
+      .join(corpDocs.select(col("__id").as("corpus_id"), col("__hs").as("hs_b")),
+        "corpus_id")
+      .select(col("in_id"), col("corpus_id"),
         size(array_intersect(col("hs_a"), col("hs_b"))).as("inter"),
         (size(col("hs_a")) + size(col("hs_b"))
           - size(array_intersect(col("hs_a"), col("hs_b")))).as("uni"))

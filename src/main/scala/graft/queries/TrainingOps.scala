@@ -54,6 +54,17 @@ object TrainingOps {
         .orderBy("id_a", "id_b")
     },
 
+    // --------------------- dedup: incremental batch-vs-corpus (cross-corpus)
+    // (a new batch checked against an existing corpus through the band
+    // join only — the corpus is never re-paired against itself)
+    QueryDef("q_td_crosscorpus", crossCorpusOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextOps.crossCorpusNearDupPairs(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .orderBy("in_id", "corpus_id")
+    },
+
     // ------------------------------- dedup: connected-component groups
     // (pairs → transitive groups → canonical doc per group; the operator
     // that makes pair output actionable at corpus scale)
@@ -176,6 +187,19 @@ object TrainingOps {
         e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
         nCentroids = 16, nProbe = 2, k = 5)
         .orderBy("query_id", "rank")
+    },
+
+    // ------------------------------ similarity: semantic cluster assignment
+    // (nearest-centroid by cosine against a deterministic codebook — the
+    // first 16 vectors — plus per-cluster population; min_by linear
+    // aggregate, broadcast codebook, no window over n×k rows)
+    QueryDef("q_td_cluster", clusterOracle) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val codebook = e.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("cid"),
+          SimilarityOps.asDouble(col("embedding")).as("centv"))
+      SimilarityOps.clusterAssignments(e, codebook, "vec_id", "embedding")
+        .orderBy("vec_id")
     },
 
     // ----------------------------------------- similarity: sign-LSH ANN
@@ -405,6 +429,41 @@ object TrainingOps {
     s"""WITH $minHashPairsCtes
        |SELECT id_a, id_b, inter, uni FROM pairs ORDER BY id_a, id_b""".stripMargin
 
+  /** Cross-corpus variant: the same signature/band chain built twice over
+    * disjoint id slices, joined across sides only. */
+  private def crossCorpusOracle: String = {
+    val sigCols = TextOps.MinHashA.zip(TextOps.MinHashB).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"list_min(list_transform(hs, h -> ($a * h + $b) % ${TextOps.MinHashPrime})) AS s$i"
+    }.mkString(",\n  ")
+    def bandSelects(sig: String) = (0 until TextOps.Bands).map { j =>
+      val slots = (0 until TextOps.RowsPerBand)
+        .map(r => s"s${j * TextOps.RowsPerBand + r}").mkString(", ")
+      s"SELECT id, $j AS pos, concat_ws(':', $slots) AS key FROM $sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh AS ($ShingleDocs),
+       |d_in AS (SELECT id, hs FROM sh WHERE id % 10 = 0 AND len(hs) > 0),
+       |d_c AS (SELECT id, hs FROM sh WHERE id % 10 <> 0 AND len(hs) > 0),
+       |sig_in AS (SELECT id,
+       |  $sigCols
+       |  FROM d_in),
+       |sig_c AS (SELECT id,
+       |  $sigCols
+       |  FROM d_c),
+       |bands_in AS (
+       |  ${bandSelects("sig_in")}),
+       |bands_c AS (
+       |  ${bandSelects("sig_c")}),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS in_id, b.id AS corpus_id
+       |  FROM bands_in a JOIN bands_c b ON a.pos = b.pos AND a.key = b.key)
+       |SELECT p.in_id, p.corpus_id,
+       |  len(list_intersect(x.hs, y.hs)) AS inter,
+       |  len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS uni
+       |FROM cand p JOIN d_in x ON x.id = p.in_id JOIN d_c y ON y.id = p.corpus_id
+       |ORDER BY in_id, corpus_id""".stripMargin
+  }
+
   /** Dedup groups: transitive closure (recursive CTE) over the
     * Jaccard-thresholded near-dup pairs; group id = min reachable doc id.
     * The threshold predicate is integer-exact (2*inter >= uni ⇔ J >= 0.5)
@@ -530,6 +589,21 @@ object TrainingOps {
        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM s)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def clusterOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS centv FROM e WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, cid, cos FROM (
+       |    SELECT e.vec_id, cent.cid, ${cosineSql("e.v", "cent.centv")} AS cos,
+       |      row_number() OVER (
+       |        PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e.v", "cent.centv")} DESC, cent.cid) AS rn
+       |    FROM e, cent)
+       |  WHERE rn = 1)
+       |SELECT vec_id, cid AS cluster_id, cos,
+       |       count(*) OVER (PARTITION BY cid) AS cluster_size
+       |FROM assign ORDER BY vec_id""".stripMargin
 
   private def embedNearDupOracle: String = {
     val tableSelects = (0 until SimilarityOps.Tables).map { t =>

@@ -40,6 +40,51 @@ class OpsSpec extends AnyFunSuite with Matchers {
     pairs should not contain ((2L, 3L))
   }
 
+  test("cross-corpus near-dups pair batch-vs-corpus only, never corpus-vs-corpus") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again"
+    val near2 = "the quick brown fox jumps over the lazy dog again and once"
+    val near3 = "the quick brown fox jumps over the lazy dog again and again"
+    val far = "completely different content about spark catalyst optimizer internals"
+    val incoming = docs((1L, near1))
+    val corpus = docs((2L, near2), (3L, far), (4L, near3))
+    val out = TextOps.crossCorpusNearDupPairs(incoming, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the incoming doc matches both of its corpus near-dups…
+    out should contain((1L, 2L))
+    out should contain((1L, 4L))
+    // …but corpus-internal near-dups (2,4) are never re-paired, and the
+    // unrelated doc never appears
+    out.map(_._1).toSet shouldBe Set(1L)
+    out.map(_._2) should not contain 3L
+    // exact-duplicate pair carries Jaccard 1 (inter == uni)
+    val j14 = TextOps.crossCorpusNearDupPairs(incoming, corpus, "doc_id", "text")
+      .filter(col("corpus_id") === 4).select("inter", "uni").head()
+    j14.getInt(0) shouldBe j14.getInt(1)
+  }
+
+  test("cluster assignments: nearest centroid wins, sizes partition the corpus") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), // the codebook rows
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.8f, 0.05f)),
+      (12L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val codebook = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cid"),
+        SimilarityOps.asDouble(col("embedding")).as("centv"))
+    val out = SimilarityOps.clusterAssignments(vecs, codebook, "vec_id", "embedding")
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    rows(10L)._1 shouldBe 0L
+    rows(11L)._1 shouldBe 0L
+    rows(12L)._1 shouldBe 1L
+    rows(0L) shouldBe (0L, 3L)  // itself + 10 + 11
+    rows(1L) shouldBe (1L, 2L)  // itself + 12
+    // sizes partition the corpus exactly
+    out.select(sum(lit(1))).head.getLong(0) shouldBe 5L
+    // assignment stays a linear min_by partial aggregate — no n×k window sort
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include("partial_min_by")
+  }
+
   test("simhash: identical docs share a signature; different docs differ") {
     val out = TextOps.simHashSignatures(
       docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
