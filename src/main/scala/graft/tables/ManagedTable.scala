@@ -321,6 +321,50 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     }
   }
 
+  /** Multi-dimensional clustering rewrite: re-sort the table along a
+    * Morton (Z-order) curve over `columns` so per-file min/max stats are
+    * selective on EVERY clustered column — range predicates on any of them
+    * skip files via [[filesInRange]], where a linear sort only serves its
+    * leading column.
+    *
+    * Full-table maintenance rewrite (like Delta's OPTIMIZE ZORDER BY):
+    * one quantile-sketch pass for bucket boundaries, one range
+    * repartition on the z-value into `targetFiles` tasks, sorted within —
+    * every file then covers a tight hyper-rectangle. Partitioned tables
+    * range-partition within their partition columns first, so the rewrite
+    * never mixes partition values across tasks. Readers keep snapshot
+    * isolation via the atomic pointer swap. */
+  def zorder(columns: Seq[String], targetFiles: Int = 0): Unit = withWriteLock {
+    val m = requireManifest
+    require(columns.nonEmpty, "zorder requires at least one column")
+    val df = read()
+    val bounds = ZOrder.boundaries(df, columns)
+    val z = ZOrder.zValue(df, bounds).as("__gz")
+    val n = if (targetFiles > 0) targetFiles else math.max(1, m.files.size)
+    val partCols = m.partitionColumns.map(c => col(s"`$c`"))
+    val keys = partCols :+ col("__gz")
+    val sorted = df.withColumn("__gz", z)
+      .repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .drop("__gz")
+    replacePartitions(None, sorted)
+  }
+
+  /** Roll the table back (or forward) to the state of `version` as a NEW
+    * commit — no data files are copied or deleted, the new manifest simply
+    * references `version`'s file set, and history above it stays readable.
+    * Fails fast below the vacuum horizon (those data files are gone). */
+  def restore(version: Long): Unit = withWriteLock {
+    val cur = requireManifest
+    earliestReadableVersion.foreach(e =>
+      if (version < e) throw new MetadataException(
+        s"Cannot restore $rootPath to version $version: it was vacuumed " +
+          s"(earliest readable version is $e)"))
+    val target = readManifest(version)
+    commitDelta(target.schemaJson, target.partitionColumns, s"restore($version)",
+      base = Some(cur), adds = target.files, removes = cur.files.map(_.path))
+  }
+
   /** Backfill per-file min/max stats for manifest files that lack them
     * (imported tables, commits where footer reads failed). Distributed
     * above [[FileStatistics.DistributedThreshold]] files; commits a new

@@ -140,6 +140,55 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
       .collect().map(_.getLong(0)).sorted shouldBe (300L to 320L).toArray
   }
 
+  test("zorder: range skipping works on BOTH clustered columns") {
+    import org.apache.spark.sql.functions.{col, hash, pmod}
+    val t = ManagedTable(spark, tmp() + "/zorder")
+    // 64×64 grid in a hash-shuffled row order: before z-ordering, every
+    // file sees the full range of both x and y
+    val grid = (0 until 4096).map(i => (i.toLong, (i % 64).toLong, (i / 64).toLong))
+      .toDF("id", "x", "y")
+      .repartition(8, pmod(hash(col("id")), org.apache.spark.sql.functions.lit(8)))
+    t.overwriteAll(grid)
+    t.filesInRange("x", Some(0L), Some(7L)).size shouldBe t.manifest.get.files.size
+    t.filesInRange("y", Some(0L), Some(7L)).size shouldBe t.manifest.get.files.size
+
+    t.zorder(Seq("x", "y"), targetFiles = 16)
+    val total = t.manifest.get.files.size
+    total should be >= 8
+    // a 1/8-wide range on EITHER column now skips most files — the
+    // property a linear sort cannot deliver for its trailing column
+    t.filesInRange("x", Some(0L), Some(7L)).size.toDouble should be <= total / 2.0
+    t.filesInRange("y", Some(0L), Some(7L)).size.toDouble should be <= total / 2.0
+    // the rewrite is a reorder, not a change
+    t.read().count() shouldBe 4096
+    t.readRange("x", Some(3L), Some(3L)).collect()
+      .map(_.getLong(0)).sorted shouldBe
+      (0 until 4096).filter(_ % 64 == 3).map(_.toLong).toArray
+    // rejects types without a range order
+    val s = ManagedTable(spark, tmp() + "/zstr")
+    s.overwriteAll(Seq((1L, Array[Byte](1))).toDF("id", "blob"))
+    intercept[graft.metadata.MetadataException](s.zorder(Seq("blob")))
+  }
+
+  test("restore: rolls back to an old version as a new commit, no data copy") {
+    val t = ManagedTable(spark, tmp() + "/restore")
+    t.overwriteAll(Seq((1, "a"), (2, "b")).toDF("id", "v"))      // v0
+    t.append(Seq((3, "c")).toDF("id", "v"))                      // v1
+    t.overwriteAll(Seq((9, "z")).toDF("id", "v"))                // v2
+    t.restore(0)                                                 // v3 == v0
+    t.currentVersion shouldBe Some(3L)
+    t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2)
+    // history above the restore point is still intact
+    t.readVersion(1).collect().map(_.getInt(0)).sorted shouldBe Array(1, 2, 3)
+    t.readVersion(2).collect().map(_.getInt(0)).sorted shouldBe Array(9)
+    // roll FORWARD again to the pre-restore state
+    t.restore(2)
+    t.read().collect().map(_.getInt(0)).sorted shouldBe Array(9)
+    // restore below the vacuum horizon fails fast
+    t.vacuum()
+    intercept[graft.metadata.MetadataException](t.restore(0))
+  }
+
   test("distributed footer stats equal driver-side stats") {
     val dir = tmp() + "/stats"
     (1 to 40).map(i => (i.toLong, s"v$i", i * 1.5)).toDF("id", "name", "score")
