@@ -47,6 +47,28 @@ object Runner {
     }
   }
 
+  /** Silver-table maintenance for one entity — the background pass a
+    * lakehouse runs off the ingest path: fold small merge-commit files,
+    * re-cluster along the entity's `zorder_by` setting (comma-separated
+    * columns; multi-dimensional data skipping via
+    * [[graft.tables.ManagedTable.zorder]]), backfill any missing file
+    * stats, and optionally vacuum history. Every step is its own atomic
+    * commit; readers never block. No-op for entities not yet written. */
+  def maintainEntity(
+      metadata: Metadata,
+      e: Entity,
+      vacuum: Boolean = false)(implicit spark: SparkSession): Unit = {
+    val table = graft.tables.ManagedTable.forLocation(spark, metadata.silverLocation(e))
+    if (table.exists) {
+      table.compact()
+      e.settingString("zorder_by").map(_.split(',').map(_.trim)
+        .filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+        .foreach(cols => table.zorder(cols))
+      table.collectStatistics()
+      if (vacuum) table.vacuum()
+    }
+  }
+
   /** All enabled entities of a group (reference: DataFactory group feed). */
   def processGroup(
       metadata: Metadata,

@@ -227,6 +227,30 @@ object EngineOps {
         .orderBy("ID")
     },
 
+    // Z-order maintenance under the oracle: stage orders into a managed
+    // table, rewrite along the (o_custkey, o_orderdate) Morton curve, then
+    // answer a two-column range query through the data-skipping scan
+    // (readRange + filter). The result must equal a plain filtered scan —
+    // proving the rewrite reorders without losing/duplicating rows and
+    // that file skipping is correctness-preserving on both dimensions.
+    QueryDef(
+      "q_e_zorder_skip",
+      """SELECT o_orderkey, o_custkey, o_orderdate
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 500
+        |  AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "zorder")
+      val t = graft.tables.ManagedTable(s, s"$root/orders")
+      t.overwriteAll(Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate").repartition(8))
+      t.zorder(Seq("o_custkey", "o_orderdate"), targetFiles = 8)
+      t.readRange("o_custkey", Some(100L), Some(500L))
+        .filter(col("o_orderdate").between("1995-01-01", "1995-12-31"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy("o_orderkey")
+    },
+
     // Historic/SCD2: changed keys carry a closed version (ValidTo = T2)
     // plus an open successor; new keys open at T2; untouched keys keep T1.
     QueryDef(

@@ -48,8 +48,10 @@ object ZOrder {
     field.dataType match {
       case _: NumericType => col(s"`$c`").cast("double")
       case DateType => datediff(col(s"`$c`"), lit("1970-01-01")).cast("double")
-      case TimestampType | TimestampNTZType =>
+      case TimestampType =>
         col(s"`$c`").cast("long").cast("double") // epoch seconds
+      case TimestampNTZType => // NTZ has no numeric cast; route via LTZ
+        col(s"`$c`").cast(TimestampType).cast("long").cast("double")
       case other => throw new graft.metadata.MetadataException(
         s"zorder column '$c' has unordered type ${other.simpleString}; " +
           "z-order supports numeric, date, and timestamp columns")

@@ -128,6 +128,35 @@ class PipelineSpec extends AnyFunSuite with Matchers {
   def mergeSlice(rows: Seq[(Int, Int, String)]): DataFrame =
     rows.toDF("ID", "SeqNr", "name")
 
+  test("maintainEntity: compact + zorder_by re-cluster keep the table identical") {
+    val md = fixture(extraEntity = """,
+      { "id": 9, "name": "cust_z", "connection": "src1", "processtype": "merge",
+        "settings": { "delete_missing": false, "zorder_by": "SeqNr,ID" },
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+          { "name": "SeqNr", "datatype": "integer" },
+          { "name": "name", "datatype": "string" }
+        ] }""")
+    val e = md.getEntity(9)
+    writeSlice(md, e, "s1.parquet",
+      mergeSlice((1 to 40).map(i => (i, i * 7 % 40, s"n$i"))))
+    run(md, 9, "s1.parquet", T1)
+    writeSlice(md, e, "s2.parquet", mergeSlice(Seq((41, 99, "new"))))
+    run(md, 9, "s2.parquet", T2)
+
+    val table = graft.tables.ManagedTable.forLocation(spark, md.silverLocation(e))
+    val before = table.read().orderBy("ID").collect()
+    Runner.maintainEntity(md, e)
+    // the rewrite reordered rows but changed nothing
+    table.read().orderBy("ID").collect() shouldBe before
+    // z-ordered files carry selective stats on the zorder_by columns
+    table.manifest.get.files.foreach(f => f.stats.keySet should contain("SeqNr"))
+    // maintenance with vacuum drops time travel but keeps the snapshot
+    Runner.maintainEntity(md, e, vacuum = true)
+    table.read().count() shouldBe 41L
+    intercept[graft.metadata.MetadataException](table.readVersion(0))
+  }
+
   test("merge: first run diverts to full; then update/touch/insert") {
     val md = fixture()
     val e = md.getEntity(2)
