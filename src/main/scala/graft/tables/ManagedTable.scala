@@ -88,7 +88,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     if (cached != null) cached
     else {
       val m = Manifest.recordFromJsonString(readRecordString(version)) match {
-        case Left(full) => full
+        case Left(full) => full.filesRef match {
+          case Some(ref) => full.copy(files = readSidecarFiles(ref))
+          case None      => full
+        }
         case Right(inc) => inc.applyTo(readManifest(inc.baseVersion))
       }
       snapshotCache.put(version, m)
@@ -418,9 +421,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     }
     val needed = chainVersions(m.version)
     if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).foreach { st =>
-      val v = st.getPath.getName.stripPrefix("v").stripSuffix(".json")
-      if (v.forall(_.isDigit) && v.toLong < m.version && !needed.contains(v.toLong))
-        fs.delete(st.getPath, false)
+      val name = st.getPath.getName
+      val isSidecar = name.endsWith(ManagedTable.SidecarSuffix)
+      val v = name.stripPrefix("v")
+        .stripSuffix(if (isSidecar) ManagedTable.SidecarSuffix else ".json")
+      if (v.nonEmpty && v.forall(_.isDigit) &&
+          v.toLong < m.version && !needed.contains(v.toLong))
+        fs.delete(st.getPath, isSidecar)
     }
   }
 
@@ -542,7 +549,15 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val (recordJson, snapshot) =
       if (checkpoint) {
         val m = Manifest(next, schemaJson, partitionBy, newFiles, operation, now)
-        (m.toJsonString, m)
+        if (newFiles.size >= parquetCheckpointThreshold) {
+          // large-table checkpoint: the file list goes to a parquet sidecar
+          // written as a distributed dataset BEFORE the record that points
+          // to it — a driver-serialized JSON of O(table) file entries is
+          // the scaling wall at ~1M files, the sidecar is not
+          val ref = f"v$next%020d${ManagedTable.SidecarSuffix}"
+          writeSidecarFiles(ref, newFiles)
+          (m.copy(files = Nil, filesRef = Some(ref)).toJsonString, m)
+        } else (m.toJsonString, m)
       } else {
         val inc = IncrementalManifest(next, schemaJson, partitionBy,
           base.get.version, adds, removes, operation, now)
@@ -555,6 +570,48 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // atomic pointer swap: tmp write + rename-with-overwrite
     writeFileAtomic(pointerFile, next.toString)
   }
+
+  /** File count at/above which checkpoint file lists are externalized to
+    * parquet sidecars (distributed write + columnar parse) instead of
+    * inline JSON. */
+  private def parquetCheckpointThreshold: Int =
+    spark.conf.get("spark.graft.manifest.parquetCheckpointThreshold", "50000").toInt
+
+  private def sidecarSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("stats", MapType(StringType, StructType(Seq(
+        StructField("t", StringType),
+        StructField("min", StringType),
+        StructField("max", StringType)))))))
+  }
+
+  private def writeSidecarFiles(name: String, files: Seq[TableFile]): Unit = {
+    import org.apache.spark.sql.Row
+    val rows = files.map(f => Row(f.path, f.partitionValues,
+      f.stats.map { case (c, s) => c -> Row(s.typ, s.min, s.max) }))
+    // ~100k entries per task keeps sidecar files O(10 MB)
+    val parts = math.max(1, files.size / 100000)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, parts), sidecarSchema)
+      .write.mode("overwrite")
+      .parquet(new Path(manifestsDir, name).toString)
+  }
+
+  private def readSidecarFiles(name: String): Seq[TableFile] =
+    spark.read.schema(sidecarSchema)
+      .parquet(new Path(manifestsDir, name).toString)
+      .collect().toSeq.map { r =>
+        val pv = Option(r.getMap[String, String](1))
+          .map(_.toMap).getOrElse(Map.empty)
+        val st = Option(r.getMap[String, org.apache.spark.sql.Row](2))
+          .map(_.toMap).getOrElse(Map.empty)
+        TableFile(r.getString(0), pv,
+          st.map { case (c, s) =>
+            c -> ColStats(s.getString(0), s.getString(1), s.getString(2)) })
+      }
 
   private def writeFile(p: Path, content: String): Unit = {
     val out = fs.create(p, true)
@@ -577,6 +634,9 @@ object ManagedTable {
 
   /** Directory marker Spark uses for null partition values. */
   val NullPartitionValue = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Suffix of parquet checkpoint sidecar directories in `_graft/manifests`. */
+  val SidecarSuffix = ".files.parquet"
 
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[tables] def lockFor(qualifiedPath: String): Object =

@@ -75,24 +75,33 @@ final case class TableFile(
     partitionValues: Map[String, String],
     stats: Map[String, ColStats] = Map.empty)
 
+/** @param filesRef when set, the file list lives in a parquet sidecar of
+  *   this name next to the record (large-table checkpoints: the list is
+  *   written and parsed as a distributed parquet dataset instead of
+  *   driver-serialized JSON); `files` is then empty in the on-disk record
+  *   and populated by [[ManagedTable.readManifest]]. */
 final case class Manifest(
     version: Long,
     schemaJson: String,
     partitionColumns: Seq[String],
     files: Seq[TableFile],
     operation: String,
-    timestampMs: Long) {
+    timestampMs: Long,
+    filesRef: Option[String] = None) {
 
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
   def toJsonString: String = {
-    val j = JObject(
+    val base = List(
       "version" -> JLong(version),
       "schemaJson" -> JString(schemaJson),
       "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
       "operation" -> JString(operation),
-      "timestampMs" -> JLong(timestampMs),
-      "files" -> Manifest.filesToJson(files))
+      "timestampMs" -> JLong(timestampMs))
+    val j = JObject(base ++ (filesRef match {
+      case Some(ref) => List("filesRef" -> JString(ref))
+      case None      => List("files" -> Manifest.filesToJson(files))
+    }))
     JsonMethods.compact(JsonMethods.render(j))
   }
 }
@@ -189,8 +198,12 @@ object Manifest {
       str(j \ "operation"), lng(j \ "timestampMs"))
     (j \ "baseVersion") match {
       case JNothing | JNull =>
+        val ref = (j \ "filesRef") match {
+          case JString(r) => Some(r)
+          case _          => None
+        }
         Left(Manifest(common._1, common._2, common._3,
-          filesFromJson(j \ "files"), common._4, common._5))
+          filesFromJson(j \ "files"), common._4, common._5, ref))
       case bv =>
         Right(IncrementalManifest(common._1, common._2, common._3, lng(bv),
           filesFromJson(j \ "adds"),

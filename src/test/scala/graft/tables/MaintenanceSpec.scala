@@ -140,6 +140,55 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
       .collect().map(_.getLong(0)).sorted shouldBe (300L to 320L).toArray
   }
 
+  test("parquet checkpoint sidecar: large checkpoints round-trip off-JSON") {
+    import org.apache.spark.sql.functions.col
+    val root = tmp() + "/sidecar"
+    val t = ManagedTable(spark, root)
+    spark.conf.set("spark.graft.manifest.parquetCheckpointThreshold", "4")
+    try {
+      val df = (1 to 300).map(i => (i.toLong, s"v$i", (i % 3).toString))
+        .toDF("id", "v", "p").repartitionByRange(4, col("id"))
+      t.overwriteAll(df, Seq("p"))                       // ≥4 files → sidecar
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def record(v: Long): String = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(
+          root, f"_graft/manifests/v$v%020d.json"))
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      record(0) should include("filesRef")
+      record(0) should not include "\"files\""
+      fs.exists(new org.apache.hadoop.fs.Path(root,
+        f"_graft/manifests/v${0L}%020d${ManagedTable.SidecarSuffix}")) shouldBe true
+
+      // a FRESH instance (cold snapshot cache) reconstructs through the
+      // sidecar: data, partition values, and file stats all survive
+      val t2 = ManagedTable(spark, root)
+      t2.read().count() shouldBe 300
+      val m = t2.manifest.get
+      m.files.foreach { f =>
+        f.partitionValues.keySet should contain("p")
+        f.stats.keySet should contain("id")
+      }
+      t2.readPartitionsIn(Map("p" -> Set("1"))).count() shouldBe 100
+      t2.filesInRange("id", Some(1L), Some(5L)).size should be < m.files.size
+
+      // small append stays an O(delta) JSON record on top of the sidecar base
+      t2.append(Seq((1000L, "x", "1")).toDF("id", "v", "p"))
+      record(1) should include("baseVersion")
+      ManagedTable(spark, root).read().count() shouldBe 301
+
+      // vacuum drops unreferenced sidecars, keeps the chain's base
+      t2.overwriteAll(df, Seq("p"))                      // v2, new sidecar
+      t2.vacuum()
+      fs.exists(new org.apache.hadoop.fs.Path(root,
+        f"_graft/manifests/v${0L}%020d${ManagedTable.SidecarSuffix}")) shouldBe false
+      fs.exists(new org.apache.hadoop.fs.Path(root,
+        f"_graft/manifests/v${2L}%020d${ManagedTable.SidecarSuffix}")) shouldBe true
+      ManagedTable(spark, root).read().count() shouldBe 300
+    } finally spark.conf.unset("spark.graft.manifest.parquetCheckpointThreshold")
+  }
+
   test("zorder: range skipping works on BOTH clustered columns") {
     import org.apache.spark.sql.functions.{col, hash, pmod}
     val t = ManagedTable(spark, tmp() + "/zorder")
