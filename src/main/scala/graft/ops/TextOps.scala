@@ -443,6 +443,41 @@ object TextOps {
     * before the shuffle, so at most `perStratum` rows per stratum per
     * split reach the reducer — the whole-stratum data never lands on one
     * task (asserted against the physical plan in OpsSpec). */
+  /** Top-k characteristic terms per document by TF-IDF-style relevance.
+    *
+    * The idf factor is RATIONAL — `N / df` instead of `log(N / df)` — so
+    * every score is a product/quotient of exact integer counts: the same
+    * IEEE operations on the same operands in any engine, bit-identical
+    * with the SQL oracle by construction (a transcendental log would hang
+    * cross-engine parity on libm rounding). Ranking is monotone in the
+    * choice of idf shape, so the top-k sets match classic tf-idf wherever
+    * ties don't straddle the cutoff.
+    *
+    * Plan shape: explode → one (doc, term) count aggregate feeding BOTH
+    * doc lengths (sum of counts — the raw text is never re-tokenized) and
+    * document frequencies; corpus size joins in as a broadcast scalar;
+    * top-k via rank-limit window. All shuffles hash on doc or term. */
+  def tfIdfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docLen = tf.groupBy("doc_id").agg(sum("cnt").as("tok"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(docLen, "doc_id").join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("cnt").cast("double") / col("tok").cast("double")) *
+          (col("n").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "score", "rank")
+  }
+
   def stratifiedSample(
       df: DataFrame, idCol: String, stratumCol: String, perStratum: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -284,6 +284,30 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // ----------------------------- text: TF-IDF characteristic terms per doc
+    // (rational idf N/df — exact integer-derived arithmetic, bit-identical
+    // across engines; see TextOps.tfIdfTopTerms)
+    QueryDef(
+      "q_td_tfidf",
+      s"""WITH w AS (SELECT doc_id, unnest($Words) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS cnt FROM w GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tok FROM tf GROUP BY 1),
+         |dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    (CAST(cnt AS DOUBLE) / CAST(tok AS DOUBLE))
+         |      * (CAST(n.n AS DOUBLE) / CAST(dfc AS DOUBLE)) AS score
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, score, rank FROM (
+         |  SELECT doc_id, term, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      TextOps.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    },
+
     // ------------------------- explode + aggregate: corpus word frequencies
     QueryDef(
       "q_td_wordcount",

@@ -161,6 +161,19 @@ class OpsSpec extends AnyFunSuite with Matchers {
     out.head.getDouble(3) should be > 0.9
   }
 
+  test("tf-idf: rare distinctive terms outrank ubiquitous ones") {
+    val out = TextOps.tfIdfTopTerms(docs(
+      (1L, "common zebra zebra"),
+      (2L, "common other words"),
+      (3L, "common filler stuff")), "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'common' has the highest tf in every doc but df = 3 kills it;
+    // the doc-specific term wins
+    out(1L) shouldBe "zebra"
+    out(2L) should not be "common"
+    out(3L) should not be "common"
+  }
+
   test("language ID picks the language with most stopword hits") {
     val out = docs(
       (1L, "the cat is in the house and it is warm"),
