@@ -376,6 +376,32 @@ object CoreOps {
         .orderBy("window_start", "event_type")
     },
 
+    // Batch sessionization (gaps-and-islands): the declarative twin of the
+    // streaming flatMapGroupsWithState sessionizer, under the oracle.
+    // Exact integer-microsecond gap arithmetic on both sides.
+    QueryDef(
+      "q_w_sessions",
+      """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, ts, us,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |            > 600000000
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (SELECT user_id, ts, sum(brk) OVER (
+        |        PARTITION BY user_id ORDER BY us
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      graft.streaming.StreamOps.sessionizeBatch(
+        Tables.events(s, d), "user_id", "ts", gapMicros = 600000000L)
+        .orderBy("user_id", "session_id")
+    },
+
     // Set operations (SURVEY §2.6: unused by the reference — completing
     // the relational surface).
     QueryDef(

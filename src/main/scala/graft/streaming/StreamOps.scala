@@ -57,6 +57,34 @@ object StreamOps {
         .dropDuplicatesWithinWatermark(keyCols)
     else df.dropDuplicates(keyCols)
 
+  /** Gap-based sessionization of a BATCH event table — the declarative
+    * gaps-and-islands twin of the streaming [[sessionize]]: a session
+    * break is a quiet period longer than `gapMicros`; the session id is
+    * the running count of breaks per user.
+    *
+    * Output: one row per (user, session) with start/end/event count.
+    *
+    * Time arithmetic is exact integer microseconds (never a seconds-
+    * truncating cast), so boundaries match an exact-SQL engine to the
+    * microsecond. Scale: both windows and the final aggregate partition
+    * by user — a per-user history is window-local, never a global sort. */
+  def sessionizeBatch(
+      events: DataFrame, userCol: String, tsCol: String,
+      gapMicros: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withUs = events.select(col(userCol).as("user_id"), col(tsCol).as("__ts"),
+      unix_micros(col(tsCol).cast("timestamp")).as("__us"))
+    val w = Window.partitionBy("user_id").orderBy("__us")
+    val prev = lag("__us", 1).over(w)
+    val brk = when(prev.isNull || col("__us") - prev > gapMicros, 1L).otherwise(0L)
+    withUs.withColumn("__brk", brk)
+      .withColumn("session_id", sum("__brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("__ts").as("session_start"), max("__ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String)
   final case class Session(
       user_id: Long,

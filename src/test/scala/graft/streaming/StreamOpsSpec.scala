@@ -89,6 +89,20 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("batch sessionization agrees with the streaming sessionizer's contract") {
+    val df = Seq(
+      (5L, ts(1)), (5L, ts(2)), (5L, ts(20)), (5L, ts(21)),
+      (7L, ts(1)), (7L, ts(2)), (7L, ts(3))).toDF("user_id", "ts")
+    val out = StreamOps.sessionizeBatch(df, "user_id", "ts",
+      gapMicros = 5L * 60 * 1000000)
+      .orderBy("user_id", "session_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(4))) shouldBe
+      Array((5L, 1L, 2L), (5L, 2L, 2L), (7L, 1L, 3L))
+    // session boundaries are member-event timestamps
+    out.head.getTimestamp(2) shouldBe ts(1)
+    out.head.getTimestamp(3) shouldBe ts(2)
+  }
+
   test("in-batch gap split emits two sessions for one user") {
     val input = MemoryStream[Event](spark)
     val sessions = sessionize(input.toDS(), gapMs = 5 * 60 * 1000, "1 minute")
