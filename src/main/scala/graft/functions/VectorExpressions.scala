@@ -120,6 +120,58 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_lower_bound(double, array<double>)` — count of elements of the
+  * SORTED array strictly below the value, by binary search. The
+  * quantile-bucket assignment of [[graft.tables.ZOrder]]: 8 probes per row
+  * instead of an interpreted 256-element lambda filter, and a flat
+  * expression tree where a `when`-chain binary search would duplicate its
+  * accumulator subtree exponentially. Null value → null (callers coalesce
+  * to bucket 0); array elements must be non-null. */
+case class LowerBoundCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (DoubleType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double, array<double>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_lower_bound"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[Double]
+    val b = r.asInstanceOf[ArrayData]
+    var lo = 0
+    var hi = b.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (b.getDouble(mid) < v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      s"""
+         |int $lo = 0; int $hi = $b.numElements();
+         |while ($lo < $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($b.getDouble($mid) < $a) $lo = $mid + 1; else $hi = $mid;
+         |}
+         |${ev.value} = (long) $lo;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 private[functions] object VectorExprChecks {
   def arraysOfDouble(
       name: String, left: Expression, right: Expression): TypeCheckResult = {
@@ -140,7 +192,8 @@ object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
-    "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))))
+    "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
+    "graft_lower_bound" -> (es => LowerBoundCount(es(0), es(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

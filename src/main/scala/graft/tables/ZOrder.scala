@@ -64,12 +64,17 @@ object ZOrder {
   def zValue(df: DataFrame, bounds: Map[String, Array[Double]]): Column = {
     val cols = bounds.keys.toSeq.sorted
     val n = cols.size
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val buckets = cols.map { c =>
-      val bs = bounds(c).map(b => lit(b))
-      val v = numericView(df, c)
-      // count of boundaries strictly below v — an O(256) interpreted fold,
-      // fine for a rewrite-only maintenance pass (the write is I/O bound)
-      size(filter(array(bs: _*), b => b < v)).cast("long")
+      // bucket id = count of sorted boundaries strictly below v, via the
+      // codegen'd binary-search expression (8 probes/row; an interpreted
+      // 256-element lambda filter made the rewrite CPU-bound, and a
+      // when-chain binary search duplicates its accumulator subtree
+      // exponentially). Nulls coalesce to bucket 0.
+      coalesce(
+        call_function("graft_lower_bound", numericView(df, c),
+          typedLit(bounds(c))),
+        lit(0L))
     }
     (0 until BitsPerColumn).flatMap { i =>
       buckets.zipWithIndex.map { case (b, j) =>
