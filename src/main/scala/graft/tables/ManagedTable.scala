@@ -431,6 +431,26 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     }
   }
 
+  /** Commit history from the retained manifest records, newest first —
+    * the audit surface (Delta's DESCRIBE HISTORY equivalent). Versions
+    * vacuum pruned are absent; `checkpoint` marks full-snapshot records. */
+  def history(): Seq[TableHistory] =
+    if (!fs.exists(manifestsDir)) Nil
+    else fs.listStatus(manifestsDir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(_.stripPrefix("v").stripSuffix(".json"))
+      .filter(v => v.nonEmpty && v.forall(_.isDigit))
+      .map(_.toLong).sorted.reverse
+      .map { v =>
+        Manifest.recordFromJsonString(readRecordString(v)) match {
+          case Left(m) => TableHistory(v, m.operation, m.timestampMs,
+            checkpoint = true)
+          case Right(inc) => TableHistory(v, inc.operation, inc.timestampMs,
+            checkpoint = false)
+        }
+      }
+
   // ------------------------------------------------------------- internals
 
   private def requireSchemaCompatible(df: DataFrame, m: Manifest): Unit = {
@@ -629,6 +649,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     fc.rename(tmp, target, Options.Rename.OVERWRITE)
   }
 }
+
+/** One [[ManagedTable.history]] entry. */
+final case class TableHistory(
+    version: Long, operation: String, timestampMs: Long, checkpoint: Boolean)
 
 object ManagedTable {
 

@@ -219,6 +219,18 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     intercept[graft.metadata.MetadataException](s.zorder(Seq("blob")))
   }
 
+  test("history lists retained commits newest-first with operations") {
+    val t = ManagedTable(spark, tmp() + "/hist")
+    t.overwriteAll(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    t.restore(0)
+    val h = t.history()
+    h.map(_.version) shouldBe Seq(2L, 1L, 0L)
+    h.map(_.operation) shouldBe Seq("restore(0)", "append", "overwrite")
+    h.head.checkpoint shouldBe true  // restore replaced every file → full record
+    h(1).checkpoint shouldBe false   // small append rode an incremental delta
+  }
+
   test("restore: rolls back to an old version as a new commit, no data copy") {
     val t = ManagedTable(spark, tmp() + "/restore")
     t.overwriteAll(Seq((1, "a"), (2, "b")).toDF("id", "v"))      // v0
