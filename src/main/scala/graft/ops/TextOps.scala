@@ -175,6 +175,14 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Per-doc MinHash index frame — shingle set + signature slots, the
+    * narrow projection [[crossCorpusNearDupPairsWith]] consumes. Compute
+    * it ONCE for a large corpus and write it to a table; incremental dedup
+    * then pays only for each incoming batch (the corpus is never
+    * re-tokenized per call). Columns: `__id`, `__hs`, `__m0..__m15`. */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    docSignatures(df, idCol, textCol)
+
   /** Band rows as (id, band index, struct of raw slots): the struct
     * equi-join blocks identically to the oracle's concat'd key (fixed
     * integer slots ⇒ concat is injective) without building strings. */
@@ -225,9 +233,16 @@ object TextOps {
     * batch then shuffles only itself plus the matched band buckets. */
   def crossCorpusNearDupPairs(
       incoming: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    val inDocs = docSignatures(incoming, idCol, textCol)
-    val corpDocs = docSignatures(corpus, idCol, textCol)
+      idCol: String, textCol: String): DataFrame =
+    crossCorpusNearDupPairsWith(
+      docSignatures(incoming, idCol, textCol),
+      docSignatures(corpus, idCol, textCol))
+
+  /** [[crossCorpusNearDupPairs]] over precomputed [[minHashSignatures]]
+    * frames — the steady-state shape: the corpus index is computed once
+    * and stored; each batch call signs only the batch. */
+  def crossCorpusNearDupPairsWith(
+      inDocs: DataFrame, corpDocs: DataFrame): DataFrame = {
     val pairs = bandRows(inDocs).alias("a")
       .join(bandRows(corpDocs).alias("b"),
         col("a.__pos") === col("b.__pos") && col("a.__key") === col("b.__key"))
@@ -443,6 +458,16 @@ object TextOps {
     * before the shuffle, so at most `perStratum` rows per stratum per
     * split reach the reducer — the whole-stratum data never lands on one
     * task (asserted against the physical plan in OpsSpec). */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String, perStratum: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(s"`$stratumCol`"))
+      .orderBy(portableHash(col(s"`$idCol`").cast("string")), col(s"`$idCol`"))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
   /** Top-k characteristic terms per document by TF-IDF-style relevance.
     *
     * The idf factor is RATIONAL — `N / df` instead of `log(N / df)` — so
@@ -476,16 +501,6 @@ object TextOps {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("doc_id", "term", "score", "rank")
-  }
-
-  def stratifiedSample(
-      df: DataFrame, idCol: String, stratumCol: String, perStratum: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(s"`$stratumCol`"))
-      .orderBy(portableHash(col(s"`$idCol`").cast("string")), col(s"`$idCol`"))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= perStratum)
-      .drop("__rn")
   }
 
   /** Deterministic train/val/test assignment from a stable id hash —

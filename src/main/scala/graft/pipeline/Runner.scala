@@ -60,10 +60,16 @@ object Runner {
       vacuum: Boolean = false)(implicit spark: SparkSession): Unit = {
     val table = graft.tables.ManagedTable.forLocation(spark, metadata.silverLocation(e))
     if (table.exists) {
-      table.compact()
-      e.settingString("zorder_by").map(_.split(',').map(_.trim)
+      val zorderCols = e.settingString("zorder_by").map(_.split(',').map(_.trim)
         .filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
-        .foreach(cols => table.zorder(cols))
+      zorderCols match {
+        // the z-order rewrite IS the compaction (one full rewrite into
+        // range-partitioned files); compact() before it would collapse the
+        // table to one file per partition, pinning zorder's default file
+        // count at 1 — no file ever skippable — and rewrite twice
+        case Some(cols) => table.zorder(cols)
+        case None       => table.compact()
+      }
       table.collectStatistics()
       if (vacuum) table.vacuum()
     }

@@ -266,7 +266,7 @@ final class HistoricStrategy extends Strategy {
       val out = emitted
         .select(explode(col("__rows")).as("__r"))
         .select(targetCols.map(c => col(s"__r.`$c`").as(c)): _*)
-      p.table.replacePartitions(pruned, out)
+      p.table.replacePartitions(pruned, out, "merge")
 
       val updated = counts.getOrElse("updated", 0L)
       val inserted = counts.getOrElse("inserted", 0L)

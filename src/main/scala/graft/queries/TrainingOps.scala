@@ -419,25 +419,34 @@ object TrainingOps {
 
   // --------------------------------------------------- generated oracles
 
-  /** Shared CTE chain ending in `pairs(id_a, id_b, inter, uni)` — the
-    * MinHash+LSH candidate pairs with exact Jaccard counts. */
-  private def minHashPairsCtes: String = {
-    val sigCols = TextOps.MinHashA.zip(TextOps.MinHashB).zipWithIndex.map {
+  /** MinHash signature columns `s0..s15` over a `hs` shingle-set column —
+    * the ONE place the signature scheme is stated in SQL (shared by the
+    * self-join and cross-corpus oracles; desynchronizing them would break
+    * only one query's parity, silently). */
+  private def sigColsSql: String =
+    TextOps.MinHashA.zip(TextOps.MinHashB).zipWithIndex.map {
       case ((a, b), i) =>
         s"list_min(list_transform(hs, h -> ($a * h + $b) % ${TextOps.MinHashPrime})) AS s$i"
     }.mkString(",\n  ")
-    val bandSelects = (0 until TextOps.Bands).map { j =>
+
+  /** LSH band rows `(id, pos, key)` from a signature CTE. */
+  private def bandSelectsSql(sig: String): String =
+    (0 until TextOps.Bands).map { j =>
       val slots = (0 until TextOps.RowsPerBand)
         .map(r => s"s${j * TextOps.RowsPerBand + r}").mkString(", ")
-      s"SELECT id, $j AS pos, concat_ws(':', $slots) AS key FROM sig"
+      s"SELECT id, $j AS pos, concat_ws(':', $slots) AS key FROM $sig"
     }.mkString("\n  UNION ALL ")
+
+  /** Shared CTE chain ending in `pairs(id_a, id_b, inter, uni)` — the
+    * MinHash+LSH candidate pairs with exact Jaccard counts. */
+  private def minHashPairsCtes: String = {
     s"""d AS (
        |  SELECT id, hs FROM ($ShingleDocs) WHERE len(hs) > 0),
        |sig AS (SELECT id,
-       |  $sigCols
+       |  $sigColsSql
        |  FROM d),
        |bands AS (
-       |  $bandSelects),
+       |  ${bandSelectsSql("sig")}),
        |cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM bands a JOIN bands b
@@ -456,28 +465,19 @@ object TrainingOps {
   /** Cross-corpus variant: the same signature/band chain built twice over
     * disjoint id slices, joined across sides only. */
   private def crossCorpusOracle: String = {
-    val sigCols = TextOps.MinHashA.zip(TextOps.MinHashB).zipWithIndex.map {
-      case ((a, b), i) =>
-        s"list_min(list_transform(hs, h -> ($a * h + $b) % ${TextOps.MinHashPrime})) AS s$i"
-    }.mkString(",\n  ")
-    def bandSelects(sig: String) = (0 until TextOps.Bands).map { j =>
-      val slots = (0 until TextOps.RowsPerBand)
-        .map(r => s"s${j * TextOps.RowsPerBand + r}").mkString(", ")
-      s"SELECT id, $j AS pos, concat_ws(':', $slots) AS key FROM $sig"
-    }.mkString("\n  UNION ALL ")
     s"""WITH sh AS ($ShingleDocs),
        |d_in AS (SELECT id, hs FROM sh WHERE id % 10 = 0 AND len(hs) > 0),
        |d_c AS (SELECT id, hs FROM sh WHERE id % 10 <> 0 AND len(hs) > 0),
        |sig_in AS (SELECT id,
-       |  $sigCols
+       |  $sigColsSql
        |  FROM d_in),
        |sig_c AS (SELECT id,
-       |  $sigCols
+       |  $sigColsSql
        |  FROM d_c),
        |bands_in AS (
-       |  ${bandSelects("sig_in")}),
+       |  ${bandSelectsSql("sig_in")}),
        |bands_c AS (
-       |  ${bandSelects("sig_c")}),
+       |  ${bandSelectsSql("sig_c")}),
        |cand AS (
        |  SELECT DISTINCT a.id AS in_id, b.id AS corpus_id
        |  FROM bands_in a JOIN bands_c b ON a.pos = b.pos AND a.key = b.key)

@@ -288,7 +288,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * `df`. `partitions == None` replaces all files (unpartitioned merge). */
   def replacePartitions(
       partitions: Option[Seq[Map[String, String]]],
-      df: DataFrame): Unit = withWriteLock {
+      df: DataFrame,
+      operation: String = "replacePartitions"): Unit = withWriteLock {
     val m = requireManifest
     requireSchemaCompatible(df, m)
     val newFiles = writeCommit(df, m.partitionColumns)
@@ -298,7 +299,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         val replaced = ps.toSet
         m.files.filter(f => replaced.contains(f.partitionValues))
     }
-    commitDelta(df.schema.json, m.partitionColumns, "replacePartitions",
+    commitDelta(df.schema.json, m.partitionColumns, operation,
       base = Some(m), adds = newFiles, removes = removed.map(_.path))
   }
 
@@ -312,14 +313,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val m = requireManifest
     if (m.partitionColumns.isEmpty) {
       if (m.files.size >= minFiles)
-        replacePartitions(None, read().coalesce(targetFiles))
+        replacePartitions(None, read().coalesce(targetFiles), "compact")
     } else {
       val affected = m.files.groupBy(_.partitionValues)
         .filter(_._2.size >= minFiles).keys.toSet
       if (affected.nonEmpty) {
         val df = readPartitions(affected.contains)
           .repartition(m.partitionColumns.map(c => col(s"`$c`")): _*)
-        replacePartitions(Some(affected.toSeq), df)
+        replacePartitions(Some(affected.toSeq), df, "compact")
       }
     }
   }
@@ -350,7 +351,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       .repartitionByRange(n, keys: _*)
       .sortWithinPartitions(keys: _*)
       .drop("__gz")
-    replacePartitions(None, sorted)
+    replacePartitions(None, sorted,
+      s"zorder(${columns.mkString(",")})")
   }
 
   /** Roll the table back (or forward) to the state of `version` as a NEW
@@ -363,7 +365,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       if (version < e) throw new MetadataException(
         s"Cannot restore $rootPath to version $version: it was vacuumed " +
           s"(earliest readable version is $e)"))
-    val target = readManifest(version)
+    val target =
+      try readManifest(version)
+      catch {
+        case _: java.io.FileNotFoundException => throw new MetadataException(
+          s"Cannot restore $rootPath to version $version: no such version " +
+            s"(current is ${cur.version})")
+      }
     commitDelta(target.schemaJson, target.partitionColumns, s"restore($version)",
       base = Some(cur), adds = target.files, removes = cur.files.map(_.path))
   }
@@ -442,13 +450,16 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       .map(_.stripPrefix("v").stripSuffix(".json"))
       .filter(v => v.nonEmpty && v.forall(_.isDigit))
       .map(_.toLong).sorted.reverse
-      .map { v =>
-        Manifest.recordFromJsonString(readRecordString(v)) match {
+      .flatMap { v =>
+        // lock-free like all reads: a concurrent vacuum may delete a
+        // record between the listing and the read — skip it, don't throw
+        try Some(Manifest.recordFromJsonString(readRecordString(v)) match {
           case Left(m) => TableHistory(v, m.operation, m.timestampMs,
             checkpoint = true)
           case Right(inc) => TableHistory(v, inc.operation, inc.timestampMs,
             checkpoint = false)
-        }
+        })
+        catch { case _: java.io.FileNotFoundException => None }
       }
 
   // ------------------------------------------------------------- internals

@@ -173,7 +173,7 @@ final class MergeBuilder private[tables] (
       val kept = resolved
         .filter(col(ActionCol) =!= DropTag && !col(ActionCol).startsWith(DeletePrefix))
         .drop(ActionCol, TRowId)
-      table.replacePartitions(pruned.filter(_ => m.partitionColumns.nonEmpty), kept)
+      table.replacePartitions(pruned.filter(_ => m.partitionColumns.nonEmpty), kept, "merge")
       MergeMetrics(counts - DropTag)
     } finally resolved.unpersist()
   }
@@ -286,7 +286,7 @@ final class MergeBuilder private[tables] (
       val kept = all
         .filter(col(ActionCol) =!= DropTag && !col(ActionCol).startsWith(DeletePrefix))
         .drop(ActionCol, MatchKey, TRowId)
-      table.replacePartitions(pruned.filter(_ => m.partitionColumns.nonEmpty), kept)
+      table.replacePartitions(pruned.filter(_ => m.partitionColumns.nonEmpty), kept, "merge")
       MergeMetrics(counts - DropTag)
     } finally {
       resolved.unpersist()

@@ -64,6 +64,11 @@ object ZOrder {
   def zValue(df: DataFrame, bounds: Map[String, Array[Double]]): Column = {
     val cols = bounds.keys.toSeq.sorted
     val n = cols.size
+    // n * BitsPerColumn bits must fit below the long sign bit: position 63
+    // is Long.MIN_VALUE (sort-inverting) and 64+ wraps (shift mod 64),
+    // silently corrupting the curve
+    require(n >= 1 && n * BitsPerColumn <= 63,
+      s"zorder supports 1..${63 / BitsPerColumn} columns, got $n")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val buckets = cols.map { c =>
       // bucket id = count of sorted boundaries strictly below v, via the

@@ -149,8 +149,11 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     Runner.maintainEntity(md, e)
     // the rewrite reordered rows but changed nothing
     table.read().orderBy("ID").collect() shouldBe before
-    // z-ordered files carry selective stats on the zorder_by columns
+    // z-ordered files carry selective stats on the zorder_by columns, and
+    // the audit history names the maintenance rewrite (zorder replaces
+    // compact when zorder_by is set — one rewrite, not two)
     table.manifest.get.files.foreach(f => f.stats.keySet should contain("SeqNr"))
+    table.history().head.operation should startWith("zorder")
     // maintenance with vacuum drops time travel but keeps the snapshot
     Runner.maintainEntity(md, e, vacuum = true)
     table.read().count() shouldBe 41L
