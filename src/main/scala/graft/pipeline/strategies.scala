@@ -127,8 +127,12 @@ final class MergeStrategy extends Strategy {
     }
 
     // keyed merge: broadcast the slice, never shuffle the silver table;
-    // PK uniqueness was already proven by the sliceStats dup guard
+    // PK uniqueness was already proven by the sliceStats dup guard.
+    // Slices too large to broadcast (a backfill, a table-sized CDC batch)
+    // fall back to a shuffle join — exact row count is already known from
+    // sliceStats, so the choice costs nothing
     val builder = MergeInto.byKey(p.table, df, pk).assumeUniqueSourceKeys()
+    if (n > Strategy.broadcastMaxRows(df.sparkSession)) builder.largeSource()
     prunedPartitions(p).foreach(builder.prunePartitions)
     builder
       .whenMatchedUpdate(
@@ -202,9 +206,11 @@ final class HistoricStrategy extends Strategy {
     // Broadcast plan (same shape as MergeBuilder.executeKeyed): the target
     // is scanned once, never shuffled. History rows (IsCurrent=false) fall
     // out as unmatched; brand-new keys come from a small anti-join.
+    val bigSlice = n > Strategy.broadcastMaxRows(src.sparkSession)
     val t = target.withColumn(graft.tables.MergeBuilder.TFlag, lit(true)).alias("target")
-    val s = src.withColumn(graft.tables.MergeBuilder.SFlag, lit(true)).alias("source")
-    val joined = t.join(broadcast(s),
+    val s0 = src.withColumn(graft.tables.MergeBuilder.SFlag, lit(true)).alias("source")
+    val s = if (bigSlice) s0 else broadcast(s0)
+    val joined = t.join(s,
       expr(s"target.`$pk` = source.`$pk` AND target.`${sys.isCurrent}` = true"),
       "left_outer")
 
@@ -252,10 +258,11 @@ final class HistoricStrategy extends Strategy {
       when(isMatched, col(s"source.`$pk`")).as("__mk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val matchedKeys = resolved.filter(col("__mk").isNotNull)
+    val matchedKeys0 = resolved.filter(col("__mk").isNotNull)
       .select(col("__mk").as(pk)).distinct()
+    val matchedKeys = if (bigSlice) matchedKeys0 else broadcast(matchedKeys0)
     val inserts = src.alias("source")
-      .join(broadcast(matchedKeys), Seq(pk), "left_anti")
+      .join(matchedKeys, Seq(pk), "left_anti")
       .select(array(sourceRow).as("__rows"), lit("inserted").as("__action"),
         lit(null).cast("string").as("__mk"))
     val emitted = resolved.unionByName(inserts)
@@ -280,6 +287,13 @@ final class HistoricStrategy extends Strategy {
 }
 
 object Strategy {
+
+  /** Slice row count above which merge strategies stop broadcasting the
+    * slice (and its matched-key set) and let Catalyst/AQE pick a shuffle
+    * join instead. */
+  def broadcastMaxRows(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.merge.broadcastMaxRows", "10000000").toLong
+
   def forType(t: ProcessType): Strategy = t match {
     case ProcessType.Full     => new FullStrategy()
     case ProcessType.Merge    => new MergeStrategy()

@@ -41,6 +41,14 @@ final class MergeBuilder private[tables] (
   private var clauses = Vector.empty[Clause]
   private var pruned: Option[Seq[Map[String, String]]] = None
   private var sourceKeysUnique = false
+  private var broadcastSource = true
+
+  /** Declare the source too large to broadcast (a backfill slice, a
+    * table-sized CDC batch): the keyed path then drops its broadcast
+    * hints and lets Catalyst/AQE pick a shuffle join — the target IS
+    * shuffled in exchange for not materializing the source on every
+    * executor (and not OOMing the driver building the broadcast). */
+  def largeSource(): this.type = { broadcastSource = false; this }
 
   /** Skip the keyed path's multi-match guard when the caller has already
     * proven source-key uniqueness (the pipeline's slice stats do) — saves
@@ -207,8 +215,9 @@ final class MergeBuilder private[tables] (
       .withColumn(TFlag, lit(true))
       .withColumn(TRowId, monotonically_increasing_id())
       .alias("target")
-    val s = source.withColumn(SFlag, lit(true)).alias("source")
-    val joined = t.join(broadcast(s),
+    val s0 = source.withColumn(SFlag, lit(true)).alias("source")
+    val s = if (broadcastSource) broadcast(s0) else s0
+    val joined = t.join(s,
       col(s"target.`$k`") === col(s"source.`$k`"), "left_outer")
 
     val isMatched = col(TFlag).isNotNull && col(SFlag).isNotNull
@@ -262,10 +271,12 @@ final class MergeBuilder private[tables] (
             "MERGE source has multiple rows matching one target row")
       }
       // insert side: source rows whose key matched nothing in the target
-      val matchedKeys = resolved.filter(col(MatchKey).isNotNull)
+      val matchedKeys0 = resolved.filter(col(MatchKey).isNotNull)
         .select(col(MatchKey).as(k)).distinct()
+      val matchedKeys =
+        if (broadcastSource) broadcast(matchedKeys0) else matchedKeys0
       val unmatched = source.alias("source")
-        .join(broadcast(matchedKeys), Seq(k), "left_anti")
+        .join(matchedKeys, Seq(k), "left_anti")
       val insertClauses = indexed.filter(_._1.kind == NotMatched)
       val insertAction = insertClauses.foldRight(lit(DropTag): Column) {
         case ((c, i), rest) =>

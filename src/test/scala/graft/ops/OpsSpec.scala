@@ -62,6 +62,27 @@ class OpsSpec extends AnyFunSuite with Matchers {
     j14.getInt(0) shouldBe j14.getInt(1)
   }
 
+  test("cross-corpus dedup against a STORED signature index matches direct") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again"
+    val near2 = "the quick brown fox jumps over the lazy dog again and once"
+    val far = "completely different content about spark catalyst optimizer internals"
+    val incoming = docs((1L, near1))
+    val corpus = docs((2L, near2), (3L, far))
+    val direct = TextOps.crossCorpusNearDupPairs(incoming, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).sorted
+    // steady-state shape: corpus signed once, index persisted to parquet,
+    // each batch signs only itself
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigidx").toString
+    TextOps.minHashSignatures(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val viaIndex = TextOps.crossCorpusNearDupPairsWith(
+      TextOps.minHashSignatures(incoming, "doc_id", "text"),
+      spark.read.parquet(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).sorted
+    viaIndex shouldBe direct
+    viaIndex.length should be > 0
+  }
+
   test("cluster assignments: nearest centroid wins, sizes partition the corpus") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), // the codebook rows

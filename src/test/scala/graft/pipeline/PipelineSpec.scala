@@ -160,6 +160,30 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     intercept[graft.metadata.MetadataException](table.readVersion(0))
   }
 
+  test("merge + historic stay correct when the slice exceeds broadcastMaxRows") {
+    // threshold 1 row: every slice takes the no-broadcast (shuffle) path
+    spark.conf.set("spark.graft.merge.broadcastMaxRows", "1")
+    try {
+      val md = fixture()
+      writeSlice(md, md.getEntity(2), "s1.parquet",
+        mergeSlice(Seq((1, 1, "a"), (2, 1, "b"))))
+      run(md, 2, "s1.parquet", T1)
+      writeSlice(md, md.getEntity(2), "s2.parquet",
+        mergeSlice(Seq((1, 5, "a2"), (3, 5, "c"))))
+      val sum = run(md, 2, "s2.parquet", T2)
+      sum.updated shouldBe 1
+      sum.inserted shouldBe 1
+
+      val eh = md.getEntity(3)
+      writeSlice(md, eh, "s1.parquet", Seq((1, "a")).toDF("ID", "name"))
+      run(md, 3, "s1.parquet", T1)
+      writeSlice(md, eh, "s2.parquet", Seq((1, "a2"), (2, "b")).toDF("ID", "name"))
+      run(md, 3, "s2.parquet", T2)
+      val t = new Processing(md, eh, "s2.parquet").table.read()
+      t.count() shouldBe 3 // closed v1 + open v2 for ID 1, open v1 for ID 2
+    } finally spark.conf.unset("spark.graft.merge.broadcastMaxRows")
+  }
+
   test("merge: first run diverts to full; then update/touch/insert") {
     val md = fixture()
     val e = md.getEntity(2)

@@ -133,6 +133,37 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     mk.count("bs3") shouldBe 1 // delete-inferred
   }
 
+  test("keyed merge largeSource drops broadcast hints, same result") {
+    def setup(): ManagedTable = {
+      val t = ManagedTable(spark, tmp() + "/ls")
+      t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "x"), (3, "c", "x"))))
+      t
+    }
+    val src = df(Seq((2, "B", "x"), (4, "d", "x")))
+    def clauses(b: MergeBuilder): MergeBuilder = b
+      .whenMatchedUpdateAll(cond = Some("target.name != source.name"))
+      .whenNotMatchedInsertAll()
+
+    val tb = setup()
+    val mb = clauses(MergeInto.byKey(tb, src, "id")).execute()
+    val tl = setup()
+    val ml = clauses(MergeInto.byKey(tl, src, "id").largeSource()).execute()
+
+    val rows = (t: ManagedTable) => t.read().collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    rows(tl) shouldBe rows(tb)
+    rows(tl) shouldBe Seq((1, "a"), (2, "B"), (3, "c"), (4, "d"))
+    ml.byTag shouldBe mb.byTag
+    // and the pipeline-level threshold picks the same path end-to-end: a
+    // 2-row slice over broadcastMaxRows=1 merges correctly without hints
+    spark.conf.set("spark.graft.merge.broadcastMaxRows", "1")
+    try {
+      val t2 = setup()
+      clauses(MergeInto.byKey(t2, src, "id").largeSource()).execute()
+      rows(t2) shouldBe rows(tb)
+    } finally spark.conf.unset("spark.graft.merge.broadcastMaxRows")
+  }
+
   test("keyed merge with partition pruning leaves other partitions untouched") {
     val t = ManagedTable(spark, tmp() + "/kp")
     t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "y"))), Seq("part"))
