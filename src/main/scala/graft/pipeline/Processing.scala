@@ -57,36 +57,54 @@ final class Processing(
   private var cached: Option[DatalakeSource] = None
   private var statsCache: Option[SliceStats] = None
 
-  /** Record count + max PK multiplicity in ONE aggregation job over the
-    * cached slice: empty-slice warning, duplicate-businesskey guard, and
-    * the strategies' record count all read from it — three fewer passes
-    * per run than computing each separately. */
-  def sliceStats: SliceStats = statsCache.getOrElse {
-    val df = source.df
-    val s =
-      if (entity.businessKeyColumns.nonEmpty && df.columns.contains(pkColumn)) {
-        val r = df.groupBy(col(s"`$pkColumn`")).agg(count(lit(1)).as("cnt"))
-          .agg(sum("cnt"), max("cnt")).head()
-        if (r.isNullAt(0)) SliceStats(0L, 0L)
-        else SliceStats(r.getLong(0), r.getLong(1))
-      } else SliceStats(df.count(), 1L)
-    statsCache = Some(s)
-    s
-  }
+  /** Record count + max PK multiplicity, computed in the SAME aggregation
+    * job as the watermark maxes (see [[source]]): empty-slice warning,
+    * duplicate-businesskey guard, and the strategies' record count all
+    * read from it. */
+  def sliceStats: SliceStats = statsCache.getOrElse { source; statsCache.get }
 
-  /** Memoized transformed slice (reference: Processing.scala:84-121). */
+  /** Memoized transformed slice (reference: Processing.scala:84-121).
+    *
+    * ONE aggregation job computes the record count, the max PK
+    * multiplicity, AND every watermark column's max (per-group max then
+    * global max equals the global max): a watermarked run previously paid
+    * a separate scan per concern. Partition values (a distinct projection,
+    * different shape) stay their own job. */
   def source: DatalakeSource = cached.getOrElse {
     val df = transformChain(readSlice()).persist(StorageLevel.MEMORY_AND_DISK)
-    val wmValues = entity.watermark.map { wm =>
-      // resolve through rename+normalize; a column absent from the slice
-      // yields None (watermark skipped), matching the reference's
-      // missing-column tolerance
-      val name = watermarkColumnName(wm)
-      val v =
-        if (!df.columns.contains(name)) None
-        else Option(df.agg(max(col(s"`$name`")).cast("string")).head().getString(0))
-      wm -> v
+    // watermark columns resolve through rename+normalize; a column absent
+    // from the slice yields None (watermark skipped), matching the
+    // reference's missing-column tolerance
+    val wmPresent = entity.watermark.map(wm =>
+      wm -> watermarkColumnName(wm)).filter { case (_, n) => df.columns.contains(n) }
+    val wmAggs = wmPresent.zipWithIndex.map { case ((_, n), i) =>
+      max(col(s"`$n`")).as(s"__wm$i")
     }
+    val keyed = entity.businessKeyColumns.nonEmpty && df.columns.contains(pkColumn)
+    val row =
+      if (keyed) {
+        val perKey = df.groupBy(col(s"`$pkColumn`"))
+          .agg(count(lit(1)).as("__cnt"), wmAggs: _*)
+        perKey.agg(sum("__cnt").as("__total"), (max("__cnt").as("__maxpk") +:
+          wmPresent.indices.map(i =>
+            max(col(s"__wm$i")).cast("string").as(s"__wmv$i"))): _*).head()
+      } else
+        df.agg(count(lit(1)).as("__total"), (max(lit(1L)).as("__maxpk") +:
+          wmPresent.indices.map(i =>
+            max(col(s"`${wmPresent(i)._2}`")).cast("string").as(s"__wmv$i"))): _*)
+          .head()
+    statsCache = Some {
+      // keyed empty slice: sum over no groups is null → (0, 0);
+      // non-keyed empty: count is 0, max(lit) null → keep the historical
+      // (0, 1) shape (maxPk is only meaningful with a business key)
+      if (row.isNullAt(0)) SliceStats(0L, 0L)
+      else if (row.getLong(0) == 0L) SliceStats(0L, if (keyed) 0L else 1L)
+      else SliceStats(row.getLong(0), row.getLong(1))
+    }
+    val wmByDef = wmPresent.zipWithIndex.map { case ((wm, _), i) =>
+      wm -> Option(row.getString(2 + i))
+    }.toMap
+    val wmValues = entity.watermark.map(wm => wm -> wmByDef.getOrElse(wm, None))
     val partCols = normalizedPartitionColumns
     val partValues =
       if (partCols.isEmpty) Nil
