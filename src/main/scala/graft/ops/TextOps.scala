@@ -165,23 +165,27 @@ object TextOps {
     * a cache eviction re-derives the signatures at full codegen speed.
     * Persisted: band joins + set re-joins reuse it several times; the
     * cached form is (id, long[], 16 longs) — a few MB per million docs. */
-  private def docSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private def docSignatures(df: DataFrame, idCol: String, textCol: String,
+      cache: Boolean = true): DataFrame = {
     val sigAggs = MinHashA.zip(MinHashB).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("__s") * a + b, lit(MinHashPrime))).as(s"__m$i")
     }
-    shingleRows(df, idCol, textCol)
+    val out = shingleRows(df, idCol, textCol)
       .groupBy("__id")
       .agg(collect_set(col("__s")).as("__hs"), sigAggs: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (cache) out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else out
   }
 
   /** Per-doc MinHash index frame — shingle set + signature slots, the
     * narrow projection [[crossCorpusNearDupPairsWith]] consumes. Compute
     * it ONCE for a large corpus and write it to a table; incremental dedup
     * then pays only for each incoming batch (the corpus is never
-    * re-tokenized per call). Columns: `__id`, `__hs`, `__m0..__m15`. */
+    * re-tokenized per call). Columns: `__id`, `__hs`, `__m0..__m15`.
+    * NOT persisted here — the write-once indexing flow never re-reads it;
+    * persist (or store and re-read) it yourself when joining repeatedly. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    docSignatures(df, idCol, textCol)
+    docSignatures(df, idCol, textCol, cache = false)
 
   /** Band rows as (id, band index, struct of raw slots): the struct
     * equi-join blocks identically to the oracle's concat'd key (fixed

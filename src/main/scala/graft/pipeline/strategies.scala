@@ -132,7 +132,7 @@ final class MergeStrategy extends Strategy {
     // fall back to a shuffle join — exact row count is already known from
     // sliceStats, so the choice costs nothing
     val builder = MergeInto.byKey(p.table, df, pk).assumeUniqueSourceKeys()
-    if (n > Strategy.broadcastMaxRows(df.sparkSession)) builder.largeSource()
+    if (Strategy.sliceTooLargeToBroadcast(p, n)) builder.largeSource()
     prunedPartitions(p).foreach(builder.prunePartitions)
     builder
       .whenMatchedUpdate(
@@ -206,7 +206,7 @@ final class HistoricStrategy extends Strategy {
     // Broadcast plan (same shape as MergeBuilder.executeKeyed): the target
     // is scanned once, never shuffled. History rows (IsCurrent=false) fall
     // out as unmatched; brand-new keys come from a small anti-join.
-    val bigSlice = n > Strategy.broadcastMaxRows(src.sparkSession)
+    val bigSlice = Strategy.sliceTooLargeToBroadcast(p, n)
     val t = target.withColumn(graft.tables.MergeBuilder.TFlag, lit(true)).alias("target")
     val s0 = src.withColumn(graft.tables.MergeBuilder.SFlag, lit(true)).alias("source")
     val s = if (bigSlice) s0 else broadcast(s0)
@@ -292,7 +292,34 @@ object Strategy {
     * slice (and its matched-key set) and let Catalyst/AQE pick a shuffle
     * join instead. */
   def broadcastMaxRows(spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.get("spark.graft.merge.broadcastMaxRows", "10000000").toLong
+    confLong(spark, "spark.graft.merge.broadcastMaxRows", 10000000L)
+
+  /** Estimated slice bytes above which broadcasting is refused even under
+    * the row cap — rows are a weak proxy for the real hazard (a wide
+    * 9M-row slice can be 10 GB). Default 1 GiB, well under Spark's 8 GB
+    * broadcast hard limit. */
+  def broadcastMaxBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    confLong(spark, "spark.graft.merge.broadcastMaxBytes", 1L << 30)
+
+  private def confLong(spark: org.apache.spark.sql.SparkSession,
+      key: String, default: Long): Long =
+    try spark.conf.get(key, default.toString).toLong
+    catch { case _: NumberFormatException =>
+      org.slf4j.LoggerFactory.getLogger(classOf[Strategy])
+        .warn(s"Malformed $key; using $default")
+      default
+    }
+
+  /** Whether the (already persisted and counted) slice is too large to
+    * broadcast: row cap OR byte estimate. The byte estimate comes from the
+    * cached relation's statistics — the slice was materialized by the
+    * stats aggregation, so the size is real, not a planner guess. */
+  def sliceTooLargeToBroadcast(p: Processing, rows: Long): Boolean = {
+    val spark = p.source.df.sparkSession
+    val bytes = p.source.df.queryExecution.optimizedPlan.stats.sizeInBytes
+    rows > broadcastMaxRows(spark) ||
+      bytes > BigInt(broadcastMaxBytes(spark))
+  }
 
   def forType(t: ProcessType): Strategy = t match {
     case ProcessType.Full     => new FullStrategy()

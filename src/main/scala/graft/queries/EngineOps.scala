@@ -82,8 +82,13 @@ object EngineOps {
       val root = s"/tmp/graft_engine/zorder_${dirKey(sfDir)}"
       val t = graft.tables.ManagedTable(spark, s"$root/orders")
       if (!stagedZorder.contains(root)) {
-        if (t.exists) t.vacuum() // a previous JVM staged it; drop old commits
-        else t.overwriteAll(Tables.orders(spark, sfDir)
+        // re-stage on first use per JVM (same invariant as ensureSlices):
+        // a stale table from a previous JVM could reflect since-regenerated
+        // source data and silently diverge from the oracle
+        val p = new Path(root)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        t.overwriteAll(Tables.orders(spark, sfDir)
           .select("o_orderkey", "o_custkey", "o_orderdate").repartition(8))
         stagedZorder += root
       }

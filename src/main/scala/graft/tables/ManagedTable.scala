@@ -344,7 +344,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val df = read()
     val bounds = ZOrder.boundaries(df, columns)
     val z = ZOrder.zValue(df, bounds).as("__gz")
-    val n = if (targetFiles > 0) targetFiles else math.max(1, m.files.size)
+    // default file count: consolidate small merge-commit files (an 8x
+    // fold) but never below the cluster's parallelism — this rewrite
+    // doubles as the compaction pass for z-ordered tables, and a 1-file
+    // result would make per-file skipping moot
+    val n =
+      if (targetFiles > 0) targetFiles
+      else math.max(spark.sparkContext.defaultParallelism, m.files.size / 8)
     val partCols = m.partitionColumns.map(c => col(s"`$c`"))
     val keys = partCols :+ col("__gz")
     val sorted = df.withColumn("__gz", z)

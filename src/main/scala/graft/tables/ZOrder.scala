@@ -67,8 +67,9 @@ object ZOrder {
     // n * BitsPerColumn bits must fit below the long sign bit: position 63
     // is Long.MIN_VALUE (sort-inverting) and 64+ wraps (shift mod 64),
     // silently corrupting the curve
-    require(n >= 1 && n * BitsPerColumn <= 63,
-      s"zorder supports 1..${63 / BitsPerColumn} columns, got $n")
+    if (n < 1 || n * BitsPerColumn > 63)
+      throw new graft.metadata.MetadataException(
+        s"zorder supports 1..${63 / BitsPerColumn} columns, got $n")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val buckets = cols.map { c =>
       // bucket id = count of sorted boundaries strictly below v, via the
