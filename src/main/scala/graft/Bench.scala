@@ -50,16 +50,48 @@ object Bench {
     // engine query's measured interval
     try graft.queries.EngineOps.warmStaging(spark, sfDir)
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // operator-internal persists (minhash/jaccard shingle sets, ANN
-      // codebooks) are scoped to one query; dropping them between queries
-      // keeps heap pressure flat across the 48-query run
-      spark.catalog.clearCache()
-      name -> elapsed
-    }
+    // local-iteration knobs (driver sets neither): ONLY=comma-list runs a
+    // subset, REPS=n repeats each query and reports the minimum — single
+    // local[32] runs vary ±25%, so perf work needs the repeated floor
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    // JOBS=1: per-query job/stage counts on stderr — job-count bloat (many
+    // tiny actions) is invisible in wall-clock-only output
+    val jobCounter =
+      if (!sys.env.get("SPARK_GRAFT_BENCH_JOBS").contains("1")) None
+      else {
+        val c = new org.apache.spark.scheduler.SparkListener {
+          val jobs = new java.util.concurrent.atomic.AtomicInteger
+          val stages = new java.util.concurrent.atomic.AtomicInteger
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+          }
+        }
+        spark.sparkContext.addSparkListener(c)
+        Some(c)
+      }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val elapsed = (1 to reps).map { r =>
+          val j0 = jobCounter.map(c => (c.jobs.get, c.stages.get))
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // operator-internal persists (minhash/jaccard shingle sets, ANN
+          // codebooks) are scoped to one query; dropping them between
+          // queries keeps heap pressure flat across the run
+          spark.catalog.clearCache()
+          jobCounter.zip(j0).foreach { case (c, (js, ss)) =>
+            System.err.println(f"JOBS $name rep$r: jobs=${c.jobs.get - js} " +
+              s"stages=${c.stages.get - ss} sec=$dt%.2f")
+          }
+          dt
+        }.min
+        name -> elapsed
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -56,9 +56,15 @@ object GraphOps {
     val in = edges.select(src.as("a"), dst.as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted hash-partitioned on the probe key `b`: the per-round join
+    // (sym.b == labels.node) then reads the cached layout with NO exchange
+    // on the edge side — labels comes out of its aggregation hash(node)
+    // with the same partition count, so rounds shuffle only the (small)
+    // label union, never the edge list
     val sym = in
       .union(in.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .repartition(col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     if (sym.isEmpty) {
@@ -67,11 +73,14 @@ object GraphOps {
     }
 
     // init: each node labeled with min(itself, its neighbors) — the first
-    // propagation round fused into the node-list aggregation
+    // propagation round fused into the node-list aggregation.
+    // localCheckpoint is LAZY throughout: it caches partitions as the
+    // convergence-sum action computes them, so each round is ONE job
+    // (propagate + materialize + sum), not a checkpoint job plus a sum job
     var labels = sym
       .groupBy(col("a").as("node"))
       .agg(min(least(col("a"), col("b"))).as("component"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head()
@@ -87,7 +96,7 @@ object GraphOps {
         .select(sym("a").as("node"), col("component"))
       val next = labels.union(neighborLabels)
         .groupBy("node").agg(min("component").as("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

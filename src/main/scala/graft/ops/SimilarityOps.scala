@@ -71,9 +71,12 @@ object SimilarityOps {
     val planes = planeCoefficients(dims)
     array((0 until Tables).map { t =>
       (0 until BitsPerTable).map { b =>
-        val coefs = planes(t * BitsPerTable + b)
-          .map(c => s"${c}D").mkString("array(", ", ", ")")
-        val d = expr(s"graft_dot(`$vecName`, $coefs)")
+        // one pre-built array Literal per plane (not an expr()-parsed
+        // array(...) of `dims` literal children): 24 planes × 64 dims as
+        // parsed trees made cold planning of every LSH query measurably
+        // slow — the runtime plan is identical
+        val coefs = lit(planes(t * BitsPerTable + b).toArray)
+        val d = call_function("graft_dot", col(s"`$vecName`"), coefs)
         when(d >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
