@@ -26,7 +26,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop operator-internal persists so 48 queries don't accumulate heap
+      // drop operator-internal persists so ~60 queries don't accumulate heap
+      graft.ops.SubstrateCache.release(spark)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -253,12 +253,13 @@ object SimilarityOps {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // `c` feeds the bucket rows AND both sides of the candidate re-join;
     // `rows` (24 graft_dot hyperplane products per vector) feeds both sides
-    // of the self-join — persist both or the dot products run 2-3×
-    val c = corpus.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rows = c.select(col("__id"), posexplode(lshBucketKeys("__v", dims)))
-      .select(col("__id"), col("pos").as("tbl"), col("col").as("key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // of the self-join — persist both or the dot products run 2-3×.
+    // Registered with SubstrateCache so the session owns the lifecycle.
+    val c = SubstrateCache.persist(
+      corpus.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v")))
+    val rows = SubstrateCache.persist(
+      c.select(col("__id"), posexplode(lshBucketKeys("__v", dims)))
+        .select(col("__id"), col("pos").as("tbl"), col("col").as("key")))
     val pairs = rows.alias("a")
       .join(rows.alias("b"),
         col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key")

@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * All hash primitives are engine-portable (sha256-derived), so results
   * can be verified bit-for-bit against a SQL oracle.
   *
-  * Caching note: the pairwise operators persist their per-doc substrate
-  * (shingle sets, signatures) because both sides of a self-join reference
-  * it; the cache lives as long as the returned plan. Long-lived sessions
-  * running many unrelated batches should `spark.catalog.clearCache()`
-  * between them (the bench harness does).
+  * Caching note: the pairwise SELF-JOIN operators persist their per-doc
+  * substrate (shingle sets, signatures) because both join sides reference
+  * it; every such persist is registered with [[SubstrateCache]], and
+  * long-lived sessions release them with `SubstrateCache.release(spark)`
+  * at batch boundaries (the bench harness does). Everything else here —
+  * including [[tfIdfTopTerms]] and the [[crossCorpusNearDupPairs]]
+  * convenience form — persists nothing.
   */
 object TextOps {
 
@@ -173,7 +175,7 @@ object TextOps {
     val out = shingleRows(df, idCol, textCol)
       .groupBy("__id")
       .agg(collect_set(col("__s")).as("__hs"), sigAggs: _*)
-    if (cache) out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (cache) SubstrateCache.persist(out)
     else out
   }
 
@@ -234,13 +236,21 @@ object TextOps {
     *
     * At 100 TB the corpus-side signatures are computed once and stored
     * (they are a narrow (id, 16 longs, set) projection); each incoming
-    * batch then shuffles only itself plus the matched band buckets. */
+    * batch then shuffles only itself plus the matched band buckets.
+    *
+    * Cache contract: like [[minHashSignatures]], this convenience form
+    * persists NOTHING — each side's signatures are recomputed by the band
+    * join and the set join (two passes per side). Callers that run it
+    * repeatedly, or on a large corpus, should precompute
+    * [[minHashSignatures]] themselves (persisted or stored as a table)
+    * and call [[crossCorpusNearDupPairsWith]] — the steady-state shape —
+    * so the session owns every cache's lifecycle. */
   def crossCorpusNearDupPairs(
       incoming: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String): DataFrame =
     crossCorpusNearDupPairsWith(
-      docSignatures(incoming, idCol, textCol),
-      docSignatures(corpus, idCol, textCol))
+      docSignatures(incoming, idCol, textCol, cache = false),
+      docSignatures(corpus, idCol, textCol, cache = false))
 
   /** [[crossCorpusNearDupPairs]] over precomputed [[minHashSignatures]]
     * frames — the steady-state shape: the corpus index is computed once
@@ -363,11 +373,12 @@ object TextOps {
     * primitive. */
   def blockedJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: Column): DataFrame = {
-    val docs = shingleSets(df, idCol, textCol)
-      .join(df.select(col(idCol).as("__id"), blockCol.as("__blk")), "__id")
-      // persisted for the same reason as minHashNearDupPairs: the
-      // self-join would recompute the interpreted sha256 lambdas per side
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted for the same reason as minHashNearDupPairs: the
+    // self-join would recompute the interpreted sha256 lambdas per side.
+    // Registered with SubstrateCache so the session can release it.
+    val docs = SubstrateCache.persist(
+      shingleSets(df, idCol, textCol)
+        .join(df.select(col(idCol).as("__id"), blockCol.as("__blk")), "__id"))
     docs.alias("a").join(docs.alias("b"),
         col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
@@ -483,20 +494,24 @@ object TextOps {
     * ties don't straddle the cutoff.
     *
     * Plan shape: explode → one (doc, term) count aggregate feeding BOTH
-    * doc lengths (sum of counts — the raw text is never re-tokenized) and
-    * document frequencies; corpus size joins in as a broadcast scalar;
-    * top-k via rank-limit window. All shuffles hash on doc or term. */
+    * doc lengths and document frequencies as WINDOW sums over the same
+    * frame (the raw text is never re-tokenized, and nothing is persisted —
+    * a window reuses the stream where a self-join would need a cached
+    * substrate, so a long-lived session accumulates no library-owned
+    * cache); corpus size joins in as a broadcast scalar; top-k via
+    * rank-limit window. All shuffles hash on doc or term, and the
+    * doc-length window's exchange is reused by the final rank window
+    * (same partitioning key). */
   def tfIdfTopTerms(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = df.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docLen = tf.groupBy("doc_id").agg(sum("cnt").as("tok"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
-    val scored = tf.join(docLen, "doc_id").join(dfreq, "term")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("tok", sum("cnt").over(Window.partitionBy("doc_id")))
       .crossJoin(broadcast(n))
       .withColumn("score",
         (col("cnt").cast("double") / col("tok").cast("double")) *

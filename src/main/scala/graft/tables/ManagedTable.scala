@@ -283,6 +283,38 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           base = Some(m), adds = newFiles, removes = Nil)
     } }
 
+  /** Snapshot restricted to exactly `files` (entries of `m`) — the
+    * file-granular read half of a MERGE rewrite. */
+  private[tables] def readManifestFiles(m: Manifest, files: Seq[TableFile]): DataFrame =
+    readFiles(m, files)
+
+  /** Every plausible absolute-URI spelling of each file mapped to its
+    * manifest path — translates `input_file_name()` values (whose encoding
+    * varies by filesystem/scheme) back to manifest entries. */
+  private[tables] def fileUriLookup(files: Seq[TableFile]): Map[String, String] =
+    files.flatMap { f =>
+      val p = fs.makeQualified(new Path(root, f.path))
+      Set(p.toString, p.toUri.toString, p.toUri.getPath, p.toUri.toASCIIString)
+        .map(_ -> f.path)
+    }.toMap
+
+  /** File-granular MERGE commit primitive: atomically replace exactly the
+    * files named in `removePaths` with the files written from `df`; every
+    * other manifest entry carries into the new version verbatim (no data
+    * movement, no stats recomputation). This is what keeps a small keyed
+    * merge's write amplification proportional to the rows it touches, not
+    * to the partition layout. */
+  def replaceFiles(
+      removePaths: Seq[String],
+      df: DataFrame,
+      operation: String = "replaceFiles"): Unit = withWriteLock {
+    val m = requireManifest
+    requireSchemaCompatible(df, m)
+    val newFiles = writeCommit(df, m.partitionColumns)
+    commitDelta(df.schema.json, m.partitionColumns, operation,
+      base = Some(m), adds = newFiles, removes = removePaths)
+  }
+
   /** Merge/compaction commit primitive: atomically replace the content of
     * `partitions` (every file whose partition values appear in the set) with
     * `df`. `partitions == None` replaces all files (unpartitioned merge). */

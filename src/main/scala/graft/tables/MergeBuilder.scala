@@ -12,7 +12,12 @@ import org.apache.spark.storage.StorageLevel
   * `whenNotMatchedBySource` clauses, evaluated in declaration order, first
   * match wins; unmatched-by-any-clause rows pass through unchanged.
   *
-  * Execution is one declarative DataFrame program:
+  * Execution: the keyed path (every pipeline PK merge) is a two-phase
+  * file-granular rewrite — touch-detect via `input_file_name()` under a
+  * broadcast join, then rewrite ONLY the touched files and carry every
+  * untouched manifest entry into the new version verbatim (see
+  * [[executeKeyed]]). The generic-condition path is one declarative
+  * full-outer-join program committed at partition granularity:
   * {{{
   *   target (partition-pruned) FULL OUTER JOIN source ON <condition>
   *   → per-column CASE chain picks target/source/override value
@@ -20,12 +25,11 @@ import org.apache.spark.storage.StorageLevel
   *   → atomic replacePartitions commit
   * }}}
   *
-  * Scale behavior: the join shuffles on the (already hashed, uniformly
+  * Scale behavior: joins hash on the (already hashed, uniformly
   * distributed) PK — no skew by construction. Only partitions named in
-  * `prunePartitions` are read and rewritten; the rest of the table is not
-  * touched. The resolved set is persisted once (MEMORY_AND_DISK) so metrics
-  * + write share one computation — it holds only the affected partitions,
-  * not the table.
+  * `prunePartitions` are read at all, and on the keyed path only files
+  * containing clause-touched rows are rewritten; nothing table-sized is
+  * ever persisted.
   *
   * Conditions and set-expressions are Spark SQL strings over `target.` /
   * `source.` aliases, exactly like Delta's API.
@@ -98,13 +102,17 @@ final class MergeBuilder private[tables] (
     }
   }
 
-  private def prunedTarget(m: Manifest): DataFrame =
+  /** Manifest entries inside the merge's partition-pruned scope. */
+  private def prunedFiles(m: Manifest): Seq[TableFile] =
     pruned match {
       case Some(ps) if m.partitionColumns.nonEmpty =>
         val wanted = ps.toSet
-        table.readPartitions(wanted.contains)
-      case _ => table.read()
+        m.files.filter(f => wanted.contains(f.partitionValues))
+      case _ => m.files
     }
+
+  private def prunedTarget(m: Manifest): DataFrame =
+    table.readManifestFiles(m, prunedFiles(m))
 
   private def requireTarget: Manifest =
     table.manifest.getOrElse(
@@ -192,33 +200,46 @@ final class MergeBuilder private[tables] (
       case _      => base
     }
 
-  /** Keyed fast path: the target table is NEVER shuffled.
+  /** Keyed fast path: the target table is NEVER shuffled, and only the
+    * FILES a clause actually touches are rewritten (Delta MERGE's rewrite
+    * scope — reference usage Merge.scala:96-125).
+    *
+    * Two phases over the partition-pruned target:
     *
     * {{{
-    *   j       = target ⟕ broadcast(source) ON target.k = source.k
-    *             // matched + target-only rows, one pass over pruned target
-    *   matched = j.filter(matched).select(k)          // ≈ slice-sized
-    *   inserts = source ⟂anti broadcast(matched)      // small × small
-    *   result  = resolve(j) ∪ inserts
+    *   // phase 1 — touch detection + metrics, one streaming pass, narrow
+    *   probe   = target ⟕ broadcast(source) ON target.k = source.k
+    *             .select(input_file_name, action, source.k, rowid)
+    *             .filter(touched ∨ matched)       // ≈ slice-sized, persisted
+    *   touched = probe.filter(action ≠ unchanged).files   // driver, O(files)
+    *   matched = probe.keys                               // ≈ slice-sized
+    *   // phase 2 — rewrite ONLY touched files (+ inserts)
+    *   rewrite = read(touched files) ⟕ broadcast(source) → resolve
+    *   inserts = source ⟂anti broadcast(matched)          // small × small
+    *   commit  = replaceFiles(touched, rewrite ∪ inserts) // untouched
+    *             manifest entries carry over verbatim
     * }}}
     *
-    * At 100 TB the generic full-outer plan sort-merge-shuffles the whole
-    * target on the PK; here the target is only scanned (partition-pruned,
-    * then streamed through a broadcast hash join). `j` is persisted once
-    * and shared by the action resolution, the matched-key extraction, and
-    * the metrics aggregate, so the target is read exactly once. */
+    * At 100 TB this is the difference between a 10-row CDC slice rewriting
+    * a terabyte partition (the PK is a uniform hash, so file min/max stats
+    * can never prune it) and rewriting the handful of files that contain
+    * the 10 matched rows. Phase 1 scans only the columns the clause
+    * conditions reference (column pruning reaches the parquet scan);
+    * phase 2 re-reads just the touched files. Nothing table-sized is ever
+    * persisted: the probe frame holds matched + touched rows only. */
   private def executeKeyed(k: String): MergeMetrics = {
     val m = requireTarget
     val targetCols = m.schema.fields.map(_.name).toSeq
+    val scopeFiles = prunedFiles(m)
 
-    val t = prunedTarget(m)
-      .withColumn(TFlag, lit(true))
-      .withColumn(TRowId, monotonically_increasing_id())
-      .alias("target")
     val s0 = source.withColumn(SFlag, lit(true)).alias("source")
     val s = if (broadcastSource) broadcast(s0) else s0
-    val joined = t.join(s,
-      col(s"target.`$k`") === col(s"source.`$k`"), "left_outer")
+
+    def joinTarget(target: DataFrame): DataFrame =
+      target
+        .withColumn(TFlag, lit(true))
+        .alias("target")
+        .join(s, col(s"target.`$k`") === col(s"source.`$k`"), "left_outer")
 
     val isMatched = col(TFlag).isNotNull && col(SFlag).isNotNull
     val targetOnly = col(TFlag).isNotNull && col(SFlag).isNull
@@ -240,43 +261,75 @@ final class MergeBuilder private[tables] (
     val actionCol = indexed.foldRight(lit(UnchangedTag): Column) {
       case ((c, i), rest) => when(clauseCond(c), lit(tagFor(c, tag(i, c)))).otherwise(rest)
     }
-    def valueFor(c: Clause, colName: String): Column = c.action match {
-      case UpdateAll | InsertAll => col(s"source.`$colName`")
-      case UpdateSet(set) => set.get(colName).map(expr)
-        .getOrElse(col(s"target.`$colName`"))
-      case Delete => col(s"target.`$colName`")
-    }
-    val outCols = targetCols.map { name =>
-      indexed.foldRight(col(s"target.`$name`")) { case ((c, i), rest) =>
-        when(clauseCond(c), valueFor(c, name)).otherwise(rest)
-      }.as(name)
-    }
 
-    val resolved = joined
-      .select(outCols ++ Seq(actionCol.as(ActionCol),
+    // ---- phase 1: touch detection + metrics (narrow projection; only
+    // matched or touched rows survive — unchanged-unmatched rows, the bulk
+    // of the table, are filtered before the persist)
+    val probe = joinTarget(
+        prunedTarget(m)
+          .withColumn(TFile, input_file_name())
+          // pre-join id: two source rows hitting one target row duplicate
+          // the SAME id through the join (the multi-match guard's anchor)
+          .withColumn(TRowId, monotonically_increasing_id()))
+      .select(col(TFile), actionCol.as(ActionCol),
         col(s"source.`$k`").as(MatchKey),
-        when(col(SFlag).isNotNull, col(TRowId)).as(TRowId)): _*)
+        when(col(SFlag).isNotNull, col(TRowId)).as(TRowId))
+      .filter(col(ActionCol) =!= UnchangedTag || col(MatchKey).isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var all: DataFrame = null
+    var inserts: DataFrame = null
     try {
       // Delta contract (same check as the generic path): multiple source
       // rows matching ONE TARGET ROW is an error — but duplicate source
       // keys that match nothing are legal inserts of every row, so the
-      // guard counts matched target rows, not raw source keys
+      // guard counts matched target rows, not raw source keys. TRowId is
+      // assigned before the probe projection, so two source rows hitting
+      // one target row carry the same id.
       if (!sourceKeysUnique) {
-        val multi = resolved.filter(col(TRowId).isNotNull)
+        val multi = probe.filter(col(TRowId).isNotNull)
           .groupBy(TRowId).count().filter(col("count") > 1).limit(1).count()
         if (multi > 0)
           throw new graft.metadata.MetadataException(
             "MERGE source has multiple rows matching one target row")
       }
-      // insert side: source rows whose key matched nothing in the target
-      val matchedKeys0 = resolved.filter(col(MatchKey).isNotNull)
+
+      // touched files, translated back to manifest paths on the driver
+      // (bounded by the file count). An untranslatable name would mean the
+      // old file survives next to its rewrite — duplicates — so ANY failed
+      // translation falls back to rewriting the full pruned scope, which
+      // is the pre-file-granular (correct, partition-level) behavior.
+      val touchedUris = probe.filter(col(ActionCol) =!= UnchangedTag)
+        .select(TFile).distinct().collect().map(_.getString(0)).toSeq
+      val lookup = table.fileUriLookup(scopeFiles)
+      val translated = touchedUris.map(u =>
+        lookup.get(u).orElse(lookup.get(decodeUri(u))))
+      val touchedPaths: Seq[String] =
+        if (translated.forall(_.isDefined)) translated.map(_.get)
+        else {
+          org.slf4j.LoggerFactory.getLogger(classOf[MergeBuilder]).warn(
+            s"MERGE on ${table.rootPath}: could not map " +
+              s"${translated.count(_.isEmpty)} scanned file name(s) back to " +
+              "manifest entries; falling back to partition-granular rewrite")
+          scopeFiles.map(_.path)
+        }
+      val touchedSet = touchedPaths.toSet
+      val touchedEntries = scopeFiles.filter(f => touchedSet.contains(f.path))
+
+      // action counts: non-unchanged rows are counted exactly from the
+      // probe; `unchanged` is everything else in scope (footer-only count
+      // job — no data columns are read)
+      val probeCounts = probe.groupBy(ActionCol).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val totalInScope = prunedTarget(m).count()
+      val touchedRows = (probeCounts - UnchangedTag).values.sum
+      val baseCounts = (probeCounts - UnchangedTag) +
+        (UnchangedTag -> (totalInScope - touchedRows))
+
+      // insert side: source rows whose key matched nothing in the target.
+      // Persisted (slice-bounded): metrics and the write both consume it.
+      val matchedKeys0 = probe.filter(col(MatchKey).isNotNull)
         .select(col(MatchKey).as(k)).distinct()
       val matchedKeys =
         if (broadcastSource) broadcast(matchedKeys0) else matchedKeys0
-      val unmatched = source.alias("source")
-        .join(matchedKeys, Seq(k), "left_anti")
       val insertClauses = indexed.filter(_._1.kind == NotMatched)
       val insertAction = insertClauses.foldRight(lit(DropTag): Column) {
         case ((c, i), rest) =>
@@ -284,26 +337,49 @@ final class MergeBuilder private[tables] (
             .otherwise(rest)
       }
       // a NotMatched clause's action is InsertAll (or conditional drop)
-      val inserts = unmatched
+      inserts = source.alias("source")
+        .join(matchedKeys, Seq(k), "left_anti")
         .select(targetCols.map(n => col(s"source.`$n`").as(n))
-          :+ insertAction.as(ActionCol) :+ lit(null).cast("string").as(MatchKey)
-          :+ lit(null).cast("long").as(TRowId): _*)
-
-      // persisted too: metrics and the write otherwise each re-run the
-      // insert anti-join and source scan
-      all = resolved.unionByName(inserts).persist(StorageLevel.MEMORY_AND_DISK)
-      val counts = all.groupBy(ActionCol).count()
+          :+ insertAction.as(ActionCol): _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val insertCounts = inserts.groupBy(ActionCol).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val kept = all
+      val counts = (baseCounts.keySet ++ insertCounts.keySet).map(key =>
+        key -> (baseCounts.getOrElse(key, 0L) + insertCounts.getOrElse(key, 0L)))
+        .toMap
+
+      // ---- phase 2: re-resolve ONLY the touched files (deterministic
+      // expressions reproduce phase 1's actions exactly) and commit them
+      // plus the inserts; untouched manifest entries carry over verbatim
+      def valueFor(c: Clause, colName: String): Column = c.action match {
+        case UpdateAll | InsertAll => col(s"source.`$colName`")
+        case UpdateSet(set) => set.get(colName).map(expr)
+          .getOrElse(col(s"target.`$colName`"))
+        case Delete => col(s"target.`$colName`")
+      }
+      val outCols = targetCols.map { name =>
+        indexed.foldRight(col(s"target.`$name`")) { case ((c, i), rest) =>
+          when(clauseCond(c), valueFor(c, name)).otherwise(rest)
+        }.as(name)
+      }
+      val rewrite = joinTarget(table.readManifestFiles(m, touchedEntries))
+        .select(outCols :+ actionCol.as(ActionCol): _*)
+      val kept = rewrite.unionByName(inserts)
         .filter(col(ActionCol) =!= DropTag && !col(ActionCol).startsWith(DeletePrefix))
-        .drop(ActionCol, MatchKey, TRowId)
-      table.replacePartitions(pruned.filter(_ => m.partitionColumns.nonEmpty), kept, "merge")
+        .drop(ActionCol)
+      table.replaceFiles(touchedPaths, kept, "merge")
       MergeMetrics(counts - DropTag)
     } finally {
-      resolved.unpersist()
-      if (all != null) all.unpersist()
+      probe.unpersist()
+      if (inserts != null) inserts.unpersist()
     }
   }
+
+  /** Percent-decode a URI-style file name (input_file_name returns
+    * URL-encoded names on some paths/filesystems). */
+  private def decodeUri(u: String): String =
+    try new java.net.URI(u).getPath
+    catch { case _: Exception => u }
 }
 
 object MergeBuilder {
@@ -323,6 +399,7 @@ object MergeBuilder {
 
   private[graft] val TFlag = "__graft_t"
   private[graft] val SFlag = "__graft_s"
+  private[tables] val TFile = "__graft_file"
   private[tables] val ActionCol = "__graft_action"
   private[tables] val MatchKey = "__graft_mk"
   private[tables] val TRowId = "__graft_tid"

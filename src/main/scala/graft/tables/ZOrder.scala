@@ -48,10 +48,13 @@ object ZOrder {
     field.dataType match {
       case _: NumericType => col(s"`$c`").cast("double")
       case DateType => datediff(col(s"`$c`"), lit("1970-01-01")).cast("double")
+      // epoch MICROS, not seconds: sub-second-spaced data (event streams,
+      // audit timestamps) must spread across buckets, and doubles hold
+      // micros exactly well past year 2200 (2^53 µs ≈ 285 years)
       case TimestampType =>
-        col(s"`$c`").cast("long").cast("double") // epoch seconds
-      case TimestampNTZType => // NTZ has no numeric cast; route via LTZ
-        col(s"`$c`").cast(TimestampType).cast("long").cast("double")
+        unix_micros(col(s"`$c`")).cast("double")
+      case TimestampNTZType => // NTZ has no direct micros function; route via LTZ
+        unix_micros(col(s"`$c`").cast(TimestampType)).cast("double")
       case other => throw new graft.metadata.MetadataException(
         s"zorder column '$c' has unordered type ${other.simpleString}; " +
           "z-order supports numeric, date, and timestamp columns")
