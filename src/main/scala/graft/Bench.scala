@@ -111,24 +111,39 @@ object Bench {
         BenchResult(name, if (good.nonEmpty) good.min else -1.0,
           allReps.map(_._1), err)
       }
+    // every char < 0x20 breaks JSON, not just \n\r\t (same escaper contract
+    // as Verify.scala) — exception messages can carry arbitrary controls
     def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val qs = results.map(r => jstr(r.name) + ":" + r.floor)
+      "\"" + s.flatMap {
+        case '\\' => "\\\\"
+        case '"'  => "\\\""
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c    => c.toString
+      } + "\""
+    def sec(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map(r => jstr(r.name) + ":" + sec(r.floor))
       .mkString("{", ",", "}")
     val repsJson = results.map(r =>
-        jstr(r.name) + ":" + r.reps.mkString("[", ",", "]"))
+        jstr(r.name) + ":" + r.reps.map(sec).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val errs = results.flatMap(r => r.err.map(e => jstr(r.name) + ":" + jstr(e)))
       .mkString("{", ",", "}")
     val total = results.filter(_.floor >= 0).map(_.floor).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""reps":$repsJson,"errors":$errs,"n_reps":$reps,"sf":"$sfDir"}""")
+    val failed = results.count(_.err.nonEmpty)
+    // stdout carries ONE compact JSON line (floors only, 3 decimals): the
+    // harness captures a bounded tail of stdout, so the line must stay well
+    // under that window or it truncates into unparseable JSON. Per-rep
+    // detail and error messages go to stderr, which is unbounded.
+    System.err.println(s"""BENCH_DETAIL {"reps":$repsJson,"errors":$errs}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      s""""failed":$failed,"n_reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
-    // a bench with any failed query must fail loudly, not just annotate
-    if (results.exists(_.err.nonEmpty)) {
+    // a bench with any failed query must fail loudly: nonzero exit plus the
+    // "failed" field above — a broken query must never read as a perf win
+    if (failed > 0) {
       System.err.println("BENCH FAILURES: " +
         results.filter(_.err.nonEmpty).map(_.name).mkString(", "))
+      sys.exit(1)
     }
   }
 }

@@ -97,8 +97,33 @@ final class MergeBuilder private[tables] (
     * it. */
   def execute(): MergeMetrics = table.withWriteLock {
     keyColumn match {
-      case Some(k) => executeKeyed(k)
-      case None    => executeGeneric()
+      case Some(k) if clausesDeterministic => executeKeyed(k)
+      case _                               => executeGeneric()
+    }
+  }
+
+  /** The keyed path evaluates every clause condition TWICE — once in touch
+    * detection, once in the rewrite — so a nondeterministic condition
+    * (`rand()`, `current_timestamp()`) could flag a file untouched in phase
+    * 1 yet resolve a row as updated in phase 2, silently losing the update.
+    * Such merges take the single-pass generic path, where the resolved
+    * frame is persisted and written directly (self-consistent by
+    * construction). Determinism is checked on the ANALYZED expressions:
+    * an unresolved `rand()` is just an `UnresolvedFunction` whose
+    * `deterministic` defaults to true, so the conditions are resolved
+    * against an empty two-sided join frame first (analysis only, no jobs). */
+  private[tables] def clausesDeterministic: Boolean = {
+    val conds = clauses.flatMap(_.cond)
+    conds.isEmpty || {
+      val spark = source.sparkSession
+      val m = requireTarget
+      val t = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+        .withColumn(TFlag, lit(true)).alias("target")
+      val s = source.limit(0).withColumn(SFlag, lit(true)).alias("source")
+      t.join(s, expr(condition), "left_outer")
+        .select(conds.map(c => expr(c)): _*)
+        .queryExecution.analyzed.expressions.forall(_.deterministic)
     }
   }
 
@@ -344,9 +369,11 @@ final class MergeBuilder private[tables] (
         .persist(StorageLevel.MEMORY_AND_DISK)
       val insertCounts = inserts.groupBy(ActionCol).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // zero-count tags are dropped: the generic path only reports tags it
+      // observed, and `MergeMetrics.count` already resolves absent → 0
       val counts = (baseCounts.keySet ++ insertCounts.keySet).map(key =>
         key -> (baseCounts.getOrElse(key, 0L) + insertCounts.getOrElse(key, 0L)))
-        .toMap
+        .toMap.filter(_._2 != 0L)
 
       // ---- phase 2: re-resolve ONLY the touched files (deterministic
       // expressions reproduce phase 1's actions exactly) and commit them

@@ -133,6 +133,31 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     mk.count("bs3") shouldBe 1 // delete-inferred
   }
 
+  test("keyed merge with nondeterministic clause condition falls back to single-pass path") {
+    // the two-phase file-granular rewrite evaluates clause conditions twice;
+    // rand() could diverge between phases, so such merges must take the
+    // single-pass generic path (condition evaluated exactly once per row)
+    val t = ManagedTable(spark, tmp() + "/nd")
+    t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "x"), (3, "c", "x"))))
+    val src = df(Seq((2, "B", "x"), (4, "d", "x")))
+
+    val nd = MergeInto.byKey(t, src, "id")
+      .whenMatchedUpdateAll(cond = Some("rand() < 2.0")) // always true, nondeterministic
+      .whenNotMatchedInsertAll()
+    nd.clausesDeterministic shouldBe false
+
+    val det = MergeInto.byKey(t, src, "id")
+      .whenMatchedUpdateAll(cond = Some("target.name != source.name"))
+    det.clausesDeterministic shouldBe true
+
+    // end-to-end through the fallback: result identical to a plain upsert
+    val metrics = nd.execute()
+    val out = t.read().collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    out shouldBe Array((1, "a"), (2, "B"), (3, "c"), (4, "d"))
+    metrics.count("m0") shouldBe 1
+    metrics.count("nm1") shouldBe 1
+  }
+
   test("keyed merge largeSource drops broadcast hints, same result") {
     def setup(): ManagedTable = {
       val t = ManagedTable(spark, tmp() + "/ls")
