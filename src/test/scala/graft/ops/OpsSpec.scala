@@ -467,4 +467,45 @@ class OpsSpec extends AnyFunSuite with Matchers {
       (30L, 30L, true), (31L, 30L, false))
     g.groupBy(_._2).values.foreach(grp => grp.count(_._3) shouldBe 1)
   }
+
+  test("scoped substrate handles release only their own caches") {
+    import org.apache.spark.storage.StorageLevel
+    SubstrateCache.release(spark) // clean slate
+    val d = docs((1L, "a b c a b"), (2L, "x y z"))
+
+    // two "entities" on two threads, each building an operator in a scope —
+    // the Runner.parallelism shape
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(SubstrateCache.scoped {
+      TextOps.minHashNearDupPairs(d, "doc_id", "text").count()
+    })
+    val fb = Future(SubstrateCache.scoped {
+      TextOps.blockedJaccardPairs(d, "doc_id", "text", lit(1)).count()
+    })
+    val (_, ha) = Await.result(fa, 120.seconds)
+    val (_, hb) = Await.result(fb, 120.seconds)
+    ha.size should be > 0
+    hb.size should be > 0
+    // scope-owned substrates never land in the session registry
+    SubstrateCache.registered(spark) shouldBe 0
+
+    // releasing A leaves B's caches persisted
+    val before = spark.sparkContext.getPersistentRDDs.size
+    ha.release()
+    ha.size shouldBe 0
+    spark.sparkContext.getPersistentRDDs.size should be < before
+    hb.size should be > 0
+    hb.release()
+    ha.release() // idempotent
+
+    // outside any scope, persists fall back to the session registry
+    val (_, hEmpty) = SubstrateCache.scoped(42)
+    hEmpty.size shouldBe 0
+    TextOps.minHashNearDupPairs(d, "doc_id", "text").count()
+    SubstrateCache.registered(spark) should be > 0
+    SubstrateCache.release(spark)
+    SubstrateCache.registered(spark) shouldBe 0
+  }
 }
