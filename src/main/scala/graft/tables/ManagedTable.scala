@@ -315,6 +315,40 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       base = Some(m), adds = newFiles, removes = removePaths)
   }
 
+  /** Register externally-written parquet files as a new version WITHOUT
+    * reading, moving, or rewriting any data — the in-place conversion
+    * path (what Delta calls CONVERT TO DELTA). At 100 TB this is the
+    * difference between adopting an existing lake in minutes (one
+    * metadata commit) and re-copying every byte through a write job.
+    *
+    * `files` paths are table-root-relative; the CALLER owns their
+    * correctness — that the footers match `schema`, that
+    * `partitionValues` reflect the real row content, and that any
+    * supplied per-column stats are genuine min/max (wrong stats would
+    * wrongly skip files). On an existing table the schema and partition
+    * columns must match the current version exactly. */
+  def importFiles(
+      schema: org.apache.spark.sql.types.StructType,
+      partitionBy: Seq[String],
+      files: Seq[TableFile],
+      operation: String = "import"): Unit = withWriteLock {
+    manifest match {
+      case None =>
+        commitDelta(schema.json, partitionBy, operation,
+          base = None, adds = files, removes = Nil)
+      case Some(m) =>
+        if (schema.json != m.schemaJson)
+          throw new MetadataException(
+            s"importFiles into $rootPath: schema differs from current version")
+        if (partitionBy != m.partitionColumns)
+          throw new MetadataException(
+            s"importFiles into $rootPath: partition columns " +
+              s"$partitionBy != ${m.partitionColumns}")
+        commitDelta(m.schemaJson, m.partitionColumns, operation,
+          base = Some(m), adds = files, removes = Nil)
+    }
+  }
+
   /** Merge/compaction commit primitive: atomically replace the content of
     * `partitions` (every file whose partition values appear in the set) with
     * `df`. `partitions == None` replaces all files (unpartitioned merge). */
