@@ -102,8 +102,8 @@ object Bench {
           graft.ops.SubstrateCache.release(spark)
           spark.catalog.clearCache()
           jobCounter.zip(j0).foreach { case (c, (js, ss)) =>
-            System.err.println(f"JOBS $name rep$r: jobs=${c.jobs.get - js} " +
-              s"stages=${c.stages.get - ss} sec=$dt%.2f ok=$ok")
+            System.err.println(f"JOBS $name rep$r: jobs=${c.jobs.get - js}%d " +
+              f"stages=${c.stages.get - ss}%d sec=$dt%.2f ok=$ok")
           }
           (dt, ok)
         }

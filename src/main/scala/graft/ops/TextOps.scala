@@ -434,6 +434,62 @@ object TextOps {
         * (lit(1.0) - punct.cast("double") / col(nCharsCol)), 4).as("quality"))
   }
 
+  /** Lexical-diversity scores per document: type-token ratio, hapax ratio
+    * (types occurring exactly once — low hapax flags template/boilerplate
+    * text), and Simpson concentration Σ(cnt/n)² (the probability two
+    * random tokens coincide — high values flag degenerate repetition).
+    *
+    * All three are quotients of exact integer aggregates, so each score
+    * is ONE IEEE division (or one multiply + divide) on identical
+    * operands in any engine — bit-identical with the SQL oracle by
+    * construction; an entropy formulation would hang cross-engine parity
+    * on libm's log rounding for no extra ranking power.
+    *
+    * Plan shape: explode → (doc, term) hash aggregate (partial map-side
+    * combine absorbs each doc's repeats) → per-doc aggregate. Shuffles
+    * hash on (doc, term) then doc — no windows, no skew hazard (a
+    * mega-document's terms spread over the first shuffle's reducers). */
+  def lexicalDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    tf.groupBy("doc_id").agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(col("cnt") * col("cnt")).as("sumsq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("hapax"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("hapax").cast("double") / col("n_distinct").cast("double"))
+          .as("hapax_ratio"),
+        (col("sumsq").cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          .as("simpson"))
+  }
+
+  /** Top-k most frequent word n-grams (bigrams) per corpus group — the
+    * discovery tool for boilerplate phrases, contamination templates, and
+    * per-source tics worth scrubbing before training.
+    *
+    * Plan shape: per-row n-gram expansion (the same single-pass
+    * `bigramShingles` HOF the MinHash path uses — no positional self-join,
+    * no per-doc window), one (group, ngram) hash aggregate, then the
+    * rank-limit window. Spark rewrites `row_number <= k` into a partial
+    * WindowGroupLimit per input split, so a dominant group never funnels
+    * its full n-gram census through one reducer. */
+  def frequentNgrams(
+      df: DataFrame, textCol: String, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(s"`$groupCol`"))
+      .orderBy(col("cnt").desc, col("ngram"))
+    df.select(col(s"`$groupCol`"),
+        explode(bigramShingles(tokens(col(s"`$textCol`")))).as("ngram"))
+      .groupBy(col(s"`$groupCol`"), col("ngram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Token counting: whitespace tokens and BPE-ish regex tokens
     * (letter runs | digit runs | single other non-space). */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =

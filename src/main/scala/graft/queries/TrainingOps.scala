@@ -247,6 +247,47 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // -------------------------------------- text: lexical diversity scores
+    // (rational quotients of integer aggregates — bit-identical across
+    // engines; see TextOps.lexicalDiversity)
+    QueryDef(
+      "q_td_lexdiv",
+      s"""WITH w AS (SELECT doc_id, unnest($Words) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS cnt FROM w GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_distinct,
+         |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         |  CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS ttr,
+         |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS hapax_ratio,
+         |  CAST(sum(cnt * cnt) AS DOUBLE)
+         |    / (CAST(sum(cnt) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE)) AS simpson
+         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.lexicalDiversity(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ----------------------------- text: frequent n-grams per corpus group
+    // (boilerplate/contamination-template discovery; same single-pass
+    // bigram expansion as the MinHash shingle path)
+    QueryDef(
+      "q_td_ngram_freq",
+      s"""WITH g AS (
+         |  SELECT source, unnest(
+         |    CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+         |      ELSE list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])
+         |    END) AS ngram
+         |  FROM (SELECT source, $Words AS w FROM documents)),
+         |c AS (SELECT source, ngram, count(*) AS cnt FROM g GROUP BY 1, 2)
+         |SELECT source, ngram, cnt, rank FROM (
+         |  SELECT source, ngram, cnt, row_number() OVER (
+         |    PARTITION BY source ORDER BY cnt DESC, ngram) AS rank FROM c)
+         |WHERE rank <= 10 ORDER BY source, rank""".stripMargin) { (s, d) =>
+      TextOps.frequentNgrams(Tables.documents(s, d), "text", "source", k = 10)
+        .orderBy("source", "rank")
+    },
+
     // --------------------------------------------- text: token counting
     QueryDef(
       "q_td_tokens",

@@ -468,6 +468,31 @@ class OpsSpec extends AnyFunSuite with Matchers {
     g.groupBy(_._2).values.foreach(grp => grp.count(_._3) shouldBe 1)
   }
 
+  test("lexical diversity: ttr, hapax, simpson from exact counts") {
+    val out = TextOps.lexicalDiversity(docs((1L, "a a b c")), "doc_id", "text")
+      .collect().head
+    out.getLong(1) shouldBe 4 // n_tokens
+    out.getLong(2) shouldBe 3 // n_distinct
+    out.getLong(3) shouldBe 2 // hapax: b, c
+    out.getDouble(4) shouldBe 0.75 // ttr
+    out.getDouble(5) shouldBe (2.0 / 3.0) // hapax_ratio
+    out.getDouble(6) shouldBe ((4.0 + 1.0 + 1.0) / 16.0) // simpson: (2²+1+1)/4²
+  }
+
+  test("frequent n-grams: per-group top-k with count-then-name ordering") {
+    val d = Seq(
+      (1L, "x y x y z", "s1"), // s1 bigrams: x_y ×2, y_x, y_z
+      (2L, "x y q", "s1"),     // s1: x_y again (×3 total), y_q
+      (3L, "a b", "s2"),       // s2: a_b
+      (4L, "c", "s2")          // <2 tokens → no bigrams
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.frequentNgrams(d, "text", "source", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    out.toSet shouldBe Set(
+      ("s1", "x_y", 3L, 1), ("s1", "y_q", 1L, 2), // y_q < y_x < y_z on tie
+      ("s2", "a_b", 1L, 1))
+  }
+
   test("scoped substrate handles release only their own caches") {
     import org.apache.spark.storage.StorageLevel
     SubstrateCache.release(spark) // clean slate
