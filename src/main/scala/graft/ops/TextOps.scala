@@ -539,6 +539,31 @@ object TextOps {
       .drop("__rn")
   }
 
+  /** Keep the top `frac` share of rows per group, ranked by
+    * (`scoreCol` desc, `idCol`) — quality-threshold pruning as curation
+    * pipelines apply it ("drop the worst 20% of each source"), with a
+    * deterministic id tie-break so the cut is reproducible across runs
+    * and engines.
+    *
+    * The per-group keep-count is `ceil(frac × group_size)`, computed as a
+    * count window over the SAME partitioning as the rank window, so both
+    * resolve against one exchange. Unlike a constant-k rank limit, a
+    * fractional cut is inherently a full ranked pass per group (the
+    * boundary depends on the group's size); a pathologically dominant
+    * group sorts on one reducer — cap group sizes upstream or fall back
+    * to [[stratifiedSample]]'s constant-k shape when that bites. */
+  def topFractionByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, frac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(s"`$groupCol`"))
+      .orderBy(col(s"`$scoreCol`").desc, col(s"`$idCol`"))
+    val wg = Window.partitionBy(col(s"`$groupCol`"))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wg))
+      .filter(col("__rn") <= ceil(col("__n") * lit(frac)))
+      .drop("__rn", "__n")
+  }
+
   /** Top-k characteristic terms per document by TF-IDF-style relevance.
     *
     * The idf factor is RATIONAL — `N / df` instead of `log(N / df)` — so

@@ -288,6 +288,40 @@ object TrainingOps {
         .orderBy("source", "rank")
     },
 
+    // ----------------------------- text: per-source quality-share pruning
+    // (keep the best 80% of each source by the composite quality score —
+    // the curation cut applied before training; deterministic id
+    // tie-break, ceil(frac×n) boundary identical in both engines)
+    QueryDef(
+      "q_td_quality_prune",
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |    round((CAST(len(list_distinct($Words)) AS DOUBLE) / len($Words))
+         |      * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+         |               AS DOUBLE) / n_chars), 4) AS quality
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, quality,
+         |    row_number() OVER (
+         |      PARTITION BY source ORDER BY quality DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM q)
+         |SELECT doc_id, source, quality FROM r
+         |WHERE rn <= CAST(ceil(n * 0.8) AS BIGINT) ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val ws = TextOps.tokens(col("text"))
+        val punct = size(regexp_extract_all(
+          col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+        val quality = round(
+          size(array_distinct(ws)).cast("double") / size(ws)
+            * (lit(1.0) - punct.cast("double") / col("n_chars")), 4)
+        TextOps.topFractionByGroup(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), quality.as("quality")),
+          "source", "quality", "doc_id", frac = 0.8)
+          .orderBy("doc_id")
+    },
+
     // --------------------------------------------- text: token counting
     QueryDef(
       "q_td_tokens",

@@ -493,6 +493,18 @@ class OpsSpec extends AnyFunSuite with Matchers {
       ("s2", "a_b", 1L, 1))
   }
 
+  test("top-fraction pruning keeps ceil(frac*n) per group with id tie-break") {
+    val d = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.5), (4L, "a", 0.5),
+      (5L, "a", 0.1), (6L, "b", 0.2)
+    ).toDF("doc_id", "grp", "score")
+    val kept = TextOps.topFractionByGroup(d, "grp", "score", "doc_id", 0.5)
+      .collect().map(_.getLong(0)).sorted
+    // group a: ceil(5*0.5)=3 → 0.9 then the 0.5-ties in doc_id order (2,3);
+    // group b: ceil(1*0.5)=1 → its only row survives
+    kept shouldBe Array(1L, 2L, 3L, 6L)
+  }
+
   test("scoped substrate handles release only their own caches") {
     import org.apache.spark.storage.StorageLevel
     SubstrateCache.release(spark) // clean slate
