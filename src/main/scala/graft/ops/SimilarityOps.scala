@@ -243,6 +243,107 @@ object SimilarityOps {
       count(lit(1)).over(Window.partitionBy("cluster_id")))
   }
 
+  /** Product-quantization sub-codebooks: the embedding space is split into
+    * `m` contiguous subspaces of `dims / m` dimensions; each gets its own
+    * `ksub`-entry codebook. Deterministic seed (the first `ksub` corpus
+    * vectors in id order, sliced per subspace) so PQ results are
+    * reproducible and oracle-verifiable — production swaps in per-subspace
+    * k-means exactly as [[ivfTopKWith]] does for IVF cells.
+    * Output: `(sub, cid, centv, cnorm2)`, `m × ksub` rows. */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, ksub: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
+    val dsub = dims / m
+    corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("fv"))
+      .select(col("cid"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("fv"), s * dsub + 1, dsub).as("centv"))): _*)).as("sc"))
+      .select(col("sc.sub").as("sub"), col("cid"), col("sc.centv").as("centv"))
+      .withColumn("cnorm2", expr("graft_dot(centv, centv)"))
+  }
+
+  /** PQ encoding: each vector → `m` small centroid codes. The STORED index
+    * is `(vec_id, sub, cid, cnorm2)` — `m` ints per vector instead of
+    * `dims` floats (the FAISS-style memory path: a billion 64-d float
+    * corpus is 256 GB raw but ~4 GB as 4-subspace codes, and ADC search
+    * never touches raw vectors again). Assignment is per-subspace nearest
+    * centroid by cosine, fused into one `min_by` partial aggregate per
+    * (vector, subspace) — broadcast codebook, no window, nothing
+    * quadratic in the corpus. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, dims: Int, m: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val dsub = dims / m
+    corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("cv"))
+      .select(col("vec_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("cv"), s * dsub + 1, dsub).as("subv"))): _*)).as("sc"))
+      .select(col("vec_id"), col("sc.sub").as("sub"), col("sc.subv").as("subv"))
+      .join(broadcast(codebook), "sub")
+      .withColumn("__cos", expr("graft_cosine(subv, centv)"))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(struct(col("cid"), col("cnorm2")),
+        struct(coalesce(negate(col("__cos")), lit(Double.PositiveInfinity)),
+          col("cid"))).as("__a"))
+      .select(col("vec_id"), col("sub"),
+        col("__a.cid").as("cid"), col("__a.cnorm2").as("cnorm2"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each query
+    * builds an `m × ksub` lookup table of subspace dot products against
+    * the codebook (broadcast — queries never meet raw corpus vectors),
+    * the stored codes join the LUT on `(sub, cid)`, and the approximate
+    * cosine is reconstructed as `Σ pdot / (|q| · |x̂|)` where `x̂` is the
+    * concatenated-centroid reconstruction.
+    *
+    * FP parity: the `m`-term reductions are pivoted into per-subspace
+    * columns and summed LEFT-ASSOCIATIVELY (`((p0+p1)+p2)+p3`), so the
+    * oracle performs the identical IEEE operations — a bare SUM would
+    * hang cross-engine equality on aggregation order. Pair with IVF
+    * probes to bound candidates (IVF-PQ); alone, the scan is O(n·m) tiny
+    * code rows per query — the compressed analog of [[bruteForceTopK]].
+    * Output: `(query_id, neighbor_id, rank, approx_cos)`. */
+  def pqTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, dims: Int, m: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val dsub = dims / m
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnorm2", expr("graft_dot(qv, qv)"))
+    val lut = q
+      .select(col("query_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("qv"), s * dsub + 1, dsub).as("qsubv"))): _*)).as("sc"))
+      .select(col("query_id"), col("sc.sub").as("sub"), col("sc.qsubv").as("qsubv"))
+      .join(broadcast(codebook), "sub")
+      .select(col("query_id"), col("sub"), col("cid"),
+        expr("graft_dot(qsubv, centv)").as("pdot"))
+    val pivots =
+      (0 until m).map(s =>
+        sum(when(col("sub") === s, col("pdot"))).as(s"p$s")) ++
+      (0 until m).map(s =>
+        sum(when(col("sub") === s, col("cnorm2"))).as(s"c$s"))
+    val parts = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(pivots.head, pivots.tail: _*)
+    val adot = (1 until m).foldLeft(col("p0")) { (acc, s) => acc + col(s"p$s") }
+    val rnorm2 = (1 until m).foldLeft(col("c0")) { (acc, s) => acc + col(s"c$s") }
+    val scored = parts
+      .join(broadcast(q.select(col("query_id"), col("qnorm2"))), "query_id")
+      .withColumn("approx_cos",
+        when(col("qnorm2") * rnorm2 === 0.0, lit(null))
+          .otherwise(adot / sqrt(col("qnorm2") * rnorm2)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("approx_cos"))
+  }
+
   /** Embedding near-duplicate pairs over a whole corpus: candidate pairs
     * collide in at least one LSH table; exact cosine keeps pairs at or
     * above `threshold`. The corpus-scale companion of [[lshTopK]] —

@@ -202,6 +202,22 @@ object TrainingOps {
         .orderBy("vec_id")
     },
 
+    // ------------------------------- similarity: product-quantization ADC
+    // (corpus stored as 4 sub-codebook codes per vector — the compressed
+    // billion-vector search path; search reconstructs cosines from a
+    // per-query LUT and never touches raw corpus vectors)
+    QueryDef("q_td_knn_pq", pqOracle) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val cb = SimilarityOps.pqCodebook(
+        e, "vec_id", "embedding", dims = 64, m = 4, ksub = 16)
+      val codes = SimilarityOps.pqEncode(
+        e, cb, "vec_id", "embedding", dims = 64, m = 4)
+      SimilarityOps.pqTopK(
+        e.filter(col("vec_id") < 10), codes, cb,
+        "vec_id", "embedding", dims = 64, m = 4, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // ----------------------------------------- similarity: sign-LSH ANN
     QueryDef("q_td_knn_lsh", annOracle) { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -688,6 +704,62 @@ object TrainingOps {
        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM s)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** PQ/ADC oracle: m=4 subspaces × 16 dims, 16-entry sub-codebooks from
+    * the first 16 vectors, queries vec_id < 10, k = 5. Subspace reductions
+    * are pivoted and summed left-associatively, mirroring pqTopK's
+    * `((p0+p1)+p2)+p3` exactly. */
+  private def pqOracle: String = {
+    def dotSql(p: String, q: String) =
+      foldSumSql(s"list_transform(range(1, len($p) + 1), i -> $p[i] * $q[i])")
+    val m = 4
+    val pPivot = (0 until m).map(s =>
+      s"sum(CASE WHEN l.sub = $s THEN l.pdot END) AS p$s").mkString(",\n    ")
+    val cPivot = (0 until m).map(s =>
+      s"sum(CASE WHEN l.sub = $s THEN c.cnorm2 END) AS c$s").mkString(",\n    ")
+    val adot = (1 until m).foldLeft("p0") { (acc, s) => s"($acc + p$s)" }
+    val rnorm2 = (1 until m).foldLeft("c0") { (acc, s) => s"($acc + c$s)" }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |subs AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+       |cb AS (
+       |  SELECT sub, vec_id AS cid, centv, ${dotSql("centv", "centv")} AS cnorm2
+       |  FROM (SELECT subs.sub, e.vec_id,
+       |          e.v[subs.sub * 16 + 1 : subs.sub * 16 + 16] AS centv
+       |        FROM e CROSS JOIN subs WHERE e.vec_id < 16)),
+       |codes AS (
+       |  SELECT vec_id, sub, cid, cnorm2 FROM (
+       |    SELECT e.vec_id, cb.sub, cb.cid, cb.cnorm2, row_number() OVER (
+       |      PARTITION BY e.vec_id, cb.sub
+       |      ORDER BY ${cosineSql(
+                "e.v[cb.sub * 16 + 1 : cb.sub * 16 + 16]", "cb.centv")}
+       |        DESC NULLS LAST, cb.cid) AS rn
+       |    FROM e CROSS JOIN cb)
+       |  WHERE rn = 1),
+       |qn AS (SELECT vec_id AS query_id, ${dotSql("v", "v")} AS qnorm2
+       |       FROM e WHERE vec_id < 10),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, cb.sub, cb.cid,
+       |    ${dotSql("q.v[cb.sub * 16 + 1 : cb.sub * 16 + 16]", "cb.centv")} AS pdot
+       |  FROM e q CROSS JOIN cb WHERE q.vec_id < 10),
+       |parts AS (
+       |  SELECT l.query_id, c.vec_id,
+       |    $pPivot,
+       |    $cPivot
+       |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.cid
+       |  WHERE l.query_id <> c.vec_id
+       |  GROUP BY l.query_id, c.vec_id),
+       |s AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    CASE WHEN qnorm2 * $rnorm2 = 0 THEN NULL
+       |         ELSE $adot / sqrt(qnorm2 * $rnorm2) END AS approx_cos
+       |  FROM parts JOIN qn USING (query_id))
+       |SELECT query_id, neighbor_id, rank, approx_cos FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id
+       |    ORDER BY approx_cos DESC NULLS LAST, neighbor_id) AS rank
+       |  FROM s)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   private def clusterOracle: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

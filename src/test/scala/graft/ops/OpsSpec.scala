@@ -143,6 +143,42 @@ class OpsSpec extends AnyFunSuite with Matchers {
     recall should be >= 0.4
   }
 
+  test("PQ/ADC: exact on codebook vectors, approximate cosine close elsewhere") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cb = SimilarityOps.pqCodebook(e, "vec_id", "embedding", 64, 4, 16)
+    val codes = SimilarityOps.pqEncode(e, cb, "vec_id", "embedding", 64, 4)
+
+    // a vector that IS a codebook vector reconstructs as itself (each of
+    // its subvectors is its own nearest sub-centroid), so its approx
+    // cosine equals the exact cosine up to summation association
+    val q = e.filter(col("vec_id") < 5)
+    val pq = SimilarityOps.pqTopK(q,
+        codes.filter(col("vec_id") < 16), // search the codebook members only
+        cb, "vec_id", "embedding", 64, 4, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val exact = SimilarityOps.bruteForceTopK(q, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    pq.size should be > 10
+    pq.foreach { case (key, a) => a shouldBe exact(key) +- 1e-9 }
+  }
+
+  test("PQ/ADC ranking correlates with brute force (compressed-domain recall)") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val cb = SimilarityOps.pqCodebook(e, "vec_id", "embedding", 64, 4, 16)
+    val codes = SimilarityOps.pqEncode(e, cb, "vec_id", "embedding", 64, 4)
+    val brute = SimilarityOps.bruteForceTopK(q, e, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pq = SimilarityOps.pqTopK(q, codes, cb, "vec_id", "embedding", 64, 4, k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16-entry codebooks on uniform-random 64-d vectors quantize coarsely —
+    // the bar is that compressed-domain ranking tracks true ranking, not
+    // that it replaces exact rerank (production reranks PQ shortlists)
+    val recall = brute.count(pq.contains).toDouble / brute.length
+    recall should be >= 0.3
+  }
+
   test("k-means codebook training raises the spherical objective; trained IVF works") {
     import graft.ops.SimilarityOps
     graft.functions.GraftFunctions.register(spark)
