@@ -175,11 +175,13 @@ object SimilarityOps {
     cents
   }
 
-  /** [[ivfTopK]] against an explicit codebook `(cid, centv)` — e.g. one
-    * trained by [[kMeansCodebook]]. Same probe-limited plan shape. */
-  def ivfTopKWith(
+  /** Probe-limited IVF candidate pairs `(query_id, neighbor_id)`: corpus
+    * vectors assigned to nearest-centroid cells (one `min_by` linear
+    * pass), queries probe their `nProbe` best cells. The shared front half
+    * of [[ivfTopKWith]] (exact rerank) and [[ivfPqTopK]] (ADC rerank). */
+  def ivfCandidates(
       queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
-      idCol: String, vecCol: String, nProbe: Int, k: Int): DataFrame = {
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
@@ -198,16 +200,45 @@ object SimilarityOps {
       .withColumn("__rn", row_number().over(pw))
       .filter(col("__rn") <= nProbe)
       .select("query_id", "cid")
-    val candidates = probes.join(assignment, "cid")
+    probes.join(assignment, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    val scored = candidates
+  }
+
+  /** [[ivfTopK]] against an explicit codebook `(cid, centv)` — e.g. one
+    * trained by [[kMeansCodebook]]. Same probe-limited plan shape. */
+  def ivfTopKWith(
+      queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = ivfCandidates(queries, corpus, codebook, idCol, vecCol, nProbe)
       .join(q, "query_id").join(c, "neighbor_id")
       .withColumn("cos", expr("graft_cosine(qv, cv)"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** IVF-PQ: the billion-vector architecture — coarse IVF cells bound the
+    * candidate set (`~nProbe/nCentroids` of the corpus per query), then
+    * PQ/ADC scores those candidates in the compressed domain, so search
+    * touches neither the full corpus nor any raw corpus vector. Both
+    * codebooks here are the deterministic seeds; swap in
+    * [[kMeansCodebook]] / [[pqCodebookTrained]] for trained ones.
+    * Output: `(query_id, neighbor_id, rank, approx_cos)`. */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, nCentroids: Int, nProbe: Int, ksub: Int,
+      k: Int): DataFrame = {
+    val coarse = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("centv"))
+    val cand = ivfCandidates(queries, corpus, coarse, idCol, vecCol, nProbe)
+      .withColumnRenamed("neighbor_id", "vec_id")
+    val cb = pqCodebook(corpus, idCol, vecCol, dims, m, ksub)
+    val codes = pqEncode(corpus, cb, idCol, vecCol, dims, m)
+    pqTopK(queries, codes, cb, idCol, vecCol, dims, m, k, candidates = Some(cand))
   }
 
   /** Semantic clustering: assign every corpus vector to its nearest
@@ -291,6 +322,27 @@ object SimilarityOps {
         col("__a.cid").as("cid"), col("__a.cnorm2").as("cnorm2"))
   }
 
+  /** Trained PQ sub-codebooks: one spherical k-means fit PER SUBSPACE
+    * (each reusing [[kMeansCodebook]] on the sliced subvectors), replacing
+    * [[pqCodebook]]'s deterministic seed exactly as [[ivfTopKWith]] takes
+    * a trained coarse codebook. Same `(sub, cid, centv, cnorm2)` shape —
+    * drop-in for [[pqEncode]]/[[pqTopK]]. No SQL oracle (iterative FP
+    * fixpoint, like k-means itself); OpsSpec pins that training does not
+    * degrade compressed-domain recall. */
+  def pqCodebookTrained(corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
+    val dsub = dims / m
+    (0 until m).map { s =>
+      val sub = corpus.select(col(idCol),
+        slice(asDouble(col(vecCol)), s * dsub + 1, dsub).as("__subv"))
+      kMeansCodebook(sub, idCol, "__subv", ksub, iters)
+        .select(lit(s).as("sub"), col("cid"), col("centv"))
+    }.reduce(_ unionByName _)
+      .withColumn("cnorm2", expr("graft_dot(centv, centv)"))
+  }
+
   /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each query
     * builds an `m × ksub` lookup table of subspace dot products against
     * the codebook (broadcast — queries never meet raw corpus vectors),
@@ -301,12 +353,16 @@ object SimilarityOps {
     * FP parity: the `m`-term reductions are pivoted into per-subspace
     * columns and summed LEFT-ASSOCIATIVELY (`((p0+p1)+p2)+p3`), so the
     * oracle performs the identical IEEE operations — a bare SUM would
-    * hang cross-engine equality on aggregation order. Pair with IVF
-    * probes to bound candidates (IVF-PQ); alone, the scan is O(n·m) tiny
-    * code rows per query — the compressed analog of [[bruteForceTopK]].
+    * hang cross-engine equality on aggregation order. Alone, the scan is
+    * O(n·m) tiny code rows per query — the compressed analog of
+    * [[bruteForceTopK]]; pass `candidates` (`(query_id, vec_id)`, e.g.
+    * from IVF probes via [[ivfPqTopK]]) to score only those pairs — the
+    * candidate restriction applies BEFORE the LUT join, so non-candidate
+    * codes never enter the shuffle.
     * Output: `(query_id, neighbor_id, rank, approx_cos)`. */
   def pqTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
-      idCol: String, vecCol: String, dims: Int, m: Int, k: Int): DataFrame = {
+      idCol: String, vecCol: String, dims: Int, m: Int, k: Int,
+      candidates: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val dsub = dims / m
     val q = queries
@@ -325,7 +381,13 @@ object SimilarityOps {
         sum(when(col("sub") === s, col("pdot"))).as(s"p$s")) ++
       (0 until m).map(s =>
         sum(when(col("sub") === s, col("cnorm2"))).as(s"c$s"))
-    val parts = codes.join(broadcast(lut), Seq("sub", "cid"))
+    val scoredCodes = candidates match {
+      case Some(cand) => codes
+        .join(cand.select(col("query_id"), col("vec_id")), Seq("vec_id"))
+        .join(broadcast(lut), Seq("query_id", "sub", "cid"))
+      case None => codes.join(broadcast(lut), Seq("sub", "cid"))
+    }
+    val parts = scoredCodes
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy("query_id", "vec_id")
       .agg(pivots.head, pivots.tail: _*)

@@ -472,21 +472,30 @@ object TextOps {
     * discovery tool for boilerplate phrases, contamination templates, and
     * per-source tics worth scrubbing before training.
     *
-    * Plan shape: per-row n-gram expansion (the same single-pass
-    * `bigramShingles` HOF the MinHash path uses — no positional self-join,
-    * no per-doc window), one (group, ngram) hash aggregate, then the
-    * rank-limit window. Spark rewrites `row_number <= k` into a partial
-    * WindowGroupLimit per input split, so a dominant group never funnels
-    * its full n-gram census through one reducer. */
-  def frequentNgrams(
-      df: DataFrame, textCol: String, groupCol: String, k: Int): DataFrame = {
+    * Plan shape: EXPLODED rows + `lead` per document, NOT the
+    * `bigramShingles` array HOF — higher-order functions evaluate
+    * interpreted and CollapseProject fuses the tokenizer into each
+    * element lambda, re-splitting the text per token (O(tokens²) per doc;
+    * measured 7× slower end-to-end at sf0.1 — same trap `shingleRows`
+    * documents). Everything here stays in whole-stage codegen: tokenize
+    * once, adjacent-pair via `lead` over (doc, pos), one (group, ngram)
+    * hash aggregate, then the rank-limit window — which Spark rewrites
+    * into a partial WindowGroupLimit per input split, so a dominant group
+    * never funnels its full n-gram census through one reducer. */
+  def frequentNgrams(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(s"`$groupCol`"))
+    val wDoc = Window.partitionBy(col("__did")).orderBy("__pos")
+    val wRank = Window.partitionBy(col(s"`$groupCol`"))
       .orderBy(col("cnt").desc, col("ngram"))
-    df.select(col(s"`$groupCol`"),
-        explode(bigramShingles(tokens(col(s"`$textCol`")))).as("ngram"))
+    df.select(col(s"`$groupCol`"), col(s"`$idCol`").as("__did"),
+        posexplode(tokens(col(s"`$textCol`"))).as(Seq("__pos", "__w")))
+      .withColumn("__nw", lead("__w", 1).over(wDoc))
+      .filter(col("__nw").isNotNull)
+      .select(col(s"`$groupCol`"),
+        concat(col("__w"), lit("_"), col("__nw")).as("ngram"))
       .groupBy(col(s"`$groupCol`"), col("ngram")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
   }
 

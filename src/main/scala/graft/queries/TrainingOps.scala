@@ -300,7 +300,8 @@ object TrainingOps {
          |  SELECT source, ngram, cnt, row_number() OVER (
          |    PARTITION BY source ORDER BY cnt DESC, ngram) AS rank FROM c)
          |WHERE rank <= 10 ORDER BY source, rank""".stripMargin) { (s, d) =>
-      TextOps.frequentNgrams(Tables.documents(s, d), "text", "source", k = 10)
+      TextOps.frequentNgrams(
+        Tables.documents(s, d), "doc_id", "text", "source", k = 10)
         .orderBy("source", "rank")
     },
 

@@ -179,6 +179,42 @@ class OpsSpec extends AnyFunSuite with Matchers {
     recall should be >= 0.3
   }
 
+  test("IVF-PQ: probe-limited candidates scored in the compressed domain") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val out = SimilarityOps.ivfPqTopK(q, e, "vec_id", "embedding",
+      dims = 64, m = 4, nCentroids = 16, nProbe = 4, ksub = 16, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.length shouldBe 10 * 5 // full k per query (probes cover ≫ k vectors)
+    // every result must come from the query's probed cells: rescoring the
+    // same pairs through plain ADC over unrestricted codes is a superset
+    val cb = SimilarityOps.pqCodebook(e, "vec_id", "embedding", 64, 4, 16)
+    val codes = SimilarityOps.pqEncode(e, cb, "vec_id", "embedding", 64, 4)
+    val full = SimilarityOps.pqTopK(q, codes, cb, "vec_id", "embedding",
+        64, 4, k = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.count(full.contains).toDouble / out.length should be >= 0.9
+  }
+
+  test("trained PQ codebooks do not degrade compressed-domain recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val brute = SimilarityOps.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def recallOf(cb: org.apache.spark.sql.DataFrame): Double = {
+      val codes = SimilarityOps.pqEncode(e, cb, "vec_id", "embedding", 64, 4)
+      val got = SimilarityOps.pqTopK(q, codes, cb, "vec_id", "embedding",
+          64, 4, k = 25)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.count(got.contains).toDouble / brute.length
+    }
+    val seeded = recallOf(
+      SimilarityOps.pqCodebook(e, "vec_id", "embedding", 64, 4, 16))
+    val trained = recallOf(SimilarityOps.pqCodebookTrained(
+      e, "vec_id", "embedding", 64, 4, ksub = 16, iters = 3))
+    trained should be >= seeded - 0.05 // training must not hurt (usually helps)
+  }
+
   test("k-means codebook training raises the spherical objective; trained IVF works") {
     import graft.ops.SimilarityOps
     graft.functions.GraftFunctions.register(spark)
@@ -522,7 +558,7 @@ class OpsSpec extends AnyFunSuite with Matchers {
       (3L, "a b", "s2"),       // s2: a_b
       (4L, "c", "s2")          // <2 tokens → no bigrams
     ).toDF("doc_id", "text", "source")
-    val out = TextOps.frequentNgrams(d, "text", "source", k = 2)
+    val out = TextOps.frequentNgrams(d, "doc_id", "text", "source", k = 2)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
     out.toSet shouldBe Set(
       ("s1", "x_y", 3L, 1), ("s1", "y_q", 1L, 2), // y_q < y_x < y_z on tie
