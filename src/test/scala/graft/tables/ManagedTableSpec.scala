@@ -203,6 +203,35 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.manifest.get.files.filter(_.partitionValues.get("part").contains("x")) shouldBe before
   }
 
+  test("keyed merge rewrites only files containing touched rows (untouched entries carry over)") {
+    import spark.implicits._
+    val t = ManagedTable(spark, tmp() + "/fg")
+    t.overwriteAll((1 to 40).map(i => (i, s"n$i", "x"))
+      .toDF("id", "name", "part").repartition(4))
+    val before = t.manifest.get.files.map(_.path)
+    before.size shouldBe 4
+    val fileOf2 = t.read().withColumn("f", input_file_name())
+      .filter(col("id") === 2).select("f").head().getString(0)
+    val touched = before.filter(p => fileOf2.endsWith(p)) match {
+      case Seq(one) => one
+      case other    => fail(s"expected one touched file, got $other")
+    }
+
+    MergeInto.byKey(t, Seq((2, "B", "x")).toDF("id", "name", "part"), "id")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+
+    val after = t.manifest.get.files.map(_.path)
+    // the 3 files without touched rows keep their EXACT manifest entries;
+    // only the file containing id=2 was rewritten (write amplification
+    // proportional to touched rows, not partition layout)
+    before.filterNot(_ == touched).foreach(p => after should contain(p))
+    after should not contain touched
+    t.read().count() shouldBe 40
+    t.read().filter(col("id") === 2).select("name").head().getString(0) shouldBe "B"
+  }
+
   test("keyed merge rejects duplicate source keys") {
     val t = ManagedTable(spark, tmp() + "/dup")
     t.overwriteAll(df(Seq((1, "a", "x"))))
