@@ -232,6 +232,40 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.read().filter(col("id") === 2).select("name").head().getString(0) shouldBe "B"
   }
 
+  test("change feed: file-diff rows between versions, minimal under file-granular merge") {
+    import spark.implicits._
+    val t = ManagedTable(spark, tmp() + "/cdf")
+    t.overwriteAll((1 to 40).map(i => (i, s"n$i", "x"))
+      .toDF("id", "name", "part").repartition(4)) // v0, 4 files
+    MergeInto.byKey(t, Seq((2, "B", "x"), (99, "new", "x"))
+        .toDF("id", "name", "part"), "id")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute() // v1: rewrites ONE file + writes the insert
+
+    val feed = t.changes(0, 1)
+      .select("id", "name", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    val added = feed.filter(_._3 == "added").map(x => (x._1, x._2)).toSet
+    val removed = feed.filter(_._3 == "removed").map(x => (x._1, x._2)).toSet
+    // the update appears as old-out/new-in; the insert only as added
+    removed should contain((2, "n2"))
+    added should contain((2, "B"))
+    added should contain((99, "new"))
+    added should not contain ((2, "n2"))
+    // minimality: only the touched file's rows churn — 40-row table, but
+    // the feed is ~1 file (≤ 10 rows either side) + the insert
+    removed.size should be <= 10
+    added.size should be <= 11
+    // rows in the three untouched files appear on neither side
+    val untouchedIds = (1 to 40).toSet -- removed.map(_._1) -- added.map(_._1)
+    untouchedIds.size should be >= 29
+
+    // identity interval is empty; reversed interval is rejected
+    t.changes(1, 1).count() shouldBe 0
+    intercept[IllegalArgumentException](t.changes(1, 0))
+  }
+
   test("keyed merge rejects duplicate source keys") {
     val t = ManagedTable(spark, tmp() + "/dup")
     t.overwriteAll(df(Seq((1, "a", "x"))))
