@@ -207,12 +207,14 @@ final class HistoricStrategy extends Strategy {
     // is scanned once, never shuffled. History rows (IsCurrent=false) fall
     // out as unmatched; brand-new keys come from a small anti-join.
     val bigSlice = Strategy.sliceTooLargeToBroadcast(p, n)
-    val t = target.withColumn(graft.tables.MergeBuilder.TFlag, lit(true)).alias("target")
     val s0 = src.withColumn(graft.tables.MergeBuilder.SFlag, lit(true)).alias("source")
     val s = if (bigSlice) s0 else broadcast(s0)
-    val joined = t.join(s,
-      expr(s"target.`$pk` = source.`$pk` AND target.`${sys.isCurrent}` = true"),
-      "left_outer")
+    def joinSlice(tgt: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      tgt.withColumn(graft.tables.MergeBuilder.TFlag, lit(true)).alias("target")
+        .join(s,
+          expr(s"target.`$pk` = source.`$pk` AND target.`${sys.isCurrent}` = true"),
+          "left_outer")
+    val joined = joinSlice(target)
 
     val isMatched = col(graft.tables.MergeBuilder.TFlag).isNotNull && col(graft.tables.MergeBuilder.SFlag).isNotNull
     val targetOnly = col(graft.tables.MergeBuilder.TFlag).isNotNull && col(graft.tables.MergeBuilder.SFlag).isNull
@@ -245,44 +247,127 @@ final class HistoricStrategy extends Strategy {
     // clause (a CDC delete with unchanged content is "unchanged") and no
     // lastSeen touch on unchanged currents — the reference's Historic
     // merge has exactly these two clauses plus insertAll
-    val resolved = joined.select(
+    val rowsCol =
       when(changed, array(closedOld, sourceRow))          // close + new version
         .when(isMatched, array(targetRow()))              // unchanged current
         .when(deleteCond, array(deletedClosed))           // inferred delete
         .otherwise(array(targetRow()))                    // history / untouched
-        .as("__rows"),
+    val actionCol =
       when(changed, "updated")
         .when(isMatched, "unchanged")
         .when(deleteCond, "deleted")
-        .otherwise("kept").as("__action"),
-      when(isMatched, col(s"source.`$pk`")).as("__mk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .otherwise("kept")
+    val mkCol = when(isMatched, col(s"source.`$pk`"))
 
-    val matchedKeys0 = resolved.filter(col("__mk").isNotNull)
-      .select(col("__mk").as(pk)).distinct()
-    val matchedKeys = if (bigSlice) matchedKeys0 else broadcast(matchedKeys0)
-    val inserts = src.alias("source")
-      .join(matchedKeys, Seq(pk), "left_anti")
-      .select(array(sourceRow).as("__rows"), lit("inserted").as("__action"),
-        lit(null).cast("string").as("__mk"))
-    val emitted = resolved.unionByName(inserts)
-
-    try {
-      val counts = emitted.groupBy("__action").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val out = emitted
-        .select(explode(col("__rows")).as("__r"))
-        .select(targetCols.map(c => col(s"__r.`$c`").as(c)): _*)
-      p.table.replacePartitions(pruned, out, "merge")
-
-      val updated = counts.getOrElse("updated", 0L)
-      val inserted = counts.getOrElse("inserted", 0L)
-      val unchanged = counts.getOrElse("unchanged", 0L)
+    def summarize(counts: Map[String, Long], inserted: Long): ProcessingSummary =
       // identity: inserted + updated + unchanged == recordsInSlice
       ProcessingSummary(p.entity.id, "historic", recordsInSlice = n,
-        inserted = inserted, updated = updated,
-        deleted = counts.getOrElse("deleted", 0L), unchanged = unchanged)
-    } finally resolved.unpersist()
+        inserted = inserted,
+        updated = counts.getOrElse("updated", 0L),
+        deleted = counts.getOrElse("deleted", 0L),
+        unchanged = counts.getOrElse("unchanged", 0L))
+
+    // The two-phase file-granular path evaluates the conditions twice
+    // (touch detection, rewrite) — a nondeterministic delete-window
+    // expression could diverge between phases and lose rows, so such
+    // configs take the single-pass partition-granular path (same guard as
+    // MergeBuilder.clausesDeterministic; analysis only, no jobs).
+    val twoPhaseSafe = joinSlice(target.limit(0)).select(actionCol.as("__a"))
+      .queryExecution.analyzed.expressions.forall(_.deterministic)
+
+    if (twoPhaseSafe) {
+      // ---- phase 1: touch detection + metrics over a narrow projection.
+      // Only matched and delete-inferred rows survive ("kept" = history and
+      // untouched currents — the bulk of the table — drops pre-persist), so
+      // the probe is slice/window-bounded, never table-sized.
+      val TFile = "__graft_file"
+      val probe = joinSlice(
+          target.withColumn(TFile, input_file_name()))
+        .select(col(TFile), actionCol.as("__action"), mkCol.as("__mk"))
+        .filter(col("__action") =!= "kept")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var inserts: org.apache.spark.sql.DataFrame = null
+      try {
+        // only updated/deleted rows force a rewrite of their file;
+        // unchanged currents are counted but rewrite nothing
+        val touchedUris = probe
+          .filter(col("__action").isin("updated", "deleted"))
+          .select(TFile).distinct().collect().map(_.getString(0)).toSeq
+        val scopeFiles = pruned match {
+          case Some(ps) =>
+            val wanted = ps.toSet
+            manifest.files.filter(f => wanted.contains(f.partitionValues))
+          case None => manifest.files
+        }
+        val lookup = p.table.fileUriLookup(scopeFiles)
+        val translated = touchedUris.map(u => lookup.get(u)
+          .orElse(lookup.get(graft.tables.MergeBuilder.decodeUri(u))))
+        // an untranslatable scan name would leave the old file alongside
+        // its rewrite (duplicates) — fall back to the full pruned scope
+        val touchedPaths: Seq[String] =
+          if (translated.forall(_.isDefined)) translated.map(_.get)
+          else {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"Historic merge on ${p.table.rootPath}: could not map " +
+                s"${translated.count(_.isEmpty)} scanned file name(s) back " +
+                "to manifest entries; rewriting the full pruned scope")
+            scopeFiles.map(_.path)
+          }
+        val touchedSet = touchedPaths.toSet
+        val touchedEntries = scopeFiles.filter(f => touchedSet.contains(f.path))
+
+        val counts = probe.groupBy("__action").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val matchedKeys0 = probe.filter(col("__mk").isNotNull)
+          .select(col("__mk").as(pk)).distinct()
+        val matchedKeys = if (bigSlice) matchedKeys0 else broadcast(matchedKeys0)
+        inserts = src.alias("source")
+          .join(matchedKeys, Seq(pk), "left_anti")
+          .select(array(sourceRow).as("__rows"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val inserted = inserts.count()
+
+        // ---- phase 2: re-resolve ONLY the touched files; untouched
+        // manifest entries (all history, all unchanged-current files)
+        // carry into the new version verbatim — a small CDC slice into a
+        // deep SCD2 table rewrites a handful of files, never the
+        // ever-growing history.
+        val rewrite = joinSlice(p.table.readManifestFiles(manifest, touchedEntries))
+          .select(rowsCol.as("__rows"))
+        val out = rewrite.unionByName(inserts)
+          .select(explode(col("__rows")).as("__r"))
+          .select(targetCols.map(c => col(s"__r.`$c`").as(c)): _*)
+        p.table.replaceFiles(touchedPaths, out, "merge")
+        summarize(counts, inserted)
+      } finally {
+        probe.unpersist()
+        if (inserts != null) inserts.unpersist()
+      }
+    } else {
+      // ---- single-pass fallback: resolve every scope row once, persist,
+      // derive metrics and the commit from that one frame (self-consistent
+      // under nondeterministic expressions), partition-granular commit.
+      val resolved = joined.select(rowsCol.as("__rows"),
+          actionCol.as("__action"), mkCol.as("__mk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val matchedKeys0 = resolved.filter(col("__mk").isNotNull)
+        .select(col("__mk").as(pk)).distinct()
+      val matchedKeys = if (bigSlice) matchedKeys0 else broadcast(matchedKeys0)
+      val inserts = src.alias("source")
+        .join(matchedKeys, Seq(pk), "left_anti")
+        .select(array(sourceRow).as("__rows"), lit("inserted").as("__action"),
+          lit(null).cast("string").as("__mk"))
+      val emitted = resolved.unionByName(inserts)
+      try {
+        val counts = emitted.groupBy("__action").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val out = emitted
+          .select(explode(col("__rows")).as("__r"))
+          .select(targetCols.map(c => col(s"__r.`$c`").as(c)): _*)
+        p.table.replacePartitions(pruned, out, "merge")
+        summarize(counts, counts.getOrElse("inserted", 0L))
+      } finally resolved.unpersist()
+    }
   }
 }
 

@@ -317,14 +317,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     } }
 
   /** Snapshot restricted to exactly `files` (entries of `m`) — the
-    * file-granular read half of a MERGE rewrite. */
-  private[tables] def readManifestFiles(m: Manifest, files: Seq[TableFile]): DataFrame =
+    * file-granular read half of a MERGE/Historic rewrite. */
+  private[graft] def readManifestFiles(m: Manifest, files: Seq[TableFile]): DataFrame =
     readFiles(m, files)
 
   /** Every plausible absolute-URI spelling of each file mapped to its
     * manifest path — translates `input_file_name()` values (whose encoding
     * varies by filesystem/scheme) back to manifest entries. */
-  private[tables] def fileUriLookup(files: Seq[TableFile]): Map[String, String] =
+  private[graft] def fileUriLookup(files: Seq[TableFile]): Map[String, String] =
     files.flatMap { f =>
       val p = fs.makeQualified(new Path(root, f.path))
       Set(p.toString, p.toUri.toString, p.toUri.getPath, p.toUri.toASCIIString)

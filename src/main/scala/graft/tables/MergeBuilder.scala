@@ -402,14 +402,17 @@ final class MergeBuilder private[tables] (
     }
   }
 
-  /** Percent-decode a URI-style file name (input_file_name returns
-    * URL-encoded names on some paths/filesystems). */
-  private def decodeUri(u: String): String =
-    try new java.net.URI(u).getPath
-    catch { case _: Exception => u }
+  private def decodeUri(u: String): String = MergeBuilder.decodeUri(u)
 }
 
 object MergeBuilder {
+
+  /** Percent-decode a URI-style file name (input_file_name returns
+    * URL-encoded names on some paths/filesystems). */
+  private[graft] def decodeUri(u: String): String =
+    try new java.net.URI(u).getPath
+    catch { case _: Exception => u }
+
   private[tables] sealed trait ClauseKind
   private[tables] case object Matched extends ClauseKind
   private[tables] case object NotMatched extends ClauseKind
