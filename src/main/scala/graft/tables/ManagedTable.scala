@@ -162,6 +162,18 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         allowMissingColumns = true)
   }
 
+  /** Incremental-consumer form of [[changes]]: everything changed since
+    * `version` (exclusive) up to the current version, plus the version to
+    * bookmark for the next poll. A downstream job persists the returned
+    * version (e.g. in a [[graft.watermark.WatermarkStore]]) and calls this
+    * on its next run — exactly-once consumption of table changes with no
+    * change log. */
+  def changesSince(version: Long): (DataFrame, Long) = {
+    val cur = currentVersion.getOrElse(
+      throw new MetadataException(s"changesSince on missing table $rootPath"))
+    (changes(version, cur), cur)
+  }
+
   /** Vacuum horizon: versions below this may reference deleted data. */
   def earliestReadableVersion: Option[Long] =
     if (!fs.exists(earliestFile)) None

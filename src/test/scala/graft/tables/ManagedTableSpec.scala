@@ -264,6 +264,12 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     // identity interval is empty; reversed interval is rejected
     t.changes(1, 1).count() shouldBe 0
     intercept[IllegalArgumentException](t.changes(1, 0))
+
+    // poll-style consumption: bookmark advances, next poll is empty
+    val (feed2, bookmark) = t.changesSince(0)
+    bookmark shouldBe 1
+    feed2.count() shouldBe feed.length
+    t.changesSince(bookmark)._1.count() shouldBe 0
   }
 
   test("keyed merge rejects duplicate source keys") {
