@@ -622,4 +622,111 @@ object TextOps {
       .when(bucket < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** Rolling word n-gram hashes (generalizes [[bigramShingleHashes]],
+    * identical to it for n=2): position i carries the polynomial fold of
+    * word hashes i..i+n-1, `acc → (acc*1000003 + h) mod 2³²`. Each fold
+    * step's product stays under 2⁵² — no signed-64 overflow. Empty for
+    * docs shorter than n words. */
+  def ngramHashes(wordHashes: Column, n: Int): Column = {
+    require(n >= 2, s"n-gram length must be >= 2, got $n")
+    when(size(wordHashes) < n, array().cast("array<long>"))
+      .otherwise(transform(
+        sequence(lit(1), size(wordHashes) - (n - 1)),
+        i => (1 until n).foldLeft(element_at(wordHashes, i)) { (acc, j) =>
+          pmod(acc * 1000003L + element_at(wordHashes, i + j), lit(ShingleMod))
+        }))
+  }
+
+  /** Span-level repeated n-gram counts — the substring-granular dedup
+    * signal that document-level dedup misses (repeated boilerplate /
+    * licence blocks / navigation text inside otherwise-distinct pages;
+    * cf. Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"). For each document: how many of its word-n-gram
+    * positions carry an n-gram that also occurs in at least `minDocs`
+    * DISTINCT documents (itself included). `repeated_spans / total_spans`
+    * is the doc's boilerplate fraction; downstream filters cut on it or
+    * feed the flagged spans to span-excision.
+    *
+    * Returns (id, total_spans, repeated_spans), one row per input doc
+    * (docs shorter than n words: 0/0).
+    *
+    * Scale shape: ONE explode to (id, gram_h) rows — O(total tokens),
+    * never O(docs²); cross-document comparison happens entirely through a
+    * hash aggregate on gram_h. That substrate feeds both the
+    * repeated-gram aggregate and the join back, so it is persisted via
+    * [[SubstrateCache]] (scoped-handle or session release applies — see
+    * the class doc). Both shuffles hash-partition on gram_h; the final
+    * per-doc aggregate and the id join hash on id. */
+  def repeatedSpanCounts(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val g = SubstrateCache.persist(
+      df.select(col(s"`$idCol`").as("id"),
+        explode(ngramHashes(hashAll(tokens(col(s"`$textCol`"))), n)).as("gram_h")))
+    val rep = g.groupBy("gram_h")
+      .agg(count_distinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("gram_h"), lit(1).as("__rep"))
+    val per = g.join(rep, Seq("gram_h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("total_spans"),
+        sum(coalesce(col("__rep"), lit(0))).cast("long").as("repeated_spans"))
+    df.select(col(s"`$idCol`").as("id")).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("total_spans"), lit(0L)).as("total_spans"),
+        coalesce(col("repeated_spans"), lit(0L)).as("repeated_spans"))
+  }
+
+  /** Source-mixture sampling plan — domain reweighting for a token-budget
+    * training run (the "20% web, 40% code, 40% books" knob every corpus
+    * assembly has). Given integer mixture `weights` and a total
+    * `budgetTokens`:
+    *
+    *  - `avail_docs` / `avail_tokens`: what each source holds;
+    *  - `target_tokens = budgetTokens × w / Σw` (sources absent from
+    *    `weights` get weight 0);
+    *  - `rate = min(1, target_tokens / avail_tokens)` — an undersized
+    *    source is taken whole, it cannot be oversampled;
+    *  - `sampled_docs` / `sampled_tokens`: what the DETERMINISTIC
+    *    hash-bucket filter `H(id) mod 10⁶ < floor(rate × 10⁶)` actually
+    *    selects — reproducible across runs, partitionings, and engines
+    *    (no RNG state), and stable under corpus growth (a doc's keep
+    *    decision never flips because other docs arrived).
+    *
+    * All arithmetic is integer-exact until the two final divisions, which
+    * are the same IEEE operations on the same operands in any engine —
+    * bit-identical with a SQL oracle by construction.
+    *
+    * Plan shape: one pass over the docs — availability via windows over
+    * the source partition, the mixture table joined in as a broadcast
+    * literal, then the keep-filter and the final per-source aggregate
+    * reuse the SAME source-hash exchange. Nothing is persisted; no
+    * shuffle is wider than one row per doc of (source, id, toks). */
+  def mixturePlan(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, weights: Seq[(String, Long)],
+      budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weights.nonEmpty, "mixture weights must be non-empty")
+    val sumW = weights.map(_._2).sum
+    val w = Window.partitionBy("source")
+    val wdf = df.sparkSession.createDataFrame(weights).toDF("source", "__w")
+    val keep = pmod(portableHash(col("id").cast("string")), lit(1000000L)) <
+      floor(col("rate") * lit(1000000.0))
+    df.select(col(s"`$sourceCol`").as("source"), col(s"`$idCol`").as("id"),
+        size(tokens(col(s"`$textCol`"))).cast("long").as("toks"))
+      .withColumn("avail_docs", count(lit(1)).over(w))
+      .withColumn("avail_tokens", sum("toks").over(w))
+      .join(broadcast(wdf), Seq("source"), "left")
+      .withColumn("target_tokens",
+        coalesce(col("__w"), lit(0L)) * lit(budgetTokens) / lit(sumW))
+      .withColumn("rate",
+        least(lit(1.0), col("target_tokens") / col("avail_tokens")))
+      .groupBy("source")
+      .agg(first("avail_docs").as("avail_docs"),
+        first("avail_tokens").as("avail_tokens"),
+        first("target_tokens").as("target_tokens"),
+        first("rate").as("rate"),
+        count(when(keep, 1)).as("sampled_docs"),
+        coalesce(sum(when(keep, col("toks"))), lit(0L)).as("sampled_tokens"))
+  }
 }

@@ -506,6 +506,25 @@ object TrainingOps {
           (TextOps.portableHash(col("text")) % 1920).as("fake_width"),
           (TextOps.portableHash(col("text")) % 1080).as("fake_height"))
         .orderBy("doc_id")
+    },
+
+    // ------------------- dedup: span-level repeated n-grams (boilerplate)
+    // Substring-granular signal doc-level dedup misses: positions whose
+    // 5-gram recurs in >= 2 distinct docs (licence blocks, navigation
+    // chrome). One explode + hash aggregate on the gram hash — O(tokens),
+    // never O(docs²).
+    QueryDef("q_td_repeated_spans", repeatedSpansOracle) { (s, d) =>
+      TextOps.repeatedSpanCounts(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id")
+    },
+
+    // ----------------------- curation: source-mixture plan + deterministic
+    // sample (domain reweighting under a token budget; src0 is weighted
+    // past its availability to exercise the rate cap)
+    QueryDef("q_td_mixture", mixtureOracle) { (s, d) =>
+      TextOps.mixturePlan(Tables.documents(s, d), "doc_id", "source", "text",
+        MixtureWeights, MixtureBudget)
+        .orderBy("source")
     }
   )
 
@@ -812,5 +831,82 @@ object TrainingOps {
        |    ELSE '${langs.head}' END AS guess
        |FROM (SELECT doc_id, $counts FROM documents)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Nested-parenthesis SQL for the rolling n-gram hash at list position
+    * `i` — the exact fold of [[TextOps.ngramHashes]] over a `hw`
+    * word-hash list. */
+  private def ngramHashSql(n: Int): String =
+    (1 until n).foldLeft("hw[i]") { (acc, j) =>
+      s"(($acc) * 1000003 + hw[i+$j]) % ${TextOps.ShingleMod}"
+    }
+
+  // `def`, not `val`: referenced from the `all` initializer above — a val
+  // here would still be 0 at that point (object init order)
+  private def SpanN = 5
+
+  private def repeatedSpansOracle: String =
+    s"""WITH hw AS (
+       |  SELECT doc_id, list_transform($Words, w -> ${H("w")}) AS hw
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(hw) < $SpanN
+       |      THEN CAST([] AS BIGINT[])
+       |      ELSE list_transform(range(1, len(hw) - ${SpanN - 2}),
+       |        i -> ${ngramHashSql(SpanN)}) END) AS gram_h
+       |  FROM hw),
+       |rep AS (
+       |  SELECT gram_h FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |per AS (
+       |  SELECT g.doc_id, count(*) AS total_spans,
+       |    CAST(sum(CASE WHEN r.gram_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS repeated_spans
+       |  FROM g LEFT JOIN rep r ON g.gram_h = r.gram_h GROUP BY 1)
+       |SELECT d.doc_id AS id,
+       |  coalesce(p.total_spans, 0) AS total_spans,
+       |  coalesce(p.repeated_spans, 0) AS repeated_spans
+       |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+       |ORDER BY id""".stripMargin
+
+  /** Mixture query constants: src0 deliberately over-weighted past its
+    * availability so the rate cap (`least(1, …)`) is exercised; 16 of the
+    * 20 sources carry no weight (rate 0). */
+  private[queries] def MixtureWeights: Seq[(String, Long)] =
+    Seq("src0" -> 8L, "src1" -> 4L, "src2" -> 2L, "src3" -> 1L)
+  private[queries] def MixtureBudget: Long = 3000L
+
+  private def mixtureOracle: String = {
+    val values = MixtureWeights
+      .map { case (s, w) => s"('$s', CAST($w AS BIGINT))" }.mkString(", ")
+    val sumW = MixtureWeights.map(_._2).sum
+    s"""WITH toks AS (
+       |  SELECT source, doc_id, CAST(len($Words) AS BIGINT) AS toks
+       |  FROM documents),
+       |wt(source, w) AS (VALUES $values),
+       |avail AS (
+       |  SELECT source, doc_id, toks,
+       |    count(*) OVER (PARTITION BY source) AS avail_docs,
+       |    CAST(sum(toks) OVER (PARTITION BY source) AS BIGINT) AS avail_tokens
+       |  FROM toks),
+       |rated AS (
+       |  SELECT a.*,
+       |    coalesce(w.w, 0) * $MixtureBudget / $sumW AS target_tokens
+       |  FROM avail a LEFT JOIN wt w ON a.source = w.source),
+       |keyed AS (
+       |  SELECT *, least(1.0, target_tokens / avail_tokens) AS rate
+       |  FROM rated),
+       |flagged AS (
+       |  SELECT *, (${H("CAST(doc_id AS VARCHAR)")} % 1000000)
+       |    < floor(rate * 1000000.0) AS keep
+       |  FROM keyed)
+       |SELECT source,
+       |  any_value(avail_docs) AS avail_docs,
+       |  any_value(avail_tokens) AS avail_tokens,
+       |  any_value(target_tokens) AS target_tokens,
+       |  any_value(rate) AS rate,
+       |  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS sampled_docs,
+       |  CAST(coalesce(sum(CASE WHEN keep THEN toks END), 0) AS BIGINT)
+       |    AS sampled_tokens
+       |FROM flagged GROUP BY source ORDER BY source""".stripMargin
   }
 }

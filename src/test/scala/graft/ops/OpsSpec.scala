@@ -617,4 +617,50 @@ class OpsSpec extends AnyFunSuite with Matchers {
     SubstrateCache.release(spark)
     SubstrateCache.registered(spark) shouldBe 0
   }
+
+  test("repeated spans: cross-doc 5-grams counted, within-doc-only repeats not") {
+    val shared = "the quick brown fox jumps" // one 5-gram, in docs 1 and 2
+    val d = docs(
+      (1L, s"$shared over the lazy dog"),         // 5 spans, 1 repeated
+      (2L, s"completely different opener then $shared"), // 5 spans, 1 repeated
+      (3L, "unique words only appear here once today"),  // 3 spans, 0 repeated
+      (4L, "tiny doc"),                                  // < 5 words: 0 spans
+      // one doc repeating ITS OWN 5-gram twice: both positions carry the
+      // same gram, but only 1 distinct doc has it -> not repeated
+      (5L, "p q r s t p q r s t"))
+    val out = TextOps.repeatedSpanCounts(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    SubstrateCache.release(spark)
+    out shouldBe Array(
+      (1L, 5L, 1L), (2L, 5L, 1L), (3L, 3L, 0L), (4L, 0L, 0L), (5L, 6L, 0L))
+  }
+
+  test("mixture plan: rate cap, zero-weight sources, deterministic sample") {
+    val d = (1L to 40L).map { i =>
+      val src = if (i <= 10) "a" else if (i <= 30) "b" else "c"
+      (i, src, "w1 w2 w3 w4 w5") // 5 tokens per doc
+    }.toDF("doc_id", "source", "text")
+    // budget 100, weights a=3, b=1 (sum 4): target a=75 > avail 50 -> rate
+    // capped at 1 (all of a kept); target b=25 of avail 100 -> rate 0.25;
+    // c unweighted -> rate 0, nothing sampled
+    val out = TextOps.mixturePlan(d, "doc_id", "source", "text",
+      Seq("a" -> 3L, "b" -> 1L), 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6))).toMap
+    val (aDocs, aTok, aTarget, aRate, aSampledDocs, aSampledTok) = out("a")
+    (aDocs, aTok, aTarget, aRate) shouldBe ((10L, 50L, 75.0, 1.0))
+    (aSampledDocs, aSampledTok) shouldBe ((10L, 50L)) // rate 1: taken whole
+    val (_, bTok, bTarget, bRate, bSampledDocs, bSampledTok) = out("b")
+    (bTok, bTarget, bRate) shouldBe ((100L, 25.0, 0.25))
+    bSampledDocs should be < 20L // hash filter kept a strict subset
+    bSampledTok shouldBe bSampledDocs * 5L
+    out("c")._4 shouldBe 0.0
+    out("c")._5 shouldBe 0L
+    // deterministic: same plan twice -> identical sample
+    val again = TextOps.mixturePlan(d, "doc_id", "source", "text",
+      Seq("a" -> 3L, "b" -> 1L), 100L)
+      .collect().map(r => (r.getString(0), r.getLong(5), r.getLong(6))).toSet
+    again shouldBe out.map { case (s, t) => (s, t._5, t._6) }.toSet
+  }
 }
