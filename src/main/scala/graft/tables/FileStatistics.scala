@@ -22,6 +22,11 @@ import scala.jdk.CollectionConverters._
   */
 object FileStatistics {
 
+  /** One footer's metadata: per-column min/max plus the exact row count
+    * (-1 when the footer was unreadable — stats are an optimization and
+    * must never fail a commit). */
+  final case class FileMeta(cols: Map[String, ColStats], rows: Long)
+
   /** Commit sizes below this read footers on the driver; at or above it
     * the reads distribute across executors. */
   val DistributedThreshold = 64
@@ -29,7 +34,7 @@ object FileStatistics {
   /** Per-file stats for `paths`, keyed by qualified path string; strategy
     * picked by file count. */
   def forPaths(spark: org.apache.spark.sql.SparkSession, conf: Configuration,
-      paths: Seq[Path]): Map[String, Map[String, ColStats]] =
+      paths: Seq[Path]): Map[String, FileMeta] =
     if (paths.size < DistributedThreshold)
       paths.map(p => p.toString -> fromFooter(conf, p)).toMap
     else collectDistributed(spark, conf, paths)
@@ -37,7 +42,7 @@ object FileStatistics {
   /** Footer reads as a Spark job — one task per slice of files. The Hadoop
     * conf travels as key/value pairs (Configuration is not serializable). */
   def collectDistributed(spark: org.apache.spark.sql.SparkSession,
-      conf: Configuration, paths: Seq[Path]): Map[String, Map[String, ColStats]] = {
+      conf: Configuration, paths: Seq[Path]): Map[String, FileMeta] = {
     val confEntries = conf.iterator().asScala
       .map(e => e.getKey -> e.getValue).toArray
     val strs = paths.map(_.toString)
@@ -56,13 +61,14 @@ object FileStatistics {
     * for. Types map to the three comparison domains of [[ColStats]]:
     * int32/int64 (incl. date/timestamp logical types) → long,
     * float/double → double, UTF8 binary → string. */
-  def fromFooter(conf: Configuration, file: Path): Map[String, ColStats] = {
+  def fromFooter(conf: Configuration, file: Path): FileMeta = {
     var reader: ParquetFileReader = null
     try {
       // open() eagerly reads the footer — it must sit inside the catch:
       // stats are an optimization and must never fail a commit
       reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       val blocks = reader.getFooter.getBlocks.asScala
+      val rowCount = blocks.iterator.map(_.getRowCount).sum
       val acc = scala.collection.mutable.Map.empty[String, ColStats]
       for (block <- blocks; chunk <- block.getColumns.asScala) {
         val pathParts = chunk.getPath.toArray
@@ -104,9 +110,9 @@ object FileStatistics {
           }
         }
       }
-      acc.toMap
+      FileMeta(acc.toMap, rowCount)
     } catch {
-      case _: Exception => Map.empty // stats are an optimization, never fatal
+      case _: Exception => FileMeta(Map.empty, -1L) // never fatal
     } finally if (reader != null) reader.close()
   }
 

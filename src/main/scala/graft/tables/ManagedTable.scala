@@ -117,6 +117,18 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   /** Current snapshot as a DataFrame. */
   def read(): DataFrame = readSnapshot(requireManifest)
 
+  /** Exact `count(*)` from manifest metadata alone — O(files) driver
+    * arithmetic, ZERO data scan (how Delta answers bare counts from its
+    * log). At 100 TB the difference between this and `read().count()` is
+    * a metadata lookup vs a full-table scan job. None when any file
+    * lacks a recorded row count (files adopted via [[importFiles]]
+    * without counts, or footer reads that failed at commit time) —
+    * `collectStatistics()` backfills those, never a wrong number. */
+  def fastCount: Option[Long] = manifest.flatMap { m =>
+    val known = m.files.flatMap(_.rows)
+    if (known.size == m.files.size) Some(known.sum) else None
+  }
+
   /** Time travel: the table as of `version`. Versions below the vacuum
     * horizon fail fast — their manifest record may still exist (chain
     * retention) but their data files are gone, and a late
@@ -300,11 +312,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         // NEW manifest schema — a silently-committed retype/drop would make
         // them unreadable or erase a column table-wide, so the same guard
         // as append/replacePartitions applies
-        requireSchemaCompatible(df, m)
-        val newFiles = writeCommit(df, partitionBy)
+        val d = reconcileSchema(df, m)
+        val newFiles = writeCommit(d, partitionBy)
         val replaced = newFiles.map(_.partitionValues).toSet
         val removed = m.files.filter(f => replaced.contains(f.partitionValues))
-        commitDelta(df.schema.json, partitionBy, "overwriteDynamic",
+        commitDelta(d.schema.json, partitionBy, "overwriteDynamic",
           base = Some(m), adds = newFiles, removes = removed.map(_.path))
     } }
 
@@ -322,9 +334,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     withWriteLock { manifest match {
       case None => overwriteAll(df)
       case Some(m) =>
-        requireSchemaCompatible(df, m)
-        val newFiles = writeCommit(df, m.partitionColumns)
-        commitDelta(df.schema.json, m.partitionColumns, "append",
+        val d = reconcileSchema(df, m)
+        val newFiles = writeCommit(d, m.partitionColumns)
+        commitDelta(d.schema.json, m.partitionColumns, "append",
           base = Some(m), adds = newFiles, removes = Nil)
     } }
 
@@ -354,9 +366,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       df: DataFrame,
       operation: String = "replaceFiles"): Unit = withWriteLock {
     val m = requireManifest
-    requireSchemaCompatible(df, m)
-    val newFiles = writeCommit(df, m.partitionColumns)
-    commitDelta(df.schema.json, m.partitionColumns, operation,
+    val d = reconcileSchema(df, m)
+    val newFiles = writeCommit(d, m.partitionColumns)
+    commitDelta(d.schema.json, m.partitionColumns, operation,
       base = Some(m), adds = newFiles, removes = removePaths)
   }
 
@@ -402,15 +414,15 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       df: DataFrame,
       operation: String = "replacePartitions"): Unit = withWriteLock {
     val m = requireManifest
-    requireSchemaCompatible(df, m)
-    val newFiles = writeCommit(df, m.partitionColumns)
+    val d = reconcileSchema(df, m)
+    val newFiles = writeCommit(d, m.partitionColumns)
     val removed = partitions match {
       case None => m.files
       case Some(ps) =>
         val replaced = ps.toSet
         m.files.filter(f => replaced.contains(f.partitionValues))
     }
-    commitDelta(df.schema.json, m.partitionColumns, operation,
+    commitDelta(d.schema.json, m.partitionColumns, operation,
       base = Some(m), adds = newFiles, removes = removed.map(_.path))
   }
 
@@ -433,6 +445,44 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           .repartition(m.partitionColumns.map(c => col(s"`$c`")): _*)
         replacePartitions(Some(affected.toSeq), df, "compact")
       }
+    }
+  }
+
+  /** Size-aware, FILE-granular compaction: bin-pack only the files
+    * smaller than `smallBytes` into ~`targetBytes` outputs (default 8×
+    * the threshold); every file already at or above the threshold is
+    * carried into the new version byte-for-byte — its manifest entry
+    * survives verbatim. [[compact]] rewrites whole partitions by file
+    * COUNT; at 100 TB an unpartitioned or coarse-partitioned table
+    * cannot afford that — a steady drip of small merge/append commits
+    * must cost rewrites proportional to the SMALL FILES' bytes, not the
+    * table's (same discipline as the file-granular MERGE). Partition
+    * values survive: the packing repartitions on the table's partition
+    * columns, so a partition's small files merge only with each other.
+    * No-op unless at least two small files share a partition.
+    *
+    * File sizes come from a driver-side status loop over manifest paths
+    * (metadata-only, like the manifest itself); a backfill compacting
+    * millions of files would distribute that listing the way
+    * [[FileStatistics.collectDistributed]] fans out footer reads. */
+  def compactSmall(smallBytes: Long, targetBytes: Long = 0L): Unit = withWriteLock {
+    val m = requireManifest
+    val lens: Map[String, Long] = m.files.map { f =>
+      f.path -> fs.getFileStatus(new Path(root, f.path)).getLen
+    }.toMap
+    val victims = m.files
+      .filter(f => lens(f.path) < smallBytes)
+      .groupBy(_.partitionValues).filter(_._2.size >= 2)
+      .values.flatten.toSeq
+    if (victims.nonEmpty) {
+      val tgt = if (targetBytes > 0) targetBytes else smallBytes * 8
+      val total = victims.iterator.map(f => lens(f.path)).sum
+      val nOut = math.max(1, math.ceil(total.toDouble / tgt).toInt)
+      val small = readManifestFiles(m, victims)
+      val packed =
+        if (m.partitionColumns.isEmpty) small.coalesce(nOut)
+        else small.repartition(nOut, m.partitionColumns.map(c => col(s"`$c`")): _*)
+      replaceFiles(victims.map(_.path), packed, "compactSmall")
     }
   }
 
@@ -493,24 +543,27 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       base = Some(cur), adds = target.files, removes = cur.files.map(_.path))
   }
 
-  /** Backfill per-file min/max stats for manifest files that lack them
-    * (imported tables, commits where footer reads failed). Distributed
-    * above [[FileStatistics.DistributedThreshold]] files; commits a new
-    * manifest version, data files untouched. No-op when every file
-    * already has stats. */
+  /** Backfill per-file min/max stats AND row counts for manifest files
+    * that lack them (imported tables, commits where footer reads failed).
+    * Distributed above [[FileStatistics.DistributedThreshold]] files;
+    * commits a new manifest version, data files untouched. No-op when
+    * every file already carries both. */
   def collectStatistics(): Unit = withWriteLock {
     val m = requireManifest
-    val missing = m.files.filter(_.stats.isEmpty)
+    val missing = m.files.filter(f => f.stats.isEmpty || f.rows.isEmpty)
     if (missing.nonEmpty) {
       val paths = missing.map(f => new Path(root, f.path))
       val stats = FileStatistics.forPaths(
         spark, spark.sparkContext.hadoopConfiguration, paths)
-      // restate ONLY files that actually yielded stats: a file whose
+      // restate ONLY files that actually yielded metadata: a file whose
       // footer is unreadable would otherwise be restated empty forever,
       // committing a useless new version on every maintenance cycle
       val updated = missing.flatMap { f =>
         stats.get(new Path(root, f.path).toString)
-          .filter(_.nonEmpty).map(s => f.copy(stats = s))
+          .filter(fm => fm.cols.nonEmpty || fm.rows >= 0)
+          .map(fm => f.copy(
+            stats = if (fm.cols.nonEmpty) fm.cols else f.stats,
+            rows = if (fm.rows >= 0) Some(fm.rows) else f.rows))
       }
       // restated entries travel as remove+add of the same paths
       if (updated.nonEmpty)
@@ -581,31 +634,71 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
 
   // ------------------------------------------------------------- internals
 
-  private def requireSchemaCompatible(df: DataFrame, m: Manifest): Unit = {
+  /** Reconcile a write's schema against the table's, returning the frame
+    * to actually commit (possibly with columns up-cast). Three legal
+    * evolutions, everything else fails at write time:
+    *
+    *  - NEW source columns are adopted into the manifest schema (old
+    *    files read them as null) — never silent (reference warn-on-new
+    *    contract, implicits.scala:28-59);
+    *  - a source column NARROWER than the table's (int into a long
+    *    column) is up-cast to the table type — lossless, schema stays;
+    *  - a source column LOSSLESSLY WIDER than the table's (long into an
+    *    int column) WIDENS the table schema: existing int32/float parquet
+    *    pages are read through the wider manifest schema, a promotion the
+    *    Spark 4 parquet readers perform natively (same widening matrix as
+    *    Delta's type-widening feature; long→double is NOT widening —
+    *    above 2⁵³ it loses precision).
+    *
+    * Any other type change would make existing files unreadable under the
+    * new manifest schema — fail instead of committing it. */
+  private def reconcileSchema(df: DataFrame, m: Manifest): DataFrame = {
+    import org.apache.spark.sql.types._
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType)            => true
+      case (IntegerType, LongType | DoubleType)                        => true
+      case (FloatType, DoubleType)                                     => true
+      case _                                                           => false
+    }
     val targetFields = m.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     val srcFields = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     val missing = targetFields.keySet -- srcFields.keySet
     if (missing.nonEmpty)
       throw new MetadataException(
         s"Source is missing target column(s): ${missing.toSeq.sorted.mkString(", ")}")
-    // NEW source columns are adopted into the manifest schema (old files
-    // read them as null) — legal evolution, but never silent (reference
-    // warn-on-new contract, implicits.scala:28-59)
     val added = srcFields.keySet -- targetFields.keySet
     if (added.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(classOf[ManagedTable]).warn(
         s"Schema drift on $rootPath: adopting new column(s) " +
           s"${added.toSeq.sorted.map(srcFields(_).name).mkString(", ")} " +
           "into the table schema; rows in existing files read them as null")
-    // a silently-committed type change would make the existing parquet
-    // files unreadable under the new manifest schema — fail at write time
-    val retyped = targetFields.collect {
-      case (n, tf) if srcFields(n).dataType != tf.dataType =>
-        s"${tf.name} (${tf.dataType.simpleString} -> ${srcFields(n).dataType.simpleString})"
+    val shared = targetFields.collect {
+      case (n, tf) if srcFields(n).dataType != tf.dataType => (n, tf, srcFields(n))
     }
-    if (retyped.nonEmpty)
+    val illegal = shared.collect {
+      case (_, tf, sf)
+          if !widens(sf.dataType, tf.dataType) && !widens(tf.dataType, sf.dataType) =>
+        s"${tf.name} (${tf.dataType.simpleString} -> ${sf.dataType.simpleString})"
+    }
+    if (illegal.nonEmpty)
       throw new MetadataException(
-        s"Source changes column type(s): ${retyped.toSeq.sorted.mkString(", ")}")
+        s"Source changes column type(s): ${illegal.toSeq.sorted.mkString(", ")}")
+    val upcasts = shared.collect {
+      case (_, tf, sf) if widens(sf.dataType, tf.dataType) => sf.name -> tf.dataType
+    }
+    val widened = shared.collect {
+      case (_, tf, sf) if widens(tf.dataType, sf.dataType) =>
+        s"${tf.name} (${tf.dataType.simpleString} -> ${sf.dataType.simpleString})"
+    }
+    if (widened.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(classOf[ManagedTable]).warn(
+        s"Schema drift on $rootPath: widening column type(s) " +
+          s"${widened.toSeq.sorted.mkString(", ")}; existing files are read " +
+          "through the wider schema")
+    upcasts.foldLeft(df) { case (d, (name, to)) =>
+      d.withColumn(name, col(s"`$name`").cast(to))
+    }
   }
 
   /** Write `df` as immutable files under a fresh commit dir; return the
@@ -615,12 +708,16 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val commitId = UUID.randomUUID().toString
     val commitDir = new Path(dataDir, commitId)
     val conf = spark.sparkContext.hadoopConfiguration
+    def toFile(p: Path, pv: Map[String, String],
+        metas: Map[String, FileStatistics.FileMeta]): TableFile = {
+      val fm = metas.getOrElse(p.toString, FileStatistics.FileMeta(Map.empty, -1L))
+      TableFile(rel(p), pv, fm.cols, if (fm.rows >= 0) Some(fm.rows) else None)
+    }
     if (partitionBy.isEmpty) {
       df.write.parquet(commitDir.toString)
       val paths = listParquet(commitDir)
       val stats = FileStatistics.forPaths(spark, conf, paths)
-      paths.map(p =>
-        TableFile(rel(p), Map.empty, stats.getOrElse(p.toString, Map.empty)))
+      paths.map(p => toFile(p, Map.empty, stats))
     } else {
       val dirCols = partitionBy.map(c => s"__gp_$c")
       val withDirCols = partitionBy.zip(dirCols).foldLeft(df) {
@@ -638,7 +735,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
             k.stripPrefix("__gp_") -> hiveUnescape(v)
           }
           .toMap
-        TableFile(relPath, pv, stats.getOrElse(p.toString, Map.empty))
+        toFile(p, pv, stats)
       }
     }
   }
@@ -733,13 +830,16 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       StructField("stats", MapType(StringType, StructType(Seq(
         StructField("t", StringType),
         StructField("min", StringType),
-        StructField("max", StringType)))))))
+        StructField("max", StringType))))),
+      // nullable: sidecars written before row counts existed read as null
+      StructField("rows", LongType)))
   }
 
   private def writeSidecarFiles(name: String, files: Seq[TableFile]): Unit = {
     import org.apache.spark.sql.Row
     val rows = files.map(f => Row(f.path, f.partitionValues,
-      f.stats.map { case (c, s) => c -> Row(s.typ, s.min, s.max) }))
+      f.stats.map { case (c, s) => c -> Row(s.typ, s.min, s.max) },
+      f.rows.map(Long.box).orNull))
     // ~100k entries per task keeps sidecar files O(10 MB)
     val parts = math.max(1, files.size / 100000)
     spark.createDataFrame(
@@ -758,7 +858,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           .map(_.toMap).getOrElse(Map.empty)
         TableFile(r.getString(0), pv,
           st.map { case (c, s) =>
-            c -> ColStats(s.getString(0), s.getString(1), s.getString(2)) })
+            c -> ColStats(s.getString(0), s.getString(1), s.getString(2)) },
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))
       }
 
   private def writeFile(p: Path, content: String): Unit = {

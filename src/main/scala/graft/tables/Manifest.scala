@@ -70,10 +70,15 @@ object ColStats {
   }
 }
 
+/** @param rows exact row count from the parquet footer at commit time;
+  *   None for files adopted without footer reads ([[ManagedTable.importFiles]]
+  *   callers may supply it; `collectStatistics()` backfills). Metadata-only
+  *   `count(*)` ([[ManagedTable.fastCount]]) needs every file to carry it. */
 final case class TableFile(
     path: String,
     partitionValues: Map[String, String],
-    stats: Map[String, ColStats] = Map.empty)
+    stats: Map[String, ColStats] = Map.empty,
+    rows: Option[Long] = None)
 
 /** @param filesRef when set, the file list lives in a parquet sidecar of
   *   this name next to the record (large-table checkpoints: the list is
@@ -153,7 +158,7 @@ object Manifest {
 
   private[tables] def filesToJson(files: Seq[TableFile]): JArray =
     JArray(files.map { f =>
-      JObject(
+      JObject(List(
         "path" -> JString(f.path),
         "partitionValues" -> JObject(
           f.partitionValues.map { case (k, v) => k -> JString(v) }.toList),
@@ -162,7 +167,8 @@ object Manifest {
             "t" -> JString(s.typ),
             "min" -> JString(s.min),
             "max" -> JString(s.max))
-        }.toList))
+        }.toList)) ++
+        f.rows.map(r => "rows" -> (JLong(r): JValue)).toList)
     }.toList)
 
   private def str(v: JValue): String = v match { case JString(x) => x; case _ => "" }
@@ -183,6 +189,11 @@ object Manifest {
             c -> ColStats(str(v \ "t"), str(v \ "min"), str(v \ "max"))
           }.toMap
           case _ => Map.empty[String, ColStats]
+        },
+        (f \ "rows") match {
+          case JLong(x) => Some(x)
+          case JInt(x)  => Some(x.toLong)
+          case _        => None
         })
     }
     case _ => Nil

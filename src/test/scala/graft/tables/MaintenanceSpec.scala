@@ -51,6 +51,87 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     t.read().count() shouldBe 3
   }
 
+  test("compactSmall: bin-packs only sub-threshold files, big files carry verbatim") {
+    import org.apache.spark.sql.functions.col
+    val t = ManagedTable(spark, tmp() + "/tcs")
+    t.overwriteAll(spark.range(50000).toDF("id")
+      .withColumn("v", col("id").cast("string")).coalesce(1))
+    val bigFile = t.manifest.get.files match { case Seq(f) => f }
+    t.append(Seq((100001L, "a")).toDF("id", "v"))
+    t.append(Seq((100002L, "b")).toDF("id", "v"))
+    t.append(Seq((100003L, "c")).toDF("id", "v"))
+    t.manifest.get.files.size shouldBe 4
+
+    t.compactSmall(smallBytes = 20 * 1024)
+    val after = t.manifest.get.files
+    // the big file's entry survives verbatim; the three small ones packed
+    after should contain(bigFile)
+    after.size shouldBe 2
+    t.read().count() shouldBe 50003
+    t.readVersion(t.currentVersion.get - 1).count() shouldBe 50003
+
+    // second pass: nothing sub-threshold shares a partition -> no-op
+    val v = t.currentVersion.get
+    t.compactSmall(smallBytes = 20 * 1024)
+    t.currentVersion.get shouldBe v
+  }
+
+  test("compactSmall on a partitioned table never mixes partitions") {
+    val t = ManagedTable(spark, tmp() + "/tcp")
+    t.overwriteAll(Seq((1, "a", "x")).toDF("id", "v", "p"), Seq("p"))
+    t.append(Seq((2, "b", "x")).toDF("id", "v", "p"))
+    t.append(Seq((3, "c", "y")).toDF("id", "v", "p"))
+    val yFiles = t.manifest.get.files.filter(_.partitionValues.get("p").contains("y"))
+    yFiles.size shouldBe 1
+
+    t.compactSmall(smallBytes = 1024 * 1024)
+    val after = t.manifest.get.files
+    // y had a single small file: no partner to pack with -> untouched
+    after.filter(_.partitionValues.get("p").contains("y")) shouldBe yFiles
+    after.count(_.partitionValues.get("p").contains("x")) shouldBe 1
+    t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2, 3)
+  }
+
+  test("fastCount: metadata-only count; unknown after import, backfilled by stats") {
+    val t = ManagedTable(spark, tmp() + "/tfc")
+    t.overwriteAll(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    t.fastCount shouldBe Some(3L)
+    t.fastCount shouldBe Some(t.read().count())
+
+    // adopt a file WITHOUT a row count -> fastCount abstains (never guesses)
+    val m = t.manifest.get
+    val dataFile = m.files.head
+    t.importFiles(m.schema, Nil,
+      Seq(TableFile(dataFile.path, Map.empty, dataFile.stats)))
+    t.fastCount shouldBe None
+
+    // footer backfill restores the metadata answer
+    t.collectStatistics()
+    t.fastCount shouldBe Some(t.read().count())
+  }
+
+  test("type widening: wider appends widen the schema, narrower ones up-cast") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val t = ManagedTable(spark, tmp() + "/tw")
+    t.overwriteAll(Seq((1, 1.5f)).toDF("id", "f")) // int, float
+    t.append(Seq((2L, 2.5)).toDF("id", "f"))       // long, double -> widens
+    t.manifest.get.schema("id").dataType shouldBe LongType
+    t.manifest.get.schema("f").dataType shouldBe DoubleType
+    val out = t.read().orderBy("id").collect()
+    out.map(_.getLong(0)) shouldBe Array(1L, 2L) // old int32 file read as long
+    out.map(_.getDouble(1)) shouldBe Array(1.5, 2.5)
+
+    // a NARROWER source up-casts on write; the schema stays wide
+    t.append(Seq((3, 3.5f)).toDF("id", "f"))
+    t.manifest.get.schema("id").dataType shouldBe LongType
+    t.read().count() shouldBe 3
+
+    // non-widening retype still fails at write time
+    a[graft.metadata.MetadataException] should be thrownBy
+      t.append(Seq(("x", "y")).toDF("id", "f"))
+  }
+
   test("vacuum: time travel below the horizon fails fast, current stays readable") {
     val t = ManagedTable(spark, tmp() + "/tv")
     t.overwriteAll(Seq((1, "a")).toDF("id", "v"))
@@ -264,9 +345,10 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
       f.toString -> FileStatistics.fromFooter(conf, f)).toMap
     val distributed = FileStatistics.collectDistributed(spark, conf, paths)
     distributed shouldBe driverSide
-    // sanity: stats actually carry ranges
-    driverSide.values.flatMap(_.get("id")).map(_.min.toLong).min shouldBe 1L
-    driverSide.values.flatMap(_.get("id")).map(_.max.toLong).max shouldBe 40L
+    // sanity: stats actually carry ranges and exact per-file row counts
+    driverSide.values.flatMap(_.cols.get("id")).map(_.min.toLong).min shouldBe 1L
+    driverSide.values.flatMap(_.cols.get("id")).map(_.max.toLong).max shouldBe 40L
+    driverSide.values.map(_.rows).sum shouldBe 40L
   }
 
   test("collectStatistics backfills manifest files lacking stats") {
