@@ -402,6 +402,33 @@ object CoreOps {
         .orderBy("user_id", "session_id")
     },
 
+    // Stream-stream interval join (attribution): every view in the 5
+    // hours before a click, per user. The same expression + watermarks
+    // runs on live streams with state bounded by the time range; the
+    // batch twin is verified here against DuckDB's range join.
+    QueryDef(
+      "q_w_interval",
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts - INTERVAL 6 HOUR
+        | AND b.ts <= a.ts
+        |WHERE a.event_type = 'click' AND b.event_type = 'view'
+        |ORDER BY a.user_id, click_id, view_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      graft.streaming.StreamOps.intervalJoin(
+        clicks, views, "user_id", "click_ts", "view_ts",
+        before = "6 hours", after = "0 seconds", watermarkDelay = "10 minutes")
+        .select("user_id", "click_id", "view_id")
+        .orderBy("user_id", "click_id", "view_id")
+    },
+
     // Set operations (SURVEY §2.6: unused by the reference — completing
     // the relational surface).
     QueryDef(

@@ -57,6 +57,39 @@ object StreamOps {
         .dropDuplicatesWithinWatermark(keyCols)
     else df.dropDuplicates(keyCols)
 
+  /** Watermarked stream-stream interval join: pair each left row with the
+    * right rows sharing `keyCol` whose `rightTsCol` falls within
+    * `[leftTs - before, leftTs + after]` (e.g. "every view in the 5
+    * minutes before a click", attribution-style).
+    *
+    * On streams, BOTH sides carry event-time watermarks and the join
+    * condition carries the time range — exactly the two things Structured
+    * Streaming's symmetric hash join needs to BOUND its buffered state:
+    * each side's rows are dropped from the state store once the watermark
+    * moves past the range they could still join into. Without the range
+    * bound a stream-stream join must buffer both streams forever. On
+    * batch frames the identical expression is an ordinary range-bounded
+    * equi-join (`withWatermark` is a no-op) — which is what the SQL
+    * oracle verifies.
+    *
+    * Scale shape: shuffle on `keyCol` only; state (streaming) is bounded
+    * by rows per watermark horizon, not history. Both sides keep their
+    * own columns (the duplicate join key is dropped from the right);
+    * rename collisions before calling. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      before: String, after: String, watermarkDelay: String): DataFrame = {
+    require(leftTsCol != rightTsCol,
+      "interval join needs distinct timestamp column names on the two sides")
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+    val cond = l(keyCol) === r(keyCol) &&
+      r(rightTsCol) >= l(leftTsCol) - expr(s"INTERVAL $before") &&
+      r(rightTsCol) <= l(leftTsCol) + expr(s"INTERVAL $after")
+    l.join(r, cond).drop(r(keyCol))
+  }
+
   /** Gap-based sessionization of a BATCH event table — the declarative
     * gaps-and-islands twin of the streaming [[sessionize]]: a session
     * break is a quiet period longer than `gapMicros`; the session id is

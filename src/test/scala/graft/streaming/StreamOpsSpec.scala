@@ -89,6 +89,30 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("interval join on two real streams matches only rows inside the range") {
+    val clicks = MemoryStream[Event](spark)
+    val views = MemoryStream[Event](spark)
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().select($"user_id", $"ts".as("click_ts")),
+      views.toDF().select($"user_id", $"ts".as("view_ts")),
+      "user_id", "click_ts", "view_ts",
+      before = "5 minutes", after = "0 seconds", watermarkDelay = "2 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      views.addData(
+        Event(1, ts(1), "view"),  // 3 min before the click: in range
+        Event(1, ts(9), "view"),  // after the click: out (after = 0)
+        Event(2, ts(2), "view"))  // other user: out
+      clicks.addData(Event(1, ts(4), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("ij")
+        .select("user_id", "click_ts", "view_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      rows.toSet shouldBe Set((1L, ts(4), ts(1)))
+    } finally q.stop()
+  }
+
   test("batch sessionization agrees with the streaming sessionizer's contract") {
     val df = Seq(
       (5L, ts(1)), (5L, ts(2)), (5L, ts(20)), (5L, ts(21)),
