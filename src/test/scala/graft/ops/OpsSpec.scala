@@ -635,6 +635,24 @@ class OpsSpec extends AnyFunSuite with Matchers {
       (1L, 5L, 1L), (2L, 5L, 1L), (3L, 3L, 0L), (4L, 0L, 0L), (5L, 6L, 0L))
   }
 
+  test("new-operator plan shapes: one source exchange for mixture, no nested loops") {
+    val d = (1L to 100L).map(i => (i, s"s${i % 4}", "a b c d e f")).toDF(
+      "doc_id", "source", "text")
+    // mixturePlan: window avail + final aggregate both hash on `source`,
+    // and the weight table broadcasts — ONE shuffle over the docs total
+    val mixPlan = TextOps.mixturePlan(d, "doc_id", "source", "text",
+      Seq("s0" -> 1L), 100L).queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(mixPlan).size shouldBe 1
+    mixPlan should include("BroadcastExchange")
+    // repeatedSpanCounts: every join is keyed — a cross/nested-loop join
+    // anywhere would be the O(docs²) shape this operator exists to avoid
+    val spanPlan = TextOps.repeatedSpanCounts(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    SubstrateCache.release(spark)
+    spanPlan should not include "CartesianProduct"
+    spanPlan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("mixture plan: rate cap, zero-weight sources, deterministic sample") {
     val d = (1L to 40L).map { i =>
       val src = if (i <= 10) "a" else if (i <= 30) "b" else "c"
