@@ -123,4 +123,33 @@ object GraphOps {
     connectedComponents(pairs, idA, idB)
       .select(col("node").as("doc_id"), col("component").as("group_id"),
         (col("node") === col("component")).as("is_canonical"))
+
+  /** Pick ONE representative per dedup group by quality instead of the
+    * min-id canonical: highest `scoreCol` wins, lowest id breaks ties —
+    * deterministic across runs and engines. This is the curation step
+    * that makes near-dup groups actionable ("keep the best member of
+    * each cluster, drop the rest"): min-id keeps an arbitrary member;
+    * score-based keeps the longest / cleanest / highest-rated one.
+    *
+    * Returns (groupCol, rep_id, rep_score, n_members).
+    *
+    * Scale shape: one equi-join of the group table against the scores,
+    * then a window partitioned on the group id — near-dup groups are
+    * small (bounded by real duplication), so the per-group sort is local
+    * and the rank-1 filter is Spark's partial window-group-limit shape.
+    * Both the window and the implied shuffle hash on the group id. */
+  def bestRepresentatives(groups: DataFrame, idCol: String, groupCol: String,
+      scored: DataFrame, scoredIdCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = groups
+      .join(scored, groups(idCol) === scored(scoredIdCol))
+      .drop(scored(scoredIdCol))
+    val byGroup = Window.partitionBy(col(s"`$groupCol`"))
+    val w = byGroup.orderBy(col(s"`$scoreCol`").desc, col(s"`$idCol`"))
+    joined.withColumn("__rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(byGroup))
+      .filter(col("__rn") === 1)
+      .select(col(s"`$groupCol`"), col(s"`$idCol`").as("rep_id"),
+        col(s"`$scoreCol`").as("rep_score"), col("n_members"))
+  }
 }

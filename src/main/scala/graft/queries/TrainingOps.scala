@@ -75,6 +75,22 @@ object TrainingOps {
       GraphOps.dedupGroups(pairs, "id_a", "id_b").orderBy("doc_id")
     },
 
+    // --------------------- dedup: best-representative per near-dup group
+    // (keep the highest-quality member of each cluster — here: longest
+    // text, id tie-break — instead of the arbitrary min-id canonical)
+    QueryDef("q_td_dedup_best", dedupBestOracle) { (s, d) =>
+      import graft.ops.GraphOps
+      val docs = Tables.documents(s, d)
+      val pairs = TextOps.minHashNearDupPairs(docs, "doc_id", "text")
+        .filter(col("inter") * 2 >= col("uni"))
+      val groups = GraphOps.dedupGroups(pairs, "id_a", "id_b")
+        .select("doc_id", "group_id")
+      val scored = docs.select(col("doc_id").as("sid"),
+        length(col("text")).cast("long").as("score"))
+      GraphOps.bestRepresentatives(groups, "doc_id", "group_id",
+        scored, "sid", "score").orderBy("group_id")
+    },
+
     // -------------------------------------------------- dedup: SimHash
     QueryDef("q_td_simhash", simHashOracle) { (s, d) =>
       TextOps.simHashSignatures(Tables.documents(s, d), "doc_id", "text")
@@ -832,6 +848,29 @@ object TrainingOps {
        |FROM (SELECT doc_id, $counts FROM documents)
        |ORDER BY doc_id""".stripMargin
   }
+
+  private def dedupBestOracle: String =
+    s"""WITH RECURSIVE $minHashPairsCtes,
+       |jp AS (SELECT id_a, id_b FROM pairs WHERE 2 * inter >= uni),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+       |          UNION SELECT id_b, id_a FROM jp),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |grp AS (SELECT a AS doc_id, least(a, min(b)) AS group_id
+       |        FROM reach GROUP BY a),
+       |scored AS (
+       |  SELECT g.doc_id, g.group_id, CAST(length(d.text) AS BIGINT) AS score
+       |  FROM grp g JOIN documents d ON d.doc_id = g.doc_id),
+       |ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY group_id ORDER BY score DESC, doc_id)
+       |      AS rn,
+       |    CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_members
+       |  FROM scored)
+       |SELECT group_id, doc_id AS rep_id, score AS rep_score, n_members
+       |FROM ranked WHERE rn = 1 ORDER BY group_id""".stripMargin
 
   /** Nested-parenthesis SQL for the rolling n-gram hash at list position
     * `i` — the exact fold of [[TextOps.ngramHashes]] over a `hw`

@@ -635,6 +635,20 @@ class OpsSpec extends AnyFunSuite with Matchers {
       (1L, 5L, 1L), (2L, 5L, 1L), (3L, 3L, 0L), (4L, 0L, 0L), (5L, 6L, 0L))
   }
 
+  test("best representatives: highest score wins, id breaks ties, sizes right") {
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "group_id")
+    val scored = Seq((1L, 10L), (2L, 30L), (3L, 30L), (7L, 5L), (9L, 5L))
+      .toDF("sid", "score")
+    val out = GraphOps.bestRepresentatives(
+      groups, "doc_id", "group_id", scored, "sid", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // group 1: docs 2 and 3 tie on score 30 -> lowest id (2) wins
+    // group 7: docs 7 and 9 tie on score 5  -> 7 wins
+    out shouldBe Array((1L, 2L, 30L, 3L), (7L, 7L, 5L, 2L))
+  }
+
   test("new-operator plan shapes: one source exchange for mixture, no nested loops") {
     val d = (1L to 100L).map(i => (i, s"s${i % 4}", "a b c d e f")).toDF(
       "doc_id", "source", "text")
