@@ -623,6 +623,35 @@ object TextOps {
       .otherwise("test")
   }
 
+  /** Per-group percentile rank of a score — cross-source score
+    * NORMALIZATION. Raw quality scores are not comparable across sources
+    * (a mediocre wiki page outscores a good forum post on absolute
+    * heuristics); ranking within the source and cutting on the
+    * percentile is how curation pipelines apply one threshold to many
+    * sources. `percent_rank = (rank-1)/(group_size-1)` — a quotient of
+    * exact integers, so ranks are bit-identical across engines; ties
+    * break on `idCol` so the rank (and any cut on it) is deterministic.
+    * One window, one hash exchange on the group column. */
+  def percentileRankByGroup(df: DataFrame, groupCol: String,
+      scoreCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(s"`$groupCol`"))
+      .orderBy(col(s"`$scoreCol`"), col(s"`$idCol`"))
+    df.withColumn("pct_rank", percent_rank().over(w))
+  }
+
+  /** Deterministic global training-order shuffle: sort by the portable
+    * id hash. An engine-independent pseudo-random permutation with no
+    * RNG state — the same corpus always yields the same example order
+    * (reproducible training runs), yet the order is uncorrelated with
+    * source, time, or any content attribute. At scale this is Spark's
+    * range-partitioned distributed sort; `orderBy(rand())` would give a
+    * different order every run and defeat resumable data loading. */
+  def trainingOrder(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("shuffle_key",
+        pmod(portableHash(col(s"`$idCol`").cast("string")), lit(1000000000L)))
+      .orderBy(col("shuffle_key"), col(s"`$idCol`"))
+
   /** Rolling word n-gram hashes (generalizes [[bigramShingleHashes]],
     * identical to it for n=2): position i carries the polynomial fold of
     * word hashes i..i+n-1, `acc → (acc*1000003 + h) mod 2³²`. Each fold

@@ -524,6 +524,31 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // -------------------- curation: cross-source score normalization
+    // (percentile rank within source — one threshold over many sources)
+    QueryDef(
+      "q_td_pct_rank",
+      """SELECT source, doc_id, n_chars,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+        |    AS pct_rank
+        |FROM documents ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      TextOps.percentileRankByGroup(
+        Tables.documents(s, d).select("source", "doc_id", "n_chars"),
+        "source", "n_chars", "doc_id")
+        .orderBy("source", "doc_id")
+    },
+
+    // ------------------ curation: deterministic training-order shuffle
+    // (portable-hash sort: same corpus -> same example order, any engine)
+    QueryDef(
+      "q_td_shuffle",
+      s"""SELECT doc_id, ${H("CAST(doc_id AS VARCHAR)")} % 1000000000
+         |    AS shuffle_key
+         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin) { (s, d) =>
+      TextOps.trainingOrder(
+        Tables.documents(s, d).select("doc_id"), "doc_id")
+    },
+
     // ------------------- dedup: span-level repeated n-grams (boilerplate)
     // Substring-granular signal doc-level dedup misses: positions whose
     // 5-gram recurs in >= 2 distinct docs (licence blocks, navigation
