@@ -652,6 +652,25 @@ object TextOps {
         pmod(portableHash(col(s"`$idCol`").cast("string")), lit(1000000000L)))
       .orderBy(col("shuffle_key"), col(s"`$idCol`"))
 
+  /** Per-source corpus report card: docs, tokens, chars, distinct
+    * languages, and mean tokens/doc in ONE hash-aggregate pass (map-side
+    * combined; the only shuffle is on the source key). The profiling
+    * query every corpus pipeline runs before and after each curation
+    * step — one scan, not five. Counts are exact integers; the mean is
+    * one integer quotient (IEEE-identical cross-engine). */
+  def corpusReport(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, langCol: String): DataFrame =
+    df.select(col(s"`$sourceCol`").as("source"), col(s"`$langCol`").as("lang"),
+        size(tokens(col(s"`$textCol`"))).cast("long").as("toks"),
+        length(col(s"`$textCol`")).cast("long").as("chars"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"),
+        sum("chars").as("n_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        (sum("toks") / count(lit(1))).as("mean_tokens"))
+
   /** Rolling word n-gram hashes (generalizes [[bigramShingleHashes]],
     * identical to it for n=2): position i carries the polynomial fold of
     * word hashes i..i+n-1, `acc → (acc*1000003 + h) mod 2³²`. Each fold

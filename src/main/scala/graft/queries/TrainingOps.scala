@@ -524,6 +524,22 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // ------------------------ curation: per-source corpus report card
+    // (one-pass profiling aggregate, run before/after every curation step)
+    QueryDef(
+      "q_td_report",
+      s"""SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len($Words)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(sum(len($Words)) AS BIGINT) / count(*) AS mean_tokens
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      TextOps.corpusReport(Tables.documents(s, d),
+        "doc_id", "text", "source", "lang")
+        .orderBy("source")
+    },
+
     // -------------------- curation: cross-source score normalization
     // (percentile rank within source — one threshold over many sources)
     QueryDef(
