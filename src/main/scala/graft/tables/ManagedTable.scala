@@ -117,6 +117,19 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   /** Current snapshot as a DataFrame. */
   def read(): DataFrame = readSnapshot(requireManifest)
 
+  /** One-struct table summary (the DESCRIBE DETAIL surface): current
+    * version, file count, metadata row count (None when unknown — see
+    * [[fastCount]]), total bytes (driver-side status loop over manifest
+    * paths, metadata-only), partition columns, and the latest commit's
+    * operation + timestamp. */
+  def detail(): TableDetail = {
+    val m = requireManifest
+    val bytes = m.files.iterator
+      .map(f => fs.getFileStatus(new Path(root, f.path)).getLen).sum
+    TableDetail(m.version, m.files.size.toLong, fastCount, bytes,
+      m.partitionColumns, m.operation, m.timestampMs)
+  }
+
   /** Exact `count(*)` from manifest metadata alone — O(files) driver
     * arithmetic, ZERO data scan (how Delta answers bare counts from its
     * log). At 100 TB the difference between this and `read().count()` is
@@ -880,6 +893,15 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
 }
 
 /** One [[ManagedTable.history]] entry. */
+final case class TableDetail(
+    version: Long,
+    numFiles: Long,
+    rows: Option[Long],
+    sizeBytes: Long,
+    partitionColumns: Seq[String],
+    operation: String,
+    timestampMs: Long)
+
 final case class TableHistory(
     version: Long, operation: String, timestampMs: Long, checkpoint: Boolean)
 

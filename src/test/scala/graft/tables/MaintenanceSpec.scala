@@ -92,6 +92,19 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2, 3)
   }
 
+  test("detail: version, files, rows, bytes, latest operation") {
+    val t = ManagedTable(spark, tmp() + "/td")
+    t.overwriteAll(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    val d = t.detail()
+    d.version shouldBe t.currentVersion.get
+    d.numFiles shouldBe t.manifest.get.files.size.toLong
+    d.rows shouldBe Some(3L)
+    d.sizeBytes should be > 0L
+    d.partitionColumns shouldBe Nil
+    d.operation shouldBe "append"
+  }
+
   test("fastCount: metadata-only count; unknown after import, backfilled by stats") {
     val t = ManagedTable(spark, tmp() + "/tfc")
     t.overwriteAll(Seq((1, "a"), (2, "b")).toDF("id", "v"))
