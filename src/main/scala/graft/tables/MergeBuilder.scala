@@ -78,6 +78,11 @@ final class MergeBuilder private[tables] (
     add(Clause(Matched, cond, Delete))
   def whenNotMatchedInsertAll(cond: Option[String] = None): this.type =
     add(Clause(NotMatched, cond, InsertAll))
+  /** Insert with explicit per-column expressions over `source.`; target
+    * columns absent from `set` insert NULL (Delta's insert(set)
+    * semantics). */
+  def whenNotMatchedInsert(set: Map[String, String], cond: Option[String] = None): this.type =
+    add(Clause(NotMatched, cond, InsertSet(set)))
   def whenNotMatchedBySourceUpdate(
       set: Map[String, String], cond: Option[String] = None): this.type =
     add(Clause(NotMatchedBySource, cond, UpdateSet(set)))
@@ -188,6 +193,10 @@ final class MergeBuilder private[tables] (
       case UpdateAll      => col(s"source.`$colName`")
       case InsertAll      => col(s"source.`$colName`")
       case UpdateSet(set) => set.get(colName).map(expr)
+        .getOrElse(col(s"target.`$colName`"))
+      // unset columns fall back to target.* — NULL on a not-matched row,
+      // which is exactly insert(set)'s fill semantics
+      case InsertSet(set) => set.get(colName).map(expr)
         .getOrElse(col(s"target.`$colName`"))
       case Delete         => col(s"target.`$colName`") // dropped by action filter
     }
@@ -361,11 +370,24 @@ final class MergeBuilder private[tables] (
           when(c.cond.map(expr).getOrElse(lit(true)), lit(tagFor(c, tag(i, c))))
             .otherwise(rest)
       }
-      // a NotMatched clause's action is InsertAll (or conditional drop)
+      // insert values mirror insertAction's clause selection exactly
+      // (first matching clause wins): InsertAll takes source.*, InsertSet
+      // its expressions with NULL fill for unset target columns
+      val insertValueCols = targetCols.map { name =>
+        insertClauses.foldRight(
+            lit(null).cast(m.schema(name).dataType): Column) {
+          case ((c, _), rest) =>
+            val v = c.action match {
+              case InsertSet(set) => set.get(name).map(expr)
+                .getOrElse(lit(null).cast(m.schema(name).dataType))
+              case _ => col(s"source.`$name`")
+            }
+            when(c.cond.map(expr).getOrElse(lit(true)), v).otherwise(rest)
+        }.as(name)
+      }
       inserts = source.alias("source")
         .join(matchedKeys, Seq(k), "left_anti")
-        .select(targetCols.map(n => col(s"source.`$n`").as(n))
-          :+ insertAction.as(ActionCol): _*)
+        .select(insertValueCols :+ insertAction.as(ActionCol): _*)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val insertCounts = inserts.groupBy(ActionCol).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -381,6 +403,10 @@ final class MergeBuilder private[tables] (
       def valueFor(c: Clause, colName: String): Column = c.action match {
         case UpdateAll | InsertAll => col(s"source.`$colName`")
         case UpdateSet(set) => set.get(colName).map(expr)
+          .getOrElse(col(s"target.`$colName`"))
+        // NotMatched clauses never fire on rewrite rows (scope is false);
+        // listed for exhaustivity with the same fill rule as the generic path
+        case InsertSet(set) => set.get(colName).map(expr)
           .getOrElse(col(s"target.`$colName`"))
         case Delete => col(s"target.`$colName`")
       }
@@ -422,6 +448,7 @@ object MergeBuilder {
   private[tables] case object UpdateAll extends MergeAction
   private[tables] case object InsertAll extends MergeAction
   private[tables] final case class UpdateSet(set: Map[String, String]) extends MergeAction
+  private[tables] final case class InsertSet(set: Map[String, String]) extends MergeAction
   private[tables] case object Delete extends MergeAction
 
   private[tables] final case class Clause(

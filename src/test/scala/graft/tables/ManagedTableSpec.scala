@@ -133,6 +133,38 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     mk.count("bs3") shouldBe 1 // delete-inferred
   }
 
+  test("insert(set): explicit expressions, NULL fill, keyed matches generic") {
+    def setup(): ManagedTable = {
+      val t = ManagedTable(spark, tmp() + "/is")
+      t.overwriteAll(df(Seq((1, "a", "x"))))
+      t
+    }
+    val src = df(Seq((1, "a2", "x"), (2, "b", "y"), (3, "c", "z")))
+    def clauses(b: MergeBuilder): MergeBuilder = b
+      .whenMatchedUpdateAll()
+      // id 2: explicit expressions; `part` unset -> NULL
+      .whenNotMatchedInsert(
+        Map("id" -> "source.id", "name" -> "upper(source.name)"),
+        cond = Some("source.id = 2"))
+      // id 3: falls through to plain insert-all
+      .whenNotMatchedInsertAll()
+
+    val tg = setup()
+    val mg = clauses(MergeInto(tg, src, "target.id = source.id")).execute()
+    val tk = setup()
+    val mk = clauses(MergeInto.byKey(tk, src, "id")).execute()
+
+    val rows = (t: ManagedTable) => t.read().collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.getString(2))))
+      .sortBy(_._1).toSeq
+    rows(tk) shouldBe rows(tg)
+    rows(tk) shouldBe Seq((1, "a2", Some("x")),
+      (2, "B", None), (3, "c", Some("z")))
+    mk.byTag shouldBe mg.byTag
+    mk.count("nm1") shouldBe 1
+    mk.count("nm2") shouldBe 1
+  }
+
   test("keyed merge with nondeterministic clause condition falls back to single-pass path") {
     // the two-phase file-granular rewrite evaluates clause conditions twice;
     // rand() could diverge between phases, so such merges must take the
