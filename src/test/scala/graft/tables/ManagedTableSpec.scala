@@ -304,6 +304,34 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.changesSince(bookmark)._1.count() shouldBe 0
   }
 
+  test("rowChanges classifies insert/update/delete; carried-over rows dropped") {
+    val t = ManagedTable(spark, tmp() + "/rc")
+    t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "x"), (3, "c", "x"))))
+    val v0 = t.currentVersion.get
+
+    MergeInto.byKey(t, df(Seq((2, "B", "x"), (4, "d", "x"))), "id")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val v1 = t.currentVersion.get
+    val rc1 = t.rowChanges(v0, v1, Seq("id")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(3))).sortBy(_._1)
+    rc1 shouldBe Array((2, "B", "update_postimage"), (4, "d", "insert"))
+
+    MergeInto.byKey(t, df(Seq((4, "d", "x"))), "id")
+      .whenMatchedDelete()
+      .execute()
+    val rc2 = t.rowChanges(v1, t.currentVersion.get, Seq("id")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(3)))
+    rc2 shouldBe Array((4, "d", "delete"))
+
+    // whole interval composes: insert+delete of 4 cancels to nothing,
+    // the update of 2 survives
+    val all = t.rowChanges(v0, t.currentVersion.get, Seq("id")).collect()
+      .map(r => (r.getInt(0), r.getString(3)))
+    all shouldBe Array((2, "update_postimage"))
+  }
+
   test("keyed merge rejects duplicate source keys") {
     val t = ManagedTable(spark, tmp() + "/dup")
     t.overwriteAll(df(Seq((1, "a", "x"))))
