@@ -631,7 +631,12 @@ object TextOps {
     * sources. `percent_rank = (rank-1)/(group_size-1)` — a quotient of
     * exact integers, so ranks are bit-identical across engines; ties
     * break on `idCol` so the rank (and any cut on it) is deterministic.
-    * One window, one hash exchange on the group column. */
+    *
+    * Skew caveat (same as [[topFractionByGroup]]): a per-row rank is
+    * inherently a full ranked pass per group, so a dominant source sorts
+    * on one reducer. For a CUT at a known percentile over huge groups,
+    * prefer [[mixturePlan]]-style aggregates or approximate quantile
+    * thresholds; use this where per-row ranks are genuinely needed. */
   def percentileRankByGroup(df: DataFrame, groupCol: String,
       scoreCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -745,30 +750,37 @@ object TextOps {
     * are the same IEEE operations on the same operands in any engine —
     * bit-identical with a SQL oracle by construction.
     *
-    * Plan shape: one pass over the docs — availability via windows over
-    * the source partition, the mixture table joined in as a broadcast
-    * literal, then the keep-filter and the final per-source aggregate
-    * reuse the SAME source-hash exchange. Nothing is persisted; no
-    * shuffle is wider than one row per doc of (source, id, toks). */
+    * Plan shape: sources number in the dozens while docs number in the
+    * billions, so NOTHING may funnel whole rows through per-source
+    * partitions — a window over the source key would buffer each
+    * source's entire row set on one task (the mega-stratum hazard
+    * [[topFractionByGroup]] documents). Instead: two hash AGGREGATES on
+    * the source key (both map-side combined — every task pre-collapses
+    * to ≤ #sources partial rows before the shuffle) with the tiny
+    * availability/rate table broadcast back between them. The narrow
+    * (source, id, toks) substrate feeds both aggregates, so it is
+    * persisted via [[SubstrateCache]] rather than re-tokenizing the
+    * corpus twice. */
   def mixturePlan(df: DataFrame, idCol: String, sourceCol: String,
       textCol: String, weights: Seq[(String, Long)],
       budgetTokens: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(weights.nonEmpty, "mixture weights must be non-empty")
     val sumW = weights.map(_._2).sum
-    val w = Window.partitionBy("source")
     val wdf = df.sparkSession.createDataFrame(weights).toDF("source", "__w")
-    val keep = pmod(portableHash(col("id").cast("string")), lit(1000000L)) <
-      floor(col("rate") * lit(1000000.0))
-    df.select(col(s"`$sourceCol`").as("source"), col(s"`$idCol`").as("id"),
-        size(tokens(col(s"`$textCol`"))).cast("long").as("toks"))
-      .withColumn("avail_docs", count(lit(1)).over(w))
-      .withColumn("avail_tokens", sum("toks").over(w))
+    val toks = SubstrateCache.persist(
+      df.select(col(s"`$sourceCol`").as("source"), col(s"`$idCol`").as("id"),
+        size(tokens(col(s"`$textCol`"))).cast("long").as("toks")))
+    val rates = toks.groupBy("source")
+      .agg(count(lit(1)).as("avail_docs"), sum("toks").as("avail_tokens"))
       .join(broadcast(wdf), Seq("source"), "left")
       .withColumn("target_tokens",
         coalesce(col("__w"), lit(0L)) * lit(budgetTokens) / lit(sumW))
       .withColumn("rate",
         least(lit(1.0), col("target_tokens") / col("avail_tokens")))
+      .drop("__w")
+    val keep = pmod(portableHash(col("id").cast("string")), lit(1000000L)) <
+      floor(col("rate") * lit(1000000.0))
+    toks.join(broadcast(rates), Seq("source"))
       .groupBy("source")
       .agg(first("avail_docs").as("avail_docs"),
         first("avail_tokens").as("avail_tokens"),

@@ -649,14 +649,18 @@ class OpsSpec extends AnyFunSuite with Matchers {
     out shouldBe Array((1L, 2L, 30L, 3L), (7L, 7L, 5L, 2L))
   }
 
-  test("new-operator plan shapes: one source exchange for mixture, no nested loops") {
+  test("new-operator plan shapes: windowless map-side mixture, no nested loops") {
     val d = (1L to 100L).map(i => (i, s"s${i % 4}", "a b c d e f")).toDF(
       "doc_id", "source", "text")
-    // mixturePlan: window avail + final aggregate both hash on `source`,
-    // and the weight table broadcasts — ONE shuffle over the docs total
+    // mixturePlan: availability and the final sample are AGGREGATES on
+    // `source` (map-side combined; partials ≤ #sources per task) with the
+    // tiny rate table broadcast back — never a Window over the source
+    // partition, which would buffer a whole source's rows on one task
     val mixPlan = TextOps.mixturePlan(d, "doc_id", "source", "text",
       Seq("s0" -> 1L), 100L).queryExecution.executedPlan.toString
-    "Exchange hashpartitioning".r.findAllIn(mixPlan).size shouldBe 1
+    SubstrateCache.release(spark)
+    mixPlan should not include "Window"
+    mixPlan should include("partial_count")
     mixPlan should include("BroadcastExchange")
     // repeatedSpanCounts: every join is keyed — a cross/nested-loop join
     // anywhere would be the O(docs²) shape this operator exists to avoid
