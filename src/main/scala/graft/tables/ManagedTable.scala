@@ -231,6 +231,30 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       .filter(col("_change_type").isNotNull)
   }
 
+  /** Incremental downstream sync (the "gold job" pattern): apply this
+    * table's row-level changes since `fromVersion` to `downstream` in
+    * ONE keyed merge — updates/inserts upsert, deletes delete — and
+    * return the version to bookmark for the next poll (store it in a
+    * [[graft.watermark.WatermarkStore]] for exactly-once consumption).
+    * Work is O(changed rows), not O(table), end to end: [[rowChanges]]
+    * reads only changed files, and the keyed merge rewrites only
+    * downstream files containing touched keys. `keyCol` is the merge PK
+    * of both tables. No-op (bookmark returned unchanged) when nothing
+    * committed since `fromVersion`. */
+  def syncChangesTo(downstream: ManagedTable, keyCol: String,
+      fromVersion: Long): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new MetadataException(s"syncChangesTo on missing table $rootPath"))
+    if (cur == fromVersion) return cur
+    val rc = rowChanges(fromVersion, cur, Seq(keyCol))
+    MergeInto.byKey(downstream, rc, keyCol)
+      .whenMatchedDelete(cond = Some("source._change_type = 'delete'"))
+      .whenMatchedUpdateAll(cond = Some("source._change_type != 'delete'"))
+      .whenNotMatchedInsertAll(cond = Some("source._change_type != 'delete'"))
+      .execute()
+    cur
+  }
+
   /** Incremental-consumer form of [[changes]]: everything changed since
     * `version` (exclusive) up to the current version, plus the version to
     * bookmark for the next poll. A downstream job persists the returned

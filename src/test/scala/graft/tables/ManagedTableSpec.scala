@@ -332,6 +332,37 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     all shouldBe Array((2, "update_postimage"))
   }
 
+  test("syncChangesTo: downstream converges to source through incremental syncs") {
+    val up = ManagedTable(spark, tmp() + "/up")
+    up.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "x"), (3, "c", "x"))))
+    val down = ManagedTable(spark, tmp() + "/down")
+    down.overwriteAll(up.read()) // initial full copy
+    var mark = up.currentVersion.get
+
+    // upstream evolves: update 2, insert 4, delete 3
+    MergeInto.byKey(up, df(Seq((2, "B", "x"), (4, "d", "x"))), "id")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    MergeInto.byKey(up, df(Seq((3, "c", "x"))), "id")
+      .whenMatchedDelete().execute()
+
+    mark = up.syncChangesTo(down, "id", mark)
+    val rows = (t: ManagedTable) => t.read().collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    rows(down) shouldBe rows(up)
+    rows(down) shouldBe Seq((1, "a"), (2, "B"), (4, "d"))
+
+    // nothing new: bookmark unchanged, no commit on downstream
+    val dv = down.currentVersion.get
+    up.syncChangesTo(down, "id", mark) shouldBe mark
+    down.currentVersion.get shouldBe dv
+
+    // second increment composes
+    MergeInto.byKey(up, df(Seq((5, "e", "y"))), "id")
+      .whenNotMatchedInsertAll().execute()
+    mark = up.syncChangesTo(down, "id", mark)
+    rows(down) shouldBe rows(up)
+  }
+
   test("keyed merge rejects duplicate source keys") {
     val t = ManagedTable(spark, tmp() + "/dup")
     t.overwriteAll(df(Seq((1, "a", "x"))))
