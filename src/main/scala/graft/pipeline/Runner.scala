@@ -62,13 +62,20 @@ object Runner {
     if (table.exists) {
       val zorderCols = e.settingString("zorder_by").map(_.split(',').map(_.trim)
         .filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+      // size-aware file-granular compaction when the entity sets
+      // `compact_small_bytes`: only sub-threshold files are rewritten,
+      // everything else carries verbatim — the maintenance cost scales
+      // with small-file bytes, not table size
+      val smallBytes = e.settingString("compact_small_bytes")
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).filter(_ > 0)
       zorderCols match {
         // the z-order rewrite IS the compaction (one full rewrite into
         // range-partitioned files); compact() before it would collapse the
         // table to one file per partition, pinning zorder's default file
         // count at 1 — no file ever skippable — and rewrite twice
-        case Some(cols) => table.zorder(cols)
-        case None       => table.compact()
+        case Some(cols)                  => table.zorder(cols)
+        case None if smallBytes.nonEmpty => table.compactSmall(smallBytes.get)
+        case None                        => table.compact()
       }
       table.collectStatistics()
       if (vacuum) table.vacuum()

@@ -160,6 +160,29 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     intercept[graft.metadata.MetadataException](table.readVersion(0))
   }
 
+  test("maintainEntity: compact_small_bytes routes to file-granular compaction") {
+    val md = fixture(extraEntity = """,
+      { "id": 10, "name": "cust_s", "connection": "src1", "processtype": "merge",
+        "settings": { "delete_missing": false, "compact_small_bytes": "1048576" },
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+          { "name": "SeqNr", "datatype": "integer" },
+          { "name": "name", "datatype": "string" }
+        ] }""")
+    val e = md.getEntity(10)
+    writeSlice(md, e, "s1.parquet",
+      mergeSlice((1 to 10).map(i => (i, i, s"n$i"))))
+    run(md, 10, "s1.parquet", T1)
+    writeSlice(md, e, "s2.parquet", mergeSlice(Seq((11, 99, "new"))))
+    run(md, 10, "s2.parquet", T2)
+
+    val table = graft.tables.ManagedTable.forLocation(spark, md.silverLocation(e))
+    val before = table.read().orderBy("ID").collect()
+    Runner.maintainEntity(md, e)
+    table.read().orderBy("ID").collect() shouldBe before
+    table.history().head.operation shouldBe "compactSmall"
+  }
+
   test("merge + historic stay correct when the slice exceeds broadcastMaxRows") {
     // threshold 1 row: every slice takes the no-broadcast (shuffle) path
     spark.conf.set("spark.graft.merge.broadcastMaxRows", "1")
