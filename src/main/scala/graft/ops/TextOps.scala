@@ -623,6 +623,30 @@ object TextOps {
       .otherwise("test")
   }
 
+  /** Vocabulary coverage / OOV counting per document: how many of a
+    * doc's token OCCURRENCES appear in a reference vocabulary. The
+    * tokenizer-fit check every corpus/tokenizer swap starts with — a
+    * corpus whose OOV share jumps under a candidate vocab needs a new
+    * vocab, not new data. Returns (doc_id, n_tokens, in_vocab); the OOV
+    * rate is `1 - in_vocab/n_tokens`, left to the caller so the output
+    * stays integer-exact.
+    *
+    * Scale shape: explode to (doc, token) rows, BROADCAST hash join
+    * against the (distinct) vocabulary — real vocabularies are ≤ a few
+    * million rows, comfortably broadcastable — then one map-side-combined
+    * aggregate back on the doc id. No shuffle of the token stream other
+    * than the doc-id aggregate. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, vocabCol: String): DataFrame = {
+    val v = vocab.select(col(s"`$vocabCol`").as("__tok")).distinct()
+      .withColumn("__in", lit(1))
+    df.select(col(s"`$idCol`").as("doc_id"),
+        explode(tokens(col(s"`$textCol`"))).as("__tok"))
+      .join(broadcast(v), Seq("__tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), count(col("__in")).as("in_vocab"))
+  }
+
   /** Per-group percentile rank of a score — cross-source score
     * NORMALIZATION. Raw quality scores are not comparable across sources
     * (a mediocre wiki page outscores a good forum post on absolute

@@ -524,6 +524,16 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // ----------------- text: vocabulary coverage / OOV counting per doc
+    // (vocab = the English stopword list — small here; the operator
+    // broadcasts any vocabulary)
+    QueryDef("q_td_vocab", vocabOracle) { (s, d) =>
+      import s.implicits._
+      val vocab = VocabWords.toDF("tok")
+      TextOps.vocabCoverage(Tables.documents(s, d), "doc_id", "text",
+        vocab, "tok").orderBy("doc_id")
+    },
+
     // ------------------------ curation: per-source corpus report card
     // (one-pass profiling aggregate, run before/after every curation step)
     QueryDef(
@@ -888,6 +898,20 @@ object TrainingOps {
        |    ELSE '${langs.head}' END AS guess
        |FROM (SELECT doc_id, $counts FROM documents)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  private[queries] def VocabWords: Seq[String] =
+    TextOps.StopwordsByLang.collectFirst { case ("en", ws) => ws }.get
+
+  private def vocabOracle: String = {
+    val values = VocabWords.map(w => s"('$w')").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest($Words) AS tok FROM documents),
+       |v(tok) AS (VALUES $values)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(count(v.tok) AS BIGINT) AS in_vocab
+       |FROM w LEFT JOIN v ON w.tok = v.tok
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   private def dedupBestOracle: String =
