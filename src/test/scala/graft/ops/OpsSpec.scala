@@ -697,6 +697,16 @@ class OpsSpec extends AnyFunSuite with Matchers {
     val again = TextOps.mixturePlan(d, "doc_id", "source", "text",
       Seq("a" -> 3L, "b" -> 1L), 100L)
       .collect().map(r => (r.getString(0), r.getLong(5), r.getLong(6))).toSet
+    SubstrateCache.release(spark)
     again shouldBe out.map { case (s, t) => (s, t._5, t._6) }.toSet
+  }
+
+  test("vocab coverage counts occurrences, not types; all docs present") {
+    val d = docs((1L, "the cat the dog"), (2L, "zz yy"), (3L, "the"))
+    val vocab = Seq("the", "dog").toDF("tok")
+    val out = TextOps.vocabCoverage(d, "doc_id", "text", vocab, "tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // doc 1: 4 tokens, "the" twice + "dog" once in vocab
+    out shouldBe Array((1L, 4L, 3L), (2L, 2L, 0L), (3L, 1L, 1L))
   }
 }
