@@ -55,13 +55,33 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
 
   def exists: Boolean = fs.exists(pointerFile)
 
-  def currentVersion: Option[Long] =
-    if (!exists) None
-    else {
-      val in = fs.open(pointerFile)
-      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
+  /** Lock-free pointer read with a bounded retry: the atomic
+    * rename-with-overwrite swap is atomic for the pointer's CONTENT, but
+    * on checksummed filesystems (local FS) the data file and its `.crc`
+    * sidecar move in two renames — a reader landing between them (e.g.
+    * a streaming source polling every trigger) sees a transient
+    * ChecksumException. Content is never torn; re-reading resolves it. */
+  def currentVersion: Option[Long] = {
+    var attempt = 0
+    while (true) {
+      if (!exists) return None
+      try {
+        val in = fs.open(pointerFile)
+        try return Some(
+          new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      } catch {
+        case e @ (_: org.apache.hadoop.fs.ChecksumException
+                  | _: java.io.FileNotFoundException) =>
+          // FileNotFound covers the swap's rename window on stores where
+          // rename-with-overwrite is delete+rename
+          attempt += 1
+          if (attempt >= 20) throw e
+          Thread.sleep(5L * attempt)
+      }
     }
+    None // unreachable
+  }
 
   def manifest: Option[Manifest] = currentVersion.map(readManifest)
 

@@ -89,6 +89,36 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("table stream source: initial snapshot, then appended rows per version") {
+    import graft.tables.ManagedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft-tss").toString
+    val t = ManagedTable(spark, dir + "/t")
+    t.overwriteAll(Seq((1L, "a")).toDF("id", "v"))
+    val stream = spark.readStream
+      .format(classOf[TableStreamProvider].getName)
+      .option("path", dir + "/t")
+      .load()
+    stream.isStreaming shouldBe true
+    val q = stream.writeStream.format("memory").queryName("tss")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      spark.table("tss").count() shouldBe 1 // the initial snapshot
+
+      t.append(Seq((2L, "b")).toDF("id", "v"))
+      q.processAllAvailable()
+      val rows = spark.table("tss").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+      rows shouldBe Array((1L, "a"), (2L, "b"))
+
+      // two commits before the next poll arrive as one composed batch
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+      t.append(Seq((4L, "d")).toDF("id", "v"))
+      q.processAllAvailable()
+      spark.table("tss").count() shouldBe 4
+    } finally q.stop()
+  }
+
   test("interval join on two real streams matches only rows inside the range") {
     val clicks = MemoryStream[Event](spark)
     val views = MemoryStream[Event](spark)
