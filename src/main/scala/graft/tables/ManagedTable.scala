@@ -507,6 +507,31 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     }
   }
 
+  /** Zero-copy shallow clone (Delta's `CLONE` semantics): create a NEW
+    * table at `destPath` whose first version references THIS table's
+    * current data files by absolute path — one metadata commit, no bytes
+    * moved, however large the table. The clone then lives its own life:
+    * its writes land under its own root, its compaction/z-order rewrites
+    * replace the borrowed references with owned files, its vacuum only
+    * ever deletes under its own data dir. The one cross-table hazard is
+    * Delta's too: VACUUM ON THE SOURCE can delete files a clone still
+    * references — retain source history for as long as clones may read
+    * it, or compact the clone (making it self-contained) first.
+    *
+    * The dominant uses at scale: dev/test sandboxes over production
+    * tables, and experiment branches of a 100 TB corpus, neither of
+    * which can afford a copy. */
+  def shallowCloneTo(destPath: String): ManagedTable = {
+    val m = requireManifest
+    val dest = ManagedTable(spark, destPath)
+    if (dest.exists)
+      throw new MetadataException(s"shallowCloneTo: $destPath already exists")
+    val absolute = m.files.map(f =>
+      f.copy(path = fs.makeQualified(new Path(root, f.path)).toString))
+    dest.importFiles(m.schema, m.partitionColumns, absolute, "shallowClone")
+    dest
+  }
+
   /** Merge/compaction commit primitive: atomically replace the content of
     * `partitions` (every file whose partition values appear in the set) with
     * `df`. `partitions == None` replaces all files (unpartitioned merge). */

@@ -92,6 +92,34 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2, 3)
   }
 
+  test("shallow clone: zero bytes copied, independent life, compact owns it") {
+    val root = tmp()
+    val src = ManagedTable(spark, root + "/src")
+    src.overwriteAll(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val cl = src.shallowCloneTo(root + "/clone")
+
+    cl.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2)
+    cl.fastCount shouldBe Some(2L) // row counts travel with the references
+    // zero-copy: nothing under the clone's own data dir
+    new java.io.File(root + "/clone/data").exists shouldBe false
+
+    // the clone diverges independently; the source never sees its writes
+    cl.append(Seq((3, "c")).toDF("id", "v"))
+    cl.read().count() shouldBe 3
+    src.read().count() shouldBe 2
+    // and the clone is a snapshot: source appends don't leak in
+    src.append(Seq((9, "z")).toDF("id", "v"))
+    cl.read().count() shouldBe 3
+
+    // compaction rewrites borrowed references into owned files
+    cl.compact()
+    cl.manifest.get.files.foreach(f => f.path should not startWith "file:")
+    cl.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2, 3)
+
+    a[graft.metadata.MetadataException] should be thrownBy
+      src.shallowCloneTo(root + "/clone")
+  }
+
   test("detail: version, files, rows, bytes, latest operation") {
     val t = ManagedTable(spark, tmp() + "/td")
     t.overwriteAll(Seq((1, "a"), (2, "b")).toDF("id", "v"))
