@@ -395,10 +395,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     ManagedTable.lockFor(fs.makeQualified(root).toString).synchronized(f)
 
   /** Replace the whole table. Always a full checkpoint record. */
-  def overwriteAll(df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+  def overwriteAll(df: DataFrame, partitionBy: Seq[String] = Nil,
+      operation: String = "overwrite"): Unit =
     withWriteLock {
       val files = writeCommit(df, partitionBy)
-      commitDelta(df.schema.json, partitionBy, "overwrite",
+      commitDelta(df.schema.json, partitionBy, operation,
         base = None, adds = files, removes = Nil)
     }
 
@@ -430,14 +431,16 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     withWriteLock { if (exists) append(df) else overwriteAll(df) }
 
   /** Append rows; schema must match (missing source columns are an error —
-    * reference contract, MergeProcessingSpec.scala:323-368). */
-  def append(df: DataFrame): Unit =
+    * reference contract, MergeProcessingSpec.scala:323-368). `operation`
+    * tags the commit in [[history]] (e.g. the streaming sink records its
+    * batch id there for exactly-once replay detection). */
+  def append(df: DataFrame, operation: String = "append"): Unit =
     withWriteLock { manifest match {
       case None => overwriteAll(df)
       case Some(m) =>
         val d = reconcileSchema(df, m)
         val newFiles = writeCommit(d, m.partitionColumns)
-        commitDelta(d.schema.json, m.partitionColumns, "append",
+        commitDelta(d.schema.json, m.partitionColumns, operation,
           base = Some(m), adds = newFiles, removes = Nil)
     } }
 

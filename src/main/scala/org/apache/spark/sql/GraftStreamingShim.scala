@@ -19,4 +19,15 @@ object GraftStreamingShim {
     c.sparkSession.internalCreateDataFrame(
       c.queryExecution.toRdd, c.schema, isStreaming = true)
   }
+
+  /** The inverse, for a V1 `Sink.addBatch` frame: re-root the
+    * incremental execution's physical plan as an ordinary batch
+    * DataFrame. Writing the sink-provided frame directly would plan a
+    * fresh query over streaming relations; this reuses the micro-batch's
+    * own RDD. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val c = df.asInstanceOf[classic.Dataset[Row]]
+    c.sparkSession.internalCreateDataFrame(
+      c.queryExecution.toRdd, c.schema, isStreaming = false)
+  }
 }

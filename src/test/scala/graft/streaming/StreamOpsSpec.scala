@@ -147,6 +147,40 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     out shouldBe Array((1L, "a"), (2L, "b"))
   }
 
+  test("table stream sink: exactly-once appends, replayed batch ignored") {
+    import graft.tables.ManagedTable
+    val base = java.nio.file.Files.createTempDirectory("graft-tsk").toString
+
+    // end-to-end: a real stream lands in a managed table
+    val input = MemoryStream[Event](spark)
+    val q = input.toDF().writeStream
+      .format(classOf[TableSinkProvider].getName)
+      .option("path", base + "/t")
+      .option("checkpointLocation", base + "/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(Event(1, ts(1), "a"), Event(2, ts(2), "b"))
+      q.processAllAvailable()
+      val t = ManagedTable(spark, base + "/t")
+      t.read().count() shouldBe 2
+      input.addData(Event(3, ts(3), "c"))
+      q.processAllAvailable()
+      t.read().count() shouldBe 3
+      t.history().head.operation should startWith("streamBatch=")
+    } finally q.stop()
+
+    // replay semantics: re-delivering an already-committed batch id is a no-op
+    val t = ManagedTable(spark, base + "/t")
+    val sink = new TableStreamSink(spark.sqlContext, base + "/t", Nil)
+    val v = t.currentVersion.get
+    val replay = Seq(Event(9, ts(9), "dup")).toDF()
+    sink.addBatch(0, replay) // id 0 already committed by the query above
+    t.currentVersion.get shouldBe v
+    t.read().count() shouldBe 3
+    sink.addBatch(99, replay) // genuinely new batch id appends
+    t.read().count() shouldBe 4
+  }
+
   test("interval join on two real streams matches only rows inside the range") {
     val clicks = MemoryStream[Event](spark)
     val views = MemoryStream[Event](spark)
