@@ -89,4 +89,35 @@ object AsOfJoin {
         ++ rightValueCols.map(c => col(s"__r.`$c`").as(s"asof_$c")): _*)
     matched.unionByName(unmatched)
   }
+
+  /** As-of join with a TOLERANCE bound (pandas `merge_asof` semantics,
+    * which neither Spark nor DuckDB's ASOF has natively): the carried
+    * right row must satisfy `right.time >= left.time - tolerance`, else
+    * every as-of column is NULL — a stale quote/reference older than the
+    * tolerance must not leak forward indefinitely. `tolerance` is a SQL
+    * interval string ("30 minutes"). Same single-shuffle union-window
+    * plan as [[asOf]]: the bound is a post-window null-out (the right
+    * time travels in the carried struct), never a range-join condition. */
+  def asOfWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightValueCols: Seq[String],
+      tolerance: String): DataFrame = {
+    val carryT = !rightValueCols.contains(rightTimeCol)
+    val withT = if (carryT) rightValueCols :+ rightTimeCol else rightValueCols
+    val joined = asOf(left, right, keyCol, leftTimeCol, rightTimeCol, withT)
+    val inRange = col(s"`asof_$rightTimeCol`") >=
+      col(s"`$leftTimeCol`") - expr(s"INTERVAL $tolerance")
+    // one select over the UN-modified frame: every null-out reads the
+    // original carried time, including the carried time's own column
+    val passthrough = joined.columns
+      .filterNot(withT.map("asof_" + _).contains)
+    val out = joined.select(
+      passthrough.map(c => col(s"`$c`"))
+        ++ withT.map(c => when(inRange, col(s"`asof_$c`")).as(s"asof_$c")): _*)
+    if (carryT) out.drop(s"asof_$rightTimeCol") else out
+  }
 }

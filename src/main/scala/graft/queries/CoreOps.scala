@@ -341,6 +341,31 @@ object CoreOps {
         .orderBy("event_id")
     },
 
+    // As-of join with a tolerance bound (pandas merge_asof semantics):
+    // references older than 30 minutes null out instead of leaking
+    // forward indefinitely.
+    QueryDef(
+      "q_j7_asof_tol",
+      """WITH r AS (
+        |  SELECT user_id, ts, max(event_id) AS ref_event
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id,
+        |  CASE WHEN r.ts >= l.ts - INTERVAL 30 MINUTE THEN r.ref_event END
+        |    AS asof_ref_event
+        |FROM events l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val right = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("ref_event"))
+      graft.ops.AsOfJoin.asOfWithin(
+        ev.select("event_id", "user_id", "ts"), right,
+        keyCol = "user_id", leftTimeCol = "ts", rightTimeCol = "ts",
+        rightValueCols = Seq("ref_event"), tolerance = "30 minutes")
+        .select("event_id", "user_id", "asof_ref_event")
+        .orderBy("event_id")
+    },
+
     // Bucketed range join (no equi key): events matched into overlapping
     // value bands. The naive plan is a nested-loop cross product; binning
     // turns it into a hash equi-join on the bin id.

@@ -337,6 +337,24 @@ class OpsSpec extends AnyFunSuite with Matchers {
     out("d") shouldBe -1  // key 2's only right row is later
   }
 
+  test("as-of join with tolerance nulls stale carries, keeps fresh ones") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-10 10:$m%02d:00")
+    val left = Seq((1L, ts(10)), (1L, ts(40)), (2L, ts(10)))
+      .toDF("user_id", "ts")
+    val right = Seq((1L, ts(5), 100L)) // user 2 has no reference at all
+      .toDF("user_id", "ts", "ref")
+    val out = AsOfJoin.asOfWithin(left, right, "user_id", "ts", "ts",
+        Seq("ref"), tolerance = "10 minutes")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(x => (x._1, x._2.getTime))
+    out shouldBe Array(
+      (1L, ts(10), Some(100L)), // 5 min old: within tolerance
+      (1L, ts(40), None),       // 35 min old: stale, nulled
+      (2L, ts(10), None))       // no match at all
+  }
+
   test("as-of join: null keys/times never match (SQL join semantics)") {
     import graft.ops.AsOfJoin
     val left = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "nullkey"),
