@@ -48,6 +48,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private val manifestsDir = new Path(metaDir, "manifests")
   private val pointerFile = new Path(metaDir, "_current")
   private val earliestFile = new Path(metaDir, "_earliest")
+  private val txnDir = new Path(metaDir, "_txn")
   private val dataDir = new Path(root, "data")
 
   private def fs: FileSystem =
@@ -119,7 +120,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     }
   }
 
+  /** Manifest-record reads performed by this instance — a test hook for
+    * asserting access bounds (e.g. the streaming sink's O(1)-per-batch
+    * replay probe), never consulted by production code. */
+  private[graft] val recordReadCount = new java.util.concurrent.atomic.AtomicLong
+
   private def readRecordString(version: Long): String = {
+    recordReadCount.incrementAndGet()
     val p = new Path(manifestsDir, f"v$version%020d.json")
     val in = fs.open(p)
     try new String(in.readAllBytes(), StandardCharsets.UTF_8)
@@ -295,6 +302,48 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
       finally in.close()
     }
+
+  /** Record `batchId` as the last transaction committed by streaming
+    * writer `appId` (Delta's txnAppId/txnVersion pattern). Written
+    * atomically AFTER the data commit, so it can trail the truth by one
+    * crash window — recovery must take the max of this marker and the
+    * newest matching `streamBatch=` commit tag ([[history]]), which is
+    * the atomic source of truth. Lives under `_graft/_txn/`, which
+    * [[vacuum]] never touches — the marker survives record pruning. */
+  def setTxn(appId: String, batchId: Long): Unit = {
+    fs.mkdirs(txnDir)
+    writeFileAtomic(new Path(txnDir, appId), batchId.toString)
+  }
+
+  /** Last [[setTxn]] value for `appId`; None when the writer never
+    * committed here. Lock-free like all reads (bounded retry over the
+    * atomic swap's crc/rename window, as [[currentVersion]]). */
+  def getTxn(appId: String): Option[Long] = {
+    val p = new Path(txnDir, appId)
+    var attempt = 0
+    while (true) {
+      if (!fs.exists(p)) return None
+      try {
+        val in = fs.open(p)
+        try return Some(
+          new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      } catch {
+        case e @ (_: org.apache.hadoop.fs.ChecksumException
+                  | _: java.io.FileNotFoundException) =>
+          attempt += 1
+          if (attempt >= 20) throw e
+          Thread.sleep(5L * attempt)
+      }
+    }
+    None // unreachable
+  }
+
+  /** On-disk length of a manifest file entry — driver-side metadata read
+    * (the streaming source's byte-based admission control prices files
+    * with it). */
+  private[graft] def fileLen(relPath: String): Long =
+    fs.getFileStatus(new Path(root, relPath)).getLen
 
   /** Snapshot restricted to partitions accepted by `keep` — pruning happens
     * driver-side against the manifest; the scan opens only surviving files. */
