@@ -307,10 +307,18 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * writer `appId` (Delta's txnAppId/txnVersion pattern). Written
     * atomically AFTER the data commit, so it can trail the truth by one
     * crash window — recovery must take the max of this marker and the
-    * newest matching `streamBatch=` commit tag ([[history]]), which is
-    * the atomic source of truth. Lives under `_graft/_txn/`, which
-    * [[vacuum]] never touches — the marker survives record pruning. */
+    * newest record-embedded [[Txn]] for the same app
+    * ([[newestRecordTxn]]), which is the atomic source of truth. Lives
+    * under `_graft/_txn/`, which [[vacuum]] never deletes — and vacuum
+    * rolls record-embedded txns forward into these markers BEFORE
+    * pruning their records, so the max is correct even after
+    * maintenance. `appId` becomes a filename: restricted to
+    * `[A-Za-z0-9._-]` with no leading dot (no path separators, no
+    * `..`). */
   def setTxn(appId: String, batchId: Long): Unit = {
+    require(ManagedTable.validTxnAppId(appId),
+      s"txn appId '$appId' is not filesystem-safe: use [A-Za-z0-9._-], " +
+        "not starting with '.'")
     fs.mkdirs(txnDir)
     writeFileAtomic(new Path(txnDir, appId), batchId.toString)
   }
@@ -341,9 +349,36 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
 
   /** On-disk length of a manifest file entry — driver-side metadata read
     * (the streaming source's byte-based admission control prices files
-    * with it). */
+    * with it when a manifest entry predates recorded sizes). */
   private[graft] def fileLen(relPath: String): Long =
     fs.getFileStatus(new Path(root, relPath)).getLen
+
+  /** Newest record-embedded [[Txn]] for `appId`, walking retained
+    * manifest records newest-first and short-circuiting at the first
+    * match — for a live streaming writer that is the head commit or a
+    * few maintenance commits below it. Returns None when no retained
+    * record carries the app's txn (then the [[getTxn]] marker, which
+    * vacuum keeps rolled forward, is the only truth). */
+  private[graft] def newestRecordTxn(appId: String): Option[Long] = {
+    if (!fs.exists(manifestsDir)) return None
+    val versions = fs.listStatus(manifestsDir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(_.stripPrefix("v").stripSuffix(".json"))
+      .filter(v => v.nonEmpty && v.forall(_.isDigit))
+      .map(_.toLong).sorted.reverse
+    versions.iterator.flatMap { v =>
+      // lock-free: a concurrent vacuum may delete a record between the
+      // listing and the read — skip it (its txn was rolled forward)
+      try recordTxn(v) catch { case _: java.io.FileNotFoundException => None }
+    }.collectFirst { case t if t.appId == appId => t.batchId }
+  }
+
+  private def recordTxn(version: Long): Option[Txn] =
+    Manifest.recordFromJsonString(readRecordString(version)) match {
+      case Left(m)    => m.txn
+      case Right(inc) => inc.txn
+    }
 
   /** Snapshot restricted to partitions accepted by `keep` — pruning happens
     * driver-side against the manifest; the scan opens only surviving files. */
@@ -443,13 +478,15 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private[tables] def withWriteLock[A](f: => A): A =
     ManagedTable.lockFor(fs.makeQualified(root).toString).synchronized(f)
 
-  /** Replace the whole table. Always a full checkpoint record. */
+  /** Replace the whole table. Always a full checkpoint record. `txn`
+    * embeds a streaming-writer transaction identity in the record —
+    * atomic with the data (see [[Txn]]). */
   def overwriteAll(df: DataFrame, partitionBy: Seq[String] = Nil,
-      operation: String = "overwrite"): Unit =
+      operation: String = "overwrite", txn: Option[Txn] = None): Unit =
     withWriteLock {
       val files = writeCommit(df, partitionBy)
       commitDelta(df.schema.json, partitionBy, operation,
-        base = None, adds = files, removes = Nil)
+        base = None, adds = files, removes = Nil, txn = txn)
     }
 
   /** Dynamic partition overwrite: replace only the partitions present in
@@ -481,16 +518,18 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
 
   /** Append rows; schema must match (missing source columns are an error —
     * reference contract, MergeProcessingSpec.scala:323-368). `operation`
-    * tags the commit in [[history]] (e.g. the streaming sink records its
-    * batch id there for exactly-once replay detection). */
-  def append(df: DataFrame, operation: String = "append"): Unit =
+    * tags the commit in [[history]]; `txn` embeds a streaming-writer
+    * transaction identity atomically with the data (the sink's
+    * exactly-once anchor — see [[Txn]]). */
+  def append(df: DataFrame, operation: String = "append",
+      txn: Option[Txn] = None): Unit =
     withWriteLock { manifest match {
-      case None => overwriteAll(df)
+      case None => overwriteAll(df, Nil, operation, txn)
       case Some(m) =>
         val d = reconcileSchema(df, m)
         val newFiles = writeCommit(d, m.partitionColumns)
         commitDelta(d.schema.json, m.partitionColumns, operation,
-          base = Some(m), adds = newFiles, removes = Nil)
+          base = Some(m), adds = newFiles, removes = Nil, txn = txn)
     } }
 
   /** Snapshot restricted to exactly `files` (entries of `m`) — the
@@ -776,14 +815,34 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         fs.delete(st.getPath, true)
     }
     val needed = chainVersions(m.version)
-    if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).foreach { st =>
-      val name = st.getPath.getName
-      val isSidecar = name.endsWith(ManagedTable.SidecarSuffix)
-      val v = name.stripPrefix("v")
-        .stripSuffix(if (isSidecar) ManagedTable.SidecarSuffix else ".json")
-      if (v.nonEmpty && v.forall(_.isDigit) &&
-          v.toLong < m.version && !needed.contains(v.toLong))
-        fs.delete(st.getPath, isSidecar)
+    if (fs.exists(manifestsDir)) {
+      val statuses = fs.listStatus(manifestsDir).toSeq
+      def prunable(name: String, isSidecar: Boolean): Option[Long] = {
+        val v = name.stripPrefix("v")
+          .stripSuffix(if (isSidecar) ManagedTable.SidecarSuffix else ".json")
+        if (v.nonEmpty && v.forall(_.isDigit) &&
+            v.toLong < m.version && !needed.contains(v.toLong)) Some(v.toLong)
+        else None
+      }
+      // roll record-embedded streaming txns forward into the vacuum-exempt
+      // marker files BEFORE deleting their records: the marker write
+      // trails the data commit by one crash window, so a record pruned
+      // without this step could resurrect its batch as a duplicate on the
+      // writer's next recovery
+      val prunedTxns = statuses
+        .filter(st => st.getPath.getName.endsWith(".json"))
+        .flatMap(st => prunable(st.getPath.getName, isSidecar = false))
+        .flatMap(v =>
+          try recordTxn(v) catch { case _: java.io.FileNotFoundException => None })
+      prunedTxns.groupBy(_.appId).foreach { case (app, txns) =>
+        val floor = txns.map(_.batchId).max
+        if (!getTxn(app).exists(_ >= floor)) setTxn(app, floor)
+      }
+      statuses.foreach { st =>
+        val name = st.getPath.getName
+        val isSidecar = name.endsWith(ManagedTable.SidecarSuffix)
+        if (prunable(name, isSidecar).isDefined) fs.delete(st.getPath, isSidecar)
+      }
     }
   }
 
@@ -960,7 +1019,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       operation: String,
       base: Option[Manifest],
       adds: Seq[TableFile],
-      removes: Seq[String]): Unit = {
+      removes: Seq[String],
+      txn: Option[Txn] = None): Unit = {
     val next = currentVersion.map(_ + 1).getOrElse(0L)
     val now = System.currentTimeMillis()
     val removed = removes.toSet
@@ -971,7 +1031,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       adds.size + removes.size >= newFiles.size // delta wouldn't be smaller
     val (recordJson, snapshot) =
       if (checkpoint) {
-        val m = Manifest(next, schemaJson, partitionBy, newFiles, operation, now)
+        val m = Manifest(next, schemaJson, partitionBy, newFiles, operation, now,
+          txn = txn)
         if (newFiles.size >= parquetCheckpointThreshold) {
           // large-table checkpoint: the file list goes to a parquet sidecar
           // written as a distributed dataset BEFORE the record that points
@@ -983,9 +1044,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         } else (m.toJsonString, m)
       } else {
         val inc = IncrementalManifest(next, schemaJson, partitionBy,
-          base.get.version, adds, removes, operation, now)
+          base.get.version, adds, removes, operation, now, txn = txn)
         (inc.toJsonString,
-          Manifest(next, schemaJson, partitionBy, newFiles, operation, now))
+          Manifest(next, schemaJson, partitionBy, newFiles, operation, now,
+            txn = txn))
       }
     fs.mkdirs(manifestsDir)
     writeFile(new Path(manifestsDir, f"v$next%020d.json"), recordJson)
@@ -1077,6 +1139,12 @@ object ManagedTable {
 
   /** Suffix of parquet checkpoint sidecar directories in `_graft/manifests`. */
   val SidecarSuffix = ".files.parquet"
+
+  /** Txn appIds become filenames under `_graft/_txn/` — only
+    * filesystem-safe names, and none that could escape the directory. */
+  private[tables] def validTxnAppId(appId: String): Boolean =
+    appId.nonEmpty && !appId.startsWith(".") &&
+      appId.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.')
 
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[tables] def lockFor(qualifiedPath: String): Object =

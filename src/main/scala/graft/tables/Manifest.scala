@@ -70,6 +70,17 @@ object ColStats {
   }
 }
 
+/** Streaming-writer transaction identity embedded in a commit record
+  * (Delta's `SetTransaction` action equivalent): `appId` names the
+  * writer (the streaming sink derives it from its checkpoint), `batchId`
+  * the micro-batch this commit landed. Because it travels INSIDE the
+  * record, it commits atomically with the data — a crash can never
+  * separate "the batch's rows are in the table" from "the batch is
+  * marked committed". [[ManagedTable.vacuum]] rolls these forward into
+  * vacuum-exempt marker files before pruning records, so recovery
+  * (`max(marker, newest embedded txn)`) never loses a committed batch. */
+final case class Txn(appId: String, batchId: Long)
+
 /** @param rows exact row count from the parquet footer at commit time;
   *   None for files adopted without footer reads ([[ManagedTable.importFiles]]
   *   callers may supply it; `collectStatistics()` backfills). Metadata-only
@@ -92,7 +103,8 @@ final case class Manifest(
     files: Seq[TableFile],
     operation: String,
     timestampMs: Long,
-    filesRef: Option[String] = None) {
+    filesRef: Option[String] = None,
+    txn: Option[Txn] = None) {
 
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
@@ -102,7 +114,8 @@ final case class Manifest(
       "schemaJson" -> JString(schemaJson),
       "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
       "operation" -> JString(operation),
-      "timestampMs" -> JLong(timestampMs))
+      "timestampMs" -> JLong(timestampMs)) ++
+      Manifest.txnToJson(txn)
     val j = JObject(base ++ (filesRef match {
       case Some(ref) => List("filesRef" -> JString(ref))
       case None      => List("files" -> Manifest.filesToJson(files))
@@ -126,18 +139,20 @@ final case class IncrementalManifest(
     adds: Seq[TableFile],
     removes: Seq[String],
     operation: String,
-    timestampMs: Long) {
+    timestampMs: Long,
+    txn: Option[Txn] = None) {
 
   def toJsonString: String = {
-    val j = JObject(
-      "version" -> JLong(version),
+    val j = JObject(List(
+      "version" -> (JLong(version): JValue),
       "schemaJson" -> JString(schemaJson),
       "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
       "baseVersion" -> JLong(baseVersion),
       "operation" -> JString(operation),
-      "timestampMs" -> JLong(timestampMs),
-      "adds" -> Manifest.filesToJson(adds),
-      "removes" -> JArray(removes.map(JString(_)).toList))
+      "timestampMs" -> JLong(timestampMs)) ++
+      Manifest.txnToJson(txn) ++ List(
+      "adds" -> (Manifest.filesToJson(adds): JValue),
+      "removes" -> JArray(removes.map(JString(_)).toList)))
     JsonMethods.compact(JsonMethods.render(j))
   }
 
@@ -146,7 +161,7 @@ final case class IncrementalManifest(
     val removed = removes.toSet
     Manifest(version, schemaJson, partitionColumns,
       base.files.filterNot(f => removed.contains(f.path)) ++ adds,
-      operation, timestampMs)
+      operation, timestampMs, txn = txn)
   }
 }
 
@@ -155,6 +170,15 @@ object Manifest {
   /** Every Nth version is written as a full checkpoint, bounding the
     * record chain a reader reconstructs. */
   val CheckpointInterval = 10
+
+  private[tables] def txnToJson(txn: Option[Txn]): List[(String, JValue)] =
+    txn.map(t => "txn" -> (JObject(
+      "app" -> JString(t.appId), "batch" -> JLong(t.batchId)): JValue)).toList
+
+  private def txnFromJson(v: JValue): Option[Txn] = v match {
+    case JObject(_) => Some(Txn(str(v \ "app"), lng(v \ "batch")))
+    case _          => None
+  }
 
   private[tables] def filesToJson(files: Seq[TableFile]): JArray =
     JArray(files.map { f =>
@@ -214,12 +238,13 @@ object Manifest {
           case _          => None
         }
         Left(Manifest(common._1, common._2, common._3,
-          filesFromJson(j \ "files"), common._4, common._5, ref))
+          filesFromJson(j \ "files"), common._4, common._5, ref,
+          txnFromJson(j \ "txn")))
       case bv =>
         Right(IncrementalManifest(common._1, common._2, common._3, lng(bv),
           filesFromJson(j \ "adds"),
           (j \ "removes") match { case JArray(xs) => xs.map(str); case _ => Nil },
-          common._4, common._5))
+          common._4, common._5, txnFromJson(j \ "txn")))
     }
   }
 

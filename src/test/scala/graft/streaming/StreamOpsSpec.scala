@@ -169,9 +169,11 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
       t.history().head.operation should startWith("streamBatch=")
     } finally q.stop()
 
-    // replay semantics: re-delivering an already-committed batch id is a no-op
+    // replay semantics: re-delivering an already-committed batch id under
+    // the SAME writer identity (same checkpointLocation) is a no-op
     val t = ManagedTable(spark, base + "/t")
-    val sink = new TableStreamSink(spark.sqlContext, base + "/t", Nil)
+    val sink = new TableStreamSink(spark.sqlContext, base + "/t", Nil,
+      Map("checkpointLocation" -> (base + "/ckpt")))
     val v = t.currentVersion.get
     val replay = Seq(Event(9, ts(9), "dup")).toDF()
     sink.addBatch(0, replay) // id 0 already committed by the query above
@@ -179,6 +181,95 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     t.read().count() shouldBe 3
     sink.addBatch(99, replay) // genuinely new batch id appends
     t.read().count() shouldBe 4
+  }
+
+  test("table stream sink: a fresh checkpoint writing into an existing table loses nothing") {
+    import graft.tables.ManagedTable
+    val base = java.nio.file.Files.createTempDirectory("graft-tsk2").toString
+    val t = ManagedTable(spark, base + "/t")
+
+    // writer A lands batches 0..1
+    val sinkA = new TableStreamSink(spark.sqlContext, base + "/t", Nil,
+      Map("checkpointLocation" -> (base + "/ckptA")))
+    sinkA.addBatch(0, Seq(Event(1, ts(1), "a")).toDF())
+    sinkA.addBatch(1, Seq(Event(2, ts(2), "b")).toDF())
+    t.read().count() shouldBe 2
+
+    // a NEW query (different checkpoint) restarts batchIds at 0 — its
+    // early batches must NOT be suppressed by writer A's history
+    val sinkB = new TableStreamSink(spark.sqlContext, base + "/t", Nil,
+      Map("checkpointLocation" -> (base + "/ckptB")))
+    sinkB.addBatch(0, Seq(Event(3, ts(3), "c")).toDF())
+    sinkB.addBatch(1, Seq(Event(4, ts(4), "d")).toDF())
+    t.read().count() shouldBe 4
+
+    // each identity still suppresses ITS OWN replays
+    val sinkA2 = new TableStreamSink(spark.sqlContext, base + "/t", Nil,
+      Map("checkpointLocation" -> (base + "/ckptA")))
+    sinkA2.addBatch(1, Seq(Event(9, ts(9), "dup")).toDF())
+    t.read().count() shouldBe 4
+  }
+
+  test("table stream sink: crash before marker + vacuum + restart does not double-append") {
+    import graft.tables.{ManagedTable, Txn}
+    val base = java.nio.file.Files.createTempDirectory("graft-tsk3").toString
+    val ckpt = base + "/ckpt"
+    val t = ManagedTable(spark, base + "/t")
+    val appId = {
+      val sink = new TableStreamSink(spark.sqlContext, base + "/t", Nil,
+        Map("checkpointLocation" -> ckpt))
+      sink.addBatch(0, Seq(Event(1, ts(1), "a")).toDF())
+      sink.appId
+    }
+
+    // crash window: batch 1's data commit lands (txn embedded in the
+    // record) but the process dies before setTxn writes the marker
+    t.append(Seq(Event(2, ts(2), "b")).toDF(), "streamBatch=1",
+      Some(Txn(appId, 1L)))
+    t.getTxn(appId) shouldBe Some(0L) // marker still trails
+
+    // maintenance buries and prunes the record that carried the txn
+    (0 until 12).foreach(i =>
+      t.append(Seq(Event(100L + i, ts(30), "m")).toDF(), "maintenance"))
+    t.vacuum()
+    // vacuum rolled the embedded txn forward into the vacuum-exempt marker
+    t.getTxn(appId) shouldBe Some(1L)
+
+    // restart: checkpoint redelivers batch 1 — it must NOT append twice
+    val rows = t.read().count()
+    val restarted = new TableStreamSink(spark.sqlContext, base + "/t", Nil,
+      Map("checkpointLocation" -> ckpt))
+    restarted.addBatch(1, Seq(Event(2, ts(2), "b")).toDF())
+    t.read().count() shouldBe rows
+    restarted.addBatch(2, Seq(Event(3, ts(3), "c")).toDF()) // next batch lands
+    t.read().count() shouldBe rows + 1
+  }
+
+  test("table stream sink: replay probe is O(1) per addBatch over a many-version table") {
+    import graft.tables.ManagedTable
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-tsk4").toString
+    val t = ManagedTable(spark, base + "/t")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    // ~300 metadata-only commits: a long-lived table's version history
+    t.importFiles(schema, Nil, Nil, "seed")
+    (0 until 300).foreach(i => t.importFiles(schema, Nil, Nil, s"imp$i"))
+
+    val sink = new TableStreamSink(spark.sqlContext, base + "/t", Nil,
+      Map("checkpointLocation" -> (base + "/ckpt")))
+    // first addBatch pays the one-time recovery walk (O(retained records))
+    sink.addBatch(0, Seq(Event(1, ts(1), "a")).toDF())
+    val after0 = sink.table.recordReadCount.get()
+    // steady state: each subsequent addBatch must read O(1) records —
+    // the in-memory lastCommitted makes the probe free; the commit itself
+    // touches at most the base record of an uncached chain
+    (1L to 4L).foreach { b =>
+      sink.addBatch(b, Seq(Event(b, ts(b.toInt), "x")).toDF())
+    }
+    val perBatch = (sink.table.recordReadCount.get() - after0) / 4.0
+    perBatch should be <= 2.0
   }
 
   test("interval join on two real streams matches only rows inside the range") {
