@@ -2,12 +2,12 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, GraftStreamingShim, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.StreamSourceProvider
 import org.apache.spark.sql.types.StructType
 
-import graft.tables.ManagedTable
+import graft.metadata.MetadataException
+import graft.tables.{ManagedTable, TableFile}
 
 /** Structured Streaming SOURCE over a [[ManagedTable]] — the managed
   * table becomes a live feed, completing the lakehouse streaming story
@@ -15,26 +15,42 @@ import graft.tables.ManagedTable
   * streams OUT of them). Delta's streaming-source equivalent on the
   * manifest layer:
   *
-  *  - offsets are table VERSIONS (`LongOffset`), so progress tracking
-  *    rides the commit protocol: a micro-batch is "the files versions
-  *    (start, end] added", resolved from manifest diffs — O(changed
-  *    files), never a directory listing, and exactly-once because
-  *    version commits are atomic pointer swaps;
-  *  - the first batch is the full snapshot at the stream's start
-  *    version (Delta's initial-snapshot semantics);
+  *  - offsets are `(version, fileIndex)` pairs ([[GraftSourceOffset]]),
+  *    so progress tracking rides the commit protocol AND a single huge
+  *    commit can be consumed across several micro-batches: a micro-batch
+  *    is "the next slice of files", resolved from manifest diffs —
+  *    O(changed files), never a directory listing, and exactly-once
+  *    because version commits are atomic pointer swaps;
+  *  - `maxFilesPerTrigger` / `maxBytesPerTrigger` (plain numbers, or
+  *    `k`/`m`/`g` suffixed for bytes) bound per-batch admission —
+  *    Delta's streaming-read contract. This applies to the INITIAL
+  *    SNAPSHOT too: a stream started against a 100 TB table drains the
+  *    snapshot in bounded batches instead of one un-checkpointable
+  *    mega-batch. Files are priced from manifest-recorded sizes
+  *    ([[TableFile.bytes]]); a legacy entry without one costs a single
+  *    status RPC. At least one file is always admitted, so a file larger
+  *    than `maxBytesPerTrigger` cannot stall the stream;
   *  - REWRITTEN files re-emit their rows (Delta `ignoreChanges`
   *    semantics): downstream consumers of a merge-maintained table must
   *    dedupe by key — or consume [[graft.tables.ManagedTable.rowChanges]]
   *    via polling for classified row-level changes. Appends re-emit
   *    nothing;
-  *  - the column set is pinned at stream start (schema evolution
-  *    mid-stream nulls missing columns rather than reshaping the plan).
+  *  - the column set is pinned at stream start: schema evolution
+  *    mid-stream null-fills columns a later version dropped and casts
+  *    widened columns back to the declared type, rather than reshaping
+  *    the plan (each version's files are read under THAT version's
+  *    schema, then projected).
+  *
+  * Legacy checkpoints (older streams bookmarked bare `LongOffset`
+  * versions) restore as "version fully emitted" and continue.
   *
   * Usage:
   * {{{
   *   spark.readStream
   *     .format(classOf[TableStreamProvider].getName)
   *     .option("path", tableRoot)
+  *     .option("maxFilesPerTrigger", "100")   // optional
+  *     .option("maxBytesPerTrigger", "1g")    // optional
   *     .load()
   * }}}
   */
@@ -64,40 +80,199 @@ class TableStreamProvider extends StreamSourceProvider {
       providerName: String,
       parameters: Map[String, String]): Source =
     new TableStreamSource(sqlContext, path(parameters),
-      sourceSchema(sqlContext, schema, providerName, parameters)._2)
+      sourceSchema(sqlContext, schema, providerName, parameters)._2, parameters)
+}
+
+/** Offset into a managed table's commit stream: files of `version`'s
+  * list with index ≤ `index` are emitted (−1: none yet), plus every
+  * earlier version in full. `isInitial` marks the stream's initial
+  * snapshot version, whose "list" is the FULL file set at that version
+  * (Delta's `isStartingVersion`); later versions' lists are the files
+  * the version ADDED (manifest diff). Self-describing, so `getBatch`
+  * needs no side state to interpret a checkpointed interval. */
+final case class GraftSourceOffset(version: Long, index: Long, isInitial: Boolean)
+    extends Offset {
+  override def json: String =
+    s"""{"version":$version,"index":$index,"isInitial":$isInitial}"""
+}
+
+object GraftSourceOffset {
+  /** Parse an offset: ours, or a legacy bare-version `LongOffset` json
+    * (old checkpoints) meaning "version fully emitted, post-snapshot". */
+  def fromJson(j: String): GraftSourceOffset = {
+    val s = j.trim
+    if (s.forall(c => c.isDigit || c == '-'))
+      GraftSourceOffset(s.toLong, Long.MaxValue, isInitial = false)
+    else {
+      val p = org.json4s.jackson.JsonMethods.parse(s)
+      import org.json4s._
+      def lng(v: JValue): Long = v match {
+        case JLong(x) => x; case JInt(x) => x.toLong; case _ => 0L
+      }
+      GraftSourceOffset(lng(p \ "version"), lng(p \ "index"),
+        (p \ "isInitial") match { case JBool(b) => b; case _ => false })
+    }
+  }
+
+  def of(o: Offset): GraftSourceOffset = o match {
+    case g: GraftSourceOffset => g
+    case other                => fromJson(other.json)
+  }
 }
 
 class TableStreamSource(
     sqlContext: SQLContext,
     path: String,
-    declaredSchema: StructType) extends Source {
+    declaredSchema: StructType,
+    parameters: Map[String, String]) extends Source {
 
   private val table = ManagedTable(sqlContext.sparkSession, path)
 
+  private val maxFiles: Option[Int] =
+    parameters.get("maxFilesPerTrigger").map { s =>
+      val n = s.trim.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
+  private val maxBytes: Option[Long] =
+    parameters.get("maxBytesPerTrigger").map(TableStreamSource.parseBytes)
+
+  /** Position of the last offset this source offered or served —
+    * `getOffset` continues from here. After a restart Spark re-calls
+    * `getBatch` with the checkpointed interval before asking for new
+    * offsets, which re-seeds this (the v1 source recovery contract). */
+  private var position: Option[GraftSourceOffset] = None
+
   override def schema: StructType = declaredSchema
 
-  override def getOffset: Option[Offset] =
-    table.currentVersion.map(LongOffset(_))
+  /** Files "of" a version: the full snapshot for the stream's initial
+    * version, the manifest-diff additions otherwise. Order is the
+    * manifest's file order — stable, because records are immutable. */
+  private def listFor(version: Long, isInitial: Boolean): Seq[TableFile] =
+    if (isInitial || version == 0L) table.readManifest(version).files
+    else {
+      val prev = table.readManifest(version - 1).files.map(_.path).toSet
+      table.readManifest(version).files.filterNot(f => prev.contains(f.path))
+    }
 
-  private def version(o: Offset): Long = o match {
-    case LongOffset(v) => v
-    case other         => other.json.toLong // SerializedOffset from a checkpoint
+  private def priced(f: TableFile): Long =
+    f.bytes.getOrElse(table.fileLen(f.path))
+
+  override def getOffset: Option[Offset] = {
+    val head = table.currentVersion.getOrElse(return position)
+    guardHorizon(position.map(_.version).getOrElse(head))
+    val next = position match {
+      case None =>
+        // fresh stream: the initial snapshot at the current head version
+        advance(GraftSourceOffset(head, -1L, isInitial = true), head)
+      case Some(p) => advance(p, head)
+    }
+    if (position.contains(next)) position // no new files → no batch
+    else { position = Some(next); Some(next) }
   }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endV = version(end)
-    val batch = start match {
-      // first batch: the full snapshot at the stream's start version
-      case None => table.readVersion(endV)
-      case Some(s) =>
-        table.changes(version(s), endV)
-          .filter(col("_change_type") === "added")
-          .drop("_change_type")
+  /** Walk forward from `from` admitting files until the per-trigger
+    * budget is exhausted or `head` is drained. Always admits at least
+    * one file when any is available. With no limits configured this
+    * jumps straight to the head version's full list. */
+  private def advance(from: GraftSourceOffset, head: Long): GraftSourceOffset = {
+    var v = from.version
+    var i = math.min(from.index,
+      listFor(v, from.isInitial).size - 1L)
+    var initial = from.isInitial
+    if (maxFiles.isEmpty && maxBytes.isEmpty) {
+      // unlimited: drain everything up to head (but finish an in-flight
+      // initial snapshot at its own version first — its list type differs)
+      if (initial && i < listFor(v, initial).size - 1L)
+        return GraftSourceOffset(v, listFor(v, initial).size - 1L, initial)
+      if (v >= head) return GraftSourceOffset(v, i, initial)
+      return GraftSourceOffset(head, listFor(head, isInitial = false).size - 1L,
+        isInitial = false)
     }
-    // pin the declared column set (schema drift mid-stream nulls gaps);
+    var files = 0
+    var bytes = 0L
+    var done = false
+    while (!done) {
+      val list = listFor(v, initial)
+      while (!done && i + 1 < list.size) {
+        val cost = if (maxBytes.isDefined) priced(list((i + 1).toInt)) else 0L
+        val over = maxFiles.exists(files + 1 > _) ||
+          maxBytes.exists(bytes + cost > _)
+        if (over && files > 0) done = true
+        else { i += 1; files += 1; bytes += cost }
+      }
+      if (!done) {
+        if (v >= head || maxFiles.exists(files >= _) ||
+            maxBytes.exists(bytes >= _)) done = true
+        else { v += 1; i = -1L; initial = false }
+      }
+    }
+    GraftSourceOffset(v, i, initial)
+  }
+
+  private def guardHorizon(version: Long): Unit =
+    table.earliestReadableVersion.foreach(e =>
+      if (version < e) throw new MetadataException(
+        s"Streaming read of $path from version $version: vacuumed " +
+          s"(earliest readable version is $e)"))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
     // MicroBatchExecution requires isStreaming=true on a v1 batch
-    GraftStreamingShim.asStreaming(
-      batch.select(declaredSchema.fieldNames.map(n => col(s"`$n`")).toSeq: _*))
+    GraftStreamingShim.asStreaming(batchFrame(start, end))
+
+  /** The interval's rows as an ordinary batch frame — [[getBatch]] minus
+    * the streaming re-root (separated so tests can act on it: an action
+    * on the streaming-flagged frame trips the batch-analysis check). */
+  private[streaming] def batchFrame(start: Option[Offset], end: Offset): DataFrame = {
+    val endO = GraftSourceOffset.of(end)
+    // versioned spans of the interval (start, end]
+    val spans: Seq[(Long, Boolean, Long, Long)] = start match {
+      case None =>
+        // first batch (or its replay): a slice of the initial snapshot
+        Seq((endO.version, true, 0L, endO.index))
+      case Some(s) =>
+        val sO = GraftSourceOffset.of(s)
+        guardHorizon(sO.version)
+        (sO.version to endO.version).map { v =>
+          val isInit = sO.isInitial && v == sO.version
+          val from = if (v == sO.version) sO.index + 1 else 0L
+          val to = if (v == endO.version) endO.index else Long.MaxValue
+          (v, isInit, from, to)
+        }
+    }
+    val frames = spans.flatMap { case (v, isInit, from, to) =>
+      val list = listFor(v, isInit)
+      val hi = math.min(to, list.size - 1L)
+      if (from > hi) None
+      else {
+        val files = list.slice(from.toInt, hi.toInt + 1)
+        // read under the version's OWN schema, project to the declared
+        // one: a column a later version dropped null-fills, a widened
+        // type casts back — the plan shape never changes mid-stream
+        Some(project(table.readManifestFiles(table.readManifest(v), files)))
+      }
+    }
+    val batch = frames.reduceOption(_ unionAll _).getOrElse(
+      sqlContext.sparkSession.createDataFrame(
+        sqlContext.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        declaredSchema))
+    // remember the served end (recovery re-seeds position this way)
+    if (position.forall(p => p.version < endO.version ||
+        (p.version == endO.version && p.index < endO.index)))
+      position = Some(endO)
+    batch
+  }
+
+  /** Pin the declared column set: null-fill dropped columns, cast
+    * drifted (widened) types back. */
+  private def project(df: DataFrame): DataFrame = {
+    val available = df.columns.map(c => c.toLowerCase -> c).toMap
+    df.select(declaredSchema.fields.toSeq.map { f =>
+      available.get(f.name.toLowerCase) match {
+        case Some(c) => col(s"`$c`").cast(f.dataType).as(f.name)
+        case None    => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
   }
 
   override def commit(end: Offset): Unit = () // versions need no cleanup
@@ -105,4 +280,22 @@ class TableStreamSource(
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftTableSource[$path]"
+}
+
+object TableStreamSource {
+
+  /** Parse a byte budget: a plain number, or `k`/`m`/`g` suffixed
+    * (binary multiples, case-insensitive — `1g` = 1 GiB). */
+  private[streaming] def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) = t.last match {
+      case 'k' => (t.dropRight(1), 1L << 10)
+      case 'm' => (t.dropRight(1), 1L << 20)
+      case 'g' => (t.dropRight(1), 1L << 30)
+      case _   => (t, 1L)
+    }
+    val v = (BigDecimal(num) * mult).toLong
+    require(v > 0, s"maxBytesPerTrigger must be positive, got $s")
+    v
+  }
 }

@@ -151,8 +151,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * operation + timestamp. */
   def detail(): TableDetail = {
     val m = requireManifest
+    // manifest-recorded sizes first; status RPC only for legacy entries
     val bytes = m.files.iterator
-      .map(f => fs.getFileStatus(new Path(root, f.path)).getLen).sum
+      .map(f => f.bytes.getOrElse(fs.getFileStatus(new Path(root, f.path)).getLen))
+      .sum
     TableDetail(m.version, m.files.size.toLong, fastCount, bytes,
       m.partitionColumns, m.operation, m.timestampMs)
   }
@@ -678,14 +680,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * columns, so a partition's small files merge only with each other.
     * No-op unless at least two small files share a partition.
     *
-    * File sizes come from a driver-side status loop over manifest paths
-    * (metadata-only, like the manifest itself); a backfill compacting
-    * millions of files would distribute that listing the way
-    * [[FileStatistics.collectDistributed]] fans out footer reads. */
+    * File sizes come from the manifest (recorded at commit time); only
+    * legacy entries without a recorded size fall back to a driver-side
+    * status call per file. */
   def compactSmall(smallBytes: Long, targetBytes: Long = 0L): Unit = withWriteLock {
     val m = requireManifest
     val lens: Map[String, Long] = m.files.map { f =>
-      f.path -> fs.getFileStatus(new Path(root, f.path)).getLen
+      f.path -> f.bytes.getOrElse(fs.getFileStatus(new Path(root, f.path)).getLen)
     }.toMap
     val victims = m.files
       .filter(f => lens(f.path) < smallBytes)
@@ -811,7 +812,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       .map(f => fs.makeQualified(new Path(root, f.path)).toString).toSet
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
       val commitFiles = listParquet(st.getPath)
-      if (commitFiles.forall(p => !live.contains(fs.makeQualified(p).toString)))
+      if (commitFiles.forall { case (p, _) =>
+            !live.contains(fs.makeQualified(p).toString) })
         fs.delete(st.getPath, true)
     }
     val needed = chainVersions(m.version)
@@ -945,25 +947,29 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val commitId = UUID.randomUUID().toString
     val commitDir = new Path(dataDir, commitId)
     val conf = spark.sparkContext.hadoopConfiguration
-    def toFile(p: Path, pv: Map[String, String],
+    // sizes come free with the post-write listing (Delta records
+    // AddFile.size the same way): maintenance and streaming admission
+    // control then price files from the manifest, zero extra RPCs
+    def toFile(p: Path, len: Long, pv: Map[String, String],
         metas: Map[String, FileStatistics.FileMeta]): TableFile = {
       val fm = metas.getOrElse(p.toString, FileStatistics.FileMeta(Map.empty, -1L))
-      TableFile(rel(p), pv, fm.cols, if (fm.rows >= 0) Some(fm.rows) else None)
+      TableFile(rel(p), pv, fm.cols,
+        if (fm.rows >= 0) Some(fm.rows) else None, Some(len))
     }
     if (partitionBy.isEmpty) {
       df.write.parquet(commitDir.toString)
-      val paths = listParquet(commitDir)
-      val stats = FileStatistics.forPaths(spark, conf, paths)
-      paths.map(p => toFile(p, Map.empty, stats))
+      val listed = listParquet(commitDir)
+      val stats = FileStatistics.forPaths(spark, conf, listed.map(_._1))
+      listed.map { case (p, len) => toFile(p, len, Map.empty, stats) }
     } else {
       val dirCols = partitionBy.map(c => s"__gp_$c")
       val withDirCols = partitionBy.zip(dirCols).foldLeft(df) {
         case (d, (c, dc)) => d.withColumn(dc, col(s"`$c`").cast("string"))
       }
       withDirCols.write.partitionBy(dirCols: _*).parquet(commitDir.toString)
-      val paths = listParquet(commitDir)
-      val stats = FileStatistics.forPaths(spark, conf, paths)
-      paths.map { p =>
+      val listed = listParquet(commitDir)
+      val stats = FileStatistics.forPaths(spark, conf, listed.map(_._1))
+      listed.map { case (p, len) =>
         val relPath = rel(p)
         val pv = relPath.split('/').iterator
           .filter(_.contains("="))
@@ -972,17 +978,17 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
             k.stripPrefix("__gp_") -> hiveUnescape(v)
           }
           .toMap
-        toFile(p, pv, stats)
+        toFile(p, len, pv, stats)
       }
     }
   }
 
-  private def listParquet(dir: Path): Seq[Path] = {
+  private def listParquet(dir: Path): Seq[(Path, Long)] = {
     val it = fs.listFiles(dir, true)
-    val buf = Seq.newBuilder[Path]
+    val buf = Seq.newBuilder[(Path, Long)]
     while (it.hasNext) {
       val st = it.next()
-      if (st.getPath.getName.endsWith(".parquet")) buf += st.getPath
+      if (st.getPath.getName.endsWith(".parquet")) buf += st.getPath -> st.getLen
     }
     buf.result()
   }
@@ -1071,15 +1077,17 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         StructField("t", StringType),
         StructField("min", StringType),
         StructField("max", StringType))))),
-      // nullable: sidecars written before row counts existed read as null
-      StructField("rows", LongType)))
+      // nullable: sidecars written before these fields existed read as null
+      StructField("rows", LongType),
+      StructField("bytes", LongType)))
   }
 
   private def writeSidecarFiles(name: String, files: Seq[TableFile]): Unit = {
     import org.apache.spark.sql.Row
     val rows = files.map(f => Row(f.path, f.partitionValues,
       f.stats.map { case (c, s) => c -> Row(s.typ, s.min, s.max) },
-      f.rows.map(Long.box).orNull))
+      f.rows.map(Long.box).orNull,
+      f.bytes.map(Long.box).orNull))
     // ~100k entries per task keeps sidecar files O(10 MB)
     val parts = math.max(1, files.size / 100000)
     spark.createDataFrame(
@@ -1099,7 +1107,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         TableFile(r.getString(0), pv,
           st.map { case (c, s) =>
             c -> ColStats(s.getString(0), s.getString(1), s.getString(2)) },
-          if (r.isNullAt(3)) None else Some(r.getLong(3)))
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))
       }
 
   private def writeFile(p: Path, content: String): Unit = {

@@ -84,12 +84,18 @@ final case class Txn(appId: String, batchId: Long)
 /** @param rows exact row count from the parquet footer at commit time;
   *   None for files adopted without footer reads ([[ManagedTable.importFiles]]
   *   callers may supply it; `collectStatistics()` backfills). Metadata-only
-  *   `count(*)` ([[ManagedTable.fastCount]]) needs every file to carry it. */
+  *   `count(*)` ([[ManagedTable.fastCount]]) needs every file to carry it.
+  * @param bytes on-disk size recorded at commit time (Delta's
+  *   AddFile.size): maintenance and streaming admission control price
+  *   files from the manifest instead of one namenode RPC per file. None
+  *   for entries adopted before sizes were recorded — callers fall back
+  *   to [[ManagedTable.fileLen]]. */
 final case class TableFile(
     path: String,
     partitionValues: Map[String, String],
     stats: Map[String, ColStats] = Map.empty,
-    rows: Option[Long] = None)
+    rows: Option[Long] = None,
+    bytes: Option[Long] = None)
 
 /** @param filesRef when set, the file list lives in a parquet sidecar of
   *   this name next to the record (large-table checkpoints: the list is
@@ -192,7 +198,8 @@ object Manifest {
             "min" -> JString(s.min),
             "max" -> JString(s.max))
         }.toList)) ++
-        f.rows.map(r => "rows" -> (JLong(r): JValue)).toList)
+        f.rows.map(r => "rows" -> (JLong(r): JValue)).toList ++
+        f.bytes.map(b => "bytes" -> (JLong(b): JValue)).toList)
     }.toList)
 
   private def str(v: JValue): String = v match { case JString(x) => x; case _ => "" }
@@ -215,6 +222,11 @@ object Manifest {
           case _ => Map.empty[String, ColStats]
         },
         (f \ "rows") match {
+          case JLong(x) => Some(x)
+          case JInt(x)  => Some(x.toLong)
+          case _        => None
+        },
+        (f \ "bytes") match {
           case JLong(x) => Some(x)
           case JInt(x)  => Some(x.toLong)
           case _        => None
