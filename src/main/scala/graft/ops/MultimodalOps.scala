@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * decode / feature-extraction runs partition-wise so a real decoder
   * (JNI image lib, ffmpeg pipe, …) is initialized once per partition and
   * fed batches — the Spark-side contract (schema, partitioning, batch
-  * shape) is real and tested, while the decoder itself is a STUB: this
-  * container has no media libraries, so [[MultimodalOps.decodeStub]]
-  * derives deterministic fake dimensions/samples from the payload bytes.
-  * Swapping in a real decoder changes only that one function.
+  * shape) is real and tested, while decoding itself sits behind the
+  * injectable [[MultimodalOps.MediaDecoder]] seam. The default
+  * [[MultimodalOps.StubDecoder]] is an explicit STUB (this container has
+  * no media libraries): deterministic fake dimensions/samples derived
+  * from payload bytes. Swapping in a real decoder changes only the
+  * injected object.
   *
   * At 100 TB: payloads dominate row size, so ops `repartition` by byte
   * budget rather than row count before partition-wise decode, and
@@ -36,57 +38,83 @@ object MultimodalOps {
     * vector + provenance. */
   final case class MediaFeatures(id: Long, features: Array[Float], nFrames: Int)
 
-  /** STUB decoder — a real implementation would hand `payload` to an
-    * image/audio library. Deterministic fake: dimensions and "frames"
-    * derived from the payload hash so tests are stable. */
-  def decodeStub(payload: Array[Byte]): MediaMeta = {
-    val sha = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
-    val hex = sha.map("%02x".format(_)).mkString
-    val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
-    MediaMeta(
-      mediaType = if (h % 3 == 0) "image" else if (h % 3 == 1) "audio" else "video",
-      nBytes = payload.length.toLong,
-      contentSha = hex,
-      width = (h % 1920).toInt,
-      height = (h % 1080).toInt)
+  /** The decode seam: everything that needs a real media library lives
+    * behind this trait, so swapping in production decoding (a JNI image
+    * lib, an ffmpeg pipe) changes ONE injected object and none of the
+    * Spark-side plumbing. Implementations ship to executors inside
+    * `mapPartitions` closures (hence `Serializable`); `open()` runs once
+    * per partition before any row — the place to initialize a native
+    * handle or subprocess — and per-row calls then amortize it. */
+  trait MediaDecoder extends Serializable {
+    /** Once-per-partition setup (native lib init, ffmpeg spawn). */
+    def open(): Unit = ()
+    def decode(payload: Array[Byte]): MediaMeta
+    def features(payload: Array[Byte], dims: Int = 8): Array[Float]
   }
 
-  /** STUB feature extractor: 8 floats folded from payload bytes — stands in
-    * for an embedding/mel-spectrogram computed per decoded frame. */
-  def featureStub(payload: Array[Byte], dims: Int = 8): Array[Float] = {
-    val acc = new Array[Float](dims)
-    var i = 0
-    while (i < payload.length) {
-      acc(i % dims) += (payload(i) & 0xff) / 255.0f
-      i += 1
+  /** STUB decoder (the default) — this container has no media
+    * libraries, so dimensions/"frames" derive deterministically from the
+    * payload hash and features fold payload bytes; tests are stable and
+    * the pipeline shape is identical to a real decoder's. */
+  object StubDecoder extends MediaDecoder {
+    override def decode(payload: Array[Byte]): MediaMeta = {
+      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+      val hex = sha.map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      MediaMeta(
+        mediaType = if (h % 3 == 0) "image" else if (h % 3 == 1) "audio" else "video",
+        nBytes = payload.length.toLong,
+        contentSha = hex,
+        width = (h % 1920).toInt,
+        height = (h % 1080).toInt)
     }
-    acc
+
+    /** Stand-in for an embedding/mel-spectrogram computed per decoded
+      * frame: `dims` floats folded from payload bytes. */
+    override def features(payload: Array[Byte], dims: Int = 8): Array[Float] = {
+      val acc = new Array[Float](dims)
+      var i = 0
+      while (i < payload.length) {
+        acc(i % dims) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      acc
+    }
   }
+
+  /** Backwards-compatible aliases for the default stub. */
+  def decodeStub(payload: Array[Byte]): MediaMeta = StubDecoder.decode(payload)
+  def featureStub(payload: Array[Byte], dims: Int = 8): Array[Float] =
+    StubDecoder.features(payload, dims)
 
   /** Pack a text column as a binary payload with populated metadata —
     * the ingest-side shape (in production the payload arrives as raw
     * bytes from the object store). */
-  def pack(df: DataFrame, idCol: String, textCol: String)(
+  def pack(df: DataFrame, idCol: String, textCol: String,
+      decoder: MediaDecoder = StubDecoder)(
       implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), encode(col(textCol), "UTF-8"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition block: one decoder instance per partition in a
-        // real implementation
-        it.map { case (id, payload) => MediaRecord(id, payload, decodeStub(payload)) }
+        decoder.open() // once per partition, before any payload
+        it.map { case (id, payload) =>
+          MediaRecord(id, payload, decoder.decode(payload))
+        }
       }
   }
 
   /** Partition-wise decode + feature extraction. `mapPartitions` (not a
     * per-row UDF) so decoder setup amortizes and batches can be formed —
     * the Spark-native analogue of a batched pandas-UDF pipeline. */
-  def extractFeatures(records: Dataset[MediaRecord])(
+  def extractFeatures(records: Dataset[MediaRecord],
+      decoder: MediaDecoder = StubDecoder)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     records.mapPartitions { it =>
+      decoder.open()
       it.map { r =>
-        MediaFeatures(r.id, featureStub(r.payload),
+        MediaFeatures(r.id, decoder.features(r.payload),
           nFrames = (r.meta.nBytes / 64 + 1).toInt)
       }
     }

@@ -25,16 +25,26 @@ object Runner {
       result: Either[Throwable, ProcessingSummary])
 
   /** Process one slice name through every given entity. `parallelism` > 1
-    * submits entities concurrently (each still a full pipeline). */
+    * submits entities concurrently (each still a full pipeline).
+    *
+    * Each entity runs inside its own [[graft.ops.SubstrateCache.scoped]]
+    * block: any substrate an operator persists during the entity's
+    * pipeline lands on that entity's private handle and is released when
+    * the entity finishes — one entity's batch-boundary release can never
+    * unpersist another entity's in-flight substrate (the hazard of the
+    * session-wide `SubstrateCache.release` under a concurrent runner). */
   def processEntities(
       metadata: Metadata,
       entities: Seq[Entity],
       sliceFile: String,
       options: Map[String, String] = Map.empty,
       parallelism: Int = 1)(implicit spark: SparkSession): Seq[EntityResult] = {
-    def runOne(e: Entity): EntityResult =
-      EntityResult(e.id, e.name,
-        Try(new Processing(metadata, e, sliceFile, options).process()).toEither)
+    def runOne(e: Entity): EntityResult = {
+      val (result, handle) = graft.ops.SubstrateCache.scoped(
+        Try(new Processing(metadata, e, sliceFile, options).process()))
+      handle.release()
+      EntityResult(e.id, e.name, result.toEither)
+    }
 
     if (parallelism <= 1) entities.map(runOne)
     else {

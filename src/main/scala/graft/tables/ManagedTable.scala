@@ -228,14 +228,45 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     *
     * `keyCols` must identify rows uniquely within the interval (the
     * merge PK does) — duplicate keys would cross-multiply in the diff
-    * join. Cost is O(changed-file rows) with ONE shuffle on the key;
-    * the file-granular merge is what keeps that input minimal, so a
-    * 10-row upsert's row feed costs a handful of files, not the table. */
+    * join, so a cheap limit-1 probe (one aggregation over the already-
+    * minimal changed-file rows) fails fast naming the offending key
+    * instead of silently emitting a multiplied feed. Cost is
+    * O(changed-file rows) with ONE shuffle on the key; the file-granular
+    * merge is what keeps that input minimal, so a 10-row upsert's row
+    * feed costs a handful of files, not the table.
+    *
+    * The "did the row change" comparison spans only columns present in
+    * BOTH endpoint schemas: a column added or dropped across the
+    * interval reads as null on one side, and comparing it would flag
+    * every carried-over row as an update — schema evolution is not a
+    * row change. */
   def rowChanges(fromVersion: Long, toVersion: Long,
       keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "rowChanges needs at least one key column")
     val feed = changes(fromVersion, toVersion)
     val dataCols = feed.columns.filterNot(_ == "_change_type").toSeq
+
+    val dup = feed
+      .groupBy(col("_change_type") +: keyCols.map(c => col(s"`$c`")): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty) {
+      val row = dup.head
+      val keyDesc = keyCols.zipWithIndex
+        .map { case (c, i) => s"$c=${row.get(i + 1)}" }.mkString(", ")
+      throw new MetadataException(
+        s"rowChanges($fromVersion, $toVersion) on $rootPath: key ($keyDesc) " +
+          s"appears ${row.getLong(keyCols.size + 1)} times among the " +
+          s"interval's ${row.getString(0)} rows — keyCols must uniquely " +
+          "identify rows within the interval")
+    }
+
+    val fromCols = readManifest(fromVersion).schema.fieldNames
+      .map(_.toLowerCase).toSet
+    val toCols = readManifest(toVersion).schema.fieldNames
+      .map(_.toLowerCase).toSet
+    val comparable = dataCols.filter(c =>
+      fromCols.contains(c.toLowerCase) && toCols.contains(c.toLowerCase))
+
     val aFlag = "__graft_in_added"
     val rFlag = "__graft_in_removed"
     val a = feed.filter(col("_change_type") === "added")
@@ -246,7 +277,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       .reduce(_ && _)
     val inA = col(s"a.`$aFlag`").isNotNull
     val inR = col(s"r.`$rFlag`").isNotNull
-    val differs = dataCols.filterNot(keyCols.contains)
+    val differs = comparable.filterNot(keyCols.contains)
       .map(c => !(col(s"a.`$c`") <=> col(s"r.`$c`")))
       .foldLeft(lit(false))(_ || _)
     val changeType = when(inA && !inR, "insert")

@@ -349,11 +349,16 @@ final class MergeBuilder private[tables] (
       val touchedEntries = scopeFiles.filter(f => touchedSet.contains(f.path))
 
       // action counts: non-unchanged rows are counted exactly from the
-      // probe; `unchanged` is everything else in scope (footer-only count
-      // job — no data columns are read)
+      // probe; `unchanged` is everything else in scope — priced from the
+      // manifest's per-file row counts when every in-scope entry carries
+      // one (zero jobs; at 100 TB the alternative is a million-footer
+      // count job per merge), else a footer-only count job
       val probeCounts = probe.groupBy(ActionCol).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val totalInScope = prunedTarget(m).count()
+      val scopeRows = scopeFiles.flatMap(_.rows)
+      val totalInScope =
+        if (scopeRows.size == scopeFiles.size) scopeRows.sum
+        else prunedTarget(m).count()
       val touchedRows = (probeCounts - UnchangedTag).values.sum
       val baseCounts = (probeCounts - UnchangedTag) +
         (UnchangedTag -> (totalInScope - touchedRows))

@@ -300,6 +300,36 @@ class OpsSpec extends AnyFunSuite with Matchers {
     frames.map(_._1).distinct.sorted.toSeq shouldBe Seq(1L, 2L)
   }
 
+  test("multimodal: an injected decoder replaces the stub without touching the plumbing") {
+    // a "real" decoder stand-in: fixed media type, per-partition open()
+    // observed via a driver-side accumulator (the once-per-partition
+    // contract a native-lib decoder depends on)
+    val opens = spark.sparkContext.longAccumulator("decoder-opens")
+    object FakeDecoder extends MultimodalOps.MediaDecoder {
+      override def open(): Unit = opens.add(1)
+      override def decode(payload: Array[Byte]): MultimodalOps.MediaMeta =
+        MultimodalOps.MediaMeta("image", payload.length.toLong, "fake", 640, 480)
+      override def features(payload: Array[Byte], dims: Int): Array[Float] =
+        Array.fill(dims)(payload.length.toFloat)
+    }
+
+    val d = docs((1L, "abc"), (2L, "defgh")).repartition(2)
+    val recs = MultimodalOps.pack(d, "doc_id", "text", FakeDecoder)
+    val collected = recs.collect().sortBy(_.id)
+    collected.map(_.meta.mediaType).distinct.toSeq shouldBe Seq("image")
+    collected.map(_.meta.contentSha).distinct.toSeq shouldBe Seq("fake")
+    collected.find(_.id == 1L).get.meta.nBytes shouldBe 3L
+    opens.value.toInt should be >= 1 // open() ran (once per non-empty partition)
+
+    val feats = MultimodalOps.extractFeatures(recs, FakeDecoder)
+      .collect().sortBy(_.id)
+    feats.find(_.id == 2L).get.features.toSeq shouldBe Seq.fill(8)(5.0f)
+
+    // default path (no decoder argument) still runs the stub, unchanged
+    val stubRecs = MultimodalOps.pack(d, "doc_id", "text").collect().sortBy(_.id)
+    stubRecs.head.meta.contentSha should have length 64
+  }
+
   test("multimodal byte-budget repartitioning evens out decode tasks") {
     val recs = MultimodalOps.pack(
       docs((1L, "x" * 100), (2L, "y" * 100), (3L, "z" * 100)), "doc_id", "text")

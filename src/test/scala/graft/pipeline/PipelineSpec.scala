@@ -579,6 +579,42 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     results.find(_.entityId == 21).get.result.isLeft shouldBe true
   }
 
+  test("runner: entity completion never unpersists another scope's in-flight substrate") {
+    import graft.ops.SubstrateCache
+    import org.apache.spark.storage.StorageLevel
+    val extra = """,
+      { "id": 23, "name": "g2_a", "connection": "src1", "group": "grp2",
+        "processtype": "full",
+        "columns": [ { "name": "ID", "datatype": "integer",
+                       "fieldroles": ["businesskey"] } ] },
+      { "id": 24, "name": "g2_b", "connection": "src1", "group": "grp2",
+        "processtype": "full",
+        "columns": [ { "name": "ID", "datatype": "integer",
+                       "fieldroles": ["businesskey"] } ] }"""
+    val md = fixture(extraEntity = extra)
+    writeSlice(md, md.getEntity(23), "s1.parquet", Seq((1, "a")).toDF("ID", "name"))
+    writeSlice(md, md.getEntity(24), "s1.parquet", Seq((2, "b")).toDF("ID", "name"))
+
+    // an unrelated concurrent operator holds a scoped substrate (the
+    // in-flight accelerator of a THIRD entity, in Runner.parallelism
+    // terms) across the whole parallel run
+    val ((outsider, _), h) = SubstrateCache.scoped {
+      val s = SubstrateCache.persist(Seq((9, "z")).toDF("ID", "name"))
+      (s, s.count())
+    }
+    outsider.storageLevel should not be StorageLevel.NONE
+
+    // each entity runs in its own scope and releases it on completion —
+    // none of those releases may touch the outsider's substrate
+    val results = Runner.processGroup(md, "grp2", "s1.parquet",
+      Map("processing.time" -> T1), parallelism = 2)
+    results.forall(_.result.isRight) shouldBe true
+    outsider.storageLevel should not be StorageLevel.NONE // still cached
+    SubstrateCache.registered(spark) shouldBe 0 // nothing leaked session-wide
+    h.release()
+    h.size shouldBe 0
+  }
+
   test("historic with partition columns rewrites only touched partitions") {
     val extra = """,
       { "id": 30, "name": "hp", "connection": "src1", "processtype": "historic",

@@ -332,6 +332,39 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     all shouldBe Array((2, "update_postimage"))
   }
 
+  test("rowChanges rejects duplicate keys in the interval, naming the key") {
+    import spark.implicits._
+    val t = ManagedTable(spark, tmp() + "/rcdup")
+    t.overwriteAll(df(Seq((1, "a", "x"))))
+    val v0 = t.currentVersion.get
+    // an append introduces TWO rows with key 2 — a non-unique keyCol
+    // would cross-multiply in the diff join, so it must fail fast
+    t.append(df(Seq((2, "b", "x"), (2, "B", "x"))))
+    val e = intercept[graft.metadata.MetadataException](
+      t.rowChanges(v0, t.currentVersion.get, Seq("id")).collect())
+    e.getMessage should include("id=2")
+    // with a genuinely identifying key the same interval classifies fine
+    t.rowChanges(v0, t.currentVersion.get, Seq("id", "name"))
+      .collect().length shouldBe 2
+  }
+
+  test("rowChanges ignores columns not present in both endpoint schemas") {
+    import spark.implicits._
+    val t = ManagedTable(spark, tmp() + "/rcdrift")
+    t.overwriteAll(Seq((1, "a", "w1"), (2, "b", "w2")).toDF("id", "name", "extra"))
+    val v0 = t.currentVersion.get
+    // the next version DROPS `extra` but carries identical id/name rows:
+    // null-vs-value on the dropped column is schema evolution, not a row
+    // change — the feed must be empty, not two spurious update_postimages
+    t.overwriteAll(Seq((1, "a"), (2, "b")).toDF("id", "name"))
+    t.rowChanges(v0, t.currentVersion.get, Seq("id")).collect() shouldBe empty
+    // a REAL change among the shared columns still classifies
+    t.overwriteAll(Seq((1, "a2"), (2, "b")).toDF("id", "name"))
+    val rc = t.rowChanges(v0, t.currentVersion.get, Seq("id")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(3)))
+    rc shouldBe Array((1, "a2", "update_postimage"))
+  }
+
   test("syncChangesTo: downstream converges to source through incremental syncs") {
     val up = ManagedTable(spark, tmp() + "/up")
     up.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "x"), (3, "c", "x"))))

