@@ -114,17 +114,23 @@ object GraftSourceOffset {
     }
   }
 
-  def of(o: Offset): GraftSourceOffset = o match {
-    case g: GraftSourceOffset => g
-    case other                => fromJson(other.json)
-  }
+  def of(o: org.apache.spark.sql.connector.read.streaming.Offset): GraftSourceOffset =
+    o match {
+      case g: GraftSourceOffset => g
+      case other                => fromJson(other.json)
+    }
 }
 
 class TableStreamSource(
     sqlContext: SQLContext,
     path: String,
     declaredSchema: StructType,
-    parameters: Map[String, String]) extends Source {
+    parameters: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset => OffsetV2, ReadLimit}
 
   private val table = ManagedTable(sqlContext.sparkSession, path)
 
@@ -137,13 +143,58 @@ class TableStreamSource(
   private val maxBytes: Option[Long] =
     parameters.get("maxBytesPerTrigger").map(TableStreamSource.parseBytes)
 
-  /** Position of the last offset this source offered or served —
-    * `getOffset` continues from here. After a restart Spark re-calls
-    * `getBatch` with the checkpointed interval before asking for new
-    * offsets, which re-seeds this (the v1 source recovery contract). */
+  /** Position of the last offset this source offered or served — the
+    * legacy `getOffset` path continues from here. The engine itself
+    * drives this source through [[latestOffset]] (it implements
+    * `SupportsAdmissionControl`), where Spark supplies the checkpointed
+    * start offset every trigger and no internal position is needed. */
   private var position: Option[GraftSourceOffset] = None
 
+  /** Head version frozen by [[prepareForTriggerAvailableNow]]:
+    * `Trigger.AvailableNow` drains up to here in bounded batches, then
+    * stops — commits racing in after the trigger started are left for
+    * the next run. */
+  @volatile private var availableNowCap: Option[Long] = None
+
   override def schema: StructType = declaredSchema
+
+  /** Spark's admission-control entry (preferred over [[getOffset]]):
+    * the engine passes the previous end offset from its own
+    * checkpointed state, so restarts need no source-side recovery. The
+    * passed `limit` mirrors [[getDefaultReadLimit]]; the walk applies
+    * this source's configured budgets directly. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val headRaw = table.currentVersion.getOrElse(return null)
+    val head = availableNowCap.fold(headRaw)(math.min(_, headRaw))
+    val from = Option(start).map(GraftSourceOffset.of)
+    from.foreach(f => guardHorizon(f.version))
+    val next = advance(
+      from.getOrElse(GraftSourceOffset(head, -1L, isInitial = true)), head)
+    // unchanged position → return the caller's own offset: equal offsets
+    // mean "no new data" (a legacy clamped offset normalizes through one
+    // empty batch instead)
+    if (from.contains(next)) start else next
+  }
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFiles.map(ReadLimit.maxFiles).toSeq ++
+      maxBytes.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Nil      => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** Unthrottled head, for progress reporting (how far behind the
+    * admitted offset is). */
+  override def reportLatestOffset(): OffsetV2 =
+    table.currentVersion
+      .map(v => GraftSourceOffset(v, Long.MaxValue, isInitial = false))
+      .orNull
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = table.currentVersion
 
   /** Files "of" a version: the full snapshot for the stream's initial
     * version, the manifest-diff additions otherwise. Order is the
@@ -225,27 +276,33 @@ class TableStreamSource(
     * on the streaming-flagged frame trips the batch-analysis check). */
   private[streaming] def batchFrame(start: Option[Offset], end: Offset): DataFrame = {
     val endO = GraftSourceOffset.of(end)
-    // versioned spans of the interval (start, end]
-    val spans: Seq[(Long, Boolean, Long, Long)] = start match {
+    // versioned spans of the interval (start, end]: exclusiveFrom is the
+    // start offset's index WITHIN its version (exclusive bound, None for
+    // "from the beginning"), inclusiveTo the end offset's
+    val spans: Seq[(Long, Boolean, Option[Long], Long)] = start match {
       case None =>
         // first batch (or its replay): a slice of the initial snapshot
-        Seq((endO.version, true, 0L, endO.index))
+        Seq((endO.version, true, None, endO.index))
       case Some(s) =>
         val sO = GraftSourceOffset.of(s)
         guardHorizon(sO.version)
         (sO.version to endO.version).map { v =>
           val isInit = sO.isInitial && v == sO.version
-          val from = if (v == sO.version) sO.index + 1 else 0L
+          val from = if (v == sO.version) Some(sO.index) else None
           val to = if (v == endO.version) endO.index else Long.MaxValue
           (v, isInit, from, to)
         }
     }
-    val frames = spans.flatMap { case (v, isInit, from, to) =>
+    val frames = spans.flatMap { case (v, isInit, exclusiveFrom, inclusiveTo) =>
       val list = listFor(v, isInit)
-      val hi = math.min(to, list.size - 1L)
-      if (from > hi) None
+      // saturating bounds: a legacy "version fully emitted" offset
+      // carries index = Long.MaxValue — clamp within the list before the
+      // +1, or the exclusive bound would overflow and re-emit the version
+      val lo = exclusiveFrom.map(i => math.min(i, list.size - 1L) + 1).getOrElse(0L)
+      val hi = math.min(inclusiveTo, list.size - 1L)
+      if (lo > hi) None
       else {
-        val files = list.slice(from.toInt, hi.toInt + 1)
+        val files = list.slice(lo.toInt, hi.toInt + 1)
         // read under the version's OWN schema, project to the declared
         // one: a column a later version dropped null-fills, a widened
         // type casts back — the plan shape never changes mid-stream

@@ -363,6 +363,28 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     src.batchFrame(Some(o1), o2).count() shouldBe 1
   }
 
+  test("table stream source: Trigger.AvailableNow drains everything in bounded batches, then stops") {
+    import graft.tables.ManagedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft-anow").toString
+    val t = ManagedTable(spark, dir + "/t")
+    t.overwriteAll(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+      .repartitionByRange(4, $"id"))
+    t.append(Seq((5L, "e")).toDF("id", "v")) // a post-snapshot commit
+
+    val q = spark.readStream
+      .format(classOf[TableStreamProvider].getName)
+      .option("path", dir + "/t")
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("anow")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000) shouldBe true // drains and STOPS
+    spark.table("anow").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(1L, 2L, 3L, 4L, 5L)
+    // bounded admission held: several small batches, not one mega-batch
+    q.recentProgress.count(_.numInputRows > 0) should be >= 3
+  }
+
   test("table stream source: schema drift mid-stream null-fills dropped columns and casts widened types") {
     import graft.tables.ManagedTable
     val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
