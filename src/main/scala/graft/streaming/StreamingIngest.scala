@@ -41,10 +41,15 @@ final class StreamingIngest(
     val bronze = metadata.bronzePath(entity)
     val schema = spark.read
       .option("recursiveFileLookup", "true").parquet(bronze).schema
-    val raw = spark.readStream
+    val reader = spark.readStream
       .schema(schema) // file source needs a schema
       .option("recursiveFileLookup", "true") // slices may be part-file dirs
       .option("maxFilesPerTrigger", options.getOrElse("maxFilesPerTrigger", "16"))
+    // byte-based admission bound, passed through to the file source
+    // (slices vary wildly in size; a file cap alone can still admit a
+    // multi-GB batch)
+    val raw = options.get("maxBytesPerTrigger")
+      .fold(reader)(reader.option("maxBytesPerTrigger", _))
       .parquet(bronze)
 
     raw.writeStream
