@@ -97,9 +97,12 @@ class TableStreamSink(
     // re-root the micro-batch plan as a batch frame (writing the
     // sink-provided frame directly would re-plan streaming relations)
     val batch = GraftStreamingShim.asBatch(data)
-    val txn = Some(Txn(appId, batchId))
-    if (t.exists) t.append(batch, s"$BatchTag$batchId", txn)
-    else t.overwriteAll(batch, partitionColumns, s"$BatchTag$batchId", txn)
+    // create-or-append with the exists check INSIDE the write lock: two
+    // queries' first batches racing into a fresh table must serialize
+    // into create-then-append, not two overwrites (the second would
+    // silently erase the first writer's batch)
+    t.appendOrCreate(batch, partitionColumns, s"$BatchTag$batchId",
+      Some(Txn(appId, batchId)))
     t.setTxn(appId, batchId) // fast-path marker for the next recovery
     lastCommitted = Some(batchId)
   }

@@ -545,9 +545,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * INSIDE the write lock, so two concurrent first-writers serialize into
     * create-then-append instead of racing into two overwrites (a bare
     * `if (exists) append else overwriteAll` at the call site would lose
-    * the first writer's rows). */
-  def appendOrCreate(df: DataFrame): Unit =
-    withWriteLock { if (exists) append(df) else overwriteAll(df) }
+    * the first writer's rows). `partitionBy` applies only on create. */
+  def appendOrCreate(df: DataFrame, partitionBy: Seq[String] = Nil,
+      operation: String = "append", txn: Option[Txn] = None): Unit =
+    withWriteLock {
+      if (exists) append(df, operation, txn)
+      else overwriteAll(df, partitionBy, operation, txn)
+    }
 
   /** Append rows; schema must match (missing source columns are an error —
     * reference contract, MergeProcessingSpec.scala:323-368). `operation`
