@@ -1,16 +1,33 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, GraftStreamingShim, SQLContext}
+import org.apache.spark.sql.{Column, DataFrame, GraftStreamingShim, SQLContext}
 import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.StreamSinkProvider
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.tables.{ManagedTable, Txn}
+import graft.tables.{ManagedTable, MergeInto, Txn}
 
 /** Structured Streaming SINK into a [[ManagedTable]] — any streaming
-  * query can land in a managed table with exactly-once appends, without
+  * query can land in a managed table with exactly-once writes, without
   * going through the ingest pipeline ([[StreamingIngest]] remains the
   * path for metadata-driven bronze→silver processing).
+  *
+  * Three write modes, selected by the `mode` option (or inferred from
+  * the query's output mode):
+  *
+  *  - `append` (default; OutputMode.Append): each micro-batch appends.
+  *  - `upsert` (OutputMode.Append or Update): each micro-batch is
+  *    MERGEd on `mergeKey` — last-write-wins per key, with optional
+  *    CDC-style deletes via a boolean `deleteColumn` and deterministic
+  *    within-batch collapse via `sequenceColumn`. This is Delta's
+  *    `foreachBatch` + `merge` idiom as a first-class sink: the merge
+  *    commit embeds the writer txn ([[graft.tables.MergeBuilder
+  *    .withTxn]]) so a replayed batch re-merges nothing.
+  *  - `complete` (OutputMode.Complete): each micro-batch atomically
+  *    replaces the whole table — the natural landing for a streaming
+  *    aggregation kept small (a per-key rollup, a top-k).
   *
   * Exactly-once is writer-identity-scoped (Delta's txnAppId/txnVersion
   * pattern): each query derives a stable `appId` from its
@@ -31,7 +48,16 @@ import graft.tables.{ManagedTable, Txn}
   * identity per run (they cannot replay — there is no checkpoint to
   * restart from).
   *
-  * Append-mode only: updates belong to `foreachBatch` + `MergeInto`.
+  * Small-file maintenance: a long-lived streaming append produces one
+  * commit (and ≥1 file) per trigger — the classic small-file problem
+  * that degrades every downstream scan at scale. `autoCompact=true`
+  * folds maintenance into the write path: every
+  * `autoCompact.interval` batches (default 10) the sink bin-packs
+  * files under `autoCompact.smallBytes` (default 32 MiB) via
+  * [[ManagedTable.compactSmall]]. The compaction is a separate commit
+  * AFTER the batch's txn commit, so a crash between the two loses only
+  * maintenance (re-done on a later trigger), never data, and replay
+  * detection is unaffected (the txn walk skips no-txn records).
   *
   * Usage:
   * {{{
@@ -39,6 +65,7 @@ import graft.tables.{ManagedTable, Txn}
   *     .format(classOf[TableSinkProvider].getName)
   *     .option("path", tableRoot)
   *     .option("checkpointLocation", ckpt)
+  *     .option("mode", "upsert").option("mergeKey", "id")   // optional
   *     .start()
   * }}}
   */
@@ -48,12 +75,11 @@ class TableSinkProvider extends StreamSinkProvider {
       parameters: Map[String, String],
       partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
-    require(outputMode == OutputMode.Append,
-      s"graft table sink supports Append output mode only, got $outputMode")
+    val mode = TableStreamSink.resolveMode(parameters, outputMode)
     new TableStreamSink(sqlContext,
       parameters.getOrElse("path", throw new IllegalArgumentException(
         "graft table stream sink requires option 'path'")),
-      partitionColumns, parameters)
+      partitionColumns, parameters, mode)
   }
 }
 
@@ -61,7 +87,10 @@ class TableStreamSink(
     sqlContext: SQLContext,
     path: String,
     partitionColumns: Seq[String],
-    parameters: Map[String, String] = Map.empty) extends Sink {
+    parameters: Map[String, String] = Map.empty,
+    mode: TableStreamSink.Mode = TableStreamSink.AppendMode) extends Sink {
+
+  import TableStreamSink._
 
   private val BatchTag = "streamBatch="
 
@@ -69,6 +98,21 @@ class TableStreamSink(
   private[streaming] val appId: String = TableStreamSink.appIdFrom(parameters)
 
   private[streaming] lazy val table = ManagedTable(sqlContext.sparkSession, path)
+
+  private val mergeKeys: Seq[String] = parameters.get("mergeKey")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  private val deleteColumn = parameters.get("deleteColumn")
+  private val sequenceColumn = parameters.get("sequenceColumn")
+
+  private val autoCompact =
+    parameters.get("autoCompact").exists(_.equalsIgnoreCase("true"))
+  private val autoCompactSmallBytes: Long =
+    parameters.getOrElse("autoCompact.smallBytes", (32L << 20).toString).toLong
+  private val autoCompactInterval: Long =
+    parameters.getOrElse("autoCompact.interval", "10").toLong
+
+  require(mode != UpsertMode || mergeKeys.nonEmpty,
+    "graft table stream sink: mode=upsert requires option 'mergeKey'")
 
   /** Last batch id known committed by THIS writer identity. Recovered
     * once per sink instance (one query (re)start) from the marker file
@@ -97,20 +141,104 @@ class TableStreamSink(
     // re-root the micro-batch plan as a batch frame (writing the
     // sink-provided frame directly would re-plan streaming relations)
     val batch = GraftStreamingShim.asBatch(data)
-    // create-or-append with the exists check INSIDE the write lock: two
-    // queries' first batches racing into a fresh table must serialize
-    // into create-then-append, not two overwrites (the second would
-    // silently erase the first writer's batch)
-    t.appendOrCreate(batch, partitionColumns, s"$BatchTag$batchId",
-      Some(Txn(appId, batchId)))
+    val tag = s"$BatchTag$batchId"
+    val txn = Some(Txn(appId, batchId))
+    mode match {
+      case AppendMode =>
+        // create-or-append with the exists check INSIDE the write lock:
+        // two queries' first batches racing into a fresh table must
+        // serialize into create-then-append, not two overwrites (the
+        // second would silently erase the first writer's batch)
+        t.appendOrCreate(batch, partitionColumns, tag, txn)
+      case CompleteMode =>
+        t.overwriteAll(batch, partitionColumns, tag, txn)
+      case UpsertMode =>
+        upsertBatch(t, batch, batchId, tag)
+    }
     t.setTxn(appId, batchId) // fast-path marker for the next recovery
     lastCommitted = Some(batchId)
+    if (autoCompact && batchId > 0 && batchId % autoCompactInterval == 0)
+      t.compactSmall(autoCompactSmallBytes)
   }
 
-  override def toString: String = s"GraftTableSink[$path]"
+  /** One micro-batch as a MERGE: collapse to one row per key (newest by
+    * `sequenceColumn` when given, arbitrary otherwise — document your
+    * ordering column for CDC streams), then update/insert/delete. The
+    * create path (first batch into a fresh table) drops delete-flagged
+    * rows and the flag column itself — a delete for a key that never
+    * existed is a no-op, and the flag is transport metadata, not data. */
+  private def upsertBatch(t: ManagedTable, batch: DataFrame,
+      batchId: Long, tag: String): Unit = {
+    val keyCols = mergeKeys.map(k => col(s"`$k`"))
+    val deduped = sequenceColumn match {
+      case Some(seq) =>
+        val w = Window.partitionBy(keyCols: _*).orderBy(col(s"`$seq`").desc)
+        batch.withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1).drop("__graft_rn")
+      case None => batch.dropDuplicates(mergeKeys)
+    }
+    def isDelete(d: String): String = s"coalesce(source.`$d`, false)"
+    t.withWriteLock {
+      if (!t.exists) {
+        val initial = deleteColumn.fold(deduped)(d =>
+          deduped.filter(!coalesce(col(s"`$d`"), lit(false))).drop(d))
+        t.overwriteAll(initial, partitionColumns, tag, Some(Txn(appId, batchId)))
+      } else {
+        val base =
+          if (mergeKeys.size == 1) MergeInto.byKey(t, deduped, mergeKeys.head)
+          else MergeInto(t, deduped,
+            mergeKeys.map(k => s"target.`$k` = source.`$k`").mkString(" AND "))
+        val clauses = deleteColumn match {
+          case Some(d) => base
+            .whenMatchedDelete(Some(isDelete(d)))
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll(Some(s"NOT ${isDelete(d)}"))
+          case None => base.whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        }
+        clauses.assumeUniqueSourceKeys() // dedup above proved it
+          .withTxn(appId, batchId, s"merge $tag")
+          .execute()
+      }
+    }
+  }
+
+  override def toString: String = s"GraftTableSink[$path,$mode]"
 }
 
 object TableStreamSink {
+
+  sealed trait Mode
+  case object AppendMode extends Mode { override def toString = "append" }
+  case object UpsertMode extends Mode { override def toString = "upsert" }
+  case object CompleteMode extends Mode { override def toString = "complete" }
+
+  /** `mode` option wins; otherwise the query's output mode implies one
+    * (Update ⇒ upsert, Complete ⇒ complete, Append ⇒ append). Validates
+    * the combination — e.g. a Complete-mode query cannot append. */
+  private[streaming] def resolveMode(parameters: Map[String, String],
+      outputMode: OutputMode): Mode = {
+    val m = parameters.get("mode").map(_.toLowerCase) match {
+      case Some("append")   => AppendMode
+      case Some("upsert")   => UpsertMode
+      case Some("complete") => CompleteMode
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft table stream sink: unknown mode '$other' " +
+          "(append | upsert | complete)")
+      case None =>
+        if (outputMode == OutputMode.Update()) UpsertMode
+        else if (outputMode == OutputMode.Complete()) CompleteMode
+        else AppendMode
+    }
+    val ok = m match {
+      case AppendMode   => outputMode == OutputMode.Append
+      case UpsertMode   => outputMode == OutputMode.Append ||
+                           outputMode == OutputMode.Update
+      case CompleteMode => outputMode == OutputMode.Complete
+    }
+    require(ok, s"graft table stream sink: mode=$m is incompatible with " +
+      s"output mode $outputMode")
+    m
+  }
 
   /** Writer identity: explicit `txnAppId` option first, else the query's
     * `checkpointLocation` (same checkpoint ⇒ same query ⇒ same batchId

@@ -508,7 +508,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * mutex per table (incl. the shared watermark table) is exactly the
     * coordination needed. Cross-driver writers remain single-writer by
     * contract, as in the reference. */
-  private[tables] def withWriteLock[A](f: => A): A =
+  private[graft] def withWriteLock[A](f: => A): A =
     ManagedTable.lockFor(fs.makeQualified(root).toString).synchronized(f)
 
   /** Replace the whole table. Always a full checkpoint record. `txn`
@@ -593,12 +593,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   def replaceFiles(
       removePaths: Seq[String],
       df: DataFrame,
-      operation: String = "replaceFiles"): Unit = withWriteLock {
+      operation: String = "replaceFiles",
+      txn: Option[Txn] = None): Unit = withWriteLock {
     val m = requireManifest
     val d = reconcileSchema(df, m)
     val newFiles = writeCommit(d, m.partitionColumns)
     commitDelta(d.schema.json, m.partitionColumns, operation,
-      base = Some(m), adds = newFiles, removes = removePaths)
+      base = Some(m), adds = newFiles, removes = removePaths, txn = txn)
   }
 
   /** Register externally-written parquet files as a new version WITHOUT
@@ -666,7 +667,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   def replacePartitions(
       partitions: Option[Seq[Map[String, String]]],
       df: DataFrame,
-      operation: String = "replacePartitions"): Unit = withWriteLock {
+      operation: String = "replacePartitions",
+      txn: Option[Txn] = None): Unit = withWriteLock {
     val m = requireManifest
     val d = reconcileSchema(df, m)
     val newFiles = writeCommit(d, m.partitionColumns)
@@ -677,7 +679,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         m.files.filter(f => replaced.contains(f.partitionValues))
     }
     commitDelta(d.schema.json, m.partitionColumns, operation,
-      base = Some(m), adds = newFiles, removes = removed.map(_.path))
+      base = Some(m), adds = newFiles, removes = removed.map(_.path), txn = txn)
   }
 
   /** Compact partitions whose file count reached `minFiles`: their rows are

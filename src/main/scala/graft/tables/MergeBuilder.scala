@@ -46,6 +46,8 @@ final class MergeBuilder private[tables] (
   private var pruned: Option[Seq[Map[String, String]]] = None
   private var sourceKeysUnique = false
   private var broadcastSource = true
+  private var txn: Option[Txn] = None
+  private var operationName = "merge"
 
   /** Declare the source too large to broadcast (a backfill slice, a
     * table-sized CDC batch): the keyed path then drops its broadcast
@@ -58,6 +60,21 @@ final class MergeBuilder private[tables] (
     * proven source-key uniqueness (the pipeline's slice stats do) — saves
     * one aggregation job per merge. */
   def assumeUniqueSourceKeys(): this.type = { sourceKeysUnique = true; this }
+
+  /** Embed a streaming-writer transaction identity in the merge's commit
+    * record — atomic with the data files, exactly like [[ManagedTable
+    * .append]]'s `txn` parameter. This is what makes a per-micro-batch
+    * MERGE idempotent under replay: the streaming upsert sink records
+    * `(appId, batchId)` in the same pointer swap that publishes the
+    * rewritten files, so a crash can never separate "merge applied" from
+    * "batch marked committed". `operation` names the commit in
+    * [[ManagedTable.history]] (defaults to `merge`). */
+  def withTxn(appId: String, batchId: Long,
+      operation: String = "merge"): this.type = {
+    txn = Some(Txn(appId, batchId))
+    operationName = operation
+    this
+  }
 
   /** Restrict the merge to these partitions (column → string value, one map
     * per partition). Target files outside them are neither read nor
@@ -223,7 +240,8 @@ final class MergeBuilder private[tables] (
       val kept = resolved
         .filter(col(ActionCol) =!= DropTag && !col(ActionCol).startsWith(DeletePrefix))
         .drop(ActionCol, TRowId)
-      table.replacePartitions(pruned.filter(_ => m.partitionColumns.nonEmpty), kept, "merge")
+      table.replacePartitions(pruned.filter(_ => m.partitionColumns.nonEmpty),
+        kept, operationName, txn)
       MergeMetrics(counts - DropTag)
     } finally resolved.unpersist()
   }
@@ -425,7 +443,7 @@ final class MergeBuilder private[tables] (
       val kept = rewrite.unionByName(inserts)
         .filter(col(ActionCol) =!= DropTag && !col(ActionCol).startsWith(DeletePrefix))
         .drop(ActionCol)
-      table.replaceFiles(touchedPaths, kept, "merge")
+      table.replaceFiles(touchedPaths, kept, operationName, txn)
       MergeMetrics(counts - DropTag)
     } finally {
       probe.unpersist()

@@ -352,6 +352,95 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     t.read().count() shouldBe 9
   }
 
+  test("upsert sink: per-key merge with deletes, sequence collapse, and idempotent replay") {
+    import graft.tables.ManagedTable
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val params = Map("checkpointLocation" -> (base + "/ckpt"),
+      "mergeKey" -> "id", "deleteColumn" -> "deleted", "sequenceColumn" -> "seq")
+    def mkSink = new TableStreamSink(spark.sqlContext, base + "/t", Nil,
+      params, TableStreamSink.UpsertMode)
+    val s = mkSink
+    // batch 0 creates the table: key 3 arrives twice (seq 2 wins), key 9
+    // is delete-only (a delete for a never-seen key is a no-op)
+    s.addBatch(0, Seq((1L, "a", 1L, false), (2L, "b", 1L, false),
+      (3L, "c0", 1L, false), (3L, "c", 2L, false), (9L, "x", 1L, true))
+      .toDF("id", "v", "seq", "deleted"))
+    val t = ManagedTable(spark, base + "/t")
+    def state() = t.read().select("id", "v")
+      .as[(Long, String)].collect().toSet
+    state() shouldBe Set((1L, "a"), (2L, "b"), (3L, "c"))
+    // batch 1: update key 1, delete key 2, insert key 4
+    s.addBatch(1, Seq((1L, "a2", 3L, false), (2L, "b", 3L, true),
+      (4L, "d", 3L, false)).toDF("id", "v", "seq", "deleted"))
+    state() shouldBe Set((1L, "a2"), (3L, "c"), (4L, "d"))
+    // replay on the same instance is ignored
+    s.addBatch(1, Seq((1L, "ZZZ", 9L, false)).toDF("id", "v", "seq", "deleted"))
+    state() shouldBe Set((1L, "a2"), (3L, "c"), (4L, "d"))
+    // restart: a fresh instance recovers this identity's last batch from
+    // the txn marker/embedded record and still suppresses the replay
+    val s2 = mkSink
+    s2.addBatch(1, Seq((1L, "ZZZ", 9L, false)).toDF("id", "v", "seq", "deleted"))
+    state() shouldBe Set((1L, "a2"), (3L, "c"), (4L, "d"))
+    // and the next live batch proceeds normally
+    s2.addBatch(2, Seq((5L, "e", 4L, false)).toDF("id", "v", "seq", "deleted"))
+    state() shouldBe Set((1L, "a2"), (3L, "c"), (4L, "d"), (5L, "e"))
+  }
+
+  test("complete sink: each batch atomically replaces the table; replay ignored") {
+    import graft.tables.ManagedTable
+    val base = java.nio.file.Files.createTempDirectory("graft-complete").toString
+    val params = Map("checkpointLocation" -> (base + "/ckpt"))
+    def mkSink = new TableStreamSink(spark.sqlContext, base + "/t", Nil,
+      params, TableStreamSink.CompleteMode)
+    val s = mkSink
+    s.addBatch(0, Seq((1L, 10L)).toDF("k", "n"))
+    val t = ManagedTable(spark, base + "/t")
+    t.read().count() shouldBe 1
+    s.addBatch(1, Seq((1L, 11L), (2L, 5L)).toDF("k", "n"))
+    t.read().as[(Long, Long)].collect().toSet shouldBe Set((1L, 11L), (2L, 5L))
+    // restarted query re-delivers batch 1 — the overwrite must NOT run
+    mkSink.addBatch(1, Seq((9L, 9L)).toDF("k", "n"))
+    t.read().as[(Long, Long)].collect().toSet shouldBe Set((1L, 11L), (2L, 5L))
+  }
+
+  test("append sink auto-compaction bounds small-file growth") {
+    import graft.tables.ManagedTable
+    val base = java.nio.file.Files.createTempDirectory("graft-autoc").toString
+    val s = new TableStreamSink(spark.sqlContext, base + "/t", Nil,
+      Map("checkpointLocation" -> (base + "/ckpt"), "autoCompact" -> "true",
+        "autoCompact.interval" -> "4",
+        "autoCompact.smallBytes" -> (64L << 20).toString))
+    (0L to 7L).foreach { b =>
+      s.addBatch(b, Seq((b, s"row$b")).toDF("id", "v"))
+    }
+    val t = ManagedTable(spark, base + "/t")
+    t.read().count() shouldBe 8 // maintenance never loses data
+    // batch 4's compaction packed batches 0-4 into one file; 5-7 appended
+    val files = t.manifest.get.files.size
+    files should be <= 4
+    t.history().map(_.operation) should contain("compactSmall")
+    // replay detection survives interleaved no-txn maintenance commits
+    val s2 = new TableStreamSink(spark.sqlContext, base + "/t", Nil,
+      Map("checkpointLocation" -> (base + "/ckpt")))
+    s2.addBatch(7, Seq((99L, "dup")).toDF("id", "v"))
+    t.read().count() shouldBe 8
+  }
+
+  test("sink mode resolution: explicit option wins, output mode implies, bad combos rejected") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import TableStreamSink._
+    resolveMode(Map.empty, OutputMode.Append()) shouldBe AppendMode
+    resolveMode(Map.empty, OutputMode.Update()) shouldBe UpsertMode
+    resolveMode(Map.empty, OutputMode.Complete()) shouldBe CompleteMode
+    resolveMode(Map("mode" -> "upsert"), OutputMode.Append()) shouldBe UpsertMode
+    an[IllegalArgumentException] should be thrownBy
+      resolveMode(Map("mode" -> "append"), OutputMode.Update())
+    an[IllegalArgumentException] should be thrownBy
+      resolveMode(Map("mode" -> "complete"), OutputMode.Append())
+    an[IllegalArgumentException] should be thrownBy
+      resolveMode(Map("mode" -> "sideways"), OutputMode.Append())
+  }
+
   test("table stream source: maxFilesPerTrigger splits the initial snapshot and later commits") {
     import graft.tables.ManagedTable
     val dir = java.nio.file.Files.createTempDirectory("graft-adm").toString
