@@ -276,6 +276,72 @@ object EngineOps {
         .orderBy("o_orderkey")
     },
 
+    // Streaming upsert sink under the oracle: two CDC micro-batches (base
+    // snapshot, then updates + within-batch higher-seq re-updates + CDC
+    // deletes with null payloads) applied through TableStreamSink's
+    // upsert mode — sequence collapse picks the newest version per key,
+    // matched deletes remove, deletes for never-seen keys are no-ops.
+    // The oracle states the same CDC application declaratively.
+    QueryDef(
+      "q_e_cdc_upsert",
+      """WITH b0 AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment,
+        |         CAST(1 AS BIGINT) AS seq
+        |  FROM customer WHERE c_custkey % 3 <> 0),
+        |cdc AS (
+        |  SELECT c_custkey AS id, upper(c_name) AS name,
+        |         c_mktsegment AS segment, CAST(2 AS BIGINT) AS seq,
+        |         false AS deleted
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, upper(c_name) || '!', c_mktsegment,
+        |         CAST(3 AS BIGINT), false
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, NULL, NULL, CAST(4 AS BIGINT), true
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC)
+        |      AS rn FROM cdc) WHERE rn = 1)
+        |SELECT COALESCE(l.id, b.id) AS id,
+        |       CASE WHEN l.id IS NOT NULL THEN l.name ELSE b.name END AS name,
+        |       CASE WHEN l.id IS NOT NULL THEN l.segment ELSE b.segment END
+        |         AS segment,
+        |       CASE WHEN l.id IS NOT NULL THEN l.seq ELSE b.seq END AS seq
+        |FROM b0 b FULL JOIN latest l ON b.id = l.id
+        |WHERE NOT COALESCE(l.deleted, false)
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "cdc_upsert")
+      val sink = new graft.streaming.TableStreamSink(s.sqlContext,
+        s"$root/t", Nil,
+        Map("checkpointLocation" -> s"$root/ckpt", "mergeKey" -> "id",
+          "deleteColumn" -> "deleted", "sequenceColumn" -> "seq"),
+        graft.streaming.TableStreamSink.UpsertMode)
+      val cust = Tables.customer(s, d)
+      val b0 = cust.filter(col("c_custkey") % 3 =!= 0).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment"), lit(1L).as("seq"),
+        lit(false).as("deleted"))
+      val upd = cust.filter(col("c_custkey") % 2 === 0).select(
+        col("c_custkey").as("id"), upper(col("c_name")).as("name"),
+        col("c_mktsegment").as("segment"), lit(2L).as("seq"),
+        lit(false).as("deleted"))
+      val upd2 = cust.filter(col("c_custkey") % 10 === 0).select(
+        col("c_custkey").as("id"),
+        concat(upper(col("c_name")), lit("!")).as("name"),
+        col("c_mktsegment").as("segment"), lit(3L).as("seq"),
+        lit(false).as("deleted"))
+      val del = cust.filter(col("c_custkey") % 7 === 0).select(
+        col("c_custkey").as("id"), lit(null).cast("string").as("name"),
+        lit(null).cast("string").as("segment"), lit(4L).as("seq"),
+        lit(true).as("deleted"))
+      sink.addBatch(0, b0)
+      sink.addBatch(1, upd.unionByName(upd2).unionByName(del))
+      graft.tables.ManagedTable(s, s"$root/t").read()
+        .select("id", "name", "segment", "seq").orderBy("id")
+    },
+
     // Historic/SCD2: changed keys carry a closed version (ValidTo = T2)
     // plus an open successor; new keys open at T2; untouched keys keep T1.
     QueryDef(
