@@ -506,8 +506,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * safe under concurrent writers, and this engine's concurrency model is
     * many entities on ONE driver (Runner.parallelism) — a process-wide
     * mutex per table (incl. the shared watermark table) is exactly the
-    * coordination needed. Cross-driver writers remain single-writer by
-    * contract, as in the reference. */
+    * coordination needed. Cross-driver deployments remain single-writer
+    * by contract, as in the reference — but a contract violation is now
+    * DETECTED, not silent: the commit-record create is put-if-absent
+    * (see [[ConcurrentWriteException]]), so an interleaved external
+    * commit fails one writer's transaction instead of orphaning the
+    * other's files. */
   private[graft] def withWriteLock[A](f: => A): A =
     ManagedTable.lockFor(fs.makeQualified(root).toString).synchronized(f)
 
@@ -1093,7 +1097,16 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
             txn = txn))
       }
     fs.mkdirs(manifestsDir)
-    writeFile(new Path(manifestsDir, f"v$next%020d.json"), recordJson)
+    // the record create is the commit ARBITER (Delta's log-file
+    // put-if-absent): `create(overwrite = false)` is atomic on HDFS-like
+    // stores, so of two processes racing to commit version `next`,
+    // exactly one wins and the loser gets a ConcurrentWriteException
+    // instead of silently orphaning the winner's files via a last-
+    // pointer-wins overwrite. In-JVM writers never hit this (they
+    // serialize on the table lock); it fires only for a cross-process
+    // writer violating the single-writer deployment contract — turning
+    // undetected data loss into a retryable error.
+    writeFileNoOverwrite(new Path(manifestsDir, f"v$next%020d.json"), recordJson)
     snapshotCache.put(next, snapshot)
     // atomic pointer swap: tmp write + rename-with-overwrite
     writeFileAtomic(pointerFile, next.toString)
@@ -1154,6 +1167,24 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     finally out.close()
   }
 
+  /** Put-if-absent write — the commit arbiter. A pre-existing file means
+    * another writer committed (or crashed mid-commit, leaving an orphan
+    * record above the pointer: inspect `_graft/manifests` vs `_current`
+    * and remove the orphan to recover). */
+  private def writeFileNoOverwrite(p: Path, content: String): Unit = {
+    val out =
+      try fs.create(p, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new ConcurrentWriteException(
+            s"concurrent commit detected at $p: another writer created this " +
+              "record first (or a crashed writer left an orphan record above " +
+              "the pointer — remove it to recover)", e)
+      }
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Publish a small metadata file atomically: tmp write + rename-with-
     * overwrite, so lock-free readers never observe a truncated file. */
   private def writeFileAtomic(target: Path, content: String): Unit = {
@@ -1177,6 +1208,13 @@ final case class TableDetail(
 
 final case class TableHistory(
     version: Long, operation: String, timestampMs: Long, checkpoint: Boolean)
+
+/** Thrown when the put-if-absent commit-record create loses to another
+  * writer's record for the same version — a cross-process writer raced
+  * this commit. The transaction wrote no pointer: readers still see the
+  * previous version, and the caller may re-read the table and retry. */
+final class ConcurrentWriteException(msg: String, cause: Throwable = null)
+  extends graft.metadata.MetadataException(msg, cause)
 
 object ManagedTable {
 

@@ -435,4 +435,30 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.read().collect().map(_.getInt(0)) shouldBe Array(2)
     intercept[Exception](t.readVersion(0).collect())
   }
+
+  test("cross-process concurrent commit is detected, not silently lost") {
+    val root = tmp() + "/t7"
+    val t = ManagedTable(spark, root)
+    t.overwriteAll(df(Seq((1, "a", "x"))))
+    // simulate an external writer winning the race for version 1: its
+    // commit record lands before ours (the put-if-absent arbiter file)
+    val rival = new java.io.File(root, "_graft/manifests/" + "v%020d.json".format(1L))
+    java.nio.file.Files.write(rival.toPath,
+      "rival".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[ConcurrentWriteException] {
+      t.append(df(Seq((2, "b", "y"))))
+    }
+    e.getMessage should include("concurrent commit")
+    // the failed transaction moved no pointer: readers still see v0
+    t.currentVersion shouldBe Some(0L)
+    t.read().count() shouldBe 1
+    // clearing the rival record (operator recovery) lets the writer retry
+    rival.delete() shouldBe true
+    // crc sidecar of the rival write must not block the retry either
+    val crc = new java.io.File(root, "_graft/manifests/." + rival.getName + ".crc")
+    if (crc.exists()) crc.delete()
+    t.append(df(Seq((2, "b", "y"))))
+    t.currentVersion shouldBe Some(1L)
+    t.read().count() shouldBe 2
+  }
 }
