@@ -426,6 +426,51 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     t.read().count() shouldBe 8
   }
 
+  test("table-to-table streaming CDC pipeline: source admission + upsert sink end-to-end") {
+    // the full composition through MicroBatchExecution: a managed table
+    // as CDC source (bounded batches) replicated into a downstream
+    // managed table via the upsert sink, across two AvailableNow runs
+    // sharing one checkpoint — the silver→gold replication shape
+    import graft.tables.ManagedTable
+    val base = java.nio.file.Files.createTempDirectory("graft-t2t").toString
+    val src = ManagedTable(spark, base + "/src")
+    src.overwriteAll(Seq((1L, "a", 1L, false), (2L, "b", 1L, false))
+      .toDF("id", "v", "seq", "deleted"))
+
+    def run(): Unit = {
+      val q = spark.readStream
+        .format(classOf[TableStreamProvider].getName)
+        .option("path", base + "/src")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream
+        .format(classOf[TableSinkProvider].getName)
+        .option("path", base + "/dst")
+        .option("checkpointLocation", base + "/ckpt")
+        .option("mode", "upsert").option("mergeKey", "id")
+        .option("deleteColumn", "deleted").option("sequenceColumn", "seq")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream did not drain in time")
+    }
+    run()
+    val dst = ManagedTable(spark, base + "/dst")
+    def state() = dst.read().select("id", "v")
+      .as[(Long, String)].collect().toSet
+    state() shouldBe Set((1L, "a"), (2L, "b"))
+
+    // CDC batch upstream: update key 1, delete key 2, insert key 3 —
+    // the second run resumes from the shared checkpoint and applies
+    // only the new commit
+    src.append(Seq((1L, "a2", 2L, false), (2L, "b", 2L, true),
+      (3L, "c", 2L, false)).toDF("id", "v", "seq", "deleted"))
+    run()
+    state() shouldBe Set((1L, "a2"), (3L, "c"))
+
+    // a third run with nothing new upstream must change nothing
+    run()
+    state() shouldBe Set((1L, "a2"), (3L, "c"))
+  }
+
   test("sink mode resolution: explicit option wins, output mode implies, bad combos rejected") {
     import org.apache.spark.sql.streaming.OutputMode
     import TableStreamSink._
