@@ -276,6 +276,34 @@ object EngineOps {
         .orderBy("o_orderkey")
     },
 
+    // Predicate DML under the oracle: DELETE then UPDATE on a staged
+    // managed table (file-granular rewrites — only files containing
+    // matching rows are rewritten), hash-compared against the same two
+    // statements applied declaratively. UPDATE's SET references the
+    // pre-update row; DELETE's NULL-predicate rows are kept.
+    QueryDef(
+      "q_e_dml",
+      """WITH after_delete AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        |  WHERE NOT (o_custkey % 10 = 0)),
+        |after_update AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderdate < DATE '1993-01-01'
+        |              THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+        |         o_orderdate
+        |  FROM after_delete)
+        |SELECT * FROM after_update ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "dml")
+      val t = graft.tables.ManagedTable(s, s"$root/orders")
+      t.overwriteAll(Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate").repartition(8))
+      t.delete("o_custkey % 10 = 0")
+      t.update(Map("o_custkey" -> "o_custkey + 1000000"),
+        "o_orderdate < DATE '1993-01-01'")
+      t.read().select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy("o_orderkey")
+    },
+
     // Streaming upsert sink under the oracle: two CDC micro-batches (base
     // snapshot, then updates + within-batch higher-seq re-updates + CDC
     // deletes with null payloads) applied through TableStreamSink's

@@ -575,6 +575,91 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
 
   /** Snapshot restricted to exactly `files` (entries of `m`) — the
     * file-granular read half of a MERGE/Historic rewrite. */
+  /** DELETE FROM this table WHERE `condition` (Spark SQL over the table's
+    * columns). Returns the number of rows deleted.
+    *
+    * File-granular, like the keyed MERGE: one narrow touch-detect pass
+    * finds the files containing matching rows (the predicate and its
+    * column set reach the parquet scan, so row-group stats short-circuit
+    * non-matching files), then ONLY those files are rewritten without
+    * their matching rows — untouched manifest entries carry over
+    * verbatim. At 100 TB a selective delete rewrites the handful of
+    * files holding matched rows, not the table.
+    *
+    * SQL three-valued logic: rows where the condition evaluates NULL are
+    * KEPT (DELETE removes rows where the predicate is TRUE). */
+  def delete(condition: String): Long = withWriteLock {
+    dmlRewrite("delete", condition)((rows, pred) => rows.filter(!pred))
+  }
+
+  /** UPDATE this table SET `set` WHERE `condition`. `set` maps column
+    * name → Spark SQL expression over the table's columns (evaluated on
+    * the pre-update row, standard UPDATE semantics); values are cast to
+    * the column's declared type so the table schema never drifts.
+    * Returns the number of rows updated. Same file-granular rewrite
+    * shape as [[delete]]. */
+  def update(set: Map[String, String], condition: String = "true"): Long =
+    withWriteLock {
+      val m = requireManifest
+      val bad = set.keySet -- m.schema.fieldNames
+      if (bad.nonEmpty)
+        throw new MetadataException(
+          s"UPDATE on $rootPath: unknown column(s) ${bad.mkString(", ")}")
+      dmlRewrite("update", condition) { (touchedRows, pred) =>
+        val cols = m.schema.fields.toSeq.map { f =>
+          set.get(f.name) match {
+            case Some(e) =>
+              when(pred, expr(e).cast(f.dataType))
+                .otherwise(col(s"`${f.name}`")).as(f.name)
+            case None => col(s"`${f.name}`")
+          }
+        }
+        touchedRows.select(cols: _*)
+      }
+    }
+
+  /** Shared DELETE/UPDATE skeleton: touch-detect matching files + count
+    * matching rows in ONE narrow job, rewrite only those files
+    * (`rewrite(touchedRows, pred)` produces their replacement content),
+    * commit with untouched entries carried verbatim. Returns the
+    * matched-row count. */
+  private def dmlRewrite(op: String, condition: String)(
+      rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long =
+    withWriteLock {
+    val m = requireManifest
+    val pred = coalesce(expr(condition), lit(false))
+    if (m.files.isEmpty) return 0L
+
+    // touch detection: per-file matching-row counts (narrow projection —
+    // only the predicate's columns are scanned)
+    val perFile = readSnapshot(m)
+      .withColumn("__g_file", input_file_name())
+      .filter(pred)
+      .groupBy("__g_file").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    if (perFile.isEmpty) return 0L
+    val matched = perFile.map(_._2).sum
+
+    // translate scan URIs back to manifest paths; an untranslatable name
+    // would leave the old file alive next to its rewrite (duplicates), so
+    // any failure falls back to rewriting every file — correct, just not
+    // file-granular (same policy as MergeBuilder.executeKeyed)
+    val lookup = fileUriLookup(m.files)
+    val translated = perFile.map { case (u, _) =>
+      lookup.get(u).orElse(lookup.get(MergeBuilder.decodeUri(u))) }
+    val touchedPaths: Seq[String] =
+      if (translated.forall(_.isDefined)) translated.map(_.get).toSeq
+      else m.files.map(_.path)
+    val touchedEntries = {
+      val keep = touchedPaths.toSet
+      m.files.filter(f => keep.contains(f.path))
+    }
+
+    val touchedRows = readManifestFiles(m, touchedEntries)
+    replaceFiles(touchedPaths, rewrite(touchedRows, pred), op)
+    matched
+  }
+
   private[graft] def readManifestFiles(m: Manifest, files: Seq[TableFile]): DataFrame =
     readFiles(m, files)
 

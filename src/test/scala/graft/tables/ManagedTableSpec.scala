@@ -436,6 +436,46 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     intercept[Exception](t.readVersion(0).collect())
   }
 
+  test("DELETE rewrites only files containing matching rows; NULL predicate keeps") {
+    import spark.implicits._
+    val t = ManagedTable(spark, tmp() + "/dml1")
+    // three files; nulls in the predicate column must survive a delete
+    t.overwriteAll(Seq((1, Some("a")), (2, None), (3, Some("b")))
+      .toDF("id", "name").repartitionByRange(3, col("id")))
+    val filesBefore = t.manifest.get.files.map(_.path).toSet
+    filesBefore.size shouldBe 3
+
+    t.delete("name = 'a'") shouldBe 1L
+    t.read().select("id").as[Int].collect().sorted shouldBe Array(2, 3)
+    // id=2 (name NULL) kept: predicate NULL is not TRUE
+    // only the file holding id=1 was rewritten
+    val filesAfter = t.manifest.get.files.map(_.path).toSet
+    (filesBefore -- filesAfter).size shouldBe 1
+    (filesAfter -- filesBefore).size should be <= 1
+
+    t.delete("id > 100") shouldBe 0L // no match → no new version
+    t.read().count() shouldBe 2
+  }
+
+  test("UPDATE applies SET to matching rows only, preserves types, counts rows") {
+    import spark.implicits._
+    val t = ManagedTable(spark, tmp() + "/dml2")
+    t.overwriteAll(Seq((1, "a", 10), (2, "b", 20), (3, "c", 30))
+      .toDF("id", "name", "qty").repartitionByRange(3, col("id")))
+    val before = t.manifest.get.files.map(_.path).toSet
+
+    // SET references the pre-update row; value cast back to the column type
+    t.update(Map("qty" -> "qty * 2 + id", "name" -> "upper(name)"),
+      "id >= 2") shouldBe 2L
+    t.read().orderBy("id").as[(Int, String, Int)].collect() shouldBe
+      Array((1, "a", 10), (2, "B", 42), (3, "C", 63))
+    // the id=1 file carried over untouched
+    (before intersect t.manifest.get.files.map(_.path).toSet).size shouldBe 1
+
+    an[Exception] should be thrownBy t.update(Map("nope" -> "1"), "true")
+    t.update(Map("qty" -> "0"), "id > 99") shouldBe 0L
+  }
+
   test("cross-process concurrent commit is detected, not silently lost") {
     val root = tmp() + "/t7"
     val t = ManagedTable(spark, root)
