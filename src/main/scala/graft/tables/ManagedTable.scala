@@ -916,10 +916,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     }
   }
 
-  /** Drop data/manifests older than the current version (no time travel
-    * afterwards). Current snapshot files are kept wherever they live, and
-    * so are the manifest records the current version reconstructs through
-    * (its incremental chain back to the nearest checkpoint).
+  /** Drop data/manifests outside the retention window. With the default
+    * `retainVersions = 0` only the current version survives (no time
+    * travel afterwards); `retainVersions = N` keeps the last N+1 versions
+    * time-travelable — their snapshot files wherever they live, and the
+    * manifest records each reconstructs through (incremental chains back
+    * to the nearest checkpoint).
     *
     * Runs under the write lock like every other mutation: concurrent with
     * an in-flight writer it would otherwise see the pre-commit manifest
@@ -927,14 +929,25 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * directory. Records the vacuum horizon so time travel below it fails
     * fast ([[readVersion]]) instead of surfacing a FileNotFoundException
     * mid-scan. */
-  def vacuum(): Unit = withWriteLock {
+  def vacuum(retainVersions: Int = 0): Unit = withWriteLock {
     val m = requireManifest
+    // retention window (Delta's retention, version- rather than
+    // time-based so tests and operators get determinism): every version
+    // in [current - retainVersions, current] that still exists stays
+    // time-travelable — its records AND its data files survive. The
+    // default keeps only the current snapshot (the tightest vacuum).
+    val floor = math.max(0L, m.version - retainVersions)
+    val retained: Seq[Manifest] = (floor until m.version).flatMap { v =>
+      try Some(readManifest(v))
+      catch { case _: Exception => None } // pruned by an earlier vacuum
+    } :+ m
+    val horizon = retained.map(_.version).min
     // publish the horizon FIRST (atomically — readers are lock-free and
     // must never see a truncated file): if vacuum crashes mid-delete, the
     // fail-fast guard is already conservative instead of stale, and
     // readVersion cannot regress to an opaque mid-scan FileNotFound
-    writeFileAtomic(earliestFile, m.version.toString)
-    val live = m.files
+    writeFileAtomic(earliestFile, horizon.toString)
+    val live = retained.flatMap(_.files)
       .map(f => fs.makeQualified(new Path(root, f.path)).toString).toSet
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
       val commitFiles = listParquet(st.getPath)
@@ -942,7 +955,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
             !live.contains(fs.makeQualified(p).toString) })
         fs.delete(st.getPath, true)
     }
-    val needed = chainVersions(m.version)
+    val needed = retained.map(_.version).toSet ++
+      retained.flatMap(r => chainVersions(r.version))
     if (fs.exists(manifestsDir)) {
       val statuses = fs.listStatus(manifestsDir).toSeq
       def prunable(name: String, isSidecar: Boolean): Option[Long] = {

@@ -436,6 +436,25 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     intercept[Exception](t.readVersion(0).collect())
   }
 
+  test("vacuum with retention keeps the last N versions time-travelable") {
+    val t = ManagedTable(spark, tmp() + "/ret")
+    t.overwriteAll(df(Seq((1, "a", "x")))) // v0
+    t.append(df(Seq((2, "b", "x"))))       // v1
+    t.append(df(Seq((3, "c", "x"))))       // v2
+    t.append(df(Seq((4, "d", "x"))))       // v3
+    t.vacuum(retainVersions = 2)
+    // v1..v3 survive with data; v0 is gone
+    t.readVersion(3).count() shouldBe 4
+    t.readVersion(2).count() shouldBe 3
+    t.readVersion(1).count() shouldBe 2
+    intercept[Exception](t.readVersion(0).collect())
+    t.earliestReadableVersion shouldBe Some(1L)
+    // tightening to the default drops everything below current
+    t.vacuum()
+    t.readVersion(3).count() shouldBe 4
+    intercept[Exception](t.readVersion(2).collect())
+  }
+
   test("DELETE rewrites only files containing matching rows; NULL predicate keeps") {
     import spark.implicits._
     val t = ManagedTable(spark, tmp() + "/dml1")
