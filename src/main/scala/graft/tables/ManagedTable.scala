@@ -630,9 +630,29 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val pred = coalesce(expr(condition), lit(false))
     if (m.files.isEmpty) return 0L
 
+    // a condition over PARTITION columns alone is decidable per file on
+    // the driver (every row of a file shares its partition values):
+    // candidates shrink to matching partitions before any scan, and
+    // DELETE drops their files as a METADATA-ONLY commit — at 100 TB,
+    // `delete("day = '2024-01-10'")` is one manifest write, zero rewrite
+    val partitionMatches: Option[Seq[TableFile]] = partitionOnlyMatches(m, condition)
+    partitionMatches match {
+      case Some(victims) if op == "delete" =>
+        if (victims.isEmpty) return 0L
+        val matched =
+          if (victims.forall(_.rows.isDefined)) victims.flatMap(_.rows).sum
+          else readManifestFiles(m, victims).count()
+        commitDelta(m.schemaJson, m.partitionColumns, op,
+          base = Some(m), adds = Nil, removes = victims.map(_.path))
+        return matched
+      case Some(victims) if victims.isEmpty => return 0L
+      case _ => ()
+    }
+    val candidates = partitionMatches.getOrElse(m.files)
+
     // touch detection: per-file matching-row counts (narrow projection —
     // only the predicate's columns are scanned)
-    val perFile = readSnapshot(m)
+    val perFile = readManifestFiles(m, candidates)
       .withColumn("__g_file", input_file_name())
       .filter(pred)
       .groupBy("__g_file").count()
@@ -658,6 +678,49 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val touchedRows = readManifestFiles(m, touchedEntries)
     replaceFiles(touchedPaths, rewrite(touchedRows, pred), op)
     matched
+  }
+
+  /** When `condition` references partition columns only, returns the
+    * manifest entries of partitions where it evaluates TRUE — every row
+    * of a file shares its partition values, so the predicate is
+    * decidable per file without scanning data. None when the table is
+    * unpartitioned, the condition touches data columns, or a partition
+    * value is null/hive-default (then the row-level path must decide).
+    * Cost: analysis of the condition plus one tiny local job over the
+    * distinct partition tuples, never the table. */
+  private def partitionOnlyMatches(
+      m: Manifest, condition: String): Option[Seq[TableFile]] = {
+    if (m.partitionColumns.isEmpty) return None
+    val refs: Set[String] = {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      empty.filter(expr(condition)).queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.references.toSeq.map(_.name)
+      }.flatten.toSet
+    }
+    if (refs.isEmpty || !refs.subsetOf(m.partitionColumns.toSet)) return None
+    val tuples = m.files.map(_.partitionValues).distinct
+    if (tuples.exists(t => m.partitionColumns.exists(c =>
+        t.get(c).forall(v => v == null || v == "__HIVE_DEFAULT_PARTITION__"))))
+      return None
+    // evaluate the predicate once per distinct tuple, cast to the
+    // declared column types so comparisons behave like a row-level scan
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val strSchema = StructType(
+      m.partitionColumns.map(c => StructField(c, StringType)) :+
+        StructField("__g_idx", LongType))
+    val rows = tuples.zipWithIndex.map { case (t, i) =>
+      org.apache.spark.sql.Row.fromSeq(m.partitionColumns.map(t(_)) :+ i.toLong)
+    }
+    val pdf = spark.createDataFrame(rows.asJava, strSchema)
+      .select(m.partitionColumns.map(c =>
+        col(s"`$c`").cast(m.schema(c).dataType).as(c)) :+ col("__g_idx"): _*)
+    val hit = pdf.filter(expr(condition)).select("__g_idx")
+      .collect().map(_.getLong(0).toInt).toSet
+    val wanted: Set[Map[String, String]] = hit.map(tuples(_))
+    Some(m.files.filter(f => wanted.contains(f.partitionValues)))
   }
 
   private[graft] def readManifestFiles(m: Manifest, files: Seq[TableFile]): DataFrame =

@@ -476,6 +476,39 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.read().count() shouldBe 2
   }
 
+  test("partition-predicate DELETE is metadata-only; UPDATE prunes its scan") {
+    import spark.implicits._
+    val t = ManagedTable(spark, tmp() + "/dml3")
+    t.overwriteAll(
+      Seq((1, "a", "x"), (2, "b", "x"), (3, "c", "y"), (4, "d", "z"))
+        .toDF("id", "name", "part"),
+      partitionBy = Seq("part"))
+    val before = t.manifest.get.files
+    val dataBefore = before.map(_.path).toSet
+
+    // DELETE on the partition column alone: files of part=x drop out of
+    // the manifest with NO new data files written
+    t.delete("part = 'x'") shouldBe 2L
+    val after = t.manifest.get.files
+    after.map(_.path).toSet.subsetOf(dataBefore) shouldBe true // no rewrites
+    t.read().select("id").as[Int].collect().sorted shouldBe Array(3, 4)
+
+    // mixed predicate still row-level
+    t.delete("part = 'y' AND name = 'nope'") shouldBe 0L
+    t.read().count() shouldBe 2
+
+    // partition-only UPDATE: only part=z files are rewritten, part=y
+    // entries carry over untouched
+    val preUpd = t.manifest.get.files.map(_.path).toSet
+    t.update(Map("name" -> "upper(name)"), "part = 'z'") shouldBe 1L
+    val postUpd = t.manifest.get.files.map(_.path).toSet
+    val carried = preUpd intersect postUpd
+    // the part=y file survived; the part=z file was replaced
+    carried.size shouldBe 1
+    t.read().orderBy("id").select("name").as[String].collect() shouldBe
+      Array("c", "D")
+  }
+
   test("UPDATE applies SET to matching rows only, preserves types, counts rows") {
     import spark.implicits._
     val t = ManagedTable(spark, tmp() + "/dml2")
