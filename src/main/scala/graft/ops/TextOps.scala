@@ -508,6 +508,35 @@ object TextOps {
       size(regexp_extract_all(lower(col(textCol)),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"))
 
+  /** Fixed-size token-window chunking with overlap — the context-window /
+    * RAG prep step: chunk `k` covers tokens `[k*stride, min(k*stride +
+    * chunkTokens, t))` with `stride = chunkTokens - overlapTokens`; a
+    * trailing window that would add no tokens beyond the previous chunk's
+    * overlap is not emitted (`n = max(1, ceil((t - overlap) / stride))`,
+    * in integer arithmetic). Output: `doc_id, chunk_idx, start_tok,
+    * end_tok, n_tokens, chunk_text`.
+    *
+    * Exploded rows keep every step in whole-stage codegen; per-doc work
+    * is O(tokens × chunks-per-token-overlap), and chunks hash-partition
+    * evenly regardless of document-length skew. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"chunk: need 0 <= overlap < size, got size=$chunkTokens overlap=$overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    df.select(col(s"`$idCol`").as("doc_id"), tokens(col(s"`$textCol`")).as("__tk"))
+      .withColumn("__t", size(col("__tk")).cast("long"))
+      .withColumn("__n", greatest(lit(1L),
+        ((col("__t") - overlapTokens + (stride - 1)) / stride).cast("long")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("__n") - 1)))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("end_tok", least(col("start_tok") + chunkTokens, col("__t")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("n_tokens"),
+        array_join(slice(col("__tk"), (col("start_tok") + 1).cast("int"),
+          (col("end_tok") - col("start_tok")).cast("int")), " ").as("chunk_text"))
+  }
+
   /** Order-sensitive document fingerprint over the token stream. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),

@@ -366,6 +366,33 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // ------------------------------------------------- text: chunking
+    // 64-token windows, 16-token overlap (stride 48); trailing windows
+    // adding no tokens beyond the previous overlap are suppressed
+    QueryDef(
+      "q_td_chunking",
+      s"""WITH tk AS (
+         |  SELECT doc_id, $Words AS toks FROM documents),
+         |n AS (
+         |  SELECT doc_id, toks, len(toks) AS t,
+         |         GREATEST(1, (len(toks) - 16 + 47) // 48) AS nc
+         |  FROM tk),
+         |c AS (
+         |  SELECT doc_id, toks, t,
+         |         unnest(generate_series(0, nc - 1)) AS chunk_idx
+         |  FROM n)
+         |SELECT doc_id, chunk_idx,
+         |       chunk_idx * 48 AS start_tok,
+         |       LEAST(chunk_idx * 48 + 64, t) AS end_tok,
+         |       LEAST(chunk_idx * 48 + 64, t) - chunk_idx * 48 AS n_tokens,
+         |       array_to_string(
+         |         toks[chunk_idx * 48 + 1 : LEAST(chunk_idx * 48 + 64, t)],
+         |         ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      TextOps.chunk(Tables.documents(s, d), "doc_id", "text", 64, 16)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // ----------------------------------------------- text: fingerprints
     QueryDef(
       "q_td_fingerprint",

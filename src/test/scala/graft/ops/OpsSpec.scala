@@ -757,4 +757,31 @@ class OpsSpec extends AnyFunSuite with Matchers {
     // doc 1: 4 tokens, "the" twice + "dog" once in vocab
     out shouldBe Array((1L, 4L, 3L), (2L, 2L, 0L), (3L, 1L, 1L))
   }
+
+  test("chunking: overlap windows, short-doc single chunk, trailing-window suppression") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than one chunk
+      (3L, (1 to 6).map(i => s"t$i").mkString(" ")))  // exactly size+overlap edge
+      .toDF("doc_id", "text")
+    // size 4, overlap 2 → stride 2; doc 1 (t=10): n = ceil(8/2) = 4 chunks
+    val out = TextOps.chunk(docs, "doc_id", "text", 4, 2)
+      .select("doc_id", "chunk_idx", "start_tok", "end_tok", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    out.filter(_._1 == 1L).map(_._5) shouldBe Array(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10")
+    // doc 2: one (short) chunk covering everything
+    out.filter(_._1 == 2L) shouldBe Array((2L, 0L, 0L, 2L, "a b"))
+    // doc 3 (t=6): n = ceil(4/2) = 2 — a third window starting at 4 would
+    // only re-emit the previous chunk's overlap and is suppressed
+    out.filter(_._1 == 3L).map(_._5) shouldBe Array("t1 t2 t3 t4", "t3 t4 t5 t6")
+    // every token of every doc is covered by at least one chunk
+    out.groupBy(_._1).foreach { case (_, cs) => cs.map(_._3).min shouldBe 0L }
+
+    an[IllegalArgumentException] should be thrownBy
+      TextOps.chunk(docs, "doc_id", "text", 4, 4)
+  }
 }
