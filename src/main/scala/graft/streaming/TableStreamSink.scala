@@ -104,6 +104,8 @@ class TableStreamSink(
   private val deleteColumn = parameters.get("deleteColumn")
   private val sequenceColumn = parameters.get("sequenceColumn")
 
+  private val mergeSchema =
+    parameters.get("mergeSchema").exists(_.equalsIgnoreCase("true"))
   private val autoCompact =
     parameters.get("autoCompact").exists(_.equalsIgnoreCase("true"))
   private val autoCompactSmallBytes: Long =
@@ -195,7 +197,13 @@ class TableStreamSink(
             .whenNotMatchedInsertAll(Some(s"NOT ${isDelete(d)}"))
           case None => base.whenMatchedUpdateAll().whenNotMatchedInsertAll()
         }
-        clauses.assumeUniqueSourceKeys() // dedup above proved it
+        // the CDC flag is a merge input, never a table column (the create
+        // path drops it too) — exclude it from evolution; the sequence
+        // column is data (the create path keeps it) and may be adopted
+        val evolved =
+          if (mergeSchema) clauses.withSchemaEvolution(deleteColumn.toSeq)
+          else clauses
+        evolved.assumeUniqueSourceKeys() // dedup above proved it
           .withTxn(appId, batchId, s"merge $tag")
           .execute()
       }

@@ -680,6 +680,31 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     matched
   }
 
+  /** Additive schema evolution as a METADATA-ONLY commit: publish a
+    * widened schema (existing fields unchanged, new fields appended
+    * nullable) with the file set carried verbatim — existing files are
+    * read through the widened schema from then on, null-filling the new
+    * columns (parquet superset-schema reads). This is how a MERGE with
+    * `withSchemaEvolution` adopts source-only columns without rewriting
+    * a byte of the 100 TB it is not touching. */
+  private[tables] def evolveSchema(widened: org.apache.spark.sql.types.StructType,
+      operation: String = "schemaEvolve"): Unit = withWriteLock {
+    val m = requireManifest
+    val existing = m.schema.fields.map(f => f.name -> f.dataType).toMap
+    val bad = widened.fields.filter(f =>
+      existing.get(f.name).exists(_ != f.dataType))
+    if (bad.nonEmpty)
+      throw new MetadataException(
+        s"evolveSchema on $rootPath may only ADD columns; type change on: " +
+          bad.map(_.name).mkString(", "))
+    if (m.schema.fields.exists(f => !widened.fieldNames.contains(f.name)))
+      throw new MetadataException(
+        s"evolveSchema on $rootPath may not drop columns")
+    if (widened.json != m.schemaJson)
+      commitDelta(widened.json, m.partitionColumns, operation,
+        base = Some(m), adds = Nil, removes = Nil)
+  }
+
   /** When `condition` references partition columns only, returns the
     * manifest entries of partitions where it evaluates TRUE — every row
     * of a file shares its partition values, so the predicate is

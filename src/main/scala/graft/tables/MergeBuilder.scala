@@ -48,6 +48,8 @@ final class MergeBuilder private[tables] (
   private var broadcastSource = true
   private var txn: Option[Txn] = None
   private var operationName = "merge"
+  private var schemaEvolution = false
+  private var evolutionIgnore = Set.empty[String]
 
   /** Declare the source too large to broadcast (a backfill slice, a
     * table-sized CDC batch): the keyed path then drops its broadcast
@@ -73,6 +75,22 @@ final class MergeBuilder private[tables] (
       operation: String = "merge"): this.type = {
     txn = Some(Txn(appId, batchId))
     operationName = operation
+    this
+  }
+
+  /** Adopt source-only columns into the target (Delta's
+    * `spark.databricks.delta.schema.autoMerge` behavior, per-merge): the
+    * target schema is widened FIRST as a metadata-only commit — new
+    * fields appended nullable, existing files read them as null, nothing
+    * rewritten — then the merge proceeds with updates/inserts carrying
+    * the new columns. Without this flag, source-only columns are
+    * silently ignored (the default, as in Delta). `ignore` names
+    * source-side transport columns (a CDC delete flag, a sequence
+    * number) that clause conditions may reference but the target must
+    * never adopt. */
+  def withSchemaEvolution(ignore: Seq[String] = Nil): this.type = {
+    schemaEvolution = true
+    evolutionIgnore = ignore.toSet
     this
   }
 
@@ -118,10 +136,23 @@ final class MergeBuilder private[tables] (
     * silently erased. The lock is reentrant — the inner commit re-acquires
     * it. */
   def execute(): MergeMetrics = table.withWriteLock {
+    if (schemaEvolution) evolveTargetSchema()
     keyColumn match {
       case Some(k) if clausesDeterministic => executeKeyed(k)
       case _                               => executeGeneric()
     }
+  }
+
+  /** Pre-widen the target with source-only columns (nullable) under the
+    * already-held lock; the merge then runs against the widened manifest
+    * and existing machinery needs no special cases. */
+  private def evolveTargetSchema(): Unit = {
+    val m = requireTarget
+    val have = m.schema.fieldNames.toSet ++ evolutionIgnore
+    val added = source.schema.fields.filterNot(f => have.contains(f.name))
+    if (added.nonEmpty)
+      table.evolveSchema(org.apache.spark.sql.types.StructType(
+        m.schema.fields ++ added.map(_.copy(nullable = true))))
   }
 
   /** The keyed path evaluates every clause condition TWICE — once in touch

@@ -386,6 +386,26 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     state() shouldBe Set((1L, "a2"), (3L, "c"), (4L, "d"), (5L, "e"))
   }
 
+  test("upsert sink with mergeSchema adopts new CDC columns mid-stream") {
+    import graft.tables.ManagedTable
+    val base = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    val params = Map("checkpointLocation" -> (base + "/ckpt"),
+      "mergeKey" -> "id", "deleteColumn" -> "deleted", "mergeSchema" -> "true")
+    val s = new TableStreamSink(spark.sqlContext, base + "/t", Nil,
+      params, TableStreamSink.UpsertMode)
+    s.addBatch(0, Seq((1L, "a", false), (2L, "b", false))
+      .toDF("id", "v", "deleted"))
+    // batch 1 brings a new column; the delete flag itself is never adopted
+    s.addBatch(1, Seq((2L, "b2", Some(7L), false), (3L, "c", Some(9L), false))
+      .toDF("id", "v", "score", "deleted"))
+    val t = ManagedTable(spark, base + "/t")
+    t.read().columns.sorted shouldBe Array("id", "score", "v")
+    t.read().orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))) shouldBe
+      Array((1L, "a", None), (2L, "b2", Some(7L)), (3L, "c", Some(9L)))
+  }
+
   test("complete sink: each batch atomically replaces the table; replay ignored") {
     import graft.tables.ManagedTable
     val base = java.nio.file.Files.createTempDirectory("graft-complete").toString

@@ -436,6 +436,37 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     intercept[Exception](t.readVersion(0).collect())
   }
 
+  test("merge withSchemaEvolution adopts source-only columns; default ignores them") {
+    import spark.implicits._
+    val t = ManagedTable(spark, tmp() + "/evo")
+    t.overwriteAll(Seq((1, "a"), (2, "b")).toDF("id", "name"))
+
+    // default: extra source column silently ignored (Delta's default)
+    MergeInto.byKey(t, Seq((2, "b2", 99)).toDF("id", "name", "score"), "id")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    t.read().columns should not contain "score"
+
+    // with evolution: metadata-only widen, then updates/inserts carry it
+    MergeInto.byKey(t,
+      Seq((2, "b3", 20), (3, "c", 30)).toDF("id", "name", "score"), "id")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withSchemaEvolution().execute()
+    val out = t.read().orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2))))
+    out shouldBe Array((1, "a", None), (2, "b3", Some(20)), (3, "c", Some(30)))
+    // untouched rows (id=1's file) were NOT rewritten: null-fill via read
+    t.history().map(_.operation) should contain("schemaEvolve")
+
+    // ignore list keeps transport columns out of the table
+    MergeInto.byKey(t,
+      Seq((4, "d", 40, true)).toDF("id", "name", "score", "flag"), "id")
+      .whenNotMatchedInsertAll()
+      .withSchemaEvolution(ignore = Seq("flag")).execute()
+    t.read().columns should not contain "flag"
+    t.read().count() shouldBe 4
+  }
+
   test("vacuum with retention keeps the last N versions time-travelable") {
     val t = ManagedTable(spark, tmp() + "/ret")
     t.overwriteAll(df(Seq((1, "a", "x")))) // v0
