@@ -521,9 +521,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   def overwriteAll(df: DataFrame, partitionBy: Seq[String] = Nil,
       operation: String = "overwrite", txn: Option[Txn] = None): Unit =
     withWriteLock {
+      // constraints survive a full overwrite (they govern the table, not
+      // a snapshot) — and the replacement rows must satisfy them
+      val cs = manifest.map(_.constraints).getOrElse(Map.empty)
+      enforceConstraints(df, cs, operation)
       val files = writeCommit(df, partitionBy)
       commitDelta(df.schema.json, partitionBy, operation,
-        base = None, adds = files, removes = Nil, txn = txn)
+        base = None, adds = files, removes = Nil, txn = txn,
+        constraintsOverride = Some(cs))
     }
 
   /** Dynamic partition overwrite: replace only the partitions present in
@@ -538,6 +543,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         // them unreadable or erase a column table-wide, so the same guard
         // as append/replacePartitions applies
         val d = reconcileSchema(df, m)
+        enforceConstraints(d, m.constraints, "overwriteDynamic")
         val newFiles = writeCommit(d, partitionBy)
         val replaced = newFiles.map(_.partitionValues).toSet
         val removed = m.files.filter(f => replaced.contains(f.partitionValues))
@@ -568,6 +574,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       case None => overwriteAll(df, Nil, operation, txn)
       case Some(m) =>
         val d = reconcileSchema(df, m)
+        enforceConstraints(d, m.constraints, operation)
         val newFiles = writeCommit(d, m.partitionColumns)
         commitDelta(d.schema.json, m.partitionColumns, operation,
           base = Some(m), adds = newFiles, removes = Nil, txn = txn)
@@ -680,6 +687,65 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     matched
   }
 
+  /** Active CHECK constraints (name → Spark SQL boolean expression). */
+  def constraints: Map[String, String] =
+    manifest.map(_.constraints).getOrElse(Map.empty)
+
+  /** ALTER TABLE ADD CONSTRAINT (Delta parity): validates EXISTING rows
+    * satisfy `expression` (one short-circuit scan — same price Delta
+    * pays), then publishes the constraint as a metadata-only commit.
+    * From then on every data write (append, overwrite, merge, DML
+    * rewrite, streaming batch) runs a limit-1 violation probe and fails
+    * the transaction naming the constraint. SQL CHECK semantics: a NULL
+    * evaluation passes; only FALSE violates. NOT NULL is
+    * `addConstraint("c_nn", "c IS NOT NULL")`. */
+  def addConstraint(name: String, expression: String): Unit = withWriteLock {
+    val m = requireManifest
+    if (m.constraints.contains(name))
+      throw new MetadataException(
+        s"constraint '$name' already exists on $rootPath")
+    enforceConstraints(readSnapshot(m), Map(name -> expression), "addConstraint")
+    commitDelta(m.schemaJson, m.partitionColumns, s"addConstraint $name",
+      base = Some(m), adds = Nil, removes = Nil,
+      constraintsOverride = Some(m.constraints + (name -> expression)))
+  }
+
+  /** Drop a CHECK constraint (metadata-only commit; no-op if absent). */
+  def dropConstraint(name: String): Unit = withWriteLock {
+    val m = requireManifest
+    if (m.constraints.contains(name))
+      commitDelta(m.schemaJson, m.partitionColumns, s"dropConstraint $name",
+        base = Some(m), adds = Nil, removes = Nil,
+        constraintsOverride = Some(m.constraints - name))
+  }
+
+  /** Maintenance rewrites re-commit rows that already passed their
+    * write-time probe — re-validating a full z-order/compaction rewrite
+    * would add a table-sized scan for nothing. */
+  private val ConstraintExemptOps =
+    Set("compact", "compactSmall", "zorder", "collectStatistics", "restore")
+
+  /** Limit-1 violation probe: one short-circuit job when constraints
+    * exist, zero cost otherwise. Violation = expression IS FALSE (SQL
+    * CHECK three-valued logic: NULL passes). */
+  private def enforceConstraints(df: DataFrame,
+      cs: Map[String, String], operation: String): Unit =
+    if (cs.nonEmpty && !ConstraintExemptOps.contains(operation)) {
+      val flags = cs.toSeq.map { case (n, e) =>
+        n -> !coalesce(expr(e), lit(true)) }
+      val viol = df.filter(flags.map(_._2).reduce(_ || _))
+        .select(flags.map { case (n, c) => c.as(n) }: _*)
+        .limit(1).collect()
+      if (viol.nonEmpty) {
+        val row = viol.head
+        val name = flags.indices.find(i => row.getBoolean(i))
+          .map(flags(_)._1).getOrElse(flags.head._1)
+        throw new ConstraintViolationException(
+          s"CHECK constraint '$name' (${cs(name)}) violated by a row " +
+            s"written to $rootPath during '$operation'")
+      }
+    }
+
   /** Additive schema evolution as a METADATA-ONLY commit: publish a
     * widened schema (existing fields unchanged, new fields appended
     * nullable) with the file set carried verbatim — existing files are
@@ -774,6 +840,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       txn: Option[Txn] = None): Unit = withWriteLock {
     val m = requireManifest
     val d = reconcileSchema(df, m)
+    enforceConstraints(d, m.constraints, operation)
     val newFiles = writeCommit(d, m.partitionColumns)
     commitDelta(d.schema.json, m.partitionColumns, operation,
       base = Some(m), adds = newFiles, removes = removePaths, txn = txn)
@@ -848,6 +915,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       txn: Option[Txn] = None): Unit = withWriteLock {
     val m = requireManifest
     val d = reconcileSchema(df, m)
+    enforceConstraints(d, m.constraints, operation)
     val newFiles = writeCommit(d, m.partitionColumns)
     val removed = partitions match {
       case None => m.files
@@ -1254,19 +1322,23 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       base: Option[Manifest],
       adds: Seq[TableFile],
       removes: Seq[String],
-      txn: Option[Txn] = None): Unit = {
+      txn: Option[Txn] = None,
+      constraintsOverride: Option[Map[String, String]] = None): Unit = {
     val next = currentVersion.map(_ + 1).getOrElse(0L)
     val now = System.currentTimeMillis()
     val removed = removes.toSet
     val newFiles = base.map(_.files.filterNot(f => removed.contains(f.path)))
       .getOrElse(Nil) ++ adds
+    // constraints carry forward unless this commit changes them
+    val cs = constraintsOverride
+      .getOrElse(base.map(_.constraints).getOrElse(Map.empty))
     val checkpoint = base.isEmpty ||
       next % Manifest.CheckpointInterval == 0 ||
       adds.size + removes.size >= newFiles.size // delta wouldn't be smaller
     val (recordJson, snapshot) =
       if (checkpoint) {
         val m = Manifest(next, schemaJson, partitionBy, newFiles, operation, now,
-          txn = txn)
+          txn = txn, constraints = cs)
         if (newFiles.size >= parquetCheckpointThreshold) {
           // large-table checkpoint: the file list goes to a parquet sidecar
           // written as a distributed dataset BEFORE the record that points
@@ -1278,10 +1350,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         } else (m.toJsonString, m)
       } else {
         val inc = IncrementalManifest(next, schemaJson, partitionBy,
-          base.get.version, adds, removes, operation, now, txn = txn)
+          base.get.version, adds, removes, operation, now, txn = txn,
+          constraints = cs)
         (inc.toJsonString,
           Manifest(next, schemaJson, partitionBy, newFiles, operation, now,
-            txn = txn))
+            txn = txn, constraints = cs))
       }
     fs.mkdirs(manifestsDir)
     // the record create is the commit ARBITER (Delta's log-file
@@ -1395,6 +1468,12 @@ final case class TableDetail(
 
 final case class TableHistory(
     version: Long, operation: String, timestampMs: Long, checkpoint: Boolean)
+
+/** Thrown when a write contains a row for which an active CHECK
+  * constraint evaluates FALSE. The transaction wrote no manifest record:
+  * readers still see the previous version. */
+final class ConstraintViolationException(msg: String)
+  extends graft.metadata.MetadataException(msg)
 
 /** Thrown when the put-if-absent commit-record create loses to another
   * writer's record for the same version — a cross-process writer raced

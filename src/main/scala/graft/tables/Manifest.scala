@@ -110,7 +110,8 @@ final case class Manifest(
     operation: String,
     timestampMs: Long,
     filesRef: Option[String] = None,
-    txn: Option[Txn] = None) {
+    txn: Option[Txn] = None,
+    constraints: Map[String, String] = Map.empty) {
 
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
@@ -121,7 +122,8 @@ final case class Manifest(
       "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
       "operation" -> JString(operation),
       "timestampMs" -> JLong(timestampMs)) ++
-      Manifest.txnToJson(txn)
+      Manifest.txnToJson(txn) ++
+      Manifest.constraintsToJson(constraints)
     val j = JObject(base ++ (filesRef match {
       case Some(ref) => List("filesRef" -> JString(ref))
       case None      => List("files" -> Manifest.filesToJson(files))
@@ -146,7 +148,8 @@ final case class IncrementalManifest(
     removes: Seq[String],
     operation: String,
     timestampMs: Long,
-    txn: Option[Txn] = None) {
+    txn: Option[Txn] = None,
+    constraints: Map[String, String] = Map.empty) {
 
   def toJsonString: String = {
     val j = JObject(List(
@@ -156,7 +159,8 @@ final case class IncrementalManifest(
       "baseVersion" -> JLong(baseVersion),
       "operation" -> JString(operation),
       "timestampMs" -> JLong(timestampMs)) ++
-      Manifest.txnToJson(txn) ++ List(
+      Manifest.txnToJson(txn) ++
+      Manifest.constraintsToJson(constraints) ++ List(
       "adds" -> (Manifest.filesToJson(adds): JValue),
       "removes" -> JArray(removes.map(JString(_)).toList)))
     JsonMethods.compact(JsonMethods.render(j))
@@ -167,7 +171,7 @@ final case class IncrementalManifest(
     val removed = removes.toSet
     Manifest(version, schemaJson, partitionColumns,
       base.files.filterNot(f => removed.contains(f.path)) ++ adds,
-      operation, timestampMs, txn = txn)
+      operation, timestampMs, txn = txn, constraints = constraints)
   }
 }
 
@@ -184,6 +188,20 @@ object Manifest {
   private def txnFromJson(v: JValue): Option[Txn] = v match {
     case JObject(_) => Some(Txn(str(v \ "app"), lng(v \ "batch")))
     case _          => None
+  }
+
+  /** CHECK constraints travel in every record (absent key ⇔ none — old
+    * records parse unchanged) so the active set is time-travel
+    * consistent with the data it governed. */
+  private[tables] def constraintsToJson(
+      cs: Map[String, String]): List[(String, JValue)] =
+    if (cs.isEmpty) Nil
+    else List("constraints" -> JObject(
+      cs.map { case (n, e) => n -> (JString(e): JValue) }.toList))
+
+  private def constraintsFromJson(v: JValue): Map[String, String] = v match {
+    case JObject(kvs) => kvs.map { case (n, e) => n -> str(e) }.toMap
+    case _            => Map.empty
   }
 
   private[tables] def filesToJson(files: Seq[TableFile]): JArray =
@@ -251,12 +269,13 @@ object Manifest {
         }
         Left(Manifest(common._1, common._2, common._3,
           filesFromJson(j \ "files"), common._4, common._5, ref,
-          txnFromJson(j \ "txn")))
+          txnFromJson(j \ "txn"), constraintsFromJson(j \ "constraints")))
       case bv =>
         Right(IncrementalManifest(common._1, common._2, common._3, lng(bv),
           filesFromJson(j \ "adds"),
           (j \ "removes") match { case JArray(xs) => xs.map(str); case _ => Nil },
-          common._4, common._5, txnFromJson(j \ "txn")))
+          common._4, common._5, txnFromJson(j \ "txn"),
+          constraintsFromJson(j \ "constraints")))
     }
   }
 

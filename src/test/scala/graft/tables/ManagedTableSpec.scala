@@ -436,6 +436,49 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     intercept[Exception](t.readVersion(0).collect())
   }
 
+  test("CHECK constraints: enforced on every write path, SQL null semantics, drop restores") {
+    import spark.implicits._
+    val t = ManagedTable(spark, tmp() + "/chk")
+    t.overwriteAll(Seq((1, Some(10)), (2, Some(20))).toDF("id", "qty"))
+    t.addConstraint("qty_nonneg", "qty >= 0")
+    t.constraints shouldBe Map("qty_nonneg" -> "qty >= 0")
+
+    // append of a violating row fails naming the constraint; no commit
+    val v = t.currentVersion.get
+    val e = intercept[ConstraintViolationException] {
+      t.append(Seq((3, Some(-5))).toDF("id", "qty"))
+    }
+    e.getMessage should include("qty_nonneg")
+    t.currentVersion shouldBe Some(v)
+
+    // NULL passes (SQL CHECK three-valued logic); valid rows land
+    t.append(Seq((3, Option.empty[Int]), (4, Some(40))).toDF("id", "qty"))
+    t.read().count() shouldBe 4
+
+    // UPDATE that would break the constraint fails too (rewrite path)
+    an[ConstraintViolationException] should be thrownBy
+      t.update(Map("qty" -> "-1"), "id = 1")
+    // merge insert of a violating row fails (replaceFiles path)
+    an[ConstraintViolationException] should be thrownBy
+      MergeInto.byKey(t, Seq((9, Some(-9))).toDF("id", "qty"), "id")
+        .whenNotMatchedInsertAll().execute()
+
+    // adding a constraint existing data violates is rejected
+    an[ConstraintViolationException] should be thrownBy
+      t.addConstraint("qty_big", "qty > 15")
+
+    // constraints survive a full overwrite, and maintenance is exempt
+    an[ConstraintViolationException] should be thrownBy
+      t.overwriteAll(Seq((1, Some(-1))).toDF("id", "qty"))
+    t.compact(minFiles = 1)
+    t.constraints.keySet shouldBe Set("qty_nonneg")
+
+    // drop restores free writes
+    t.dropConstraint("qty_nonneg")
+    t.append(Seq((5, Some(-50))).toDF("id", "qty"))
+    t.read().count() shouldBe 5
+  }
+
   test("merge withSchemaEvolution adopts source-only columns; default ignores them") {
     import spark.implicits._
     val t = ManagedTable(spark, tmp() + "/evo")
