@@ -721,16 +721,17 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
 
   /** Maintenance rewrites re-commit rows that already passed their
     * write-time probe — re-validating a full z-order/compaction rewrite
-    * would add a table-sized scan for nothing. */
+    * would add a table-sized scan for nothing. Prefix match: zorder and
+    * restore commits carry their arguments in the operation tag. */
   private val ConstraintExemptOps =
-    Set("compact", "compactSmall", "zorder", "collectStatistics", "restore")
+    Seq("compact", "compactSmall", "zorder", "collectStatistics", "restore")
 
   /** Limit-1 violation probe: one short-circuit job when constraints
     * exist, zero cost otherwise. Violation = expression IS FALSE (SQL
     * CHECK three-valued logic: NULL passes). */
   private def enforceConstraints(df: DataFrame,
       cs: Map[String, String], operation: String): Unit =
-    if (cs.nonEmpty && !ConstraintExemptOps.contains(operation)) {
+    if (cs.nonEmpty && !ConstraintExemptOps.exists(operation.startsWith)) {
       val flags = cs.toSeq.map { case (n, e) =>
         n -> !coalesce(expr(e), lit(true)) }
       val viol = df.filter(flags.map(_._2).reduce(_ || _))

@@ -471,6 +471,7 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     an[ConstraintViolationException] should be thrownBy
       t.overwriteAll(Seq((1, Some(-1))).toDF("id", "qty"))
     t.compact(minFiles = 1)
+    t.zorder(Seq("id"), targetFiles = 1) // zorder(...) op tag also exempt
     t.constraints.keySet shouldBe Set("qty_nonneg")
 
     // drop restores free writes
