@@ -32,9 +32,9 @@ import graft.tables.{ManagedTable, TableFile}
   *    than `maxBytesPerTrigger` cannot stall the stream;
   *  - REWRITTEN files re-emit their rows (Delta `ignoreChanges`
   *    semantics): downstream consumers of a merge-maintained table must
-  *    dedupe by key — or consume [[graft.tables.ManagedTable.rowChanges]]
-  *    via polling for classified row-level changes. Appends re-emit
-  *    nothing;
+  *    dedupe by key — or set `changeFeed=true` to stream the classified
+  *    row-level feed instead ([[ChangeFeedStreamSource]]). Appends
+  *    re-emit nothing;
   *  - the column set is pinned at stream start: schema evolution
   *    mid-stream null-fills columns a later version dropped and casts
   *    widened columns back to the declared type, rather than reshaping
@@ -61,16 +61,25 @@ class TableStreamProvider extends StreamSourceProvider {
       throw new IllegalArgumentException(
         "graft table stream source requires option 'path'"))
 
+  private def tableSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      parameters: Map[String, String]): StructType =
+    schema.getOrElse(
+      ManagedTable(sqlContext.sparkSession, path(parameters)).manifest
+        .map(_.schema)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft table stream source: no table at ${path(parameters)}")))
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val t = ManagedTable(sqlContext.sparkSession, path(parameters))
-    ("graft-table", schema.getOrElse(t.manifest
-      .map(_.schema)
-      .getOrElse(throw new IllegalArgumentException(
-        s"graft table stream source: no table at ${path(parameters)}"))))
+    val base = tableSchema(sqlContext, schema, parameters)
+    if (ChangeFeedStreamSource.enabled(parameters))
+      ("graft-table-changes", ChangeFeedStreamSource.feedSchema(base))
+    else ("graft-table", base)
   }
 
   override def createSource(
@@ -78,9 +87,13 @@ class TableStreamProvider extends StreamSourceProvider {
       metadataPath: String,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): Source =
-    new TableStreamSource(sqlContext, path(parameters),
-      sourceSchema(sqlContext, schema, providerName, parameters)._2, parameters)
+      parameters: Map[String, String]): Source = {
+    val base = tableSchema(sqlContext, schema, parameters)
+    if (ChangeFeedStreamSource.enabled(parameters))
+      new ChangeFeedStreamSource(sqlContext, path(parameters), base, parameters)
+    else
+      new TableStreamSource(sqlContext, path(parameters), base, parameters)
+  }
 }
 
 /** Offset into a managed table's commit stream: files of `version`'s

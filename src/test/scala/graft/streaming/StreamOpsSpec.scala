@@ -701,4 +701,106 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
       out.head.session_end shouldBe ts(2)
     } finally q.stop()
   }
+
+  test("change feed stream: per-commit classified rows from startingVersion 0") {
+    import graft.tables.{ManagedTable, MergeInto}
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdf").toString
+    val t = ManagedTable(spark, dir + "/t")
+    t.overwriteAll(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))          // v0
+    MergeInto.byKey(t, Seq((1L, "a2"), (3L, "c")).toDF("id", "v"), "id")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()       // v1
+    t.delete("id = 2") shouldBe 1L                                      // v2
+
+    val q = spark.readStream
+      .format(classOf[TableStreamProvider].getName)
+      .option("path", dir + "/t")
+      .option("changeFeed", "true")
+      .option("changeFeedKeys", "id")
+      .option("startingVersion", "0")
+      .load()
+      .writeStream.format("memory").queryName("cdf")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cdf")
+        .select("id", "v", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+      rows shouldBe Set(
+        (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),   // v0 snapshot
+        (1L, "a2", "update_postimage", 1L), (3L, "c", "insert", 1L),
+        (2L, "b", "delete", 2L))
+
+      // a live commit keeps flowing through the open stream
+      t.append(Seq((4L, "d")).toDF("id", "v"))                          // v3
+      q.processAllAvailable()
+      spark.table("cdf").filter($"_commit_version" === 3L).collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSeq shouldBe
+        Seq((4L, "insert"))
+    } finally q.stop()
+  }
+
+  test("change feed stream: default latest skips history; version cap splits batches") {
+    import graft.tables.ManagedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdfl").toString
+    val t = ManagedTable(spark, dir + "/t")
+    t.overwriteAll(Seq((1L, "old")).toDF("id", "v"))                    // v0: history
+    val q = spark.readStream
+      .format(classOf[TableStreamProvider].getName)
+      .option("path", dir + "/t")
+      .option("changeFeed", "true")
+      .option("changeFeedKeys", "id")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("cdfl")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      spark.table("cdfl").count() shouldBe 0 // latest: v0 not replayed
+
+      t.append(Seq((2L, "b")).toDF("id", "v"))                          // v1
+      t.append(Seq((3L, "c")).toDF("id", "v"))                          // v2
+      q.processAllAvailable()
+      val rows = spark.table("cdfl")
+        .select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      rows shouldBe Set((2L, "insert", 1L), (3L, "insert", 2L))
+      // maxVersionsPerTrigger=1 → the two commits arrived in two batches
+      q.recentProgress.count(_.numInputRows > 0) should be >= 2
+    } finally q.stop()
+  }
+
+  test("change feed stream: checkpoint restart resumes exactly-once") {
+    import graft.tables.{ManagedTable, MergeInto}
+    val base = java.nio.file.Files.createTempDirectory("graft-cdfr").toString
+    val t = ManagedTable(spark, base + "/t")
+    t.overwriteAll(Seq((1L, "a")).toDF("id", "v"))                      // v0
+    def start() = spark.readStream
+      .format(classOf[TableStreamProvider].getName)
+      .option("path", base + "/t")
+      .option("changeFeed", "true")
+      .option("changeFeedKeys", "id")
+      .option("startingVersion", "0")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", base + "/out")
+      .option("checkpointLocation", base + "/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    MergeInto.byKey(t, Seq((1L, "a2")).toDF("id", "v"), "id")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()       // v1
+
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(base + "/out")
+      .select("id", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    out.toSet shouldBe Set(
+      (1L, "a", "insert", 0L), (1L, "a2", "update_postimage", 1L))
+    out.length shouldBe 2 // exactly once across both incarnations
+  }
 }
