@@ -370,6 +370,54 @@ object EngineOps {
         .select("id", "name", "segment", "seq").orderBy("id")
     },
 
+    // Change-data-feed under the oracle: three commits (overwrite, keyed
+    // merge, predicate delete) against a managed table, then the CDC feed
+    // of the whole history through the streaming source's interval
+    // builder — version 0 arrives as the snapshot classified insert, the
+    // merge yields update_postimage for matched keys and insert for new
+    // ones, the DELETE yields delete rows carrying the pre-delete values.
+    // The oracle derives the same classified feed declaratively.
+    QueryDef(
+      "q_e_cdc_feed",
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+        |  FROM customer WHERE c_custkey <= 500),
+        |src AS (
+        |  SELECT c_custkey AS id, upper(c_name) AS name,
+        |         c_mktsegment AS segment
+        |  FROM customer WHERE c_custkey BETWEEN 250 AND 750)
+        |SELECT id, name, segment, 'insert' AS _change_type,
+        |       CAST(0 AS BIGINT) AS _commit_version FROM base
+        |UNION ALL
+        |SELECT id, name, segment, 'update_postimage', CAST(1 AS BIGINT)
+        |FROM src WHERE id <= 500
+        |UNION ALL
+        |SELECT id, name, segment, 'insert', CAST(1 AS BIGINT)
+        |FROM src WHERE id > 500
+        |UNION ALL
+        |SELECT id, name, segment, 'delete', CAST(2 AS BIGINT)
+        |FROM base WHERE id <= 100
+        |ORDER BY _commit_version, _change_type, id""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "cdc_feed")
+      val t = graft.tables.ManagedTable(s, s"$root/t")
+      val cust = Tables.customer(s, d)
+      val base = cust.filter(col("c_custkey") <= 500).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment"))
+      t.overwriteAll(base.repartition(4))                              // v0
+      val src = cust.filter(col("c_custkey").between(250, 750)).select(
+        col("c_custkey").as("id"), upper(col("c_name")).as("name"),
+        col("c_mktsegment").as("segment"))
+      graft.tables.MergeInto.byKey(t, src, "id")
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()    // v1
+      t.delete("id <= 100")                                            // v2
+      val feed = new graft.streaming.ChangeFeedStreamSource(s.sqlContext,
+        s"$root/t", t.manifest.get.schema,
+        Map("changeFeedKeys" -> "id", "startingVersion" -> "0"))
+      feed.feedFrame(-1L, t.currentVersion.get)
+        .orderBy("_commit_version", "_change_type", "id")
+    },
+
     // Historic/SCD2: changed keys carry a closed version (ValidTo = T2)
     // plus an open successor; new keys open at T2; untouched keys keep T1.
     QueryDef(

@@ -141,8 +141,17 @@ class ChangeFeedStreamSource(
     // a replayed first batch carries its own from-boundary in the end
     // offset's index field — no source state needed
     val from = start.map(GraftSourceOffset.of(_).version).getOrElse(endO.index)
-    guardHorizon(from)
-    val frames = (from + 1 to endO.version).map { v =>
+    val batch = feedFrame(from, endO.version)
+    if (position.forall(_.version < endO.version)) position = Some(endO)
+    GraftStreamingShim.asStreaming(batch)
+  }
+
+  /** The classified changes of versions (`fromExclusive`, `to`] as an
+    * ordinary batch frame — [[getBatch]] minus the streaming re-root
+    * (callable directly for backfill-style batch CDC reads). */
+  private[graft] def feedFrame(fromExclusive: Long, to: Long): DataFrame = {
+    guardHorizon(fromExclusive)
+    val frames = (fromExclusive + 1 to to).map { v =>
       val classified =
         if (v == 0L)
           // no version −1 to diff against: the first commit IS its changes
@@ -151,11 +160,9 @@ class ChangeFeedStreamSource(
           project(table.rowChanges(v - 1, v, keyCols), changeType = None)
       classified.withColumn("_commit_version", lit(v).cast(LongType))
     }
-    val batch = frames.reduceOption(_ unionAll _).getOrElse(
+    frames.reduceOption(_ unionAll _).getOrElse(
       sqlContext.sparkSession.createDataFrame(
         sqlContext.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-    if (position.forall(_.version < endO.version)) position = Some(endO)
-    GraftStreamingShim.asStreaming(batch)
   }
 
   /** Pin the table-column set declared at stream start (null-fill
