@@ -75,6 +75,27 @@ object EngineOps {
     * same rows). Vacuum on reuse bounds the commit garbage a repeated
     * benchmark would otherwise accumulate. */
   private val stagedZorder = scala.collection.mutable.Set.empty[String]
+  private val stagedBloom = scala.collection.mutable.Set.empty[String]
+
+  /** Orders staged hash-distributed across files (every file's
+    * o_orderkey [min,max] spans the domain — min/max skipping keeps
+    * all of them) with a Bloom index on the key. */
+  private def ensureBloomTable(
+      spark: SparkSession, sfDir: String): graft.tables.ManagedTable =
+    stagedBloom.synchronized {
+      val root = s"/tmp/graft_engine/bloom_${dirKey(sfDir)}"
+      val t = graft.tables.ManagedTable(spark, s"$root/orders")
+      if (!stagedBloom.contains(root)) {
+        val p = new Path(root)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        t.overwriteAll(Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_custkey", "o_orderdate").repartition(8))
+        t.addBloomIndex("o_orderkey")
+        stagedBloom += root
+      }
+      t
+    }
 
   private def ensureZorderTable(
       spark: SparkSession, sfDir: String): graft.tables.ManagedTable =
@@ -272,6 +293,24 @@ object EngineOps {
       t.zorder(Seq("o_custkey", "o_orderdate"), targetFiles = 8)
       t.readRange("o_custkey", Some(100L), Some(500L))
         .filter(col("o_orderdate").between("1995-01-01", "1995-12-31"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy("o_orderkey")
+    },
+
+    // Bloom-filter point lookup under the oracle: orders staged
+    // hash-distributed (min/max skipping is blind — every file spans the
+    // key domain), Bloom-indexed on o_orderkey, then an IN-list lookup
+    // through stats+bloom file skipping (readEquals). Present and absent
+    // keys both probe; the result must equal the plain declarative IN
+    // filter — false positives cost reads, never rows.
+    QueryDef(
+      "q_e_bloom_skip",
+      """SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        |WHERE o_orderkey IN (1, 7, 32, 33, 65, 4000, 9988, 29476, 123456789)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val t = ensureBloomTable(s, d)
+      t.readEquals("o_orderkey", Seq(1L, 7L, 32L, 33L, 65L, 4000L, 9988L,
+          29476L, 123456789L))
         .select("o_orderkey", "o_custkey", "o_orderdate")
         .orderBy("o_orderkey")
     },

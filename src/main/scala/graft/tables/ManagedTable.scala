@@ -49,6 +49,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private val pointerFile = new Path(metaDir, "_current")
   private val earliestFile = new Path(metaDir, "_earliest")
   private val txnDir = new Path(metaDir, "_txn")
+  private val bloomDir = new Path(metaDir, "_bloom")
+  private val bloomConfigFile = new Path(metaDir, "_bloomindex.json")
   private val dataDir = new Path(root, "data")
 
   private def fs: FileSystem =
@@ -485,6 +487,92 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val c = col(s"`$column`")
     val withLo = lower.map(l => base.filter(c >= l)).getOrElse(base)
     upper.map(u => withLo.filter(c <= u)).getOrElse(withLo)
+  }
+
+  // ---------------------------------------------------- bloom indexes
+
+  /** Bloom-indexed columns and their configs (empty = none). The config
+    * is a table-level setting, not versioned: blooms are a pure
+    * optimization consulted only when present, so time travel needs no
+    * config history. */
+  def bloomIndexes: Map[String, BloomIndexConfig] =
+    if (!fs.exists(bloomConfigFile)) Map.empty
+    else {
+      val in = fs.open(bloomConfigFile)
+      try BloomIndex.configFromJson(
+        new String(in.readAllBytes(), StandardCharsets.UTF_8))
+      finally in.close()
+    }
+
+  /** Register a per-file Bloom-filter index on `column` (see
+    * [[BloomIndex]]) and backfill sidecars for the current snapshot's
+    * files. Every subsequent data write builds blooms for its new files
+    * as part of the commit. `expectedItemsPerFile` sizes each filter
+    * (~1.2 bytes/item at fpp 1%) — oversize rather than undersize: an
+    * overfull bloom degrades toward keeping every file, silently losing
+    * the speedup but never correctness. */
+  def addBloomIndex(column: String, fpp: Double = 0.01,
+      expectedItemsPerFile: Long = 100000L): Unit = withWriteLock {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    require(expectedItemsPerFile > 0,
+      s"expectedItemsPerFile must be positive, got $expectedItemsPerFile")
+    val m = requireManifest
+    val f = m.schema.fields.find(_.name == column).getOrElse(
+      throw new MetadataException(
+        s"Cannot bloom-index $rootPath.$column: no such column"))
+    if (!BloomIndex.supported(f.dataType)) throw new MetadataException(
+      s"Cannot bloom-index $rootPath.$column: type ${f.dataType.simpleString} " +
+        "is not supported (byte/short/int/long, string, date are)")
+    val cfg = BloomIndexConfig(fpp, expectedItemsPerFile)
+    writeFileAtomic(bloomConfigFile,
+      BloomIndex.configToJson(bloomIndexes + (column -> cfg)))
+    BloomIndex.build(spark, fs, root, bloomDir, m.files, m.schema,
+      Map(column -> cfg), fileUriLookup(m.files), onlyMissing = true)
+  }
+
+  /** Unregister the index and delete its sidecars. */
+  def dropBloomIndex(column: String): Unit = withWriteLock {
+    val cur = bloomIndexes
+    if (cur.contains(column)) {
+      writeFileAtomic(bloomConfigFile, BloomIndex.configToJson(cur - column))
+      BloomIndex.deleteColumn(fs, bloomDir, column)
+    }
+  }
+
+  /** Data skipping for equality/IN predicates: files that might contain
+    * ANY of `values` in `column` — min/max overlap first, then the
+    * per-file bloom when the column is indexed. Files without stats or
+    * sidecars are conservatively kept, and a probe value with no safe
+    * canonical form disables the bloom pass for the whole query (a
+    * wrongly-skipped file would drop rows; a kept one only costs time). */
+  def filesMightContain(column: String, values: Seq[Any]): Seq[TableFile] = {
+    require(values.nonEmpty, "filesMightContain needs at least one value")
+    val m = requireManifest
+    val dt = m.schema.fields.find(_.name == column).map(_.dataType)
+    val bounds = values.map(v => statsBound(dt, v))
+    val ranged = m.files.filter(f => bounds.exists(b =>
+      f.stats.get(column).forall(_.overlaps(b, b))))
+    (bloomIndexes.get(column), dt) match {
+      case (Some(_), Some(d)) =>
+        val probes = values.flatMap(v => BloomIndex.probe(d, v))
+        if (probes.size != values.size) ranged // untranslatable probe
+        else ranged.filter(f =>
+          BloomIndex.load(fs, bloomDir, f.path, column) match {
+            case None        => true
+            case Some(bloom) => probes.exists(BloomIndex.mightContain(bloom, _))
+          })
+      case _ => ranged
+    }
+  }
+
+  /** Point/IN lookup through stats + bloom file skipping; result equals
+    * `read().filter(col isin values)` exactly — the predicate is
+    * re-applied to surviving rows, so bloom false positives cost only
+    * the extra file read. */
+  def readEquals(column: String, values: Seq[Any]): DataFrame = {
+    val m = requireManifest
+    readFiles(m, filesMightContain(column, values))
+      .filter(col(s"`$column`").isin(values: _*))
   }
 
   private def requireManifest: Manifest =
@@ -1109,8 +1197,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
       val commitFiles = listParquet(st.getPath)
       if (commitFiles.forall { case (p, _) =>
-            !live.contains(fs.makeQualified(p).toString) })
+            !live.contains(fs.makeQualified(p).toString) }) {
         fs.delete(st.getPath, true)
+        // bloom sidecars follow their data files' lifecycle
+        commitFiles.foreach { case (p, _) =>
+          BloomIndex.deleteFor(fs, bloomDir, rel(p)) }
+      }
     }
     val needed = retained.map(_.version).toSet ++
       retained.flatMap(r => chainVersions(r.version))
@@ -1241,6 +1333,25 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * created [[TableFile]]s with their partition values. One distributed
     * write job regardless of partition count. */
   private def writeCommit(df: DataFrame, partitionBy: Seq[String]): Seq[TableFile] = {
+    val files = writeCommitFiles(df, partitionBy)
+    // bloom sidecars ride the commit's files (one distributed pass over
+    // just-written data, indexed columns only); a failed build degrades
+    // to "no sidecar → file kept", so it must never fail the commit
+    val idx = bloomIndexes
+    if (idx.nonEmpty)
+      try BloomIndex.build(spark, fs, root, bloomDir, files, df.schema, idx,
+        fileUriLookup(files))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(classOf[ManagedTable]).warn(
+            s"bloom sidecar build failed for commit into $rootPath " +
+              "(skipping stays conservative for these files)", e)
+      }
+    files
+  }
+
+  private def writeCommitFiles(
+      df: DataFrame, partitionBy: Seq[String]): Seq[TableFile] = {
     val commitId = UUID.randomUUID().toString
     val commitDir = new Path(dataDir, commitId)
     val conf = spark.sparkContext.hadoopConfiguration

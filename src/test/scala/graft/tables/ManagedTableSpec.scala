@@ -603,6 +603,58 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.update(Map("qty" -> "0"), "id > 99") shouldBe 0L
   }
 
+  test("bloom index: equality skipping where min/max can't help; auto-build on write") {
+    import spark.implicits._
+    val t = ManagedTable(spark, tmp() + "/bl")
+    // interleaved values: every file's [min,max] spans the domain, so
+    // min/max skipping keeps everything — the bloom's home turf
+    t.overwriteAll((1 to 99 by 2).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(1))                                             // odds
+    t.append((2 to 100 by 2).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(1))                                             // evens
+    t.filesInRange("id", Some(8), Some(8)).size shouldBe 2 // min/max keeps both
+
+    t.addBloomIndex("id")
+    t.filesMightContain("id", Seq(8)).size shouldBe 1 // bloom cuts to evens
+
+    // a write AFTER indexing builds its sidecar as part of the commit
+    t.append((7 to 97 by 10).map(i => (i, s"c$i")).toDF("id", "v")
+      .repartition(1))                                             // 7,17,…97
+    t.filesInRange("id", Some(8), Some(8)).size shouldBe 3
+    t.filesMightContain("id", Seq(8)).size shouldBe 1
+
+    // IN-list: union of per-value candidates; result equals the plain filter
+    t.filesMightContain("id", Seq(7, 8)).size shouldBe 3 // 7 in odds AND new file
+    t.readEquals("id", Seq(7, 8)).collect().map(_.getInt(0)).sorted shouldBe
+      t.read().filter(col("id").isin(7, 8)).collect().map(_.getInt(0)).sorted
+
+    // drop: skipping falls back to min/max only
+    t.dropBloomIndex("id")
+    t.filesMightContain("id", Seq(8)).size shouldBe 3
+  }
+
+  test("bloom index: unsupported type rejected; vacuum deletes orphaned sidecars") {
+    import spark.implicits._
+    val root = tmp() + "/blv"
+    val t = ManagedTable(spark, root)
+    t.overwriteAll(Seq((1, 1.5), (2, 2.5)).toDF("id", "score").repartition(1))
+    the[graft.metadata.MetadataException] thrownBy
+      t.addBloomIndex("score") should have message
+      s"Cannot bloom-index $root.score: type double is not supported " +
+        "(byte/short/int/long, string, date are)"
+
+    t.addBloomIndex("id")
+    val bloomDir = new java.io.File(root, "_graft/_bloom")
+    def sidecars() = bloomDir.list().count(_.endsWith(".bloom"))
+    sidecars() shouldBe 1
+    t.overwriteAll(Seq((3, 3.5)).toDF("id", "score").repartition(1))
+    sidecars() shouldBe 2
+    t.vacuum() // old version's file gone → its sidecar must go too
+    sidecars() shouldBe 1
+    t.filesMightContain("id", Seq(3)).size shouldBe 1
+    t.readEquals("id", Seq(3)).count() shouldBe 1
+  }
+
   test("cross-process concurrent commit is detected, not silently lost") {
     val root = tmp() + "/t7"
     val t = ManagedTable(spark, root)
