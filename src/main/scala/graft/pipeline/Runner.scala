@@ -88,6 +88,13 @@ object Runner {
         case None                        => table.compact()
       }
       table.collectStatistics()
+      // `bloom_index` setting: equality-lookup columns to bloom-index
+      // (registers once, then every write keeps sidecars current; the
+      // call after a compaction/zorder rewrite also backfills the
+      // rewritten files' sidecars via onlyMissing)
+      e.settingString("bloom_index").map(_.split(',').map(_.trim)
+        .filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+        .foreach(_.foreach(c => table.addBloomIndex(c)))
       if (vacuum) table.vacuum()
     }
   }

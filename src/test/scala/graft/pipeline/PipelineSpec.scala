@@ -183,6 +183,35 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     table.history().head.operation shouldBe "compactSmall"
   }
 
+  test("maintainEntity: bloom_index setting registers the index; later writes keep it") {
+    val md = fixture(extraEntity = """,
+      { "id": 11, "name": "cust_b", "connection": "src1", "processtype": "merge",
+        "settings": { "delete_missing": false, "bloom_index": "ID" },
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+          { "name": "SeqNr", "datatype": "integer" },
+          { "name": "name", "datatype": "string" }
+        ] }""")
+    val e = md.getEntity(11)
+    writeSlice(md, e, "s1.parquet",
+      mergeSlice((1 to 40).map(i => (i, i, s"n$i"))))
+    run(md, 11, "s1.parquet", T1)
+
+    val table = graft.tables.ManagedTable.forLocation(spark, md.silverLocation(e))
+    Runner.maintainEntity(md, e)
+    table.bloomIndexes.keySet shouldBe Set("ID")
+
+    // a post-maintenance merge's files get sidecars as part of the write;
+    // the bloom-skipped lookup equals the plain filter exactly
+    writeSlice(md, e, "s2.parquet", mergeSlice(Seq((41, 99, "new"))))
+    run(md, 11, "s2.parquet", T2)
+    table.readEquals("ID", Seq(41)).collect() shouldBe
+      table.read().filter(col("ID") === 41).collect()
+    // idempotent re-maintenance (index already registered)
+    Runner.maintainEntity(md, e)
+    table.bloomIndexes.keySet shouldBe Set("ID")
+  }
+
   test("merge + historic stay correct when the slice exceeds broadcastMaxRows") {
     // threshold 1 row: every slice takes the no-broadcast (shuffle) path
     spark.conf.set("spark.graft.merge.broadcastMaxRows", "1")
