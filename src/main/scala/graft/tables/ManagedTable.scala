@@ -655,7 +655,18 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * reference contract, MergeProcessingSpec.scala:323-368). `operation`
     * tags the commit in [[history]]; `txn` embeds a streaming-writer
     * transaction identity atomically with the data (the sink's
-    * exactly-once anchor — see [[Txn]]). */
+    * exactly-once anchor — see [[Txn]]).
+    *
+    * A blind append lost a cross-process commit race is RETRIED against
+    * the winner's head (Delta's auto-resolving append-conflict rule):
+    * it removes nothing and reads nothing, so it logically conflicts
+    * with no interleaved commit — the already-written files are re-based
+    * in a metadata-only recommit. Conservative guards: if the winner
+    * changed the schema, partitioning, or constraints this append was
+    * validated against, the original [[ConcurrentWriteException]]
+    * surfaces instead (a stale-validation commit must not slip in). All
+    * other mutations (overwrite, merge, DML, maintenance) keep failing
+    * fast — they read state a concurrent commit may have invalidated. */
   def append(df: DataFrame, operation: String = "append",
       txn: Option[Txn] = None): Unit =
     withWriteLock { manifest match {
@@ -664,8 +675,24 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         val d = reconcileSchema(df, m)
         enforceConstraints(d, m.constraints, operation)
         val newFiles = writeCommit(d, m.partitionColumns)
-        commitDelta(d.schema.json, m.partitionColumns, operation,
-          base = Some(m), adds = newFiles, removes = Nil, txn = txn)
+        var base = m
+        var attempt = 0
+        var committed = false
+        while (!committed)
+          try {
+            commitDelta(d.schema.json, base.partitionColumns, operation,
+              base = Some(base), adds = newFiles, removes = Nil, txn = txn)
+            committed = true
+          } catch {
+            case e: ConcurrentWriteException =>
+              attempt += 1
+              if (attempt > ManagedTable.MaxAppendRetries) throw e
+              val cur = requireManifest // the winner's head (pointer moved)
+              if (cur.schemaJson != base.schemaJson ||
+                  cur.partitionColumns != base.partitionColumns ||
+                  cur.constraints != base.constraints) throw e
+              base = cur // an orphan record keeps colliding → attempts exhaust
+          }
     } }
 
   /** Snapshot restricted to exactly `files` (entries of `m`) — the
@@ -1437,6 +1464,19 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       txn: Option[Txn] = None,
       constraintsOverride: Option[Map[String, String]] = None): Unit = {
     val next = currentVersion.map(_ + 1).getOrElse(0L)
+    // stale-base guard: the put-if-absent record create below only
+    // detects a rival racing for the SAME version number. A rival whose
+    // full commit (record + pointer) landed inside this transaction's
+    // data-write window moves the pointer forward, so this commit would
+    // get a FRESH version number built on a STALE base — silently
+    // dropping the rival's files from the new snapshot. Any interleaved
+    // commit invalidates what this transaction read, so fail (blind
+    // appends catch and rebase; everything else surfaces the conflict).
+    base.foreach(b => if (b.version + 1 != next)
+      throw new ConcurrentWriteException(
+        s"concurrent commit detected at $rootPath: transaction based on " +
+          s"version ${b.version} but the table is at ${next - 1} — " +
+          "another writer committed in between"))
     val now = System.currentTimeMillis()
     val removed = removes.toSet
     val newFiles = base.map(_.files.filterNot(f => removed.contains(f.path)))
@@ -1595,6 +1635,11 @@ final class ConcurrentWriteException(msg: String, cause: Throwable = null)
   extends graft.metadata.MetadataException(msg, cause)
 
 object ManagedTable {
+
+  /** Bounded recommit attempts for a blind append that lost a
+    * cross-process commit race (an orphan record never resolves —
+    * retrying forever would hang the writer on operator error). */
+  val MaxAppendRetries = 5
 
   /** Directory marker Spark uses for null partition values. */
   val NullPartitionValue = "__HIVE_DEFAULT_PARTITION__"

@@ -633,6 +633,32 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.filesMightContain("id", Seq(8)).size shouldBe 3
   }
 
+  test("bloom index: no false negatives across type edge cases") {
+    import spark.implicits._
+    val t = ManagedTable(spark, tmp() + "/ble")
+    val longs = Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue)
+    val strings = Seq("", "a", "héllo wörld", "😀emoji", "x" * 1000)
+    val dates = Seq("1900-01-01", "1969-12-31", "1970-01-01", "2100-12-31")
+      .map(java.sql.Date.valueOf)
+    val rows = longs.indices.map(i =>
+      (longs(i), strings(i % strings.size), dates(i % dates.size)))
+    t.overwriteAll(rows.toDF("l", "s", "d").repartition(1))
+    t.addBloomIndex("l"); t.addBloomIndex("s"); t.addBloomIndex("d")
+    // every present value must survive the bloom pass (a false negative
+    // would silently drop rows); absent values must still agree with the
+    // plain filter (false positives are filtered after the file read)
+    for (v <- longs :+ 12345L)
+      t.readEquals("l", Seq(v)).count() shouldBe
+        t.read().filter(col("l") === v).count()
+    for (v <- strings :+ "absent")
+      t.readEquals("s", Seq(v)).count() shouldBe
+        t.read().filter(col("s") === v).count()
+    for (v <- dates :+ java.sql.Date.valueOf("2000-06-15"))
+      t.readEquals("d", Seq(v)).count() shouldBe
+        t.read().filter(col("d") === v).count()
+    longs.foreach(v => t.filesMightContain("l", Seq(v)).size shouldBe 1)
+  }
+
   test("bloom index: unsupported type rejected; vacuum deletes orphaned sidecars") {
     import spark.implicits._
     val root = tmp() + "/blv"
@@ -680,4 +706,47 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.currentVersion shouldBe Some(1L)
     t.read().count() shouldBe 2
   }
+
+  test("blind append that loses a cross-process commit race rebases and retries") {
+    val root = tmp() + "/t8"
+    val t = ManagedTable(spark, root)
+    t.overwriteAll(df(Seq((1, "a", "x"))))
+    // a symlink alias gives the rival a DIFFERENT per-path lock key over
+    // the SAME physical table — emulating a second process (the in-JVM
+    // lock would otherwise serialize the two writers and hide the race)
+    val alias = tmp() + "/alias"
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(alias), java.nio.file.Paths.get(root))
+    val rival = ManagedTable(spark, alias)
+
+    // gate inside the slow writer's data evaluation: it has read base v0
+    // and is mid-writeCommit when the rival lands v1 under it
+    val gate = udf((i: Int) => {
+      AppendRaceGate.started.countDown()
+      AppendRaceGate.proceed.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      i
+    })
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val slow = Future {
+      t.append(df(Seq((2, "b", "y"))).withColumn("id", gate(col("id"))))
+    }
+    try {
+      AppendRaceGate.started.await(30, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      rival.append(df(Seq((3, "c", "z")))) // wins version 1
+    } finally AppendRaceGate.proceed.countDown()
+    Await.result(slow, scala.concurrent.duration.Duration(60, "s"))
+
+    // the loser re-based its already-written files onto the winner's head:
+    // nothing lost, nothing doubled
+    t.currentVersion shouldBe Some(2L)
+    t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2, 3)
+  }
+}
+
+/** Latches for the append-race test — object statics so the gating UDF
+  * reaches them from executor threads (local mode, same JVM). */
+object AppendRaceGate {
+  val started = new java.util.concurrent.CountDownLatch(1)
+  val proceed = new java.util.concurrent.CountDownLatch(1)
 }
