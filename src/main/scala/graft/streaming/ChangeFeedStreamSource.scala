@@ -59,8 +59,12 @@ class ChangeFeedStreamSource(
     sqlContext: SQLContext,
     path: String,
     tableSchema: StructType,
-    parameters: Map[String, String]) extends Source {
+    parameters: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset => OffsetV2, ReadLimit}
   import ChangeFeedStreamSource._
 
   private val table = ManagedTable(sqlContext.sparkSession, path)
@@ -113,13 +117,48 @@ class ChangeFeedStreamSource(
       f
     }
 
-  override def getOffset: Option[Offset] = {
-    val head = table.currentVersion.getOrElse(return position)
-    val from = position.map(_.version).getOrElse(resolveStart(head))
+  /** Head version frozen by [[prepareForTriggerAvailableNow]]:
+    * `Trigger.AvailableNow` drains the feed up to here in bounded
+    * batches (the nightly-CDC drain-and-stop pattern), leaving commits
+    * that race in after the trigger started for the next run. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = table.currentVersion
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Spark's admission-control entry (preferred over [[getOffset]]):
+    * the engine passes the previous end offset from its checkpointed
+    * state every trigger, so restarts need no source-side recovery. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val headRaw = table.currentVersion.getOrElse(return null)
+    val head = availableNowCap.fold(headRaw)(math.min(_, headRaw))
+    val from = Option(start).map(GraftSourceOffset.of(_).version)
+      .getOrElse(resolveStart(head))
     guardHorizon(from)
-    if (head <= from) position // nothing new
+    if (head <= from) start // nothing new: equal offsets mean no batch
     else {
       val to = maxVersions.fold(head)(mv => math.min(head, from + mv))
+      val next = GraftSourceOffset(to, from, isInitial = false)
+      if (position.forall(_.version < to)) position = Some(next)
+      next
+    }
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    table.currentVersion
+      .map(v => GraftSourceOffset(v, Long.MaxValue, isInitial = false))
+      .orNull
+
+  override def getOffset: Option[Offset] = {
+    val head = table.currentVersion.getOrElse(return position)
+    val capped = availableNowCap.fold(head)(math.min(_, head))
+    val from = position.map(_.version).getOrElse(resolveStart(capped))
+    guardHorizon(from)
+    if (capped <= from) position // nothing new
+    else {
+      val to = maxVersions.fold(capped)(mv => math.min(capped, from + mv))
       val next = GraftSourceOffset(to, from, isInitial = false)
       position = Some(next)
       Some(next)

@@ -770,6 +770,36 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("change feed stream: Trigger.AvailableNow drains the backlog, then stops") {
+    import graft.tables.{ManagedTable, MergeInto}
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdfa").toString
+    val t = ManagedTable(spark, dir + "/t")
+    t.overwriteAll(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))          // v0
+    MergeInto.byKey(t, Seq((1L, "a2")).toDF("id", "v"), "id")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()       // v1
+    t.append(Seq((3L, "c")).toDF("id", "v"))                           // v2
+
+    val q = spark.readStream
+      .format(classOf[TableStreamProvider].getName)
+      .option("path", dir + "/t")
+      .option("changeFeed", "true")
+      .option("changeFeedKeys", "id")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("cdfa")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) shouldBe true // drains the cap, then stops
+    val rows = spark.table("cdfa")
+      .select("id", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    rows shouldBe Set(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+      (1L, "a2", "update_postimage", 1L),
+      (3L, "c", "insert", 2L))
+  }
+
   test("change feed stream: checkpoint restart resumes exactly-once") {
     import graft.tables.{ManagedTable, MergeInto}
     val base = java.nio.file.Files.createTempDirectory("graft-cdfr").toString
