@@ -150,29 +150,71 @@ object BloomIndex {
               b.writeTo(bos)
               (f, bos.toByteArray)
             }
-          }.collect()
-        fs.mkdirs(bloomDir)
-        // merge each file's task-partials (identical (items, fpp) params
-        // make them mergeable) and write the sidecar; an empty file (all
-        // nulls) still gets one, so probes can skip it outright
-        val byRel = partials.toSeq
-          .flatMap { case (uri, bytes) => uriToRel.get(uri).map(_ -> bytes) }
-          .groupBy(_._1)
-        todo.foreach { f =>
-          val merged = byRel.getOrElse(f.path, Nil).map(_._2) match {
-            case Nil => BloomFilter.create(items, fpp) // no non-null values
-            case head +: tail =>
-              val b = BloomFilter.readFrom(
-                new java.io.ByteArrayInputStream(head))
-              tail.foreach(t => b.mergeInPlace(
-                BloomFilter.readFrom(new java.io.ByteArrayInputStream(t))))
-              b
           }
+        fs.mkdirs(bloomDir)
+        // stream partials to the driver partition-by-partition and merge
+        // incrementally — driver memory stays O(one partition's blobs),
+        // never O(files), so a million-file backfill cannot OOM the
+        // driver. A file's partials may span partitions (identical
+        // (items, fpp) params make them mergeable); the first partial of
+        // this build overwrites any stale sidecar, later ones merge in.
+        val written = scala.collection.mutable.Set.empty[String]
+        partials.toLocalIterator().forEachRemaining { case (uri, bytes) =>
+          uriToRel.get(uri).foreach { rel =>
+            val p = new Path(bloomDir, sidecarName(rel, c))
+            val fresh = BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bytes))
+            val merged =
+              if (!written.contains(rel)) fresh
+              else {
+                val in = fs.open(p)
+                val prev = try BloomFilter.readFrom(in) finally in.close()
+                prev.mergeInPlace(fresh)
+              }
+            val out = fs.create(p, true)
+            try merged.writeTo(out) finally out.close()
+            written += rel
+          }
+        }
+        // an empty file (no rows / all nulls) still gets a sidecar, so
+        // probes can skip it outright
+        todo.filterNot(f => written.contains(f.path)).foreach { f =>
           val out = fs.create(new Path(bloomDir, sidecarName(f.path, c)), true)
-          try merged.writeTo(out) finally out.close()
+          try BloomFilter.create(items, fpp).writeTo(out) finally out.close()
         }
       }
     }
+  }
+
+  /** Executor-side probe for LARGE candidate sets: at ~1M min/max
+    * survivors a driver-sequential sidecar read per file is the scaling
+    * wall, so the paths fan out as an RDD and each task reads + probes
+    * its own slice (Delta probes bloom blobs on executors during scan
+    * planning for the same reason). Every failure path — filesystem not
+    * constructible from the shipped conf, sidecar missing or unreadable —
+    * keeps the file: distribution must never skip differently than the
+    * driver-side probe would. Returns the surviving rel paths. */
+  private[tables] def probeDistributed(
+      spark: SparkSession,
+      bloomDirStr: String,
+      relPaths: Seq[String],
+      column: String,
+      probes: Seq[Either[Long, String]]): Set[String] = {
+    val ser = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = math.max(1, math.min(256, relPaths.size / 1024 + 1))
+    spark.sparkContext.parallelize(relPaths, parts).mapPartitions { it =>
+      val dir = new Path(bloomDirStr)
+      val f =
+        try dir.getFileSystem(ser.value)
+        catch { case scala.util.control.NonFatal(_) => null }
+      it.filter { rel =>
+        f == null || (load(f, dir, rel, column) match {
+          case None        => true
+          case Some(bloom) => probes.exists(mightContain(bloom, _))
+        })
+      }
+    }.collect().toSet
   }
 
   /** The (file, column) sidecar, or None when absent/unreadable —

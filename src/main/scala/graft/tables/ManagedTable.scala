@@ -556,7 +556,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       case (Some(_), Some(d)) =>
         val probes = values.flatMap(v => BloomIndex.probe(d, v))
         if (probes.size != values.size) ranged // untranslatable probe
-        else ranged.filter(f =>
+        else if (ranged.size > distributedProbeThreshold) {
+          // large candidate set: fan the sidecar reads out to executors
+          // instead of one driver RPC per file
+          val keep = BloomIndex.probeDistributed(spark,
+            fs.makeQualified(bloomDir).toString, ranged.map(_.path),
+            column, probes)
+          ranged.filter(f => keep.contains(f.path))
+        } else ranged.filter(f =>
           BloomIndex.load(fs, bloomDir, f.path, column) match {
             case None        => true
             case Some(bloom) => probes.exists(BloomIndex.mightContain(bloom, _))
@@ -564,6 +571,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       case _ => ranged
     }
   }
+
+  /** Candidate-file count above which the bloom probe distributes. */
+  private def distributedProbeThreshold: Int =
+    spark.conf.get("spark.graft.bloom.distributedProbeThreshold", "256").toInt
 
   /** Point/IN lookup through stats + bloom file skipping; result equals
     * `read().filter(col isin values)` exactly — the predicate is

@@ -633,6 +633,23 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.filesMightContain("id", Seq(8)).size shouldBe 3
   }
 
+  test("bloom index: distributed probe path agrees with the driver-side probe") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.bloom.distributedProbeThreshold", "1")
+    try {
+      val t = ManagedTable(spark, tmp() + "/bld")
+      t.overwriteAll((1 to 99 by 2).map(i => (i, s"r$i")).toDF("id", "v")
+        .repartition(1))
+      t.append((2 to 100 by 2).map(i => (i, s"r$i")).toDF("id", "v")
+        .repartition(1))
+      t.addBloomIndex("id")
+      // 2 candidates > threshold 1 → the probe fans out as an RDD job
+      t.filesMightContain("id", Seq(8)).size shouldBe 1
+      t.readEquals("id", Seq(8)).collect().map(_.getInt(0)) shouldBe Array(8)
+      t.readEquals("id", Seq(7, 8)).count() shouldBe 2
+    } finally spark.conf.unset("spark.graft.bloom.distributedProbeThreshold")
+  }
+
   test("bloom index: no false negatives across type edge cases") {
     import spark.implicits._
     val t = ManagedTable(spark, tmp() + "/ble")
