@@ -1291,9 +1291,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         // record between the listing and the read — skip it, don't throw
         try Some(Manifest.recordFromJsonString(readRecordString(v)) match {
           case Left(m) => TableHistory(v, m.operation, m.timestampMs,
-            checkpoint = true)
+            checkpoint = true, metrics = m.metrics)
           case Right(inc) => TableHistory(v, inc.operation, inc.timestampMs,
-            checkpoint = false)
+            checkpoint = false, metrics = inc.metrics)
         })
         catch { case _: java.io.FileNotFoundException => None }
       }
@@ -1495,13 +1495,23 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // constraints carry forward unless this commit changes them
     val cs = constraintsOverride
       .getOrElse(base.map(_.constraints).getOrElse(Map.empty))
+    // per-commit operation metrics (Delta's operationMetrics): free
+    // driver arithmetic over entries already in hand; row/byte sums only
+    // when every added entry carries the stat (a partial sum would lie)
+    val metrics = Map(
+      "filesAdded" -> adds.size.toLong,
+      "filesRemoved" -> removes.size.toLong) ++
+      (if (adds.nonEmpty && adds.forall(_.rows.isDefined))
+        Map("rowsAdded" -> adds.flatMap(_.rows).sum) else Map.empty) ++
+      (if (adds.nonEmpty && adds.forall(_.bytes.isDefined))
+        Map("bytesAdded" -> adds.flatMap(_.bytes).sum) else Map.empty)
     val checkpoint = base.isEmpty ||
       next % Manifest.CheckpointInterval == 0 ||
       adds.size + removes.size >= newFiles.size // delta wouldn't be smaller
     val (recordJson, snapshot) =
       if (checkpoint) {
         val m = Manifest(next, schemaJson, partitionBy, newFiles, operation, now,
-          txn = txn, constraints = cs)
+          txn = txn, constraints = cs, metrics = metrics)
         if (newFiles.size >= parquetCheckpointThreshold) {
           // large-table checkpoint: the file list goes to a parquet sidecar
           // written as a distributed dataset BEFORE the record that points
@@ -1514,10 +1524,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       } else {
         val inc = IncrementalManifest(next, schemaJson, partitionBy,
           base.get.version, adds, removes, operation, now, txn = txn,
-          constraints = cs)
+          constraints = cs, metrics = metrics)
         (inc.toJsonString,
           Manifest(next, schemaJson, partitionBy, newFiles, operation, now,
-            txn = txn, constraints = cs))
+            txn = txn, constraints = cs, metrics = metrics))
       }
     fs.mkdirs(manifestsDir)
     // the record create is the commit ARBITER (Delta's log-file
@@ -1629,8 +1639,13 @@ final case class TableDetail(
     operation: String,
     timestampMs: Long)
 
+/** One audit row of [[ManagedTable.history]] (DESCRIBE HISTORY
+  * equivalent). `metrics` is what the COMMIT did — filesAdded /
+  * filesRemoved always, rowsAdded / bytesAdded when every added entry
+  * carried the stat (empty for pre-metrics records). */
 final case class TableHistory(
-    version: Long, operation: String, timestampMs: Long, checkpoint: Boolean)
+    version: Long, operation: String, timestampMs: Long, checkpoint: Boolean,
+    metrics: Map[String, Long] = Map.empty)
 
 /** Thrown when a write contains a row for which an active CHECK
   * constraint evaluates FALSE. The transaction wrote no manifest record:

@@ -111,7 +111,8 @@ final case class Manifest(
     timestampMs: Long,
     filesRef: Option[String] = None,
     txn: Option[Txn] = None,
-    constraints: Map[String, String] = Map.empty) {
+    constraints: Map[String, String] = Map.empty,
+    metrics: Map[String, Long] = Map.empty) {
 
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
@@ -123,7 +124,8 @@ final case class Manifest(
       "operation" -> JString(operation),
       "timestampMs" -> JLong(timestampMs)) ++
       Manifest.txnToJson(txn) ++
-      Manifest.constraintsToJson(constraints)
+      Manifest.constraintsToJson(constraints) ++
+      Manifest.metricsToJson(metrics)
     val j = JObject(base ++ (filesRef match {
       case Some(ref) => List("filesRef" -> JString(ref))
       case None      => List("files" -> Manifest.filesToJson(files))
@@ -149,7 +151,8 @@ final case class IncrementalManifest(
     operation: String,
     timestampMs: Long,
     txn: Option[Txn] = None,
-    constraints: Map[String, String] = Map.empty) {
+    constraints: Map[String, String] = Map.empty,
+    metrics: Map[String, Long] = Map.empty) {
 
   def toJsonString: String = {
     val j = JObject(List(
@@ -160,7 +163,8 @@ final case class IncrementalManifest(
       "operation" -> JString(operation),
       "timestampMs" -> JLong(timestampMs)) ++
       Manifest.txnToJson(txn) ++
-      Manifest.constraintsToJson(constraints) ++ List(
+      Manifest.constraintsToJson(constraints) ++
+      Manifest.metricsToJson(metrics) ++ List(
       "adds" -> (Manifest.filesToJson(adds): JValue),
       "removes" -> JArray(removes.map(JString(_)).toList)))
     JsonMethods.compact(JsonMethods.render(j))
@@ -171,7 +175,8 @@ final case class IncrementalManifest(
     val removed = removes.toSet
     Manifest(version, schemaJson, partitionColumns,
       base.files.filterNot(f => removed.contains(f.path)) ++ adds,
-      operation, timestampMs, txn = txn, constraints = constraints)
+      operation, timestampMs, txn = txn, constraints = constraints,
+      metrics = metrics)
   }
 }
 
@@ -201,6 +206,20 @@ object Manifest {
 
   private def constraintsFromJson(v: JValue): Map[String, String] = v match {
     case JObject(kvs) => kvs.map { case (n, e) => n -> str(e) }.toMap
+    case _            => Map.empty
+  }
+
+  /** Per-commit operation metrics (Delta's `operationMetrics`): what the
+    * COMMIT did (files/rows/bytes added, files removed), not table
+    * totals. Absent key ⇔ none — old records parse unchanged. */
+  private[tables] def metricsToJson(
+      ms: Map[String, Long]): List[(String, JValue)] =
+    if (ms.isEmpty) Nil
+    else List("metrics" -> JObject(
+      ms.toList.sortBy(_._1).map { case (n, v) => n -> (JLong(v): JValue) }))
+
+  private def metricsFromJson(v: JValue): Map[String, Long] = v match {
+    case JObject(kvs) => kvs.map { case (n, x) => n -> lng(x) }.toMap
     case _            => Map.empty
   }
 
@@ -269,13 +288,15 @@ object Manifest {
         }
         Left(Manifest(common._1, common._2, common._3,
           filesFromJson(j \ "files"), common._4, common._5, ref,
-          txnFromJson(j \ "txn"), constraintsFromJson(j \ "constraints")))
+          txnFromJson(j \ "txn"), constraintsFromJson(j \ "constraints"),
+          metricsFromJson(j \ "metrics")))
       case bv =>
         Right(IncrementalManifest(common._1, common._2, common._3, lng(bv),
           filesFromJson(j \ "adds"),
           (j \ "removes") match { case JArray(xs) => xs.map(str); case _ => Nil },
           common._4, common._5, txnFromJson(j \ "txn"),
-          constraintsFromJson(j \ "constraints")))
+          constraintsFromJson(j \ "constraints"),
+          metricsFromJson(j \ "metrics")))
     }
   }
 

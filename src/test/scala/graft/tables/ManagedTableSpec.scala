@@ -724,6 +724,26 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.read().count() shouldBe 2
   }
 
+  test("history carries per-commit operation metrics") {
+    val t = ManagedTable(spark, tmp() + "/hm")
+    t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "y"))).repartition(1))
+    t.append(df(Seq((3, "c", "z"))))
+    t.delete("id = 1")
+    val h = t.history() // newest first: delete, append, overwrite
+    h.map(_.operation) shouldBe Seq("delete", "append", "overwrite")
+    val Seq(del, app, ovr) = h
+    ovr.metrics("filesAdded") shouldBe 1L
+    ovr.metrics("filesRemoved") shouldBe 0L
+    ovr.metrics("rowsAdded") shouldBe 2L
+    app.metrics("filesAdded") should be >= 1L
+    app.metrics("rowsAdded") shouldBe 1L
+    // the delete rewrote the one touched two-row file without its match
+    del.metrics("filesRemoved") shouldBe 1L
+    del.metrics("rowsAdded") shouldBe 1L
+    h.foreach(_.metrics.keySet should contain allOf
+      ("filesAdded", "filesRemoved", "bytesAdded"))
+  }
+
   test("blind append that loses a cross-process commit race rebases and retries") {
     val root = tmp() + "/t8"
     val t = ManagedTable(spark, root)
