@@ -50,9 +50,15 @@ class GraftDataSource extends RelationProvider
   // ------------------------------------------------------------- batch read
   override def createRelation(
       sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation =
-    GraftRelation(sqlContext, path(parameters),
-      parameters.get("versionAsOf").map(_.toLong))
+      parameters: Map[String, String]): BaseRelation = {
+    val version = parameters.get("versionAsOf").map(_.toLong)
+    val ts = parameters.get("timestampAsOf").map(GraftDataSource.parseTimestamp)
+    require(version.isEmpty || ts.isEmpty,
+      "graft: versionAsOf and timestampAsOf are mutually exclusive")
+    val resolved = version.orElse(ts.map(t =>
+      ManagedTable(sqlContext.sparkSession, path(parameters)).versionAt(t)))
+    GraftRelation(sqlContext, path(parameters), resolved)
+  }
 
   // ------------------------------------------------------------ batch write
   override def createRelation(
@@ -154,6 +160,22 @@ final case class GraftRelation(
         .map { case (c, lo, hi) => table.filesInRange(c, lo, hi).map(_.path).toSet }
         .reduce(_ intersect _)
       table.readManifestFiles(m, m.files.filter(f => survivors.contains(f.path)))
+    }
+  }
+}
+
+object GraftDataSource {
+  /** `timestampAsOf` parse: epoch millis (all digits), else
+    * `yyyy-MM-dd[ HH:mm:ss[.f]]` interpreted in the JVM's local
+    * timezone (java.sql semantics — pass epoch millis for an
+    * unambiguous instant). */
+  private[sources] def parseTimestamp(s: String): Long = {
+    val t = s.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else {
+      val norm = t.replace('T', ' ')
+      val full = if (norm.contains(' ')) norm else s"$norm 00:00:00"
+      java.sql.Timestamp.valueOf(full).getTime
     }
   }
 }

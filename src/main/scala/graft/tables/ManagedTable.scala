@@ -185,6 +185,23 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     readSnapshot(readManifest(version))
   }
 
+  /** Newest committed version whose record timestamp is at or before
+    * `tsMillis` — Delta's `timestampAsOf` resolution. Resolution walks
+    * retained records only, so a timestamp below the vacuum horizon
+    * fails with the earliest surviving record named. */
+  def versionAt(tsMillis: Long): Long = {
+    val h = history()
+    if (h.isEmpty)
+      throw new MetadataException(s"Table $rootPath does not exist")
+    h.filter(_.timestampMs <= tsMillis).map(_.version).maxOption.getOrElse(
+      throw new MetadataException(
+        s"No version of $rootPath at or before timestamp $tsMillis " +
+          s"(earliest retained record is at ${h.map(_.timestampMs).min})"))
+  }
+
+  /** Snapshot as of a wall-clock instant ([[versionAt]] + time travel). */
+  def readTimestamp(tsMillis: Long): DataFrame = readVersion(versionAt(tsMillis))
+
   /** File-diff change feed: what changed between two committed versions,
     * as rows — `_change_type = 'added'` for rows in files the interval
     * added, `'removed'` for rows in files it removed. A rewritten file
@@ -1212,14 +1229,22 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * directory. Records the vacuum horizon so time travel below it fails
     * fast ([[readVersion]]) instead of surfacing a FileNotFoundException
     * mid-scan. */
-  def vacuum(retainVersions: Int = 0): Unit = withWriteLock {
+  def vacuum(retainVersions: Int = 0, retainMs: Long = 0L): Unit = withWriteLock {
     val m = requireManifest
-    // retention window (Delta's retention, version- rather than
-    // time-based so tests and operators get determinism): every version
-    // in [current - retainVersions, current] that still exists stays
-    // time-travelable — its records AND its data files survive. The
-    // default keeps only the current snapshot (the tightest vacuum).
-    val floor = math.max(0L, m.version - retainVersions)
+    // retention window: every version in [current - retainVersions,
+    // current] stays time-travelable (version-based — deterministic for
+    // tests and operators), UNIONed with every version committed within
+    // the last `retainMs` (time-based — Delta's retention contract, so
+    // "keep a week" holds regardless of commit rate). The default keeps
+    // only the current snapshot (the tightest vacuum).
+    val timeFloor: Long =
+      if (retainMs <= 0) m.version
+      else {
+        val cutoff = System.currentTimeMillis() - retainMs
+        history().filter(_.timestampMs >= cutoff).map(_.version)
+          .minOption.getOrElse(m.version)
+      }
+    val floor = math.max(0L, math.min(m.version - retainVersions, timeFloor))
     val retained: Seq[Manifest] = (floor until m.version).flatMap { v =>
       try Some(readManifest(v))
       catch { case _: Exception => None } // pruned by an earlier vacuum

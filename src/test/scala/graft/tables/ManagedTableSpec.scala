@@ -724,6 +724,40 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.read().count() shouldBe 2
   }
 
+  test("timestamp time travel resolves versions; time-based vacuum retention") {
+    val t = ManagedTable(spark, tmp() + "/tt")
+    t.overwriteAll(df(Seq((1, "a", "x"))))
+    Thread.sleep(5) // force distinct record timestamps
+    t.append(df(Seq((2, "b", "y"))))
+    val Seq(h1, h0) = t.history()
+    h0.timestampMs should be < h1.timestampMs
+
+    t.versionAt(h0.timestampMs) shouldBe 0L
+    t.versionAt(h1.timestampMs) shouldBe 1L
+    t.versionAt(System.currentTimeMillis() + 1000) shouldBe 1L
+    t.readTimestamp(h0.timestampMs).count() shouldBe 1
+    the[graft.metadata.MetadataException] thrownBy
+      t.versionAt(h0.timestampMs - 1) should have message
+      s"No version of ${t.rootPath} at or before timestamp " +
+        s"${h0.timestampMs - 1} (earliest retained record is at " +
+        s"${h0.timestampMs})"
+
+    // format("graft") surface: timestampAsOf resolves through versionAt
+    spark.read.format("graft")
+      .option("timestampAsOf", h0.timestampMs.toString)
+      .load(t.rootPath).count() shouldBe 1
+    intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("timestampAsOf", h0.timestampMs.toString)
+      .option("versionAsOf", "1").load(t.rootPath))
+
+    // a wide time window retains everything the version window would drop
+    t.vacuum(retainVersions = 0, retainMs = 3600 * 1000L)
+    t.readVersion(0).count() shouldBe 1 // still time-travelable
+    // no time window → the tightest vacuum drops v0
+    t.vacuum()
+    intercept[graft.metadata.MetadataException](t.readVersion(0))
+  }
+
   test("history carries per-commit operation metrics") {
     val t = ManagedTable(spark, tmp() + "/hm")
     t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "y"))).repartition(1))
