@@ -1109,12 +1109,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * File sizes come from the manifest (recorded at commit time); only
     * legacy entries without a recorded size fall back to a driver-side
     * status call per file. */
-  def compactSmall(smallBytes: Long, targetBytes: Long = 0L): Unit = withWriteLock {
+  def compactSmall(smallBytes: Long, targetBytes: Long = 0L,
+      where: String = ""): Unit = withWriteLock {
     val m = requireManifest
-    val lens: Map[String, Long] = m.files.map { f =>
+    val scope = maintenanceScope(m, where)
+    val lens: Map[String, Long] = scope.map { f =>
       f.path -> f.bytes.getOrElse(fs.getFileStatus(new Path(root, f.path)).getLen)
     }.toMap
-    val victims = m.files
+    val victims = scope
       .filter(f => lens(f.path) < smallBytes)
       .groupBy(_.partitionValues).filter(_._2.size >= 2)
       .values.flatten.toSeq
@@ -1143,10 +1145,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * range-partition within their partition columns first, so the rewrite
     * never mixes partition values across tasks. Readers keep snapshot
     * isolation via the atomic pointer swap. */
-  def zorder(columns: Seq[String], targetFiles: Int = 0): Unit = withWriteLock {
+  def zorder(columns: Seq[String], targetFiles: Int = 0,
+      where: String = ""): Unit = withWriteLock {
     val m = requireManifest
     require(columns.nonEmpty, "zorder requires at least one column")
-    val df = read()
+    val scope = maintenanceScope(m, where)
+    if (scope.isEmpty) return
+    val df = readFiles(m, scope)
     val bounds = ZOrder.boundaries(df, columns)
     val z = ZOrder.zValue(df, bounds).as("__gz")
     // default file count: consolidate small merge-commit files (an 8x
@@ -1155,16 +1160,29 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // result would make per-file skipping moot
     val n =
       if (targetFiles > 0) targetFiles
-      else math.max(spark.sparkContext.defaultParallelism, m.files.size / 8)
+      else math.max(spark.sparkContext.defaultParallelism, scope.size / 8)
     val partCols = m.partitionColumns.map(c => col(s"`$c`"))
     val keys = partCols :+ col("__gz")
     val sorted = df.withColumn("__gz", z)
       .repartitionByRange(n, keys: _*)
       .sortWithinPartitions(keys: _*)
       .drop("__gz")
-    replacePartitions(None, sorted,
-      s"zorder(${columns.mkString(",")})")
+    val op = s"zorder(${columns.mkString(",")})"
+    if (where.isEmpty) replacePartitions(None, sorted, op)
+    else replaceFiles(scope.map(_.path), sorted, op)
   }
+
+  /** Scope of a maintenance rewrite: the whole table, or — with a
+    * `where` over PARTITION columns only (Delta's `OPTIMIZE … WHERE`
+    * contract) — just the matching partitions' files, decided on the
+    * driver from manifest partition values. A predicate touching a
+    * non-partition column is an error, not a full-table surprise. */
+  private def maintenanceScope(m: Manifest, where: String): Seq[TableFile] =
+    if (where.trim.isEmpty) m.files
+    else partitionOnlyMatches(m, where).getOrElse(
+      throw new MetadataException(
+        s"maintenance WHERE on $rootPath must reference partition columns " +
+          s"only (got: $where)"))
 
   /** Roll the table back (or forward) to the state of `version` as a NEW
     * commit — no data files are copied or deleted, the new manifest simply

@@ -724,6 +724,35 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.read().count() shouldBe 2
   }
 
+  test("partition-scoped maintenance: WHERE rewrites only matching partitions") {
+    val t = ManagedTable(spark, tmp() + "/pm")
+    t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "y"))).repartition(1),
+      partitionBy = Seq("part"))
+    t.append(df(Seq((3, "c", "x"), (4, "d", "y"))).repartition(1))
+    t.append(df(Seq((5, "e", "x"), (6, "f", "y"))).repartition(1))
+    def paths(p: String) = t.manifest.get.files
+      .filter(_.partitionValues.get("part").contains(p)).map(_.path).toSet
+    paths("x").size shouldBe 3
+    val yBefore = paths("y")
+
+    t.compactSmall(smallBytes = 1 << 20, where = "part = 'x'")
+    paths("x").size shouldBe 1       // x's small files bin-packed
+    paths("y") shouldBe yBefore      // y carried verbatim
+    t.read().count() shouldBe 6
+
+    val xAfterCompact = paths("x")
+    t.zorder(Seq("id"), targetFiles = 1, where = "part = 'y'")
+    t.history().head.operation shouldBe "zorder(id)"
+    paths("x") shouldBe xAfterCompact // x untouched by the scoped rewrite
+    paths("y").size shouldBe 1
+    t.read().collect().map(_.getInt(0)).sorted shouldBe (1 to 6).toArray
+
+    the[graft.metadata.MetadataException] thrownBy
+      t.compactSmall(1 << 20, where = "id = 1") should have message
+      s"maintenance WHERE on ${t.rootPath} must reference partition " +
+        "columns only (got: id = 1)"
+  }
+
   test("timestamp time travel resolves versions; time-based vacuum retention") {
     val t = ManagedTable(spark, tmp() + "/tt")
     t.overwriteAll(df(Seq((1, "a", "x"))))
