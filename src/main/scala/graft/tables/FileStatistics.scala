@@ -32,17 +32,22 @@ object FileStatistics {
   val DistributedThreshold = 64
 
   /** Per-file stats for `paths`, keyed by qualified path string; strategy
-    * picked by file count. */
+    * picked by file count. `maxIndexedCols` caps stats to the file
+    * schema's FIRST N top-level columns (Delta's
+    * dataSkippingNumIndexedCols): on a 1000-column table, per-file
+    * min/max for every column is manifest bloat that slows every
+    * driver-side prune — put skip-worthy columns first. */
   def forPaths(spark: org.apache.spark.sql.SparkSession, conf: Configuration,
-      paths: Seq[Path]): Map[String, FileMeta] =
+      paths: Seq[Path], maxIndexedCols: Int = Int.MaxValue): Map[String, FileMeta] =
     if (paths.size < DistributedThreshold)
-      paths.map(p => p.toString -> fromFooter(conf, p)).toMap
-    else collectDistributed(spark, conf, paths)
+      paths.map(p => p.toString -> fromFooter(conf, p, maxIndexedCols)).toMap
+    else collectDistributed(spark, conf, paths, maxIndexedCols)
 
   /** Footer reads as a Spark job — one task per slice of files. The Hadoop
     * conf travels as key/value pairs (Configuration is not serializable). */
   def collectDistributed(spark: org.apache.spark.sql.SparkSession,
-      conf: Configuration, paths: Seq[Path]): Map[String, FileMeta] = {
+      conf: Configuration, paths: Seq[Path],
+      maxIndexedCols: Int = Int.MaxValue): Map[String, FileMeta] = {
     val confEntries = conf.iterator().asScala
       .map(e => e.getKey -> e.getValue).toArray
     val strs = paths.map(_.toString)
@@ -52,7 +57,7 @@ object FileStatistics {
       .mapPartitions { it =>
         val c = new Configuration(false)
         confEntries.foreach { case (k, v) => c.set(k, v) }
-        it.map(s => s -> fromFooter(c, new Path(s)))
+        it.map(s => s -> fromFooter(c, new Path(s), maxIndexedCols))
       }
       .collect().toMap
   }
@@ -61,18 +66,21 @@ object FileStatistics {
     * for. Types map to the three comparison domains of [[ColStats]]:
     * int32/int64 (incl. date/timestamp logical types) → long,
     * float/double → double, UTF8 binary → string. */
-  def fromFooter(conf: Configuration, file: Path): FileMeta = {
+  def fromFooter(conf: Configuration, file: Path,
+      maxIndexedCols: Int = Int.MaxValue): FileMeta = {
     var reader: ParquetFileReader = null
     try {
       // open() eagerly reads the footer — it must sit inside the catch:
       // stats are an optimization and must never fail a commit
       reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      val indexed: Set[String] = reader.getFooter.getFileMetaData.getSchema
+        .getFields.asScala.iterator.map(_.getName).take(maxIndexedCols).toSet
       val blocks = reader.getFooter.getBlocks.asScala
       val rowCount = blocks.iterator.map(_.getRowCount).sum
       val acc = scala.collection.mutable.Map.empty[String, ColStats]
       for (block <- blocks; chunk <- block.getColumns.asScala) {
         val pathParts = chunk.getPath.toArray
-        if (pathParts.length == 1) { // top-level columns only
+        if (pathParts.length == 1 && indexed.contains(pathParts(0))) {
           val name = pathParts(0)
           val st = chunk.getStatistics
           if (st != null && !st.isEmpty && st.hasNonNullValue) {

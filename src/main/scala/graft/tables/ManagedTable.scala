@@ -593,6 +593,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private def distributedProbeThreshold: Int =
     spark.conf.get("spark.graft.bloom.distributedProbeThreshold", "256").toInt
 
+  /** Stats are recorded for the file schema's FIRST N top-level columns
+    * (Delta's dataSkippingNumIndexedCols): per-file min/max on a
+    * 1000-column table is manifest bloat that taxes every driver-side
+    * prune. Put skip-worthy columns first, or raise the cap. */
+  private def maxIndexedCols: Int =
+    spark.conf.get("spark.graft.stats.maxIndexedColumns", "32").toInt
+
   /** Point/IN lookup through stats + bloom file skipping; result equals
     * `read().filter(col isin values)` exactly — the predicate is
     * re-applied to surviving rows, so bloom false positives cost only
@@ -1216,7 +1223,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     if (missing.nonEmpty) {
       val paths = missing.map(f => new Path(root, f.path))
       val stats = FileStatistics.forPaths(
-        spark, spark.sparkContext.hadoopConfiguration, paths)
+        spark, spark.sparkContext.hadoopConfiguration, paths, maxIndexedCols)
       // restate ONLY files that actually yielded metadata: a file whose
       // footer is unreadable would otherwise be restated empty forever,
       // committing a useless new version on every maintenance cycle
@@ -1448,7 +1455,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     if (partitionBy.isEmpty) {
       df.write.parquet(commitDir.toString)
       val listed = listParquet(commitDir)
-      val stats = FileStatistics.forPaths(spark, conf, listed.map(_._1))
+      val stats = FileStatistics.forPaths(spark, conf, listed.map(_._1), maxIndexedCols)
       listed.map { case (p, len) => toFile(p, len, Map.empty, stats) }
     } else {
       val dirCols = partitionBy.map(c => s"__gp_$c")
@@ -1457,7 +1464,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       }
       withDirCols.write.partitionBy(dirCols: _*).parquet(commitDir.toString)
       val listed = listParquet(commitDir)
-      val stats = FileStatistics.forPaths(spark, conf, listed.map(_._1))
+      val stats = FileStatistics.forPaths(spark, conf, listed.map(_._1), maxIndexedCols)
       listed.map { case (p, len) =>
         val relPath = rel(p)
         val pv = relPath.split('/').iterator

@@ -724,6 +724,22 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.read().count() shouldBe 2
   }
 
+  test("stats are capped to the first N columns (dataSkippingNumIndexedCols)") {
+    import spark.implicits._
+    val wide = (1 to 5).map(i => (i, i * 10, i * 100, i * 1000, s"s$i"))
+      .toDF("c1", "c2", "c3", "c4", "c5")
+    spark.conf.set("spark.graft.stats.maxIndexedColumns", "3")
+    try {
+      val t = ManagedTable(spark, tmp() + "/wc")
+      t.overwriteAll(wide.repartition(1))
+      val stats = t.manifest.get.files.head.stats.keySet
+      stats shouldBe Set("c1", "c2", "c3") // first 3 in schema order
+      // an un-indexed column still scans correctly — just never skips
+      t.filesInRange("c5", Some("s2"), Some("s2")).size shouldBe 1
+      t.read().filter(col("c4") === 2000).count() shouldBe 1
+    } finally spark.conf.unset("spark.graft.stats.maxIndexedColumns")
+  }
+
   test("partition-scoped maintenance: WHERE rewrites only matching partitions") {
     val t = ManagedTable(spark, tmp() + "/pm")
     t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "y"))).repartition(1),
