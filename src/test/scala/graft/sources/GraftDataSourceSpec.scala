@@ -90,4 +90,23 @@ class GraftDataSourceSpec extends AnyFunSuite with Matchers {
     assert(q.awaitTermination(120000), "stream did not drain in time")
     spark.read.format("graft").load(base + "/dst").count() shouldBe 1
   }
+
+  test("changeFeed option routes the short name to the CDC source") {
+    val base = tmp()
+    val src = ManagedTable(spark, base + "/src")
+    src.overwriteAll(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    src.delete("id = 2")
+    val q = spark.readStream.format("graft")
+      .option("changeFeed", "true")
+      .option("changeFeedKeys", "id")
+      .option("startingVersion", "0")
+      .load(base + "/src")
+      .writeStream.format("memory").queryName("gcdf")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain in time")
+    spark.table("gcdf").select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet shouldBe Set(
+        (1L, "insert", 0L), (2L, "insert", 0L), (2L, "delete", 1L))
+  }
 }
