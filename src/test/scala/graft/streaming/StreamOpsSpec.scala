@@ -800,6 +800,61 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
       (3L, "c", "insert", 2L))
   }
 
+  test("change feed offset walk: exactly-once under random commits, caps, restarts") {
+    // the CDF twin of the admission-walk property test: randomized commit
+    // shapes, per-trigger version caps, and source restarts at arbitrary
+    // checkpoints — every commit's changes must be emitted exactly once,
+    // stamped with the right _commit_version
+    import graft.tables.ManagedTable
+    val rnd = new scala.util.Random(7)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdfp").toString
+    val t = ManagedTable(spark, dir + "/t")
+    var nextId = 0L
+    val expected = scala.collection.mutable.Map.empty[Long, Long] // id → version
+    def commit(n: Int, first: Boolean): Unit = {
+      val rows = (0 until n).map { _ => nextId += 1; (nextId, s"r$nextId") }
+      val d = rows.toDF("id", "v").repartition(1)
+      if (first) t.overwriteAll(d) else t.append(d)
+      val v = t.currentVersion.get
+      rows.foreach { case (id, _) => expected(id) = v }
+    }
+    commit(3, first = true)
+    (0 until 3).foreach(_ => commit(1 + rnd.nextInt(2), first = false))
+
+    val schema = t.manifest.get.schema
+    def mkSource(maxV: Int) = new ChangeFeedStreamSource(spark.sqlContext,
+      dir + "/t", schema, Map("changeFeedKeys" -> "id",
+        "startingVersion" -> "0", "maxVersionsPerTrigger" -> maxV.toString))
+
+    var src = mkSource(1 + rnd.nextInt(3))
+    var start: Option[GraftSourceOffset] = None
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    var idle = 0
+    var steps = 0
+    while (idle < 2 && steps < 60) {
+      steps += 1
+      val res = src.latestOffset(start.orNull, src.getDefaultReadLimit)
+      val end = Option(res).map(GraftSourceOffset.of)
+      if (end.isEmpty || end == start) {
+        idle += 1
+        if (idle == 1 && nextId < 12) commit(1 + rnd.nextInt(2), first = false)
+      } else {
+        idle = 0
+        val from = start.map(_.version).getOrElse(end.get.index)
+        seen ++= src.feedFrame(from, end.get.version)
+          .select("id", "_change_type", "_commit_version").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        start = end // "checkpoint"
+        if (rnd.nextBoolean()) src = mkSource(1 + rnd.nextInt(3))
+      }
+    }
+    seen.map(_._1).sorted.toSeq shouldBe (1L to nextId).toSeq // exactly once
+    seen.foreach { case (id, ct, v) =>
+      ct shouldBe "insert"
+      v shouldBe expected(id) // stamped with the commit that landed it
+    }
+  }
+
   test("change feed stream: checkpoint restart resumes exactly-once") {
     import graft.tables.{ManagedTable, MergeInto}
     val base = java.nio.file.Files.createTempDirectory("graft-cdfr").toString
