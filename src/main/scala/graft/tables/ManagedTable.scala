@@ -1045,8 +1045,17 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * The dominant uses at scale: dev/test sandboxes over production
     * tables, and experiment branches of a 100 TB corpus, neither of
     * which can afford a copy. */
-  def shallowCloneTo(destPath: String): ManagedTable = {
-    val m = requireManifest
+  def shallowCloneTo(destPath: String,
+      versionAsOf: Option[Long] = None): ManagedTable = {
+    val m = versionAsOf match {
+      case None => requireManifest
+      case Some(v) =>
+        earliestReadableVersion.foreach(e =>
+          if (v < e) throw new MetadataException(
+            s"shallowCloneTo at version $v of $rootPath: vacuumed " +
+              s"(earliest readable version is $e)"))
+        readManifest(v) // clone a historical snapshot, zero copy
+    }
     val dest = ManagedTable(spark, destPath)
     if (dest.exists)
       throw new MetadataException(s"shallowCloneTo: $destPath already exists")

@@ -118,6 +118,13 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
 
     a[graft.metadata.MetadataException] should be thrownBy
       src.shallowCloneTo(root + "/clone")
+
+    // versioned clone: a zero-copy branch of a HISTORICAL snapshot
+    val cl0 = src.shallowCloneTo(root + "/clone_v0", versionAsOf = Some(0L))
+    cl0.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2)
+    src.vacuum() // drops v0 below the horizon
+    a[graft.metadata.MetadataException] should be thrownBy
+      src.shallowCloneTo(root + "/clone_v0b", versionAsOf = Some(0L))
   }
 
   test("detail: version, files, rows, bytes, latest operation") {
