@@ -51,6 +51,8 @@ class GraftDataSource extends RelationProvider
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
+    if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true")))
+      return changeFeedRelation(sqlContext, parameters)
     val version = parameters.get("versionAsOf").map(_.toLong)
     val ts = parameters.get("timestampAsOf").map(GraftDataSource.parseTimestamp)
     require(version.isEmpty || ts.isEmpty,
@@ -58,6 +60,34 @@ class GraftDataSource extends RelationProvider
     val resolved = version.orElse(ts.map(t =>
       ManagedTable(sqlContext.sparkSession, path(parameters)).versionAt(t)))
     GraftRelation(sqlContext, path(parameters), resolved)
+  }
+
+  /** Batch CDC read (Delta's batch `readChangeFeed`): the classified
+    * row-level changes of versions [`startingVersion`, `endingVersion`]
+    * (defaults: 0 → head), same schema and classification as the
+    * streaming change feed — one API for backfill and live tail. */
+  private def changeFeedRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val p = path(parameters)
+    val t = ManagedTable(sqlContext.sparkSession, p)
+    val head = t.currentVersion.getOrElse(
+      throw new IllegalArgumentException(s"no graft table at $p"))
+    val startV = parameters.get("startingVersion")
+      .filterNot(_.equalsIgnoreCase("latest")).map(_.toLong).getOrElse(0L)
+    val endV = parameters.get("endingVersion").map(_.toLong).getOrElse(head)
+    require(startV >= 0 && startV <= endV && endV <= head,
+      s"graft readChangeFeed: need 0 <= startingVersion <= endingVersion " +
+        s"<= $head, got [$startV, $endV]")
+    val src = new graft.streaming.ChangeFeedStreamSource(sqlContext, p,
+      t.readManifest(endV).schema, parameters)
+    val df = src.feedFrame(startV - 1, endV)
+    val sc = sqlContext
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = sc
+      override val schema: StructType = df.schema
+      override def buildScan(): RDD[Row] = df.rdd
+    }
   }
 
   // ------------------------------------------------------------ batch write

@@ -91,6 +91,38 @@ class GraftDataSourceSpec extends AnyFunSuite with Matchers {
     spark.read.format("graft").load(base + "/dst").count() shouldBe 1
   }
 
+  test("batch readChangeFeed returns the classified changes of a version range") {
+    val base = tmp()
+    val src = ManagedTable(spark, base + "/src")
+    src.overwriteAll(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))   // v0
+    src.append(Seq((3L, "c")).toDF("id", "v"))                    // v1
+    src.delete("id = 2")                                          // v2
+
+    val full = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("changeFeedKeys", "id")
+      .load(base + "/src")
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    full shouldBe Set(
+      (1L, "insert", 0L), (2L, "insert", 0L),
+      (3L, "insert", 1L), (2L, "delete", 2L))
+
+    // bounded range: only v1's changes
+    spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("changeFeedKeys", "id")
+      .option("startingVersion", "1").option("endingVersion", "1")
+      .load(base + "/src")
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((3L, "insert"))
+
+    intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("readChangeFeed", "true").option("changeFeedKeys", "id")
+      .option("startingVersion", "5").load(base + "/src"))
+  }
+
   test("changeFeed option routes the short name to the CDC source") {
     val base = tmp()
     val src = ManagedTable(spark, base + "/src")
