@@ -281,8 +281,13 @@ final class HistoricStrategy extends Strategy {
       // untouched currents — the bulk of the table — drops pre-persist), so
       // the probe is slice/window-bounded, never table-sized.
       val TFile = "__graft_file"
-      val probe = joinSlice(
-          target.withColumn(TFile, input_file_name()))
+      // scan-level file tag (survives the DV anti-join, unlike a
+      // plan-level input_file_name())
+      val targetTagged = pruned match {
+        case Some(ps) => p.table.readPartitionsTagged(ps.toSet.contains, TFile)
+        case None     => p.table.readTagged(TFile)
+      }
+      val probe = joinSlice(targetTagged)
         .select(col(TFile), actionCol.as("__action"), mkCol.as("__mk"))
         .filter(col("__action") =!= "kept")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

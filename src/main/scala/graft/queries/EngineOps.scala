@@ -343,6 +343,38 @@ object EngineOps {
         .orderBy("o_orderkey")
     },
 
+    // Merge-on-read DML under the oracle: the SAME delete+update as
+    // q_e_dml but through deletion vectors — the delete masks positions
+    // in a sidecar (no data file rewritten), the update masks + appends
+    // updated images, and the final read resolves the masks through the
+    // `_metadata.row_index` anti-join. Identical declarative oracle:
+    // MoR and copy-on-write must be observationally equivalent.
+    QueryDef(
+      "q_e_dml_dv",
+      """WITH after_delete AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        |  WHERE NOT (o_custkey % 10 = 0)),
+        |after_update AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderdate < DATE '1993-01-01'
+        |              THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+        |         o_orderdate
+        |  FROM after_delete)
+        |SELECT * FROM after_update ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "dml_dv")
+      val t = graft.tables.ManagedTable(s, s"$root/orders")
+      t.overwriteAll(Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate").repartition(8))
+      s.conf.set("spark.graft.dv.enabled", "true")
+      try {
+        t.delete("o_custkey % 10 = 0")
+        t.update(Map("o_custkey" -> "o_custkey + 1000000"),
+          "o_orderdate < DATE '1993-01-01'")
+      } finally s.conf.unset("spark.graft.dv.enabled")
+      t.read().select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy("o_orderkey")
+    },
+
     // Streaming upsert sink under the oracle: two CDC micro-batches (base
     // snapshot, then updates + within-batch higher-seq re-updates + CDC
     // deletes with null payloads) applied through TableStreamSink's

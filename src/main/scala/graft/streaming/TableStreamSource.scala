@@ -215,8 +215,12 @@ class TableStreamSource(
   private def listFor(version: Long, isInitial: Boolean): Seq[TableFile] =
     if (isInitial || version == 0L) table.readManifest(version).files
     else {
-      val prev = table.readManifest(version - 1).files.map(_.path).toSet
-      table.readManifest(version).files.filterNot(f => prev.contains(f.path))
+      // file identity is (path, deletion-vector): a DV commit keeps the
+      // path but re-masks rows, and re-emits like any rewritten file
+      val prev = table.readManifest(version - 1).files
+        .map(f => (f.path, f.dv)).toSet
+      table.readManifest(version).files
+        .filterNot(f => prev.contains((f.path, f.dv)))
     }
 
   private def priced(f: TableFile): Long =

@@ -43,6 +43,8 @@ import graft.metadata.{MetadataException, OutputLocation, PathLocation, TableLoc
   */
 final class ManagedTable(spark: SparkSession, val rootPath: String) {
 
+  import ManagedTable.{DvFileCol, DvPosCol}
+
   private val root = new Path(rootPath)
   private val metaDir = new Path(root, "_graft")
   private val manifestsDir = new Path(metaDir, "manifests")
@@ -50,6 +52,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private val earliestFile = new Path(metaDir, "_earliest")
   private val txnDir = new Path(metaDir, "_txn")
   private val bloomDir = new Path(metaDir, "_bloom")
+  private val dvDir = new Path(metaDir, "_dv")
   private val bloomConfigFile = new Path(metaDir, "_bloomindex.json")
   private val dataDir = new Path(root, "data")
 
@@ -169,7 +172,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * without counts, or footer reads that failed at commit time) —
     * `collectStatistics()` backfills those, never a wrong number. */
   def fastCount: Option[Long] = manifest.flatMap { m =>
-    val known = m.files.flatMap(_.rows)
+    val known = m.files.flatMap(_.liveRows)
     if (known.size == m.files.size) Some(known.sum) else None
   }
 
@@ -225,10 +228,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           s"(earliest readable version is $e)"))
     val from = readManifest(fromVersion)
     val to = readManifest(toVersion)
-    val fromPaths = from.files.map(_.path).toSet
-    val toPaths = to.files.map(_.path).toSet
-    val added = to.files.filterNot(f => fromPaths.contains(f.path))
-    val removed = from.files.filterNot(f => toPaths.contains(f.path))
+    // file identity is (path, dv): a deletion-vector commit keeps the
+    // path but changes the mask, and its vanished rows MUST surface in
+    // the feed — the re-masked file re-enters as removed(old mask) +
+    // added(new mask), and the row-level diff nets out the carry-overs
+    val fromKeys = from.files.map(f => (f.path, f.dv)).toSet
+    val toKeys = to.files.map(f => (f.path, f.dv)).toSet
+    val added = to.files.filterNot(f => fromKeys.contains((f.path, f.dv)))
+    val removed = from.files.filterNot(f => toKeys.contains((f.path, f.dv)))
     readFiles(to, added).withColumn("_change_type", lit("added"))
       .unionByName(
         readFiles(from, removed).withColumn("_change_type", lit("removed")),
@@ -615,12 +622,115 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
 
   private def readSnapshot(m: Manifest): DataFrame = readFiles(m, m.files)
 
+  /** THE read choke point: every batch/streaming/maintenance read of
+    * manifest files funnels through here, so deletion-vector masking
+    * applies uniformly. Files without a DV scan exactly as before (zero
+    * overhead — the common case); files WITH one scan through a
+    * position anti-join ([[readDvFiltered]]) and union back in. */
   private def readFiles(m: Manifest, files: Seq[TableFile]): DataFrame =
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else
-      spark.read.schema(m.schema)
-        .parquet(files.map(f => new Path(root, f.path).toString): _*)
+    readFilesWithTag(m, files, None)
+
+  /** [[readFiles]] plus a per-row `tagCol` carrying the absolute
+    * `_metadata.file_path` of the row's file. Touch-detection reads use
+    * this instead of a plan-level `input_file_name()`, which cannot
+    * resolve once the plan contains a second file source (the DV
+    * anti-join's sidecar scan) — the metadata column binds to each scan
+    * RELATION, so it survives joins and unions. */
+  private[graft] def readManifestFilesTagged(m: Manifest,
+      files: Seq[TableFile], tagCol: String): DataFrame =
+    readFilesWithTag(m, files, Some(tagCol))
+
+  /** [[readManifestFilesTagged]] plus a `posCol` carrying each row's
+    * physical `_metadata.row_index` — what a DV-mode MERGE masks by. */
+  private[tables] def readManifestFilesTaggedPos(m: Manifest,
+      files: Seq[TableFile], tagCol: String, posCol: String): DataFrame =
+    readFilesWithTag(m, files, Some(tagCol), Some(posCol))
+
+  /** Tagged variant of [[readPartitions]] (see [[readManifestFilesTagged]]). */
+  private[graft] def readPartitionsTagged(
+      keep: Map[String, String] => Boolean, tagCol: String): DataFrame = {
+    val m = requireManifest
+    readFilesWithTag(m, m.files.filter(f => keep(f.partitionValues)), Some(tagCol))
+  }
+
+  /** Tagged variant of [[read]] (see [[readManifestFilesTagged]]). */
+  private[graft] def readTagged(tagCol: String): DataFrame = {
+    val m = requireManifest
+    readFilesWithTag(m, m.files, Some(tagCol))
+  }
+
+  private def readFilesWithTag(m: Manifest, files: Seq[TableFile],
+      tag: Option[String]): DataFrame = {
+    val (dvd, clean) = files.partition(_.dv.isDefined)
+    def withTag(df: DataFrame): DataFrame =
+      tag.fold(df)(t => df.withColumn(t, col("_metadata.file_path")))
+    val cleanDf =
+      if (clean.isEmpty && dvd.isEmpty) {
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        val schema = tag.fold(m.schema)(t =>
+          StructType(m.schema.fields :+ StructField(t, StringType)))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      } else if (clean.isEmpty) null
+      else withTag(spark.read.schema(m.schema)
+        .parquet(clean.map(f => new Path(root, f.path).toString): _*))
+    if (dvd.isEmpty) cleanDf
+    else {
+      val masked = readDvFiltered(m, dvd, tag)
+      if (cleanDf == null) masked else cleanDf.union(masked)
+    }
+  }
+
+  /** Scan `files` (all carrying a DV) with their masked positions
+    * filtered out: parquet scan + the file source's `_metadata.file_name`
+    * / `_metadata.row_index` columns, anti-joined against the referenced
+    * DV sidecars on (basename, position). The DV side broadcasts while
+    * its recorded cardinality stays under
+    * `spark.graft.dv.broadcastMaxPositions` (default 4M — a broadcast
+    * hash anti-join keeps the scan shuffle-free); beyond that the join
+    * falls back to a shuffled anti-join, and maintenance should have
+    * purged long before ([[purgeDeletionVectors]]). */
+  private def readDvFiltered(m: Manifest, files: Seq[TableFile],
+      tag: Option[String]): DataFrame = {
+    val scan0 = spark.read.schema(m.schema)
+      .parquet(files.map(f => new Path(root, f.path).toString): _*)
+      .withColumn(DvFileCol, col("_metadata.file_name"))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+    val scan = tag.fold(scan0)(t =>
+      scan0.withColumn(t, col("_metadata.file_path")))
+    val dead0 = readDvSidecars(files.flatMap(_.dv).distinct)
+    val dead =
+      if (files.flatMap(_.dvRows).sum <= dvBroadcastMaxPositions)
+        broadcast(dead0)
+      else dead0
+    val outCols = m.schema.fieldNames.toSeq.map(n => col(s"`$n`")) ++
+      tag.map(col).toSeq
+    scan.join(dead,
+        scan(DvFileCol) === dead("file") && scan(DvPosCol) === dead("pos"),
+        "left_anti")
+      .select(outCols: _*)
+  }
+
+  private def dvSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("file", StringType),  // data-file BASENAME (unique per manifest, guarded at DV creation)
+      StructField("pos", LongType)))    // physical row index within that file
+  }
+
+  /** Read DV sidecars as one (file, pos) frame. Names are either bare
+    * (under this table's `_graft/_dv/`) or absolute URIs (shallow-clone
+    * references into the source table). */
+  private def readDvSidecars(names: Seq[String]): DataFrame =
+    spark.read.schema(dvSchema)
+      .parquet(names.map(n => new Path(dvDir, n).toString): _*)
+
+  private def dvEnabled: Boolean =
+    spark.conf.get("spark.graft.dv.enabled", "false").toBoolean
+  private def dvMaxDeletedFraction: Double =
+    spark.conf.get("spark.graft.dv.maxDeletedFraction", "0.5").toDouble
+  private def dvBroadcastMaxPositions: Long =
+    spark.conf.get("spark.graft.dv.broadcastMaxPositions", "4000000").toLong
 
   // ---------------------------------------------------------------- writes
 
@@ -797,7 +907,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       case Some(victims) if op == "delete" =>
         if (victims.isEmpty) return 0L
         val matched =
-          if (victims.forall(_.rows.isDefined)) victims.flatMap(_.rows).sum
+          if (victims.forall(_.rows.isDefined)) victims.flatMap(_.liveRows).sum
           else readManifestFiles(m, victims).count()
         commitDelta(m.schemaJson, m.partitionColumns, op,
           base = Some(m), adds = Nil, removes = victims.map(_.path))
@@ -807,10 +917,17 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     }
     val candidates = partitionMatches.getOrElse(m.files)
 
+    // merge-on-read: when deletion vectors are enabled (and basenames are
+    // DV-safe), a row-level DELETE/UPDATE masks positions in a small
+    // sidecar instead of rewriting data files — the 100 TB shape for
+    // "delete 0.01% of rows" (Delta's DV write path)
+    if (dvEnabled && dvEligible(m))
+      return dvDml(op, m, candidates, pred, rewrite)
+
     // touch detection: per-file matching-row counts (narrow projection —
-    // only the predicate's columns are scanned)
-    val perFile = readManifestFiles(m, candidates)
-      .withColumn("__g_file", input_file_name())
+    // only the predicate's columns are scanned; scan-level tag so a
+    // DV-carrying candidate's anti-join doesn't break file attribution)
+    val perFile = readManifestFilesTagged(m, candidates, "__g_file")
       .filter(pred)
       .groupBy("__g_file").count()
       .collect().map(r => r.getString(0) -> r.getLong(1))
@@ -835,6 +952,127 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val touchedRows = readManifestFiles(m, touchedEntries)
     replaceFiles(touchedPaths, rewrite(touchedRows, pred), op)
     matched
+  }
+
+  /** DV sidecars join on data-file basenames — require them unique and
+    * filesystem-plain across the manifest (engine-written part files
+    * always are; an adopted lake with colliding names falls back to the
+    * classic rewrite). */
+  private def dvEligible(m: Manifest): Boolean = {
+    val names = m.files.map(f => new Path(f.path).getName)
+    names.size == names.distinct.size &&
+      names.forall(ManagedTable.dvSafeBasename)
+  }
+
+  /** Merge-on-read DML: instead of rewriting every touched file, mask the
+    * matched row POSITIONS in a parquet DV sidecar and re-commit the same
+    * data files with the DV reference attached — write cost is
+    * proportional to the rows deleted, not the files they live in.
+    *
+    * Per-file escape hatches keep the masked fraction bounded (a DV on a
+    * mostly-dead file only defers an inevitable rewrite and taxes every
+    * read in between):
+    *  - every row dead (DELETE) → the entry just drops: metadata-only;
+    *  - dead fraction above `spark.graft.dv.maxDeletedFraction` → that
+    *    file takes the classic rewrite;
+    *  - unknown physical row count → DV (conservative; `purgeDeletionVectors`
+    *    reclaims later).
+    *
+    * UPDATE is DV-delete + append (Delta's MoR update): matched rows are
+    * masked in place and their updated images land in fresh files.
+    * Positions index the file AS WRITTEN, so re-deleting from an
+    * already-masked file unions the old sidecar's pairs into the new one
+    * and the entry points only at the newest sidecar. */
+  private def dvDml(op: String, m: Manifest, candidates: Seq[TableFile],
+      pred: org.apache.spark.sql.Column,
+      rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
+    val schemaCols = m.schema.fieldNames.toSeq.map(n => col(s"`$n`"))
+    val byName: Map[String, TableFile] =
+      candidates.map(f => new Path(f.path).getName -> f).toMap
+    // physical scan: row positions index the file as written, independent
+    // of any DV already masking it
+    val raw = spark.read.schema(m.schema)
+      .parquet(candidates.map(f => new Path(root, f.path).toString): _*)
+      .withColumn(DvFileCol, col("_metadata.file_name"))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+    val priorNames = candidates.flatMap(_.dv).distinct
+    val maskedNames = candidates.filter(_.dv.isDefined)
+      .map(f => new Path(f.path).getName)
+    val prior: DataFrame =
+      if (priorNames.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dvSchema)
+      else readDvSidecars(priorNames).filter(col("file").isin(maskedNames: _*))
+    val priorB =
+      if (candidates.flatMap(_.dvRows).sum <= dvBroadcastMaxPositions)
+        broadcast(prior)
+      else prior
+    def notPriorMasked(df: DataFrame): DataFrame =
+      df.join(priorB,
+        df(DvFileCol) === priorB("file") && df(DvPosCol) === priorB("pos"),
+        "left_anti")
+    // live matched rows with their positions — ONE narrow-ish job feeds
+    // the counts, the sidecar write, and update's appended images
+    val live = notPriorMasked(raw.filter(pred)).persist()
+    try {
+      val perFileLive: Map[String, Long] = live.groupBy(DvFileCol).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perFileLive.isEmpty) return 0L
+      val matched = perFileLive.values.sum
+
+      var dropPaths = List.empty[String]
+      var rewriteEntries = List.empty[TableFile]
+      var dvEntries = List.empty[(TableFile, Long)] // entry -> total dead
+      perFileLive.foreach { case (name, newDead) =>
+        val f = byName(name)
+        val dead = f.dvRows.getOrElse(0L) + newDead
+        f.rows match {
+          case Some(phys) if dead == phys && op == "delete" =>
+            dropPaths ::= f.path
+          case Some(phys) if dead.toDouble / phys > dvMaxDeletedFraction =>
+            rewriteEntries ::= f
+          case _ =>
+            dvEntries ::= (f -> dead)
+        }
+      }
+
+      var adds = List.empty[TableFile]
+      var removes = dropPaths
+      val dvNames = dvEntries.map { case (f, _) => new Path(f.path).getName }
+      if (dvEntries.nonEmpty) {
+        val name = s"dv-${UUID.randomUUID().toString}"
+        live.filter(col(DvFileCol).isin(dvNames: _*))
+          .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+          .union(prior.filter(col("file").isin(dvNames: _*)))
+          .write.parquet(new Path(dvDir, name).toString)
+        adds ++= dvEntries.map { case (f, dead) =>
+          f.copy(dv = Some(name), dvRows = Some(dead)) }
+        removes ++= dvEntries.map(_._1.path)
+      }
+
+      // classic-rewrite survivors for over-fraction files, plus (UPDATE)
+      // the updated images of the masked files' matched rows
+      val rwNames = rewriteEntries.map(f => new Path(f.path).getName)
+      val rwContent =
+        if (rewriteEntries.isEmpty) None
+        else Some(rewrite(
+          notPriorMasked(raw.filter(col(DvFileCol).isin(rwNames: _*))), pred)
+          .select(schemaCols: _*))
+      val updContent =
+        if (op != "update" || dvEntries.isEmpty) None
+        else Some(rewrite(live.filter(col(DvFileCol).isin(dvNames: _*)), pred)
+          .select(schemaCols: _*))
+      (rwContent.toSeq ++ updContent.toSeq).reduceOption(_ union _)
+        .foreach { content =>
+          enforceConstraints(content, m.constraints, op)
+          adds ++= writeCommit(content, m.partitionColumns)
+        }
+      removes ++= rewriteEntries.map(_.path)
+
+      commitDelta(m.schemaJson, m.partitionColumns, op,
+        base = Some(m), adds = adds, removes = removes)
+      matched
+    } finally { live.unpersist(); () }
   }
 
   /** Active CHECK constraints (name → Spark SQL boolean expression). */
@@ -874,7 +1112,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * would add a table-sized scan for nothing. Prefix match: zorder and
     * restore commits carry their arguments in the operation tag. */
   private val ConstraintExemptOps =
-    Seq("compact", "compactSmall", "zorder", "collectStatistics", "restore")
+    Seq("compact", "compactSmall", "zorder", "collectStatistics", "restore",
+      "purgeDv")
 
   /** Limit-1 violation probe: one short-circuit job when constraints
     * exist, zero cost otherwise. Violation = expression IS FALSE (SQL
@@ -1060,7 +1299,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     if (dest.exists)
       throw new MetadataException(s"shallowCloneTo: $destPath already exists")
     val absolute = m.files.map(f =>
-      f.copy(path = fs.makeQualified(new Path(root, f.path)).toString))
+      f.copy(path = fs.makeQualified(new Path(root, f.path)).toString,
+        dv = f.dv.map(d => fs.makeQualified(new Path(dvDir, d)).toString)))
     dest.importFiles(m.schema, m.partitionColumns, absolute, "shallowClone")
     dest
   }
@@ -1146,6 +1386,19 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         else small.repartition(nOut, m.partitionColumns.map(c => col(s"`$c`")): _*)
       replaceFiles(victims.map(_.path), packed, "compactSmall")
     }
+  }
+
+  /** Materialize deletion vectors (Delta's `REORG TABLE … APPLY (PURGE)`):
+    * rewrite every DV-carrying file in scope to its live rows and drop the
+    * DV reference — reclaiming the per-read anti-join cost and letting
+    * [[vacuum]] collect the orphaned sidecars. `where` scopes the pass to
+    * partitions (same contract as [[compactSmall]]). Also what makes a
+    * shallow clone of a DV-carrying table self-contained. */
+  def purgeDeletionVectors(where: String = ""): Unit = withWriteLock {
+    val m = requireManifest
+    val scope = maintenanceScope(m, where).filter(_.dv.isDefined)
+    if (scope.nonEmpty)
+      replaceFiles(scope.map(_.path), readManifestFiles(m, scope), "purgeDv")
   }
 
   /** Multi-dimensional clustering rewrite: re-sort the table along a
@@ -1300,6 +1553,16 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         commitFiles.foreach { case (p, _) =>
           BloomIndex.deleteFor(fs, bloomDir, rel(p)) }
       }
+    }
+    // DV sidecars referenced by no retained version are garbage (a purge
+    // or rewrite superseded them). Only this table's own _dv dir is
+    // swept — absolute references (shallow clones into a source table)
+    // resolve elsewhere and are that table's to manage.
+    val liveDv = retained.flatMap(_.files).flatMap(_.dv)
+      .map(d => fs.makeQualified(new Path(dvDir, d)).toString).toSet
+    if (fs.exists(dvDir)) fs.listStatus(dvDir).foreach { st =>
+      if (!liveDv.contains(fs.makeQualified(st.getPath).toString))
+        fs.delete(st.getPath, true)
     }
     val needed = retained.map(_.version).toSet ++
       retained.flatMap(r => chainVersions(r.version))
@@ -1621,7 +1884,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         StructField("max", StringType))))),
       // nullable: sidecars written before these fields existed read as null
       StructField("rows", LongType),
-      StructField("bytes", LongType)))
+      StructField("bytes", LongType),
+      StructField("dv", StringType),
+      StructField("dvRows", LongType)))
   }
 
   private def writeSidecarFiles(name: String, files: Seq[TableFile]): Unit = {
@@ -1629,7 +1894,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val rows = files.map(f => Row(f.path, f.partitionValues,
       f.stats.map { case (c, s) => c -> Row(s.typ, s.min, s.max) },
       f.rows.map(Long.box).orNull,
-      f.bytes.map(Long.box).orNull))
+      f.bytes.map(Long.box).orNull,
+      f.dv.orNull,
+      f.dvRows.map(Long.box).orNull))
     // ~100k entries per task keeps sidecar files O(10 MB)
     val parts = math.max(1, files.size / 100000)
     spark.createDataFrame(
@@ -1650,7 +1917,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           st.map { case (c, s) =>
             c -> ColStats(s.getString(0), s.getString(1), s.getString(2)) },
           if (r.isNullAt(3)) None else Some(r.getLong(3)),
-          if (r.isNullAt(4)) None else Some(r.getLong(4)))
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          Option(r.getString(5)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6)))
       }
 
   private def writeFile(p: Path, content: String): Unit = {
@@ -1731,6 +2000,21 @@ object ManagedTable {
 
   /** Suffix of parquet checkpoint sidecar directories in `_graft/manifests`. */
   val SidecarSuffix = ".files.parquet"
+
+  /** Helper column names for the deletion-vector anti-join (never visible
+    * to callers — [[readDvFiltered]] projects them away). */
+  private[tables] val DvFileCol = "__g_dv_file"
+  private[tables] val DvPosCol = "__g_dv_pos"
+
+  /** DV sidecars key rows by data-file BASENAME — safe only when every
+    * basename in the manifest is unique (always true for engine-written
+    * part files, whose names embed a UUID) and filesystem-plain (no
+    * characters a file-source `_metadata.file_name` could render
+    * differently). DV creation checks this and falls back to the classic
+    * rewrite when an imported file breaks it. */
+  private[tables] def dvSafeBasename(name: String): Boolean =
+    name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.' || c == '=')
 
   /** Txn appIds become filenames under `_graft/_txn/` — only
     * filesystem-safe names, and none that could escape the directory. */

@@ -81,21 +81,41 @@ object ColStats {
   * (`max(marker, newest embedded txn)`) never loses a committed batch. */
 final case class Txn(appId: String, batchId: Long)
 
-/** @param rows exact row count from the parquet footer at commit time;
-  *   None for files adopted without footer reads ([[ManagedTable.importFiles]]
-  *   callers may supply it; `collectStatistics()` backfills). Metadata-only
-  *   `count(*)` ([[ManagedTable.fastCount]]) needs every file to carry it.
+/** @param rows exact PHYSICAL row count from the parquet footer at commit
+  *   time — includes rows a deletion vector has since masked ([[dv]]); the
+  *   live count is `rows - dvRows`. None for files adopted without footer
+  *   reads ([[ManagedTable.importFiles]] callers may supply it;
+  *   `collectStatistics()` backfills). Metadata-only `count(*)`
+  *   ([[ManagedTable.fastCount]]) needs every file to carry it.
   * @param bytes on-disk size recorded at commit time (Delta's
   *   AddFile.size): maintenance and streaming admission control price
   *   files from the manifest instead of one namenode RPC per file. None
   *   for entries adopted before sizes were recorded — callers fall back
-  *   to [[ManagedTable.fileLen]]. */
+  *   to [[ManagedTable.fileLen]].
+  * @param dv deletion-vector reference (Delta's merge-on-read DV): the
+  *   name of a parquet sidecar under `_graft/_dv/` holding
+  *   `(file basename, row position)` pairs masked out of this file at
+  *   read time — a row-level DELETE/UPDATE commits one small sidecar
+  *   instead of rewriting the data file. Absolute URIs are honoured
+  *   as-is (shallow clones reference the source table's sidecars). The
+  *   sidecar may carry positions for OTHER files of the same commit;
+  *   only pairs matching this file's basename apply to it.
+  * @param dvRows number of masked positions for THIS file — always
+  *   recorded with [[dv]] so live counts and deleted-fraction decisions
+  *   never read the sidecar. */
 final case class TableFile(
     path: String,
     partitionValues: Map[String, String],
     stats: Map[String, ColStats] = Map.empty,
     rows: Option[Long] = None,
-    bytes: Option[Long] = None)
+    bytes: Option[Long] = None,
+    dv: Option[String] = None,
+    dvRows: Option[Long] = None) {
+
+  /** Live rows (physical minus DV-masked), when the physical count is
+    * known. */
+  def liveRows: Option[Long] = rows.map(_ - dvRows.getOrElse(0L))
+}
 
 /** @param filesRef when set, the file list lives in a parquet sidecar of
   *   this name next to the record (large-table checkpoints: the list is
@@ -236,7 +256,9 @@ object Manifest {
             "max" -> JString(s.max))
         }.toList)) ++
         f.rows.map(r => "rows" -> (JLong(r): JValue)).toList ++
-        f.bytes.map(b => "bytes" -> (JLong(b): JValue)).toList)
+        f.bytes.map(b => "bytes" -> (JLong(b): JValue)).toList ++
+        f.dv.map(d => "dv" -> (JString(d): JValue)).toList ++
+        f.dvRows.map(n => "dvRows" -> (JLong(n): JValue)).toList)
     }.toList)
 
   private def str(v: JValue): String = v match { case JString(x) => x; case _ => "" }
@@ -264,6 +286,15 @@ object Manifest {
           case _        => None
         },
         (f \ "bytes") match {
+          case JLong(x) => Some(x)
+          case JInt(x)  => Some(x.toLong)
+          case _        => None
+        },
+        (f \ "dv") match {
+          case JString(d) => Some(d)
+          case _          => None
+        },
+        (f \ "dvRows") match {
           case JLong(x) => Some(x)
           case JInt(x)  => Some(x.toLong)
           case _        => None

@@ -349,8 +349,9 @@ final class MergeBuilder private[tables] (
     // matched or touched rows survive — unchanged-unmatched rows, the bulk
     // of the table, are filtered before the persist)
     val probe = joinTarget(
-        prunedTarget(m)
-          .withColumn(TFile, input_file_name())
+        // scan-level file tag (NOT input_file_name(), which cannot resolve
+        // once a DV anti-join adds a second file source to the plan)
+        table.readManifestFilesTagged(m, prunedFiles(m), TFile)
           // pre-join id: two source rows hitting one target row duplicate
           // the SAME id through the join (the multi-match guard's anchor)
           .withColumn(TRowId, monotonically_increasing_id()))
@@ -404,7 +405,7 @@ final class MergeBuilder private[tables] (
       // count job per merge), else a footer-only count job
       val probeCounts = probe.groupBy(ActionCol).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val scopeRows = scopeFiles.flatMap(_.rows)
+      val scopeRows = scopeFiles.flatMap(_.liveRows)
       val totalInScope =
         if (scopeRows.size == scopeFiles.size) scopeRows.sum
         else prunedTarget(m).count()
