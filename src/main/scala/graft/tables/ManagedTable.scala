@@ -660,15 +660,17 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   }
 
   private def readFilesWithTag(m: Manifest, files: Seq[TableFile],
-      tag: Option[String]): DataFrame = {
+      tag: Option[String], pos: Option[String] = None): DataFrame = {
     val (dvd, clean) = files.partition(_.dv.isDefined)
-    def withTag(df: DataFrame): DataFrame =
-      tag.fold(df)(t => df.withColumn(t, col("_metadata.file_path")))
+    def withTag(df: DataFrame): DataFrame = {
+      val t = tag.fold(df)(t => df.withColumn(t, col("_metadata.file_path")))
+      pos.fold(t)(p => t.withColumn(p, col("_metadata.row_index")))
+    }
     val cleanDf =
       if (clean.isEmpty && dvd.isEmpty) {
-        import org.apache.spark.sql.types.{StringType, StructField, StructType}
-        val schema = tag.fold(m.schema)(t =>
-          StructType(m.schema.fields :+ StructField(t, StringType)))
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val schema = StructType(m.schema.fields ++
+          tag.map(StructField(_, StringType)) ++ pos.map(StructField(_, LongType)))
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       } else if (clean.isEmpty) null
@@ -676,7 +678,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         .parquet(clean.map(f => new Path(root, f.path).toString): _*))
     if (dvd.isEmpty) cleanDf
     else {
-      val masked = readDvFiltered(m, dvd, tag)
+      val masked = readDvFiltered(m, dvd, tag, pos)
       if (cleanDf == null) masked else cleanDf.union(masked)
     }
   }
@@ -691,7 +693,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * falls back to a shuffled anti-join, and maintenance should have
     * purged long before ([[purgeDeletionVectors]]). */
   private def readDvFiltered(m: Manifest, files: Seq[TableFile],
-      tag: Option[String]): DataFrame = {
+      tag: Option[String], pos: Option[String] = None): DataFrame = {
     val scan0 = spark.read.schema(m.schema)
       .parquet(files.map(f => new Path(root, f.path).toString): _*)
       .withColumn(DvFileCol, col("_metadata.file_name"))
@@ -704,7 +706,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         broadcast(dead0)
       else dead0
     val outCols = m.schema.fieldNames.toSeq.map(n => col(s"`$n`")) ++
-      tag.map(col).toSeq
+      tag.map(col).toSeq ++ pos.map(p => col(DvPosCol).as(p)).toSeq
     scan.join(dead,
         scan(DvFileCol) === dead("file") && scan(DvPosCol) === dead("pos"),
         "left_anti")
@@ -725,9 +727,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     spark.read.schema(dvSchema)
       .parquet(names.map(n => new Path(dvDir, n).toString): _*)
 
-  private def dvEnabled: Boolean =
+  private[tables] def dvEnabled: Boolean =
     spark.conf.get("spark.graft.dv.enabled", "false").toBoolean
-  private def dvMaxDeletedFraction: Double =
+  private[tables] def dvMaxDeletedFraction: Double =
     spark.conf.get("spark.graft.dv.maxDeletedFraction", "0.5").toDouble
   private def dvBroadcastMaxPositions: Long =
     spark.conf.get("spark.graft.dv.broadcastMaxPositions", "4000000").toLong
@@ -958,7 +960,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * filesystem-plain across the manifest (engine-written part files
     * always are; an adopted lake with colliding names falls back to the
     * classic rewrite). */
-  private def dvEligible(m: Manifest): Boolean = {
+  private[tables] def dvEligible(m: Manifest): Boolean = {
     val names = m.files.map(f => new Path(f.path).getName)
     names.size == names.distinct.size &&
       names.forall(ManagedTable.dvSafeBasename)
@@ -1234,6 +1236,56 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val newFiles = writeCommit(d, m.partitionColumns)
     commitDelta(d.schema.json, m.partitionColumns, operation,
       base = Some(m), adds = newFiles, removes = removePaths, txn = txn)
+  }
+
+  /** DV-mode MERGE commit primitive — [[replaceFiles]]'s merge-on-read
+    * sibling. Atomically, in one version:
+    *
+    *  - `dvUpdates` entries re-commit with a fresh DV reference: their
+    *    newly-dead positions (`newDead`, basename+pos, live rows only)
+    *    union each entry's prior sidecar pairs into ONE new sidecar;
+    *  - `dropPaths` entries vanish (every row dead — pure metadata);
+    *  - `replacePaths` entries vanish too (over-fraction files whose
+    *    surviving content the caller folded into `content`);
+    *  - `content` (updated images + inserts + classic rewrites) appends
+    *    as fresh files.
+    *
+    * The caller guarantees `newDead` pairs refer only to `dvUpdates`
+    * files and were computed from a DV-masked read (so they never
+    * duplicate prior pairs). */
+  private[tables] def maskAndReplaceFiles(
+      dvUpdates: Seq[(TableFile, Long)],
+      newDead: DataFrame,
+      dropPaths: Seq[String],
+      replacePaths: Seq[String],
+      content: DataFrame,
+      operation: String = "merge",
+      txn: Option[Txn] = None): Unit = withWriteLock {
+    val m = requireManifest
+    val d = reconcileSchema(content, m)
+    enforceConstraints(d, m.constraints, operation)
+    var adds = List.empty[TableFile]
+    if (dvUpdates.nonEmpty) {
+      val name = s"dv-${UUID.randomUUID().toString}"
+      val entries = dvUpdates.map(_._1)
+      val masked = entries.filter(_.dv.isDefined)
+      val prior =
+        if (masked.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dvSchema)
+        else readDvSidecars(masked.flatMap(_.dv).distinct)
+          .filter(col("file").isin(
+            masked.map(f => new Path(f.path).getName): _*))
+      newDead.select(col("file"), col("pos")).union(prior)
+        .write.parquet(new Path(dvDir, name).toString)
+      adds ++= dvUpdates.map { case (f, dead) =>
+        f.copy(dv = Some(name), dvRows = Some(dead)) }
+    }
+    adds ++= writeCommit(d, m.partitionColumns)
+    commitDelta(d.schema.json, m.partitionColumns, operation,
+      base = Some(m), adds = adds,
+      removes = dropPaths ++ replacePaths ++ dvUpdates.map(_._1.path),
+      txn = txn)
   }
 
   /** Register externally-written parquet files as a new version WITHOUT

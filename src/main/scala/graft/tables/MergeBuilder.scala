@@ -350,12 +350,13 @@ final class MergeBuilder private[tables] (
     // of the table, are filtered before the persist)
     val probe = joinTarget(
         // scan-level file tag (NOT input_file_name(), which cannot resolve
-        // once a DV anti-join adds a second file source to the plan)
-        table.readManifestFilesTagged(m, prunedFiles(m), TFile)
+        // once a DV anti-join adds a second file source to the plan); the
+        // row position feeds DV-mode masking in phase 2
+        table.readManifestFilesTaggedPos(m, prunedFiles(m), TFile, TPos)
           // pre-join id: two source rows hitting one target row duplicate
           // the SAME id through the join (the multi-match guard's anchor)
           .withColumn(TRowId, monotonically_increasing_id()))
-      .select(col(TFile), actionCol.as(ActionCol),
+      .select(col(TFile), col(TPos), actionCol.as(ActionCol),
         col(s"source.`$k`").as(MatchKey),
         when(col(SFlag).isNotNull, col(TRowId)).as(TRowId))
       .filter(col(ActionCol) =!= UnchangedTag || col(MatchKey).isNotNull)
@@ -470,12 +471,64 @@ final class MergeBuilder private[tables] (
           when(clauseCond(c), valueFor(c, name)).otherwise(rest)
         }.as(name)
       }
-      val rewrite = joinTarget(table.readManifestFiles(m, touchedEntries))
-        .select(outCols :+ actionCol.as(ActionCol): _*)
-      val kept = rewrite.unionByName(inserts)
-        .filter(col(ActionCol) =!= DropTag && !col(ActionCol).startsWith(DeletePrefix))
-        .drop(ActionCol)
-      table.replaceFiles(touchedPaths, kept, operationName, txn)
+      // merge-on-read branch: with DVs enabled, matched rows leaving
+      // their file (updated or deleted) are MASKED by position instead of
+      // the file being rewritten — the updated images and inserts append
+      // as fresh files. Requires every touched name to have translated
+      // (positions are per manifest entry) and the manifest DV-eligible.
+      val dvMode = table.dvEnabled && table.dvEligible(m) &&
+        translated.forall(_.isDefined)
+      if (dvMode && touchedEntries.nonEmpty) {
+        val deadByPath: Map[String, Long] = probe
+          .filter(col(ActionCol) =!= UnchangedTag)
+          .groupBy(TFile).count()
+          .collect().map { r =>
+            val u = r.getString(0)
+            lookup.get(u).orElse(lookup.get(decodeUri(u))).get -> r.getLong(1)
+          }.toMap
+        var dropPaths = List.empty[String]
+        var rewriteEntries = List.empty[TableFile]
+        var dvEntries = List.empty[(TableFile, Long)]
+        touchedEntries.foreach { f =>
+          val dead = f.dvRows.getOrElse(0L) + deadByPath.getOrElse(f.path, 0L)
+          f.rows match {
+            case Some(phys) if dead == phys => dropPaths ::= f.path
+            case Some(phys)
+                if dead.toDouble / phys > table.dvMaxDeletedFraction =>
+              rewriteEntries ::= f
+            case _ => dvEntries ::= (f -> dead)
+          }
+        }
+        val dvPathSet = dvEntries.map(_._1.path).toSet
+        val maskUris = lookup.collect {
+          case (u, p) if dvPathSet.contains(p) => u }.toSeq
+        val newDead = probe
+          .filter(col(ActionCol) =!= UnchangedTag && col(TFile).isin(maskUris: _*))
+          .select(substring_index(col(TFile), "/", -1).as("file"),
+            col(TPos).as("pos"))
+        // images of rows leaving masked/dropped files (updates only —
+        // deleted rows just vanish), full rewrite for over-fraction files
+        val imgEntries = touchedEntries.filter(f =>
+          dvPathSet.contains(f.path) || dropPaths.contains(f.path))
+        val images = joinTarget(table.readManifestFiles(m, imgEntries))
+          .select(outCols :+ actionCol.as(ActionCol): _*)
+          .filter(col(ActionCol) =!= UnchangedTag)
+        val classic = joinTarget(table.readManifestFiles(m, rewriteEntries))
+          .select(outCols :+ actionCol.as(ActionCol): _*)
+        val kept = classic.unionByName(images).unionByName(inserts)
+          .filter(col(ActionCol) =!= DropTag &&
+            !col(ActionCol).startsWith(DeletePrefix))
+          .drop(ActionCol)
+        table.maskAndReplaceFiles(dvEntries, newDead, dropPaths,
+          rewriteEntries.map(_.path), kept, operationName, txn)
+      } else {
+        val rewrite = joinTarget(table.readManifestFiles(m, touchedEntries))
+          .select(outCols :+ actionCol.as(ActionCol): _*)
+        val kept = rewrite.unionByName(inserts)
+          .filter(col(ActionCol) =!= DropTag && !col(ActionCol).startsWith(DeletePrefix))
+          .drop(ActionCol)
+        table.replaceFiles(touchedPaths, kept, operationName, txn)
+      }
       MergeMetrics(counts - DropTag)
     } finally {
       probe.unpersist()
@@ -512,6 +565,7 @@ object MergeBuilder {
   private[graft] val TFlag = "__graft_t"
   private[graft] val SFlag = "__graft_s"
   private[tables] val TFile = "__graft_file"
+  private[tables] val TPos = "__graft_pos"
   private[tables] val ActionCol = "__graft_action"
   private[tables] val MatchKey = "__graft_mk"
   private[tables] val TRowId = "__graft_tid"

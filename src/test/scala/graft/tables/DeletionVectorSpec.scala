@@ -195,6 +195,104 @@ class DeletionVectorSpec extends AnyFunSuite with Matchers {
     t.read().count() shouldBe 9L
   }
 
+  test("DV-mode keyed merge: masks + appends instead of rewriting touched files") {
+    val t = ManagedTable(spark, tmp() + "/dvm1")
+    t.overwriteAll(df((1 to 100).map(i => (i, s"n$i", "x"))).repartition(4))
+    val before = dataPaths(t)
+    val src = df(Seq((7, "seven", "x"), (42, "forty-two", "x"),
+      (101, "new", "x")))
+    val metrics = withDv {
+      MergeInto.byKey(t, src, "id")
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    }
+    metrics.count("m0") shouldBe 2L // updated
+    metrics.count("nm1") shouldBe 1L // inserted
+    // every pre-merge file survives byte-for-byte (no rewrite) …
+    val after = t.manifest.get.files
+    before.subsetOf(after.map(_.path).toSet) shouldBe true
+    // … the matched rows' files now carry masks, images+insert appended
+    after.flatMap(_.dvRows).sum shouldBe 2L
+    t.read().count() shouldBe 101L
+    t.read().filter("id = 7").head.getString(1) shouldBe "seven"
+    t.read().filter("id = 42").head.getString(1) shouldBe "forty-two"
+    t.read().filter("id = 101").head.getString(1) shouldBe "new"
+    t.read().filter("id = 8").head.getString(1) shouldBe "n8"
+    t.fastCount shouldBe Some(101L)
+  }
+
+  test("DV-mode merge equals classic merge observationally (incl. deletes + bySource)") {
+    def run(dv: Boolean): (Seq[(Int, String)], MergeBuilder.MergeMetrics) = {
+      val t = ManagedTable(spark, tmp() + s"/dvm2_$dv")
+      t.overwriteAll(df((1 to 60).map(i => (i, s"n$i", "x"))).repartition(3))
+      val src = df((40 to 70).map(i => (i, s"u$i", "x")))
+      val exec = MergeInto.byKey(t, src, "id")
+        .whenMatchedDelete(Some("source.id % 5 = 0"))
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .whenNotMatchedBySourceDelete(Some("target.id < 5"))
+      val metrics = if (dv) withDv { exec.execute() } else exec.execute()
+      (t.read().collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq,
+        metrics)
+    }
+    val (classicRows, classicM) = run(dv = false)
+    val (dvRows, dvM) = run(dv = true)
+    dvRows shouldBe classicRows
+    dvM shouldBe classicM
+  }
+
+  test("DV-mode merge: repeated small upserts never rewrite, purge reclaims") {
+    val t = ManagedTable(spark, tmp() + "/dvm3")
+    t.overwriteAll(df((1 to 1000).map(i => (i, s"n$i", "x"))).coalesce(1))
+    val before = dataPaths(t)
+    withDv {
+      (1 to 3).foreach { round =>
+        val src = df(Seq((round * 10, s"r$round", "x")))
+        MergeInto.byKey(t, src, "id")
+          .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+      }
+    }
+    // original file survived three upserts; masks accumulated
+    before.subsetOf(dataPaths(t)) shouldBe true
+    t.manifest.get.files.find(f => before.contains(f.path)).get
+      .dvRows shouldBe Some(3L)
+    t.read().count() shouldBe 1000L
+    (1 to 3).foreach { round =>
+      t.read().filter(s"id = ${round * 10}").head.getString(1) shouldBe s"r$round"
+    }
+    t.purgeDeletionVectors()
+    t.manifest.get.files.flatMap(_.dv) shouldBe empty
+    t.read().count() shouldBe 1000L
+  }
+
+  test("streaming upsert sink under DV: CDC batches mask instead of rewriting") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = tmp() + "/dvm4"
+    val t = ManagedTable(spark, root + "/t")
+    t.overwriteAll(df((1 to 50).map(i => (i, s"n$i", "x"))).coalesce(1))
+    val before = dataPaths(t)
+    val in = MemoryStream[(Int, String, String)](spark)
+    withDv {
+      val q = in.toDF().toDF("id", "name", "part")
+        .writeStream
+        .format(classOf[graft.streaming.TableSinkProvider].getName)
+        .option("path", t.rootPath)
+        .option("checkpointLocation", root + "/ckpt")
+        .option("mode", "upsert").option("mergeKey", "id")
+        .outputMode(OutputMode.Update())
+        .start()
+      try {
+        in.addData((3, "three", "x"), (51, "fifty-one", "x"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    before.subsetOf(dataPaths(t)) shouldBe true // masked, not rewritten
+    t.read().count() shouldBe 51L
+    t.read().filter("id = 3").head.getString(1) shouldBe "three"
+  }
+
   test("streaming source re-emits a DV-re-masked file with the mask applied") {
     val t = ManagedTable(spark, tmp() + "/dv12")
     t.overwriteAll(df((1 to 10).map(i => (i, s"n$i", "x"))))
