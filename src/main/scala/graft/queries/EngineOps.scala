@@ -519,6 +519,40 @@ object EngineOps {
       runTwo(s, d, "scd2", "historic", deleteMissing = false, withAcct = false)
         .select("ID", "name", "segment", "ValidFrom", "ValidTo", "IsCurrent")
         .orderBy("ID", "ValidFrom")
+    },
+
+    // Column-mapping DDL under the oracle: RENAME COLUMN, DROP COLUMN,
+    // an append THROUGH the mapping (the new file stores the stable
+    // physical name), and a metadata-only ADD COLUMN — all without
+    // rewriting a staged byte. The oracle expresses the same sequence
+    // declaratively: rename = alias, drop = projection, add = NULL.
+    QueryDef(
+      "q_e_colmap",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey AS customer_id, o_orderdate
+        |  FROM orders),
+        |appended AS (
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, customer_id,
+        |         o_orderdate
+        |  FROM base WHERE o_orderkey % 100 = 0)
+        |SELECT o_orderkey, customer_id, o_orderdate,
+        |       CAST(NULL AS VARCHAR) AS note
+        |FROM (SELECT * FROM base UNION ALL SELECT * FROM appended)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "colmap")
+      val t = graft.tables.ManagedTable(s, s"$root/orders")
+      t.overwriteAll(Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .repartition(8))
+      t.renameColumn("o_custkey", "customer_id")
+      t.dropColumn("o_totalprice")
+      val extra = t.read().filter("o_orderkey % 100 = 0")
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("customer_id"), col("o_orderdate"))
+      t.append(extra)
+      t.addColumn("note", org.apache.spark.sql.types.StringType)
+      t.read().select("o_orderkey", "customer_id", "o_orderdate", "note")
+        .orderBy("o_orderkey")
     }
   )
 }

@@ -468,8 +468,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val dt = m.schema.fields.find(_.name == column).map(_.dataType)
     val lo = lower.flatMap(statsBound(dt, _))
     val hi = upper.flatMap(statsBound(dt, _))
+    val statKey = m.physicalName(column) // stats key by physical name
     m.files.filter(f =>
-      f.stats.get(column).forall(_.overlaps(lo, hi)))
+      f.stats.get(statKey).forall(_.overlaps(lo, hi)))
   }
 
   /** A range bound in the footer-stats domain for a column of type `dt`;
@@ -548,18 +549,20 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       s"Cannot bloom-index $rootPath.$column: type ${f.dataType.simpleString} " +
         "is not supported (byte/short/int/long, string, date are)")
     val cfg = BloomIndexConfig(fpp, expectedItemsPerFile)
+    val physCol = m.physicalName(column) // sidecars key by physical name
     writeFileAtomic(bloomConfigFile,
-      BloomIndex.configToJson(bloomIndexes + (column -> cfg)))
-    BloomIndex.build(spark, fs, root, bloomDir, m.files, m.schema,
-      Map(column -> cfg), fileUriLookup(m.files), onlyMissing = true)
+      BloomIndex.configToJson(bloomIndexes + (physCol -> cfg)))
+    BloomIndex.build(spark, fs, root, bloomDir, m.files, m.physicalSchema,
+      Map(physCol -> cfg), fileUriLookup(m.files), onlyMissing = true)
   }
 
   /** Unregister the index and delete its sidecars. */
   def dropBloomIndex(column: String): Unit = withWriteLock {
+    val physCol = manifest.map(_.physicalName(column)).getOrElse(column)
     val cur = bloomIndexes
-    if (cur.contains(column)) {
-      writeFileAtomic(bloomConfigFile, BloomIndex.configToJson(cur - column))
-      BloomIndex.deleteColumn(fs, bloomDir, column)
+    if (cur.contains(physCol)) {
+      writeFileAtomic(bloomConfigFile, BloomIndex.configToJson(cur - physCol))
+      BloomIndex.deleteColumn(fs, bloomDir, physCol)
     }
   }
 
@@ -574,9 +577,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val m = requireManifest
     val dt = m.schema.fields.find(_.name == column).map(_.dataType)
     val bounds = values.map(v => statsBound(dt, v))
+    val statKey = m.physicalName(column) // stats + blooms key by physical
     val ranged = m.files.filter(f => bounds.exists(b =>
-      f.stats.get(column).forall(_.overlaps(b, b))))
-    (bloomIndexes.get(column), dt) match {
+      f.stats.get(statKey).forall(_.overlaps(b, b))))
+    (bloomIndexes.get(statKey), dt) match {
       case (Some(_), Some(d)) =>
         val probes = values.flatMap(v => BloomIndex.probe(d, v))
         if (probes.size != values.size) ranged // untranslatable probe
@@ -585,10 +589,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           // instead of one driver RPC per file
           val keep = BloomIndex.probeDistributed(spark,
             fs.makeQualified(bloomDir).toString, ranged.map(_.path),
-            column, probes)
+            statKey, probes)
           ranged.filter(f => keep.contains(f.path))
         } else ranged.filter(f =>
-          BloomIndex.load(fs, bloomDir, f.path, column) match {
+          BloomIndex.load(fs, bloomDir, f.path, statKey) match {
             case None        => true
             case Some(bloom) => probes.exists(BloomIndex.mightContain(bloom, _))
           })
@@ -669,18 +673,25 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val cleanDf =
       if (clean.isEmpty && dvd.isEmpty) {
         import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-        val schema = StructType(m.schema.fields ++
+        val schema = StructType(m.physicalSchema.fields ++
           tag.map(StructField(_, StringType)) ++ pos.map(StructField(_, LongType)))
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       } else if (clean.isEmpty) null
-      else withTag(spark.read.schema(m.schema)
+      else withTag(spark.read.schema(m.physicalSchema)
         .parquet(clean.map(f => new Path(root, f.path).toString): _*))
-    if (dvd.isEmpty) cleanDf
-    else {
-      val masked = readDvFiltered(m, dvd, tag, pos)
-      if (cleanDf == null) masked else cleanDf.union(masked)
-    }
+    val out =
+      if (dvd.isEmpty) cleanDf
+      else {
+        val masked = readDvFiltered(m, dvd, tag, pos)
+        if (cleanDf == null) masked else cleanDf.union(masked)
+      }
+    // files store PHYSICAL names; surface the LOGICAL ones (no-op select
+    // when column mapping is inactive — names coincide)
+    if (m.columnMapping.isEmpty) out
+    else out.select(m.schema.fields.toSeq.map(f =>
+      col(s"`${m.physicalName(f.name)}`").as(f.name)) ++
+      tag.map(t => col(s"`$t`")) ++ pos.map(p => col(s"`$p`")): _*)
   }
 
   /** Scan `files` (all carrying a DV) with their masked positions
@@ -694,7 +705,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * purged long before ([[purgeDeletionVectors]]). */
   private def readDvFiltered(m: Manifest, files: Seq[TableFile],
       tag: Option[String], pos: Option[String] = None): DataFrame = {
-    val scan0 = spark.read.schema(m.schema)
+    val scan0 = spark.read.schema(m.physicalSchema)
       .parquet(files.map(f => new Path(root, f.path).toString): _*)
       .withColumn(DvFileCol, col("_metadata.file_name"))
       .withColumn(DvPosCol, col("_metadata.row_index"))
@@ -705,7 +716,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       if (files.flatMap(_.dvRows).sum <= dvBroadcastMaxPositions)
         broadcast(dead0)
       else dead0
-    val outCols = m.schema.fieldNames.toSeq.map(n => col(s"`$n`")) ++
+    // output stays PHYSICAL — [[readFilesWithTag]] does the final
+    // physical→logical projection uniformly for clean and masked files
+    val outCols = m.physicalSchema.fieldNames.toSeq.map(n => col(s"`$n`")) ++
       tag.map(col).toSeq ++ pos.map(p => col(DvPosCol).as(p)).toSeq
     scan.join(dead,
         scan(DvFileCol) === dead("file") && scan(DvPosCol) === dead("pos"),
@@ -779,11 +792,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         // as append/replacePartitions applies
         val d = reconcileSchema(df, m)
         enforceConstraints(d, m.constraints, "overwriteDynamic")
-        val newFiles = writeCommit(d, partitionBy)
+        val cmx = extendMapping(m.columnMapping, d.schema)
+        val newFiles = writeCommit(d, partitionBy, cmx)
         val replaced = newFiles.map(_.partitionValues).toSet
         val removed = m.files.filter(f => replaced.contains(f.partitionValues))
         commitDelta(d.schema.json, partitionBy, "overwriteDynamic",
-          base = Some(m), adds = newFiles, removes = removed.map(_.path))
+          base = Some(m), adds = newFiles, removes = removed.map(_.path),
+          mappingOverride = Some(cmx))
     } }
 
   /** Atomic "append, creating the table if absent": the exists-check runs
@@ -821,14 +836,19 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       case Some(m) =>
         val d = reconcileSchema(df, m)
         enforceConstraints(d, m.constraints, operation)
-        val newFiles = writeCommit(d, m.partitionColumns)
+        val cmx = extendMapping(m.columnMapping, d.schema)
+        val newFiles = writeCommit(d, m.partitionColumns, cmx)
         var base = m
         var attempt = 0
         var committed = false
         while (!committed)
           try {
+            // a rebase under an unchanged schemaJson implies an unchanged
+            // mapping (every mapping mutation rewrites the schema), so cmx
+            // stays valid against the winner's head
             commitDelta(d.schema.json, base.partitionColumns, operation,
-              base = Some(base), adds = newFiles, removes = Nil, txn = txn)
+              base = Some(base), adds = newFiles, removes = Nil, txn = txn,
+              mappingOverride = Some(cmx))
             committed = true
           } catch {
             case e: ConcurrentWriteException =>
@@ -993,10 +1013,16 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       candidates.map(f => new Path(f.path).getName -> f).toMap
     // physical scan: row positions index the file as written, independent
     // of any DV already masking it
-    val raw = spark.read.schema(m.schema)
+    val rawPhys = spark.read.schema(m.physicalSchema)
       .parquet(candidates.map(f => new Path(root, f.path).toString): _*)
       .withColumn(DvFileCol, col("_metadata.file_name"))
       .withColumn(DvPosCol, col("_metadata.row_index"))
+    // logical view (pred and rewrite speak logical names), positions kept
+    val raw =
+      if (m.columnMapping.isEmpty) rawPhys
+      else rawPhys.select(m.schema.fields.toSeq.map(f =>
+        col(s"`${m.physicalName(f.name)}`").as(f.name)) :+
+        col(DvFileCol) :+ col(DvPosCol): _*)
     val priorNames = candidates.flatMap(_.dv).distinct
     val maskedNames = candidates.filter(_.dv.isDefined)
       .map(f => new Path(f.path).getName)
@@ -1067,7 +1093,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       (rwContent.toSeq ++ updContent.toSeq).reduceOption(_ union _)
         .foreach { content =>
           enforceConstraints(content, m.constraints, op)
-          adds ++= writeCommit(content, m.partitionColumns)
+          adds ++= writeCommit(content, m.partitionColumns, m.columnMapping)
         }
       removes ++= rewriteEntries.map(_.path)
 
@@ -1160,8 +1186,121 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         s"evolveSchema on $rootPath may not drop columns")
     if (widened.json != m.schemaJson)
       commitDelta(widened.json, m.partitionColumns, operation,
-        base = Some(m), adds = Nil, removes = Nil)
+        base = Some(m), adds = Nil, removes = Nil,
+        mappingOverride = Some(extendMapping(m.columnMapping, widened)))
   }
+
+  // ------------------------------------------------- column-mapping DDL
+
+  /** RENAME COLUMN as a METADATA-ONLY commit (Delta's column-mapping
+    * rename): the physical name inside every data file stays what it
+    * was — at 100 TB a rename must not rewrite a byte — and only the
+    * logical schema plus the mapping change. The first rename/drop on a
+    * table activates column mapping with an identity map over the
+    * then-current schema, so existing files need no translation.
+    * Partition columns cannot be renamed (the directory layout is
+    * physical), and a column referenced by a CHECK constraint must have
+    * the constraint dropped first. */
+  def renameColumn(oldName: String, newName: String): Unit = withWriteLock {
+    import org.apache.spark.sql.types.StructType
+    val m = requireManifest
+    if (!m.schema.fieldNames.contains(oldName))
+      throw new MetadataException(
+        s"renameColumn on $rootPath: no such column '$oldName'")
+    if (m.schema.fieldNames.exists(_.equalsIgnoreCase(newName)))
+      throw new MetadataException(
+        s"renameColumn on $rootPath: column '$newName' already exists")
+    if (m.partitionColumns.contains(oldName))
+      throw new MetadataException(
+        s"renameColumn on $rootPath: '$oldName' is a partition column — " +
+          "partition directory layout is physical; rename it by rewrite")
+    requireNoConstraintRefs(m, oldName, "renameColumn")
+    val cm = activeMapping(m)
+    val phys = cm.physical(oldName)
+    val newSchema = StructType(m.schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    commitDelta(newSchema.json, m.partitionColumns,
+      s"renameColumn $oldName->$newName",
+      base = Some(m), adds = Nil, removes = Nil,
+      mappingOverride = Some(Some(cm.copy(
+        byLogical = cm.byLogical - oldName + (newName -> phys)))))
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit: the bytes stay inside the
+    * data files (reclaimed whenever maintenance rewrites them) but the
+    * column vanishes from every read, and its physical name is retired
+    * forever — a future column of the same name gets a fresh physical
+    * name, never the dropped column's bytes. */
+  def dropColumn(name: String): Unit = withWriteLock {
+    import org.apache.spark.sql.types.StructType
+    val m = requireManifest
+    if (!m.schema.fieldNames.contains(name))
+      throw new MetadataException(
+        s"dropColumn on $rootPath: no such column '$name'")
+    if (m.schema.fields.length == 1)
+      throw new MetadataException(
+        s"dropColumn on $rootPath: cannot drop the last column")
+    if (m.partitionColumns.contains(name))
+      throw new MetadataException(
+        s"dropColumn on $rootPath: '$name' is a partition column")
+    requireNoConstraintRefs(m, name, "dropColumn")
+    val cm = activeMapping(m)
+    val phys = cm.physical(name)
+    // a bloom index on the dropped column would orphan its sidecars
+    val blooms = bloomIndexes
+    if (blooms.contains(phys)) {
+      writeFileAtomic(bloomConfigFile, BloomIndex.configToJson(blooms - phys))
+      BloomIndex.deleteColumn(fs, bloomDir, phys)
+    }
+    val newSchema = StructType(m.schema.fields.filterNot(_.name == name))
+    commitDelta(newSchema.json, m.partitionColumns, s"dropColumn $name",
+      base = Some(m), adds = Nil, removes = Nil,
+      mappingOverride = Some(Some(cm.copy(
+        byLogical = cm.byLogical - name,
+        retired = cm.retired :+ phys))))
+  }
+
+  /** ADD COLUMN as a metadata-only commit: appended nullable; existing
+    * rows read it as null (parquet superset-schema reads). Equivalent to
+    * the drift-adoption path, minus needing a data write to ride on. */
+  def addColumn(name: String,
+      dataType: org.apache.spark.sql.types.DataType): Unit = withWriteLock {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val m = requireManifest
+    if (m.schema.fieldNames.exists(_.equalsIgnoreCase(name)))
+      throw new MetadataException(
+        s"addColumn on $rootPath: column '$name' already exists")
+    val newSchema = StructType(
+      m.schema.fields :+ StructField(name, dataType, nullable = true))
+    commitDelta(newSchema.json, m.partitionColumns, s"addColumn $name",
+      base = Some(m), adds = Nil, removes = Nil,
+      mappingOverride = Some(extendMapping(m.columnMapping, newSchema)))
+  }
+
+  /** The table's mapping, activating (identity over the current schema)
+    * if this is the first mapping mutation. */
+  private def activeMapping(m: Manifest): ColumnMapping =
+    m.columnMapping.getOrElse(
+      ColumnMapping(m.schema.fieldNames.map(n => n -> n).toMap))
+
+  /** Reject a rename/drop of a column a CHECK constraint references —
+    * the stored expression text would silently stop matching rows (or
+    * fail analysis) after the schema change. Unparsable expressions are
+    * conservatively treated as referencing everything. */
+  private def requireNoConstraintRefs(
+      m: Manifest, colName: String, op: String): Unit =
+    m.constraints.foreach { case (n, e) =>
+      val refs =
+        try spark.sessionState.sqlParser.parseExpression(e).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last
+        }.toSet
+        catch { case scala.util.control.NonFatal(_) => Set(colName) }
+      if (refs.exists(_.equalsIgnoreCase(colName)))
+        throw new MetadataException(
+          s"$op on $rootPath: column '$colName' is referenced by CHECK " +
+            s"constraint '$n' ($e) — drop the constraint first")
+    }
 
   /** When `condition` references partition columns only, returns the
     * manifest entries of partitions where it evaluates TRUE — every row
@@ -1233,9 +1372,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val m = requireManifest
     val d = reconcileSchema(df, m)
     enforceConstraints(d, m.constraints, operation)
-    val newFiles = writeCommit(d, m.partitionColumns)
+    val cmx = extendMapping(m.columnMapping, d.schema)
+    val newFiles = writeCommit(d, m.partitionColumns, cmx)
     commitDelta(d.schema.json, m.partitionColumns, operation,
-      base = Some(m), adds = newFiles, removes = removePaths, txn = txn)
+      base = Some(m), adds = newFiles, removes = removePaths, txn = txn,
+      mappingOverride = Some(cmx))
   }
 
   /** DV-mode MERGE commit primitive — [[replaceFiles]]'s merge-on-read
@@ -1281,11 +1422,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       adds ++= dvUpdates.map { case (f, dead) =>
         f.copy(dv = Some(name), dvRows = Some(dead)) }
     }
-    adds ++= writeCommit(d, m.partitionColumns)
+    val cmx = extendMapping(m.columnMapping, d.schema)
+    adds ++= writeCommit(d, m.partitionColumns, cmx)
     commitDelta(d.schema.json, m.partitionColumns, operation,
       base = Some(m), adds = adds,
       removes = dropPaths ++ replacePaths ++ dvUpdates.map(_._1.path),
-      txn = txn)
+      txn = txn, mappingOverride = Some(cmx))
   }
 
   /** Register externally-written parquet files as a new version WITHOUT
@@ -1304,12 +1446,19 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       schema: org.apache.spark.sql.types.StructType,
       partitionBy: Seq[String],
       files: Seq[TableFile],
-      operation: String = "import"): Unit = withWriteLock {
+      operation: String = "import",
+      columnMapping: Option[ColumnMapping] = None): Unit = withWriteLock {
     manifest match {
       case None =>
         commitDelta(schema.json, partitionBy, operation,
-          base = None, adds = files, removes = Nil)
+          base = None, adds = files, removes = Nil,
+          mappingOverride = Some(columnMapping))
       case Some(m) =>
+        if (m.columnMapping != columnMapping)
+          throw new MetadataException(
+            s"importFiles into $rootPath: column mapping differs from the " +
+              "current version (imported files must store the same " +
+              "physical names)")
         if (schema.json != m.schemaJson)
           throw new MetadataException(
             s"importFiles into $rootPath: schema differs from current version")
@@ -1353,7 +1502,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val absolute = m.files.map(f =>
       f.copy(path = fs.makeQualified(new Path(root, f.path)).toString,
         dv = f.dv.map(d => fs.makeQualified(new Path(dvDir, d)).toString)))
-    dest.importFiles(m.schema, m.partitionColumns, absolute, "shallowClone")
+    dest.importFiles(m.schema, m.partitionColumns, absolute, "shallowClone",
+      m.columnMapping)
     dest
   }
 
@@ -1368,7 +1518,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val m = requireManifest
     val d = reconcileSchema(df, m)
     enforceConstraints(d, m.constraints, operation)
-    val newFiles = writeCommit(d, m.partitionColumns)
+    val cmx = extendMapping(m.columnMapping, d.schema)
+    val newFiles = writeCommit(d, m.partitionColumns, cmx)
     val removed = partitions match {
       case None => m.files
       case Some(ps) =>
@@ -1376,7 +1527,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         m.files.filter(f => replaced.contains(f.partitionValues))
     }
     commitDelta(d.schema.json, m.partitionColumns, operation,
-      base = Some(m), adds = newFiles, removes = removed.map(_.path), txn = txn)
+      base = Some(m), adds = newFiles, removes = removed.map(_.path), txn = txn,
+      mappingOverride = Some(cmx))
   }
 
   /** Compact partitions whose file count reached `minFiles`: their rows are
@@ -1741,17 +1893,48 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     }
   }
 
+  /** Extend an ACTIVE column mapping with entries for fields `schema`
+    * introduces (an inactive mapping stays inactive — physical stays
+    * logical until the first rename/drop). A new field whose name is
+    * reserved — in use as another column's physical, or retired by a
+    * drop — gets a uniquified physical name instead, so old files'
+    * bytes can never resurface under a re-added name. */
+  private def extendMapping(cm: Option[ColumnMapping],
+      schema: org.apache.spark.sql.types.StructType): Option[ColumnMapping] =
+    cm.map { c =>
+      val missing = schema.fieldNames.toSeq.filterNot(c.byLogical.contains)
+      if (missing.isEmpty) c
+      else {
+        var taken = c.reserved
+        val added = missing.map { n =>
+          val p =
+            if (!taken(n)) n
+            else s"$n-${UUID.randomUUID().toString.take(8)}"
+          taken += p
+          n -> p
+        }
+        c.copy(byLogical = c.byLogical ++ added)
+      }
+    }
+
   /** Write `df` as immutable files under a fresh commit dir; return the
     * created [[TableFile]]s with their partition values. One distributed
     * write job regardless of partition count. */
-  private def writeCommit(df: DataFrame, partitionBy: Seq[String]): Seq[TableFile] = {
-    val files = writeCommitFiles(df, partitionBy)
+  private def writeCommit(df: DataFrame, partitionBy: Seq[String],
+      cm: Option[ColumnMapping] = None): Seq[TableFile] = {
+    // data files store PHYSICAL column names (no-op while mapping is
+    // inactive); stats and bloom sidecars key by them too, so a later
+    // rename invalidates nothing
+    val phys = cm.fold(df)(c => df.select(
+      df.columns.toSeq.map(n => col(s"`$n`").as(c.physical(n))): _*))
+    val files = writeCommitFiles(phys, partitionBy.map(c =>
+      cm.fold(c)(_.physical(c))))
     // bloom sidecars ride the commit's files (one distributed pass over
     // just-written data, indexed columns only); a failed build degrades
     // to "no sidecar → file kept", so it must never fail the commit
     val idx = bloomIndexes
     if (idx.nonEmpty)
-      try BloomIndex.build(spark, fs, root, bloomDir, files, df.schema, idx,
+      try BloomIndex.build(spark, fs, root, bloomDir, files, phys.schema, idx,
         fileUriLookup(files))
       catch {
         case scala.util.control.NonFatal(e) =>
@@ -1847,7 +2030,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       adds: Seq[TableFile],
       removes: Seq[String],
       txn: Option[Txn] = None,
-      constraintsOverride: Option[Map[String, String]] = None): Unit = {
+      constraintsOverride: Option[Map[String, String]] = None,
+      // None = inherit the base's column mapping; Some(x) = publish x
+      // (rename/drop/activation set it, full overwrite resets with
+      // Some(None) — surviving files are gone, so no translation remains)
+      mappingOverride: Option[Option[ColumnMapping]] = None): Unit = {
     val next = currentVersion.map(_ + 1).getOrElse(0L)
     // stale-base guard: the put-if-absent record create below only
     // detects a rival racing for the SAME version number. A rival whose
@@ -1869,6 +2056,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // constraints carry forward unless this commit changes them
     val cs = constraintsOverride
       .getOrElse(base.map(_.constraints).getOrElse(Map.empty))
+    val cm = mappingOverride
+      .getOrElse(base.flatMap(_.columnMapping))
     // per-commit operation metrics (Delta's operationMetrics): free
     // driver arithmetic over entries already in hand; row/byte sums only
     // when every added entry carries the stat (a partial sum would lie)
@@ -1885,7 +2074,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val (recordJson, snapshot) =
       if (checkpoint) {
         val m = Manifest(next, schemaJson, partitionBy, newFiles, operation, now,
-          txn = txn, constraints = cs, metrics = metrics)
+          txn = txn, constraints = cs, metrics = metrics, columnMapping = cm)
         if (newFiles.size >= parquetCheckpointThreshold) {
           // large-table checkpoint: the file list goes to a parquet sidecar
           // written as a distributed dataset BEFORE the record that points
@@ -1898,10 +2087,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       } else {
         val inc = IncrementalManifest(next, schemaJson, partitionBy,
           base.get.version, adds, removes, operation, now, txn = txn,
-          constraints = cs, metrics = metrics)
+          constraints = cs, metrics = metrics, columnMapping = cm)
         (inc.toJsonString,
           Manifest(next, schemaJson, partitionBy, newFiles, operation, now,
-            txn = txn, constraints = cs, metrics = metrics))
+            txn = txn, constraints = cs, metrics = metrics, columnMapping = cm))
       }
     fs.mkdirs(manifestsDir)
     // the record create is the commit ARBITER (Delta's log-file

@@ -103,6 +103,26 @@ final case class Txn(appId: String, batchId: Long)
   * @param dvRows number of masked positions for THIS file — always
   *   recorded with [[dv]] so live counts and deleted-fraction decisions
   *   never read the sidecar. */
+/** Delta-style column mapping: logical (user-visible) column names decouple
+  * from the physical names stored inside parquet files, making RENAME and
+  * DROP COLUMN metadata-only commits — at 100 TB a rename must not rewrite
+  * a byte. Inactive (absent from the record) ⇔ physical == logical, which
+  * is every table until its first rename/drop; activation snapshots an
+  * identity map over the then-current schema, so pre-activation files need
+  * no translation either.
+  *
+  * @param byLogical physical name for EVERY logical field while active
+  * @param retired physical names of dropped columns — still present inside
+  *   old data files, so they stay reserved forever: a later column with a
+  *   colliding name gets a uniquified physical instead of resurrecting the
+  *   dropped column's bytes */
+final case class ColumnMapping(
+    byLogical: Map[String, String], retired: Seq[String] = Nil) {
+  def physical(logical: String): String = byLogical.getOrElse(logical, logical)
+  /** Physical names that may never be assigned to a new column. */
+  def reserved: Set[String] = byLogical.values.toSet ++ retired
+}
+
 final case class TableFile(
     path: String,
     partitionValues: Map[String, String],
@@ -132,9 +152,19 @@ final case class Manifest(
     filesRef: Option[String] = None,
     txn: Option[Txn] = None,
     constraints: Map[String, String] = Map.empty,
-    metrics: Map[String, Long] = Map.empty) {
+    metrics: Map[String, Long] = Map.empty,
+    columnMapping: Option[ColumnMapping] = None) {
 
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  /** Physical parquet name of a logical column (identity until mapping
+    * activates — see [[ColumnMapping]]). */
+  def physicalName(logical: String): String =
+    columnMapping.fold(logical)(_.physical(logical))
+
+  /** The schema as stored inside this version's data files. */
+  def physicalSchema: StructType = columnMapping.fold(schema)(cm =>
+    StructType(schema.fields.map(f => f.copy(name = cm.physical(f.name)))))
 
   def toJsonString: String = {
     val base = List(
@@ -145,7 +175,8 @@ final case class Manifest(
       "timestampMs" -> JLong(timestampMs)) ++
       Manifest.txnToJson(txn) ++
       Manifest.constraintsToJson(constraints) ++
-      Manifest.metricsToJson(metrics)
+      Manifest.metricsToJson(metrics) ++
+      Manifest.mappingToJson(columnMapping)
     val j = JObject(base ++ (filesRef match {
       case Some(ref) => List("filesRef" -> JString(ref))
       case None      => List("files" -> Manifest.filesToJson(files))
@@ -172,7 +203,8 @@ final case class IncrementalManifest(
     timestampMs: Long,
     txn: Option[Txn] = None,
     constraints: Map[String, String] = Map.empty,
-    metrics: Map[String, Long] = Map.empty) {
+    metrics: Map[String, Long] = Map.empty,
+    columnMapping: Option[ColumnMapping] = None) {
 
   def toJsonString: String = {
     val j = JObject(List(
@@ -184,7 +216,8 @@ final case class IncrementalManifest(
       "timestampMs" -> JLong(timestampMs)) ++
       Manifest.txnToJson(txn) ++
       Manifest.constraintsToJson(constraints) ++
-      Manifest.metricsToJson(metrics) ++ List(
+      Manifest.metricsToJson(metrics) ++
+      Manifest.mappingToJson(columnMapping) ++ List(
       "adds" -> (Manifest.filesToJson(adds): JValue),
       "removes" -> JArray(removes.map(JString(_)).toList)))
     JsonMethods.compact(JsonMethods.render(j))
@@ -196,7 +229,7 @@ final case class IncrementalManifest(
     Manifest(version, schemaJson, partitionColumns,
       base.files.filterNot(f => removed.contains(f.path)) ++ adds,
       operation, timestampMs, txn = txn, constraints = constraints,
-      metrics = metrics)
+      metrics = metrics, columnMapping = columnMapping)
   }
 }
 
@@ -241,6 +274,33 @@ object Manifest {
   private def metricsFromJson(v: JValue): Map[String, Long] = v match {
     case JObject(kvs) => kvs.map { case (n, x) => n -> lng(x) }.toMap
     case _            => Map.empty
+  }
+
+  /** Column mapping travels in every record (absent key ⇔ inactive — old
+    * records parse unchanged) so each version reads its files through
+    * the mapping that was live when they were committed. */
+  private[tables] def mappingToJson(
+      cm: Option[ColumnMapping]): List[(String, JValue)] =
+    cm.map { c =>
+      "columnMapping" -> (JObject(
+        "map" -> JObject(
+          c.byLogical.toList.sortBy(_._1).map { case (l, p) =>
+            l -> (JString(p): JValue) }),
+        "retired" -> JArray(c.retired.map(JString(_)).toList)): JValue)
+    }.toList
+
+  private def mappingFromJson(v: JValue): Option[ColumnMapping] = v match {
+    case JObject(_) =>
+      val m = (v \ "map") match {
+        case JObject(kvs) => kvs.map { case (l, p) => l -> str(p) }.toMap
+        case _            => Map.empty[String, String]
+      }
+      val r = (v \ "retired") match {
+        case JArray(xs) => xs.map(str)
+        case _          => Nil
+      }
+      Some(ColumnMapping(m, r))
+    case _ => None
   }
 
   private[tables] def filesToJson(files: Seq[TableFile]): JArray =
@@ -320,14 +380,16 @@ object Manifest {
         Left(Manifest(common._1, common._2, common._3,
           filesFromJson(j \ "files"), common._4, common._5, ref,
           txnFromJson(j \ "txn"), constraintsFromJson(j \ "constraints"),
-          metricsFromJson(j \ "metrics")))
+          metricsFromJson(j \ "metrics"),
+          mappingFromJson(j \ "columnMapping")))
       case bv =>
         Right(IncrementalManifest(common._1, common._2, common._3, lng(bv),
           filesFromJson(j \ "adds"),
           (j \ "removes") match { case JArray(xs) => xs.map(str); case _ => Nil },
           common._4, common._5, txnFromJson(j \ "txn"),
           constraintsFromJson(j \ "constraints"),
-          metricsFromJson(j \ "metrics")))
+          metricsFromJson(j \ "metrics"),
+          mappingFromJson(j \ "columnMapping")))
     }
   }
 
