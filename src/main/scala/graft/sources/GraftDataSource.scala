@@ -142,9 +142,10 @@ class GraftDataSource extends RelationProvider
 }
 
 /** Batch relation over a managed-table snapshot (current or
-  * `versionAsOf`). Filter pushdown is used ONLY for manifest-stats file
-  * pruning; `unhandledFilters` returns everything, so Spark plans the
-  * row-level filter on top and correctness never depends on the stats. */
+  * `versionAsOf`). Filter pushdown is used ONLY for manifest-side file
+  * pruning — partition values, per-file min/max stats, Bloom sidecars —
+  * and `unhandledFilters` returns everything, so Spark plans the
+  * row-level filter on top and correctness never depends on pruning. */
 final case class GraftRelation(
     sqlContext: SQLContext,
     path: String,
@@ -172,25 +173,68 @@ final case class GraftRelation(
     projected.rdd
   }
 
-  /** Conjunctive min/max file skipping from the pushed simple bounds —
-    * inclusive bounds for strict comparisons (conservative: never drops
-    * a file that could hold a matching row). */
+  /** Conjunctive manifest-side file skipping from the pushed filters,
+    * all against ONE snapshot (a commit landing mid-prune cannot mix
+    * versions). Three pruning sources, each conservative — a file is
+    * dropped only when it provably holds no matching row:
+    *
+    *  - partition columns: the filter decides per partition tuple
+    *    driver-side (the 100 TB first line of defense — `day = X`
+    *    through `format("graft")` never lists the other days' files);
+    *  - data columns, point/IN: min/max stats + Bloom sidecars
+    *    ([[ManagedTable.filesMightContainOf]]);
+    *  - data columns, ranges: min/max stats, inclusive bounds for
+    *    strict comparisons ([[ManagedTable.filesInRangeOf]]). */
   private def prunedCurrent(filters: Array[Filter]): DataFrame = {
-    val bounds: Seq[(String, Option[Any], Option[Any])] = filters.toSeq.collect {
-      case EqualTo(a, v)            => (a, Some(v), Some(v))
-      case GreaterThan(a, v)        => (a, Some(v), None)
-      case GreaterThanOrEqual(a, v) => (a, Some(v), None)
-      case LessThan(a, v)           => (a, None, Some(v))
-      case LessThanOrEqual(a, v)    => (a, None, Some(v))
+    val m = table.manifest.getOrElse(
+      throw new IllegalArgumentException(s"no graft table at $path"))
+    val partCols = m.partitionColumns.toSet
+    def colOf(a: String) = col(s"`$a`")
+    // lit() rejects exotic external types — then that filter prunes nothing
+    def tryLit(v: Any): Option[org.apache.spark.sql.Column] =
+      scala.util.Try(org.apache.spark.sql.functions.lit(v)).toOption
+    def partSurvivors(c: org.apache.spark.sql.Column): Set[String] =
+      table.filesWherePartitions(m, c).map(_.path).toSet
+    val sets: Seq[Set[String]] = filters.toSeq.flatMap {
+      // ---- partition columns: decided from manifest partition values
+      case EqualTo(a, v) if partCols(a) =>
+        tryLit(v).map(l => partSurvivors(colOf(a) === l))
+      case In(a, vs) if partCols(a) && vs.nonEmpty && !vs.contains(null) =>
+        val ls = vs.toSeq.flatMap(tryLit)
+        if (ls.size == vs.length) Some(partSurvivors(colOf(a).isin(ls: _*)))
+        else None
+      case GreaterThan(a, v) if partCols(a) =>
+        tryLit(v).map(l => partSurvivors(colOf(a) > l))
+      case GreaterThanOrEqual(a, v) if partCols(a) =>
+        tryLit(v).map(l => partSurvivors(colOf(a) >= l))
+      case LessThan(a, v) if partCols(a) =>
+        tryLit(v).map(l => partSurvivors(colOf(a) < l))
+      case LessThanOrEqual(a, v) if partCols(a) =>
+        tryLit(v).map(l => partSurvivors(colOf(a) <= l))
+      // ---- data columns: stats (+ bloom for point/IN probes)
+      case EqualTo(a, v) =>
+        Some(table.filesMightContainOf(m, a, Seq(v)).map(_.path).toSet)
+      case In(a, vs) if vs.exists(_ != null) =>
+        // null never satisfies IN, so pruning by the non-null probes is exact
+        Some(table.filesMightContainOf(m, a, vs.toSeq.filter(_ != null))
+          .map(_.path).toSet)
+      case GreaterThan(a, v) =>
+        Some(table.filesInRangeOf(m, a, Some(v), None).map(_.path).toSet)
+      case GreaterThanOrEqual(a, v) =>
+        Some(table.filesInRangeOf(m, a, Some(v), None).map(_.path).toSet)
+      case LessThan(a, v) =>
+        Some(table.filesInRangeOf(m, a, None, Some(v)).map(_.path).toSet)
+      case LessThanOrEqual(a, v) =>
+        Some(table.filesInRangeOf(m, a, None, Some(v)).map(_.path).toSet)
+      case _ => None
     }
-    if (bounds.isEmpty) table.read()
-    else {
-      val m = table.manifest.get
-      val survivors = bounds
-        .map { case (c, lo, hi) => table.filesInRange(c, lo, hi).map(_.path).toSet }
-        .reduce(_ intersect _)
-      table.readManifestFiles(m, m.files.filter(f => survivors.contains(f.path)))
-    }
+    val files =
+      if (sets.isEmpty) m.files
+      else {
+        val survivors = sets.reduce(_ intersect _)
+        m.files.filter(f => survivors.contains(f.path))
+      }
+    table.readManifestFiles(m, files)
   }
 }
 

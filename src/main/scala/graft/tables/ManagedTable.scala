@@ -1,7 +1,7 @@
 package graft.tables
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.charset.StandardCharsets
@@ -463,8 +463,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * stats encoding) disables skipping on that side rather than risking
     * wrongly-skipped files. */
   def filesInRange(
+      column: String, lower: Option[Any], upper: Option[Any]): Seq[TableFile] =
+    filesInRangeOf(requireManifest, column, lower, upper)
+
+  /** [[filesInRange]] against a caller-held snapshot, so a multi-filter
+    * prune (the `format("graft")` relation) evaluates every bound on ONE
+    * version instead of re-reading the head per filter. */
+  private[graft] def filesInRangeOf(m: Manifest,
       column: String, lower: Option[Any], upper: Option[Any]): Seq[TableFile] = {
-    val m = requireManifest
     val dt = m.schema.fields.find(_.name == column).map(_.dataType)
     val lo = lower.flatMap(statsBound(dt, _))
     val hi = upper.flatMap(statsBound(dt, _))
@@ -572,9 +578,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * sidecars are conservatively kept, and a probe value with no safe
     * canonical form disables the bloom pass for the whole query (a
     * wrongly-skipped file would drop rows; a kept one only costs time). */
-  def filesMightContain(column: String, values: Seq[Any]): Seq[TableFile] = {
+  def filesMightContain(column: String, values: Seq[Any]): Seq[TableFile] =
+    filesMightContainOf(requireManifest, column, values)
+
+  /** [[filesMightContain]] against a caller-held snapshot (see
+    * [[filesInRangeOf]]). */
+  private[graft] def filesMightContainOf(m: Manifest,
+      column: String, values: Seq[Any]): Seq[TableFile] = {
     require(values.nonEmpty, "filesMightContain needs at least one value")
-    val m = requireManifest
     val dt = m.schema.fields.find(_.name == column).map(_.dataType)
     val bounds = values.map(v => statsBound(dt, v))
     val statKey = m.physicalName(column) // stats + blooms key by physical
@@ -1343,6 +1354,46 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       .collect().map(_.getLong(0).toInt).toSet
     val wanted: Set[Map[String, String]] = hit.map(tuples(_))
     Some(m.files.filter(f => wanted.contains(f.partitionValues)))
+  }
+
+  /** PRUNING variant of [[partitionOnlyMatches]] for pushed-filter file
+    * skipping: evaluate `cond` (which must reference partition columns
+    * only — the caller routes filters by name) over the distinct
+    * partition tuples and return the files of TRUE partitions, KEEPING
+    * any tuple that cannot be evaluated (null / hive-default values)
+    * conservatively. Unlike [[partitionOnlyMatches]] — which must decide
+    * membership EXACTLY for metadata-only DML — an over-approximation is
+    * fine here: the engine re-applies every filter row-level, so keeping
+    * a file can never change results, while dropping one could. Cost:
+    * one tiny local job over distinct tuples, never the table. */
+  private[graft] def filesWherePartitions(
+      m: Manifest, cond: Column): Seq[TableFile] = {
+    if (m.partitionColumns.isEmpty) return m.files
+    val tuples = m.files.map(_.partitionValues).distinct
+    val (ev, raw) = tuples.partition(t => m.partitionColumns.forall(c =>
+      t.get(c).exists(v => v != null && v != "__HIVE_DEFAULT_PARTITION__")))
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val hit: Set[Map[String, String]] =
+      if (ev.isEmpty) Set.empty
+      else {
+        val strSchema = StructType(
+          m.partitionColumns.map(c => StructField(c, StringType)) :+
+            StructField("__g_idx", LongType))
+        val rows = ev.zipWithIndex.map { case (t, i) =>
+          Row.fromSeq(m.partitionColumns.map(t(_)) :+ i.toLong)
+        }
+        val pdf = spark.createDataFrame(rows.asJava, strSchema)
+          .select(m.partitionColumns.map(c =>
+            col(s"`$c`").cast(m.schema(c).dataType).as(c)) :+ col("__g_idx"): _*)
+        // an unevaluable predicate (type mismatch, exotic literal) keeps
+        // everything — pruning is an optimization, never an arbiter
+        try pdf.filter(cond).select("__g_idx")
+          .collect().map(r => ev(r.getLong(0).toInt)).toSet
+        catch { case scala.util.control.NonFatal(_) => ev.toSet }
+      }
+    val wanted = hit ++ raw
+    m.files.filter(f => wanted.contains(f.partitionValues))
   }
 
   private[graft] def readManifestFiles(m: Manifest, files: Seq[TableFile]): DataFrame =

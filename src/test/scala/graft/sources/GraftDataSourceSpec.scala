@@ -78,6 +78,48 @@ class GraftDataSourceSpec extends AnyFunSuite with Matchers {
     out.queryExecution.executedPlan.toString should include("Filter")
   }
 
+  test("pushed partition filters prune driver-side — other partitions' files never open") {
+    val p = tmp() + "/t"
+    Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")).toDF("id", "v", "part")
+      .write.format("graft").option("partitionBy", "part").save(p)
+    val t = ManagedTable(spark, p)
+    // delete the OTHER partitions' data files underneath: a scan that
+    // lists them now throws, so a passing filtered read proves the prune
+    t.manifest.get.files.filter(_.partitionValues("part") != "x")
+      .foreach(f => new java.io.File(p, f.path).delete() shouldBe true)
+    spark.read.format("graft").load(p).filter(col("part") === "x")
+      .select("id").as[Long].collect() shouldBe Array(1L)
+    spark.read.format("graft").load(p).filter(col("part").isin("x"))
+      .count() shouldBe 1
+    // range comparison on the partition column prunes too
+    spark.read.format("graft").load(p).filter(col("part") < "y")
+      .count() shouldBe 1
+    // and an unfiltered read really does break (the files are gone)
+    an[Exception] should be thrownBy
+      spark.read.format("graft").load(p).count()
+  }
+
+  test("pushed point lookups prune via bloom sidecars where min/max is blind") {
+    val p = tmp() + "/t"
+    // hash-distribute ids so every file's [min, max] spans the full range
+    // — stats alone cannot skip; only the bloom probe can
+    Seq.tabulate(300)(i => (i.toLong, s"r$i")).toDF("id", "v")
+      .repartition(3, col("id"))
+      .write.format("graft").save(p)
+    val t = ManagedTable(spark, p)
+    t.manifest.get.files.size shouldBe 3
+    t.addBloomIndex("id")
+    val hit = t.filesMightContain("id", Seq(42L)).map(_.path)
+    hit.size should be < 3 // bloom really is selective here
+    // delete every non-hit file: only a bloom-pruned scan can succeed
+    t.manifest.get.files.filterNot(f => hit.contains(f.path))
+      .foreach(f => new java.io.File(p, f.path).delete() shouldBe true)
+    spark.read.format("graft").load(p).filter(col("id") === 42L)
+      .select("v").as[String].collect() shouldBe Array("r42")
+    spark.read.format("graft").load(p).filter(col("id").isin(42L))
+      .count() shouldBe 1
+  }
+
   test("one format string drives streaming source and sink too") {
     val base = tmp()
     val src = ManagedTable(spark, base + "/src")
