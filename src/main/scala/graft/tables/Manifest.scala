@@ -153,7 +153,8 @@ final case class Manifest(
     txn: Option[Txn] = None,
     constraints: Map[String, String] = Map.empty,
     metrics: Map[String, Long] = Map.empty,
-    columnMapping: Option[ColumnMapping] = None) {
+    columnMapping: Option[ColumnMapping] = None,
+    generated: Map[String, String] = Map.empty) {
 
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
@@ -176,7 +177,8 @@ final case class Manifest(
       Manifest.txnToJson(txn) ++
       Manifest.constraintsToJson(constraints) ++
       Manifest.metricsToJson(metrics) ++
-      Manifest.mappingToJson(columnMapping)
+      Manifest.mappingToJson(columnMapping) ++
+      Manifest.generatedToJson(generated)
     val j = JObject(base ++ (filesRef match {
       case Some(ref) => List("filesRef" -> JString(ref))
       case None      => List("files" -> Manifest.filesToJson(files))
@@ -204,7 +206,8 @@ final case class IncrementalManifest(
     txn: Option[Txn] = None,
     constraints: Map[String, String] = Map.empty,
     metrics: Map[String, Long] = Map.empty,
-    columnMapping: Option[ColumnMapping] = None) {
+    columnMapping: Option[ColumnMapping] = None,
+    generated: Map[String, String] = Map.empty) {
 
   def toJsonString: String = {
     val j = JObject(List(
@@ -217,7 +220,8 @@ final case class IncrementalManifest(
       Manifest.txnToJson(txn) ++
       Manifest.constraintsToJson(constraints) ++
       Manifest.metricsToJson(metrics) ++
-      Manifest.mappingToJson(columnMapping) ++ List(
+      Manifest.mappingToJson(columnMapping) ++
+      Manifest.generatedToJson(generated) ++ List(
       "adds" -> (Manifest.filesToJson(adds): JValue),
       "removes" -> JArray(removes.map(JString(_)).toList)))
     JsonMethods.compact(JsonMethods.render(j))
@@ -229,7 +233,7 @@ final case class IncrementalManifest(
     Manifest(version, schemaJson, partitionColumns,
       base.files.filterNot(f => removed.contains(f.path)) ++ adds,
       operation, timestampMs, txn = txn, constraints = constraints,
-      metrics = metrics, columnMapping = columnMapping)
+      metrics = metrics, columnMapping = columnMapping, generated = generated)
   }
 }
 
@@ -288,6 +292,20 @@ object Manifest {
             l -> (JString(p): JValue) }),
         "retired" -> JArray(c.retired.map(JString(_)).toList)): JValue)
     }.toList
+
+  /** Generated-column rules (column → SQL expression) travel in every
+    * record like constraints (absent key ⇔ none — old records parse
+    * unchanged), so each version knows the invariants its data satisfies. */
+  private[tables] def generatedToJson(
+      gs: Map[String, String]): List[(String, JValue)] =
+    if (gs.isEmpty) Nil
+    else List("generated" -> JObject(
+      gs.toList.sortBy(_._1).map { case (n, e) => n -> (JString(e): JValue) }))
+
+  private def generatedFromJson(v: JValue): Map[String, String] = v match {
+    case JObject(kvs) => kvs.map { case (n, e) => n -> str(e) }.toMap
+    case _            => Map.empty
+  }
 
   private def mappingFromJson(v: JValue): Option[ColumnMapping] = v match {
     case JObject(_) =>
@@ -381,7 +399,8 @@ object Manifest {
           filesFromJson(j \ "files"), common._4, common._5, ref,
           txnFromJson(j \ "txn"), constraintsFromJson(j \ "constraints"),
           metricsFromJson(j \ "metrics"),
-          mappingFromJson(j \ "columnMapping")))
+          mappingFromJson(j \ "columnMapping"),
+          generatedFromJson(j \ "generated")))
       case bv =>
         Right(IncrementalManifest(common._1, common._2, common._3, lng(bv),
           filesFromJson(j \ "adds"),
@@ -389,7 +408,8 @@ object Manifest {
           common._4, common._5, txnFromJson(j \ "txn"),
           constraintsFromJson(j \ "constraints"),
           metricsFromJson(j \ "metrics"),
-          mappingFromJson(j \ "columnMapping")))
+          mappingFromJson(j \ "columnMapping"),
+          generatedFromJson(j \ "generated")))
     }
   }
 
