@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.ManagedTable
+
+/** Persistent IVF ANN index — the train-once / search-many shape of
+  * large-scale similarity search. [[SimilarityOps.ivfTopK]] assigns the
+  * whole corpus to cells on EVERY call; at 100 TB that linear pass
+  * dominates and must be paid once, not per query. This index stores the
+  * fit as two [[ManagedTable]]s under one root:
+  *
+  * {{{
+  *   <root>/centroids   (cid long, centv array<double>)          — tiny
+  *   <root>/vectors     (cid, neighbor_id, cv array<double>)
+  *                      PARTITIONED BY cid                       — corpus
+  * }}}
+  *
+  * Scale shape:
+  *  - '''build''' is the one linear corpus pass (crossJoin against the
+  *    broadcast codebook + one `min_by` partial aggregate — no shuffle
+  *    grows with n²), written cell-partitioned;
+  *  - '''search''' probes each query's `nProbe` best cells and reads ONLY
+  *    those cells' files: the probed cell ids (bounded by the centroid
+  *    count, never the corpus) prune the vectors table driver-side
+  *    against its manifest ([[ManagedTable.readPartitionsIn]]), so a
+  *    2-of-1024-cell probe scans ~2/1024 of the index;
+  *  - '''appendVectors''' assigns only the new batch and appends into the
+  *    affected cells — incremental indexing without retraining (the
+  *    centroids stay fixed, as in FAISS's `IndexIVF.add`);
+  *  - both tables version like any managed table: time travel, vacuum,
+  *    and small-file compaction ([[ManagedTable.compactSmall]]) maintain
+  *    the index like any other dataset.
+  *
+  * Assignment and search use the exact tie-break of
+  * [[SimilarityOps.ivfCandidates]] (cosine descending, then cell id), so
+  * a search against a freshly built index reproduces
+  * [[SimilarityOps.ivfTopKWith]] bit-for-bit. Self-matches
+  * (`query_id == neighbor_id`) are excluded, as there.
+  */
+final class AnnIndex(spark: SparkSession, val rootPath: String) {
+
+  import SimilarityOps.asDouble
+
+  private[ops] val centroidsTable = ManagedTable(spark, s"$rootPath/centroids")
+  private[ops] val vectorsTable = ManagedTable(spark, s"$rootPath/vectors")
+
+  def exists: Boolean = centroidsTable.exists && vectorsTable.exists
+
+  /** The trained codebook `(cid, centv)`. */
+  def centroids: DataFrame = centroidsTable.read()
+
+  /** Indexed corpus size — metadata-only when per-file row counts are
+    * recorded (they are for engine-written commits). */
+  def indexedVectors: Option[Long] = vectorsTable.fastCount
+
+  /** Assign `df`'s vectors to their nearest existing cells and append
+    * them into the index — incremental add, no retrain. Ids must not
+    * collide with already-indexed ones (the index does not dedup). */
+  def appendVectors(df: DataFrame, idCol: String, vecCol: String): Unit =
+    vectorsTable.append(
+      AnnIndex.assign(df, centroids, idCol, vecCol), operation = "ann-append")
+
+  /** Exact-rerank probe-limited top-k: `(query_id, neighbor_id, rank,
+    * cos)`, at most `k` neighbors per query, cosine descending.
+    * Candidates come only from each query's `nProbe` nearest cells, and
+    * only those cells' files are scanned (manifest partition pruning). */
+  def search(queries: DataFrame, idCol: String, vecCol: String,
+      nProbe: Int, k: Int): DataFrame = {
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    require(k > 0, s"k must be positive, got $k")
+    graft.functions.GraftFunctions.register(spark)
+    val cents = centroids
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val pw = Window.partitionBy("query_id")
+      .orderBy(expr("graft_cosine(qv, centv)").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    // the distinct probed cells bound the scan; their count is capped by
+    // the centroid count (a driver-side list the manifest prune needs),
+    // never by the corpus or the query count
+    val probedCells = probes.select("cid").distinct()
+      .collect().map(_.getLong(0).toString).toSet
+    val cand = vectorsTable.readPartitionsIn(Map("cid" -> probedCells))
+    val scored = probes.join(cand, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr("graft_cosine(qv, cv)"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+}
+
+object AnnIndex {
+
+  import SimilarityOps.asDouble
+
+  def apply(spark: SparkSession, rootPath: String): AnnIndex =
+    new AnnIndex(spark, rootPath)
+
+  /** Build (or rebuild) an index at `rootPath`: persist `codebook` as the
+    * centroids table and the assigned corpus as the cell-partitioned
+    * vectors table. `codebook` is any `(cid, centv)` frame —
+    * [[SimilarityOps.kMeansCodebook]] for a trained fit,
+    * [[seedCodebook]] for the deterministic seed. */
+  def create(spark: SparkSession, corpus: DataFrame,
+      idCol: String, vecCol: String, codebook: DataFrame,
+      rootPath: String): AnnIndex = {
+    val idx = new AnnIndex(spark, rootPath)
+    val cents = codebook.select(col("cid").cast("long").as("cid"), col("centv"))
+    idx.centroidsTable.overwriteAll(cents.coalesce(1), Nil, "ann-create")
+    idx.vectorsTable.overwriteAll(assign(corpus, cents, idCol, vecCol),
+      Seq("cid"), "ann-create")
+    idx
+  }
+
+  /** Deterministic codebook: the first `nCentroids` corpus vectors in id
+    * order ([[SimilarityOps.ivfTopK]]'s seed — reproducible and
+    * oracle-verifiable). */
+  def seedCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).cast("long").as("cid"),
+        asDouble(col(vecCol)).as("centv"))
+
+  /** Nearest-cell assignment `(cid, neighbor_id, cv)` — one linear pass:
+    * crossJoin(broadcast(centroids)) + `min_by` partial aggregate, the
+    * tie-break of [[SimilarityOps.ivfCandidates]]. */
+  private[ops] def assign(df: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val c = df.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    c.crossJoin(broadcast(codebook.select(col("cid"), col("centv"))))
+      .withColumn("__cos", expr("graft_cosine(cv, centv)"))
+      .groupBy("neighbor_id")
+      .agg(min_by(struct(col("cid"), col("cv")),
+        struct(coalesce(negate(col("__cos")), lit(Double.PositiveInfinity)),
+          col("cid"))).as("__a"))
+      .select(col("__a.cid").as("cid"), col("neighbor_id"),
+        col("__a.cv").as("cv"))
+  }
+}

@@ -205,6 +205,24 @@ object TrainingOps {
         .orderBy("query_id", "rank")
     },
 
+    // -------------------------- similarity: PERSISTENT IVF index search
+    // (same semantics and oracle as q_td_knn_ivf, but the fit is stored:
+    // centroids + cell-partitioned vectors as managed tables, and search
+    // scans ONLY the probed cells via manifest partition pruning — the
+    // train-once / search-many shape of 100 TB similarity search)
+    QueryDef("q_td_knn_index", ivfOracle) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val root = s"/tmp/graft_engine/annindex_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val idx = graft.ops.AnnIndex.create(s, e, "vec_id", "embedding",
+        graft.ops.AnnIndex.seedCodebook(e, "vec_id", "embedding", 16), root)
+      idx.search(e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          nProbe = 2, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // ------------------------------ similarity: semantic cluster assignment
     // (nearest-centroid by cosine against a deterministic codebook — the
     // first 16 vectors — plus per-cluster population; min_by linear
