@@ -101,6 +101,13 @@ object Bench {
           // queries keeps heap pressure flat across the run
           graft.ops.SubstrateCache.release(spark)
           spark.catalog.clearCache()
+          // the harness owns the whole session, so ALSO drop any RDD still
+          // pinned in the block manager (final-round localCheckpoints of
+          // the iterative ops are invisible to both calls above) — without
+          // this, 78 queries × reps accumulate blocks until eviction churn
+          // poisons every later measurement
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
           jobCounter.zip(j0).foreach { case (c, (js, ss)) =>
             System.err.println(f"JOBS $name rep$r: jobs=${c.jobs.get - js}%d " +
               f"stages=${c.stages.get - ss}%d sec=$dt%.2f ok=$ok")

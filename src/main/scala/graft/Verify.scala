@@ -29,6 +29,11 @@ object Verify {
       // drop operator-internal persists so ~60 queries don't accumulate heap
       graft.ops.SubstrateCache.release(spark)
       spark.catalog.clearCache()
+      // and any still-pinned RDD (final-round localCheckpoints of the
+      // iterative ops) — the harness owns the session, nothing is reused
+      // across queries
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -98,6 +98,12 @@ object GraphOps {
         .groupBy("node").agg(min("component").as("component"))
         .localCheckpoint(eager = false)
       val nextSum = labelSum(next)
+      // the sum action materialized every partition of `next`, truncating
+      // its lineage to its own cached blocks — the superseded round's
+      // blocks are unreachable from here on and must not accumulate
+      // (O(rounds × nodes) leaked cache otherwise; under a long bench or
+      // service session that pressure evicts OTHER queries' caches)
+      labels.unpersist(false)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

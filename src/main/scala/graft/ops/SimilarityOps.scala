@@ -163,13 +163,18 @@ object SimilarityOps {
         .groupBy("cid", "pos").agg(avg("x").as("m"))
       val norms = byDim.groupBy("cid")
         .agg(sqrt(sum(col("m") * col("m"))).as("n"))
-      cents = byDim.join(norms, "cid")
+      val next = byDim.join(norms, "cid")
         .select(col("cid"), col("pos"),
           when(col("n") > 0.0, col("m") / col("n")).otherwise(col("m")).as("u"))
         .groupBy("cid")
         .agg(sort_array(collect_list(struct(col("pos"), col("u")))).as("pu"))
         .select(col("cid"), expr("transform(pu, p -> p.u)").as("centv"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized through the OLD centroids
+      // the superseded round's checkpoint blocks are unreachable once the
+      // new one is materialized — drop them instead of leaking k×iters
+      // cached partitions per fit
+      cents.unpersist(false)
+      cents = next
     }
     c.unpersist()
     cents
