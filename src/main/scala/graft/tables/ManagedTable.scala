@@ -1430,6 +1430,57 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       mappingOverride = Some(cmx))
   }
 
+  /** Content-preserving maintenance commit ([[compact]], [[compactSmall]],
+    * [[zorder]], [[purgeDeletionVectors]]): atomically replace exactly
+    * `removeEntries` with the files written from `df`. Unlike
+    * [[replaceFiles]], a lost cross-process commit race AUTO-REBASES
+    * (Delta's OPTIMIZE conflict rule): the rewrite changes no table
+    * CONTENT, so it logically conflicts only with commits that touched
+    * the very files it rewrote. If every removed entry still exists
+    * untouched in the winner's head — same path AND same deletion-vector
+    * identity (a DV commit keeps the path but changes which rows are
+    * live) — and the winner changed no schema / partitioning /
+    * constraints / column mapping, the already-written files re-commit
+    * against the new head in a metadata-only retry; the winner's own
+    * files carry into the new version verbatim. Any other interleaving
+    * surfaces the original conflict. At 100 TB this is what lets a
+    * long-running OPTIMIZE pass coexist with a live append stream
+    * instead of dying at the finish line and forfeiting hours of
+    * rewrite work. */
+  private[tables] def replaceFilesMaintenance(base: Manifest,
+      removeEntries: Seq[TableFile], df: DataFrame,
+      operation: String): Unit = {
+    val d = reconcileSchema(df, base)
+    enforceConstraints(d, base.constraints, operation)
+    val cmx = extendMapping(base.columnMapping, d.schema)
+    val newFiles = writeCommit(d, base.partitionColumns, cmx)
+    var b = base
+    var attempt = 0
+    var committed = false
+    while (!committed)
+      try {
+        commitDelta(d.schema.json, b.partitionColumns, operation,
+          base = Some(b), adds = newFiles,
+          removes = removeEntries.map(_.path),
+          mappingOverride = Some(cmx))
+        committed = true
+      } catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt > ManagedTable.MaxAppendRetries) throw e
+          val cur = requireManifest // the winner's head (pointer moved)
+          val byPath = cur.files.map(f => f.path -> f).toMap
+          val untouched = removeEntries.forall(f =>
+            byPath.get(f.path).exists(_.dv == f.dv))
+          if (!untouched ||
+              cur.schemaJson != b.schemaJson ||
+              cur.partitionColumns != b.partitionColumns ||
+              cur.constraints != b.constraints ||
+              cur.columnMapping != b.columnMapping) throw e
+          b = cur // an orphan record keeps colliding → attempts exhaust
+      }
+  }
+
   /** DV-mode MERGE commit primitive — [[replaceFiles]]'s merge-on-read
     * sibling. Atomically, in one version:
     *
@@ -1592,14 +1643,16 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val m = requireManifest
     if (m.partitionColumns.isEmpty) {
       if (m.files.size >= minFiles)
-        replacePartitions(None, read().coalesce(targetFiles), "compact")
+        replaceFilesMaintenance(m, m.files,
+          readSnapshot(m).coalesce(targetFiles), "compact")
     } else {
       val affected = m.files.groupBy(_.partitionValues)
         .filter(_._2.size >= minFiles).keys.toSet
       if (affected.nonEmpty) {
-        val df = readPartitions(affected.contains)
+        val victims = m.files.filter(f => affected.contains(f.partitionValues))
+        val df = readFiles(m, victims)
           .repartition(m.partitionColumns.map(c => col(s"`$c`")): _*)
-        replacePartitions(Some(affected.toSeq), df, "compact")
+        replaceFilesMaintenance(m, victims, df, "compact")
       }
     }
   }
@@ -1639,7 +1692,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       val packed =
         if (m.partitionColumns.isEmpty) small.coalesce(nOut)
         else small.repartition(nOut, m.partitionColumns.map(c => col(s"`$c`")): _*)
-      replaceFiles(victims.map(_.path), packed, "compactSmall")
+      replaceFilesMaintenance(m, victims, packed, "compactSmall")
     }
   }
 
@@ -1653,7 +1706,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val m = requireManifest
     val scope = maintenanceScope(m, where).filter(_.dv.isDefined)
     if (scope.nonEmpty)
-      replaceFiles(scope.map(_.path), readManifestFiles(m, scope), "purgeDv")
+      replaceFilesMaintenance(m, scope, readManifestFiles(m, scope), "purgeDv")
   }
 
   /** Multi-dimensional clustering rewrite: re-sort the table along a
@@ -1692,8 +1745,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       .sortWithinPartitions(keys: _*)
       .drop("__gz")
     val op = s"zorder(${columns.mkString(",")})"
-    if (where.isEmpty) replacePartitions(None, sorted, op)
-    else replaceFiles(scope.map(_.path), sorted, op)
+    replaceFilesMaintenance(m, scope, sorted, op)
   }
 
   /** Scope of a maintenance rewrite: the whole table, or — with a

@@ -73,6 +73,26 @@ class AnnIndexSpec extends AnyFunSuite with Matchers {
     idx.indexedVectors shouldBe Some(20L)
   }
 
+  test("trained codebook and table maintenance compose with the index") {
+    val c = corpus
+    // a k-means-trained codebook plugs in exactly like the seed one
+    val trained = SimilarityOps.kMeansCodebook(c, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val idx = AnnIndex.create(spark, c, "vec_id", "embedding", trained,
+      freshRoot("trained"))
+    val hits = idx.search(c.filter(col("vec_id") < 4), "vec_id", "embedding",
+      nProbe = 2, k = 3)
+    hits.count() should be > 0L
+    // the vectors table is a managed table: small-file compaction
+    // maintains the index without changing a single search result
+    val before = hits.orderBy("query_id", "rank").collect().toSeq
+    idx.vectorsTable.compactSmall(smallBytes = 1L << 20)
+    val after = idx.search(c.filter(col("vec_id") < 4), "vec_id", "embedding",
+        nProbe = 2, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    after shouldBe before
+  }
+
   test("appendVectors indexes a new batch into existing cells without retrain") {
     val c = corpus
     val idx = AnnIndex.create(spark, c, "vec_id", "embedding",

@@ -858,6 +858,54 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.currentVersion shouldBe Some(2L)
     t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2, 3)
   }
+
+  test("maintenance rewrite that loses a commit race rebases onto the winner") {
+    val root = tmp() + "/t9"
+    val t = ManagedTable(spark, root)
+    t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "y"), (3, "c", "z")))
+      .repartition(3))
+    val base = t.manifest.get
+    base.files.size shouldBe 3
+    val victims = base.files.take(2)
+
+    // rival "process" (different per-path lock via a symlink alias)
+    // appends AFTER the maintenance pass captured its base snapshot —
+    // the compaction's commit must land on a moved pointer
+    val alias = tmp() + "/alias9"
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(alias), java.nio.file.Paths.get(root))
+    ManagedTable(spark, alias).append(df(Seq((4, "d", "w"))))
+
+    val packed = t.readManifestFiles(base, victims).coalesce(1)
+    t.replaceFilesMaintenance(base, victims, packed, "compactSmall")
+
+    // rebased: rival's row survives, compacted content not doubled,
+    // untouched file + packed file + rival file
+    t.currentVersion shouldBe Some(2L)
+    t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2, 3, 4)
+    t.manifest.get.files.size shouldBe 3
+  }
+
+  test("maintenance rebase refuses when the winner touched a rewritten file") {
+    val root = tmp() + "/t10"
+    val t = ManagedTable(spark, root)
+    t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "y"), (3, "c", "z")))
+      .repartition(3))
+    val base = t.manifest.get
+    val victims = base.files.take(2)
+
+    // the rival DELETE rewrites (or drops) files — if any of them is one
+    // the maintenance pass was packing, a rebase would resurrect the
+    // deleted rows from the pre-delete content baked into the packed file
+    val alias = tmp() + "/alias10"
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(alias), java.nio.file.Paths.get(root))
+    val packed = t.readManifestFiles(base, victims).coalesce(1)
+    ManagedTable(spark, alias).delete("true") // removes every file
+    intercept[ConcurrentWriteException] {
+      t.replaceFilesMaintenance(base, victims, packed, "compactSmall")
+    }
+  }
 }
 
 /** Latches for the append-race test — object statics so the gating UDF
