@@ -98,6 +98,109 @@ final class AnnIndex(spark: SparkSession, val rootPath: String) {
   }
 }
 
+/** Compressed sibling of [[AnnIndex]]: IVF-PQ persisted — the
+  * billion-vector architecture ([[SimilarityOps.ivfPqTopK]]) stored as
+  * three [[ManagedTable]]s so neither training nor encoding is ever
+  * repeated per query, and search never touches a raw corpus vector:
+  *
+  * {{{
+  *   <root>/centroids  (cid, centv)                      — coarse cells
+  *   <root>/pq         (sub, cid, centv, cnorm2)         — sub-codebooks
+  *   <root>/codes      (cell, vec_id, sub, code, cnorm2)
+  *                     PARTITIONED BY cell               — the corpus,
+  *                     compressed to m sub-codes per vector
+  * }}}
+  *
+  * Search = probe `nProbe` cells per query (broadcast coarse codebook),
+  * read ONLY those cells' code files (manifest partition pruning), score
+  * candidates in the compressed domain via the per-query ADC lookup
+  * table ([[SimilarityOps.pqTopK]]). The codes table stores one row per
+  * (vector, subspace) — parquet dictionary/RLE encoding keeps the
+  * exploded layout compact, and it lets the ADC join run unmodified;
+  * the raw-vector table of [[AnnIndex]] is not needed at all. */
+final class PqAnnIndex(spark: SparkSession, val rootPath: String) {
+
+  import SimilarityOps.asDouble
+
+  private[ops] val centroidsTable = ManagedTable(spark, s"$rootPath/centroids")
+  private[ops] val pqTable = ManagedTable(spark, s"$rootPath/pq")
+  private[ops] val codesTable = ManagedTable(spark, s"$rootPath/codes")
+
+  def exists: Boolean =
+    centroidsTable.exists && pqTable.exists && codesTable.exists
+
+  /** Approximate top-k `(query_id, neighbor_id, rank, approx_cos)` —
+    * probe-limited candidates scored by ADC, bit-for-bit the result of
+    * [[SimilarityOps.ivfPqTopK]] with the same codebooks. */
+  def search(queries: DataFrame, idCol: String, vecCol: String,
+      nProbe: Int, k: Int): DataFrame = {
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    require(k > 0, s"k must be positive, got $k")
+    graft.functions.GraftFunctions.register(spark)
+    val cb = pqTable.read()
+    // geometry from the stored codebook: m subspaces of dsub dims each
+    val (m, dsub) = {
+      val r = cb.agg(max(col("sub")), max(size(col("centv")))).head()
+      (r.getInt(0) + 1, r.getInt(1))
+    }
+    val cents = centroidsTable.read()
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val pw = Window.partitionBy("query_id")
+      .orderBy(expr("graft_cosine(qv, centv)").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0).toString).toSet
+    val pruned = codesTable.readPartitionsIn(Map("cell" -> probedCells))
+    // per-query candidate set: vectors of the query's OWN probed cells
+    // (the partition prune alone is the union over all queries)
+    val cand = probes
+      .join(pruned.select(col("cell"), col("vec_id")).distinct(), "cell")
+      .select("query_id", "vec_id")
+    val codes = pruned.select(col("vec_id"), col("sub"),
+      col("code").as("cid"), col("cnorm2"))
+    SimilarityOps.pqTopK(queries, codes, cb, idCol, vecCol,
+      dims = m * dsub, m = m, k = k, candidates = Some(cand))
+  }
+}
+
+object PqAnnIndex {
+
+  def apply(spark: SparkSession, rootPath: String): PqAnnIndex =
+    new PqAnnIndex(spark, rootPath)
+
+  /** Build (or rebuild) a compressed index: persist the coarse codebook,
+    * the PQ sub-codebooks, and the corpus encoded to sub-codes and
+    * partitioned by coarse cell. `coarse` is any `(cid, centv)` frame
+    * ([[AnnIndex.seedCodebook]] / [[SimilarityOps.kMeansCodebook]]);
+    * `pq` is any `(sub, cid, centv, cnorm2)` frame
+    * ([[SimilarityOps.pqCodebook]] / [[SimilarityOps.pqCodebookTrained]]). */
+  def create(spark: SparkSession, corpus: DataFrame,
+      idCol: String, vecCol: String, coarse: DataFrame, pq: DataFrame,
+      dims: Int, m: Int, rootPath: String): PqAnnIndex = {
+    val idx = new PqAnnIndex(spark, rootPath)
+    val cents = coarse.select(col("cid").cast("long").as("cid"), col("centv"))
+    // one coarse-assignment pass feeds both the encode and the cell tag
+    val assigned = SubstrateCache.persist(
+      AnnIndex.assign(corpus, cents, idCol, vecCol))
+    val codes = SimilarityOps.pqEncode(assigned, pq, "neighbor_id", "cv",
+        dims, m)
+      .withColumnRenamed("vec_id", "__pq_vec")
+      .join(assigned.select(col("cid").as("cell"),
+        col("neighbor_id").as("__pq_vec")), "__pq_vec")
+      .select(col("cell"), col("__pq_vec").as("vec_id"), col("sub"),
+        col("cid").as("code"), col("cnorm2"))
+    idx.centroidsTable.overwriteAll(cents.coalesce(1), Nil, "pq-create")
+    idx.pqTable.overwriteAll(pq.coalesce(1), Nil, "pq-create")
+    idx.codesTable.overwriteAll(codes, Seq("cell"), "pq-create")
+    assigned.unpersist(false)
+    idx
+  }
+}
+
 object AnnIndex {
 
   import SimilarityOps.asDouble

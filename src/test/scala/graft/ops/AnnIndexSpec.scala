@@ -73,6 +73,25 @@ class AnnIndexSpec extends AnyFunSuite with Matchers {
     idx.indexedVectors shouldBe Some(20L)
   }
 
+  test("compressed (IVF-PQ) index reproduces in-memory ivfPqTopK bit-for-bit") {
+    val c = corpus
+    val (dims, m, ksub, nCent) = (4, 2, 4, 4)
+    val idx = PqAnnIndex.create(spark, c, "vec_id", "embedding",
+      AnnIndex.seedCodebook(c, "vec_id", "embedding", nCent),
+      SimilarityOps.pqCodebook(c, "vec_id", "embedding", dims, m, ksub),
+      dims, m, freshRoot("pq"))
+    val q = c.filter(col("vec_id") < 6)
+    val got = idx.search(q, "vec_id", "embedding", nProbe = 2, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val want = SimilarityOps.ivfPqTopK(q, c, "vec_id", "embedding",
+        dims, m, nCentroids = nCent, nProbe = 2, ksub = ksub, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    got should not be empty
+    got shouldBe want
+    // and the compressed scan is cell-partitioned like the raw index
+    idx.codesTable.manifest.get.partitionColumns shouldBe Seq("cell")
+  }
+
   test("trained codebook and table maintenance compose with the index") {
     val c = corpus
     // a k-means-trained codebook plugs in exactly like the seed one
