@@ -129,6 +129,22 @@ final class PqAnnIndex(spark: SparkSession, val rootPath: String) {
   def exists: Boolean =
     centroidsTable.exists && pqTable.exists && codesTable.exists
 
+  /** Geometry from the stored codebook: m subspaces of dsub dims each. */
+  private def geometry(cb: DataFrame): (Int, Int) = {
+    val r = cb.agg(max(col("sub")), max(size(col("centv")))).head()
+    (r.getInt(0) + 1, r.getInt(1))
+  }
+
+  /** Assign + encode a new batch against the STORED codebooks and append
+    * it into the affected cells — incremental compressed indexing
+    * without retrain, [[AnnIndex.appendVectors]]'s compressed sibling. */
+  def appendVectors(df: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cb = pqTable.read()
+    val (m, dsub) = geometry(cb)
+    codesTable.append(PqAnnIndex.encode(df, idCol, vecCol,
+      centroidsTable.read(), cb, m * dsub, m), "pq-append")
+  }
+
   /** Approximate top-k `(query_id, neighbor_id, rank, approx_cos)` —
     * probe-limited candidates scored by ADC, bit-for-bit the result of
     * [[SimilarityOps.ivfPqTopK]] with the same codebooks. */
@@ -138,11 +154,7 @@ final class PqAnnIndex(spark: SparkSession, val rootPath: String) {
     require(k > 0, s"k must be positive, got $k")
     graft.functions.GraftFunctions.register(spark)
     val cb = pqTable.read()
-    // geometry from the stored codebook: m subspaces of dsub dims each
-    val (m, dsub) = {
-      val r = cb.agg(max(col("sub")), max(size(col("centv")))).head()
-      (r.getInt(0) + 1, r.getInt(1))
-    }
+    val (m, dsub) = geometry(cb)
     val cents = centroidsTable.read()
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
@@ -183,21 +195,27 @@ object PqAnnIndex {
       dims: Int, m: Int, rootPath: String): PqAnnIndex = {
     val idx = new PqAnnIndex(spark, rootPath)
     val cents = coarse.select(col("cid").cast("long").as("cid"), col("centv"))
-    // one coarse-assignment pass feeds both the encode and the cell tag
+    idx.centroidsTable.overwriteAll(cents.coalesce(1), Nil, "pq-create")
+    idx.pqTable.overwriteAll(pq.coalesce(1), Nil, "pq-create")
+    idx.codesTable.overwriteAll(encode(corpus, idCol, vecCol, cents, pq,
+      dims, m), Seq("cell"), "pq-create")
+    idx
+  }
+
+  /** Batch → cell-tagged sub-codes `(cell, vec_id, sub, code, cnorm2)`.
+    * One coarse-assignment pass feeds both the encode and the cell tag
+    * (persisted via [[SubstrateCache]] — it backs both sides of the
+    * join). */
+  private[ops] def encode(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, pq: DataFrame, dims: Int, m: Int): DataFrame = {
     val assigned = SubstrateCache.persist(
-      AnnIndex.assign(corpus, cents, idCol, vecCol))
-    val codes = SimilarityOps.pqEncode(assigned, pq, "neighbor_id", "cv",
-        dims, m)
+      AnnIndex.assign(df, cents, idCol, vecCol))
+    SimilarityOps.pqEncode(assigned, pq, "neighbor_id", "cv", dims, m)
       .withColumnRenamed("vec_id", "__pq_vec")
       .join(assigned.select(col("cid").as("cell"),
         col("neighbor_id").as("__pq_vec")), "__pq_vec")
       .select(col("cell"), col("__pq_vec").as("vec_id"), col("sub"),
         col("cid").as("code"), col("cnorm2"))
-    idx.centroidsTable.overwriteAll(cents.coalesce(1), Nil, "pq-create")
-    idx.pqTable.overwriteAll(pq.coalesce(1), Nil, "pq-create")
-    idx.codesTable.overwriteAll(codes, Seq("cell"), "pq-create")
-    assigned.unpersist(false)
-    idx
   }
 }
 

@@ -91,6 +91,17 @@ class ChangeFeedStreamSource(
         v
       }
 
+  /** Timestamp form of [[startingVersion]] (Delta CDF's
+    * `startingTimestamp`): replay from the FIRST retained commit at or
+    * after the instant; an instant past the head streams only future
+    * commits. Accepts epoch millis, `yyyy-MM-dd`, `yyyy-MM-dd HH:mm:ss`,
+    * or ISO-8601 — date/time forms read as UTC. */
+  private val startingTimestamp: Option[Long] =
+    parameters.get("startingTimestamp").map(ChangeFeedStreamSource.parseTs)
+  require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+    "graft change feed source: startingVersion and startingTimestamp " +
+      "are mutually exclusive")
+
   private val maxVersions: Option[Long] =
     parameters.get("maxVersionsPerTrigger").map { s =>
       val n = s.trim.toLong
@@ -112,7 +123,14 @@ class ChangeFeedStreamSource(
 
   private def resolveStart(head: Long): Long =
     anchor.getOrElse {
-      val f = startingVersion.map(_ - 1L).getOrElse(head)
+      val f = startingVersion.map(_ - 1L)
+        .orElse(startingTimestamp.map { ts =>
+          // first retained commit at or after the instant; none → only
+          // commits after the current head (the `latest` behavior)
+          table.history().filter(_.timestampMs >= ts)
+            .map(_.version).minOption.getOrElse(head + 1L) - 1L
+        })
+        .getOrElse(head)
       anchor = Some(f)
       f
     }
@@ -238,4 +256,25 @@ object ChangeFeedStreamSource {
     StructType(tableSchema.fields.filterNot(f => MetaCols.contains(f.name)) :+
       StructField("_change_type", StringType) :+
       StructField("_commit_version", LongType))
+
+  /** `startingTimestamp` value → epoch millis. Bare digits are epoch
+    * millis already; `yyyy-MM-dd` and `yyyy-MM-dd HH:mm:ss` read as
+    * UTC; anything else must be ISO-8601 (`2024-01-10T10:00:00Z`). */
+  private[streaming] def parseTs(s: String): Long = {
+    val v = s.trim
+    if (v.nonEmpty && v.forall(_.isDigit)) v.toLong
+    else try {
+      if (v.contains('T')) java.time.Instant.parse(v).toEpochMilli
+      else if (v.contains(' '))
+        java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      else java.time.LocalDate.parse(v)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    } catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"startingTimestamp '$s' is not epoch millis, yyyy-MM-dd, " +
+            "yyyy-MM-dd HH:mm:ss, or ISO-8601", e)
+    }
+  }
 }

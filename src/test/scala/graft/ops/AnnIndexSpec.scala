@@ -92,6 +92,23 @@ class AnnIndexSpec extends AnyFunSuite with Matchers {
     idx.codesTable.manifest.get.partitionColumns shouldBe Seq("cell")
   }
 
+  test("compressed index appendVectors encodes a new batch into existing cells") {
+    val c = corpus
+    val (dims, m, ksub, nCent) = (4, 2, 4, 4)
+    val idx = PqAnnIndex.create(spark, c, "vec_id", "embedding",
+      AnnIndex.seedCodebook(c, "vec_id", "embedding", nCent),
+      SimilarityOps.pqCodebook(c, "vec_id", "embedding", dims, m, ksub),
+      dims, m, freshRoot("pq_append"))
+    val extra = Seq((100L, Array(1.0f, 0.05f, 0.05f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    idx.appendVectors(extra, "vec_id", "embedding")
+    // the appended vector is discoverable through the compressed search
+    val hits = idx.search(c.filter(col("vec_id") === 0L), "vec_id",
+        "embedding", nProbe = nCent, k = 21)
+      .collect().map(_.getLong(1))
+    hits should contain(100L)
+  }
+
   test("trained codebook and table maintenance compose with the index") {
     val c = corpus
     // a k-means-trained codebook plugs in exactly like the seed one

@@ -740,6 +740,47 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("change feed stream: startingTimestamp replays from the first commit at or after it") {
+    import graft.tables.ManagedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdft").toString
+    val t = ManagedTable(spark, dir + "/t")
+    t.overwriteAll(Seq((1L, "a")).toDF("id", "v"))                      // v0
+    Thread.sleep(5)
+    t.append(Seq((2L, "b")).toDF("id", "v"))                            // v1
+    t.append(Seq((3L, "c")).toDF("id", "v"))                            // v2
+    // an instant strictly between v0 and v1 → replay starts at v1
+    val v0ts = t.history().find(_.version == 0L).get.timestampMs
+    val v1ts = t.history().find(_.version == 1L).get.timestampMs
+    v1ts should be > v0ts
+    val q = spark.readStream
+      .format(classOf[TableStreamProvider].getName)
+      .option("path", dir + "/t")
+      .option("changeFeed", "true")
+      .option("changeFeedKeys", "id")
+      .option("startingTimestamp", v1ts.toString) // epoch-millis form
+      .load()
+      .writeStream.format("memory").queryName("cdft")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cdft")
+        .select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      rows shouldBe Set((2L, "insert", 1L), (3L, "insert", 2L))
+    } finally q.stop()
+
+    // both options together are rejected; date forms parse as UTC
+    intercept[IllegalArgumentException] {
+      new ChangeFeedStreamSource(spark.sqlContext, dir + "/t",
+        t.manifest.get.schema, Map("changeFeedKeys" -> "id",
+          "startingVersion" -> "0", "startingTimestamp" -> "2024-01-01"))
+    }
+    ChangeFeedStreamSource.parseTs("2024-01-10 10:00:00") shouldBe
+      java.time.Instant.parse("2024-01-10T10:00:00Z").toEpochMilli
+    ChangeFeedStreamSource.parseTs("2024-01-10") shouldBe
+      java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+  }
+
   test("change feed stream: default latest skips history; version cap splits batches") {
     import graft.tables.ManagedTable
     val dir = java.nio.file.Files.createTempDirectory("graft-cdfl").toString
