@@ -73,9 +73,30 @@ class GraftDataSource extends RelationProvider
     val t = ManagedTable(sqlContext.sparkSession, p)
     val head = t.currentVersion.getOrElse(
       throw new IllegalArgumentException(s"no graft table at $p"))
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "graft readChangeFeed: startingVersion and startingTimestamp are " +
+        "mutually exclusive")
+    require(!(parameters.contains("endingVersion") &&
+        parameters.contains("endingTimestamp")),
+      "graft readChangeFeed: endingVersion and endingTimestamp are " +
+        "mutually exclusive")
+    import graft.streaming.ChangeFeedStreamSource.parseTs
     val startV = parameters.get("startingVersion")
-      .filterNot(_.equalsIgnoreCase("latest")).map(_.toLong).getOrElse(0L)
-    val endV = parameters.get("endingVersion").map(_.toLong).getOrElse(head)
+      .filterNot(_.equalsIgnoreCase("latest")).map(_.toLong)
+      .orElse(parameters.get("startingTimestamp").map { s =>
+        // first retained commit at or after the instant (the streaming
+        // source's semantics); an instant past the head fails the range
+        // check below, like Delta's batch CDF
+        val ts = parseTs(s)
+        t.history().filter(_.timestampMs >= ts).map(_.version)
+          .minOption.getOrElse(head + 1L)
+      })
+      .getOrElse(0L)
+    val endV = parameters.get("endingVersion").map(_.toLong)
+      .orElse(parameters.get("endingTimestamp")
+        .map(s => t.versionAt(parseTs(s)))) // newest at or before
+      .getOrElse(head)
     require(startV >= 0 && startV <= endV && endV <= head,
       s"graft readChangeFeed: need 0 <= startingVersion <= endingVersion " +
         s"<= $head, got [$startV, $endV]")

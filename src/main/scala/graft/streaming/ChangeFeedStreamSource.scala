@@ -260,7 +260,7 @@ object ChangeFeedStreamSource {
   /** `startingTimestamp` value → epoch millis. Bare digits are epoch
     * millis already; `yyyy-MM-dd` and `yyyy-MM-dd HH:mm:ss` read as
     * UTC; anything else must be ISO-8601 (`2024-01-10T10:00:00Z`). */
-  private[streaming] def parseTs(s: String): Long = {
+  private[graft] def parseTs(s: String): Long = {
     val v = s.trim
     if (v.nonEmpty && v.forall(_.isDigit)) v.toLong
     else try {

@@ -1824,13 +1824,64 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * fast ([[readVersion]]) instead of surfacing a FileNotFoundException
     * mid-scan. */
   def vacuum(retainVersions: Int = 0, retainMs: Long = 0L): Unit = withWriteLock {
-    val m = requireManifest
-    // retention window: every version in [current - retainVersions,
-    // current] stays time-travelable (version-based — deterministic for
-    // tests and operators), UNIONed with every version committed within
-    // the last `retainMs` (time-based — Delta's retention contract, so
-    // "keep a week" holds regardless of commit rate). The default keeps
-    // only the current snapshot (the tightest vacuum).
+    val w = planVacuum(requireManifest, retainVersions, retainMs)
+    // publish the horizon FIRST (atomically — readers are lock-free and
+    // must never see a truncated file): if vacuum crashes mid-delete, the
+    // fail-fast guard is already conservative instead of stale, and
+    // readVersion cannot regress to an opaque mid-scan FileNotFound
+    writeFileAtomic(earliestFile, w.horizon.toString)
+    w.dataDirs.foreach { case (dir, files) =>
+      fs.delete(dir, true)
+      // bloom sidecars follow their data files' lifecycle
+      files.foreach(p => BloomIndex.deleteFor(fs, bloomDir, rel(p)))
+    }
+    w.dvSidecars.foreach(p => fs.delete(p, true))
+    // roll record-embedded streaming txns forward into the vacuum-exempt
+    // marker files BEFORE deleting their records: the marker write
+    // trails the data commit by one crash window, so a record pruned
+    // without this step could resurrect its batch as a duplicate on the
+    // writer's next recovery
+    val prunedTxns = w.records.collect { case (_, false, v) => v }
+      .flatMap(v =>
+        try recordTxn(v) catch { case _: java.io.FileNotFoundException => None })
+    prunedTxns.groupBy(_.appId).foreach { case (app, txns) =>
+      val floor = txns.map(_.batchId).max
+      if (!getTxn(app).exists(_ >= floor)) setTxn(app, floor)
+    }
+    w.records.foreach { case (p, isSidecar, _) => fs.delete(p, isSidecar) }
+  }
+
+  /** What [[vacuum]] with the same retention WOULD delete, touching
+    * nothing (Delta's `VACUUM … DRY RUN`): the horizon it would publish,
+    * the unreferenced commit directories, the dead DV sidecars, and the
+    * manifest-record versions it would prune. Operators check the blast
+    * radius before a destructive maintenance pass — at 100 TB "how many
+    * bytes does this reclaim" is a planning question, not a leap of
+    * faith. */
+  def vacuumDryRun(retainVersions: Int = 0, retainMs: Long = 0L): VacuumPlan =
+    withWriteLock {
+      val w = planVacuum(requireManifest, retainVersions, retainMs)
+      VacuumPlan(w.horizon, w.dataDirs.map(_._1.toString),
+        w.dvSidecars.map(_.getName),
+        w.records.collect { case (_, false, v) => v }.sorted)
+    }
+
+  private final case class VacuumWork(
+      horizon: Long,
+      dataDirs: Seq[(Path, Seq[Path])],          // commit dir -> its parquet
+      dvSidecars: Seq[Path],
+      records: Seq[(Path, Boolean, Long)])       // path, isSidecar, version
+
+  /** The pure planning half of [[vacuum]] — computes everything the
+    * destructive half deletes, with no writes. Retention window: every
+    * version in [current − retainVersions, current] stays
+    * time-travelable (version-based — deterministic for tests and
+    * operators), UNIONed with every version committed within the last
+    * `retainMs` (time-based — Delta's retention contract, so "keep a
+    * week" holds regardless of commit rate). The default keeps only the
+    * current snapshot (the tightest vacuum). */
+  private def planVacuum(m: Manifest,
+      retainVersions: Int, retainMs: Long): VacuumWork = {
     val timeFloor: Long =
       if (retainMs <= 0) m.version
       else {
@@ -1844,64 +1895,44 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       catch { case _: Exception => None } // pruned by an earlier vacuum
     } :+ m
     val horizon = retained.map(_.version).min
-    // publish the horizon FIRST (atomically — readers are lock-free and
-    // must never see a truncated file): if vacuum crashes mid-delete, the
-    // fail-fast guard is already conservative instead of stale, and
-    // readVersion cannot regress to an opaque mid-scan FileNotFound
-    writeFileAtomic(earliestFile, horizon.toString)
     val live = retained.flatMap(_.files)
       .map(f => fs.makeQualified(new Path(root, f.path)).toString).toSet
-    if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
-      val commitFiles = listParquet(st.getPath)
-      if (commitFiles.forall { case (p, _) =>
-            !live.contains(fs.makeQualified(p).toString) }) {
-        fs.delete(st.getPath, true)
-        // bloom sidecars follow their data files' lifecycle
-        commitFiles.foreach { case (p, _) =>
-          BloomIndex.deleteFor(fs, bloomDir, rel(p)) }
+    val dataDirs =
+      if (!fs.exists(dataDir)) Nil
+      else fs.listStatus(dataDir).toSeq.flatMap { st =>
+        val commitFiles = listParquet(st.getPath)
+        if (commitFiles.forall { case (p, _) =>
+              !live.contains(fs.makeQualified(p).toString) })
+          Some(st.getPath -> commitFiles.map(_._1))
+        else None
       }
-    }
     // DV sidecars referenced by no retained version are garbage (a purge
     // or rewrite superseded them). Only this table's own _dv dir is
     // swept — absolute references (shallow clones into a source table)
     // resolve elsewhere and are that table's to manage.
     val liveDv = retained.flatMap(_.files).flatMap(_.dv)
       .map(d => fs.makeQualified(new Path(dvDir, d)).toString).toSet
-    if (fs.exists(dvDir)) fs.listStatus(dvDir).foreach { st =>
-      if (!liveDv.contains(fs.makeQualified(st.getPath).toString))
-        fs.delete(st.getPath, true)
-    }
+    val dvSidecars =
+      if (!fs.exists(dvDir)) Nil
+      else fs.listStatus(dvDir).toSeq.map(_.getPath)
+        .filterNot(p => liveDv.contains(fs.makeQualified(p).toString))
     val needed = retained.map(_.version).toSet ++
       retained.flatMap(r => chainVersions(r.version))
-    if (fs.exists(manifestsDir)) {
-      val statuses = fs.listStatus(manifestsDir).toSeq
-      def prunable(name: String, isSidecar: Boolean): Option[Long] = {
-        val v = name.stripPrefix("v")
-          .stripSuffix(if (isSidecar) ManagedTable.SidecarSuffix else ".json")
-        if (v.nonEmpty && v.forall(_.isDigit) &&
-            v.toLong < m.version && !needed.contains(v.toLong)) Some(v.toLong)
-        else None
-      }
-      // roll record-embedded streaming txns forward into the vacuum-exempt
-      // marker files BEFORE deleting their records: the marker write
-      // trails the data commit by one crash window, so a record pruned
-      // without this step could resurrect its batch as a duplicate on the
-      // writer's next recovery
-      val prunedTxns = statuses
-        .filter(st => st.getPath.getName.endsWith(".json"))
-        .flatMap(st => prunable(st.getPath.getName, isSidecar = false))
-        .flatMap(v =>
-          try recordTxn(v) catch { case _: java.io.FileNotFoundException => None })
-      prunedTxns.groupBy(_.appId).foreach { case (app, txns) =>
-        val floor = txns.map(_.batchId).max
-        if (!getTxn(app).exists(_ >= floor)) setTxn(app, floor)
-      }
-      statuses.foreach { st =>
+    def prunable(name: String, isSidecar: Boolean): Option[Long] = {
+      val v = name.stripPrefix("v")
+        .stripSuffix(if (isSidecar) ManagedTable.SidecarSuffix else ".json")
+      if (v.nonEmpty && v.forall(_.isDigit) &&
+          v.toLong < m.version && !needed.contains(v.toLong)) Some(v.toLong)
+      else None
+    }
+    val records =
+      if (!fs.exists(manifestsDir)) Nil
+      else fs.listStatus(manifestsDir).toSeq.flatMap { st =>
         val name = st.getPath.getName
         val isSidecar = name.endsWith(ManagedTable.SidecarSuffix)
-        if (prunable(name, isSidecar).isDefined) fs.delete(st.getPath, isSidecar)
+        prunable(name, isSidecar).map(v => (st.getPath, isSidecar, v))
       }
-    }
+    VacuumWork(horizon, dataDirs, dvSidecars, records)
   }
 
   /** Commit history from the retained manifest records, newest first —
@@ -2310,6 +2341,17 @@ final case class TableDetail(
     partitionColumns: Seq[String],
     operation: String,
     timestampMs: Long)
+
+/** What a [[ManagedTable.vacuum]] with the same retention would delete
+  * ([[ManagedTable.vacuumDryRun]]): the horizon it would publish, the
+  * unreferenced commit DIRECTORIES (absolute paths), the dead
+  * deletion-vector sidecar names, and the manifest-record versions it
+  * would prune. */
+final case class VacuumPlan(
+    horizon: Long,
+    dataDirs: Seq[String],
+    dvSidecars: Seq[String],
+    recordVersions: Seq[Long])
 
 /** One audit row of [[ManagedTable.history]] (DESCRIBE HISTORY
   * equivalent). `metrics` is what the COMMIT did — filesAdded /

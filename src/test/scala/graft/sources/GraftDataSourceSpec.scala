@@ -165,6 +165,32 @@ class GraftDataSourceSpec extends AnyFunSuite with Matchers {
       .option("startingVersion", "5").load(base + "/src"))
   }
 
+  test("batch readChangeFeed timestamp bounds resolve to versions") {
+    val base = tmp()
+    val src = ManagedTable(spark, base + "/src")
+    src.overwriteAll(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))   // v0
+    Thread.sleep(5)
+    src.append(Seq((3L, "c")).toDF("id", "v"))                    // v1
+    val v1ts = src.history().find(_.version == 1L).get.timestampMs
+    src.history().find(_.version == 0L).get.timestampMs should be < v1ts
+    // starting = first commit at or after; ending = newest at or before
+    spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("changeFeedKeys", "id")
+      .option("startingTimestamp", v1ts.toString)
+      .option("endingTimestamp", v1ts.toString)
+      .load(base + "/src")
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq shouldBe
+      Seq((3L, "insert", 1L))
+    // a timestamp twin never combines with its version form
+    intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("readChangeFeed", "true").option("changeFeedKeys", "id")
+      .option("startingVersion", "0")
+      .option("startingTimestamp", v1ts.toString)
+      .load(base + "/src"))
+  }
+
   test("changeFeed option routes the short name to the CDC source") {
     val base = tmp()
     val src = ManagedTable(spark, base + "/src")

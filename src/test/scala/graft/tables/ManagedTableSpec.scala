@@ -436,6 +436,25 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     intercept[Exception](t.readVersion(0).collect())
   }
 
+  test("vacuumDryRun reports the blast radius without deleting anything") {
+    val t = ManagedTable(spark, tmp() + "/tdry")
+    t.overwriteAll(df(Seq((1, "a", "x"))))                           // v0
+    t.overwriteAll(df(Seq((2, "b", "x"))))                           // v1
+    val plan = t.vacuumDryRun()
+    plan.horizon shouldBe 1L
+    plan.dataDirs should have size 1   // v0's commit directory
+    plan.recordVersions shouldBe Seq(0L)
+    // nothing was touched: v0 still time-travels
+    t.readVersion(0).collect().map(_.getInt(0)) shouldBe Array(1)
+    // the real vacuum deletes exactly the planned set; a fresh dry run
+    // then reports nothing left to reclaim
+    t.vacuum()
+    intercept[Exception](t.readVersion(0).collect())
+    val after = t.vacuumDryRun()
+    after.dataDirs shouldBe empty
+    after.recordVersions shouldBe empty
+  }
+
   test("CHECK constraints: enforced on every write path, SQL null semantics, drop restores") {
     import spark.implicits._
     val t = ManagedTable(spark, tmp() + "/chk")
