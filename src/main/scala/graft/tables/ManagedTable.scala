@@ -1833,7 +1833,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     w.dataDirs.foreach { case (dir, files) =>
       fs.delete(dir, true)
       // bloom sidecars follow their data files' lifecycle
-      files.foreach(p => BloomIndex.deleteFor(fs, bloomDir, rel(p)))
+      files.foreach { case (p, _) => BloomIndex.deleteFor(fs, bloomDir, rel(p)) }
     }
     w.dvSidecars.foreach(p => fs.delete(p, true))
     // roll record-embedded streaming txns forward into the vacuum-exempt
@@ -1863,12 +1863,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       val w = planVacuum(requireManifest, retainVersions, retainMs)
       VacuumPlan(w.horizon, w.dataDirs.map(_._1.toString),
         w.dvSidecars.map(_.getName),
-        w.records.collect { case (_, false, v) => v }.sorted)
+        w.records.collect { case (_, false, v) => v }.sorted,
+        dataBytes = w.dataDirs.iterator
+          .flatMap(_._2.iterator.map(_._2)).sum)
     }
 
   private final case class VacuumWork(
       horizon: Long,
-      dataDirs: Seq[(Path, Seq[Path])],          // commit dir -> its parquet
+      dataDirs: Seq[(Path, Seq[(Path, Long)])],  // commit dir -> parquet+len
       dvSidecars: Seq[Path],
       records: Seq[(Path, Boolean, Long)])       // path, isSidecar, version
 
@@ -1903,7 +1905,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         val commitFiles = listParquet(st.getPath)
         if (commitFiles.forall { case (p, _) =>
               !live.contains(fs.makeQualified(p).toString) })
-          Some(st.getPath -> commitFiles.map(_._1))
+          Some(st.getPath -> commitFiles)
         else None
       }
     // DV sidecars referenced by no retained version are garbage (a purge
@@ -2351,7 +2353,10 @@ final case class VacuumPlan(
     horizon: Long,
     dataDirs: Seq[String],
     dvSidecars: Seq[String],
-    recordVersions: Seq[Long])
+    recordVersions: Seq[Long],
+    /** Parquet bytes the commit-directory deletions reclaim ("how much
+      * does this vacuum buy" — metadata-only, no data read). */
+    dataBytes: Long = 0L)
 
 /** One audit row of [[ManagedTable.history]] (DESCRIBE HISTORY
   * equivalent). `metrics` is what the COMMIT did — filesAdded /

@@ -444,6 +444,7 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     plan.horizon shouldBe 1L
     plan.dataDirs should have size 1   // v0's commit directory
     plan.recordVersions shouldBe Seq(0L)
+    plan.dataBytes should be > 0L      // reclaimable bytes, from metadata
     // nothing was touched: v0 still time-travels
     t.readVersion(0).collect().map(_.getInt(0)) shouldBe Array(1)
     // the real vacuum deletes exactly the planned set; a fresh dry run
