@@ -141,8 +141,14 @@ final class PqAnnIndex(spark: SparkSession, val rootPath: String) {
   def appendVectors(df: DataFrame, idCol: String, vecCol: String): Unit = {
     val cb = pqTable.read()
     val (m, dsub) = geometry(cb)
-    codesTable.append(PqAnnIndex.encode(df, idCol, vecCol,
-      centroidsTable.read(), cb, m * dsub, m), "pq-append")
+    // the encode's assignment substrate is scoped to THIS write: released
+    // right after the append's action, never left registered session-wide
+    val (codes, h) = SubstrateCache.scoped {
+      PqAnnIndex.encode(df, idCol, vecCol, centroidsTable.read(), cb,
+        m * dsub, m)
+    }
+    try codesTable.append(codes, "pq-append")
+    finally h.release()
   }
 
   /** Approximate top-k `(query_id, neighbor_id, rank, approx_cos)` —
@@ -197,15 +203,18 @@ object PqAnnIndex {
     val cents = coarse.select(col("cid").cast("long").as("cid"), col("centv"))
     idx.centroidsTable.overwriteAll(cents.coalesce(1), Nil, "pq-create")
     idx.pqTable.overwriteAll(pq.coalesce(1), Nil, "pq-create")
-    idx.codesTable.overwriteAll(encode(corpus, idCol, vecCol, cents, pq,
-      dims, m), Seq("cell"), "pq-create")
+    val (codes, h) = SubstrateCache.scoped {
+      encode(corpus, idCol, vecCol, cents, pq, dims, m)
+    }
+    try idx.codesTable.overwriteAll(codes, Seq("cell"), "pq-create")
+    finally h.release()
     idx
   }
 
   /** Batch → cell-tagged sub-codes `(cell, vec_id, sub, code, cnorm2)`.
     * One coarse-assignment pass feeds both the encode and the cell tag
-    * (persisted via [[SubstrateCache]] — it backs both sides of the
-    * join). */
+    * (persisted — it backs both sides of the join; callers scope the
+    * registration to their write and release it after the action). */
   private[ops] def encode(df: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, pq: DataFrame, dims: Int, m: Int): DataFrame = {
     val assigned = SubstrateCache.persist(
