@@ -22,6 +22,20 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** Drop a superseded `localCheckpoint` round's cached blocks. A plain
+    * `df.unpersist()` is a no-op for checkpointed frames — the blocks
+    * belong to the internal RDD inside the plan's `LogicalRDD`, not to a
+    * CacheManager entry — so the iterative ops would otherwise leak
+    * O(rounds × rows) of block-manager memory per call. Only ever call
+    * this on a round that nothing will read again: a locally
+    * checkpointed RDD's lineage is truncated, so its blocks cannot be
+    * recomputed after unpersisting. */
+  private[ops] def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Connected components of an undirected edge list.
     *
     * Returns one row per node that appears in `edges`:
@@ -103,7 +117,7 @@ object GraphOps {
       // blocks are unreachable from here on and must not accumulate
       // (O(rounds × nodes) leaked cache otherwise; under a long bench or
       // service session that pressure evicts OTHER queries' caches)
-      labels.unpersist(false)
+      dropCheckpoint(labels)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

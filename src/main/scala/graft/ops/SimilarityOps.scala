@@ -172,8 +172,9 @@ object SimilarityOps {
         .localCheckpoint() // eager: materialized through the OLD centroids
       // the superseded round's checkpoint blocks are unreachable once the
       // new one is materialized — drop them instead of leaking k×iters
-      // cached partitions per fit
-      cents.unpersist(false)
+      // cached partitions per fit (an RDD-level unpersist: see
+      // [[GraphOps.dropCheckpoint]])
+      GraphOps.dropCheckpoint(cents)
       cents = next
     }
     c.unpersist()

@@ -574,6 +574,25 @@ class OpsSpec extends AnyFunSuite with Matchers {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
   }
 
+  test("iterative ops retain at most their final checkpoint — no per-round cache leak") {
+    // a long chain forces many propagation rounds; each superseded
+    // round's localCheckpoint must be unpersisted as the next one
+    // materializes (regression guard: the leak inflated long benchmark
+    // sessions via block-manager eviction churn)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("x", "y")
+    GraphOps.connectedComponents(chain, "x", "y").count() shouldBe 20L
+    val afterCc = spark.sparkContext.getPersistentRDDs.size
+    (afterCc - before) should be <= 1 // only the returned labels frame
+    val e = (0L until 32L).map(i =>
+      (i, Array.tabulate(4)(d => if (d == (i % 4).toInt) 1.0f else 0.01f)))
+      .toDF("vec_id", "embedding")
+    SimilarityOps.kMeansCodebook(e, "vec_id", "embedding", k = 4, iters = 5)
+      .count() should be > 0L
+    val afterKm = spark.sparkContext.getPersistentRDDs.size
+    (afterKm - afterCc) should be <= 1 // only the final centroids
+  }
+
   test("connected components: empty edge list yields empty result") {
     val empty = Seq.empty[(Long, Long)].toDF("x", "y")
     GraphOps.connectedComponents(empty, "x", "y").count() shouldBe 0L
