@@ -129,9 +129,20 @@ final class PqAnnIndex(spark: SparkSession, val rootPath: String) {
   def exists: Boolean =
     centroidsTable.exists && pqTable.exists && codesTable.exists
 
-  /** Geometry from the stored codebook: m subspaces of dsub dims each. */
+  private def requireCreated(): Unit =
+    if (!exists) throw new IllegalStateException(
+      s"No IVF-PQ index at $rootPath — create the index " +
+        "(PqAnnIndex.create) before search/appendVectors")
+
+  /** Geometry from the stored codebook: m subspaces of dsub dims each.
+    * An empty codebook (missing table, or search before create) yields
+    * null aggregates — fail with a descriptive error, not an NPE. */
   private def geometry(cb: DataFrame): (Int, Int) = {
     val r = cb.agg(max(col("sub")), max(size(col("centv")))).head()
+    if (r.isNullAt(0) || r.isNullAt(1))
+      throw new IllegalStateException(
+        s"PQ codebook at $rootPath/pq is empty — create the index " +
+          "(PqAnnIndex.create) before search/appendVectors")
     (r.getInt(0) + 1, r.getInt(1))
   }
 
@@ -139,6 +150,7 @@ final class PqAnnIndex(spark: SparkSession, val rootPath: String) {
     * it into the affected cells — incremental compressed indexing
     * without retrain, [[AnnIndex.appendVectors]]'s compressed sibling. */
   def appendVectors(df: DataFrame, idCol: String, vecCol: String): Unit = {
+    requireCreated()
     val cb = pqTable.read()
     val (m, dsub) = geometry(cb)
     // the encode's assignment substrate is scoped to THIS write: released
@@ -158,6 +170,7 @@ final class PqAnnIndex(spark: SparkSession, val rootPath: String) {
       nProbe: Int, k: Int): DataFrame = {
     require(nProbe > 0, s"nProbe must be positive, got $nProbe")
     require(k > 0, s"k must be positive, got $k")
+    requireCreated()
     graft.functions.GraftFunctions.register(spark)
     val cb = pqTable.read()
     val (m, dsub) = geometry(cb)

@@ -24,7 +24,7 @@ object EngineOps {
 
   /** Collision-free directory key for a data dir: sha256 prefix of the
     * path (Int hashCode collides silently, and abs(Int.MinValue) < 0). */
-  private def dirKey(s: String): String =
+  private[queries] def dirKey(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map("%02x".format(_)).mkString

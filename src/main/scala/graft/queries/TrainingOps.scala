@@ -216,11 +216,16 @@ object TrainingOps {
       // operator's contract is train-once / search-many, so repeated
       // runs measure the search path against the stored fit — the build
       // is paid by whichever run arrives first (deterministic seed
-      // codebook ⇒ identical index either way)
-      val root = s"/tmp/graft_engine/annindex_v1_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      // codebook ⇒ identical index either way). The root is keyed by
+      // the sha256 dirKey (lossy path munging collides for dirs that
+      // differ only in punctuation), and a staged index is revalidated
+      // against the corpus count so in-place data regeneration rebuilds
+      // instead of silently serving a stale fit.
+      val root = s"/tmp/graft_engine/annindex_v1_${EngineOps.dirKey(d)}"
       val idx = {
         val existing = graft.ops.AnnIndex(s, root)
-        if (existing.exists) existing
+        if (existing.exists && existing.indexedVectors.contains(e.count()))
+          existing
         else graft.ops.AnnIndex.create(s, e, "vec_id", "embedding",
           graft.ops.AnnIndex.seedCodebook(e, "vec_id", "embedding", 16), root)
       }

@@ -1865,7 +1865,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         w.dvSidecars.map(_.getName),
         w.records.collect { case (_, false, v) => v }.sorted,
         dataBytes = w.dataDirs.iterator
-          .flatMap(_._2.iterator.map(_._2)).sum)
+          .flatMap(_._2.iterator.map(_._2)).sum,
+        checkpointSidecarVersions =
+          w.records.collect { case (_, true, v) => v }.distinct.sorted)
     }
 
   private final case class VacuumWork(
@@ -2356,7 +2358,11 @@ final case class VacuumPlan(
     recordVersions: Seq[Long],
     /** Parquet bytes the commit-directory deletions reclaim ("how much
       * does this vacuum buy" — metadata-only, no data read). */
-    dataBytes: Long = 0L)
+    dataBytes: Long = 0L,
+    /** Versions whose parquet checkpoint SIDECAR directories vacuum also
+      * removes — listed separately from [[recordVersions]] so the dry
+      * run enumerates the full blast radius, not just the JSON records. */
+    checkpointSidecarVersions: Seq[Long] = Nil)
 
 /** One audit row of [[ManagedTable.history]] (DESCRIBE HISTORY
   * equivalent). `metrics` is what the COMMIT did — filesAdded /

@@ -109,6 +109,16 @@ class AnnIndexSpec extends AnyFunSuite with Matchers {
     hits should contain(100L)
   }
 
+  test("compressed search before create fails descriptively, not with an NPE") {
+    val idx = PqAnnIndex(spark, freshRoot("pq_missing"))
+    idx.exists shouldBe false
+    val ex = intercept[IllegalStateException] {
+      idx.search(corpus.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        nProbe = 1, k = 3).collect()
+    }
+    ex.getMessage should include("create the index")
+  }
+
   test("trained codebook and table maintenance compose with the index") {
     val c = corpus
     // a k-means-trained codebook plugs in exactly like the seed one

@@ -307,8 +307,12 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
       record(1) should include("baseVersion")
       ManagedTable(spark, root).read().count() shouldBe 301
 
-      // vacuum drops unreferenced sidecars, keeps the chain's base
+      // vacuum drops unreferenced sidecars, keeps the chain's base —
+      // and the dry run enumerates the sidecar blast radius up front
       t2.overwriteAll(df, Seq("p"))                      // v2, new sidecar
+      val plan = t2.vacuumDryRun()
+      plan.recordVersions shouldBe Seq(0L, 1L)
+      plan.checkpointSidecarVersions shouldBe Seq(0L)
       t2.vacuum()
       fs.exists(new org.apache.hadoop.fs.Path(root,
         f"_graft/manifests/v${0L}%020d${ManagedTable.SidecarSuffix}")) shouldBe false
