@@ -91,10 +91,19 @@ object Runner {
       // `bloom_index` setting: equality-lookup columns to bloom-index
       // (registers once, then every write keeps sidecars current; the
       // call after a compaction/zorder rewrite also backfills the
-      // rewritten files' sidecars via onlyMissing)
-      e.settingString("bloom_index").map(_.split(',').map(_.trim)
-        .filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
-        .foreach(_.foreach(c => table.addBloomIndex(c)))
+      // rewritten files' sidecars via onlyMissing). Absent the setting,
+      // the surrogate PK is indexed by default — it is the MERGE key,
+      // and the keyed merge's touch-detect probe data-skips through
+      // exactly this sidecar (a uniform hash PK is unprunable by
+      // min/max); an explicitly empty setting opts out.
+      val bloomCols = e.settingString("bloom_index") match {
+        case Some(s) => s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        case None =>
+          val pk = e.primaryKeyColumnName
+          if (table.manifest.exists(_.schema.fieldNames.contains(pk)))
+            Seq(pk) else Nil
+      }
+      bloomCols.foreach(c => table.addBloomIndex(c))
       if (vacuum) table.vacuum()
     }
   }

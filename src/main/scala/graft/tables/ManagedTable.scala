@@ -584,12 +584,19 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   /** [[filesMightContain]] against a caller-held snapshot (see
     * [[filesInRangeOf]]). */
   private[graft] def filesMightContainOf(m: Manifest,
-      column: String, values: Seq[Any]): Seq[TableFile] = {
+      column: String, values: Seq[Any]): Seq[TableFile] =
+    filesMightContainAmong(m, column, values, m.files)
+
+  /** [[filesMightContainOf]] restricted to a caller-chosen candidate set
+    * (e.g. a partition-pruned merge scope) — sidecars of files outside it
+    * are never probed. */
+  private[graft] def filesMightContainAmong(m: Manifest, column: String,
+      values: Seq[Any], candidates: Seq[TableFile]): Seq[TableFile] = {
     require(values.nonEmpty, "filesMightContain needs at least one value")
     val dt = m.schema.fields.find(_.name == column).map(_.dataType)
     val bounds = values.map(v => statsBound(dt, v))
     val statKey = m.physicalName(column) // stats + blooms key by physical
-    val ranged = m.files.filter(f => bounds.exists(b =>
+    val ranged = candidates.filter(f => bounds.exists(b =>
       f.stats.get(statKey).forall(_.overlaps(b, b))))
     (bloomIndexes.get(statKey), dt) match {
       case (Some(_), Some(d)) =>

@@ -51,6 +51,11 @@ final class MergeBuilder private[tables] (
   private var schemaEvolution = false
   private var evolutionIgnore = Set.empty[String]
 
+  /** Test hook: file count of the last keyed phase-1 probe scan (−1 until
+    * a keyed execute runs) — lets specs assert bloom data skipping
+    * narrowed the scan without parsing plans. */
+  private[tables] var lastProbeFileCount: Int = -1
+
   /** Declare the source too large to broadcast (a backfill slice, a
     * table-sized CDC batch): the keyed path then drops its broadcast
     * hints and lets Catalyst/AQE pick a shuffle join — the target IS
@@ -177,6 +182,43 @@ final class MergeBuilder private[tables] (
       t.join(s, expr(condition), "left_outer")
         .select(conds.map(c => expr(c)): _*)
         .queryExecution.analyzed.expressions.forall(_.deterministic)
+    }
+  }
+
+  /** Phase-1 probe scope: the partition-pruned files, further narrowed by
+    * per-file Bloom data skipping on the merge key when that cannot change
+    * the result. A bloom-negative file cannot contain a row whose key is
+    * in the source, so skipping it is safe exactly when every clause is
+    * source-driven — with a `whenNotMatchedBySource` clause, target-only
+    * rows (which can live in ANY file) participate and no file may be
+    * skipped. Gated on (a) the target having a bloom index registered on
+    * the key (file min/max alone never prunes a uniform hash PK — the
+    * surrogate-key common case, see [[executeKeyed]]'s doc), and (b) the
+    * source being broadcast-small with at most
+    * `spark.graft.merge.bloomPruneMaxKeys` distinct keys, so the key
+    * collect is driver-bounded. Metrics stay exact: a skipped file's rows
+    * price into `unchanged` from the manifest exactly like a scanned-but-
+    * untouched file's. This is Delta's BLOOMFILTER + MERGE economics — a
+    * 10-row CDC slice against an unpartitioned 100 TB table probes
+    * O(matching files), not O(table). */
+  private def bloomPrunedProbeScope(m: Manifest, k: String,
+      scopeFiles: Seq[TableFile]): Seq[TableFile] = {
+    val spark = source.sparkSession
+    val maxKeys =
+      spark.conf.get("spark.graft.merge.bloomPruneMaxKeys", "100000").toInt
+    val eligible = maxKeys > 0 && broadcastSource &&
+      !clauses.exists(_.kind == NotMatchedBySource) &&
+      table.bloomIndexes.contains(m.physicalName(k))
+    if (!eligible) scopeFiles
+    else {
+      val keys = source.select(col(k)).filter(col(k).isNotNull)
+        .distinct().limit(maxKeys + 1).collect().map(_.get(0)).toSeq
+      if (keys.isEmpty || keys.size > maxKeys) scopeFiles
+      else {
+        val might = table.filesMightContainAmong(m, k, keys, scopeFiles)
+          .map(_.path).toSet
+        scopeFiles.filter(f => might.contains(f.path))
+      }
     }
   }
 
@@ -314,6 +356,8 @@ final class MergeBuilder private[tables] (
     val m = requireTarget
     val targetCols = m.schema.fields.map(_.name).toSeq
     val scopeFiles = prunedFiles(m)
+    val probeFiles = bloomPrunedProbeScope(m, k, scopeFiles)
+    lastProbeFileCount = probeFiles.size
 
     val s0 = source.withColumn(SFlag, lit(true)).alias("source")
     val s = if (broadcastSource) broadcast(s0) else s0
@@ -352,7 +396,7 @@ final class MergeBuilder private[tables] (
         // scan-level file tag (NOT input_file_name(), which cannot resolve
         // once a DV anti-join adds a second file source to the plan); the
         // row position feeds DV-mode masking in phase 2
-        table.readManifestFilesTaggedPos(m, prunedFiles(m), TFile, TPos)
+        table.readManifestFilesTaggedPos(m, probeFiles, TFile, TPos)
           // pre-join id: two source rows hitting one target row duplicate
           // the SAME id through the join (the multi-match guard's anchor)
           .withColumn(TRowId, monotonically_increasing_id()))

@@ -212,6 +212,47 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     table.bloomIndexes.keySet shouldBe Set("ID")
   }
 
+  test("maintainEntity: PK bloom index by default; empty bloom_index opts out") {
+    val md = fixture(extraEntity = """,
+      { "id": 12, "name": "cust_d", "connection": "src1", "processtype": "merge",
+        "settings": { "delete_missing": false },
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+          { "name": "SeqNr", "datatype": "integer" },
+          { "name": "name", "datatype": "string" }
+        ] },
+      { "id": 13, "name": "cust_o", "connection": "src1", "processtype": "merge",
+        "settings": { "delete_missing": false, "bloom_index": "" },
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+          { "name": "SeqNr", "datatype": "integer" },
+          { "name": "name", "datatype": "string" }
+        ] }""")
+    // no bloom_index setting → the surrogate PK (the merge key) is indexed
+    val e = md.getEntity(12)
+    writeSlice(md, e, "s1.parquet",
+      mergeSlice((1 to 40).map(i => (i, i, s"n$i"))))
+    run(md, 12, "s1.parquet", T1)
+    val table = graft.tables.ManagedTable.forLocation(spark, md.silverLocation(e))
+    Runner.maintainEntity(md, e)
+    table.bloomIndexes.keySet shouldBe Set(e.primaryKeyColumnName)
+    // the indexed table keeps merging correctly (touch-detect data-skips
+    // through the PK sidecar; content unchanged vs the unindexed path)
+    writeSlice(md, e, "s2.parquet", mergeSlice(Seq((5, 99, "edit"), (41, 1, "new"))))
+    val sum = run(md, 12, "s2.parquet", T2)
+    sum.updated shouldBe 1
+    sum.inserted shouldBe 1
+    table.read().count() shouldBe 41L
+
+    // explicitly empty setting opts out of the default
+    val eo = md.getEntity(13)
+    writeSlice(md, eo, "s1.parquet", mergeSlice(Seq((1, 1, "a"))))
+    run(md, 13, "s1.parquet", T1)
+    val to = graft.tables.ManagedTable.forLocation(spark, md.silverLocation(eo))
+    Runner.maintainEntity(md, eo)
+    to.bloomIndexes shouldBe empty
+  }
+
   test("merge + historic stay correct when the slice exceeds broadcastMaxRows") {
     // threshold 1 row: every slice takes the no-broadcast (shuffle) path
     spark.conf.set("spark.graft.merge.broadcastMaxRows", "1")

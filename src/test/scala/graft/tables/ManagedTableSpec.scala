@@ -133,6 +133,45 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     mk.count("bs3") shouldBe 1 // delete-inferred
   }
 
+  test("keyed merge touch-detect data-skips through the PK bloom index") {
+    import spark.implicits._
+    val t = ManagedTable(spark, tmp() + "/bm")
+    // 80 rows hash-mixed into 8 files: every file's id min/max spans nearly
+    // the whole domain, so stats alone cannot prune — only the bloom can
+    val rows = (0 until 80).map(i => (f"k$i%03d", s"v$i", "x"))
+    t.overwriteAll(rows.toDF("id", "name", "part").repartition(8))
+    t.addBloomIndex("id", expectedItemsPerFile = 1000)
+    val nFiles = t.manifest.get.files.size
+    nFiles shouldBe 8
+
+    val src = Seq(("k005", "V5", "x"), ("k900", "NEW", "x"))
+      .toDF("id", "name", "part")
+    val b = MergeInto.byKey(t, src, "id")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+    val metrics = b.execute()
+    // the probe scanned only files that might contain a source key —
+    // k005 lives in one file, k900 in none (modulo ~1% bloom fpp)
+    b.lastProbeFileCount should be < nFiles
+    metrics.count("m0") shouldBe 1
+    metrics.count("nm1") shouldBe 1
+    metrics.count("unchanged") shouldBe 79
+    val out = t.read().collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    out.length shouldBe 81
+    out should contain("k005" -> "V5")
+    out should contain("k900" -> "NEW")
+
+    // a bySource clause disables skipping: target-only rows live in ANY
+    // file, so the probe must scan the full scope
+    val nFiles2 = t.manifest.get.files.size
+    val b2 = MergeInto.byKey(t, src, "id")
+      .whenMatchedUpdateAll(cond = Some("target.name != source.name"))
+      .whenNotMatchedBySourceUpdate(Map("part" -> "'seen'"))
+    b2.execute()
+    b2.lastProbeFileCount shouldBe nFiles2
+  }
+
   test("insert(set): explicit expressions, NULL fill, keyed matches generic") {
     def setup(): ManagedTable = {
       val t = ManagedTable(spark, tmp() + "/is")
