@@ -134,6 +134,15 @@ final class PqAnnIndex(spark: SparkSession, val rootPath: String) {
       s"No IVF-PQ index at $rootPath — create the index " +
         "(PqAnnIndex.create) before search/appendVectors")
 
+  /** Indexed corpus size — metadata-only when per-file row counts are
+    * recorded. The codes table holds `m` rows per vector; deriving `m`
+    * from the stored sub-codebooks would cost a read, so callers pass
+    * the `m` they created the index with. */
+  def indexedVectors(m: Int): Option[Long] = {
+    require(m > 0, s"m must be positive, got $m")
+    codesTable.fastCount.map(_ / m)
+  }
+
   /** Geometry from the stored codebook: m subspaces of dsub dims each.
     * An empty codebook (missing table, or search before create) yields
     * null aggregates — fail with a descriptive error, not an NPE. */

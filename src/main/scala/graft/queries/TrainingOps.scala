@@ -234,6 +234,31 @@ object TrainingOps {
         .orderBy("query_id", "rank")
     },
 
+    // --------------------- similarity: PERSISTENT IVF-PQ index search
+    // (probe-limited candidates as in q_td_knn_ivf, scored by q_td_knn_pq's
+    // compressed-domain ADC — but the coarse codebook, sub-codebooks, and
+    // encoded corpus are all stored as managed tables, and search reads
+    // only the probed cells' code files: the billion-vector shape)
+    QueryDef("q_td_knn_pqindex", ivfPqOracle) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      // staged-reuse as q_td_knn_index: sha256-keyed root, revalidated
+      // against the corpus count so regenerated data rebuilds the index
+      val root = s"/tmp/graft_engine/pqannindex_v1_${EngineOps.dirKey(d)}"
+      val idx = {
+        val existing = graft.ops.PqAnnIndex(s, root)
+        if (existing.exists &&
+            existing.indexedVectors(m = 4).contains(e.count())) existing
+        else graft.ops.PqAnnIndex.create(s, e, "vec_id", "embedding",
+          graft.ops.AnnIndex.seedCodebook(e, "vec_id", "embedding", 16),
+          SimilarityOps.pqCodebook(e, "vec_id", "embedding",
+            dims = 64, m = 4, ksub = 16),
+          dims = 64, m = 4, root)
+      }
+      idx.search(e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          nProbe = 2, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // ------------------------------ similarity: semantic cluster assignment
     // (nearest-centroid by cosine against a deterministic codebook — the
     // first 16 vectors — plus per-cluster population; min_by linear
@@ -890,6 +915,82 @@ object TrainingOps {
        |    $cPivot
        |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.cid
        |  WHERE l.query_id <> c.vec_id
+       |  GROUP BY l.query_id, c.vec_id),
+       |s AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    CASE WHEN qnorm2 * $rnorm2 = 0 THEN NULL
+       |         ELSE $adot / sqrt(qnorm2 * $rnorm2) END AS approx_cos
+       |  FROM parts JOIN qn USING (query_id))
+       |SELECT query_id, neighbor_id, rank, approx_cos FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id
+       |    ORDER BY approx_cos DESC NULLS LAST, neighbor_id) AS rank
+       |  FROM s)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF-PQ oracle: [[ivfOracle]]'s probe-limited candidate set (coarse
+    * codebook = first 16 vectors, nProbe = 2) scored by [[pqOracle]]'s
+    * compressed-domain ADC (m = 4 subspaces × 16 dims, 16-entry
+    * sub-codebooks), queries vec_id < 10, k = 5 — exactly what the
+    * persistent IVF-PQ index computes through its stored tables. */
+  private def ivfPqOracle: String = {
+    def dotSql(p: String, q: String) =
+      foldSumSql(s"list_transform(range(1, len($p) + 1), i -> $p[i] * $q[i])")
+    val m = 4
+    val pPivot = (0 until m).map(s =>
+      s"sum(CASE WHEN l.sub = $s THEN l.pdot END) AS p$s").mkString(",\n    ")
+    val cPivot = (0 until m).map(s =>
+      s"sum(CASE WHEN l.sub = $s THEN c.cnorm2 END) AS c$s").mkString(",\n    ")
+    val adot = (1 until m).foldLeft("p0") { (acc, s) => s"($acc + p$s)" }
+    val rnorm2 = (1 until m).foldLeft("c0") { (acc, s) => s"($acc + c$s)" }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS centv FROM e WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, cent.cid, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${cosineSql("e.v", "cent.centv")} DESC, cent.cid) AS rn
+       |    FROM e, cent)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, cent.cid, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${cosineSql("e.v", "cent.centv")} DESC, cent.cid) AS rn
+       |    FROM e, cent WHERE e.vec_id < 10)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id),
+       |subs AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+       |cb AS (
+       |  SELECT sub, vec_id AS cid, centv, ${dotSql("centv", "centv")} AS cnorm2
+       |  FROM (SELECT subs.sub, e.vec_id,
+       |          e.v[subs.sub * 16 + 1 : subs.sub * 16 + 16] AS centv
+       |        FROM e CROSS JOIN subs WHERE e.vec_id < 16)),
+       |codes AS (
+       |  SELECT vec_id, sub, cid, cnorm2 FROM (
+       |    SELECT e.vec_id, cb.sub, cb.cid, cb.cnorm2, row_number() OVER (
+       |      PARTITION BY e.vec_id, cb.sub
+       |      ORDER BY ${cosineSql(
+                "e.v[cb.sub * 16 + 1 : cb.sub * 16 + 16]", "cb.centv")}
+       |        DESC NULLS LAST, cb.cid) AS rn
+       |    FROM e CROSS JOIN cb)
+       |  WHERE rn = 1),
+       |qn AS (SELECT vec_id AS query_id, ${dotSql("v", "v")} AS qnorm2
+       |       FROM e WHERE vec_id < 10),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, cb.sub, cb.cid,
+       |    ${dotSql("q.v[cb.sub * 16 + 1 : cb.sub * 16 + 16]", "cb.centv")} AS pdot
+       |  FROM e q CROSS JOIN cb WHERE q.vec_id < 10),
+       |parts AS (
+       |  SELECT l.query_id, c.vec_id,
+       |    $pPivot,
+       |    $cPivot
+       |  FROM codes c
+       |  JOIN lut l ON l.sub = c.sub AND l.cid = c.cid
+       |  JOIN cand ON cand.query_id = l.query_id AND cand.neighbor_id = c.vec_id
        |  GROUP BY l.query_id, c.vec_id),
        |s AS (
        |  SELECT query_id, vec_id AS neighbor_id,
