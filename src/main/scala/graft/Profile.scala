@@ -20,14 +20,20 @@ object Profile {
     @volatile var jobs = 0
     @volatile var stages = 0
     @volatile var tasks = 0L
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs += 1
+        starts.put(j.jobId, System.nanoTime())
         val p = Option(j.properties)
         val site = p.flatMap(x => Option(x.getProperty("callSite.short"))).getOrElse("")
         val desc = p.flatMap(x => Option(x.getProperty("spark.job.description"))).getOrElse("")
         println(s"[job ${j.jobId}] stages=${j.stageInfos.size} $site | ${desc.take(80)}")
       }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        Option(starts.get(j.jobId)).foreach { t0 =>
+          println(f"[job ${j.jobId}] done in ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1; tasks += s.stageInfo.numTasks
       }
