@@ -445,9 +445,11 @@ object EngineOps {
     // merge, predicate delete) against a managed table, then the CDC feed
     // of the whole history through the streaming source's interval
     // builder — version 0 arrives as the snapshot classified insert, the
-    // merge yields update_postimage for matched keys and insert for new
-    // ones, the DELETE yields delete rows carrying the pre-delete values.
-    // The oracle derives the same classified feed declaratively.
+    // merge yields update_preimage/update_postimage pairs for matched
+    // keys (changeFeedPreimages=true, Delta CDF's pair semantics) and
+    // insert for new ones, the DELETE yields delete rows carrying the
+    // pre-delete values. The oracle derives the same classified feed
+    // declaratively.
     QueryDef(
       "q_e_cdc_feed",
       """WITH base AS (
@@ -462,6 +464,9 @@ object EngineOps {
         |UNION ALL
         |SELECT id, name, segment, 'update_postimage', CAST(1 AS BIGINT)
         |FROM src WHERE id <= 500
+        |UNION ALL
+        |SELECT id, name, segment, 'update_preimage', CAST(1 AS BIGINT)
+        |FROM base WHERE id >= 250
         |UNION ALL
         |SELECT id, name, segment, 'insert', CAST(1 AS BIGINT)
         |FROM src WHERE id > 500
@@ -484,7 +489,8 @@ object EngineOps {
       t.delete("id <= 100")                                            // v2
       val feed = new graft.streaming.ChangeFeedStreamSource(s.sqlContext,
         s"$root/t", t.manifest.get.schema,
-        Map("changeFeedKeys" -> "id", "startingVersion" -> "0"))
+        Map("changeFeedKeys" -> "id", "startingVersion" -> "0",
+          "changeFeedPreimages" -> "true"))
       feed.feedFrame(-1L, t.currentVersion.get)
         .orderBy("_commit_version", "_change_type", "id")
     },

@@ -18,7 +18,10 @@ import graft.tables.ManagedTable
   *
   *  - `insert` / `delete` / `update_postimage` rows, one per changed
   *    key per commit, under the feed schema = table columns +
-  *    `_change_type` (string) + `_commit_version` (long);
+  *    `_change_type` (string) + `_commit_version` (long); with
+  *    `changeFeedPreimages=true` each updated key also carries its old
+  *    row as `update_preimage` (Delta CDF's pair) for
+  *    subtract-then-add aggregate maintenance;
   *  - cost per commit is O(files that commit touched) — the
   *    file-granular MERGE keeps that minimal, so a 10-row upsert's feed
   *    reads a handful of files, never the table. Maintenance commits
@@ -108,6 +111,12 @@ class ChangeFeedStreamSource(
       require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
       n
     }
+
+  /** Delta CDF emits a pre/postimage PAIR per updated key; default off
+    * here because upsert-style consumers ([[ManagedTable.syncChangesTo]])
+    * only want the postimage. `changeFeedPreimages=true` opts in. */
+  private val includePreimages: Boolean =
+    parameters.get("changeFeedPreimages").exists(_.equalsIgnoreCase("true"))
 
   override val schema: StructType = feedSchema(dataSchema)
 
@@ -214,7 +223,8 @@ class ChangeFeedStreamSource(
           // no version −1 to diff against: the first commit IS its changes
           project(table.readVersion(0L), changeType = Some(lit("insert")))
         else
-          project(table.rowChanges(v - 1, v, keyCols), changeType = None)
+          project(table.rowChanges(v - 1, v, keyCols, includePreimages),
+            changeType = None)
       classified.withColumn("_commit_version", lit(v).cast(LongType))
     }
     frames.reduceOption(_ unionAll _).getOrElse(

@@ -265,9 +265,17 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * BOTH endpoint schemas: a column added or dropped across the
     * interval reads as null on one side, and comparing it would flag
     * every carried-over row as an update — schema evolution is not a
-    * row change. */
+    * row change.
+    *
+    * `includePreimages = true` additionally emits, for every updated
+    * key, the OLD row as `update_preimage` (Delta CDF's pre/postimage
+    * pair) — consumers maintaining downstream aggregates subtract the
+    * preimage and add the postimage without re-reading the table. The
+    * pair is produced from the same single full-outer join (one
+    * exploded two-element array per updated key), so the plan cost is
+    * unchanged: one shuffle on the key, O(changed-file rows). */
   def rowChanges(fromVersion: Long, toVersion: Long,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], includePreimages: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "rowChanges needs at least one key column")
     val feed = changes(fromVersion, toVersion)
     val dataCols = feed.columns.filterNot(_ == "_change_type").toSeq
@@ -312,9 +320,20 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       .otherwise(lit(null).cast("string"))
     val out = dataCols.map(c =>
       when(inA, col(s"a.`$c`")).otherwise(col(s"r.`$c`")).as(c))
-    a.join(r, keyCond, "full_outer")
-      .select(out :+ changeType.as("_change_type"): _*)
-      .filter(col("_change_type").isNotNull)
+    val joined = a.join(r, keyCond, "full_outer")
+    if (!includePreimages)
+      joined.select(out :+ changeType.as("_change_type"): _*)
+        .filter(col("_change_type").isNotNull)
+    else {
+      val post = struct(out :+ changeType.as("_change_type"): _*)
+      val pre = struct(dataCols.map(c => col(s"r.`$c`").as(c)) :+
+        lit("update_preimage").as("_change_type"): _*)
+      joined
+        .select(explode(when(changeType === "update_postimage",
+          array(pre, post)).otherwise(array(post))).as("__graft_change"))
+        .select(col("__graft_change.*"))
+        .filter(col("_change_type").isNotNull)
+    }
   }
 
   /** Incremental downstream sync (the "gold job" pattern): apply this

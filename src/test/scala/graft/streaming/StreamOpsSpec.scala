@@ -740,6 +740,37 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("change feed stream: changeFeedPreimages pairs updates with their old rows") {
+    import graft.tables.{ManagedTable, MergeInto}
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdfpre").toString
+    val t = ManagedTable(spark, dir + "/t")
+    t.overwriteAll(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))          // v0
+    MergeInto.byKey(t, Seq((1L, "a2"), (3L, "c")).toDF("id", "v"), "id")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()       // v1
+
+    val q = spark.readStream
+      .format(classOf[TableStreamProvider].getName)
+      .option("path", dir + "/t")
+      .option("changeFeed", "true")
+      .option("changeFeedKeys", "id")
+      .option("changeFeedPreimages", "true")
+      .option("startingVersion", "0")
+      .load()
+      .writeStream.format("memory").queryName("cdfpre")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cdfpre")
+        .select("id", "v", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+      rows shouldBe Set(
+        (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),   // v0 snapshot
+        (1L, "a", "update_preimage", 1L),                   // old image
+        (1L, "a2", "update_postimage", 1L), (3L, "c", "insert", 1L))
+    } finally q.stop()
+  }
+
   test("change feed stream: startingTimestamp replays from the first commit at or after it") {
     import graft.tables.ManagedTable
     val dir = java.nio.file.Files.createTempDirectory("graft-cdft").toString

@@ -371,6 +371,27 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     all shouldBe Array((2, "update_postimage"))
   }
 
+  test("rowChanges includePreimages pairs each update with its old row") {
+    val t = ManagedTable(spark, tmp() + "/rcpre")
+    t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "x"), (3, "c", "x"))))
+    val v0 = t.currentVersion.get
+    MergeInto.byKey(t, df(Seq((2, "B", "x"), (4, "d", "x"))), "id")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    t.delete("id = 3")
+    val rc = t.rowChanges(v0, t.currentVersion.get, Seq("id"),
+        includePreimages = true).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(3))).sortBy(r => (r._1, r._3))
+    // update of 2 carries BOTH images; insert/delete are single rows
+    rc shouldBe Array(
+      (2, "B", "update_postimage"), (2, "b", "update_preimage"),
+      (3, "c", "delete"), (4, "d", "insert"))
+    // default stays postimage-only (upsert consumers depend on it)
+    t.rowChanges(v0, t.currentVersion.get, Seq("id")).collect()
+      .count(_.getString(3) == "update_preimage") shouldBe 0
+  }
+
   test("rowChanges rejects duplicate keys in the interval, naming the key") {
     import spark.implicits._
     val t = ManagedTable(spark, tmp() + "/rcdup")
