@@ -174,10 +174,17 @@ final case class GraftRelation(
 
   private val table = ManagedTable(sqlContext.sparkSession, path)
 
-  override val schema: StructType = versionAsOf match {
-    case Some(v) => table.readManifest(v).schema
-    case None => table.manifest.map(_.schema).getOrElse(
-      throw new IllegalArgumentException(s"no graft table at $path"))
+  /** Always nullable-normalized: a later commit (merge null-fill, schema
+    * drift) can relax any column, and a catalog-registered table compares
+    * the stored schema against this one on every resolution — a
+    * version-dependent nullability bit would spuriously fail that check. */
+  override val schema: StructType = {
+    val m = versionAsOf match {
+      case Some(v) => table.readManifest(v).schema
+      case None => table.manifest.map(_.schema).getOrElse(
+        throw new IllegalArgumentException(s"no graft table at $path"))
+    }
+    GraftRelation.nullable(m)
   }
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
@@ -256,6 +263,23 @@ final case class GraftRelation(
         m.files.filter(f => survivors.contains(f.path))
       }
     table.readManifestFiles(m, files)
+  }
+}
+
+object GraftRelation {
+  /** Recursively drop NOT NULL from a schema (structs, arrays, maps). */
+  private[sources] def nullable(st: StructType): StructType =
+    StructType(st.fields.map(f => f.copy(dataType = nullableType(f.dataType),
+      nullable = true)))
+
+  private def nullableType(dt: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => nullable(s)
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = nullableType(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = nullableType(m.valueType), valueContainsNull = true)
+    case other => other
   }
 }
 

@@ -61,6 +61,35 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
 
   def exists: Boolean = fs.exists(pointerFile)
 
+  /** Catalog identity (`db.table`) when this instance was resolved from a
+    * metadata [[graft.metadata.TableLocation]] — every commit then keeps
+    * the session catalog in sync ([[registerCatalog]]) so `spark.table`
+    * and SQL see the table like the reference's saveAsTable mode. */
+  private[tables] var catalogName: Option[String] = None
+  private var catalogRegistered = false
+
+  /** Register (once) this table in the session catalog as
+    * `CREATE TABLE <name> USING graft LOCATION <root>`, creating the
+    * database first, and refresh the catalog's cached relation on later
+    * commits so schema changes (rename/drop/add) surface through
+    * `spark.table`. Reads through the registered relation always resolve
+    * the CURRENT manifest at scan time, so data freshness never depends
+    * on this refresh — only the frozen schema does. No-op for path-mode
+    * tables. */
+  private def registerCatalog(): Unit = catalogName.foreach { name =>
+    val parts = name.split('.').map(_.replace("`", ""))
+    val qualified = parts.map(p => s"`$p`").mkString(".")
+    if (!catalogRegistered) {
+      if (parts.length == 2)
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS `${parts(0)}`")
+      if (!spark.catalog.tableExists(name)) {
+        val esc = rootPath.replace("'", "''")
+        spark.sql(s"CREATE TABLE $qualified USING graft LOCATION '$esc'")
+      }
+      catalogRegistered = true
+    } else spark.sql(s"REFRESH TABLE $qualified")
+  }
+
   /** Lock-free pointer read with a bounded retry: the atomic
     * rename-with-overwrite swap is atomic for the pointer's CONTENT, but
     * on checksummed filesystems (local FS) the data file and its `.crc`
@@ -1856,12 +1885,17 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // fail-fast guard is already conservative instead of stale, and
     // readVersion cannot regress to an opaque mid-scan FileNotFound
     writeFileAtomic(earliestFile, w.horizon.toString)
-    w.dataDirs.foreach { case (dir, files) =>
+    // deletes fan out over a bounded driver pool: on an object store each
+    // delete is a round-trip, so a 100 TB vacuum's millions of files must
+    // not be a serial driver loop (Hadoop FileSystem handles are
+    // thread-safe; ordering within the batch is immaterial — the horizon
+    // above already fenced readers)
+    deleteInParallel(w.dataDirs) { case (dir, files) =>
       fs.delete(dir, true)
       // bloom sidecars follow their data files' lifecycle
       files.foreach { case (p, _) => BloomIndex.deleteFor(fs, bloomDir, rel(p)) }
     }
-    w.dvSidecars.foreach(p => fs.delete(p, true))
+    deleteInParallel(w.dvSidecars)(p => fs.delete(p, true))
     // roll record-embedded streaming txns forward into the vacuum-exempt
     // marker files BEFORE deleting their records: the marker write
     // trails the data commit by one crash window, so a record pruned
@@ -1874,7 +1908,31 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       val floor = txns.map(_.batchId).max
       if (!getTxn(app).exists(_ >= floor)) setTxn(app, floor)
     }
-    w.records.foreach { case (p, isSidecar, _) => fs.delete(p, isSidecar) }
+    deleteInParallel(w.records) { case (p, isSidecar, _) =>
+      fs.delete(p, isSidecar); ()
+    }
+  }
+
+  /** Run `f` over `items` on a bounded thread pool (size
+    * `spark.graft.vacuum.parallelism`, default 32), propagating the
+    * first failure. Small batches stay on the calling thread — no pool
+    * spin-up for a three-version vacuum. */
+  private def deleteInParallel[T](items: Seq[T])(f: T => Unit): Unit = {
+    val par = math.min(items.size,
+      spark.conf.get("spark.graft.vacuum.parallelism", "32").toInt.max(1))
+    if (items.size <= 2 || par <= 1) items.foreach(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try {
+        val futures = items.map(i =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = f(i)
+          }))
+        futures.foreach(_.get()) // rethrows the task's failure
+      } catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      } finally pool.shutdownNow()
+    }
   }
 
   /** What [[vacuum]] with the same retention WOULD delete, touching
@@ -2270,6 +2328,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     snapshotCache.put(next, snapshot)
     // atomic pointer swap: tmp write + rename-with-overwrite
     writeFileAtomic(pointerFile, next.toString)
+    registerCatalog()
   }
 
   /** File count at/above which checkpoint file lists are externalized to
@@ -2454,7 +2513,12 @@ object ManagedTable {
 
   /** Resolve a metadata output location. Catalog tables (`db.table`) map to
     * a warehouse-dir layout — the offline container has no external
-    * metastore; the layout matches what `saveAsTable` would use. */
+    * metastore; the layout matches what `saveAsTable` would use — AND are
+    * registered in the session catalog (database created, `CREATE TABLE …
+    * USING graft`) on their first commit, so `spark.table("db.t")` and SQL
+    * SELECT work like the reference's catalog mode (reference:
+    * Full.scala:47-66 saveAsTable). An already-written table registers
+    * immediately on resolution. */
   def forLocation(spark: SparkSession, loc: OutputLocation): ManagedTable =
     loc match {
       case PathLocation(p) => new ManagedTable(spark, p)
@@ -2463,6 +2527,9 @@ object ManagedTable {
           "spark.sql.warehouse.dir", "spark-warehouse")
         val parts = t.split('.')
         val sub = if (parts.length == 2) s"${parts(0)}.db/${parts(1)}" else t
-        new ManagedTable(spark, s"$warehouse/$sub")
+        val mt = new ManagedTable(spark, s"$warehouse/$sub")
+        mt.catalogName = Some(t)
+        if (mt.exists) mt.registerCatalog()
+        mt
     }
 }

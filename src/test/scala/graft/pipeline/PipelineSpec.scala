@@ -98,6 +98,34 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     out.select("source_filename").head.getString(0) shouldBe "s1.parquet"
   }
 
+  test("catalog-mode silver: spark.table and SQL read the managed table") {
+    // unique db name: the session's warehouse dir persists across suites
+    val tag = (System.nanoTime() % 1000000).toString
+    val db = s"graftdb$tag"
+    val md = fixture(extraEntity = s""",
+      { "id": 4, "name": "cust_t", "connection": "src1", "processtype": "merge",
+        "settings": { "silver_table": "$db.cust_t" },
+        "columns": [
+          { "name": "ID", "datatype": "integer", "fieldroles": ["businesskey"] },
+          { "name": "name", "datatype": "string" } ] }""")
+    val e = md.getEntity(4)
+    md.silverLocation(e) shouldBe TableLocation(s"$db.cust_t")
+    writeSlice(md, e, "s1.parquet", Seq((1, "alice"), (2, "bob")).toDF("ID", "name"))
+    run(md, 4, "s1.parquet", T1)
+    // first commit registered the database + table in the session catalog
+    spark.catalog.tableExists(s"$db.cust_t") shouldBe true
+    spark.table(s"$db.cust_t").count() shouldBe 2
+    spark.sql(s"SELECT name FROM $db.cust_t WHERE ID = 1")
+      .head.getString(0) shouldBe "alice"
+    // a later merge commit is visible through the SAME registration —
+    // the relation resolves the current manifest at scan time
+    writeSlice(md, e, "s2.parquet", Seq((2, "bobby"), (3, "carol")).toDF("ID", "name"))
+    run(md, 4, "s2.parquet", T2)
+    spark.sql(s"SELECT ID, name FROM $db.cust_t ORDER BY ID")
+      .collect().map(r => (r.getInt(0), r.getString(1))) shouldBe
+      Array((1, "alice"), (2, "bobby"), (3, "carol"))
+  }
+
   test("full: second run replaces only touched partitions (dynamic overwrite)") {
     val md = fixture()
     val e = md.getEntity(1)

@@ -200,6 +200,24 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     t.read().count() shouldBe 4
   }
 
+  test("vacuum deletes many commit dirs through the pool, table stays intact") {
+    // 20+ dead versions exercise the parallel-delete path (pool engages
+    // above 2 items); every dead dir and record must be gone, the
+    // current snapshot untouched
+    val t = ManagedTable(spark, tmp() + "/tp")
+    t.overwriteAll(Seq((0, "seed")).toDF("id", "v"))
+    (1 to 24).foreach(i => t.append(Seq((i, s"r$i")).toDF("id", "v")))
+    val cur = t.currentVersion.get
+    t.vacuum()
+    t.earliestReadableVersion shouldBe Some(cur)
+    t.read().collect().map(_.getInt(0)).sorted shouldBe (0 to 24).toArray
+    // failing pool tasks surface, not vanish: a later vacuum after more
+    // commits still works (pool is per-call, not shared state)
+    (25 to 28).foreach(i => t.append(Seq((i, s"r$i")).toDF("id", "v")))
+    t.vacuum()
+    t.read().count() shouldBe 29
+  }
+
   test("vacuum is serialized with concurrent writers (no lost commits)") {
     // vacuum races an appender on the SAME table: without the write lock it
     // can observe the pre-commit manifest and delete the appender's
