@@ -18,6 +18,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // graft_* SQL functions + SQL DML (MERGE/UPDATE/DELETE) rule
+      .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the page cache + file indexes so timings measure query compute,

@@ -25,6 +25,8 @@ object Verify {
       // write µs (not INT96) so the driver's reader sees the same values DuckDB emits
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // graft_* SQL functions + SQL DML (MERGE/UPDATE/DELETE) rule
+      .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -206,11 +206,16 @@ object GraftFunctions {
 /** `SparkSessionExtensions` installer — functions resolve in every session
   * of the cluster, including pure-SQL users. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[DotProduct].getName, name),
         builder))
     }
+    // SQL DML (MERGE INTO / UPDATE / DELETE) over catalog-registered
+    // graft tables — see graft.plans.GraftDmlRule
+    ext.injectPostHocResolutionRule(session =>
+      new graft.plans.GraftDmlRule(session))
+  }
 }

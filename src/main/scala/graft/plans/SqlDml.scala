@@ -1,0 +1,242 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftDmlShim, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.LongType
+
+import graft.metadata.MetadataException
+import graft.sources.GraftRelation
+import graft.tables.{ManagedTable, MergeInto}
+
+/** SQL DML over managed tables — `DELETE FROM` / `UPDATE` / `MERGE INTO`
+  * through `spark.sql(...)`, the way Delta exposes them (reference runs
+  * Delta SQL DML against its catalog tables; this is the equivalent over
+  * catalog-registered graft tables).
+  *
+  * Spark parses these statements natively but executes them only for V2
+  * tables with row-level-operation support; a session-catalog V1 table
+  * reaches `CheckAnalysis` and fails. This post-hoc resolution rule
+  * (injected by [[graft.functions.GraftSparkExtensions]]) intercepts the
+  * ANALYZED statements whose target is a graft table and swaps in
+  * runnable commands over the existing DataFrame-API engine — the SQL
+  * surface adds zero new execution machinery:
+  *
+  *  - `DELETE FROM t WHERE c`        → [[ManagedTable.delete]]
+  *    (file-granular rewrite; partition-only predicates are
+  *    metadata-only commits)
+  *  - `UPDATE t SET a = e WHERE c`   → [[ManagedTable.update]]
+  *  - `MERGE INTO t USING s ON cond [WITH SCHEMA EVOLUTION] WHEN ...`
+  *    → [[MergeInto]] builder (single-column equi-key conditions take
+  *    the keyed broadcast path, the pipeline-PK fast plan; anything
+  *    else runs the generic full-outer program)
+  *
+  * Commands return Delta-shaped metric rows (`num_affected_rows`, and
+  * for MERGE the updated/deleted/inserted split). Non-graft targets pass
+  * through untouched. */
+class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import SqlDml._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d: DeleteFromTable if d.childrenResolved =>
+      graftPath(d.table) match {
+        case Some(p) => GraftDeleteCommand(p, plainSql(d.condition))
+        case None => plan
+      }
+    case u: UpdateTable if u.childrenResolved =>
+      graftPath(u.table) match {
+        case Some(p) =>
+          GraftUpdateCommand(p,
+            u.assignments.map(a => assignName(a.key) -> plainSql(a.value)).toMap,
+            u.condition.map(plainSql).getOrElse("true"))
+        case None => plan
+      }
+    case m: MergeIntoTable if m.childrenResolved =>
+      graftPath(m.targetTable) match {
+        case Some(p) => translateMerge(m, p)
+        case None => plan
+      }
+    case _ => plan
+  }
+
+  private def translateMerge(m: MergeIntoTable, path: String): LogicalPlan = {
+    val tgt = m.targetTable.outputSet
+    val src = m.sourceTable.outputSet
+    def qual(e: Expression): String = qualSql(e, tgt, src)
+    def qualOpt(e: Option[Expression]): Option[String] = e.map(qual)
+    def setMap(as: Seq[Assignment]): Map[String, String] =
+      as.map(a => assignName(a.key) -> qual(a.value)).toMap
+    def clause(kind: Char)(a: MergeAction): DmlMergeClause = a match {
+      case UpdateStarAction(c) if kind == 'm' => MatchedUpdateAll(qualOpt(c))
+      // the analyzer expands UPDATE SET * into per-column assignments
+      // with fromStar = true — keep the updateAll fast form for those
+      case UpdateAction(c, _, true) if kind == 'm' =>
+        MatchedUpdateAll(qualOpt(c))
+      case UpdateAction(c, as, _) if kind == 'm' =>
+        MatchedUpdate(setMap(as), qualOpt(c))
+      case DeleteAction(c) if kind == 'm' => MatchedDelete(qualOpt(c))
+      case InsertStarAction(c) if kind == 'i' => NotMatchedInsertAll(qualOpt(c))
+      case InsertAction(c, as) if kind == 'i' =>
+        NotMatchedInsert(setMap(as), qualOpt(c))
+      case UpdateAction(c, as, _) if kind == 's' =>
+        BySourceUpdate(setMap(as), qualOpt(c))
+      case DeleteAction(c) if kind == 's' => BySourceDelete(qualOpt(c))
+      case other => throw new MetadataException(
+        s"MERGE INTO graft table: unsupported action $other")
+    }
+    val clauses =
+      m.matchedActions.map(clause('m')) ++
+        m.notMatchedActions.map(clause('i')) ++
+        m.notMatchedBySourceActions.map(clause('s'))
+    GraftMergeCommand(path, m.sourceTable, equiKey(m.mergeCondition, tgt, src),
+      qual(m.mergeCondition), clauses, m.withSchemaEvolution)
+  }
+}
+
+object SqlDml {
+
+  /** The graft root path behind a DML target plan: the session catalog's
+    * V1 wrapper (`USING graft` tables — [[GraftDmlShim.graftCatalogTable]])
+    * or a direct V1 relation, through any aliasing. */
+  private[plans] def graftPath(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => graftPath(child)
+    case r: DataSourceV2Relation =>
+      GraftDmlShim.graftCatalogTable(r.table).map(_.location.toString)
+    case lr: LogicalRelation => lr.relation match {
+      case g: GraftRelation => Some(g.path)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Single-table predicate/value → SQL over the table's own columns —
+    * resolved attributes drop their catalog qualifier (`db.t.id` would
+    * not resolve against the managed table's own frame). */
+  private[plans] def plainSql(e: Expression): String =
+    e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    }.sql
+
+  /** Assignment key → bare column name (nested fields unsupported —
+    * managed tables merge at row granularity). */
+  private[plans] def assignName(key: Expression): String = key match {
+    case a: Attribute => a.name
+    case other => throw new MetadataException(
+      s"graft SQL DML: unsupported assignment target $other " +
+        "(only top-level columns)")
+  }
+
+  /** Two-sided expression → SQL over the merge builder's `target.` /
+    * `source.` aliases: each resolved attribute is rewritten to its
+    * side's canonical prefix (whatever alias the statement used). */
+  private[plans] def qualSql(e: Expression,
+      tgt: AttributeSet, src: AttributeSet): String =
+    e.transform {
+      case a: AttributeReference if tgt.contains(a) =>
+        UnresolvedAttribute(Seq("target", a.name))
+      case a: AttributeReference if src.contains(a) =>
+        UnresolvedAttribute(Seq("source", a.name))
+    }.sql
+
+  /** `ON target.k = source.k` (one column, same name both sides) → that
+    * key: the merge takes the keyed file-granular path that never
+    * shuffles the target. Any other condition → None → generic path. */
+  private[plans] def equiKey(cond: Expression,
+      tgt: AttributeSet, src: AttributeSet): Option[String] = cond match {
+    case org.apache.spark.sql.catalyst.expressions.EqualTo(
+        a: AttributeReference, b: AttributeReference) =>
+      val (t, s) =
+        if (tgt.contains(a) && src.contains(b)) (a, b)
+        else if (tgt.contains(b) && src.contains(a)) (b, a)
+        else return None
+      if (t.name.equalsIgnoreCase(s.name)) Some(t.name) else None
+    case _ => None
+  }
+
+  private def metricAttrs(names: String*): Seq[Attribute] =
+    names.map(n => AttributeReference(n, LongType, nullable = false)())
+
+  final case class GraftDeleteCommand(path: String, cond: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = metricAttrs("num_affected_rows")
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(ManagedTable(session, path).delete(cond)))
+  }
+
+  final case class GraftUpdateCommand(
+      path: String, set: Map[String, String], cond: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = metricAttrs("num_affected_rows")
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(ManagedTable(session, path).update(set, cond)))
+  }
+
+  sealed trait DmlMergeClause
+  final case class MatchedUpdateAll(cond: Option[String]) extends DmlMergeClause
+  final case class MatchedUpdate(set: Map[String, String],
+      cond: Option[String]) extends DmlMergeClause
+  final case class MatchedDelete(cond: Option[String]) extends DmlMergeClause
+  final case class NotMatchedInsertAll(cond: Option[String]) extends DmlMergeClause
+  final case class NotMatchedInsert(set: Map[String, String],
+      cond: Option[String]) extends DmlMergeClause
+  final case class BySourceUpdate(set: Map[String, String],
+      cond: Option[String]) extends DmlMergeClause
+  final case class BySourceDelete(cond: Option[String]) extends DmlMergeClause
+
+  /** MERGE over the builder; `source` is the statement's analyzed source
+    * plan, rehydrated at run time. The metric row splits affected rows
+    * the way Delta's MERGE output does, summed from the builder's
+    * per-clause counts (clause `i` in declaration order tags `m i` /
+    * `nm i` / `bs i`). */
+  final case class GraftMergeCommand(
+      path: String,
+      source: LogicalPlan,
+      key: Option[String],
+      cond: String,
+      clauses: Seq[DmlMergeClause],
+      schemaEvolution: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = metricAttrs("num_affected_rows",
+      "num_updated_rows", "num_deleted_rows", "num_inserted_rows")
+    override def run(session: SparkSession): Seq[Row] = {
+      val t = ManagedTable(session, path)
+      val srcDf = GraftDmlShim.ofRows(session, source)
+      val b = key match {
+        case Some(k) => MergeInto.byKey(t, srcDf, k)
+        case None => MergeInto(t, srcDf, cond)
+      }
+      if (schemaEvolution) b.withSchemaEvolution()
+      clauses.foreach {
+        case MatchedUpdateAll(c) => b.whenMatchedUpdateAll(c)
+        case MatchedUpdate(s, c) => b.whenMatchedUpdate(s, c)
+        case MatchedDelete(c) => b.whenMatchedDelete(c)
+        case NotMatchedInsertAll(c) => b.whenNotMatchedInsertAll(c)
+        case NotMatchedInsert(s, c) => b.whenNotMatchedInsert(s, c)
+        case BySourceUpdate(s, c) => b.whenNotMatchedBySourceUpdate(s, c)
+        case BySourceDelete(c) => b.whenNotMatchedBySourceDelete(c)
+      }
+      val metrics = b.execute()
+      def sum(sel: (DmlMergeClause, Int) => Boolean): Long =
+        clauses.zipWithIndex.collect {
+          case (c, i) if sel(c, i) => metrics.count(c match {
+            case _: NotMatchedInsertAll | _: NotMatchedInsert => s"nm$i"
+            case _: BySourceUpdate | _: BySourceDelete => s"bs$i"
+            case _ => s"m$i"
+          })
+        }.sum
+      val updated = sum((c, _) => c.isInstanceOf[MatchedUpdateAll] ||
+        c.isInstanceOf[MatchedUpdate] || c.isInstanceOf[BySourceUpdate])
+      val deleted = sum((c, _) => c.isInstanceOf[MatchedDelete] ||
+        c.isInstanceOf[BySourceDelete])
+      val inserted = sum((c, _) => c.isInstanceOf[NotMatchedInsertAll] ||
+        c.isInstanceOf[NotMatchedInsert])
+      Seq(Row(updated + deleted + inserted, updated, deleted, inserted))
+    }
+  }
+}

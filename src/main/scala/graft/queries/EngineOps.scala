@@ -495,6 +495,53 @@ object EngineOps {
         .orderBy("_commit_version", "_change_type", "id")
     },
 
+    // SQL DML surface: UPDATE, DELETE, and MERGE INTO statements through
+    // spark.sql over a catalog-registered managed table (the extension-
+    // injected resolution rule routes them into the DataFrame-API
+    // engine). The oracle replays the same three statements
+    // declaratively: the UPDATE's CASE, the DELETE's filter, the MERGE's
+    // full-join coalesce (source wins on match, inserts on source-only,
+    // target rows carry otherwise).
+    QueryDef(
+      "q_e_sql_dml",
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+        |  FROM customer WHERE c_custkey <= 400),
+        |u AS (
+        |  SELECT id, CASE WHEN id % 5 = 0 THEN upper(name) ELSE name END
+        |           AS name, segment FROM base),
+        |d AS (SELECT * FROM u WHERE id % 7 <> 0),
+        |src AS (
+        |  SELECT c_custkey AS id, upper(c_name) AS name,
+        |         c_mktsegment AS segment
+        |  FROM customer WHERE c_custkey BETWEEN 300 AND 500)
+        |SELECT COALESCE(s.id, d.id) AS id,
+        |       COALESCE(s.name, d.name) AS name,
+        |       COALESCE(s.segment, d.segment) AS segment
+        |FROM d FULL JOIN src s ON d.id = s.id
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "sql_dml")
+      val t = graft.tables.ManagedTable(s, s"$root/t")
+      val cust = Tables.customer(s, d)
+      t.overwriteAll(cust.filter(col("c_custkey") <= 400).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment")).repartition(4))
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_dml")
+      s.sql("DROP TABLE IF EXISTS graft_dml.t")
+      s.sql(s"CREATE TABLE graft_dml.t USING graft LOCATION '$root/t'")
+      s.sql("UPDATE graft_dml.t SET name = upper(name) WHERE id % 5 = 0")
+      s.sql("DELETE FROM graft_dml.t WHERE id % 7 = 0")
+      cust.filter(col("c_custkey").between(300, 500)).select(
+        col("c_custkey").as("id"), upper(col("c_name")).as("name"),
+        col("c_mktsegment").as("segment"))
+        .createOrReplaceTempView("graft_dml_src")
+      s.sql("""MERGE INTO graft_dml.t AS tg USING graft_dml_src AS s
+              |ON tg.id = s.id
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      t.read().select("id", "name", "segment").orderBy("id")
+    },
+
     // Historic/SCD2: changed keys carry a closed version (ValidTo = T2)
     // plus an open successor; new keys open at T2; untouched keys keep T1.
     QueryDef(

@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.tables.ManagedTable
+
+/** SQL DML (`DELETE` / `UPDATE` / `MERGE INTO`) over catalog-registered
+  * managed tables, through the extension-injected resolution rule. */
+class SqlDmlSpec extends AnyFunSuite with Matchers {
+
+  /** A session WITH the graft extensions (the suite may not be first in
+    * the JVM, so the shared default session can't be assumed to carry
+    * them — build a fresh one on the shared context). */
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftSparkExtensions)
+      .getOrCreate()
+  }
+
+  private def freshTable(): (String, ManagedTable) = {
+    import spark.implicits._
+    val db = s"dml${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE DATABASE $db")
+    val path = java.nio.file.Files.createTempDirectory("graft-dml").toString + "/t"
+    val t = ManagedTable(spark, path)
+    t.overwriteAll(Seq((1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40))
+      .toDF("id", "name", "qty"))
+    spark.sql(s"CREATE TABLE $db.t USING graft LOCATION '$path'")
+    (s"$db.t", t)
+  }
+
+  test("DELETE FROM with predicate, metric row returned") {
+    val (name, t) = freshTable()
+    val out = spark.sql(s"DELETE FROM $name WHERE id % 2 = 0").collect()
+    out.map(_.getLong(0)) shouldBe Array(2L)
+    t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 3)
+    // SQL reads see the post-delete snapshot
+    spark.table(name).count() shouldBe 2
+  }
+
+  test("UPDATE SET expression over the pre-update row") {
+    val (name, t) = freshTable()
+    val out = spark.sql(
+      s"UPDATE $name SET qty = qty + 5, name = upper(name) WHERE id <= 2")
+      .collect()
+    out.map(_.getLong(0)) shouldBe Array(2L)
+    t.read().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))) shouldBe
+      Array((1, "A", 15), (2, "B", 25), (3, "c", 30), (4, "d", 40))
+  }
+
+  test("MERGE INTO: update-all + insert-all via equi-key, Delta-shaped metrics") {
+    val (name, t) = freshTable()
+    val out = spark.sql(
+      s"""MERGE INTO $name AS tg
+         |USING (SELECT * FROM VALUES (2, 'B2', 200), (5, 'e', 50)
+         |       AS v(id, name, qty)) AS s
+         |ON tg.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))) shouldBe
+      Array((2L, 1L, 0L, 1L)) // affected, updated, deleted, inserted
+    t.read().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))) shouldBe
+      Array((1, "a", 10), (2, "B2", 200), (3, "c", 30), (4, "d", 40), (5, "e", 50))
+  }
+
+  test("MERGE INTO: column-level SET, clause conditions, delete, by-source") {
+    val (name, t) = freshTable()
+    val out = spark.sql(
+      s"""MERGE INTO $name AS tg
+         |USING (SELECT * FROM VALUES (1, 'x', 100), (2, 'y', 999), (9, 'z', 90)
+         |       AS v(id, name, qty)) AS s
+         |ON tg.id = s.id
+         |WHEN MATCHED AND s.qty >= 999 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET qty = tg.qty + s.qty
+         |WHEN NOT MATCHED AND s.qty > 50 THEN INSERT (id, name, qty)
+         |  VALUES (s.id, s.name, s.qty)
+         |WHEN NOT MATCHED BY SOURCE AND tg.id = 4 THEN DELETE""".stripMargin)
+      .collect()
+    // deleted: id=2 (matched, qty 999) and id=4 (by source); updated: id=1;
+    // inserted: id=9
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))) shouldBe
+      Array((4L, 1L, 2L, 1L))
+    t.read().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))) shouldBe
+      Array((1, "a", 110), (3, "c", 30), (9, "z", 90))
+  }
+
+  test("non-graft DML targets still fail with Spark's own error") {
+    import spark.implicits._
+    val v = Seq((1, "a")).toDF("id", "v")
+    v.createOrReplaceTempView("plainview")
+    intercept[Exception](spark.sql("DELETE FROM plainview WHERE id = 1"))
+  }
+}
