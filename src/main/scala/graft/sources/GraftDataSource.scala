@@ -166,11 +166,15 @@ class GraftDataSource extends RelationProvider
   * `versionAsOf`). Filter pushdown is used ONLY for manifest-side file
   * pruning — partition values, per-file min/max stats, Bloom sidecars —
   * and `unhandledFilters` returns everything, so Spark plans the
-  * row-level filter on top and correctness never depends on pruning. */
+  * row-level filter on top and correctness never depends on pruning.
+  * [[InsertableRelation]] carries SQL `INSERT INTO` / `INSERT OVERWRITE`
+  * over catalog-registered tables into the transactional append /
+  * overwrite commits. */
 final case class GraftRelation(
     sqlContext: SQLContext,
     path: String,
-    versionAsOf: Option[Long]) extends BaseRelation with PrunedFilteredScan {
+    versionAsOf: Option[Long]) extends BaseRelation with PrunedFilteredScan
+    with InsertableRelation {
 
   private val table = ManagedTable(sqlContext.sparkSession, path)
 
@@ -188,6 +192,20 @@ final case class GraftRelation(
   }
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  /** SQL `INSERT INTO` (append commit) / `INSERT OVERWRITE` (atomic
+    * overwrite commit, partitioning preserved). Time-travel relations
+    * are read-only snapshots. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(versionAsOf.isEmpty,
+      s"cannot INSERT into a time-travel snapshot of $path")
+    val t = table
+    // by-position semantics (Spark's INSERT contract): the analyzer has
+    // already aligned and cast `data` to this relation's schema
+    if (overwrite)
+      t.overwriteAll(data, t.manifest.map(_.partitionColumns).getOrElse(Nil))
+    else t.append(data)
+  }
 
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {

@@ -95,6 +95,20 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
       Array((1, "a", 110), (3, "c", 30), (9, "z", 90))
   }
 
+  test("INSERT INTO appends, INSERT OVERWRITE replaces, CTAS creates") {
+    val (name, t) = freshTable()
+    spark.sql(s"INSERT INTO $name VALUES (5, 'e', 50)")
+    t.read().count() shouldBe 5
+    spark.table(name).count() shouldBe 5
+    // CTAS into a fresh graft table (default location under the warehouse)
+    val db = name.split('.')(0)
+    spark.sql(s"CREATE TABLE $db.t2 USING graft AS SELECT * FROM $name WHERE id <= 2")
+    spark.table(s"$db.t2").collect().map(_.getInt(0)).sorted shouldBe Array(1, 2)
+    spark.sql(s"INSERT OVERWRITE $db.t2 VALUES (9, 'z', 90)")
+    spark.table(s"$db.t2").collect().map(r => (r.getInt(0), r.getString(1))) shouldBe
+      Array((9, "z"))
+  }
+
   test("non-graft DML targets still fail with Spark's own error") {
     import spark.implicits._
     val v = Seq((1, "a")).toDF("id", "v")
