@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * (JNI image lib, ffmpeg pipe, …) is initialized once per partition and
   * fed batches — the Spark-side contract (schema, partitioning, batch
   * shape) is real and tested, while decoding itself sits behind the
-  * injectable [[MultimodalOps.MediaDecoder]] seam. The default
-  * [[MultimodalOps.StubDecoder]] is an explicit STUB (this container has
-  * no media libraries): deterministic fake dimensions/samples derived
-  * from payload bytes. Swapping in a real decoder changes only the
-  * injected object.
+  * injectable [[MultimodalOps.MediaDecoder]] seam. Two implementations
+  * ship: [[JvmMediaDecoder]] — a REAL decoder for PNG/JPEG/BMP/GIF
+  * images and WAV/AIFF/AU audio built on the JDK's own ImageIO and
+  * AudioSystem (zero external dependencies) — and the deterministic
+  * [[MultimodalOps.StubDecoder]] default (fake dimensions derived from
+  * payload bytes), kept for formats needing libraries this container
+  * lacks (video) and for hash-stable oracle fixtures. Swapping decoders
+  * changes only the injected object.
   *
   * At 100 TB: payloads dominate row size, so ops `repartition` by byte
   * budget rather than row count before partition-wise decode, and
@@ -98,6 +101,24 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         decoder.open() // once per partition, before any payload
+        it.map { case (id, payload) =>
+          MediaRecord(id, payload, decoder.decode(payload))
+        }
+      }
+  }
+
+  /** Ingest raw binary payloads (the production shape — bytes straight
+    * from the object store) with partition-wise decode, e.g. with the
+    * dependency-free real decoder [[JvmMediaDecoder]] for PNG/JPEG/BMP/
+    * GIF/WAV. */
+  def packBinary(df: DataFrame, idCol: String, payloadCol: String,
+      decoder: MediaDecoder = StubDecoder)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        decoder.open()
         it.map { case (id, payload) =>
           MediaRecord(id, payload, decoder.decode(payload))
         }

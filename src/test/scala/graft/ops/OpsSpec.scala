@@ -330,6 +330,68 @@ class OpsSpec extends AnyFunSuite with Matchers {
     stubRecs.head.meta.contentSha should have length 64
   }
 
+  test("multimodal: JvmMediaDecoder really decodes PNG and WAV (no external libs)") {
+    import spark.implicits._
+    // a 32x16 PNG, left half black / right half white — real pixels
+    val img = new java.awt.image.BufferedImage(32, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 32; y <- 0 until 16)
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xffffff)
+    val pngOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngOut)
+    val png = pngOut.toByteArray
+
+    // a 8kHz mono 16-bit WAV, first half silence / second half full-scale
+    val pcm = new Array[Byte](8000 * 2)
+    for (i <- 4000 until 8000) { // square wave at amplitude 0.5
+      val v: Short = if (i % 2 == 0) 16384 else -16384
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 8000),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    val wav = wavOut.toByteArray
+
+    val garbage = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+
+    val recs = MultimodalOps.packBinary(
+      Seq((1L, png), (2L, wav), (3L, garbage)).toDF("id", "payload"),
+      "id", "payload", JvmMediaDecoder).collect().sortBy(_.id)
+    // image: decoded pixel dimensions
+    recs(0).meta.mediaType shouldBe "image"
+    recs(0).meta.width shouldBe 32
+    recs(0).meta.height shouldBe 16
+    // audio: sample rate + channels in the two dimension slots
+    recs(1).meta.mediaType shouldBe "audio"
+    recs(1).meta.width shouldBe 8000
+    recs(1).meta.height shouldBe 1
+    // unknown bytes stay usable, not fatal
+    recs(2).meta.mediaType shouldBe "binary"
+    recs(2).meta.width shouldBe 0
+
+    // content-dependent features: dark bands ~0, light bands ~1
+    val f = JvmMediaDecoder.features(png, 8)
+    all(f.take(4).toSeq) should be < 0.05f
+    all(f.drop(4).toSeq) should be > 0.95f
+    // audio RMS: silent first half ~0, square second half ~0.5
+    val a = JvmMediaDecoder.features(wav, 8)
+    all(a.take(4).toSeq) should be < 0.01f
+    all(a.drop(4).toSeq) should be > 0.45f
+
+    // and through the distributed feature pipeline
+    val recsDs = MultimodalOps.packBinary(
+      Seq((1L, png), (2L, wav)).toDF("id", "payload"),
+      "id", "payload", JvmMediaDecoder)
+    val feats = MultimodalOps.extractFeatures(recsDs, JvmMediaDecoder)
+      .collect().sortBy(_.id)
+    feats(0).features.toSeq shouldBe f.toSeq
+    feats(1).features.toSeq shouldBe a.toSeq
+  }
+
   test("multimodal byte-budget repartitioning evens out decode tasks") {
     val recs = MultimodalOps.pack(
       docs((1L, "x" * 100), (2L, "y" * 100), (3L, "z" * 100)), "doc_id", "text")
