@@ -217,5 +217,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // graft tables — see graft.plans.GraftDmlRule
     ext.injectPostHocResolutionRule(session =>
       new graft.plans.GraftDmlRule(session))
+    // SQL time travel (VERSION/TIMESTAMP AS OF) — must precede the
+    // built-in resolution, which rejects V1 time travel outright
+    ext.injectHintResolutionRule(session =>
+      new graft.plans.GraftTimeTravelRule(session))
   }
 }

@@ -99,6 +99,70 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** SQL time travel over catalog-registered graft tables —
+  * `SELECT … FROM t VERSION AS OF 3` / `TIMESTAMP AS OF '…'` (Delta's
+  * surface; the reference reads Delta tables where the same syntax
+  * applies). Spark resolves time travel only through V2 catalogs, and
+  * its session-catalog resolution throws before post-hoc rules run — so
+  * this rule is injected into the HINTS batch (which precedes
+  * Resolution) and rewrites the parser's `RelationTimeTravel` node over
+  * a graft catalog table into a version-pinned [[GraftRelation]] before
+  * the built-in resolution ever sees it. Timestamps accept any foldable
+  * expression, evaluated with the session timezone; version strings are
+  * the commit number. Non-graft tables pass through to Spark's own
+  * (failing) path untouched. */
+class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+  import org.apache.spark.sql.types.TimestampType
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case tt @ RelationTimeTravel(u: UnresolvedRelation, tsExpr, version) =>
+      catalogGraftTable(u.multipartIdentifier) match {
+        case Some(ct) =>
+          val path = ct.location.toString
+          val v: Long = version match {
+            case Some(s) => s.toLong
+            case None =>
+              val e = tsExpr.get
+              if (!e.resolved || !e.foldable) return plan
+              val micros = Cast(e, TimestampType,
+                Some(session.sessionState.conf.sessionLocalTimeZone))
+                .eval(null)
+              micros match {
+                case m: java.lang.Long =>
+                  graft.tables.ManagedTable(session, path).versionAt(m / 1000L)
+                case _ => throw new MetadataException(
+                  s"TIMESTAMP AS OF over graft table: cannot evaluate ${e.sql}")
+              }
+          }
+          LogicalRelation(
+            GraftRelation(session.sqlContext, path, Some(v)),
+            isStreaming = false)
+        case None => tt
+      }
+  }
+
+  /** Session-catalog lookup for a (possibly `spark_catalog.`-prefixed)
+    * identifier; Some only for an existing `graft`-provider table. */
+  private def catalogGraftTable(parts: Seq[String]):
+      Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val rest = if (parts.length == 3 &&
+      parts.head.equalsIgnoreCase("spark_catalog")) parts.tail else parts
+    val id = rest match {
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case Seq(t) => TableIdentifier(t)
+      case _ => return None
+    }
+    val cat = session.sessionState.catalog
+    if (!cat.tableExists(id)) None
+    else Some(cat.getTableMetadata(id))
+      .filter(_.provider.exists(_.equalsIgnoreCase("graft")))
+  }
+}
+
 object SqlDml {
 
   /** The graft root path behind a DML target plan: the session catalog's

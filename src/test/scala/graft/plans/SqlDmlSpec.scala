@@ -109,6 +109,25 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
       Array((9, "z"))
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    val (name, t) = freshTable() // v0: 4 rows
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql(s"DELETE FROM $name WHERE id >= 3") // v1: 2 rows
+    spark.sql(s"SELECT * FROM $name VERSION AS OF 0").count() shouldBe 4
+    spark.sql(s"SELECT * FROM $name VERSION AS OF 1").count() shouldBe 2
+    spark.table(name).count() shouldBe 2 // head unaffected
+    // a timestamp before the delete resolves to v0 (string rendered in
+    // UTC to match the session timezone the cast uses)
+    val tsStr = java.time.Instant.ofEpochMilli(t0)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString.replace('T', ' ')
+    spark.sql(s"SELECT count(*) AS c FROM $name TIMESTAMP AS OF '$tsStr'")
+      .head.getLong(0) shouldBe 4
+    // predicates + projections compose with the pinned snapshot
+    spark.sql(s"SELECT name FROM $name VERSION AS OF 0 WHERE id = 4")
+      .head.getString(0) shouldBe "d"
+  }
+
   test("non-graft DML targets still fail with Spark's own error") {
     import spark.implicits._
     val v = Seq((1, "a")).toDF("id", "v")
