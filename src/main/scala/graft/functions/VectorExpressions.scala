@@ -221,5 +221,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // built-in resolution, which rejects V1 time travel outright
     ext.injectHintResolutionRule(session =>
       new graft.plans.GraftTimeTravelRule(session))
+    // maintenance statements Spark's grammar lacks (VACUUM / OPTIMIZE /
+    // DESCRIBE HISTORY / RESTORE) — delegating sub-grammar parser
+    ext.injectParser((_, delegate) =>
+      new graft.plans.GraftSqlParser(delegate))
   }
 }

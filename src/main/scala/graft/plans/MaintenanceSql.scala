@@ -1,0 +1,176 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType, TimestampType}
+
+import graft.metadata.MetadataException
+import graft.tables.ManagedTable
+
+/** Maintenance SQL over managed tables — the statements Delta adds to
+  * Spark's grammar, intercepted by a delegating parser (the established
+  * extension pattern for sub-grammars) and routed into the existing
+  * maintenance API. Spark's own parser has none of these, so nothing is
+  * shadowed; unmatched text falls through to the delegate verbatim.
+  *
+  * {{{
+  *   VACUUM db.t [RETAIN 3 VERSIONS] [DRY RUN]
+  *   OPTIMIZE db.t [ZORDER BY (c1, c2)]
+  *   DESCRIBE HISTORY db.t
+  *   RESTORE [TABLE] db.t [TO] VERSION AS OF 4
+  * }}}
+  *
+  * Targets are session-catalog graft tables (`db.t` / `t`) or direct
+  * paths via the Delta-style escape ``graft.`/path/to/table` ``. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import MaintenanceSql._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    maintenancePlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object MaintenanceSql {
+
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+(\S+|graft\.`[^`]+`)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+DRY\s+RUN)?\s*;?\s*""".r
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+(\S+|graft\.`[^`]+`)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+|graft\.`[^`]+`)\s*;?\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+|graft\.`[^`]+`)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+
+  private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] =
+    sql match {
+      case Vacuum(ident, retain, dry) =>
+        Some(GraftVacuumCommand(ident,
+          Option(retain).map(_.toInt).getOrElse(0), dry != null))
+      case Optimize(ident, zorder) =>
+        Some(GraftOptimizeCommand(ident, Option(zorder)
+          .map(_.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).toSeq).getOrElse(Nil)))
+      case History(ident) => Some(GraftHistoryCommand(ident))
+      case Restore(ident, v) => Some(GraftRestoreCommand(ident, v.toLong))
+      case _ => None
+    }
+
+  /** Resolve a statement target to its managed table: the Delta-style
+    * path escape ``graft.`/path` `` directly, anything else through the
+    * session catalog (must exist with provider `graft`). */
+  private def resolveGraft(session: SparkSession, ident: String): ManagedTable = {
+    val PathForm = """(?is)graft\.`([^`]+)`""".r
+    ident match {
+      case PathForm(p) => ManagedTable(session, p)
+      case name =>
+        val parts = name.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
+        val rest = if (parts.length == 3 &&
+          parts.head.equalsIgnoreCase("spark_catalog")) parts.tail else parts
+        val id = rest match {
+          case Seq(db, t) => TableIdentifier(t, Some(db))
+          case Seq(t) => TableIdentifier(t)
+          case _ => throw new MetadataException(
+            s"graft maintenance SQL: cannot resolve table '$ident'")
+        }
+        val cat = session.sessionState.catalog
+        if (!cat.tableExists(id)) throw new MetadataException(
+          s"graft maintenance SQL: table '$ident' not found")
+        val ct = cat.getTableMetadata(id)
+        if (!ct.provider.exists(_.equalsIgnoreCase("graft")))
+          throw new MetadataException(
+            s"graft maintenance SQL: '$ident' is not a graft table " +
+              s"(provider ${ct.provider.getOrElse("none")})")
+        ManagedTable(session, ct.location.toString)
+    }
+  }
+
+  private def attrs(fields: (String, org.apache.spark.sql.types.DataType)*):
+      Seq[Attribute] =
+    fields.map { case (n, t) => AttributeReference(n, t, nullable = false)() }
+
+  /** `VACUUM` — horizon-publishing retention sweep via
+    * [[ManagedTable.vacuum]]; `DRY RUN` enumerates the blast radius
+    * ([[ManagedTable.vacuumDryRun]]) without deleting, one path per
+    * row like Delta. */
+  final case class GraftVacuumCommand(
+      ident: String, retainVersions: Int, dryRun: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("path" -> StringType)
+    override def run(session: SparkSession): Seq[Row] = {
+      val t = resolveGraft(session, ident)
+      if (dryRun) {
+        val plan = t.vacuumDryRun(retainVersions)
+        (plan.dataDirs ++ plan.dvSidecars).map(Row(_))
+      } else {
+        t.vacuum(retainVersions)
+        Seq(Row(t.rootPath))
+      }
+    }
+  }
+
+  /** `OPTIMIZE [ZORDER BY (...)]` — compaction or Z-order re-cluster;
+    * metrics come from the maintenance commit's own manifest record
+    * (zeros when the table was already optimal and nothing committed). */
+  final case class GraftOptimizeCommand(ident: String, zorderBy: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("path" -> StringType,
+      "files_added" -> LongType, "files_removed" -> LongType)
+    override def run(session: SparkSession): Seq[Row] = {
+      val t = resolveGraft(session, ident)
+      val before = t.currentVersion
+      if (zorderBy.nonEmpty) t.zorder(zorderBy) else t.compact()
+      val m = t.manifest
+      val committed = m.exists(mm => before.forall(_ < mm.version))
+      val metrics = if (committed) m.map(_.metrics).getOrElse(Map.empty)
+        else Map.empty[String, Long]
+      Seq(Row(t.rootPath,
+        metrics.getOrElse("filesAdded", 0L),
+        metrics.getOrElse("filesRemoved", 0L)))
+    }
+  }
+
+  /** `DESCRIBE HISTORY` — retained commits newest-first
+    * ([[ManagedTable.history]]), Delta's audit surface. */
+  final case class GraftHistoryCommand(ident: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("version" -> LongType,
+      "timestamp" -> TimestampType, "operation" -> StringType,
+      "checkpoint" -> BooleanType)
+    override def run(session: SparkSession): Seq[Row] =
+      resolveGraft(session, ident).history().map(h =>
+        Row(h.version, new java.sql.Timestamp(h.timestampMs), h.operation,
+          h.checkpoint))
+  }
+
+  /** `RESTORE … VERSION AS OF n` — roll back as a new commit, no data
+    * copy ([[ManagedTable.restore]]). */
+  final case class GraftRestoreCommand(ident: String, version: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("restored_version" -> LongType)
+    override def run(session: SparkSession): Seq[Row] = {
+      resolveGraft(session, ident).restore(version)
+      Seq(Row(version))
+    }
+  }
+}

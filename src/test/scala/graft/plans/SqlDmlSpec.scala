@@ -128,6 +128,38 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
       .head.getString(0) shouldBe "d"
   }
 
+  test("maintenance SQL: OPTIMIZE, DESCRIBE HISTORY, RESTORE, VACUUM") {
+    val (name, t) = freshTable()
+    spark.sql(s"INSERT INTO $name VALUES (5, 'e', 50)") // v1: second file
+    spark.sql(s"INSERT INTO $name VALUES (6, 'f', 60)") // v2: third file
+
+    val opt = spark.sql(s"OPTIMIZE $name").collect()
+    opt.head.getLong(2) should be >= 2L // files_removed: compaction merged
+    t.read().count() shouldBe 6
+
+    val hist = spark.sql(s"DESCRIBE HISTORY $name").collect()
+    hist.map(_.getLong(0)).toSeq shouldBe Seq(3L, 2L, 1L, 0L) // newest first
+    hist.map(_.getString(2)).head should include("compact")
+
+    spark.sql(s"RESTORE TABLE $name TO VERSION AS OF 1")
+      .head.getLong(0) shouldBe 1L
+    t.read().count() shouldBe 5 // v1 content, as a new commit
+
+    // dry run lists the dead commit dirs; real vacuum then prunes history
+    val dry = spark.sql(s"VACUUM $name RETAIN 0 VERSIONS DRY RUN").collect()
+    dry.length should be >= 1
+    // catalog locations carry the file: scheme; the path itself matches
+    spark.sql(s"VACUUM $name").collect().head.getString(0) should endWith(t.rootPath)
+    t.earliestReadableVersion shouldBe t.currentVersion
+    t.read().count() shouldBe 5
+
+    // ZORDER form + path-escape form both parse and run
+    spark.sql(s"OPTIMIZE graft.`${t.rootPath}` ZORDER BY (id)").collect()
+    t.read().count() shouldBe 5
+    // ordinary SQL still parses through the delegate
+    spark.sql("SELECT 1 + 1").head.getInt(0) shouldBe 2
+  }
+
   test("non-graft DML targets still fail with Spark's own error") {
     import spark.implicits._
     val v = Seq((1, "a")).toDF("id", "v")
