@@ -119,9 +119,8 @@ class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case tt @ RelationTimeTravel(u: UnresolvedRelation, tsExpr, version) =>
-      catalogGraftTable(u.multipartIdentifier) match {
-        case Some(ct) =>
-          val path = ct.location.toString
+      graftLocation(u.multipartIdentifier) match {
+        case Some(path) =>
           val v: Long = version match {
             case Some(s) => s.toLong
             case None =>
@@ -142,7 +141,34 @@ class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
             isStreaming = false)
         case None => tt
       }
+    // Delta-style path escape without registration: SELECT / DML /
+    // INSERT over `graft.`/path/to/table``. Only fires when no real
+    // database named `graft` exists (the catalog wins the name).
+    case u: UnresolvedRelation if isPathEscape(u.multipartIdentifier) =>
+      pathRelation(u.multipartIdentifier(1))
+    // InsertIntoStatement carries its target as a FIELD, not a child —
+    // the operator traversal never visits it, so rewrite it here
+    case i: InsertIntoStatement => i.table match {
+      case u: UnresolvedRelation if isPathEscape(u.multipartIdentifier) =>
+        i.copy(table = pathRelation(u.multipartIdentifier(1)))
+      case _ => i
+    }
   }
+
+  private def pathRelation(path: String): LogicalRelation =
+    LogicalRelation(
+      GraftRelation(session.sqlContext, path, None), isStreaming = false)
+
+  private def isPathEscape(parts: Seq[String]): Boolean =
+    parts.length == 2 && parts.head.equalsIgnoreCase("graft") &&
+      (parts(1).contains("/") || parts(1).contains("\\")) &&
+      !session.sessionState.catalog.databaseExists(parts.head)
+
+  /** The graft root behind a time-travel target: a catalog table's
+    * location, or the path escape itself. */
+  private def graftLocation(parts: Seq[String]): Option[String] =
+    if (isPathEscape(parts)) Some(parts(1))
+    else catalogGraftTable(parts).map(_.location.toString)
 
   /** Session-catalog lookup for a (possibly `spark_catalog.`-prefixed)
     * identifier; Some only for an existing `graft`-provider table. */

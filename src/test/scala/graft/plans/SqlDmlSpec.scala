@@ -160,6 +160,23 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT 1 + 1").head.getInt(0) shouldBe 2
   }
 
+  test("path escape: SELECT, time travel, DML, INSERT on graft.`/path`") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-esc").toString + "/t"
+    val t = ManagedTable(spark, path)
+    t.overwriteAll(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    val esc = s"graft.`$path`"
+    spark.sql(s"SELECT * FROM $esc").count() shouldBe 3
+    spark.sql(s"DELETE FROM $esc WHERE id = 2").head.getLong(0) shouldBe 1L
+    spark.sql(s"INSERT INTO $esc VALUES (4, 'd')")
+    spark.sql(s"SELECT id FROM $esc ORDER BY id").collect()
+      .map(_.getInt(0)) shouldBe Array(1, 3, 4)
+    spark.sql(s"SELECT * FROM $esc VERSION AS OF 0").count() shouldBe 3
+    spark.sql(s"UPDATE $esc SET v = 'x' WHERE id = 4")
+    t.read().filter($"id" === 4).head.getString(1) shouldBe "x"
+    // maintenance SQL already accepts the same escape (covered above)
+  }
+
   test("non-graft DML targets still fail with Spark's own error") {
     import spark.implicits._
     val v = Seq((1, "a")).toDF("id", "v")
