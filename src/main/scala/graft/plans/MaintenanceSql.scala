@@ -84,26 +84,49 @@ object MaintenanceSql {
     ident match {
       case PathForm(p) => ManagedTable(session, p)
       case name =>
-        val parts = name.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
-        val rest = if (parts.length == 3 &&
-          parts.head.equalsIgnoreCase("spark_catalog")) parts.tail else parts
-        val id = rest match {
-          case Seq(db, t) => TableIdentifier(t, Some(db))
-          case Seq(t) => TableIdentifier(t)
-          case _ => throw new MetadataException(
-            s"graft maintenance SQL: cannot resolve table '$ident'")
-        }
-        val cat = session.sessionState.catalog
-        if (!cat.tableExists(id)) throw new MetadataException(
-          s"graft maintenance SQL: table '$ident' not found")
-        val ct = cat.getTableMetadata(id)
-        if (!ct.provider.exists(_.equalsIgnoreCase("graft")))
-          throw new MetadataException(
-            s"graft maintenance SQL: '$ident' is not a graft table " +
-              s"(provider ${ct.provider.getOrElse("none")})")
-        ManagedTable(session, ct.location.toString)
+        resolveParts(session,
+          name.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq)
     }
   }
+
+  /** Same resolution for an already-split identifier (the analyzer's
+    * `UnresolvedTable.multipartIdentifier`); `Seq("graft", "/path")` is
+    * the path escape. */
+  private[plans] def resolveParts(session: SparkSession,
+      parts: Seq[String]): ManagedTable = {
+    if (parts.length == 2 && parts.head.equalsIgnoreCase("graft") &&
+        (parts(1).contains("/") || parts(1).contains("\\")))
+      return ManagedTable(session, parts(1))
+    val ident = parts.mkString(".")
+    val rest = if (parts.length == 3 &&
+      parts.head.equalsIgnoreCase("spark_catalog")) parts.tail else parts
+    val id = rest match {
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case Seq(t) => TableIdentifier(t)
+      case _ => throw new MetadataException(
+        s"graft maintenance SQL: cannot resolve table '$ident'")
+    }
+    val cat = session.sessionState.catalog
+    if (!cat.tableExists(id)) throw new MetadataException(
+      s"graft maintenance SQL: table '$ident' not found")
+    val ct = cat.getTableMetadata(id)
+    if (!ct.provider.exists(_.equalsIgnoreCase("graft")))
+      throw new MetadataException(
+        s"graft maintenance SQL: '$ident' is not a graft table " +
+          s"(provider ${ct.provider.getOrElse("none")})")
+    val mt = ManagedTable(session, ct.location.toString)
+    // commits through this instance keep the catalog's stored schema and
+    // cached relation in sync (DDL changes both)
+    mt.catalogName = Some(rest.mkString("."))
+    mt
+  }
+
+  /** Whether an analysis-time identifier names a graft table (without
+    * throwing — non-graft targets must fall through to Spark). */
+  private[plans] def isGraftTarget(session: SparkSession,
+      parts: Seq[String]): Boolean =
+    try { resolveParts(session, parts); true }
+    catch { case _: MetadataException => false }
 
   private def attrs(fields: (String, org.apache.spark.sql.types.DataType)*):
       Seq[Attribute] =
@@ -161,6 +184,51 @@ object MaintenanceSql {
       resolveGraft(session, ident).history().map(h =>
         Row(h.version, new java.sql.Timestamp(h.timestampMs), h.operation,
           h.checkpoint))
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN a TO b` — metadata-only commit via
+    * column mapping ([[ManagedTable.renameColumn]]); no file rewritten. */
+  final case class GraftRenameColumnCommand(
+      parts: Seq[String], column: String, newName: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(session: SparkSession): Seq[Row] = {
+      resolveParts(session, parts).renameColumn(column, newName)
+      Nil
+    }
+  }
+
+  /** `ALTER TABLE … DROP COLUMN[S]` — metadata-only
+    * ([[ManagedTable.dropColumn]]); `IF EXISTS` tolerates absence. */
+  final case class GraftDropColumnsCommand(
+      parts: Seq[String], columns: Seq[String], ifExists: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(session: SparkSession): Seq[Row] = {
+      val t = resolveParts(session, parts)
+      columns.foreach { c =>
+        val present = t.manifest.exists(
+          _.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        if (present) t.dropColumn(c)
+        else if (!ifExists) throw new MetadataException(
+          s"DROP COLUMN $c: no such column on ${t.rootPath}")
+      }
+      Nil
+    }
+  }
+
+  /** `ALTER TABLE … ADD COLUMN[S]` — appended nullable, existing files
+    * read them as null ([[ManagedTable.addColumn]]). */
+  final case class GraftAddColumnsCommand(
+      parts: Seq[String],
+      columns: Seq[(String, org.apache.spark.sql.types.DataType)])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(session: SparkSession): Seq[Row] = {
+      val t = resolveParts(session, parts)
+      columns.foreach { case (n, dt) => t.addColumn(n, dt) }
+      Nil
+    }
   }
 
   /** `RESTORE … VERSION AS OF n` — roll back as a new commit, no data

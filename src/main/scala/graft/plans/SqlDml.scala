@@ -45,27 +45,28 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d: DeleteFromTable if d.childrenResolved =>
-      graftPath(d.table) match {
-        case Some(p) => GraftDeleteCommand(p, plainSql(d.condition))
+      graftTarget(d.table) match {
+        case Some((p, cat)) => GraftDeleteCommand(p, plainSql(d.condition), cat)
         case None => plan
       }
     case u: UpdateTable if u.childrenResolved =>
-      graftPath(u.table) match {
-        case Some(p) =>
+      graftTarget(u.table) match {
+        case Some((p, cat)) =>
           GraftUpdateCommand(p,
             u.assignments.map(a => assignName(a.key) -> plainSql(a.value)).toMap,
-            u.condition.map(plainSql).getOrElse("true"))
+            u.condition.map(plainSql).getOrElse("true"), cat)
         case None => plan
       }
     case m: MergeIntoTable if m.childrenResolved =>
-      graftPath(m.targetTable) match {
-        case Some(p) => translateMerge(m, p)
+      graftTarget(m.targetTable) match {
+        case Some((p, cat)) => translateMerge(m, p, cat)
         case None => plan
       }
     case _ => plan
   }
 
-  private def translateMerge(m: MergeIntoTable, path: String): LogicalPlan = {
+  private def translateMerge(m: MergeIntoTable, path: String,
+      catalog: Option[String]): LogicalPlan = {
     val tgt = m.targetTable.outputSet
     val src = m.sourceTable.outputSet
     def qual(e: Expression): String = qualSql(e, tgt, src)
@@ -95,7 +96,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         m.notMatchedActions.map(clause('i')) ++
         m.notMatchedBySourceActions.map(clause('s'))
     GraftMergeCommand(path, m.sourceTable, equiKey(m.mergeCondition, tgt, src),
-      qual(m.mergeCondition), clauses, m.withSchemaEvolution)
+      qual(m.mergeCondition), clauses, m.withSchemaEvolution, catalog)
   }
 }
 
@@ -153,6 +154,33 @@ class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
         i.copy(table = pathRelation(u.multipartIdentifier(1)))
       case _ => i
     }
+    // schema DDL — ALTER TABLE RENAME/DROP/ADD COLUMN routes into the
+    // metadata-only column-mapping commits (Spark's own resolution
+    // rejects these for V1 tables, hence interception here). Nested
+    // fields are not supported: managed tables map columns at the top
+    // level only.
+    case r @ RenameColumn(u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable,
+        col, newName) if graftDdl(u.multipartIdentifier) =>
+      MaintenanceSql.GraftRenameColumnCommand(
+        u.multipartIdentifier, topLevel(col.name, "RENAME COLUMN"), newName)
+    case d @ DropColumns(u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable,
+        cols, ifExists) if graftDdl(u.multipartIdentifier) =>
+      MaintenanceSql.GraftDropColumnsCommand(u.multipartIdentifier,
+        cols.map(c => topLevel(c.name, "DROP COLUMN")), ifExists)
+    case a @ AddColumns(u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable,
+        cols) if graftDdl(u.multipartIdentifier) =>
+      MaintenanceSql.GraftAddColumnsCommand(u.multipartIdentifier,
+        cols.map(c => topLevel(c.name, "ADD COLUMN") -> c.dataType))
+  }
+
+  private def graftDdl(parts: Seq[String]): Boolean =
+    MaintenanceSql.isGraftTarget(session, parts)
+
+  private def topLevel(name: Seq[String], op: String): String = name match {
+    case Seq(n) => n
+    case other => throw new MetadataException(
+      s"$op on graft table: only top-level columns are supported, " +
+        s"got ${other.mkString(".")}")
   }
 
   private def pathRelation(path: String): LogicalRelation =
@@ -191,15 +219,22 @@ class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
 
 object SqlDml {
 
-  /** The graft root path behind a DML target plan: the session catalog's
-    * V1 wrapper (`USING graft` tables — [[GraftDmlShim.graftCatalogTable]])
-    * or a direct V1 relation, through any aliasing. */
-  private[plans] def graftPath(plan: LogicalPlan): Option[String] = plan match {
-    case SubqueryAlias(_, child) => graftPath(child)
+  /** The graft root path (and, for catalog tables, the `db.t` identity
+    * — commits then keep the catalog's stored schema in sync) behind a
+    * DML target plan: the session catalog's V1 wrapper (`USING graft`
+    * tables — [[GraftDmlShim.graftCatalogTable]]) or a direct V1
+    * relation, through any aliasing. */
+  private[plans] def graftTarget(plan: LogicalPlan):
+      Option[(String, Option[String])] = plan match {
+    case SubqueryAlias(_, child) => graftTarget(child)
     case r: DataSourceV2Relation =>
-      GraftDmlShim.graftCatalogTable(r.table).map(_.location.toString)
+      GraftDmlShim.graftCatalogTable(r.table).map { ct =>
+        val name = ct.identifier.database
+          .map(d => s"$d.${ct.identifier.table}").getOrElse(ct.identifier.table)
+        (ct.location.toString, Some(name))
+      }
     case lr: LogicalRelation => lr.relation match {
-      case g: GraftRelation => Some(g.path)
+      case g: GraftRelation => Some((g.path, None))
       case _ => None
     }
     case _ => None
@@ -252,19 +287,28 @@ object SqlDml {
   private def metricAttrs(names: String*): Seq[Attribute] =
     names.map(n => AttributeReference(n, LongType, nullable = false)())
 
-  final case class GraftDeleteCommand(path: String, cond: String)
+  private def tableFor(session: SparkSession, path: String,
+      catalog: Option[String]): ManagedTable = {
+    val t = ManagedTable(session, path)
+    t.catalogName = catalog
+    t
+  }
+
+  final case class GraftDeleteCommand(path: String, cond: String,
+      catalog: Option[String] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = metricAttrs("num_affected_rows")
     override def run(session: SparkSession): Seq[Row] =
-      Seq(Row(ManagedTable(session, path).delete(cond)))
+      Seq(Row(tableFor(session, path, catalog).delete(cond)))
   }
 
   final case class GraftUpdateCommand(
-      path: String, set: Map[String, String], cond: String)
+      path: String, set: Map[String, String], cond: String,
+      catalog: Option[String] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = metricAttrs("num_affected_rows")
     override def run(session: SparkSession): Seq[Row] =
-      Seq(Row(ManagedTable(session, path).update(set, cond)))
+      Seq(Row(tableFor(session, path, catalog).update(set, cond)))
   }
 
   sealed trait DmlMergeClause
@@ -290,12 +334,13 @@ object SqlDml {
       key: Option[String],
       cond: String,
       clauses: Seq[DmlMergeClause],
-      schemaEvolution: Boolean)
+      schemaEvolution: Boolean,
+      catalog: Option[String] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = metricAttrs("num_affected_rows",
       "num_updated_rows", "num_deleted_rows", "num_inserted_rows")
     override def run(session: SparkSession): Seq[Row] = {
-      val t = ManagedTable(session, path)
+      val t = tableFor(session, path, catalog)
       val srcDf = GraftDmlShim.ofRows(session, source)
       val b = key match {
         case Some(k) => MergeInto.byKey(t, srcDf, k)

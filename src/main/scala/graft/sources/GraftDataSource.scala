@@ -286,7 +286,7 @@ final case class GraftRelation(
 
 object GraftRelation {
   /** Recursively drop NOT NULL from a schema (structs, arrays, maps). */
-  private[sources] def nullable(st: StructType): StructType =
+  private[graft] def nullable(st: StructType): StructType =
     StructType(st.fields.map(f => f.copy(dataType = nullableType(f.dataType),
       nullable = true)))
 

@@ -62,20 +62,22 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   def exists: Boolean = fs.exists(pointerFile)
 
   /** Catalog identity (`db.table`) when this instance was resolved from a
-    * metadata [[graft.metadata.TableLocation]] — every commit then keeps
-    * the session catalog in sync ([[registerCatalog]]) so `spark.table`
-    * and SQL see the table like the reference's saveAsTable mode. */
-  private[tables] var catalogName: Option[String] = None
+    * metadata [[graft.metadata.TableLocation]] or a SQL statement over a
+    * registered table — every commit then keeps the session catalog in
+    * sync ([[registerCatalog]]) so `spark.table` and SQL see the table
+    * like the reference's saveAsTable mode. */
+  private[graft] var catalogName: Option[String] = None
   private var catalogRegistered = false
 
   /** Register (once) this table in the session catalog as
     * `CREATE TABLE <name> USING graft LOCATION <root>`, creating the
-    * database first, and refresh the catalog's cached relation on later
-    * commits so schema changes (rename/drop/add) surface through
-    * `spark.table`. Reads through the registered relation always resolve
-    * the CURRENT manifest at scan time, so data freshness never depends
-    * on this refresh — only the frozen schema does. No-op for path-mode
-    * tables. */
+    * database first; after every commit, sync the catalog's STORED
+    * schema with the manifest's (DDL and schema-evolving merges change
+    * it, and resolution compares stored vs actual on each read) and
+    * refresh the cached relation. Reads through the registered relation
+    * always resolve the CURRENT manifest at scan time, so data freshness
+    * never depends on the refresh — only the schema does. No-op for
+    * path-mode tables. */
   private def registerCatalog(): Unit = catalogName.foreach { name =>
     val parts = name.split('.').map(_.replace("`", ""))
     val qualified = parts.map(p => s"`$p`").mkString(".")
@@ -87,7 +89,22 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         spark.sql(s"CREATE TABLE $qualified USING graft LOCATION '$esc'")
       }
       catalogRegistered = true
-    } else spark.sql(s"REFRESH TABLE $qualified")
+    }
+    val id =
+      if (parts.length == 2)
+        org.apache.spark.sql.catalyst.TableIdentifier(parts(1), Some(parts(0)))
+      else org.apache.spark.sql.catalyst.TableIdentifier(parts(0))
+    val cat = spark.sessionState.catalog
+    manifest.map(m => graft.sources.GraftRelation.nullable(m.schema))
+      .foreach { current =>
+        if (cat.getTableMetadata(id).schema != current)
+          // external catalog directly: SessionCatalog's wrapper refuses
+          // column drops, but graft DDL legitimately drops columns (the
+          // manifest is the source of truth; the catalog entry mirrors it)
+          cat.externalCatalog.alterTableDataSchema(
+            id.database.getOrElse(cat.getCurrentDatabase), id.table, current)
+      }
+    spark.sql(s"REFRESH TABLE $qualified")
   }
 
   /** Lock-free pointer read with a bounded retry: the atomic

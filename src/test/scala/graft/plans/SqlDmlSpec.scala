@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -175,6 +176,22 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     spark.sql(s"UPDATE $esc SET v = 'x' WHERE id = 4")
     t.read().filter($"id" === 4).head.getString(1) shouldBe "x"
     // maintenance SQL already accepts the same escape (covered above)
+  }
+
+  test("ALTER TABLE RENAME/ADD/DROP COLUMN: metadata-only DDL through SQL") {
+    val (name, t) = freshTable()
+    val filesBefore = t.manifest.get.files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE $name RENAME COLUMN qty TO amount")
+    spark.sql(s"ALTER TABLE $name ADD COLUMNS (note STRING, score DOUBLE)")
+    spark.sql(s"ALTER TABLE $name DROP COLUMN score")
+    val out = t.read()
+    out.columns.toSeq shouldBe Seq("id", "name", "amount", "note")
+    out.filter(col("id") === 1).head.getInt(2) shouldBe 10 // renamed data intact
+    out.select("note").collect().forall(_.isNullAt(0)) shouldBe true
+    // all three were metadata-only commits: same data files
+    t.manifest.get.files.map(_.path).toSet shouldBe filesBefore
+    // catalog reads pick up the new schema (refresh on commit)
+    spark.table(name).columns.toSeq shouldBe Seq("id", "name", "amount", "note")
   }
 
   test("non-graft DML targets still fail with Spark's own error") {
