@@ -107,7 +107,9 @@ class GraftDataSource extends RelationProvider
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = sc
       override val schema: StructType = df.schema
-      override def buildScan(): RDD[Row] = df.rdd
+      override def needConversion: Boolean = false // internal rows pass through
+      override def buildScan(): RDD[Row] =
+        df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
     }
   }
 
@@ -207,6 +209,13 @@ final case class GraftRelation(
     else t.append(data)
   }
 
+  /** The scan hands Spark the projected frame's INTERNAL row RDD
+    * (`needConversion = false`): the default `df.rdd` path would
+    * deserialize every row to external `Row` objects only for Spark to
+    * convert them straight back — at 100 TB through `spark.table` that
+    * double conversion is pure per-row overhead. */
+  override def needConversion: Boolean = false
+
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val frame = versionAsOf match {
@@ -216,7 +225,7 @@ final case class GraftRelation(
     val projected =
       if (requiredColumns.isEmpty) frame
       else frame.select(requiredColumns.map(c => col(s"`$c`")).toSeq: _*)
-    projected.rdd
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 
   /** Conjunctive manifest-side file skipping from the pushed filters,
