@@ -61,6 +61,10 @@ object MaintenanceSql {
     """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+|graft\.`[^`]+`)\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+|graft\.`[^`]+`)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val AddConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
 
   private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] =
     sql match {
@@ -73,6 +77,10 @@ object MaintenanceSql {
             .filter(_.nonEmpty).toSeq).getOrElse(Nil)))
       case History(ident) => Some(GraftHistoryCommand(ident))
       case Restore(ident, v) => Some(GraftRestoreCommand(ident, v.toLong))
+      case AddConstraint(ident, cname, expr) =>
+        Some(GraftAddConstraintCommand(ident, cname, expr.trim))
+      case DropConstraint(ident, cname) =>
+        Some(GraftDropConstraintCommand(ident, cname))
       case _ => None
     }
 
@@ -227,6 +235,31 @@ object MaintenanceSql {
     override def run(session: SparkSession): Seq[Row] = {
       val t = resolveParts(session, parts)
       columns.foreach { case (n, dt) => t.addColumn(n, dt) }
+      Nil
+    }
+  }
+
+  /** `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)` — manifest-
+    * versioned CHECK constraint, enforced on every subsequent write
+    * ([[ManagedTable.addConstraint]]: existing rows are validated with
+    * one limit-1 probe first). Spark's grammar reserves this syntax for
+    * V2 catalogs, so the sub-grammar parser owns it for graft targets. */
+  final case class GraftAddConstraintCommand(
+      ident: String, name: String, expression: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(session: SparkSession): Seq[Row] = {
+      resolveGraft(session, ident).addConstraint(name, expression)
+      Nil
+    }
+  }
+
+  /** `ALTER TABLE … DROP CONSTRAINT name`. */
+  final case class GraftDropConstraintCommand(ident: String, name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(session: SparkSession): Seq[Row] = {
+      resolveGraft(session, ident).dropConstraint(name)
       Nil
     }
   }

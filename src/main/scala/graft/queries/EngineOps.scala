@@ -542,6 +542,42 @@ object EngineOps {
       t.read().select("id", "name", "segment").orderBy("id")
     },
 
+    // SQL time travel + maintenance under the oracle: a four-commit
+    // lifecycle driven entirely through spark.sql — overwrite (v0), SQL
+    // DELETE (v1), OPTIMIZE compaction (v2, content-preserving), RESTORE
+    // to v1 (v3) — then one statement reads BOTH the frozen v0 snapshot
+    // (VERSION AS OF 0) and the head. The oracle derives the same two
+    // snapshots declaratively: v0 is the base, the head is the base
+    // minus the deleted keys (proving OPTIMIZE rewrote without changing
+    // content and RESTORE reproduced v1 exactly).
+    QueryDef(
+      "q_e_sql_timetravel",
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+        |  FROM customer WHERE c_custkey <= 300)
+        |SELECT id, name, segment, 'v0' AS snap FROM base
+        |UNION ALL
+        |SELECT id, name, segment, 'cur' FROM base WHERE id % 3 <> 0
+        |ORDER BY snap, id""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "sql_tt")
+      val t = graft.tables.ManagedTable(s, s"$root/t")
+      val cust = Tables.customer(s, d)
+      t.overwriteAll(cust.filter(col("c_custkey") <= 300).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment")).repartition(4))            // v0
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_tt")
+      s.sql("DROP TABLE IF EXISTS graft_tt.t")
+      s.sql(s"CREATE TABLE graft_tt.t USING graft LOCATION '$root/t'")
+      s.sql("DELETE FROM graft_tt.t WHERE id % 3 = 0")                // v1
+      s.sql("OPTIMIZE graft_tt.t")                                    // v2
+      s.sql("RESTORE TABLE graft_tt.t TO VERSION AS OF 1")            // v3
+      s.sql("""SELECT id, name, segment, 'v0' AS snap
+              |FROM graft_tt.t VERSION AS OF 0
+              |UNION ALL
+              |SELECT id, name, segment, 'cur' AS snap FROM graft_tt.t
+              |ORDER BY snap, id""".stripMargin)
+    },
+
     // Historic/SCD2: changed keys carry a closed version (ValidTo = T2)
     // plus an open successor; new keys open at T2; untouched keys keep T1.
     QueryDef(

@@ -194,6 +194,19 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     spark.table(name).columns.toSeq shouldBe Seq("id", "name", "amount", "note")
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT: CHECK enforced on SQL writes") {
+    val (name, t) = freshTable()
+    spark.sql(s"ALTER TABLE $name ADD CONSTRAINT qty_pos CHECK (qty > 0)")
+    // a violating SQL INSERT is rejected before any commit
+    intercept[Exception](spark.sql(s"INSERT INTO $name VALUES (9, 'z', -5)"))
+    t.read().count() shouldBe 4 // nothing landed
+    spark.sql(s"INSERT INTO $name VALUES (9, 'z', 5)") // satisfying row lands
+    t.read().count() shouldBe 5
+    spark.sql(s"ALTER TABLE $name DROP CONSTRAINT qty_pos")
+    spark.sql(s"INSERT INTO $name VALUES (10, 'w', -1)") // now allowed
+    t.read().count() shouldBe 6
+  }
+
   test("non-graft DML targets still fail with Spark's own error") {
     import spark.implicits._
     val v = Seq((1, "a")).toDF("id", "v")
