@@ -61,6 +61,10 @@ object MaintenanceSql {
     """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+|graft\.`[^`]+`)\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+|graft\.`[^`]+`)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val Detail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+(\S+|graft\.`[^`]+`)\s*;?\s*""".r
+  private val Clone =
+    """(?is)\s*CREATE\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+SHALLOW\s+CLONE\s+(\S+|graft\.`[^`]+`)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
@@ -77,6 +81,9 @@ object MaintenanceSql {
             .filter(_.nonEmpty).toSeq).getOrElse(Nil)))
       case History(ident) => Some(GraftHistoryCommand(ident))
       case Restore(ident, v) => Some(GraftRestoreCommand(ident, v.toLong))
+      case Detail(ident) => Some(GraftDetailCommand(ident))
+      case Clone(dest, srcT, v) =>
+        Some(GraftCloneCommand(dest, srcT, Option(v).map(_.toLong)))
       case AddConstraint(ident, cname, expr) =>
         Some(GraftAddConstraintCommand(ident, cname, expr.trim))
       case DropConstraint(ident, cname) =>
@@ -236,6 +243,55 @@ object MaintenanceSql {
       val t = resolveParts(session, parts)
       columns.foreach { case (n, dt) => t.addColumn(n, dt) }
       Nil
+    }
+  }
+
+  /** `DESCRIBE DETAIL` — the one-struct table summary
+    * ([[ManagedTable.detail]]): current version, file count, exact
+    * metadata-only row count when every file carries one, bytes,
+    * partitioning, latest operation. */
+  final case class GraftDetailCommand(ident: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("num_files", LongType, nullable = false)(),
+      AttributeReference("num_rows", LongType, nullable = true)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("partition_columns", StringType, nullable = false)(),
+      AttributeReference("operation", StringType, nullable = false)(),
+      AttributeReference("timestamp", TimestampType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] = {
+      val d = resolveGraft(session, ident).detail()
+      Seq(Row(d.version, d.numFiles, d.rows.map(Long.box).orNull, d.sizeBytes,
+        d.partitionColumns.mkString(","), d.operation,
+        new java.sql.Timestamp(d.timestampMs)))
+    }
+  }
+
+  /** `CREATE TABLE dest SHALLOW CLONE src [VERSION AS OF n]` — zero
+    * bytes copied ([[ManagedTable.shallowCloneTo]]); a catalog dest name
+    * lands in the warehouse layout and registers like any
+    * TableLocation. */
+  final case class GraftCloneCommand(
+      dest: String, src: String, version: Option[Long])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("path", StringType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] = {
+      val PathForm = """(?is)graft\.`([^`]+)`""".r
+      val s = resolveGraft(session, src)
+      val cloned = dest match {
+        case PathForm(p) => s.shallowCloneTo(p, version)
+        case name =>
+          val plain = name.split('.').map(_.stripPrefix("`").stripSuffix("`"))
+            .mkString(".")
+          val loc = graft.metadata.TableLocation(plain)
+          val target = ManagedTable.forLocation(session, loc)
+          val cl = s.shallowCloneTo(target.rootPath, version)
+          ManagedTable.forLocation(session, loc) // exists now → registers
+          cl
+      }
+      Seq(Row(cloned.rootPath))
     }
   }
 

@@ -207,6 +207,24 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     t.read().count() shouldBe 6
   }
 
+  test("DESCRIBE DETAIL and CREATE TABLE ... SHALLOW CLONE through SQL") {
+    val (name, t) = freshTable()
+    val d = spark.sql(s"DESCRIBE DETAIL $name").head
+    d.getLong(0) shouldBe 0L // version
+    d.getLong(2) shouldBe 4L // metadata-only exact row count
+    d.getString(5) shouldBe "overwrite"
+
+    val db = name.split('.')(0)
+    spark.sql(s"DELETE FROM $name WHERE id = 4") // v1
+    spark.sql(s"CREATE TABLE $db.cl SHALLOW CLONE $name VERSION AS OF 0")
+    spark.table(s"$db.cl").count() shouldBe 4 // v0 snapshot, registered
+    spark.table(name).count() shouldBe 3      // source head unaffected
+    // clone to a path escape too
+    val p = java.nio.file.Files.createTempDirectory("graft-cl").toString + "/c2"
+    spark.sql(s"CREATE TABLE graft.`$p` SHALLOW CLONE $name")
+    ManagedTable(spark, p).read().count() shouldBe 3
+  }
+
   test("non-graft DML targets still fail with Spark's own error") {
     import spark.implicits._
     val v = Seq((1, "a")).toDF("id", "v")
