@@ -68,6 +68,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * like the reference's saveAsTable mode. */
   private[graft] var catalogName: Option[String] = None
   private var catalogRegistered = false
+  private var lastSyncedSchema: Option[org.apache.spark.sql.types.StructType] = None
 
   /** Register (once) this table in the session catalog as
     * `CREATE TABLE <name> USING graft LOCATION <root>`, creating the
@@ -90,21 +91,29 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       }
       catalogRegistered = true
     }
-    val id =
-      if (parts.length == 2)
-        org.apache.spark.sql.catalyst.TableIdentifier(parts(1), Some(parts(0)))
-      else org.apache.spark.sql.catalyst.TableIdentifier(parts(0))
-    val cat = spark.sessionState.catalog
+    // schema sync + relation-cache refresh only when the schema actually
+    // changed (DDL, schema-evolving merge) — data freshness never needs
+    // it (the relation resolves the current manifest at scan time), and
+    // a per-commit catalog round-trip would tax every streaming
+    // micro-batch for nothing
     manifest.map(m => graft.sources.GraftRelation.nullable(m.schema))
+      .filterNot(lastSyncedSchema.contains)
       .foreach { current =>
-        if (cat.getTableMetadata(id).schema != current)
+        val id =
+          if (parts.length == 2)
+            org.apache.spark.sql.catalyst.TableIdentifier(parts(1), Some(parts(0)))
+          else org.apache.spark.sql.catalyst.TableIdentifier(parts(0))
+        val cat = spark.sessionState.catalog
+        if (cat.getTableMetadata(id).schema != current) {
           // external catalog directly: SessionCatalog's wrapper refuses
           // column drops, but graft DDL legitimately drops columns (the
           // manifest is the source of truth; the catalog entry mirrors it)
           cat.externalCatalog.alterTableDataSchema(
             id.database.getOrElse(cat.getCurrentDatabase), id.table, current)
+          spark.sql(s"REFRESH TABLE $qualified")
+        }
+        lastSyncedSchema = Some(current)
       }
-    spark.sql(s"REFRESH TABLE $qualified")
   }
 
   /** Lock-free pointer read with a bounded retry: the atomic
