@@ -1911,17 +1911,23 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // fail-fast guard is already conservative instead of stale, and
     // readVersion cannot regress to an opaque mid-scan FileNotFound
     writeFileAtomic(earliestFile, w.horizon.toString)
-    // deletes fan out over a bounded driver pool: on an object store each
+    // deletes fan out — small batches over a bounded driver pool, large
+    // ones as an executor job ([[deleteBatch]]): on an object store each
     // delete is a round-trip, so a 100 TB vacuum's millions of files must
-    // not be a serial driver loop (Hadoop FileSystem handles are
-    // thread-safe; ordering within the batch is immaterial — the horizon
-    // above already fenced readers)
-    deleteInParallel(w.dataDirs) { case (dir, files) =>
-      fs.delete(dir, true)
-      // bloom sidecars follow their data files' lifecycle
-      files.foreach { case (p, _) => BloomIndex.deleteFor(fs, bloomDir, rel(p)) }
-    }
-    deleteInParallel(w.dvSidecars)(p => fs.delete(p, true))
+    // not be a serial driver loop (ordering within the batch is
+    // immaterial — the horizon above already fenced readers)
+    val bloomItems =
+      if (!fs.exists(bloomDir)) Nil
+      else w.dataDirs.flatMap(_._2).map { case (p, _) =>
+        // bloom sidecars follow their data files' lifecycle (glob: one
+        // data file may carry sidecars for several indexed columns)
+        (new Path(bloomDir, s"${BloomIndex.fileKey(rel(p))}.*").toString,
+          false, true)
+      }
+    deleteBatch(
+      w.dataDirs.map { case (dir, _) => (dir.toString, true, false) } ++
+        bloomItems ++
+        w.dvSidecars.map(p => (p.toString, true, false)))
     // roll record-embedded streaming txns forward into the vacuum-exempt
     // marker files BEFORE deleting their records: the marker write
     // trails the data commit by one crash window, so a record pruned
@@ -1934,8 +1940,32 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       val floor = txns.map(_.batchId).max
       if (!getTxn(app).exists(_ >= floor)) setTxn(app, floor)
     }
-    deleteInParallel(w.records) { case (p, isSidecar, _) =>
-      fs.delete(p, isSidecar); ()
+    deleteBatch(w.records.map { case (p, isSidecar, _) =>
+      (p.toString, isSidecar, false)
+    })
+  }
+
+  /** Delete `(path, recursive, isGlob)` work items: batches at or above
+    * `spark.graft.vacuum.distributedThreshold` (default 1024) run as an
+    * executor job — at millions of dead files even a wide driver pool is
+    * bounded by one machine's connection count, while an executor job
+    * scales deletes with the cluster — smaller ones on the driver pool. */
+  private def deleteBatch(items: Seq[(String, Boolean, Boolean)]): Unit = {
+    if (items.isEmpty) return
+    val threshold = spark.conf
+      .get("spark.graft.vacuum.distributedThreshold", "1024").toInt
+    if (items.size >= threshold) {
+      val ser = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      spark.sparkContext
+        .parallelize(items, math.min(items.size, 512))
+        .foreachPartition { it =>
+          val conf = ser.value
+          it.foreach(ManagedTable.deleteWorkItem(conf, _))
+        }
+    } else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      deleteInParallel(items)(ManagedTable.deleteWorkItem(conf, _))
     }
   }
 
@@ -2533,6 +2563,23 @@ object ManagedTable {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[tables] def lockFor(qualifiedPath: String): Object =
     locks.computeIfAbsent(qualifiedPath, _ => new Object)
+
+  /** One vacuum delete work item, runnable on driver pool threads or
+    * executors (lives on the object so closures capture no table
+    * instance). Glob items delete every match (bloom sidecars: one data
+    * file, several indexed columns). */
+  private[tables] def deleteWorkItem(
+      conf: org.apache.hadoop.conf.Configuration,
+      item: (String, Boolean, Boolean)): Unit = {
+    val (p, recursive, isGlob) = item
+    val path = new Path(p)
+    val f = path.getFileSystem(conf)
+    if (isGlob) {
+      val matches = f.globStatus(path)
+      if (matches != null) matches.foreach(st => f.delete(st.getPath, false))
+    } else f.delete(path, recursive)
+    ()
+  }
 
   def apply(spark: SparkSession, path: String): ManagedTable =
     new ManagedTable(spark, path)

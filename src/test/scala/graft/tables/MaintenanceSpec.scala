@@ -218,6 +218,22 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     t.read().count() shouldBe 29
   }
 
+  test("vacuum distributed-delete path (threshold 1) removes everything dead") {
+    spark.conf.set("spark.graft.vacuum.distributedThreshold", "1")
+    try {
+      val t = ManagedTable(spark, tmp() + "/tdist")
+      t.overwriteAll(Seq((0, "seed")).toDF("id", "v"))
+      t.addBloomIndex("id") // bloom sidecars ride the distributed path too
+      (1 to 8).foreach(i => t.append(Seq((i, s"r$i")).toDF("id", "v")))
+      val cur = t.currentVersion.get
+      t.vacuum()
+      t.earliestReadableVersion shouldBe Some(cur)
+      t.read().collect().map(_.getInt(0)).sorted shouldBe (0 to 8).toArray
+      // bloom lookups still work after sidecar cleanup
+      t.readEquals("id", Seq(3)).count() shouldBe 1
+    } finally spark.conf.unset("spark.graft.vacuum.distributedThreshold")
+  }
+
   test("vacuum is serialized with concurrent writers (no lost commits)") {
     // vacuum races an appender on the SAME table: without the write lock it
     // can observe the pre-commit manifest and delete the appender's
