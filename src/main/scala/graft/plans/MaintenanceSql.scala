@@ -69,6 +69,10 @@ object MaintenanceSql {
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val AddGenerated =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*;?\s*""".r
+  private val DropGenerated =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+DROP\s+GENERATED\s+COLUMN\s+(\w+)\s*;?\s*""".r
 
   private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] =
     sql match {
@@ -88,6 +92,10 @@ object MaintenanceSql {
         Some(GraftAddConstraintCommand(ident, cname, expr.trim))
       case DropConstraint(ident, cname) =>
         Some(GraftDropConstraintCommand(ident, cname))
+      case AddGenerated(ident, cname, expr) =>
+        Some(GraftAddGeneratedCommand(ident, cname, expr.trim))
+      case DropGenerated(ident, cname) =>
+        Some(GraftDropGeneratedCommand(ident, cname))
       case _ => None
     }
 
@@ -317,6 +325,75 @@ object MaintenanceSql {
     override def run(session: SparkSession): Seq[Row] = {
       resolveGraft(session, ident).dropConstraint(name)
       Nil
+    }
+  }
+
+  /** `ALTER TABLE … ADD COLUMN c GENERATED ALWAYS AS (expr)` — declare a
+    * generated-column rule ([[ManagedTable.addGeneratedColumn]]: existing
+    * columns are validated, absent columns adopt on an empty table, typed
+    * from the expression). Not Spark grammar, so the sub-grammar parser
+    * owns it. */
+  final case class GraftAddGeneratedCommand(
+      ident: String, name: String, expression: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(session: SparkSession): Seq[Row] = {
+      resolveGraft(session, ident).addGeneratedColumn(name, expression)
+      Nil
+    }
+  }
+
+  /** `ALTER TABLE … DROP GENERATED COLUMN c` — drop the RULE only; the
+    * column stays as an ordinary column. */
+  final case class GraftDropGeneratedCommand(ident: String, name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(session: SparkSession): Seq[Row] = {
+      resolveGraft(session, ident).dropGeneratedColumn(name)
+      Nil
+    }
+  }
+
+  /** `ALTER TABLE … SET TBLPROPERTIES (k = v, …)` — manifest-versioned
+    * per-table configuration ([[ManagedTable.setTableProperties]]);
+    * `graft.*` keys override the matching `spark.graft.*` session conf
+    * for this table. */
+  final case class GraftSetPropertiesCommand(
+      parts: Seq[String], props: Map[String, String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(session: SparkSession): Seq[Row] = {
+      resolveParts(session, parts).setTableProperties(props)
+      Nil
+    }
+  }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES (k, …)`. */
+  final case class GraftUnsetPropertiesCommand(
+      parts: Seq[String], keys: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(session: SparkSession): Seq[Row] = {
+      resolveParts(session, parts).unsetTableProperties(keys)
+      Nil
+    }
+  }
+
+  /** `SHOW TBLPROPERTIES t [(key)]` — read from the MANIFEST (the
+    * catalog's stored properties are registration metadata, not the
+    * table's versioned configuration). */
+  final case class GraftShowPropertiesCommand(
+      parts: Seq[String], propertyKey: Option[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      attrs("key" -> StringType, "value" -> StringType)
+    override def run(session: SparkSession): Seq[Row] = {
+      val ps = resolveParts(session, parts).properties
+      propertyKey match {
+        case Some(k) => Seq(Row(k,
+          ps.getOrElse(k, s"Table default.${parts.last} does not have property: $k")))
+        case None => ps.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+      }
     }
   }
 

@@ -171,6 +171,22 @@ class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
         cols) if graftDdl(u.multipartIdentifier) =>
       MaintenanceSql.GraftAddColumnsCommand(u.multipartIdentifier,
         cols.map(c => topLevel(c.name, "ADD COLUMN") -> c.dataType))
+    // TBLPROPERTIES — manifest-versioned per-table configuration
+    // (Spark's own resolution would write them to the catalog entry,
+    // where no other cluster's session would see them)
+    case s @ SetTableProperties(u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable,
+        props) if graftDdl(u.multipartIdentifier) =>
+      MaintenanceSql.GraftSetPropertiesCommand(u.multipartIdentifier, props)
+    case s @ UnsetTableProperties(u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable,
+        keys, _) if graftDdl(u.multipartIdentifier) =>
+      MaintenanceSql.GraftUnsetPropertiesCommand(u.multipartIdentifier, keys)
+    case s: ShowTableProperties => s.table match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+          if graftDdl(u.multipartIdentifier) =>
+        MaintenanceSql.GraftShowPropertiesCommand(
+          u.multipartIdentifier, s.propertyKey)
+      case _ => s
+    }
   }
 
   private def graftDdl(parts: Seq[String]): Boolean =

@@ -642,6 +642,56 @@ object EngineOps {
       t.addColumn("note", org.apache.spark.sql.types.StringType)
       t.read().select("o_orderkey", "customer_id", "o_orderdate", "note")
         .orderBy("o_orderkey")
+    },
+
+    // Generated columns under the oracle: a day partition column declared
+    // GENERATED ALWAYS AS (CAST(ts AS DATE)) — never supplied by any
+    // writer. The overwrite and append COMPUTE it; the UPDATE (which moves
+    // rows 60 days) RECOMPUTES it, relocating rows across partitions; the
+    // final read filters on the BASE column through format("graft"), so
+    // partition pruning comes entirely from monotone filter inference
+    // (GeneratedColumns). The oracle states the same lifecycle
+    // declaratively, deriving day with the same expression.
+    QueryDef(
+      "q_e_generated",
+      """WITH base AS (
+        |  SELECT event_id, ts, event_type, value FROM events),
+        |all_rows AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT event_id + 10000000 AS event_id,
+        |         ts + INTERVAL 40 DAY AS ts, event_type, value
+        |  FROM base WHERE event_id % 100 = 0),
+        |updated AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 97 = 0 THEN ts + INTERVAL 60 DAY
+        |              ELSE ts END AS ts,
+        |         event_type, value
+        |  FROM all_rows)
+        |SELECT event_id, ts, CAST(ts AS DATE) AS day, event_type, value
+        |FROM updated
+        |WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'
+        |  AND ts < TIMESTAMP '2024-03-15 00:00:00'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "gen")
+      val t = graft.tables.ManagedTable(s, s"$root/events")
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "event_type", "value")
+      t.overwriteAll(ev.limit(0))
+      t.addGeneratedColumn("day", "CAST(ts AS DATE)")
+      t.overwriteAll(ev, partitionBy = Seq("day"))          // day computed
+      val extra = ev.filter("event_id % 100 = 0").select(
+        (col("event_id") + 10000000L).as("event_id"),
+        expr("ts + INTERVAL 40 DAYS").as("ts"),
+        col("event_type"), col("value"))
+      t.append(extra)                                        // day computed
+      t.update(Map("ts" -> "ts + INTERVAL 60 DAYS"),
+        "event_id % 97 = 0")                                 // day recomputed
+      s.read.format("graft").load(s"$root/events")
+        .filter("ts >= TIMESTAMP'2024-02-01 00:00:00' and " +
+          "ts < TIMESTAMP'2024-03-15 00:00:00'")
+        .select("event_id", "ts", "day", "event_type", "value")
+        .orderBy("event_id")
     }
   )
 }

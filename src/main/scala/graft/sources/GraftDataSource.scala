@@ -243,6 +243,14 @@ final case class GraftRelation(
   private def prunedCurrent(filters: Array[Filter]): DataFrame = {
     val m = table.manifest.getOrElse(
       throw new IllegalArgumentException(s"no graft table at $path"))
+    val files = prunedFiles(m, filters)
+    table.readManifestFiles(m, files)
+  }
+
+  /** The file subset of `m` surviving manifest-side skipping under
+    * `filters` (package-visible so specs can assert pruning directly). */
+  private[graft] def prunedFiles(
+      m: graft.tables.Manifest, filters: Array[Filter]): Seq[graft.tables.TableFile] = {
     val partCols = m.partitionColumns.toSet
     def colOf(a: String) = col(s"`$a`")
     // lit() rejects exotic external types — then that filter prunes nothing
@@ -250,7 +258,42 @@ final case class GraftRelation(
       scala.util.Try(org.apache.spark.sql.functions.lit(v)).toOption
     def partSurvivors(c: org.apache.spark.sql.Column): Set[String] =
       table.filesWherePartitions(m, c).map(_.path).toSet
-    val sets: Seq[Set[String]] = filters.toSeq.flatMap {
+    // generated-column partition inference: base column (lowercased) →
+    // (generated partition column, monotone evaluator) — see
+    // [[graft.tables.GeneratedColumns]]
+    val inferred: Map[String, Seq[(String, Any => Option[Any])]] =
+      m.generated.toSeq.flatMap { case (g, e) =>
+        if (!partCols(g)) Nil
+        else graft.tables.GeneratedColumns
+          .monotonicEval(sqlContext.sparkSession, e, m.schema)
+          .map { case (b, f) => b.toLowerCase -> (g, f) }.toSeq
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def derived(a: String,
+        per: ((String, Any => Option[Any])) => Option[Set[String]]): Seq[Set[String]] =
+      inferred.getOrElse(a.toLowerCase, Nil).flatMap(per(_))
+    val derivedSets: Seq[Set[String]] = filters.toSeq.flatMap {
+      case EqualTo(a, v) => derived(a, { case (g, f) =>
+        f(v).flatMap(gv => tryLit(gv).map(l => partSurvivors(colOf(g) === l))) })
+      case In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
+        derived(a, { case (g, f) =>
+          val gvs = vs.toSeq.map(f)
+          if (gvs.exists(_.isEmpty)) None
+          else {
+            val ls = gvs.flatten.flatMap(tryLit)
+            if (ls.size == gvs.size) Some(partSurvivors(colOf(g).isin(ls: _*)))
+            else None
+          } })
+      case GreaterThan(a, v) => derived(a, { case (g, f) =>
+        f(v).flatMap(gv => tryLit(gv).map(l => partSurvivors(colOf(g) >= l))) })
+      case GreaterThanOrEqual(a, v) => derived(a, { case (g, f) =>
+        f(v).flatMap(gv => tryLit(gv).map(l => partSurvivors(colOf(g) >= l))) })
+      case LessThan(a, v) => derived(a, { case (g, f) =>
+        f(v).flatMap(gv => tryLit(gv).map(l => partSurvivors(colOf(g) <= l))) })
+      case LessThanOrEqual(a, v) => derived(a, { case (g, f) =>
+        f(v).flatMap(gv => tryLit(gv).map(l => partSurvivors(colOf(g) <= l))) })
+      case _ => Nil
+    }
+    val sets: Seq[Set[String]] = derivedSets ++ filters.toSeq.flatMap {
       // ---- partition columns: decided from manifest partition values
       case EqualTo(a, v) if partCols(a) =>
         tryLit(v).map(l => partSurvivors(colOf(a) === l))
@@ -283,13 +326,11 @@ final case class GraftRelation(
         Some(table.filesInRangeOf(m, a, None, Some(v)).map(_.path).toSet)
       case _ => None
     }
-    val files =
-      if (sets.isEmpty) m.files
-      else {
-        val survivors = sets.reduce(_ intersect _)
-        m.files.filter(f => survivors.contains(f.path))
-      }
-    table.readManifestFiles(m, files)
+    if (sets.isEmpty) m.files
+    else {
+      val survivors = sets.reduce(_ intersect _)
+      m.files.filter(f => survivors.contains(f.path))
+    }
   }
 }
 

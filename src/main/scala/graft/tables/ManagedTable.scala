@@ -701,7 +701,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * 1000-column table is manifest bloat that taxes every driver-side
     * prune. Put skip-worthy columns first, or raise the cap. */
   private def maxIndexedCols: Int =
-    spark.conf.get("spark.graft.stats.maxIndexedColumns", "32").toInt
+    propOrConf("spark.graft.stats.maxIndexedColumns", "32").toInt
 
   /** Point/IN lookup through stats + bloom file skipping; result equals
     * `read().filter(col isin values)` exactly — the predicate is
@@ -833,11 +833,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       .parquet(names.map(n => new Path(dvDir, n).toString): _*)
 
   private[tables] def dvEnabled: Boolean =
-    spark.conf.get("spark.graft.dv.enabled", "false").toBoolean
+    propOrConf("spark.graft.dv.enabled", "false").toBoolean
   private[tables] def dvMaxDeletedFraction: Double =
-    spark.conf.get("spark.graft.dv.maxDeletedFraction", "0.5").toDouble
+    propOrConf("spark.graft.dv.maxDeletedFraction", "0.5").toDouble
   private def dvBroadcastMaxPositions: Long =
-    spark.conf.get("spark.graft.dv.broadcastMaxPositions", "4000000").toLong
+    propOrConf("spark.graft.dv.broadcastMaxPositions", "4000000").toLong
 
   // ---------------------------------------------------------------- writes
 
@@ -861,14 +861,19 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   def overwriteAll(df: DataFrame, partitionBy: Seq[String] = Nil,
       operation: String = "overwrite", txn: Option[Txn] = None): Unit =
     withWriteLock {
-      // constraints survive a full overwrite (they govern the table, not
-      // a snapshot) — and the replacement rows must satisfy them
+      // constraints and generated-column rules survive a full overwrite
+      // (they govern the table, not a snapshot) — and the replacement
+      // rows must satisfy them
       val cs = manifest.map(_.constraints).getOrElse(Map.empty)
-      enforceConstraints(df, cs, operation)
-      val files = writeCommit(df, partitionBy)
-      commitDelta(df.schema.json, partitionBy, operation,
+      val gs = manifest.map(_.generated).getOrElse(Map.empty)
+      val ps = manifest.map(_.properties).getOrElse(Map.empty)
+      val d = applyGenerated(df, gs, manifest.map(_.schema), operation)
+      enforceConstraints(d, cs, operation)
+      val files = writeCommit(d, partitionBy)
+      commitDelta(d.schema.json, partitionBy, operation,
         base = None, adds = files, removes = Nil, txn = txn,
-        constraintsOverride = Some(cs))
+        constraintsOverride = Some(cs), generatedOverride = Some(gs),
+        propertiesOverride = Some(ps))
     }
 
   /** Dynamic partition overwrite: replace only the partitions present in
@@ -882,7 +887,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         // NEW manifest schema — a silently-committed retype/drop would make
         // them unreadable or erase a column table-wide, so the same guard
         // as append/replacePartitions applies
-        val d = reconcileSchema(df, m)
+        val g = applyGenerated(df, m.generated, Some(m.schema), "overwriteDynamic")
+        val d = reconcileSchema(g, m)
         enforceConstraints(d, m.constraints, "overwriteDynamic")
         val cmx = extendMapping(m.columnMapping, d.schema)
         val newFiles = writeCommit(d, partitionBy, cmx)
@@ -926,7 +932,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     withWriteLock { manifest match {
       case None => overwriteAll(df, Nil, operation, txn)
       case Some(m) =>
-        val d = reconcileSchema(df, m)
+        val g = applyGenerated(df, m.generated, Some(m.schema), operation)
+        val d = reconcileSchema(g, m)
         enforceConstraints(d, m.constraints, operation)
         val cmx = extendMapping(m.columnMapping, d.schema)
         val newFiles = writeCommit(d, m.partitionColumns, cmx)
@@ -949,7 +956,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
               val cur = requireManifest // the winner's head (pointer moved)
               if (cur.schemaJson != base.schemaJson ||
                   cur.partitionColumns != base.partitionColumns ||
-                  cur.constraints != base.constraints) throw e
+                  cur.constraints != base.constraints ||
+                  cur.generated != base.generated ||
+                  cur.properties != base.properties) throw e
               base = cur // an orphan record keeps colliding → attempts exhaust
           }
     } }
@@ -986,6 +995,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       if (bad.nonEmpty)
         throw new MetadataException(
           s"UPDATE on $rootPath: unknown column(s) ${bad.mkString(", ")}")
+      val gen = set.keySet.intersect(m.generated.keySet)
+      if (gen.nonEmpty)
+        throw new MetadataException(
+          s"UPDATE on $rootPath: column(s) ${gen.mkString(", ")} are " +
+            "GENERATED ALWAYS AS — the engine maintains them; update their " +
+            "base columns instead")
       dmlRewrite("update", condition) { (touchedRows, pred) =>
         val cols = m.schema.fields.toSeq.map { f =>
           set.get(f.name) match {
@@ -1183,7 +1198,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         else Some(rewrite(live.filter(col(DvFileCol).isin(dvNames: _*)), pred)
           .select(schemaCols: _*))
       (rwContent.toSeq ++ updContent.toSeq).reduceOption(_ union _)
-        .foreach { content =>
+        .foreach { content0 =>
+          val content = applyGenerated(content0, m.generated, Some(m.schema),
+            op, recompute = true)
           enforceConstraints(content, m.constraints, op)
           adds ++= writeCommit(content, m.partitionColumns, m.columnMapping)
         }
@@ -1225,6 +1242,195 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       commitDelta(m.schemaJson, m.partitionColumns, s"dropConstraint $name",
         base = Some(m), adds = Nil, removes = Nil,
         constraintsOverride = Some(m.constraints - name))
+  }
+
+  // ------------------------------------------------------ generated columns
+
+  /** Active generated-column rules (column → Spark SQL expression). */
+  def generatedColumns: Map[String, String] =
+    manifest.map(_.generated).getOrElse(Map.empty)
+
+  /** Declare `name` as GENERATED ALWAYS AS `expression` (Delta generated
+    * columns). From then on every data write maintains the invariant
+    * `name <=> expression`:
+    *
+    *  - a write that omits the column gets it COMPUTED (cast to the
+    *    declared type) — the canonical use is a partition column derived
+    *    from an event timestamp (`day GENERATED ALWAYS AS
+    *    (CAST(ts AS DATE))`), which writers then never supply by hand;
+    *  - an append/overwrite that supplies it is VALIDATED (one limit-1
+    *    probe, like CHECK constraints) and fails on mismatch;
+    *  - engine-built rewrite content (MERGE updates, DML images) gets it
+    *    RECOMPUTED, so updating a base column refreshes the derived one;
+    *  - reads through `format("graft")` / `spark.table` INFER partition
+    *    filters from filters on the base column when the expression has a
+    *    recognized monotone shape ([[GeneratedColumns]]) — `WHERE ts >= X`
+    *    prunes `day` partitions without the query ever naming `day`.
+    *
+    * On a table with existing rows the column must already exist and
+    * satisfy the rule (validated with one short-circuit scan). On an
+    * empty table an absent column is adopted: the schema widens by
+    * `name` typed from the expression, metadata-only. */
+  def addGeneratedColumn(name: String, expression: String): Unit =
+    withWriteLock {
+      val m = requireManifest
+      if (m.generated.contains(name))
+        throw new MetadataException(
+          s"generated column '$name' already declared on $rootPath")
+      val refs =
+        try spark.sessionState.sqlParser.parseExpression(expression).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last
+        }.toSet
+        catch {
+          case scala.util.control.NonFatal(e) => throw new MetadataException(
+            s"addGeneratedColumn $name on $rootPath: cannot parse " +
+              s"'$expression': ${e.getMessage}")
+        }
+      if (refs.exists(_.equalsIgnoreCase(name)))
+        throw new MetadataException(
+          s"addGeneratedColumn $name on $rootPath: expression references " +
+            "the generated column itself")
+      val unknown = refs.filterNot(r =>
+        m.schema.fieldNames.exists(_.equalsIgnoreCase(r)))
+      if (unknown.nonEmpty)
+        throw new MetadataException(
+          s"addGeneratedColumn $name on $rootPath: expression references " +
+            s"unknown column(s) ${unknown.mkString(", ")}")
+      if (m.schema.fieldNames.contains(name)) {
+        // existing column: the declared rule must already hold
+        val t = m.schema(name).dataType
+        val viol = readSnapshot(m)
+          .filter(!(col(s"`$name`") <=> expr(expression).cast(t)))
+          .limit(1).collect()
+        if (viol.nonEmpty)
+          throw new ConstraintViolationException(
+            s"addGeneratedColumn on $rootPath: existing rows violate " +
+              s"'$name' = $expression")
+        commitDelta(m.schemaJson, m.partitionColumns,
+          s"addGeneratedColumn $name", base = Some(m), adds = Nil,
+          removes = Nil,
+          generatedOverride = Some(m.generated + (name -> expression)))
+      } else if (!m.files.forall(_.liveRows.contains(0L))) {
+        // zero-ROW files (an empty create) are fine — they null-fill
+        // through the widened schema and hold no row to violate the rule
+        // widening a non-empty table would read NULL for every existing
+        // row — the invariant would be born broken; Delta restricts
+        // generated columns to table creation for the same reason
+        throw new MetadataException(
+          s"addGeneratedColumn $name on $rootPath: column does not exist " +
+            "and the table has data — materialize the column first " +
+            "(e.g. overwrite with it computed), then declare the rule")
+      } else {
+        // empty table: adopt the column, typed from the expression
+        import org.apache.spark.sql.types.{StructField, StructType}
+        val t = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+          .select(expr(expression)).schema.head.dataType
+        val newSchema = StructType(
+          m.schema.fields :+ StructField(name, t, nullable = true))
+        commitDelta(newSchema.json, m.partitionColumns,
+          s"addGeneratedColumn $name", base = Some(m), adds = Nil,
+          removes = Nil,
+          mappingOverride = Some(extendMapping(m.columnMapping, newSchema)),
+          generatedOverride = Some(m.generated + (name -> expression)))
+      }
+    }
+
+  /** Drop a generated-column RULE (metadata-only; no-op if absent). The
+    * column survives as an ordinary column — use [[dropColumn]] to remove
+    * the column itself (which also drops its rule). */
+  def dropGeneratedColumn(name: String): Unit = withWriteLock {
+    val m = requireManifest
+    if (m.generated.contains(name))
+      commitDelta(m.schemaJson, m.partitionColumns,
+        s"dropGeneratedColumn $name", base = Some(m), adds = Nil,
+        removes = Nil, generatedOverride = Some(m.generated - name))
+  }
+
+  // -------------------------------------------------------- table properties
+
+  /** Table properties (Delta TBLPROPERTIES): per-TABLE configuration that
+    * travels in the manifest — so `graft.dv.enabled` on one table turns
+    * deletion vectors on for THAT table on every cluster that touches it,
+    * instead of depending on each session setting the right conf. A
+    * `graft.*` table property overrides the corresponding
+    * `spark.graft.*` session conf ([[propOrConf]]); non-graft keys are
+    * free-form annotations (owner, pipeline, retention notes). */
+  def properties: Map[String, String] =
+    manifest.map(_.properties).getOrElse(Map.empty)
+
+  /** Set (merge) table properties as a metadata-only commit. */
+  def setTableProperties(props: Map[String, String]): Unit = withWriteLock {
+    val m = requireManifest
+    if (props.nonEmpty)
+      commitDelta(m.schemaJson, m.partitionColumns,
+        s"setTblProperties ${props.keys.toSeq.sorted.mkString(",")}",
+        base = Some(m), adds = Nil, removes = Nil,
+        propertiesOverride = Some(m.properties ++ props))
+  }
+
+  /** Unset table properties (metadata-only; absent keys are ignored). */
+  def unsetTableProperties(keys: Seq[String]): Unit = withWriteLock {
+    val m = requireManifest
+    if (keys.exists(m.properties.contains))
+      commitDelta(m.schemaJson, m.partitionColumns,
+        s"unsetTblProperties ${keys.sorted.mkString(",")}",
+        base = Some(m), adds = Nil, removes = Nil,
+        propertiesOverride = Some(m.properties -- keys))
+  }
+
+  /** Per-table configuration resolution: the table property named by
+    * dropping the `spark.` prefix wins over the session conf, which wins
+    * over the default — `graft.dv.enabled` (table) > `spark.graft.dv.
+    * enabled` (session) > default, Delta's own layering. */
+  private def propOrConf(confKey: String, default: String): String =
+    manifest.flatMap(_.properties.get(confKey.stripPrefix("spark.")))
+      .getOrElse(spark.conf.get(confKey, default))
+
+  /** Enforce generated-column rules on write content: compute when the
+    * column is absent, validate (`name <=> expr`, one shared limit-1
+    * probe) when supplied, recompute unconditionally for engine-built
+    * rewrite content. Maintenance rewrites are exempt — they re-commit
+    * rows that already passed. */
+  private def applyGenerated(df: DataFrame, rules: Map[String, String],
+      declared: Option[org.apache.spark.sql.types.StructType],
+      operation: String, recompute: Boolean = false): DataFrame = {
+    if (rules.isEmpty || ConstraintExemptOps.exists(operation.startsWith))
+      return df
+    val present = df.columns.toSet
+    var out = df
+    var checks = List.empty[(String, org.apache.spark.sql.Column)]
+    rules.toSeq.sortBy(_._1).foreach { case (name, e) =>
+      val typed = declared.flatMap(_.fields.find(_.name == name))
+        .map(f => expr(e).cast(f.dataType)).getOrElse(expr(e))
+      if (recompute || !present.contains(name))
+        out = out.withColumn(name, typed)
+      else {
+        // a supplied NULL means "engine fills" — SQL INSERT with a column
+        // list null-fills unlisted columns before this layer ever sees
+        // the frame, indistinguishable from an explicit NULL (Delta's
+        // generated columns accept either); a non-null value must match
+        checks ::= name -> (col(s"`$name`").isNotNull &&
+          !(col(s"`$name`") <=> typed))
+        out = out.withColumn(name, coalesce(col(s"`$name`"), typed))
+      }
+    }
+    if (checks.nonEmpty) {
+      val viol = out.filter(checks.map(_._2).reduce(_ || _))
+        .select(checks.map { case (n, c) => c.as(n) }: _*)
+        .limit(1).collect()
+      if (viol.nonEmpty) {
+        val row = viol.head
+        val name = checks.indices.find(i => row.getBoolean(i))
+          .map(checks(_)._1).getOrElse(checks.head._1)
+        throw new ConstraintViolationException(
+          s"generated column '$name' (${rules(name)}) supplied with a " +
+            s"non-matching value in a row written to $rootPath during " +
+            s"'$operation' — omit the column to have it computed")
+      }
+    }
+    out
   }
 
   /** Maintenance rewrites re-commit rows that already passed their
@@ -1307,15 +1513,22 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         s"renameColumn on $rootPath: '$oldName' is a partition column — " +
           "partition directory layout is physical; rename it by rewrite")
     requireNoConstraintRefs(m, oldName, "renameColumn")
+    requireNoGeneratedRefs(m, oldName, "renameColumn")
     val cm = activeMapping(m)
     val phys = cm.physical(oldName)
     val newSchema = StructType(m.schema.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
+    // a rename of a generated TARGET carries its rule under the new name
+    val gs = m.generated.get(oldName) match {
+      case Some(rule) => Some(m.generated - oldName + (newName -> rule))
+      case None       => None
+    }
     commitDelta(newSchema.json, m.partitionColumns,
       s"renameColumn $oldName->$newName",
       base = Some(m), adds = Nil, removes = Nil,
       mappingOverride = Some(Some(cm.copy(
-        byLogical = cm.byLogical - oldName + (newName -> phys)))))
+        byLogical = cm.byLogical - oldName + (newName -> phys)))),
+      generatedOverride = gs)
   }
 
   /** DROP COLUMN as a METADATA-ONLY commit: the bytes stay inside the
@@ -1336,6 +1549,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       throw new MetadataException(
         s"dropColumn on $rootPath: '$name' is a partition column")
     requireNoConstraintRefs(m, name, "dropColumn")
+    requireNoGeneratedRefs(m, name, "dropColumn")
     val cm = activeMapping(m)
     val phys = cm.physical(name)
     // a bloom index on the dropped column would orphan its sidecars
@@ -1349,7 +1563,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       base = Some(m), adds = Nil, removes = Nil,
       mappingOverride = Some(Some(cm.copy(
         byLogical = cm.byLogical - name,
-        retired = cm.retired :+ phys))))
+        retired = cm.retired :+ phys))),
+      // dropping a generated TARGET drops its rule with it
+      generatedOverride =
+        if (m.generated.contains(name)) Some(m.generated - name) else None)
   }
 
   /** ADD COLUMN as a metadata-only commit: appended nullable; existing
@@ -1392,6 +1609,27 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         throw new MetadataException(
           s"$op on $rootPath: column '$colName' is referenced by CHECK " +
             s"constraint '$n' ($e) — drop the constraint first")
+    }
+
+  /** Reject a rename/drop of a column some OTHER column's generated-column
+    * expression references — the stored rule text would silently stop
+    * computing (or fail analysis) after the schema change. */
+  private def requireNoGeneratedRefs(
+      m: Manifest, colName: String, op: String): Unit =
+    m.generated.foreach { case (n, e) =>
+      if (n == colName) () // the rule's own target travels/drops with it
+      else {
+        val refs =
+          try spark.sessionState.sqlParser.parseExpression(e).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts.last
+          }.toSet
+          catch { case scala.util.control.NonFatal(_) => Set(colName) }
+        if (refs.exists(_.equalsIgnoreCase(colName)))
+          throw new MetadataException(
+            s"$op on $rootPath: column '$colName' is referenced by " +
+              s"generated column '$n' ($e) — drop the rule first")
+      }
     }
 
   /** When `condition` references partition columns only, returns the
@@ -1502,7 +1740,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       operation: String = "replaceFiles",
       txn: Option[Txn] = None): Unit = withWriteLock {
     val m = requireManifest
-    val d = reconcileSchema(df, m)
+    // engine-built rewrite content (merge updates, DML images): generated
+    // columns are RECOMPUTED, not validated — an UPDATE that changed a
+    // base column must refresh its derived column, like Delta does
+    val g = applyGenerated(df, m.generated, Some(m.schema), operation,
+      recompute = true)
+    val d = reconcileSchema(g, m)
     enforceConstraints(d, m.constraints, operation)
     val cmx = extendMapping(m.columnMapping, d.schema)
     val newFiles = writeCommit(d, m.partitionColumns, cmx)
@@ -1557,6 +1800,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
               cur.schemaJson != b.schemaJson ||
               cur.partitionColumns != b.partitionColumns ||
               cur.constraints != b.constraints ||
+              cur.generated != b.generated ||
+              cur.properties != b.properties ||
               cur.columnMapping != b.columnMapping) throw e
           b = cur // an orphan record keeps colliding → attempts exhaust
       }
@@ -1586,7 +1831,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       operation: String = "merge",
       txn: Option[Txn] = None): Unit = withWriteLock {
     val m = requireManifest
-    val d = reconcileSchema(content, m)
+    // merge-built content: recompute generated columns (see replaceFiles)
+    val g = applyGenerated(content, m.generated, Some(m.schema), operation,
+      recompute = true)
+    val d = reconcileSchema(g, m)
     enforceConstraints(d, m.constraints, operation)
     var adds = List.empty[TableFile]
     if (dvUpdates.nonEmpty) {
@@ -1630,12 +1878,16 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       partitionBy: Seq[String],
       files: Seq[TableFile],
       operation: String = "import",
-      columnMapping: Option[ColumnMapping] = None): Unit = withWriteLock {
+      columnMapping: Option[ColumnMapping] = None,
+      generated: Map[String, String] = Map.empty,
+      properties: Map[String, String] = Map.empty): Unit = withWriteLock {
     manifest match {
       case None =>
         commitDelta(schema.json, partitionBy, operation,
           base = None, adds = files, removes = Nil,
-          mappingOverride = Some(columnMapping))
+          mappingOverride = Some(columnMapping),
+          generatedOverride = Some(generated),
+          propertiesOverride = Some(properties))
       case Some(m) =>
         if (m.columnMapping != columnMapping)
           throw new MetadataException(
@@ -1686,7 +1938,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       f.copy(path = fs.makeQualified(new Path(root, f.path)).toString,
         dv = f.dv.map(d => fs.makeQualified(new Path(dvDir, d)).toString)))
     dest.importFiles(m.schema, m.partitionColumns, absolute, "shallowClone",
-      m.columnMapping)
+      m.columnMapping, m.generated, m.properties)
     dest
   }
 
@@ -1699,7 +1951,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       operation: String = "replacePartitions",
       txn: Option[Txn] = None): Unit = withWriteLock {
     val m = requireManifest
-    val d = reconcileSchema(df, m)
+    val g = applyGenerated(df, m.generated, Some(m.schema), operation,
+      recompute = true)
+    val d = reconcileSchema(g, m)
     enforceConstraints(d, m.constraints, operation)
     val cmx = extendMapping(m.columnMapping, d.schema)
     val newFiles = writeCommit(d, m.partitionColumns, cmx)
@@ -2312,7 +2566,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       // None = inherit the base's column mapping; Some(x) = publish x
       // (rename/drop/activation set it, full overwrite resets with
       // Some(None) — surviving files are gone, so no translation remains)
-      mappingOverride: Option[Option[ColumnMapping]] = None): Unit = {
+      mappingOverride: Option[Option[ColumnMapping]] = None,
+      generatedOverride: Option[Map[String, String]] = None,
+      propertiesOverride: Option[Map[String, String]] = None): Unit = {
     val next = currentVersion.map(_ + 1).getOrElse(0L)
     // stale-base guard: the put-if-absent record create below only
     // detects a rival racing for the SAME version number. A rival whose
@@ -2336,6 +2592,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       .getOrElse(base.map(_.constraints).getOrElse(Map.empty))
     val cm = mappingOverride
       .getOrElse(base.flatMap(_.columnMapping))
+    // generated-column rules carry forward unless this commit changes them
+    val gs = generatedOverride
+      .getOrElse(base.map(_.generated).getOrElse(Map.empty))
+    // table properties carry forward unless this commit changes them
+    val ps = propertiesOverride
+      .getOrElse(base.map(_.properties).getOrElse(Map.empty))
     // per-commit operation metrics (Delta's operationMetrics): free
     // driver arithmetic over entries already in hand; row/byte sums only
     // when every added entry carries the stat (a partial sum would lie)
@@ -2352,7 +2614,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val (recordJson, snapshot) =
       if (checkpoint) {
         val m = Manifest(next, schemaJson, partitionBy, newFiles, operation, now,
-          txn = txn, constraints = cs, metrics = metrics, columnMapping = cm)
+          txn = txn, constraints = cs, metrics = metrics, columnMapping = cm,
+          generated = gs, properties = ps)
         if (newFiles.size >= parquetCheckpointThreshold) {
           // large-table checkpoint: the file list goes to a parquet sidecar
           // written as a distributed dataset BEFORE the record that points
@@ -2365,10 +2628,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       } else {
         val inc = IncrementalManifest(next, schemaJson, partitionBy,
           base.get.version, adds, removes, operation, now, txn = txn,
-          constraints = cs, metrics = metrics, columnMapping = cm)
+          constraints = cs, metrics = metrics, columnMapping = cm,
+          generated = gs, properties = ps)
         (inc.toJsonString,
           Manifest(next, schemaJson, partitionBy, newFiles, operation, now,
-            txn = txn, constraints = cs, metrics = metrics, columnMapping = cm))
+            txn = txn, constraints = cs, metrics = metrics, columnMapping = cm,
+            generated = gs, properties = ps))
       }
     fs.mkdirs(manifestsDir)
     // the record create is the commit ARBITER (Delta's log-file
@@ -2391,7 +2656,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * parquet sidecars (distributed write + columnar parse) instead of
     * inline JSON. */
   private def parquetCheckpointThreshold: Int =
-    spark.conf.get("spark.graft.manifest.parquetCheckpointThreshold", "50000").toInt
+    propOrConf("spark.graft.manifest.parquetCheckpointThreshold", "50000").toInt
 
   private def sidecarSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._

@@ -154,7 +154,8 @@ final case class Manifest(
     constraints: Map[String, String] = Map.empty,
     metrics: Map[String, Long] = Map.empty,
     columnMapping: Option[ColumnMapping] = None,
-    generated: Map[String, String] = Map.empty) {
+    generated: Map[String, String] = Map.empty,
+    properties: Map[String, String] = Map.empty) {
 
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
@@ -178,7 +179,8 @@ final case class Manifest(
       Manifest.constraintsToJson(constraints) ++
       Manifest.metricsToJson(metrics) ++
       Manifest.mappingToJson(columnMapping) ++
-      Manifest.generatedToJson(generated)
+      Manifest.generatedToJson(generated) ++
+      Manifest.propertiesToJson(properties)
     val j = JObject(base ++ (filesRef match {
       case Some(ref) => List("filesRef" -> JString(ref))
       case None      => List("files" -> Manifest.filesToJson(files))
@@ -207,7 +209,8 @@ final case class IncrementalManifest(
     constraints: Map[String, String] = Map.empty,
     metrics: Map[String, Long] = Map.empty,
     columnMapping: Option[ColumnMapping] = None,
-    generated: Map[String, String] = Map.empty) {
+    generated: Map[String, String] = Map.empty,
+    properties: Map[String, String] = Map.empty) {
 
   def toJsonString: String = {
     val j = JObject(List(
@@ -221,7 +224,8 @@ final case class IncrementalManifest(
       Manifest.constraintsToJson(constraints) ++
       Manifest.metricsToJson(metrics) ++
       Manifest.mappingToJson(columnMapping) ++
-      Manifest.generatedToJson(generated) ++ List(
+      Manifest.generatedToJson(generated) ++
+      Manifest.propertiesToJson(properties) ++ List(
       "adds" -> (Manifest.filesToJson(adds): JValue),
       "removes" -> JArray(removes.map(JString(_)).toList)))
     JsonMethods.compact(JsonMethods.render(j))
@@ -233,7 +237,8 @@ final case class IncrementalManifest(
     Manifest(version, schemaJson, partitionColumns,
       base.files.filterNot(f => removed.contains(f.path)) ++ adds,
       operation, timestampMs, txn = txn, constraints = constraints,
-      metrics = metrics, columnMapping = columnMapping, generated = generated)
+      metrics = metrics, columnMapping = columnMapping, generated = generated,
+      properties = properties)
   }
 }
 
@@ -303,6 +308,21 @@ object Manifest {
       gs.toList.sortBy(_._1).map { case (n, e) => n -> (JString(e): JValue) }))
 
   private def generatedFromJson(v: JValue): Map[String, String] = v match {
+    case JObject(kvs) => kvs.map { case (n, e) => n -> str(e) }.toMap
+    case _            => Map.empty
+  }
+
+  /** Table properties (Delta TBLPROPERTIES): per-table configuration that
+    * travels in every record like constraints (absent key ⇔ none — old
+    * records parse unchanged), so each version knows the configuration it
+    * was written under. */
+  private[tables] def propertiesToJson(
+      ps: Map[String, String]): List[(String, JValue)] =
+    if (ps.isEmpty) Nil
+    else List("properties" -> JObject(
+      ps.toList.sortBy(_._1).map { case (n, e) => n -> (JString(e): JValue) }))
+
+  private def propertiesFromJson(v: JValue): Map[String, String] = v match {
     case JObject(kvs) => kvs.map { case (n, e) => n -> str(e) }.toMap
     case _            => Map.empty
   }
@@ -400,7 +420,8 @@ object Manifest {
           txnFromJson(j \ "txn"), constraintsFromJson(j \ "constraints"),
           metricsFromJson(j \ "metrics"),
           mappingFromJson(j \ "columnMapping"),
-          generatedFromJson(j \ "generated")))
+          generatedFromJson(j \ "generated"),
+          propertiesFromJson(j \ "properties")))
       case bv =>
         Right(IncrementalManifest(common._1, common._2, common._3, lng(bv),
           filesFromJson(j \ "adds"),
@@ -409,7 +430,8 @@ object Manifest {
           constraintsFromJson(j \ "constraints"),
           metricsFromJson(j \ "metrics"),
           mappingFromJson(j \ "columnMapping"),
-          generatedFromJson(j \ "generated")))
+          generatedFromJson(j \ "generated"),
+          propertiesFromJson(j \ "properties")))
     }
   }
 

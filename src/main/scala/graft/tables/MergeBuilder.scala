@@ -56,6 +56,16 @@ final class MergeBuilder private[tables] (
     * narrowed the scan without parsing plans. */
   private[tables] var lastProbeFileCount: Int = -1
 
+  /** Generated columns the SOURCE does not carry: UpdateAll/InsertAll
+    * treat them as engine-maintained — a typed placeholder here, the
+    * commit's recompute pass ([[ManagedTable]] applyGenerated) fills
+    * them from their rule. Without this, insertAll over a source that
+    * (correctly) omits a generated column would fail resolution. */
+  private lazy val genAbsent: Set[String] = {
+    val srcCols = source.columns.map(_.toLowerCase).toSet
+    table.generatedColumns.keySet.filterNot(c => srcCols(c.toLowerCase))
+  }
+
   /** Declare the source too large to broadcast (a backfill slice, a
     * table-sized CDC batch): the keyed path then drops its broadcast
     * hints and lets Catalyst/AQE pick a shuffle join — the target IS
@@ -280,6 +290,10 @@ final class MergeBuilder private[tables] (
 
     // per-column value: walk the same clause chain
     def valueFor(c: Clause, colName: String): Column = c.action match {
+      // source-absent generated column: placeholder (target value — NULL
+      // on a not-matched row), recomputed from its rule at commit
+      case UpdateAll | InsertAll if genAbsent(colName) =>
+        col(s"target.`$colName`")
       case UpdateAll      => col(s"source.`$colName`")
       case InsertAll      => col(s"source.`$colName`")
       case UpdateSet(set) => set.get(colName).map(expr)
@@ -480,6 +494,10 @@ final class MergeBuilder private[tables] (
             val v = c.action match {
               case InsertSet(set) => set.get(name).map(expr)
                 .getOrElse(lit(null).cast(m.schema(name).dataType))
+              // source-absent generated column: typed NULL placeholder,
+              // recomputed from its rule at commit
+              case _ if genAbsent(name) =>
+                lit(null).cast(m.schema(name).dataType)
               case _ => col(s"source.`$name`")
             }
             when(c.cond.map(expr).getOrElse(lit(true)), v).otherwise(rest)
@@ -501,6 +519,8 @@ final class MergeBuilder private[tables] (
       // expressions reproduce phase 1's actions exactly) and commit them
       // plus the inserts; untouched manifest entries carry over verbatim
       def valueFor(c: Clause, colName: String): Column = c.action match {
+        case UpdateAll | InsertAll if genAbsent(colName) =>
+          col(s"target.`$colName`") // recomputed from its rule at commit
         case UpdateAll | InsertAll => col(s"source.`$colName`")
         case UpdateSet(set) => set.get(colName).map(expr)
           .getOrElse(col(s"target.`$colName`"))

@@ -225,6 +225,39 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     ManagedTable(spark, p).read().count() shouldBe 3
   }
 
+  test("ALTER TABLE ADD COLUMN ... GENERATED ALWAYS AS through SQL") {
+    import spark.implicits._
+    val db = s"gen${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE DATABASE $db")
+    val path = java.nio.file.Files.createTempDirectory("graft-gen").toString + "/t"
+    val t = ManagedTable(spark, path)
+    t.overwriteAll(Seq.empty[(Int, java.sql.Timestamp, String)]
+      .toDF("id", "event_ts", "payload"))
+    spark.sql(s"CREATE TABLE $db.ev USING graft LOCATION '$path'")
+    spark.sql(
+      s"ALTER TABLE $db.ev ADD COLUMN day GENERATED ALWAYS AS (CAST(event_ts AS DATE))")
+    t.generatedColumns shouldBe Map("day" -> "CAST(event_ts AS DATE)")
+    // SQL INSERT omits the generated column; the engine computes it
+    spark.sql(s"INSERT INTO $db.ev (id, event_ts, payload) VALUES " +
+      "(1, timestamp'2024-03-05 10:00:00', 'x')")
+    spark.table(s"$db.ev").filter("day = date'2024-03-05'").count() shouldBe 1
+    spark.sql(s"ALTER TABLE $db.ev DROP GENERATED COLUMN day")
+    t.generatedColumns shouldBe empty
+  }
+
+  test("SET/UNSET/SHOW TBLPROPERTIES route to the manifest") {
+    val (name, t) = freshTable()
+    spark.sql(
+      s"ALTER TABLE $name SET TBLPROPERTIES ('team' = 'ops', 'graft.x' = '1')")
+    t.properties shouldBe Map("team" -> "ops", "graft.x" -> "1")
+    val shown = spark.sql(s"SHOW TBLPROPERTIES $name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    shown shouldBe Map("team" -> "ops", "graft.x" -> "1")
+    spark.sql(s"SHOW TBLPROPERTIES $name ('team')").head.getString(1) shouldBe "ops"
+    spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES ('graft.x')")
+    t.properties shouldBe Map("team" -> "ops")
+  }
+
   test("non-graft DML targets still fail with Spark's own error") {
     import spark.implicits._
     val v = Seq((1, "a")).toDF("id", "v")

@@ -1,0 +1,70 @@
+package graft.tables
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.nio.file.Files
+
+/** Table properties (Delta TBLPROPERTIES): manifest-versioned per-table
+  * configuration — `graft.*` keys override the matching `spark.graft.*`
+  * session conf for that one table, so behavior travels WITH the table
+  * instead of depending on every session being configured alike. */
+class TablePropertiesSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft-props").toString
+
+  def seed(path: String): ManagedTable = {
+    import spark.implicits._
+    val t = ManagedTable(spark, path)
+    t.overwriteAll((1 to 40).map(i => (i, s"n$i")).toDF("id", "name"))
+    t
+  }
+
+  test("set/unset round-trip; carry forward across data commits; " +
+      "versioned under time travel") {
+    val t = seed(tmp() + "/p1")                                  // v0
+    t.setTableProperties(Map("owner" -> "ops", "graft.x" -> "1")) // v1
+    t.properties shouldBe Map("owner" -> "ops", "graft.x" -> "1")
+    import spark.implicits._
+    t.append(Seq((41, "n41")).toDF("id", "name"))                // v2
+    t.properties shouldBe Map("owner" -> "ops", "graft.x" -> "1")
+    t.unsetTableProperties(Seq("graft.x", "absent"))             // v3
+    t.properties shouldBe Map("owner" -> "ops")
+    // each version reads the configuration it was committed under
+    t.readManifest(0).properties shouldBe empty
+    t.readManifest(2).properties.keySet shouldBe Set("owner", "graft.x")
+    // overwrite preserves them (table-level governance)
+    t.overwriteAll(Seq((1, "z")).toDF("id", "name"))
+    t.properties shouldBe Map("owner" -> "ops")
+  }
+
+  test("graft.dv.enabled as a TABLE property flips DML to deletion " +
+      "vectors without any session conf") {
+    val t = seed(tmp() + "/p2")
+    spark.conf.get("spark.graft.dv.enabled", "false") shouldBe "false"
+    t.setTableProperties(Map("graft.dv.enabled" -> "true"))
+    t.delete("id % 7 = 0") shouldBe 5L
+    // masked, not rewritten: at least one entry carries a DV reference
+    t.manifest.get.files.count(_.dv.isDefined) should be >= 1
+    t.read().count() shouldBe 35L
+    // a second table in the same session stays on the classic path
+    val t2 = seed(tmp() + "/p2b")
+    t2.delete("id % 7 = 0") shouldBe 5L
+    t2.manifest.get.files.flatMap(_.dv) shouldBe empty
+  }
+
+  test("shallow clone carries properties") {
+    val t = seed(tmp() + "/p3")
+    t.setTableProperties(Map("graft.dv.enabled" -> "true", "owner" -> "a"))
+    val clone = t.shallowCloneTo(tmp() + "/p3c")
+    clone.properties shouldBe t.properties
+  }
+}
