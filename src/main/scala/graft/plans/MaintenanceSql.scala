@@ -56,11 +56,19 @@ object MaintenanceSql {
   private val Vacuum =
     """(?is)\s*VACUUM\s+(\S+|graft\.`[^`]+`)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+(\S+|graft\.`[^`]+`)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(\S+|graft\.`[^`]+`)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+|graft\.`[^`]+`)\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+|graft\.`[^`]+`)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTs =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+|graft\.`[^`]+`)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val CreateBloom =
+    """(?is)\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?(\S+|graft\.`[^`]+`)\s+FOR\s+COLUMNS\s*\(([^)]+)\)\s*;?\s*""".r
+  private val DropBloom =
+    """(?is)\s*DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?(\S+|graft\.`[^`]+`)(?:\s+FOR\s+COLUMNS\s*\(([^)]+)\))?\s*;?\s*""".r
+  private val Analyze =
+    """(?is)\s*ANALYZE\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+COMPUTE\s+STATISTICS\s*;?\s*""".r
   private val Detail =
     """(?is)\s*DESCRIBE\s+DETAIL\s+(\S+|graft\.`[^`]+`)\s*;?\s*""".r
   private val Clone =
@@ -79,12 +87,19 @@ object MaintenanceSql {
       case Vacuum(ident, retain, dry) =>
         Some(GraftVacuumCommand(ident,
           Option(retain).map(_.toInt).getOrElse(0), dry != null))
-      case Optimize(ident, zorder) =>
+      case Optimize(ident, where, zorder) =>
         Some(GraftOptimizeCommand(ident, Option(zorder)
           .map(_.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
-            .filter(_.nonEmpty).toSeq).getOrElse(Nil)))
+            .filter(_.nonEmpty).toSeq).getOrElse(Nil),
+          Option(where).map(_.trim).filter(_.nonEmpty)))
       case History(ident) => Some(GraftHistoryCommand(ident))
-      case Restore(ident, v) => Some(GraftRestoreCommand(ident, v.toLong))
+      case Restore(ident, v) => Some(GraftRestoreCommand(ident, Right(v.toLong)))
+      case RestoreTs(ident, ts) => Some(GraftRestoreCommand(ident, Left(ts)))
+      case CreateBloom(ident, cols) =>
+        Some(GraftBloomIndexCommand(ident, splitCols(cols), create = true))
+      case DropBloom(ident, cols) =>
+        Some(GraftBloomIndexCommand(ident,
+          Option(cols).map(splitCols).getOrElse(Nil), create = false))
       case Detail(ident) => Some(GraftDetailCommand(ident))
       case Clone(dest, srcT, v) =>
         Some(GraftCloneCommand(dest, srcT, Option(v).map(_.toLong)))
@@ -96,8 +111,26 @@ object MaintenanceSql {
         Some(GraftAddGeneratedCommand(ident, cname, expr.trim))
       case DropGenerated(ident, cname) =>
         Some(GraftDropGeneratedCommand(ident, cname))
+      // ANALYZE TABLE is live Spark grammar for ordinary tables, so this
+      // intercepts ONLY confirmed graft targets — anything else falls
+      // through to Spark's own catalog-stats path untouched
+      case Analyze(ident) if isGraftIdent(ident) =>
+        Some(GraftAnalyzeCommand(ident))
       case _ => None
     }
+
+  /** Parse-time guard for statements that shadow live Spark grammar:
+    * true only when the active session can resolve `ident` to a graft
+    * table right now. */
+  private def isGraftIdent(ident: String): Boolean =
+    SparkSession.getActiveSession.exists { s =>
+      try { resolveGraft(s, ident); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+
+  private def splitCols(s: String): Seq[String] =
+    s.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+      .filter(_.nonEmpty).toSeq
 
   /** Resolve a statement target to its managed table: the Delta-style
     * path escape ``graft.`/path` `` directly, anything else through the
@@ -175,17 +208,31 @@ object MaintenanceSql {
     }
   }
 
-  /** `OPTIMIZE [ZORDER BY (...)]` — compaction or Z-order re-cluster;
-    * metrics come from the maintenance commit's own manifest record
-    * (zeros when the table was already optimal and nothing committed). */
-  final case class GraftOptimizeCommand(ident: String, zorderBy: Seq[String])
+  /** `OPTIMIZE [WHERE partitionPred] [ZORDER BY (...)]` — compaction or
+    * Z-order re-cluster, partition-scoped when `WHERE` is given (Delta's
+    * `OPTIMIZE … WHERE`: only matching partitions rewrite, everything
+    * else carries verbatim). Metrics come from the maintenance commit's
+    * own manifest record (zeros when the table was already optimal and
+    * nothing committed). */
+  final case class GraftOptimizeCommand(ident: String, zorderBy: Seq[String],
+      where: Option[String] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs("path" -> StringType,
       "files_added" -> LongType, "files_removed" -> LongType)
     override def run(session: SparkSession): Seq[Row] = {
       val t = resolveGraft(session, ident)
       val before = t.currentVersion
-      if (zorderBy.nonEmpty) t.zorder(zorderBy) else t.compact()
+      if (zorderBy.nonEmpty) t.zorder(zorderBy, where = where.getOrElse(""))
+      else where match {
+        case Some(w) =>
+          // scoped bin-pack toward the optimize target size; files already
+          // at target carry verbatim
+          val target = session.conf
+            .get("spark.graft.optimize.targetBytes", (128L << 20).toString)
+            .toLong
+          t.compactSmall(smallBytes = target, targetBytes = target, where = w)
+        case None => t.compact()
+      }
       val m = t.manifest
       val committed = m.exists(mm => before.forall(_ < mm.version))
       val metrics = if (committed) m.map(_.metrics).getOrElse(Map.empty)
@@ -397,14 +444,60 @@ object MaintenanceSql {
     }
   }
 
-  /** `RESTORE … VERSION AS OF n` — roll back as a new commit, no data
-    * copy ([[ManagedTable.restore]]). */
-  final case class GraftRestoreCommand(ident: String, version: Long)
+  /** `ANALYZE TABLE t COMPUTE STATISTICS` — backfill per-file min/max
+    * stats and row counts into the MANIFEST
+    * ([[ManagedTable.collectStatistics]]: distributed footer reads,
+    * no-op when complete). For a graft table the manifest, not the
+    * catalog entry, is what scans prune with and `fastCount` answers
+    * from. */
+  final case class GraftAnalyzeCommand(ident: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("path" -> StringType)
+    override def run(session: SparkSession): Seq[Row] = {
+      val t = resolveGraft(session, ident)
+      t.collectStatistics()
+      Seq(Row(t.rootPath))
+    }
+  }
+
+  /** `RESTORE … VERSION AS OF n | TIMESTAMP AS OF 'ts'` — roll back as a
+    * new commit, no data copy ([[ManagedTable.restore]]; a timestamp
+    * resolves to the newest version at or before the instant). */
+  final case class GraftRestoreCommand(
+      ident: String, target: Either[String, Long])
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs("restored_version" -> LongType)
     override def run(session: SparkSession): Seq[Row] = {
-      resolveGraft(session, ident).restore(version)
+      val t = resolveGraft(session, ident)
+      val version = target match {
+        case Right(v) => v
+        case Left(ts) =>
+          t.versionAt(graft.streaming.ChangeFeedStreamSource.parseTs(ts))
+      }
+      t.restore(version)
       Seq(Row(version))
+    }
+  }
+
+  /** `CREATE BLOOMFILTER INDEX ON t FOR COLUMNS (c, …)` /
+    * `DROP BLOOMFILTER INDEX ON t [FOR COLUMNS (…)]` — Delta's
+    * BLOOMFILTER index surface over the per-file Bloom sidecars
+    * ([[ManagedTable.addBloomIndex]]: built distributed, backfilled for
+    * existing files, consulted by point/IN scans and the keyed MERGE
+    * touch-detect probe). DROP without columns drops every index. */
+  final case class GraftBloomIndexCommand(
+      ident: String, columns: Seq[String], create: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(session: SparkSession): Seq[Row] = {
+      val t = resolveGraft(session, ident)
+      if (create) columns.foreach(c => t.addBloomIndex(c))
+      else {
+        val cols = if (columns.nonEmpty) columns
+          else t.bloomIndexes.keys.toSeq
+        cols.foreach(t.dropBloomIndex)
+      }
+      Nil
     }
   }
 }

@@ -961,6 +961,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
                   cur.properties != base.properties) throw e
               base = cur // an orphan record keeps colliding → attempts exhaust
           }
+        maybeAutoCompact()
     } }
 
   /** Snapshot restricted to exactly `files` (entries of `m`) — the
@@ -1388,6 +1389,26 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     manifest.flatMap(_.properties.get(confKey.stripPrefix("spark.")))
       .getOrElse(spark.conf.get(confKey, default))
 
+  /** Post-commit auto-compaction (Delta autoOptimize.autoCompact as a
+    * table property): after a drip-commit write (append, merge rewrite),
+    * if at least `graft.autoCompact.minSmallFiles` manifest entries are
+    * under `graft.autoCompact.smallBytes`, bin-pack them via
+    * [[compactSmall]] — a separate maintenance commit, so a failure
+    * loses only the compaction, never the data commit. Sized from
+    * MANIFEST-recorded bytes only (entries without one are skipped):
+    * the steady-state check is pure driver arithmetic, no FS calls. A
+    * steady drip of small commits is the classic way a 100 TB table's
+    * scan performance decays; this bounds it at the source for every
+    * writer of the table, not just sessions that remembered the conf. */
+  private def maybeAutoCompact(): Unit =
+    if (propOrConf("spark.graft.autoCompact.enabled", "false").toBoolean) {
+      val small = propOrConf("spark.graft.autoCompact.smallBytes",
+        (32L << 20).toString).toLong
+      val minN = propOrConf("spark.graft.autoCompact.minSmallFiles", "8").toInt
+      val n = manifest.fold(0)(_.files.count(_.bytes.exists(_ < small)))
+      if (n >= minN) compactSmall(small)
+    }
+
   /** Enforce generated-column rules on write content: compute when the
     * column is absent, validate (`name <=> expr`, one shared limit-1
     * probe) when supplied, recompute unconditionally for engine-built
@@ -1752,6 +1773,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     commitDelta(d.schema.json, m.partitionColumns, operation,
       base = Some(m), adds = newFiles, removes = removePaths, txn = txn,
       mappingOverride = Some(cmx))
+    maybeAutoCompact()
   }
 
   /** Content-preserving maintenance commit ([[compact]], [[compactSmall]],
@@ -1859,6 +1881,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       base = Some(m), adds = adds,
       removes = dropPaths ++ replacePaths ++ dvUpdates.map(_._1.path),
       txn = txn, mappingOverride = Some(cmx))
+    maybeAutoCompact()
   }
 
   /** Register externally-written parquet files as a new version WITHOUT

@@ -258,6 +258,49 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     t.properties shouldBe Map("team" -> "ops")
   }
 
+  test("OPTIMIZE WHERE, RESTORE TIMESTAMP AS OF, BLOOMFILTER INDEX DDL") {
+    import spark.implicits._
+    val db = s"mx${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE DATABASE $db")
+    val path = java.nio.file.Files.createTempDirectory("graft-mx").toString + "/t"
+    val t = ManagedTable(spark, path)
+    t.overwriteAll((1 to 40).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "part"), partitionBy = Seq("part"))
+    spark.sql(s"CREATE TABLE $db.t USING graft LOCATION '$path'")
+    // three small commits into partition 'a' only
+    (41 to 43).foreach(i =>
+      spark.sql(s"INSERT INTO $db.t VALUES ($i, 'a')"))
+    val before = t.manifest.get.files.partition(_.partitionValues("part") == "a")
+    before._1.size should be >= 4
+    // scoped optimize compacts only partition 'a'; 'b' files carry verbatim
+    spark.sql(s"OPTIMIZE $db.t WHERE part = 'a'").collect()
+    val after = t.manifest.get.files.partition(_.partitionValues("part") == "a")
+    after._1.size should be < before._1.size
+    after._2.map(_.path).toSet shouldBe before._2.map(_.path).toSet
+    // timestamp restore resolves the newest version at or before the instant
+    val v = t.currentVersion.get
+    Thread.sleep(5)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql(s"DELETE FROM $db.t WHERE id > 40")
+    spark.sql(s"RESTORE TABLE $db.t TO TIMESTAMP AS OF '$cut'")
+      .head.getLong(0) shouldBe v
+    t.read().count() shouldBe 43
+    // bloom DDL round-trip
+    spark.sql(s"CREATE BLOOMFILTER INDEX ON TABLE $db.t FOR COLUMNS (id)")
+    t.bloomIndexes.keySet shouldBe Set("id")
+    spark.sql(s"DROP BLOOMFILTER INDEX ON TABLE $db.t")
+    t.bloomIndexes shouldBe empty
+    // ANALYZE backfills manifest stats (graft targets only; plain tables
+    // still reach Spark's own catalog-stats path)
+    spark.sql(s"ANALYZE TABLE $db.t COMPUTE STATISTICS").head.getString(0) should
+      endWith(t.rootPath)
+    t.fastCount shouldBe defined
+    import spark.implicits._
+    Seq((1, "x")).toDF("a", "b").write.saveAsTable(s"$db.plain")
+    spark.sql(s"ANALYZE TABLE $db.plain COMPUTE STATISTICS") // Spark's path
+  }
+
   test("non-graft DML targets still fail with Spark's own error") {
     import spark.implicits._
     val v = Seq((1, "a")).toDF("id", "v")

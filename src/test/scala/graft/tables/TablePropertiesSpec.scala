@@ -61,6 +61,25 @@ class TablePropertiesSpec extends AnyFunSuite with Matchers {
     t2.manifest.get.files.flatMap(_.dv) shouldBe empty
   }
 
+  test("graft.autoCompact.enabled bounds small-file growth under a " +
+      "drip of appends") {
+    import spark.implicits._
+    val t = seed(tmp() + "/p4")
+    t.setTableProperties(Map(
+      "graft.autoCompact.enabled" -> "true",
+      "graft.autoCompact.minSmallFiles" -> "4"))
+    (100 to 120).foreach(i => t.append(Seq((i, s"n$i")).toDF("id", "name")))
+    t.read().count() shouldBe 61L
+    // without auto-compact 21 appends leave 20+ small files; with it the
+    // manifest stays bounded by the trigger threshold
+    t.manifest.get.files.size should be < 8
+    t.history().map(_.operation).count(_.startsWith("compactSmall")) should be >= 1
+    // a table without the property grows linearly
+    val t2 = seed(tmp() + "/p4b")
+    (100 to 110).foreach(i => t2.append(Seq((i, s"n$i")).toDF("id", "name")))
+    t2.manifest.get.files.size should be >= 11
+  }
+
   test("shallow clone carries properties") {
     val t = seed(tmp() + "/p3")
     t.setTableProperties(Map("graft.dv.enabled" -> "true", "owner" -> "a"))
