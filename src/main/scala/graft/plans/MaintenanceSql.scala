@@ -79,6 +79,8 @@ object MaintenanceSql {
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   private val AddGenerated =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*;?\s*""".r
+  private val AddIdentity =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?\s*;?\s*""".r
   private val DropGenerated =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+DROP\s+GENERATED\s+COLUMN\s+(\w+)\s*;?\s*""".r
 
@@ -107,6 +109,10 @@ object MaintenanceSql {
         Some(GraftAddConstraintCommand(ident, cname, expr.trim))
       case DropConstraint(ident, cname) =>
         Some(GraftDropConstraintCommand(ident, cname))
+      case AddIdentity(ident, cname, start, step) =>
+        Some(GraftAddIdentityCommand(ident, cname,
+          Option(start).map(_.toLong).getOrElse(1L),
+          Option(step).map(_.toLong).getOrElse(1L)))
       case AddGenerated(ident, cname, expr) =>
         Some(GraftAddGeneratedCommand(ident, cname, expr.trim))
       case DropGenerated(ident, cname) =>
@@ -397,6 +403,20 @@ object MaintenanceSql {
     override val output: Seq[Attribute] = Nil
     override def run(session: SparkSession): Seq[Row] = {
       resolveGraft(session, ident).dropGeneratedColumn(name)
+      Nil
+    }
+  }
+
+  /** `ALTER TABLE … ADD COLUMN c GENERATED ALWAYS AS IDENTITY [(START
+    * WITH s [INCREMENT BY k])]` — engine-assigned unique BIGINT values
+    * ([[ManagedTable.addIdentityColumn]]: watermark travels in the
+    * manifest atomically with the rows it covers). */
+  final case class GraftAddIdentityCommand(
+      ident: String, name: String, start: Long, step: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(session: SparkSession): Seq[Row] = {
+      resolveGraft(session, ident).addIdentityColumn(name, start, step)
       Nil
     }
   }

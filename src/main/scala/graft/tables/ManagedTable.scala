@@ -867,13 +867,17 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       val cs = manifest.map(_.constraints).getOrElse(Map.empty)
       val gs = manifest.map(_.generated).getOrElse(Map.empty)
       val ps = manifest.map(_.properties).getOrElse(Map.empty)
-      val d = applyGenerated(df, gs, manifest.map(_.schema), operation)
+      val (withIds, propsOv) = manifest match {
+        case Some(m) => applyIdentity(df, m, operation, keepExisting = false)
+        case None    => (df, None)
+      }
+      val d = applyGenerated(withIds, gs, manifest.map(_.schema), operation)
       enforceConstraints(d, cs, operation)
       val files = writeCommit(d, partitionBy)
       commitDelta(d.schema.json, partitionBy, operation,
         base = None, adds = files, removes = Nil, txn = txn,
         constraintsOverride = Some(cs), generatedOverride = Some(gs),
-        propertiesOverride = Some(ps))
+        propertiesOverride = Some(propsOv.getOrElse(ps)))
     }
 
   /** Dynamic partition overwrite: replace only the partitions present in
@@ -887,7 +891,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         // NEW manifest schema — a silently-committed retype/drop would make
         // them unreadable or erase a column table-wide, so the same guard
         // as append/replacePartitions applies
-        val g = applyGenerated(df, m.generated, Some(m.schema), "overwriteDynamic")
+        val (withIds, propsOv) =
+          applyIdentity(df, m, "overwriteDynamic", keepExisting = false)
+        val g = applyGenerated(withIds, m.generated, Some(m.schema),
+          "overwriteDynamic")
         val d = reconcileSchema(g, m)
         enforceConstraints(d, m.constraints, "overwriteDynamic")
         val cmx = extendMapping(m.columnMapping, d.schema)
@@ -896,7 +903,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         val removed = m.files.filter(f => replaced.contains(f.partitionValues))
         commitDelta(d.schema.json, partitionBy, "overwriteDynamic",
           base = Some(m), adds = newFiles, removes = removed.map(_.path),
-          mappingOverride = Some(cmx))
+          mappingOverride = Some(cmx), propertiesOverride = propsOv)
     } }
 
   /** Atomic "append, creating the table if absent": the exists-check runs
@@ -932,7 +939,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     withWriteLock { manifest match {
       case None => overwriteAll(df, Nil, operation, txn)
       case Some(m) =>
-        val g = applyGenerated(df, m.generated, Some(m.schema), operation)
+        val (withIds, propsOv) =
+          applyIdentity(df, m, operation, keepExisting = false)
+        val g = applyGenerated(withIds, m.generated, Some(m.schema), operation)
         val d = reconcileSchema(g, m)
         enforceConstraints(d, m.constraints, operation)
         val cmx = extendMapping(m.columnMapping, d.schema)
@@ -947,7 +956,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
             // stays valid against the winner's head
             commitDelta(d.schema.json, base.partitionColumns, operation,
               base = Some(base), adds = newFiles, removes = Nil, txn = txn,
-              mappingOverride = Some(cmx))
+              mappingOverride = Some(cmx), propertiesOverride = propsOv)
             committed = true
           } catch {
             case e: ConcurrentWriteException =>
@@ -996,11 +1005,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       if (bad.nonEmpty)
         throw new MetadataException(
           s"UPDATE on $rootPath: unknown column(s) ${bad.mkString(", ")}")
-      val gen = set.keySet.intersect(m.generated.keySet)
+      val gen = set.keySet.intersect(
+        m.generated.keySet ++ identityRules(m).keySet)
       if (gen.nonEmpty)
         throw new MetadataException(
           s"UPDATE on $rootPath: column(s) ${gen.mkString(", ")} are " +
-            "GENERATED ALWAYS AS — the engine maintains them; update their " +
+            "GENERATED ALWAYS — the engine maintains them; update their " +
             "base columns instead")
       dmlRewrite("update", condition) { (touchedRows, pred) =>
         val cols = m.schema.fields.toSeq.map { f =>
@@ -1349,6 +1359,115 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         removes = Nil, generatedOverride = Some(m.generated - name))
   }
 
+  // --------------------------------------------------------- identity columns
+
+  /** Declare `name` as `GENERATED ALWAYS AS IDENTITY (START WITH start
+    * INCREMENT BY step)` (Delta identity columns). Writers NEVER supply
+    * the column: every write that omits it (or supplies NULL) gets
+    * engine-assigned values — unique, monotone in allocation order, step
+    * apart within one commit; gaps across commits are allowed, exactly
+    * Delta's contract. The high watermark travels in the table
+    * PROPERTIES (`graft.identity.<col>` / `.next`), committed atomically
+    * with the rows it covers — a crash can never reuse an allocated
+    * range. Engine-built rewrite content (MERGE updates, DML images)
+    * keeps existing values; MERGE inserts allocate. Explicit non-null
+    * user values are rejected (GENERATED ALWAYS). Declarable only while
+    * the table holds no rows (the column is adopted as BIGINT). */
+  def addIdentityColumn(name: String, start: Long = 1L,
+      step: Long = 1L): Unit = withWriteLock {
+    require(step != 0L, "identity step must be non-zero")
+    val m = requireManifest
+    if (m.properties.contains(s"graft.identity.$name"))
+      throw new MetadataException(
+        s"identity column '$name' already declared on $rootPath")
+    if (m.generated.contains(name))
+      throw new MetadataException(
+        s"addIdentityColumn $name on $rootPath: already a generated column")
+    if (!m.files.forall(_.liveRows.contains(0L)))
+      throw new MetadataException(
+        s"addIdentityColumn $name on $rootPath: the table has data — " +
+          "identity columns are declared at creation (Delta's rule too)")
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val newSchema =
+      if (m.schema.fieldNames.contains(name)) {
+        if (m.schema(name).dataType != LongType)
+          throw new MetadataException(
+            s"addIdentityColumn $name on $rootPath: column must be BIGINT")
+        m.schema
+      } else StructType(
+        m.schema.fields :+ StructField(name, LongType, nullable = true))
+    commitDelta(newSchema.json, m.partitionColumns,
+      s"addIdentityColumn $name", base = Some(m), adds = Nil, removes = Nil,
+      mappingOverride = Some(extendMapping(m.columnMapping, newSchema)),
+      propertiesOverride = Some(m.properties ++ Map(
+        s"graft.identity.$name" -> step.toString,
+        s"graft.identity.$name.next" -> start.toString)))
+  }
+
+  /** Columns governed by an identity rule (for MERGE's source-absent
+    * handling and DDL guards). */
+  def identityColumnNames: Set[String] =
+    manifest.map(m => identityRules(m).keySet).getOrElse(Set.empty)
+
+  /** Identity rules of a manifest: column → (step, next watermark). */
+  private def identityRules(m: Manifest): Map[String, (Long, Long)] =
+    m.properties.collect {
+      case (k, step) if k.startsWith("graft.identity.") &&
+          !k.endsWith(".next") =>
+        val col = k.stripPrefix("graft.identity.")
+        col -> (step.toLong,
+          m.properties.getOrElse(s"graft.identity.$col.next", "1").toLong)
+    }
+
+  /** Assign identity values to rows where the column is absent/NULL and
+    * return the content plus the advanced-watermark properties override
+    * (None when nothing was assigned). Engine rewrites (`keepExisting`)
+    * pass existing values through and allocate only for NULLs (MERGE
+    * inserts); user-facing writes REJECT explicit non-null values.
+    *
+    * Allocation is distributed and single-pass-per-rule: contiguous ids
+    * from `zipWithIndex` over the null-id rows (one count job + the
+    * assignment pass), watermark advanced by the allocated count in the
+    * SAME commit as the rows. */
+  private def applyIdentity(df: DataFrame, m: Manifest, operation: String,
+      keepExisting: Boolean): (DataFrame, Option[Map[String, String]]) = {
+    val rules = identityRules(m)
+    if (rules.isEmpty || ConstraintExemptOps.exists(operation.startsWith))
+      return (df, None)
+    var out = df
+    var props = m.properties
+    var changed = false
+    rules.toSeq.sortBy(_._1).foreach { case (name, (step, next)) =>
+      val has = out.columns.contains(name)
+      if (has && !keepExisting &&
+          out.filter(col(s"`$name`").isNotNull).limit(1).count() > 0)
+        throw new ConstraintViolationException(
+          s"identity column '$name' is GENERATED ALWAYS on $rootPath — " +
+            s"omit it (or write NULL) in '$operation'; the engine assigns")
+      val withNullCol =
+        if (has) out
+        else out.withColumn(name, lit(null).cast("bigint"))
+      val needsIds = withNullCol.filter(col(s"`$name`").isNull)
+      val cnt = needsIds.count()
+      if (cnt == 0L) { out = withNullCol }
+      else {
+        val keeps = withNullCol.filter(col(s"`$name`").isNotNull)
+        val schema = withNullCol.schema
+        val idx = schema.fieldIndex(name)
+        val assigned = spark.createDataFrame(
+          needsIds.rdd.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq.updated(idx, next + i * step))
+          }, schema)
+        out = keeps.unionByName(assigned)
+        props = props + (s"graft.identity.$name.next" ->
+          (next + cnt * step).toString)
+        changed = true
+      }
+    }
+    (out, if (changed) Some(props) else None)
+  }
+
   // -------------------------------------------------------- table properties
 
   /** Table properties (Delta TBLPROPERTIES): per-TABLE configuration that
@@ -1544,12 +1663,21 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       case Some(rule) => Some(m.generated - oldName + (newName -> rule))
       case None       => None
     }
+    // an identity TARGET carries its step + watermark under the new name
+    val ps = if (m.properties.contains(s"graft.identity.$oldName"))
+      Some(m.properties
+        - s"graft.identity.$oldName" - s"graft.identity.$oldName.next"
+        + (s"graft.identity.$newName" ->
+            m.properties(s"graft.identity.$oldName"))
+        ++ m.properties.get(s"graft.identity.$oldName.next")
+          .map(n => s"graft.identity.$newName.next" -> n))
+    else None
     commitDelta(newSchema.json, m.partitionColumns,
       s"renameColumn $oldName->$newName",
       base = Some(m), adds = Nil, removes = Nil,
       mappingOverride = Some(Some(cm.copy(
         byLogical = cm.byLogical - oldName + (newName -> phys)))),
-      generatedOverride = gs)
+      generatedOverride = gs, propertiesOverride = ps)
   }
 
   /** DROP COLUMN as a METADATA-ONLY commit: the bytes stay inside the
@@ -1587,7 +1715,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         retired = cm.retired :+ phys))),
       // dropping a generated TARGET drops its rule with it
       generatedOverride =
-        if (m.generated.contains(name)) Some(m.generated - name) else None)
+        if (m.generated.contains(name)) Some(m.generated - name) else None,
+      // dropping an identity TARGET drops its step + watermark with it
+      propertiesOverride =
+        if (m.properties.contains(s"graft.identity.$name"))
+          Some(m.properties
+            - s"graft.identity.$name" - s"graft.identity.$name.next")
+        else None)
   }
 
   /** ADD COLUMN as a metadata-only commit: appended nullable; existing
@@ -1761,10 +1895,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       operation: String = "replaceFiles",
       txn: Option[Txn] = None): Unit = withWriteLock {
     val m = requireManifest
-    // engine-built rewrite content (merge updates, DML images): generated
-    // columns are RECOMPUTED, not validated — an UPDATE that changed a
-    // base column must refresh its derived column, like Delta does
-    val g = applyGenerated(df, m.generated, Some(m.schema), operation,
+    // engine-built rewrite content (merge updates, DML images): existing
+    // identity values pass through, NULLs (merge inserts) allocate;
+    // generated columns are RECOMPUTED, not validated — an UPDATE that
+    // changed a base column must refresh its derived column, like Delta
+    val (withIds, propsOv) =
+      applyIdentity(df, m, operation, keepExisting = true)
+    val g = applyGenerated(withIds, m.generated, Some(m.schema), operation,
       recompute = true)
     val d = reconcileSchema(g, m)
     enforceConstraints(d, m.constraints, operation)
@@ -1772,7 +1909,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val newFiles = writeCommit(d, m.partitionColumns, cmx)
     commitDelta(d.schema.json, m.partitionColumns, operation,
       base = Some(m), adds = newFiles, removes = removePaths, txn = txn,
-      mappingOverride = Some(cmx))
+      mappingOverride = Some(cmx), propertiesOverride = propsOv)
     maybeAutoCompact()
   }
 
@@ -1853,8 +1990,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       operation: String = "merge",
       txn: Option[Txn] = None): Unit = withWriteLock {
     val m = requireManifest
-    // merge-built content: recompute generated columns (see replaceFiles)
-    val g = applyGenerated(content, m.generated, Some(m.schema), operation,
+    // merge-built content: identity NULLs (inserts) allocate, generated
+    // columns recompute (see replaceFiles)
+    val (withIds, propsOv) =
+      applyIdentity(content, m, operation, keepExisting = true)
+    val g = applyGenerated(withIds, m.generated, Some(m.schema), operation,
       recompute = true)
     val d = reconcileSchema(g, m)
     enforceConstraints(d, m.constraints, operation)
@@ -1880,7 +2020,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     commitDelta(d.schema.json, m.partitionColumns, operation,
       base = Some(m), adds = adds,
       removes = dropPaths ++ replacePaths ++ dvUpdates.map(_._1.path),
-      txn = txn, mappingOverride = Some(cmx))
+      txn = txn, mappingOverride = Some(cmx), propertiesOverride = propsOv)
     maybeAutoCompact()
   }
 
@@ -1974,7 +2114,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       operation: String = "replacePartitions",
       txn: Option[Txn] = None): Unit = withWriteLock {
     val m = requireManifest
-    val g = applyGenerated(df, m.generated, Some(m.schema), operation,
+    val (withIds, propsOv) =
+      applyIdentity(df, m, operation, keepExisting = true)
+    val g = applyGenerated(withIds, m.generated, Some(m.schema), operation,
       recompute = true)
     val d = reconcileSchema(g, m)
     enforceConstraints(d, m.constraints, operation)
@@ -1988,7 +2130,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     }
     commitDelta(d.schema.json, m.partitionColumns, operation,
       base = Some(m), adds = newFiles, removes = removed.map(_.path), txn = txn,
-      mappingOverride = Some(cmx))
+      mappingOverride = Some(cmx), propertiesOverride = propsOv)
   }
 
   /** Compact partitions whose file count reached `minFiles`: their rows are

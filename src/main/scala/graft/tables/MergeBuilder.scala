@@ -63,7 +63,8 @@ final class MergeBuilder private[tables] (
     * (correctly) omits a generated column would fail resolution. */
   private lazy val genAbsent: Set[String] = {
     val srcCols = source.columns.map(_.toLowerCase).toSet
-    table.generatedColumns.keySet.filterNot(c => srcCols(c.toLowerCase))
+    (table.generatedColumns.keySet ++ table.identityColumnNames)
+      .filterNot(c => srcCols(c.toLowerCase))
   }
 
   /** Declare the source too large to broadcast (a backfill slice, a
