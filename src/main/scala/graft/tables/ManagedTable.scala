@@ -2663,9 +2663,30 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       listed.map { case (p, len) => toFile(p, len, Map.empty, stats) }
     } else {
       val dirCols = partitionBy.map(c => s"__gp_$c")
-      val withDirCols = partitionBy.zip(dirCols).foldLeft(df) {
+      val withDirCols0 = partitionBy.zip(dirCols).foldLeft(df) {
         case (d, (c, dc)) => d.withColumn(dc, col(s"`$c`").cast("string"))
       }
+      // optimized write (Delta optimizeWrite equivalent, opt-in via the
+      // graft.write.optimize table property / conf): shuffle rows onto
+      // their partition values before the write, so a commit produces
+      // O(partitions × filesPerPartition) files instead of O(upstream
+      // tasks × partitions) — the classic small-file explosion a
+      // 1000-task job writing 1000 partitions otherwise commits (1M
+      // files). `filesPerPartition > 1` salts the shuffle so one giant
+      // partition still writes in parallel. Opt-in because a caller that
+      // pre-clustered its frame (cluster_by row-group locality) must
+      // keep its own layout.
+      val withDirCols =
+        if (propOrConf("spark.graft.write.optimize", "false").toBoolean) {
+          val saltN = propOrConf(
+            "spark.graft.write.filesPerPartition", "1").toInt
+          val keys = dirCols.map(c => col(s"`$c`")) ++
+            (if (saltN > 1)
+              Seq(pmod(hash(df.columns.map(c => col(s"`$c`")): _*),
+                lit(saltN)))
+            else Nil)
+          withDirCols0.repartition(keys: _*)
+        } else withDirCols0
       withDirCols.write.partitionBy(dirCols: _*).parquet(commitDir.toString)
       val listed = listParquet(commitDir)
       val stats = FileStatistics.forPaths(spark, conf, listed.map(_._1), maxIndexedCols)

@@ -80,6 +80,31 @@ class TablePropertiesSpec extends AnyFunSuite with Matchers {
     t2.manifest.get.files.size should be >= 11
   }
 
+  test("graft.write.optimize collapses a partitioned write to one file " +
+      "per partition (salted for parallelism when asked)") {
+    import spark.implicits._
+    val rows = (1 to 4000).map(i => (i, s"p${i % 4}")).toDF("id", "part")
+      .repartition(8) // 8 upstream tasks × 4 partitions = naive 32 files
+    val t = ManagedTable(spark, tmp() + "/p5")
+    t.overwriteAll(rows, partitionBy = Seq("part"))
+    t.manifest.get.files.size should be > 8 // the explosion, demonstrated
+    val t2 = ManagedTable(spark, tmp() + "/p5b")
+    t2.overwriteAll(rows.limit(0), partitionBy = Seq("part"))
+    t2.setTableProperties(Map("graft.write.optimize" -> "true"))
+    t2.overwriteAll(rows, partitionBy = Seq("part"))
+    t2.manifest.get.files.size shouldBe 4 // one per partition
+    t2.read().count() shouldBe 4000L
+    // salted: a giant partition may write through N tasks
+    val t3 = ManagedTable(spark, tmp() + "/p5c")
+    t3.overwriteAll(rows.limit(0), partitionBy = Seq("part"))
+    t3.setTableProperties(Map("graft.write.optimize" -> "true",
+      "graft.write.filesPerPartition" -> "2"))
+    t3.overwriteAll(rows, partitionBy = Seq("part"))
+    val perPart = t3.manifest.get.files.groupBy(_.partitionValues("part"))
+    perPart.values.foreach(_.size should be <= 2)
+    t3.read().count() shouldBe 4000L
+  }
+
   test("shallow clone carries properties") {
     val t = seed(tmp() + "/p3")
     t.setTableProperties(Map("graft.dv.enabled" -> "true", "owner" -> "a"))
