@@ -154,6 +154,29 @@ class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
         i.copy(table = pathRelation(u.multipartIdentifier(1)))
       case _ => i
     }
+    // `INSERT INTO t REPLACE WHERE cond SELECT …` parses straight to the
+    // V2 OverwriteByExpression; Spark's resolution then REJECTS any V1
+    // target outright (writeIntoV1TableNotAllowedError) — so, like time
+    // travel, the statement must convert before resolution ever sees it.
+    // Matched here before the table child is visited (it is typed
+    // NamedRelation, so the generic path-escape rewrite above would CCE
+    // on it); the unresolved query travels as a command FIELD and
+    // run-time `ofRows` analyzes it.
+    case o: OverwriteByExpression => o.table match {
+      case u: UnresolvedRelation =>
+        graftLocation(u.multipartIdentifier) match {
+          case Some(path) =>
+            val cat =
+              if (isPathEscape(u.multipartIdentifier)) None
+              else catalogGraftTable(u.multipartIdentifier).map(ct =>
+                ct.identifier.database.map(d => s"$d.${ct.identifier.table}")
+                  .getOrElse(ct.identifier.table))
+            SqlDml.GraftReplaceWhereCommand(path,
+              SqlDml.plainSql(o.deleteExpr), o.query, cat)
+          case None => o
+        }
+      case _ => o
+    }
     // schema DDL — ALTER TABLE RENAME/DROP/ADD COLUMN routes into the
     // metadata-only column-mapping commits (Spark's own resolution
     // rejects these for V1 tables, hence interception here). Nested
@@ -325,6 +348,20 @@ object SqlDml {
     override val output: Seq[Attribute] = metricAttrs("num_affected_rows")
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(tableFor(session, path, catalog).update(set, cond)))
+  }
+
+  /** `INSERT INTO … REPLACE WHERE` → predicate-scoped overwrite. The
+    * source plan stays a FIELD (not a child): for the path-escape form
+    * it arrives unresolved from the hint phase, and `ofRows` analyzes
+    * it at run time — the same rehydration [[GraftMergeCommand]] uses. */
+  final case class GraftReplaceWhereCommand(path: String, cond: String,
+      source: LogicalPlan, catalog: Option[String] = None)
+      extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      tableFor(session, path, catalog)
+        .overwriteWhere(GraftDmlShim.ofRows(session, source), cond)
+      Nil
+    }
   }
 
   sealed trait DmlMergeClause

@@ -124,7 +124,12 @@ class GraftDataSource extends RelationProvider
     val partitionBy = parameters.get("partitionBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     mode match {
-      case SaveMode.Overwrite     => t.overwriteAll(data, partitionBy)
+      case SaveMode.Overwrite     => parameters.get("replaceWhere") match {
+        // Delta's writer option: predicate-scoped overwrite instead of
+        // whole-table replacement
+        case Some(cond) => t.overwriteWhere(data, cond)
+        case None       => t.overwriteAll(data, partitionBy)
+      }
       case SaveMode.Append        => t.appendOrCreate(data, partitionBy)
       case SaveMode.ErrorIfExists =>
         if (t.exists) throw new IllegalStateException(

@@ -906,6 +906,76 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           mappingOverride = Some(cmx), propertiesOverride = propsOv)
     } }
 
+  /** Predicate-scoped overwrite (Delta's `replaceWhere`): atomically
+    * delete every row matching `condition` and insert `df` — ONE commit,
+    * so readers see either the old region or its full replacement, never
+    * a gap. The inserted rows must themselves satisfy the predicate
+    * (Delta's default constraint — a row outside the replaced region
+    * would silently survive the next replace of that region).
+    *
+    * Scale shape: a condition over partition columns alone removes the
+    * matching files METADATA-ONLY (no scan, no rewrite — replacing one
+    * day of a 100 TB table is one manifest write plus the new data's
+    * write). A general condition touch-detects the files containing
+    * matching rows with a narrow predicate-column scan and rewrites only
+    * those, keeping their non-matching rows; untouched entries carry
+    * over verbatim. */
+  def overwriteWhere(df: DataFrame, condition: String): Unit = withWriteLock {
+    manifest match {
+      case None => overwriteAll(df, Nil, "replaceWhere")
+      case Some(m) =>
+        val pred = coalesce(expr(condition), lit(false))
+        val (withIds, propsOv) =
+          applyIdentity(df, m, "replaceWhere", keepExisting = false)
+        val g = applyGenerated(withIds, m.generated, Some(m.schema),
+          "replaceWhere")
+        val d = reconcileSchema(g, m)
+        enforceConstraints(d, m.constraints, "replaceWhere")
+        if (d.filter(!pred).limit(1).count() > 0)
+          throw new ConstraintViolationException(
+            s"replaceWhere on $rootPath: inserted rows do not all match " +
+              s"'$condition' — they would fall outside the replaced region")
+
+        val (removePaths, keptRows): (Seq[String], Option[DataFrame]) =
+          partitionOnlyMatches(m, condition) match {
+            case Some(victims) => (victims.map(_.path), None)
+            case None =>
+              if (m.files.isEmpty) (Nil, None)
+              else {
+                val touchedUris = readManifestFilesTagged(m, m.files, "__g_file")
+                  .filter(pred)
+                  .select("__g_file").distinct()
+                  .collect().map(_.getString(0))
+                if (touchedUris.isEmpty) (Nil, None)
+                else {
+                  // untranslatable scan URI → rewrite everything (correct,
+                  // just not file-granular — same policy as dmlRewrite)
+                  val lookup = fileUriLookup(m.files)
+                  val translated = touchedUris.map(u =>
+                    lookup.get(u).orElse(lookup.get(MergeBuilder.decodeUri(u))))
+                  val touchedPaths: Seq[String] =
+                    if (translated.forall(_.isDefined)) translated.map(_.get).toSeq
+                    else m.files.map(_.path)
+                  val keep = touchedPaths.toSet
+                  val touched = m.files.filter(f => keep.contains(f.path))
+                  (touchedPaths,
+                    Some(readManifestFiles(m, touched).filter(!pred)))
+                }
+              }
+          }
+        // survivors were read under m's logical schema; align to the
+        // reconciled insert frame by name before the single write
+        val content = keptRows.fold(d)(k =>
+          d.unionByName(k.select(d.columns.map(c => col(s"`$c`")): _*)))
+        val cmx = extendMapping(m.columnMapping, d.schema)
+        val newFiles = writeCommit(content, m.partitionColumns, cmx)
+        commitDelta(d.schema.json, m.partitionColumns, "replaceWhere",
+          base = Some(m), adds = newFiles, removes = removePaths,
+          mappingOverride = Some(cmx), propertiesOverride = propsOv)
+        maybeAutoCompact()
+    }
+  }
+
   /** Atomic "append, creating the table if absent": the exists-check runs
     * INSIDE the write lock, so two concurrent first-writers serialize into
     * create-then-append instead of racing into two overwrites (a bare

@@ -301,6 +301,29 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     spark.sql(s"ANALYZE TABLE $db.plain COMPUTE STATISTICS") // Spark's path
   }
 
+  test("INSERT INTO ... REPLACE WHERE: predicate-scoped overwrite") {
+    import spark.implicits._
+    val (name, t) = freshTable()
+    // replace the id<=2 region with one new row — others untouched
+    spark.sql(
+      s"INSERT INTO $name REPLACE WHERE id <= 2 " +
+        "SELECT 1 AS id, 'z' AS name, 99 AS qty")
+    t.read().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))) shouldBe
+      Array((1, "z", 99), (3, "c", 30), (4, "d", 40))
+    t.history().head.operation shouldBe "replaceWhere"
+    // inserted rows outside the replaced region are rejected
+    intercept[Exception](spark.sql(
+      s"INSERT INTO $name REPLACE WHERE id <= 2 " +
+        "SELECT 7 AS id, 'w' AS name, 1 AS qty"))
+    // path-escape form
+    val esc = s"graft.`${t.rootPath}`"
+    spark.sql(
+      s"INSERT INTO $esc REPLACE WHERE id = 3 " +
+        "SELECT 3 AS id, 'r' AS name, 33 AS qty")
+    t.read().filter($"id" === 3).head.getString(1) shouldBe "r"
+  }
+
   test("non-graft DML targets still fail with Spark's own error") {
     import spark.implicits._
     val v = Seq((1, "a")).toDF("id", "v")

@@ -63,6 +63,43 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 9)
   }
 
+  test("overwriteWhere: partition predicate is a metadata-only replace") {
+    val t = ManagedTable(spark, tmp() + "/trw1")
+    t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "y"), (3, "c", "y"))), Seq("part"))
+    val before = t.manifest.get.files.filter(_.partitionValues("part") == "x")
+    t.overwriteWhere(df(Seq((9, "z", "y"))), "part = 'y'")
+    t.read().orderBy("id").collect().map(r => (r.getInt(0), r.getString(2)))
+      .toSeq shouldBe Seq((1, "x"), (9, "y"))
+    // partition x's files were never rewritten — carried verbatim
+    val after = t.manifest.get.files.filter(_.partitionValues("part") == "x")
+    after.map(_.path).toSet shouldBe before.map(_.path).toSet
+    t.history().head.operation shouldBe "replaceWhere"
+  }
+
+  test("overwriteWhere: row predicate rewrites only touched files, keeps survivors") {
+    val t = ManagedTable(spark, tmp() + "/trw2")
+    t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "x"))))
+    t.append(df(Seq((3, "c", "y"), (4, "d", "y"))))
+    t.overwriteWhere(df(Seq((2, "B", "x"))), "id = 2")
+    // 2 replaced; 1 (same file as 2) survived the rewrite; 3,4 untouched
+    t.read().orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+      .toSeq shouldBe Seq((1, "a"), (2, "B"), (3, "c"), (4, "d"))
+    // inserted rows must satisfy the predicate
+    intercept[Exception](t.overwriteWhere(df(Seq((7, "w", "x"))), "id = 2"))
+    // predicate matching nothing = plain insert, one commit
+    t.overwriteWhere(df(Seq((5, "e", "x"))).filter(col("id") === 5), "id = 5")
+    t.read().count() shouldBe 5
+  }
+
+  test("overwriteWhere: writer option replaceWhere routes through the source") {
+    val t = ManagedTable(spark, tmp() + "/trw3")
+    t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "y"))))
+    df(Seq((9, "z", "y"))).write.format("graft")
+      .mode("overwrite").option("replaceWhere", "part = 'y'")
+      .save(t.rootPath)
+    t.read().orderBy("id").collect().map(_.getInt(0)).toSeq shouldBe Seq(1, 9)
+  }
+
   test("merge: upsert + soft delete + delete inference") {
     val t = ManagedTable(spark, tmp() + "/t4")
     // target: ids 1,2,3 all part x
