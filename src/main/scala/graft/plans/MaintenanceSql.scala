@@ -69,6 +69,8 @@ object MaintenanceSql {
     """(?is)\s*DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?(\S+|graft\.`[^`]+`)(?:\s+FOR\s+COLUMNS\s*\(([^)]+)\))?\s*;?\s*""".r
   private val Analyze =
     """(?is)\s*ANALYZE\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+COMPUTE\s+STATISTICS\s*;?\s*""".r
+  private val Convert =
+    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\.`([^`]+)`\s*;?\s*""".r
   private val Detail =
     """(?is)\s*DESCRIBE\s+DETAIL\s+(\S+|graft\.`[^`]+`)\s*;?\s*""".r
   private val Clone =
@@ -122,6 +124,7 @@ object MaintenanceSql {
       // through to Spark's own catalog-stats path untouched
       case Analyze(ident) if isGraftIdent(ident) =>
         Some(GraftAnalyzeCommand(ident))
+      case Convert(path) => Some(GraftConvertCommand(path))
       case _ => None
     }
 
@@ -478,6 +481,16 @@ object MaintenanceSql {
       t.collectStatistics()
       Seq(Row(t.rootPath))
     }
+  }
+
+  /** `CONVERT TO GRAFT parquet.`/path`` — adopt an existing parquet
+    * directory in place ([[ManagedTable.convertInPlace]]): footer stats
+    * + hive partition dirs become manifest version 0, zero data moved. */
+  final case class GraftConvertCommand(path: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("files_adopted" -> LongType)
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(ManagedTable(session, path).convertInPlace().toLong))
   }
 
   /** `RESTORE … VERSION AS OF n | TIMESTAMP AS OF 'ts'` — roll back as a

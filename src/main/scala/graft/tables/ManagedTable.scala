@@ -762,16 +762,36 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       val t = tag.fold(df)(t => df.withColumn(t, col("_metadata.file_path")))
       pos.fold(t)(p => t.withColumn(p, col("_metadata.row_index")))
     }
+    // a convert-adopted table's imported files carry partition values
+    // only in their hive directory names — scan those with partition
+    // discovery rooted at the table (engine-written files, always under
+    // data/, store every column in the data and read plainly)
+    val hiveDirs = m.properties
+      .get(ManagedTable.ConvertPartitionDirsProp).contains("true")
+    val (adopted, plain) =
+      if (hiveDirs) clean.partition(f => !f.path.startsWith("data/"))
+      else (Nil, clean)
+    val cleanParts = Seq(
+      if (plain.isEmpty) None
+      else Some(withTag(spark.read.schema(m.physicalSchema)
+        .parquet(plain.map(f => new Path(root, f.path).toString): _*))),
+      if (adopted.isEmpty) None
+      else Some(withTag(spark.read.schema(m.physicalSchema)
+        .option("basePath", root.toString)
+        .parquet(adopted.map(f => new Path(root, f.path).toString): _*)
+        // discovery may order partition columns after data columns —
+        // normalize to the manifest schema before tagging
+        .select(m.physicalSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)))
+    ).flatten
     val cleanDf =
-      if (clean.isEmpty && dvd.isEmpty) {
+      if (cleanParts.isEmpty && dvd.isEmpty) {
         import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
         val schema = StructType(m.physicalSchema.fields ++
           tag.map(StructField(_, StringType)) ++ pos.map(StructField(_, LongType)))
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      } else if (clean.isEmpty) null
-      else withTag(spark.read.schema(m.physicalSchema)
-        .parquet(clean.map(f => new Path(root, f.path).toString): _*))
+      } else if (cleanParts.isEmpty) null
+      else cleanParts.reduce(_ union _)
     val out =
       if (dvd.isEmpty) cleanDf
       else {
@@ -854,6 +874,66 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * other's files. */
   private[graft] def withWriteLock[A](f: => A): A =
     ManagedTable.lockFor(fs.makeQualified(root).toString).synchronized(f)
+
+  /** Adopt an existing parquet directory as a managed table IN PLACE
+    * (Delta's `CONVERT TO DELTA`): enumerate the data files, read their
+    * footer statistics (distributed above
+    * [[FileStatistics.DistributedThreshold]] files), parse hive
+    * `col=value` partition directories, and commit manifest version 0
+    * pointing at the files exactly where they sit — **zero data
+    * rewritten**, which at 100 TB is the only viable migration. After
+    * conversion every engine feature applies (time travel starts at the
+    * adoption snapshot, MERGE/DML rewrite file-granularly, OPTIMIZE
+    * gradually re-lays files into the engine layout); deletion vectors
+    * stay off while imported hive-layout files remain (their partition
+    * values live only in directory names — see
+    * [[ManagedTable.ConvertPartitionDirsProp]]).
+    *
+    * Returns the number of adopted files. Fails if the table already
+    * exists or the directory holds no parquet files. */
+  def convertInPlace(): Int = withWriteLock {
+    if (exists) throw new IllegalStateException(
+      s"convertInPlace: $rootPath is already a managed table")
+    // standard lake layout: skip hidden/metadata trees (_SUCCESS,
+    // _metadata, .crc); hive partition segments (k=v) are data
+    def hidden(relPath: String): Boolean = relPath.split('/').exists(seg =>
+      (seg.startsWith("_") || seg.startsWith(".")) && !seg.contains("="))
+    val listed = listParquet(root).filter { case (p, _) => !hidden(rel(p)) }
+    if (listed.isEmpty) throw new IllegalStateException(
+      s"convertInPlace: no parquet files under $rootPath")
+    def partsOf(relPath: String): Seq[(String, String)] =
+      relPath.split('/').iterator.filter(_.contains("=")).map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> hiveUnescape(v)
+      }.toSeq
+    val partitionCols = partsOf(rel(listed.head._1)).map(_._1)
+    listed.foreach { case (p, _) =>
+      val keys = partsOf(rel(p)).map(_._1)
+      if (keys != partitionCols) throw new IllegalStateException(
+        s"convertInPlace: inconsistent partition layout under $rootPath — " +
+          s"${rel(p)} has [${keys.mkString(",")}], expected " +
+          s"[${partitionCols.mkString(",")}]")
+    }
+    // schema via Spark's own discovery (typed partition columns included,
+    // appended after the data columns)
+    val inferred = spark.read.option("basePath", root.toString)
+      .parquet(root.toString).schema
+    val stats = FileStatistics.forPaths(spark,
+      spark.sparkContext.hadoopConfiguration, listed.map(_._1), maxIndexedCols)
+    val files = listed.map { case (p, len) =>
+      val fm = stats.getOrElse(p.toString,
+        FileStatistics.FileMeta(Map.empty, -1L))
+      TableFile(rel(p), partsOf(rel(p)).toMap, fm.cols,
+        if (fm.rows >= 0) Some(fm.rows) else None, Some(len))
+    }
+    val props =
+      if (partitionCols.isEmpty) Map.empty[String, String]
+      else Map(ManagedTable.ConvertPartitionDirsProp -> "true")
+    commitDelta(inferred.json, partitionCols, "convert",
+      base = None, adds = files, removes = Nil,
+      propertiesOverride = Some(props))
+    files.size
+  }
 
   /** Replace the whole table. Always a full checkpoint record. `txn`
     * embeds a streaming-writer transaction identity in the record —
@@ -1169,6 +1249,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * always are; an adopted lake with colliding names falls back to the
     * classic rewrite). */
   private[tables] def dvEligible(m: Manifest): Boolean = {
+    // adopted hive-layout files read partition values from their DIR
+    // names via discovery — the DV-masked scan path cannot attach those,
+    // so converted tables keep the classic rewrite until compaction
+    // normalizes their layout
+    if (m.properties.get(ManagedTable.ConvertPartitionDirsProp)
+        .contains("true") &&
+        m.files.exists(f => !f.path.startsWith("data/"))) return false
     val names = m.files.map(f => new Path(f.path).getName)
     names.size == names.distinct.size &&
       names.forall(ManagedTable.dvSafeBasename)
@@ -3056,6 +3143,14 @@ object ManagedTable {
 
   /** Directory marker Spark uses for null partition values. */
   val NullPartitionValue = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Table property marking a table adopted from a hive-layout parquet
+    * directory ([[ManagedTable.convertInPlace]]): its imported files
+    * carry partition values only in their DIRECTORY names (engine-written
+    * files always store them in the data too), so snapshot reads
+    * materialize them via partition discovery and deletion vectors stay
+    * disabled (the DV scan cannot attach directory values). */
+  val ConvertPartitionDirsProp = "graft.convert.partitionDirs"
 
   /** Suffix of parquet checkpoint sidecar directories in `_graft/manifests`. */
   val SidecarSuffix = ".files.parquet"
