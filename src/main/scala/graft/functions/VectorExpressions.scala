@@ -213,6 +213,12 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[DotProduct].getName, name),
         builder))
     }
+    // table_changes('t', from, to [, keys]) — Delta CDF's SQL TVF over
+    // the row-level change feed (graft.plans.MaintenanceSql)
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo(classOf[DotProduct].getName, "table_changes"),
+      (es: Seq[Expression]) => graft.plans.MaintenanceSql.tableChangesPlan(es)))
     // SQL DML (MERGE INTO / UPDATE / DELETE) over catalog-registered
     // graft tables — see graft.plans.GraftDmlRule
     ext.injectPostHocResolutionRule(session =>

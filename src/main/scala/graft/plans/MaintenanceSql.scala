@@ -533,4 +533,44 @@ object MaintenanceSql {
       Nil
     }
   }
+
+  /** `table_changes('db.t' | '/path', fromVersion, toVersion [, 'k1,k2'])`
+    * — Delta CDF's SQL table-valued function over the row-level change
+    * feed ([[ManagedTable.rowChanges]] with preimage pairs). The key
+    * columns identify rows across the interval (the merge PK); the
+    * 3-argument form reads them from the `graft.cdc.keys` table property
+    * instead, so pipelines can declare the key once
+    * (`ALTER TABLE t SET TBLPROPERTIES ('graft.cdc.keys' = 'id')`). The
+    * feed is the interval diff of the two manifest snapshots — no stored
+    * change files, cost O(changed-file rows). */
+  private[graft] def tableChangesPlan(args: Seq[Expression]): LogicalPlan = {
+    val session = SparkSession.active
+    def str(e: Expression, what: String): String = e match {
+      case lit if lit.foldable =>
+        Option(lit.eval(null)).map(_.toString).getOrElse(
+          throw new MetadataException(s"table_changes: $what is null"))
+      case other => throw new MetadataException(
+        s"table_changes: $what must be a literal, got ${other.sql}")
+    }
+    def lng(e: Expression, what: String): Long = str(e, what).toLong
+    if (args.length < 3 || args.length > 4)
+      throw new MetadataException(
+        "table_changes(table, fromVersion, toVersion [, keyCols]) takes " +
+          s"3 or 4 arguments, got ${args.length}")
+    val ident = str(args.head, "table")
+    val t =
+      if (ident.contains("/") || ident.contains("\\"))
+        ManagedTable(session, ident)
+      else resolveParts(session, ident.split('.').toSeq)
+    val keys: Seq[String] =
+      if (args.length == 4) splitCols(str(args(3), "keyCols"))
+      else t.properties.get("graft.cdc.keys")
+        .map(splitCols).filter(_.nonEmpty).getOrElse(
+          throw new MetadataException(
+            s"table_changes('$ident', from, to): no key columns — pass " +
+              "them as the 4th argument or set the 'graft.cdc.keys' " +
+              "table property"))
+    t.rowChanges(lng(args(1), "fromVersion"), lng(args(2), "toVersion"),
+      keys, includePreimages = true).queryExecution.logical
+  }
 }

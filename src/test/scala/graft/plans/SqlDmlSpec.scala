@@ -324,6 +324,30 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     t.read().filter($"id" === 3).head.getString(1) shouldBe "r"
   }
 
+  test("table_changes TVF: row-level CDF with preimage pairs through SQL") {
+    import spark.implicits._
+    val (name, t) = freshTable()          // v0: ids 1..4
+    spark.sql(s"UPDATE $name SET qty = 99 WHERE id = 2")  // v1
+    spark.sql(s"DELETE FROM $name WHERE id = 4")          // v2
+    // explicit key columns (4-arg form)
+    val feed = spark.sql(
+      s"SELECT id, qty, _change_type FROM table_changes('$name', 0, 2, 'id')")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sorted
+    feed should contain ((2, 20, "update_preimage"))
+    feed should contain ((2, 99, "update_postimage"))
+    feed should contain ((4, 40, "delete"))
+    feed.length shouldBe 3 // untouched rows are not changes
+    // 3-arg form reads the key from the graft.cdc.keys table property
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM table_changes('$name', 0, 2)").collect())
+    spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES ('graft.cdc.keys' = 'id')")
+    spark.sql(s"SELECT * FROM table_changes('$name', 0, 2)")
+      .count() shouldBe 3
+    // path form
+    spark.sql(s"SELECT * FROM table_changes('${t.rootPath}', 1, 2, 'id')")
+      .select("_change_type").head.getString(0) shouldBe "delete"
+  }
+
   test("non-graft DML targets still fail with Spark's own error") {
     import spark.implicits._
     val v = Seq((1, "a")).toDF("id", "v")
