@@ -199,6 +199,47 @@ object EngineOps {
 
   val all: Seq[QueryDef] = Seq(
 
+    // In-place CONVERT + replaceWhere under the oracle: a foreign
+    // hive-partitioned parquet layout (orders bucketed by key) is adopted
+    // with ZERO rewrite (convertInPlace), then a partition-scoped
+    // replaceWhere (metadata-only file drop + fresh region write) halves
+    // bucket 1's totals, then a ROW-scoped replaceWhere (touch-detect +
+    // file-granular rewrite across the adopted hive layout) re-keys
+    // bucket 2's low orders — the final read mixes adopted dir-partition
+    // files with engine-written ones in one snapshot. The oracle states
+    // both replacements declaratively over the same source rows.
+    QueryDef(
+      "q_e_convert_replace",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |         CAST(o_orderkey % 4 AS INT) AS bucket
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |       CASE WHEN bucket = 2 AND o_orderkey < 1000
+        |            THEN CAST(-1 AS BIGINT) ELSE o_custkey END AS o_custkey,
+        |       CASE WHEN bucket = 1 THEN o_totalprice * 0.5
+        |            ELSE o_totalprice END AS o_totalprice,
+        |       bucket
+        |FROM base
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "convert")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          (col("o_orderkey") % 4).cast("int").as("bucket"))
+        .repartition(4)
+        .write.partitionBy("bucket").parquet(s"$root/t")
+      val t = graft.tables.ManagedTable(s, s"$root/t")
+      t.convertInPlace()                                              // v0
+      val discounted = t.read().filter("bucket = 1")
+        .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+      t.overwriteWhere(discounted, "bucket = 1")                      // v1
+      val rekeyed = t.read().filter("bucket = 2 AND o_orderkey < 1000")
+        .withColumn("o_custkey", lit(-1L))
+      t.overwriteWhere(rekeyed, "bucket = 2 AND o_orderkey < 1000")   // v2
+      t.read().select("o_orderkey", "o_custkey", "o_totalprice", "bucket")
+        .orderBy("o_orderkey")
+    },
+
     // S9 + J1 + J4: the 4-clause MERGE with unbounded delete inference.
     // After run 2: s2 rows upserted (all touched at T2); s1-only rows
     // soft-deleted at T2.
