@@ -71,6 +71,8 @@ object MaintenanceSql {
     """(?is)\s*ANALYZE\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+COMPUTE\s+STATISTICS\s*;?\s*""".r
   private val Convert =
     """(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\.`([^`]+)`\s*;?\s*""".r
+  private val Copy =
+    """(?is)\s*COPY\s+INTO\s+(\S+|graft\.`[^`]+`)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*;?\s*""".r
   private val Detail =
     """(?is)\s*DESCRIBE\s+DETAIL\s+(\S+|graft\.`[^`]+`)\s*;?\s*""".r
   private val Clone =
@@ -125,6 +127,9 @@ object MaintenanceSql {
       case Analyze(ident) if isGraftIdent(ident) =>
         Some(GraftAnalyzeCommand(ident))
       case Convert(path) => Some(GraftConvertCommand(path))
+      case Copy(ident, src, fmt) =>
+        Some(GraftCopyIntoCommand(ident, src,
+          Option(fmt).map(_.toLowerCase).getOrElse("parquet")))
       case _ => None
     }
 
@@ -491,6 +496,19 @@ object MaintenanceSql {
     override val output: Seq[Attribute] = attrs("files_adopted" -> LongType)
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(ManagedTable(session, path).convertInPlace().toLong))
+  }
+
+  /** `COPY INTO t FROM '/src' [FILEFORMAT = PARQUET]` — idempotent
+    * incremental bulk load ([[graft.tables.CopyInto]]): only files not
+    * loaded by a previous COPY INTO from the same directory load, exactly
+    * once. Returns the rows this invocation appended. */
+  final case class GraftCopyIntoCommand(ident: String, sourceDir: String,
+      format: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("num_inserted_rows" -> LongType)
+    override def run(session: SparkSession): Seq[Row] = {
+      val t = resolveGraft(session, ident)
+      Seq(Row(graft.tables.CopyInto(session, t.rootPath, sourceDir, format)))
+    }
   }
 
   /** `RESTORE … VERSION AS OF n | TIMESTAMP AS OF 'ts'` — roll back as a

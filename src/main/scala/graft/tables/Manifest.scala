@@ -248,6 +248,13 @@ object Manifest {
     * record chain a reader reconstructs. */
   val CheckpointInterval = 10
 
+  /** Newest record format this reader understands. Records omit the
+    * `format` field while it is 1 (= every record written so far, so old
+    * tables and old readers interoperate); the first format-2 WRITER will
+    * stamp it, and format-1 readers then refuse cleanly instead of
+    * misreading ([[recordFromJsonString]]). */
+  val CurrentFormat = 1L
+
   private[tables] def txnToJson(txn: Option[Txn]): List[(String, JValue)] =
     txn.map(t => "txn" -> (JObject(
       "app" -> JString(t.appId), "batch" -> JLong(t.batchId)): JValue)).toList
@@ -405,6 +412,18 @@ object Manifest {
     * snapshot (the original round-1 format — old tables read unchanged). */
   def recordFromJsonString(s: String): Either[Manifest, IncrementalManifest] = {
     val j = JsonMethods.parse(s)
+    // forward-compat guard (Delta's reader protocol version): a record
+    // stamped by a future writer with semantics this reader cannot honor
+    // (absent = format 1, every record ever written so far) must fail
+    // loudly, not read a table it would misinterpret
+    (j \ "format") match {
+      case JNothing | JNull => ()
+      case f =>
+        val fv = lng(f)
+        if (fv > CurrentFormat) throw new IllegalArgumentException(
+          s"manifest record uses format $fv but this reader supports up " +
+            s"to $CurrentFormat — upgrade the library to read this table")
+    }
     val common = (
       lng(j \ "version"), str(j \ "schemaJson"),
       (j \ "partitionColumns") match { case JArray(xs) => xs.map(str); case _ => Nil },

@@ -71,4 +71,19 @@ class ManifestSpec extends AnyFunSuite with Matchers {
     m.count("nm1") shouldBe 2L
     m.count("missing") shouldBe 0L
   }
+
+  test("format guard: future-format records fail cleanly, current read fine") {
+    val m = Manifest(0L,
+      org.apache.spark.sql.types.StructType(Nil).json, Nil, Nil, "t", 1L)
+    // absent format (every record written so far) = format 1: reads
+    Manifest.recordFromJsonString(m.toJsonString).isLeft shouldBe true
+    // an explicit current-format stamp also reads
+    val stamped = m.toJsonString.replaceFirst("\\{", """{"format":1,""")
+    Manifest.recordFromJsonString(stamped).isLeft shouldBe true
+    // a FUTURE writer's record must refuse, not misread
+    val future = m.toJsonString.replaceFirst("\\{", """{"format":99,""")
+    val ex = intercept[IllegalArgumentException](
+      Manifest.recordFromJsonString(future))
+    ex.getMessage should include("format 99")
+  }
 }
