@@ -104,6 +104,13 @@ object Runner {
             Seq(pk) else Nil
       }
       bloomCols.foreach(c => table.addBloomIndex(c))
+      // declare the CDC identity once: the surrogate PK is the merge
+      // key, so `table_changes('db.t', from, to)` and the change-feed
+      // stream work without per-call key plumbing
+      val pk = e.primaryKeyColumnName
+      if (table.manifest.exists(_.schema.fieldNames.contains(pk)) &&
+          !table.properties.contains("graft.cdc.keys"))
+        table.setTableProperties(Map("graft.cdc.keys" -> pk))
       if (vacuum) table.vacuum()
     }
   }

@@ -73,10 +73,12 @@ object MaintenanceSql {
     """(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\.`([^`]+)`\s*;?\s*""".r
   private val Copy =
     """(?is)\s*COPY\s+INTO\s+(\S+|graft\.`[^`]+`)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*;?\s*""".r
+  private val ShowParts =
+    """(?is)\s*SHOW\s+PARTITIONS\s+(\S+|graft\.`[^`]+`)\s*;?\s*""".r
   private val Detail =
     """(?is)\s*DESCRIBE\s+DETAIL\s+(\S+|graft\.`[^`]+`)\s*;?\s*""".r
   private val Clone =
-    """(?is)\s*CREATE\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+SHALLOW\s+CLONE\s+(\S+|graft\.`[^`]+`)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+(?:(SHALLOW|DEEP)\s+)?CLONE\s+(\S+|graft\.`[^`]+`)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
@@ -107,8 +109,10 @@ object MaintenanceSql {
         Some(GraftBloomIndexCommand(ident,
           Option(cols).map(splitCols).getOrElse(Nil), create = false))
       case Detail(ident) => Some(GraftDetailCommand(ident))
-      case Clone(dest, srcT, v) =>
-        Some(GraftCloneCommand(dest, srcT, Option(v).map(_.toLong)))
+      case Clone(dest, kind, srcT, v) =>
+        // bare CLONE = deep, Delta's default; SHALLOW is the opt-in
+        Some(GraftCloneCommand(dest, srcT, Option(v).map(_.toLong),
+          shallow = Option(kind).exists(_.equalsIgnoreCase("shallow"))))
       case AddConstraint(ident, cname, expr) =>
         Some(GraftAddConstraintCommand(ident, cname, expr.trim))
       case DropConstraint(ident, cname) =>
@@ -126,6 +130,10 @@ object MaintenanceSql {
       // through to Spark's own catalog-stats path untouched
       case Analyze(ident) if isGraftIdent(ident) =>
         Some(GraftAnalyzeCommand(ident))
+      // SHOW PARTITIONS is live grammar for catalog tables — intercept
+      // only confirmed graft targets, like ANALYZE
+      case ShowParts(ident) if isGraftIdent(ident) =>
+        Some(GraftShowPartitionsCommand(ident))
       case Convert(path) => Some(GraftConvertCommand(path))
       case Copy(ident, src, fmt) =>
         Some(GraftCopyIntoCommand(ident, src,
@@ -342,21 +350,24 @@ object MaintenanceSql {
     * lands in the warehouse layout and registers like any
     * TableLocation. */
   final case class GraftCloneCommand(
-      dest: String, src: String, version: Option[Long])
+      dest: String, src: String, version: Option[Long],
+      shallow: Boolean = true)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       Seq(AttributeReference("path", StringType, nullable = false)())
     override def run(session: SparkSession): Seq[Row] = {
       val PathForm = """(?is)graft\.`([^`]+)`""".r
       val s = resolveGraft(session, src)
+      def clone(p: String) =
+        if (shallow) s.shallowCloneTo(p, version) else s.deepCloneTo(p, version)
       val cloned = dest match {
-        case PathForm(p) => s.shallowCloneTo(p, version)
+        case PathForm(p) => clone(p)
         case name =>
           val plain = name.split('.').map(_.stripPrefix("`").stripSuffix("`"))
             .mkString(".")
           val loc = graft.metadata.TableLocation(plain)
           val target = ManagedTable.forLocation(session, loc)
-          val cl = s.shallowCloneTo(target.rootPath, version)
+          val cl = clone(target.rootPath)
           ManagedTable.forLocation(session, loc) // exists now → registers
           cl
       }
@@ -496,6 +507,25 @@ object MaintenanceSql {
     override val output: Seq[Attribute] = attrs("files_adopted" -> LongType)
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(ManagedTable(session, path).convertInPlace().toLong))
+  }
+
+  /** `SHOW PARTITIONS t` — the distinct partition tuples, straight from
+    * the manifest (metadata-only, Spark's `k=v/k2=v2` row format; no
+    * directory listing, no scan). */
+  final case class GraftShowPartitionsCommand(ident: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("partition" -> StringType)
+    override def run(session: SparkSession): Seq[Row] = {
+      val t = resolveGraft(session, ident)
+      val m = t.manifest.getOrElse(return Nil)
+      if (m.partitionColumns.isEmpty)
+        throw new MetadataException(
+          s"SHOW PARTITIONS: table '${t.rootPath}' is not partitioned")
+      m.files.map(_.partitionValues).distinct
+        .map(pv => m.partitionColumns.map(c =>
+          s"$c=${pv.getOrElse(c, null)}").mkString("/"))
+        .sorted.map(Row(_))
+    }
   }
 
   /** `COPY INTO t FROM '/src' [FILEFORMAT = PARQUET]` — idempotent

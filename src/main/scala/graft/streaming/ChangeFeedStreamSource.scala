@@ -78,11 +78,13 @@ class ChangeFeedStreamSource(
     tableSchema.fields.filterNot(f => MetaCols.contains(f.name)))
 
   private val keyCols: Seq[String] = parameters.get("changeFeedKeys")
+    .orElse(table.properties.get("graft.cdc.keys")) // declared-once identity
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     .filter(_.nonEmpty)
     .getOrElse(throw new IllegalArgumentException(
       "graft change feed source requires option 'changeFeedKeys' " +
-        "(the table's merge key — row-level CDC is a key-diff)"))
+        "(the table's merge key — row-level CDC is a key-diff) or the " +
+        "'graft.cdc.keys' table property"))
 
   /** First version whose changes the stream includes; None = latest
     * (only commits after stream start). */

@@ -2262,6 +2262,74 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     dest
   }
 
+  /** Deep clone (Delta's default `CLONE`): an independent copy of this
+    * table's snapshot at `destPath` — data files (and deletion-vector
+    * sidecars) are byte-copied REL-PATH-PRESERVING, so stats, DV masks,
+    * column-mapping physical names, and even a converted table's adopted
+    * hive layout (plus the property that drives its partition-discovery
+    * reads) all stay valid without re-encoding a single row group. Copies
+    * fan out as an executor job above
+    * `spark.graft.clone.distributedThreshold` files (default 64): on an
+    * object store a 100 TB clone is a massively-parallel server-side
+    * copy, not a driver loop. Unlike [[shallowCloneTo]] the result shares
+    * NOTHING with the source — vacuum on either side cannot break the
+    * other. */
+  def deepCloneTo(destPath: String,
+      versionAsOf: Option[Long] = None): ManagedTable = {
+    val m = versionAsOf match {
+      case None => requireManifest
+      case Some(v) =>
+        earliestReadableVersion.foreach(e =>
+          if (v < e) throw new MetadataException(
+            s"deepCloneTo at version $v of $rootPath: vacuumed " +
+              s"(earliest readable version is $e)"))
+        readManifest(v)
+    }
+    val dest = ManagedTable(spark, destPath)
+    if (dest.exists)
+      throw new MetadataException(s"deepCloneTo: $destPath already exists")
+    val dataCopies = m.files.map(f =>
+      (new Path(root, f.path).toString,
+        new Path(dest.root, f.path).toString))
+    // DV names are bare (this table's _dv) or absolute URIs (this table
+    // was itself a shallow clone); either way the copy lands as a bare
+    // name under the clone's own _dv and the entry is rewritten to it
+    val dvCopies = m.files.flatMap(_.dv).distinct.map { d =>
+      val src = new Path(dvDir, d) // absolute URIs win over the base dir
+      (src.toString, new Path(dest.dvDir, src.getName).toString)
+    }
+    copyBatch(dataCopies ++ dvCopies)
+    val entries = m.files.map(f =>
+      f.copy(dv = f.dv.map(d => new Path(dvDir, d).getName)))
+    dest.importFiles(m.schema, m.partitionColumns, entries, "deepClone",
+      m.columnMapping, m.generated, m.properties)
+    dest
+  }
+
+  /** Copy `(src, dst)` pairs — an executor job at or above
+    * `spark.graft.clone.distributedThreshold` (default 64), a bounded
+    * driver pool below it (same split as [[deleteBatch]]). */
+  private def copyBatch(pairs: Seq[(String, String)]): Unit = {
+    if (pairs.isEmpty) return
+    val threshold = spark.conf
+      .get("spark.graft.clone.distributedThreshold", "64").toInt
+    if (pairs.size >= threshold) {
+      val ser = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      spark.sparkContext
+        .parallelize(pairs, math.min(pairs.size, 512))
+        .foreachPartition { it =>
+          val conf = ser.value
+          it.foreach { case (s, d) => ManagedTable.copyWorkItem(conf, s, d) }
+        }
+    } else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      deleteInParallel(pairs) { case (s, d) =>
+        ManagedTable.copyWorkItem(conf, s, d)
+      }
+    }
+  }
+
   /** Merge/compaction commit primitive: atomically replace the content of
     * `partitions` (every file whose partition values appear in the set) with
     * `df`. `partitions == None` replaces all files (unpartitioned merge). */
@@ -2494,7 +2562,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // immaterial — the horizon above already fenced readers)
     val bloomItems =
       if (!fs.exists(bloomDir)) Nil
-      else w.dataDirs.flatMap(_._2).map { case (p, _) =>
+      else (w.dataDirs.flatMap(_._2) ++ w.adoptedOrphans).map { case (p, _) =>
         // bloom sidecars follow their data files' lifecycle (glob: one
         // data file may carry sidecars for several indexed columns)
         (new Path(bloomDir, s"${BloomIndex.fileKey(rel(p))}.*").toString,
@@ -2503,7 +2571,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     deleteBatch(
       w.dataDirs.map { case (dir, _) => (dir.toString, true, false) } ++
         bloomItems ++
-        w.dvSidecars.map(p => (p.toString, true, false)))
+        w.dvSidecars.map(p => (p.toString, true, false)) ++
+        w.adoptedOrphans.map { case (p, _) => (p.toString, false, false) })
     // roll record-embedded streaming txns forward into the vacuum-exempt
     // marker files BEFORE deleting their records: the marker write
     // trails the data commit by one crash window, so a record pruned
@@ -2581,16 +2650,19 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         w.dvSidecars.map(_.getName),
         w.records.collect { case (_, false, v) => v }.sorted,
         dataBytes = w.dataDirs.iterator
-          .flatMap(_._2.iterator.map(_._2)).sum,
+          .flatMap(_._2.iterator.map(_._2)).sum +
+          w.adoptedOrphans.iterator.map(_._2).sum,
         checkpointSidecarVersions =
-          w.records.collect { case (_, true, v) => v }.distinct.sorted)
+          w.records.collect { case (_, true, v) => v }.distinct.sorted,
+        adoptedOrphans = w.adoptedOrphans.map(_._1.toString))
     }
 
   private final case class VacuumWork(
       horizon: Long,
       dataDirs: Seq[(Path, Seq[(Path, Long)])],  // commit dir -> parquet+len
       dvSidecars: Seq[Path],
-      records: Seq[(Path, Boolean, Long)])       // path, isSidecar, version
+      records: Seq[(Path, Boolean, Long)],       // path, isSidecar, version
+      adoptedOrphans: Seq[(Path, Long)] = Nil)   // converted-table leftovers
 
   /** The pure planning half of [[vacuum]] — computes everything the
     * destructive half deletes, with no writes. Retention window: every
@@ -2652,7 +2724,26 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         val isSidecar = name.endsWith(ManagedTable.SidecarSuffix)
         prunable(name, isSidecar).map(v => (st.getPath, isSidecar, v))
       }
-    VacuumWork(horizon, dataDirs, dvSidecars, records)
+    // a CONVERTED table's adopted files live OUTSIDE data/ (exactly where
+    // the foreign layout put them) — once DML/compaction drops them from
+    // every retained version they are garbage, and the commit-dir sweep
+    // above can never reach them. Gated on the permanent convert property
+    // so ordinary tables never pay the full-root listing (on a converted
+    // 100 TB table the listing is the same O(files) Delta's vacuum does).
+    val adoptedOrphans =
+      if (!m.properties.get(ManagedTable.ConvertPartitionDirsProp)
+          .contains("true")) Nil
+      else {
+        val dataPrefix = fs.makeQualified(dataDir).toString + "/"
+        listParquet(root).filter { case (p, _) =>
+          val q = fs.makeQualified(p).toString
+          !q.startsWith(dataPrefix) && !live.contains(q) &&
+            !rel(p).split('/').exists(seg =>
+              (seg.startsWith("_") || seg.startsWith(".")) &&
+                !seg.contains("="))
+        }
+      }
+    VacuumWork(horizon, dataDirs, dvSidecars, records, adoptedOrphans)
   }
 
   /** Commit history from the retained manifest records, newest first —
@@ -3111,7 +3202,10 @@ final case class VacuumPlan(
     /** Versions whose parquet checkpoint SIDECAR directories vacuum also
       * removes — listed separately from [[recordVersions]] so the dry
       * run enumerates the full blast radius, not just the JSON records. */
-    checkpointSidecarVersions: Seq[Long] = Nil)
+    checkpointSidecarVersions: Seq[Long] = Nil,
+    /** Converted-table files (outside `data/`) no retained version
+      * references — the in-place adoption's leftovers vacuum reclaims. */
+    adoptedOrphans: Seq[String] = Nil)
 
 /** One audit row of [[ManagedTable.history]] (DESCRIBE HISTORY
   * equivalent). `metrics` is what the COMMIT did — filesAdded /
@@ -3194,6 +3288,20 @@ object ManagedTable {
       val matches = f.globStatus(path)
       if (matches != null) matches.foreach(st => f.delete(st.getPath, false))
     } else f.delete(path, recursive)
+    ()
+  }
+
+  /** One deep-clone copy, runnable on driver pool threads or executors
+    * (lives on the object so closures capture no table instance). */
+  private[tables] def copyWorkItem(
+      conf: org.apache.hadoop.conf.Configuration,
+      src: String, dst: String): Unit = {
+    val sp = new Path(src)
+    val dp = new Path(dst)
+    val sf = sp.getFileSystem(conf)
+    val df = dp.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(sf, sp, df, dp,
+      false /* keep source */, true /* overwrite partial retries */, conf)
     ()
   }
 

@@ -86,4 +86,33 @@ class PropertySpec extends AnyFunSuite with Matchers {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     salted shouldBe plain
   }
+
+  test("overwriteWhere ≡ (old where NOT pred) ∪ new, across random predicates") {
+    import graft.tables.ManagedTable
+    // deterministic pseudo-random rows + a predicate family: thresholds
+    // over id, equality over the low-cardinality tag, and conjunctions —
+    // for each, replaceWhere must land exactly (survivors ∪ replacement)
+    val rows = samples(
+      Gen.zip(Gen.choose(0, 999), Gen.oneOf("p", "q", "r")), 300)
+      .zipWithIndex.map { case ((n, t), i) => (i, n, t) }
+    val preds = Seq("n < 250", "tag = 'q'", "n >= 700 AND tag = 'p'",
+      "n % 7 = 3", "false")
+    preds.foreach { pred =>
+      val t = ManagedTable(spark,
+        java.nio.file.Files.createTempDirectory("graft-prop").toString + "/t")
+      val df = rows.toDF("id", "n", "tag").repartition(4)
+      t.overwriteAll(df)
+      // an identity replacement (the matching rows themselves) always
+      // satisfies the predicate, so the contract reduces to: the table
+      // afterwards holds exactly survivors ∪ replacement
+      val survivors = df.filter(s"NOT coalesce($pred, false)")
+      val replacement = df.filter(pred)
+      t.overwriteWhere(replacement, pred)
+      val got = t.read().collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sorted
+      val want = (survivors.collect() ++ replacement.collect())
+        .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sorted
+      got shouldBe want
+    }
+  }
 }

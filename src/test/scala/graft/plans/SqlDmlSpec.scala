@@ -324,6 +324,29 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     t.read().filter($"id" === 3).head.getString(1) shouldBe "r"
   }
 
+  test("CREATE TABLE ... CLONE is deep by default; SHOW PARTITIONS lists tuples") {
+    import spark.implicits._
+    val (name, t) = freshTable()
+    val db = name.split('.').head
+    // bare CLONE = deep: fully independent copy
+    val out = spark.sql(s"CREATE TABLE graft.`${t.rootPath}-deep` CLONE $name")
+    out.head.getString(0) shouldBe s"${t.rootPath}-deep"
+    val clone = ManagedTable(spark, s"${t.rootPath}-deep")
+    clone.history().head.operation shouldBe "deepClone"
+    t.overwriteAll(Seq((9, "z", 0)).toDF("id", "name", "qty"))
+    t.vacuum() // source history gone — the deep clone is untouched
+    clone.read().count() shouldBe 4
+    // SHOW PARTITIONS from the manifest, no listing
+    val pt = ManagedTable(spark, t.rootPath + "-parts")
+    pt.overwriteAll(
+      Seq((1, "x"), (2, "y"), (3, "y")).toDF("id", "part"), Seq("part"))
+    spark.sql(s"CREATE TABLE $db.parts USING graft LOCATION '${pt.rootPath}'")
+    spark.sql(s"SHOW PARTITIONS $db.parts").collect()
+      .map(_.getString(0)).sorted shouldBe Array("part=x", "part=y")
+    // unpartitioned → Spark-style error
+    intercept[Exception](spark.sql(s"SHOW PARTITIONS $name").collect())
+  }
+
   test("table_changes TVF: row-level CDF with preimage pairs through SQL") {
     import spark.implicits._
     val (name, t) = freshTable()          // v0: ids 1..4

@@ -94,6 +94,29 @@ class ConvertSpec extends AnyFunSuite with Matchers {
       .toSeq shouldBe Seq((1, "x"), (2, "x"), (3, "y"))
   }
 
+  test("vacuum reclaims adopted files dropped from retention") {
+    import spark.implicits._
+    val dir = tmp() + "/hive3"
+    Seq((1, "a", "x"), (2, "b", "y"))
+      .toDF("id", "name", "part")
+      .write.partitionBy("part").parquet(dir)
+    val t = ManagedTable(spark, dir)
+    t.convertInPlace()
+    t.delete("part = 'x'") shouldBe 1L // metadata-only drop of adopted file
+    // the dropped adopted file still sits outside data/ — dry run finds it
+    val plan = t.vacuumDryRun()
+    plan.adoptedOrphans should have size 1
+    plan.adoptedOrphans.head should include("part=x")
+    t.vacuum()
+    // physically gone; the live snapshot is intact
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(plan.adoptedOrphans.head)) shouldBe false
+    t.read().collect().map(_.getInt(0)) shouldBe Array(2)
+    // a second vacuum finds nothing adopted to reclaim
+    t.vacuumDryRun().adoptedOrphans shouldBe empty
+  }
+
   test("CONVERT TO GRAFT SQL over a path") {
     val sql = {
       SparkSession.clearActiveSession()
@@ -112,6 +135,24 @@ class ConvertSpec extends AnyFunSuite with Matchers {
     val out = sql.sql(s"CONVERT TO GRAFT parquet.`$dir`").collect()
     out.head.getLong(0) should be >= 1L
     sql.sql(s"SELECT count(*) FROM graft.`$dir`").head.getLong(0) shouldBe 2L
+  }
+
+  test("deep clone of an adopted hive layout keeps dir-partition reads") {
+    import spark.implicits._
+    val dir = tmp() + "/hive4"
+    Seq((1, "a", "x"), (2, "b", "y"))
+      .toDF("id", "name", "part")
+      .write.partitionBy("part").parquet(dir)
+    val t = ManagedTable(spark, dir)
+    t.convertInPlace()
+    val clone = t.deepCloneTo(tmp() + "/hive4-clone")
+    // rel-path-preserving copy reproduces the hive layout AND the
+    // property that drives partition-discovery reads
+    clone.manifest.get.properties
+      .get(ManagedTable.ConvertPartitionDirsProp) shouldBe Some("true")
+    clone.read().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(2)))
+      .toSeq shouldBe Seq((1, "x"), (2, "y"))
   }
 
   test("convert failure modes: empty directory, inconsistent layout") {

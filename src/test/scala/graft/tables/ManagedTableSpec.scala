@@ -63,6 +63,24 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 9)
   }
 
+  test("deepCloneTo: independent copy — source vacuum cannot break it") {
+    val t = ManagedTable(spark, tmp() + "/dc-src")
+    t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "y"))), Seq("part"))
+    t.append(df(Seq((3, "c", "x"))))
+    val clone = t.deepCloneTo(tmp() + "/dc-dst", versionAsOf = Some(0L))
+    clone.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2)
+    clone.manifest.get.partitionColumns shouldBe Seq("part")
+    clone.history().head.operation shouldBe "deepClone"
+    // entries are OWNED relative copies, not references into the source
+    clone.manifest.get.files.foreach(f => f.path should not include "dc-src")
+    // destroy the source's history entirely — the clone must not notice
+    t.overwriteAll(df(Seq((9, "z", "q"))))
+    t.vacuum()
+    clone.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2)
+    // a deep clone into an existing table refuses
+    intercept[graft.metadata.MetadataException](t.deepCloneTo(clone.rootPath))
+  }
+
   test("overwriteWhere: partition predicate is a metadata-only replace") {
     val t = ManagedTable(spark, tmp() + "/trw1")
     t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "y"), (3, "c", "y"))), Seq("part"))
