@@ -873,7 +873,43 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * commit fails one writer's transaction instead of orphaning the
     * other's files. */
   private[graft] def withWriteLock[A](f: => A): A =
-    ManagedTable.lockFor(fs.makeQualified(root).toString).synchronized(f)
+    ManagedTable.lockFor(fs.makeQualified(root).toString).synchronized {
+      healOrphanRecord()
+      f
+    }
+
+  /** Crash-recovery roll-forward: a writer that died between publishing
+    * its commit record and swapping the version pointer leaves a COMPLETE
+    * record one above the head (records are all-or-nothing —
+    * [[writeFileNoOverwrite]]), and without repair every later commit of
+    * that version collides with the orphan forever — a liveness failure,
+    * not just a conflict. Since the record's data files were fully
+    * written and recorded BEFORE it was published, finishing the pointer
+    * swap on the crashed writer's behalf commits its transaction exactly
+    * as if it had survived (Delta has no such window — its log file IS
+    * the commit; this closes ours). Racing against a LIVE cross-process
+    * writer is benign: its own swap writes the same value. A record that
+    * fails to parse (a pre-upgrade torn write) is never published —
+    * those still require manual removal, as before. */
+  private def healOrphanRecord(): Unit =
+    currentVersion.foreach { v =>
+      var head = v
+      var continue = true
+      while (continue) {
+        val next = head + 1
+        if (!fs.exists(new Path(manifestsDir, f"v$next%020d.json")))
+          continue = false
+        else {
+          try {
+            Manifest.recordFromJsonString(readRecordString(next))
+            writeFileAtomic(pointerFile, next.toString)
+            head = next
+          } catch {
+            case scala.util.control.NonFatal(_) => continue = false
+          }
+        }
+      }
+    }
 
   /** Adopt an existing parquet directory as a managed table IN PLACE
     * (Delta's `CONVERT TO DELTA`): enumerate the data files, read their
@@ -3151,18 +3187,28 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * another writer committed (or crashed mid-commit, leaving an orphan
     * record above the pointer: inspect `_graft/manifests` vs `_current`
     * and remove the orphan to recover). */
+  /** Put-if-absent publish of a commit record, ALL-OR-NOTHING in content:
+    * the bytes land in a tmp file first and a rename-without-overwrite
+    * moves them into place, so an existing record is always COMPLETE — a
+    * writer can crash before, or after, but never inside it. That is what
+    * lets [[healOrphanRecord]] safely roll a crashed writer's published
+    * record forward instead of demanding manual repair. The rename is the
+    * same atomic arbiter the bare `create(overwrite = false)` was: of two
+    * processes racing for version `next`, one wins, the loser gets a
+    * [[ConcurrentWriteException]]. */
   private def writeFileNoOverwrite(p: Path, content: String): Unit = {
-    val out =
-      try fs.create(p, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new ConcurrentWriteException(
-            s"concurrent commit detected at $p: another writer created this " +
-              "record first (or a crashed writer left an orphan record above " +
-              "the pointer — remove it to recover)", e)
-      }
-    try out.write(content.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    val tmp = new Path(metaDir, s"${p.getName}.tmp.${UUID.randomUUID()}")
+    writeFile(tmp, content)
+    val fc = FileContext.getFileContext(
+      root.toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, p, Options.Rename.NONE)
+    catch {
+      case e: java.io.IOException =>
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+        throw new ConcurrentWriteException(
+          s"concurrent commit detected at $p: another writer created this " +
+            "record first", e)
+    }
   }
 
   /** Publish a small metadata file atomically: tmp write + rename-with-

@@ -63,6 +63,42 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 9)
   }
 
+  test("crash between record publish and pointer swap self-heals on next write") {
+    import org.apache.hadoop.fs.Path
+    val t = ManagedTable(spark, tmp() + "/heal")
+    t.overwriteAll(df(Seq((1, "a", "x"))))          // v0
+    t.append(df(Seq((2, "b", "y"))))                // v1
+    // simulate the crash window: the v1 record exists, but the pointer
+    // never moved — rewind it to v0 the way a dead writer leaves it
+    val fs = new Path(t.rootPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pointer = new Path(t.rootPath, "_graft/_current")
+    val out = fs.create(pointer, true)
+    out.write("0".getBytes("UTF-8")); out.close()
+    val t2 = ManagedTable(spark, t.rootPath)
+    t2.currentVersion shouldBe Some(0L) // readers see the pre-crash head
+    // the next WRITE rolls the complete orphan forward, then commits on
+    // top of it — no manual record removal, no permanent collision
+    t2.append(df(Seq((3, "c", "z"))))
+    t2.currentVersion shouldBe Some(2L)
+    t2.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2, 3)
+    t2.history().map(_.version).sorted shouldBe Seq(0L, 1L, 2L)
+  }
+
+  test("a torn (unparseable) legacy record is NOT rolled forward") {
+    import org.apache.hadoop.fs.Path
+    val t = ManagedTable(spark, tmp() + "/heal2")
+    t.overwriteAll(df(Seq((1, "a", "x"))))          // v0
+    val fs = new Path(t.rootPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = new Path(t.rootPath, f"_graft/manifests/v${1L}%020d.json")
+    val out = fs.create(torn, true)
+    out.write("""{"version":1,"schemaJso""".getBytes("UTF-8")); out.close()
+    // the heal refuses the torn record; the commit then collides on it
+    intercept[ConcurrentWriteException](t.append(df(Seq((2, "b", "y")))))
+    t.currentVersion shouldBe Some(0L)
+  }
+
   test("deepCloneTo: independent copy — source vacuum cannot break it") {
     val t = ManagedTable(spark, tmp() + "/dc-src")
     t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "y"))), Seq("part"))
