@@ -2624,6 +2624,18 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     deleteBatch(w.records.map { case (p, isSidecar, _) =>
       (p.toString, isSidecar, false)
     })
+    // crashed writers leak `.tmp.<uuid>` rename intermediates under
+    // _graft (the publishing rename never ran). A LIVE writer's tmp
+    // exists only for the milliseconds between write and rename, so
+    // anything an hour old is dead weight — swept here, with the same
+    // age guard protecting an in-flight cross-process commit
+    val tmpHorizon = System.currentTimeMillis() - 3600L * 1000
+    val tmpLeaks =
+      if (!fs.exists(metaDir)) Nil
+      else fs.listStatus(metaDir).toSeq.filter(st =>
+        st.isFile && st.getPath.getName.contains(".tmp.") &&
+          st.getModificationTime < tmpHorizon)
+    deleteBatch(tmpLeaks.map(st => (st.getPath.toString, false, false)))
   }
 
   /** Delete `(path, recursive, isGlob)` work items: batches at or above

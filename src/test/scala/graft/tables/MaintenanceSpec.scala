@@ -504,6 +504,24 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
       .collect().map(_.getInt(0)).sorted shouldBe (0 to 12).toArray
   }
 
+  test("vacuum sweeps hour-old crashed-rename tmp files, keeps fresh ones") {
+    import org.apache.hadoop.fs.Path
+    val t = ManagedTable(spark, tmp() + "/tmpsweep")
+    t.overwriteAll(Seq((1, "a")).toDF("id", "v"))
+    val fs = new Path(t.rootPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = new Path(t.rootPath, "_graft/_current.tmp.dead")
+    val live = new Path(t.rootPath, "_graft/_current.tmp.live")
+    Seq(dead, live).foreach { p =>
+      val o = fs.create(p, true); o.write("x".getBytes("UTF-8")); o.close()
+    }
+    fs.setTimes(dead, System.currentTimeMillis() - 2 * 3600 * 1000L, -1)
+    t.vacuum()
+    fs.exists(dead) shouldBe false // crashed writer's leak reclaimed
+    fs.exists(live) shouldBe true  // an in-flight writer's tmp survives
+    t.read().count() shouldBe 1
+  }
+
   test("crashed writes are invisible: stray data files never reach readers") {
     val t = ManagedTable(spark, tmp() + "/atomic")
     t.overwriteAll(Seq((1, "a")).toDF("id", "v"))
