@@ -240,6 +240,33 @@ object EngineOps {
         .orderBy("o_orderkey")
     },
 
+    // COPY INTO under the oracle: a landing directory receives two parquet
+    // files, the first COPY INTO loads both (creating the table), a third
+    // file arrives, and the second COPY INTO loads ONLY it — the final
+    // table state equals the plain union, which is exactly what the
+    // idempotent file ledger must guarantee (a re-run loading nothing is
+    // asserted by CopyIntoSpec; here the oracle hashes the loaded state).
+    QueryDef(
+      "q_e_copy_into",
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer WHERE c_custkey <= 600
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "copyinto")
+      val landing = s"$root/landing"
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment").filter(col("c_custkey") <= 600)
+      cust.filter(col("c_custkey") % 3 === 0).coalesce(1)
+        .write.mode("append").parquet(landing)
+      cust.filter(col("c_custkey") % 3 === 1).coalesce(1)
+        .write.mode("append").parquet(landing)
+      graft.tables.CopyInto(s, s"$root/t", landing)
+      cust.filter(col("c_custkey") % 3 === 2).coalesce(1)
+        .write.mode("append").parquet(landing)
+      graft.tables.CopyInto(s, s"$root/t", landing)
+      graft.tables.ManagedTable(s, s"$root/t").read()
+        .orderBy("c_custkey")
+    },
+
     // S9 + J1 + J4: the 4-clause MERGE with unbounded delete inference.
     // After run 2: s2 rows upserted (all touched at T2); s1-only rows
     // soft-deleted at T2.
