@@ -509,6 +509,16 @@ object MaintenanceSql {
       Seq(Row(ManagedTable(session, path).convertInPlace().toLong))
   }
 
+  /** `TRUNCATE TABLE t` routed away from Spark's directory-clearing V1
+    * path into [[ManagedTable.truncate]]: one metadata-only commit drops
+    * every file; the transaction log, history, and time travel survive. */
+  final case class GraftTruncateCommand(parts: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("num_removed_rows" -> LongType)
+    override def run(session: SparkSession): Seq[Row] =
+      Seq(Row(resolveParts(session, parts).truncate()))
+  }
+
   /** `SHOW PARTITIONS t` — the distinct partition tuples, straight from
     * the manifest (metadata-only, Spark's `k=v/k2=v2` row format; no
     * directory listing, no scan). */

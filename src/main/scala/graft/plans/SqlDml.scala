@@ -194,6 +194,14 @@ class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
         cols) if graftDdl(u.multipartIdentifier) =>
       MaintenanceSql.GraftAddColumnsCommand(u.multipartIdentifier,
         cols.map(c => topLevel(c.name, "ADD COLUMN") -> c.dataType))
+    // TRUNCATE TABLE — Spark's own V1 path would DELETE THE TABLE
+    // DIRECTORY CONTENTS, destroying the _graft transaction log along
+    // with the data; for graft targets it must be a metadata-only
+    // remove-every-file commit (history and time travel survive, vacuum
+    // reclaims the bytes on the operator's schedule)
+    case tr @ TruncateTable(u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable)
+        if graftDdl(u.multipartIdentifier) =>
+      MaintenanceSql.GraftTruncateCommand(u.multipartIdentifier)
     // TBLPROPERTIES — manifest-versioned per-table configuration
     // (Spark's own resolution would write them to the catalog entry,
     // where no other cluster's session would see them)

@@ -1211,6 +1211,22 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       }
     }
 
+  /** TRUNCATE: drop every file from the snapshot in ONE metadata-only
+    * commit — no scan, no rewrite, nothing physically deleted (history
+    * and time travel keep working; [[vacuum]] reclaims the bytes later).
+    * Schema, partitioning, constraints, generated/identity rules, and
+    * properties all survive. Returns the number of rows removed when the
+    * manifest prices it exactly, else -1 (stats-free legacy files). */
+  def truncate(): Long = withWriteLock {
+    val m = requireManifest
+    val rows =
+      if (m.files.forall(_.rows.isDefined)) m.files.flatMap(_.liveRows).sum
+      else -1L
+    commitDelta(m.schemaJson, m.partitionColumns, "truncate",
+      base = Some(m), adds = Nil, removes = m.files.map(_.path))
+    rows
+  }
+
   /** Shared DELETE/UPDATE skeleton: touch-detect matching files + count
     * matching rows in ONE narrow job, rewrite only those files
     * (`rewrite(touchedRows, pred)` produces their replacement content),

@@ -371,6 +371,21 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
       .select("_change_type").head.getString(0) shouldBe "delete"
   }
 
+  test("TRUNCATE TABLE: metadata-only, transaction log and time travel survive") {
+    val (name, t) = freshTable()
+    val out = spark.sql(s"TRUNCATE TABLE $name").collect()
+    out.head.getLong(0) shouldBe 4L
+    t.read().count() shouldBe 0
+    spark.table(name).count() shouldBe 0
+    // nothing physically deleted: history intact, the old snapshot reads
+    t.readVersion(0).count() shouldBe 4
+    t.history().head.operation shouldBe "truncate"
+    // the table keeps living: an append works against the empty head
+    import spark.implicits._
+    t.append(Seq((9, "z", 1)).toDF("id", "name", "qty"))
+    spark.table(name).count() shouldBe 1
+  }
+
   test("non-graft DML targets still fail with Spark's own error") {
     import spark.implicits._
     val v = Seq((1, "a")).toDF("id", "v")
