@@ -937,10 +937,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val listed = listParquet(root).filter { case (p, _) => !hidden(rel(p)) }
     if (listed.isEmpty) throw new IllegalStateException(
       s"convertInPlace: no parquet files under $rootPath")
+    // partition segments are DIRECTORY names only — a data file whose own
+    // name happens to contain '=' must not be parsed as one
     def partsOf(relPath: String): Seq[(String, String)] =
-      relPath.split('/').iterator.filter(_.contains("=")).map { seg =>
-        val Array(k, v) = seg.split("=", 2)
-        k -> hiveUnescape(v)
+      relPath.split('/').dropRight(1).iterator.filter(_.contains("=")).map {
+        seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> hiveUnescape(v)
       }.toSeq
     val partitionCols = partsOf(rel(listed.head._1)).map(_._1)
     listed.foreach { case (p, _) =>
