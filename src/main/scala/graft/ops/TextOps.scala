@@ -842,4 +842,40 @@ object TextOps {
         count(when(keep, 1)).as("sampled_docs"),
         coalesce(sum(when(keep, col("toks"))), lit(0L)).as("sampled_tokens"))
   }
+
+  /** Cross-corpus PARAGRAPH dedup with document reassembly (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better" —
+    * the substring-granular pass modern web-corpus pipelines run after
+    * document-level dedup): split every document on `sep`, keep only the
+    * corpus-wide FIRST occurrence of each exact paragraph (ordered by
+    * (document id, paragraph position)), and stitch each document back
+    * together from its surviving paragraphs — a document reduced to
+    * nothing comes back as the empty string, not a dropped row.
+    *
+    * Scale shape: paragraphs join on their sha-256, never the raw text
+    * (one shuffle keyed by a 64-hex string instead of arbitrary-length
+    * paragraphs); the winner per hash is a plain min-struct aggregate
+    * (map-side partial); reassembly is one groupBy over surviving
+    * paragraphs with an in-row sort. Everything is exploded relations +
+    * codegen'd column algebra — no UDFs, no windows over the corpus. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__para")))
+      .withColumn("__h", sha2(col("__para"), 256))
+    val winners = paras.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+    val kept = paras.join(winners, Seq("__h"))
+      .filter(struct(col("__id"), col("__pos")) === col("__w"))
+    val stitched = kept.groupBy("__id").agg(
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          x => x.getField("__para")),
+        sep).as("__text"))
+    df.select(col(idCol))
+      .join(stitched, col(idCol) === col("__id"), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
+  }
 }

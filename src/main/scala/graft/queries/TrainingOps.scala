@@ -48,6 +48,43 @@ object TrainingOps {
         .orderBy("content_sha")
     },
 
+    // --------------- dedup: cross-corpus PARAGRAPH dedup with reassembly
+    // (Lee et al. 2022 — substring-granular pass after doc-level dedup).
+    // The synthetic corpus pairs each document's text with its successor's
+    // (wrap-around), so every "paragraph" genuinely appears in two
+    // documents; keep-first then reassembles each document from its
+    // surviving paragraphs, empty-string when nothing survives.
+    QueryDef(
+      "q_td_dedup_paragraphs",
+      """WITH n AS (SELECT count(*) AS c FROM documents),
+        |synth AS (
+        |  SELECT d1.doc_id, d1.text AS p1, d2.text AS p2
+        |  FROM documents d1, documents d2, n
+        |  WHERE d2.doc_id = (d1.doc_id + 1) % n.c),
+        |paras AS (
+        |  SELECT doc_id AS id, 0 AS pos, p1 AS para FROM synth
+        |  UNION ALL SELECT doc_id, 1, p2 FROM synth),
+        |winners AS (
+        |  SELECT para, min(id * 2 + pos) AS w FROM paras GROUP BY para),
+        |kept AS (
+        |  SELECT p.id, p.pos, p.para FROM paras p JOIN winners w
+        |    ON p.para = w.para AND p.id * 2 + p.pos = w.w),
+        |stitched AS (
+        |  SELECT id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+        |  FROM kept GROUP BY id)
+        |SELECT s.doc_id, coalesce(st.text, '') AS text
+        |FROM synth s LEFT JOIN stitched st ON st.id = s.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val succ = docs.select(col("doc_id").as("did2"), col("text").as("p2"))
+      val synth = docs.select(col("doc_id"), col("text").as("p1"))
+        .join(succ, ((col("doc_id") + 1) % n) === col("did2"))
+        .select(col("doc_id"),
+          concat_ws("\n\n", col("p1"), col("p2")).as("text"))
+      TextOps.dedupParagraphs(synth, "doc_id", "text").orderBy("doc_id")
+    },
+
     // ----------------------------------------- dedup: MinHash + LSH bands
     QueryDef("q_td_minhash_lsh", minHashOracle) { (s, d) =>
       TextOps.minHashNearDupPairs(Tables.documents(s, d), "doc_id", "text")

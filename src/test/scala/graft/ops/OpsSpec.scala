@@ -669,6 +669,27 @@ class OpsSpec extends AnyFunSuite with Matchers {
     g.groupBy(_._2).values.foreach(grp => grp.count(_._3) shouldBe 1)
   }
 
+  test("paragraph dedup: keep-first across docs, reassembly, empty survivors") {
+    val d = Seq(
+      (1L, "alpha\n\nbeta"),   // both first occurrences → unchanged
+      (2L, "beta\n\ngamma"),   // beta seen in doc 1 → only gamma survives
+      (3L, "alpha\n\nbeta"),   // everything seen → reduces to empty string
+      (4L, "gamma\n\ndelta")   // gamma seen in doc 2 → only delta survives
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupParagraphs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    out shouldBe Map(
+      1L -> "alpha\n\nbeta",
+      2L -> "gamma",
+      3L -> "",               // row kept, text emptied — never dropped
+      4L -> "delta")
+    // within-document order survives even when later paragraphs win
+    val d2 = Seq((1L, "z\n\na"), (2L, "a\n\nz\n\nq")).toDF("doc_id", "text")
+    TextOps.dedupParagraphs(d2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap shouldBe
+      Map(1L -> "z\n\na", 2L -> "q")
+  }
+
   test("lexical diversity: ttr, hapax, simpson from exact counts") {
     val out = TextOps.lexicalDiversity(docs((1L, "a a b c")), "doc_id", "text")
       .collect().head
