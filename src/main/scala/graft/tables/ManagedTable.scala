@@ -3084,7 +3084,22 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         s"concurrent commit detected at $rootPath: transaction based on " +
           s"version ${b.version} but the table is at ${next - 1} — " +
           "another writer committed in between"))
-    val now = System.currentTimeMillis()
+    // in-commit timestamp monotonicity (Delta's inCommitTimestamps): a
+    // wall clock stepped backwards (NTP correction, VM migration) must
+    // not record version n+1 as OLDER than n — timestampAsOf resolves by
+    // "newest version at or before t", which a regression would corrupt
+    // silently. Clamp to strictly-after-predecessor (the head's record is
+    // always retained, so the read is cache-warm; base-less overwrites
+    // clamp too); the recorded instant may then lead the wall clock by
+    // the regression amount, which only shifts readTimestamp boundaries,
+    // never reorders them.
+    val priorTs: Option[Long] = base.map(_.timestampMs).orElse(
+      if (next == 0) None
+      else
+        try Some(readManifest(next - 1).timestampMs)
+        catch { case scala.util.control.NonFatal(_) => None })
+    val now = priorTs.fold(System.currentTimeMillis())(p =>
+      math.max(System.currentTimeMillis(), p + 1))
     val removed = removes.toSet
     val newFiles = base.map(_.files.filterNot(f => removed.contains(f.path)))
       .getOrElse(Nil) ++ adds

@@ -63,6 +63,34 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 9)
   }
 
+  test("commit timestamps stay monotonic across a backwards-stepped clock") {
+    import org.apache.hadoop.fs.Path
+    val t = ManagedTable(spark, tmp() + "/mono")
+    t.overwriteAll(df(Seq((1, "a", "x"))))          // v0
+    // simulate an NTP step-back: rewrite v0's record an hour in the future
+    val fs = new Path(t.rootPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rec = new Path(t.rootPath, f"_graft/manifests/v${0L}%020d.json")
+    val in = fs.open(rec)
+    val raw = new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"); in.close()
+    val m0 = Manifest.fromJsonString(raw)
+    val future = System.currentTimeMillis() + 3600L * 1000
+    val bumped = m0.copy(timestampMs = future).toJsonString
+    fs.delete(rec, false)
+    val out = fs.create(rec, true)
+    out.write(bumped.getBytes("UTF-8")); out.close()
+    // next commits must still be recorded strictly AFTER v0
+    val t2 = ManagedTable(spark, t.rootPath)
+    t2.append(df(Seq((2, "b", "y"))))               // v1
+    t2.overwriteAll(df(Seq((3, "c", "z"))))         // v2 (base-less path)
+    val ts = t2.history().sortBy(_.version).map(_.timestampMs)
+    ts shouldBe ts.sorted
+    ts.distinct.size shouldBe ts.size // strictly increasing
+    // timestampAsOf resolution stays consistent with version order
+    t2.versionAt(ts(1)) shouldBe 1L
+  }
+
   test("crash between record publish and pointer swap self-heals on next write") {
     import org.apache.hadoop.fs.Path
     val t = ManagedTable(spark, tmp() + "/heal")
