@@ -2255,14 +2255,16 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       operation: String = "import",
       columnMapping: Option[ColumnMapping] = None,
       generated: Map[String, String] = Map.empty,
-      properties: Map[String, String] = Map.empty): Unit = withWriteLock {
+      properties: Map[String, String] = Map.empty,
+      constraints: Map[String, String] = Map.empty): Unit = withWriteLock {
     manifest match {
       case None =>
         commitDelta(schema.json, partitionBy, operation,
           base = None, adds = files, removes = Nil,
           mappingOverride = Some(columnMapping),
           generatedOverride = Some(generated),
-          propertiesOverride = Some(properties))
+          propertiesOverride = Some(properties),
+          constraintsOverride = Some(constraints))
       case Some(m) =>
         if (m.columnMapping != columnMapping)
           throw new MetadataException(
@@ -2313,7 +2315,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       f.copy(path = fs.makeQualified(new Path(root, f.path)).toString,
         dv = f.dv.map(d => fs.makeQualified(new Path(dvDir, d)).toString)))
     dest.importFiles(m.schema, m.partitionColumns, absolute, "shallowClone",
-      m.columnMapping, m.generated, m.properties)
+      m.columnMapping, m.generated, m.properties, m.constraints)
     dest
   }
 
@@ -2357,7 +2359,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val entries = m.files.map(f =>
       f.copy(dv = f.dv.map(d => new Path(dvDir, d).getName)))
     dest.importFiles(m.schema, m.partitionColumns, entries, "deepClone",
-      m.columnMapping, m.generated, m.properties)
+      m.columnMapping, m.generated, m.properties, m.constraints)
     dest
   }
 

@@ -145,6 +145,21 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     intercept[graft.metadata.MetadataException](t.deepCloneTo(clone.rootPath))
   }
 
+  test("clones carry CHECK constraints — enforcement survives the copy") {
+    val t = ManagedTable(spark, tmp() + "/cc-src")
+    t.overwriteAll(df(Seq((1, "a", "x"))))
+    t.addConstraint("pos_id", "id > 0")
+    val deep = t.deepCloneTo(tmp() + "/cc-deep")
+    val shallow = t.shallowCloneTo(tmp() + "/cc-shallow")
+    Seq(deep, shallow).foreach { c =>
+      c.manifest.get.constraints.keySet shouldBe Set("pos_id")
+      intercept[ConstraintViolationException](
+        c.append(df(Seq((-5, "bad", "x")))))
+      c.append(df(Seq((2, "ok", "x"))))
+      c.read().count() shouldBe 2
+    }
+  }
+
   test("overwriteWhere: partition predicate is a metadata-only replace") {
     val t = ManagedTable(spark, tmp() + "/trw1")
     t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "y"), (3, "c", "y"))), Seq("part"))
