@@ -1059,9 +1059,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           partitionOnlyMatches(m, condition) match {
             case Some(victims) => (victims.map(_.path), None)
             case None =>
-              if (m.files.isEmpty) (Nil, None)
+              // same manifest-side narrowing as DML before the scan
+              val cand = statsPrunedFiles(m, condition)
+              if (cand.isEmpty) (Nil, None)
               else {
-                val touchedUris = readManifestFilesTagged(m, m.files, "__g_file")
+                val touchedUris = readManifestFilesTagged(m, cand, "__g_file")
                   .filter(pred)
                   .select("__g_file").distinct()
                   .collect().map(_.getString(0))
@@ -1230,6 +1232,73 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     rows
   }
 
+  /** Manifest-side candidate pruning for an arbitrary SQL condition —
+    * the DML twin of the `format("graft")` scan's pushed-filter pruning:
+    * each translatable top-level conjunct prunes through the same
+    * machinery (driver-side partition evaluation, per-file min/max
+    * stats, Bloom sidecars for point/IN probes, generated-column
+    * monotone inference), and a file any conjunct rules out cannot hold
+    * a row satisfying the whole condition. Untranslatable conditions
+    * prune nothing — this is an optimization, never an arbiter. At
+    * 100 TB it is what turns `DELETE WHERE ts < X` on a ts-clustered
+    * table into a scan of the handful of overlapping files instead of
+    * the table. */
+  private[graft] def statsPrunedFiles(
+      m: Manifest, condition: String): Seq[TableFile] =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression}
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      def split(e: Expression): Seq[Expression] = e match {
+        case CAnd(l, r) => split(l) ++ split(r)
+        case x => Seq(x)
+      }
+      val conj: Seq[Expression] = empty.filter(expr(condition))
+        .queryExecution.analyzed.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            split(f.condition)
+        }.flatten
+      // translate exactly the shapes the pruner exploits (=, IN, ranges
+      // on a column vs literal); everything else contributes no pruning
+      import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.{sources => sf}
+      def ext(l: Literal): Any = convertToScala(l.value, l.dataType)
+      def tr(e: Expression): Option[sf.Filter] = e match {
+        case EqualTo(a: AttributeReference, l: Literal) =>
+          Some(sf.EqualTo(a.name, ext(l)))
+        case EqualTo(l: Literal, a: AttributeReference) =>
+          Some(sf.EqualTo(a.name, ext(l)))
+        case GreaterThan(a: AttributeReference, l: Literal) =>
+          Some(sf.GreaterThan(a.name, ext(l)))
+        case GreaterThan(l: Literal, a: AttributeReference) =>
+          Some(sf.LessThan(a.name, ext(l)))
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+          Some(sf.GreaterThanOrEqual(a.name, ext(l)))
+        case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+          Some(sf.LessThanOrEqual(a.name, ext(l)))
+        case LessThan(a: AttributeReference, l: Literal) =>
+          Some(sf.LessThan(a.name, ext(l)))
+        case LessThan(l: Literal, a: AttributeReference) =>
+          Some(sf.GreaterThan(a.name, ext(l)))
+        case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+          Some(sf.LessThanOrEqual(a.name, ext(l)))
+        case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+          Some(sf.GreaterThanOrEqual(a.name, ext(l)))
+        case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+          Some(sf.In(a.name,
+            vs.map(v => ext(v.asInstanceOf[Literal])).toArray))
+        case InSet(a: AttributeReference, hset) =>
+          Some(sf.In(a.name,
+            hset.map(v => convertToScala(v, a.dataType)).toArray))
+        case _ => None
+      }
+      val filters = conj.flatMap(tr)
+      if (filters.isEmpty) m.files
+      else graft.sources.GraftRelation(spark.sqlContext, rootPath, None)
+        .prunedFiles(m, filters.toArray)
+    } catch { case scala.util.control.NonFatal(_) => m.files }
+
   /** Shared DELETE/UPDATE skeleton: touch-detect matching files + count
     * matching rows in ONE narrow job, rewrite only those files
     * (`rewrite(touchedRows, pred)` produces their replacement content),
@@ -1260,7 +1329,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       case Some(victims) if victims.isEmpty => return 0L
       case _ => ()
     }
-    val candidates = partitionMatches.getOrElse(m.files)
+    // mixed/data-column predicates: manifest stats + bloom + partition
+    // conjuncts narrow the touch-detect scan before any file opens
+    val candidates = partitionMatches.getOrElse(statsPrunedFiles(m, condition))
+    if (candidates.isEmpty) return 0L
 
     // merge-on-read: when deletion vectors are enabled (and basenames are
     // DV-safe), a row-level DELETE/UPDATE masks positions in a small

@@ -63,6 +63,28 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 9)
   }
 
+  test("DML touch-detect prunes candidates from manifest stats") {
+    import spark.implicits._
+    val t = ManagedTable(spark, tmp() + "/dmlprune")
+    // three files with disjoint id ranges recorded in manifest stats
+    t.overwriteAll((1 to 10).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    t.append((11 to 20).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+    t.append((21 to 30).map(i => (i, s"c$i")).toDF("id", "v").coalesce(1))
+    val m = t.manifest.get
+    m.files.size shouldBe 3
+    // a range predicate prunes to the single overlapping file
+    t.statsPrunedFiles(m, "id >= 25").size shouldBe 1
+    t.statsPrunedFiles(m, "id = 15 AND v != 'x'").size shouldBe 1
+    t.statsPrunedFiles(m, "id IN (3, 27)").size shouldBe 2
+    // untranslatable predicates keep everything — never an arbiter
+    t.statsPrunedFiles(m, "length(v) > 1").size shouldBe 3
+    // and the DML built on it stays correct
+    t.delete("id >= 25") shouldBe 6L
+    t.update(Map("v" -> "'z'"), "id = 15") shouldBe 1L
+    t.read().count() shouldBe 24
+    t.read().filter($"id" === 15).head.getString(1) shouldBe "z"
+  }
+
   test("commit timestamps stay monotonic across a backwards-stepped clock") {
     import org.apache.hadoop.fs.Path
     val t = ManagedTable(spark, tmp() + "/mono")
