@@ -55,6 +55,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private val dvDir = new Path(metaDir, "_dv")
   private val bloomConfigFile = new Path(metaDir, "_bloomindex.json")
   private val dataDir = new Path(root, "data")
+  /** One FileContext per table instance — construction parses config and
+    * is NOT cached by Hadoop (unlike FileSystem.get), and every commit
+    * does two atomic renames through it. */
+  private lazy val fileContext = FileContext.getFileContext(
+    root.toUri, spark.sparkContext.hadoopConfiguration)
 
   private def fs: FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -3167,10 +3172,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // clamp too); the recorded instant may then lead the wall clock by
     // the regression amount, which only shifts readTimestamp boundaries,
     // never reorders them.
+    // (single RECORD read, never a chain reconstruction — only the
+    // predecessor's own timestamp matters, and both record kinds carry it)
     val priorTs: Option[Long] = base.map(_.timestampMs).orElse(
       if (next == 0) None
       else
-        try Some(readManifest(next - 1).timestampMs)
+        try Some(Option(snapshotCache.get(next - 1)).map(_.timestampMs)
+          .getOrElse(Manifest.recordFromJsonString(
+            readRecordString(next - 1)).fold(_.timestampMs, _.timestampMs)))
         catch { case scala.util.control.NonFatal(_) => None })
     val now = priorTs.fold(System.currentTimeMillis())(p =>
       math.max(System.currentTimeMillis(), p + 1))
@@ -3319,9 +3328,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private def writeFileNoOverwrite(p: Path, content: String): Unit = {
     val tmp = new Path(metaDir, s"${p.getName}.tmp.${UUID.randomUUID()}")
     writeFile(tmp, content)
-    val fc = FileContext.getFileContext(
-      root.toUri, spark.sparkContext.hadoopConfiguration)
-    try fc.rename(tmp, p, Options.Rename.NONE)
+    try fileContext.rename(tmp, p, Options.Rename.NONE)
     catch {
       case e: java.io.IOException =>
         try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
@@ -3336,9 +3343,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private def writeFileAtomic(target: Path, content: String): Unit = {
     val tmp = new Path(metaDir, s"${target.getName}.tmp.${UUID.randomUUID()}")
     writeFile(tmp, content)
-    val fc = FileContext.getFileContext(
-      root.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, target, Options.Rename.OVERWRITE)
+    fileContext.rename(tmp, target, Options.Rename.OVERWRITE)
   }
 }
 
