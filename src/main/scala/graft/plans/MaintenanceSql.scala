@@ -75,6 +75,8 @@ object MaintenanceSql {
     """(?is)\s*COPY\s+INTO\s+(\S+|graft\.`[^`]+`)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*;?\s*""".r
   private val ShowParts =
     """(?is)\s*SHOW\s+PARTITIONS\s+(\S+|graft\.`[^`]+`)\s*;?\s*""".r
+  private val Fsck =
+    """(?is)\s*FSCK\s+REPAIR\s+TABLE\s+(\S+|graft\.`[^`]+`)(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val Detail =
     """(?is)\s*DESCRIBE\s+DETAIL\s+(\S+|graft\.`[^`]+`)\s*;?\s*""".r
   private val Clone =
@@ -134,6 +136,7 @@ object MaintenanceSql {
       // only confirmed graft targets, like ANALYZE
       case ShowParts(ident) if isGraftIdent(ident) =>
         Some(GraftShowPartitionsCommand(ident))
+      case Fsck(ident, dry) => Some(GraftFsckCommand(ident, dry != null))
       case Convert(path) => Some(GraftConvertCommand(path))
       case Copy(ident, src, fmt) =>
         Some(GraftCopyIntoCommand(ident, src,
@@ -507,6 +510,16 @@ object MaintenanceSql {
     override val output: Seq[Attribute] = attrs("files_adopted" -> LongType)
     override def run(session: SparkSession): Seq[Row] =
       Seq(Row(ManagedTable(session, path).convertInPlace().toLong))
+  }
+
+  /** `FSCK REPAIR TABLE t [DRY RUN]` — drop manifest references to data
+    * files deleted out-of-band ([[ManagedTable.repairTable]]); one row
+    * per dangling path, like Delta. */
+  final case class GraftFsckCommand(ident: String, dryRun: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("removed_path" -> StringType)
+    override def run(session: SparkSession): Seq[Row] =
+      resolveGraft(session, ident).repairTable(dryRun).map(Row(_))
   }
 
   /** `TRUNCATE TABLE t` routed away from Spark's directory-clearing V1

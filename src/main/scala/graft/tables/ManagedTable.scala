@@ -1221,6 +1221,43 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       }
     }
 
+  /** FSCK (Delta's `FSCK REPAIR TABLE`): drop manifest references to
+    * data files that no longer exist on storage (deleted out-of-band —
+    * an aggressive external cleaner, a restored-from-backup data tree),
+    * so reads stop failing mid-scan on dangling entries. Existence
+    * probes fan out as an executor job above the vacuum distributed
+    * threshold; the removal is one metadata commit. Returns the removed
+    * paths (empty = nothing dangling, no commit). */
+  def repairTable(dryRun: Boolean = false): Seq[String] = withWriteLock {
+    val m = requireManifest
+    val paths = m.files.map(f => new Path(root, f.path).toString)
+    val threshold = spark.conf
+      .get("spark.graft.vacuum.distributedThreshold", "1024").toInt
+    val missing: Seq[String] =
+      if (paths.size >= threshold) {
+        val ser = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        spark.sparkContext
+          .parallelize(paths, math.min(paths.size, 512))
+          .mapPartitions { it =>
+            val conf = ser.value
+            it.filter { p =>
+              val hp = new Path(p)
+              !hp.getFileSystem(conf).exists(hp)
+            }
+          }.collect().toSeq
+      } else paths.filter(p => !fs.exists(new Path(p)))
+    if (missing.isEmpty) return Nil
+    val missingSet = missing.toSet
+    val removed = m.files
+      .filter(f => missingSet.contains(new Path(root, f.path).toString))
+      .map(_.path)
+    if (!dryRun)
+      commitDelta(m.schemaJson, m.partitionColumns, "fsck",
+        base = Some(m), adds = Nil, removes = removed)
+    removed
+  }
+
   /** TRUNCATE: drop every file from the snapshot in ONE metadata-only
     * commit — no scan, no rewrite, nothing physically deleted (history
     * and time travel keep working; [[vacuum]] reclaims the bytes later).

@@ -522,6 +522,29 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     t.read().count() shouldBe 1
   }
 
+  test("fsck repair: dangling references dropped, intact files survive") {
+    import org.apache.hadoop.fs.Path
+    val t = ManagedTable(spark, tmp() + "/fsck")
+    t.overwriteAll(Seq((1, "a")).toDF("id", "v").coalesce(1))
+    t.append(Seq((2, "b")).toDF("id", "v").coalesce(1))
+    val fs = new Path(t.rootPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // delete one data file out-of-band — reads would now fail mid-scan
+    val victim = t.manifest.get.files.head
+    fs.delete(new Path(t.rootPath, victim.path), false)
+    // dry run reports without committing
+    t.repairTable(dryRun = true) shouldBe Seq(victim.path)
+    t.manifest.get.files.size shouldBe 2
+    // real repair drops the dangling entry; the table reads again
+    t.repairTable() shouldBe Seq(victim.path)
+    t.history().head.operation shouldBe "fsck"
+    t.read().count() shouldBe 1
+    // clean table: no-op, no commit
+    val v = t.currentVersion.get
+    t.repairTable() shouldBe empty
+    t.currentVersion shouldBe Some(v)
+  }
+
   test("crashed writes are invisible: stray data files never reach readers") {
     val t = ManagedTable(spark, tmp() + "/atomic")
     t.overwriteAll(Seq((1, "a")).toDF("id", "v"))
