@@ -280,6 +280,37 @@ object SimilarityOps {
       count(lit(1)).over(Window.partitionBy("cluster_id")))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): drop near-identical
+    * embeddings, comparing pairs ONLY within their assigned cluster —
+    * the clustering is what bounds the pairwise blowup (O(Σ cluster²),
+    * never O(n²); with balanced clusters that is n²/k). The keep rule is
+    * the deterministic "first wins": a member is dropped iff some
+    * LOWER-ID member of its cluster is within `threshold` cosine —
+    * exactly the keep-one-per-duplicate-set greedy most SemDeDup
+    * implementations run, stated without iterative closure so the same
+    * semantics are declaratively checkable. Returns every input id with
+    * its cluster and a `keep` flag (dropped rows stay visible — corpus
+    * curation wants the audit, not a silent shrink). */
+  def semanticDedup(corpus: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val assign = clusterAssignments(corpus, codebook, idCol, vecCol)
+      .select(col("vec_id"), col("cluster_id"))
+    val e = corpus
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("__v"))
+      .join(assign, "vec_id")
+    val lower = e.select(col("vec_id").as("__lid"),
+      col("cluster_id").as("__lc"), col("__v").as("__lv"))
+    val dropped = e.join(lower,
+        col("cluster_id") === col("__lc") && col("__lid") < col("vec_id") &&
+          expr("graft_cosine(__v, __lv)") >= threshold,
+        "left_semi")
+      .select(col("vec_id").as("__d"))
+    assign.join(dropped, col("vec_id") === col("__d"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("__d").isNull.as("keep"))
+  }
+
   /** Product-quantization sub-codebooks: the embedding space is split into
     * `m` contiguous subspaces of `dims / m` dimensions; each gets its own
     * `ksub`-entry codebook. Deterministic seed (the first `ksub` corpus

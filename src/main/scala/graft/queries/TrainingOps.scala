@@ -309,6 +309,20 @@ object TrainingOps {
         .orderBy("vec_id")
     },
 
+    // ------------------------------ dedup: SemDeDup (cluster-bounded
+    // cosine pruning — pairs are compared only within their assigned
+    // cluster, the deterministic first-wins keep rule; same 16-centroid
+    // codebook as q_td_cluster)
+    QueryDef("q_td_semdedup", semDedupOracle) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val codebook = e.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("cid"),
+          SimilarityOps.asDouble(col("embedding")).as("centv"))
+      SimilarityOps.semanticDedup(e, codebook, "vec_id", "embedding",
+          threshold = 0.4)
+        .orderBy("vec_id")
+    },
+
     // ------------------------------- similarity: product-quantization ADC
     // (corpus stored as 4 sub-codebook codes per vector — the compressed
     // billion-vector search path; search reconstructs cosines from a
@@ -1056,6 +1070,28 @@ object TrainingOps {
        |SELECT vec_id, cid AS cluster_id, cos,
        |       count(*) OVER (PARTITION BY cid) AS cluster_size
        |FROM assign ORDER BY vec_id""".stripMargin
+
+  private def semDedupOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS centv FROM e WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, cid AS cluster_id FROM (
+       |    SELECT e.vec_id, cent.cid,
+       |      row_number() OVER (
+       |        PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e.v", "cent.centv")} DESC, cent.cid) AS rn
+       |    FROM e, cent)
+       |  WHERE rn = 1),
+       |m AS (
+       |  SELECT a.vec_id, a.cluster_id, e.v
+       |  FROM assign a JOIN e ON e.vec_id = a.vec_id),
+       |dropped AS (
+       |  SELECT DISTINCT x.vec_id FROM m x JOIN m y
+       |    ON x.cluster_id = y.cluster_id AND y.vec_id < x.vec_id
+       |   AND ${cosineSql("x.v", "y.v")} >= 0.4)
+       |SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS keep
+       |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
 
   private def embedNearDupOracle: String = {
     val tableSelects = (0 until SimilarityOps.Tables).map { t =>

@@ -669,6 +669,27 @@ class OpsSpec extends AnyFunSuite with Matchers {
     g.groupBy(_._2).values.foreach(grp => grp.count(_._3) shouldBe 1)
   }
 
+  test("semantic dedup: first-wins within clusters, cross-cluster twins survive") {
+    import graft.ops.SimilarityOps
+    // two well-separated clusters on orthogonal axes: ids 1/2/3 are
+    // near-identical on axis x (only the lowest id survives), 10/11 the
+    // same on axis y — dedup never compares across the two clusters
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f)),  // ≈ id 1 → dropped (1 < 2)
+      (3L, Array(0.998f, 0.02f)),  // ≈ ids 1,2 → dropped
+      (10L, Array(0.0f, 1.0f)),
+      (11L, Array(0.01f, 0.999f))  // ≈ id 10 → dropped
+    ).toDF("vec_id", "embedding")
+    val codebook = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("cid", "centv")
+    val out = SimilarityOps
+      .semanticDedup(vecs, codebook, "vec_id", "embedding", threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    out shouldBe Map(1L -> true, 2L -> false, 3L -> false,
+      10L -> true, 11L -> false)
+  }
+
   test("paragraph dedup: keep-first across docs, reassembly, empty survivors") {
     val d = Seq(
       (1L, "alpha\n\nbeta"),   // both first occurrences → unchanged
