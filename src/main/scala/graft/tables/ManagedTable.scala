@@ -249,17 +249,51 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   }
 
   /** Newest committed version whose record timestamp is at or before
-    * `tsMillis` — Delta's `timestampAsOf` resolution. Resolution walks
-    * retained records only, so a timestamp below the vacuum horizon
-    * fails with the earliest surviving record named. */
+    * `tsMillis` — Delta's `timestampAsOf` resolution over retained
+    * records only (a timestamp below the vacuum horizon fails with the
+    * earliest surviving record named).
+    *
+    * Commit timestamps are monotone in version (clamped at commit time),
+    * so this is ONE name listing plus a binary search reading O(log n)
+    * single records — never a parse of every retained record's full file
+    * list, which on a long-retention table with checkpoint-sized records
+    * is the difference between milliseconds and a metadata storm. */
   def versionAt(tsMillis: Long): Long = {
-    val h = history()
-    if (h.isEmpty)
+    val versions: Vector[Long] =
+      if (!fs.exists(manifestsDir)) Vector.empty
+      else fs.listStatus(manifestsDir).iterator
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(_.stripPrefix("v").stripSuffix(".json"))
+        .filter(v => v.nonEmpty && v.forall(_.isDigit))
+        .map(_.toLong).toVector.sorted
+    if (versions.isEmpty)
       throw new MetadataException(s"Table $rootPath does not exist")
-    h.filter(_.timestampMs <= tsMillis).map(_.version).maxOption.getOrElse(
+    def ts(v: Long): Long = Manifest
+      .recordFromJsonString(readRecordString(v))
+      .fold(_.timestampMs, _.timestampMs)
+    // rightmost retained version with ts <= tsMillis
+    var lo = 0
+    var hi = versions.size - 1
+    var found = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) / 2
+      try {
+        if (ts(versions(mid)) <= tsMillis) { found = mid; lo = mid + 1 }
+        else hi = mid - 1
+      } catch {
+        // a record vacuumed between the listing and the read — vacuum
+        // prunes a PREFIX of the version order (the current head always
+        // survives), so the answer can only lie to the right of mid
+        case _: java.io.FileNotFoundException => lo = mid + 1
+      }
+    }
+    if (found >= 0) versions(found)
+    else
       throw new MetadataException(
         s"No version of $rootPath at or before timestamp $tsMillis " +
-          s"(earliest retained record is at ${h.map(_.timestampMs).min})"))
+          s"(earliest retained record is at ${try ts(versions.head)
+            catch { case _: java.io.FileNotFoundException => -1L }})")
   }
 
   /** Snapshot as of a wall-clock instant ([[versionAt]] + time travel). */
