@@ -47,6 +47,12 @@ object CopyInto {
       if (t.exists) t.read().schema
       else spark.read.format(format).options(options).load(sourceDir).schema
     val ckpt = s"$tableRoot/_graft/_copy/${dirKey(sourceDir)}"
+    // count what actually LANDED, from the table's own manifest — not
+    // streaming progress, which caps at numRecentProgressUpdates batches
+    // and counts input rows even for crash-replayed batches the sink
+    // suppressed
+    val before: Set[String] =
+      t.manifest.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
     val q = spark.readStream.format(format).schema(schema).options(options)
       .load(sourceDir)
       .writeStream.format("graft")
@@ -56,7 +62,14 @@ object CopyInto {
       .start()
     try {
       q.awaitTermination()
-      q.recentProgress.iterator.map(_.numInputRows).sum
+      t.manifest.fold(0L)(_.files.iterator
+        .filterNot(f => before.contains(f.path))
+        .map(f => f.liveRows.getOrElse {
+          // commit-time footer stats failed for this file (rare, never
+          // fails the commit) — one footer read recovers the exact count
+          spark.read.parquet(new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(tableRoot), f.path).toString).count()
+        }).sum)
     } finally if (q.isActive) q.stop()
   }
 }

@@ -269,30 +269,67 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         .map(_.toLong).toVector.sorted
     if (versions.isEmpty)
       throw new MetadataException(s"Table $rootPath does not exist")
-    def ts(v: Long): Long = Manifest
-      .recordFromJsonString(readRecordString(v))
-      .fold(_.timestampMs, _.timestampMs)
-    // rightmost retained version with ts <= tsMillis
-    var lo = 0
-    var hi = versions.size - 1
-    var found = -1
-    while (lo <= hi) {
-      val mid = (lo + hi) / 2
-      try {
-        if (ts(versions(mid)) <= tsMillis) { found = mid; lo = mid + 1 }
-        else hi = mid - 1
-      } catch {
-        // a record vacuumed between the listing and the read — vacuum
-        // prunes a PREFIX of the version order (the current head always
-        // survives), so the answer can only lie to the right of mid
-        case _: java.io.FileNotFoundException => lo = mid + 1
+    val probed = scala.collection.mutable.TreeMap[Int, Long]()
+    def ts(i: Int): Long = probed.getOrElseUpdate(i, Manifest
+      .recordFromJsonString(readRecordString(versions(i)))
+      .fold(_.timestampMs, _.timestampMs))
+    // Records written by THIS library clamp their timestamp to the
+    // predecessor's (monotone by construction); records from before the
+    // clamp can regress. Resolution therefore uses Delta's monotonized
+    // semantics — the effective timestamp of v is max(ts(0..v)) — which
+    // the sound linear scan below computes directly. Long histories take
+    // the O(log n) binary-search fast path first and fall back to the
+    // scan whenever the probes it happened to read betray disorder (a
+    // regression can only exist in a legacy prefix, and legacy tables
+    // have short histories — the fallback is the rare case, not the 100
+    // TB steady state).
+    def linearScan(): Int = {
+      var runningMax = Long.MinValue
+      var found = -1
+      var i = 0
+      while (i < versions.size) {
+        try {
+          val t = ts(i)
+          if (t > runningMax) runningMax = t
+          if (runningMax <= tsMillis) found = i
+        } catch { case _: java.io.FileNotFoundException => () } // vacuumed
+        i += 1
       }
+      found
     }
+    val found =
+      if (versions.size <= 32) linearScan()
+      else {
+        // rightmost retained version with ts <= tsMillis
+        var lo = 0
+        var hi = versions.size - 1
+        var cand = -1
+        var ordered = true
+        while (lo <= hi) {
+          val mid = (lo + hi) / 2
+          try {
+            if (ts(mid) <= tsMillis) { cand = mid; lo = mid + 1 }
+            else hi = mid - 1
+          } catch {
+            // a record vacuumed between the listing and the read — vacuum
+            // prunes a PREFIX of the version order (the current head always
+            // survives), so the answer can only lie to the right of mid
+            case _: java.io.FileNotFoundException => lo = mid + 1
+          }
+        }
+        // consistency audit over everything actually read: any inversion
+        // among the probes means the monotone assumption is false here
+        if (cand >= 0 && cand + 1 < versions.size)
+          try ts(cand + 1) catch { case _: java.io.FileNotFoundException => () }
+        val seen = probed.toSeq
+        ordered = seen.zip(seen.drop(1)).forall { case ((_, a), (_, b)) => a <= b }
+        if (ordered) cand else linearScan()
+      }
     if (found >= 0) versions(found)
     else
       throw new MetadataException(
         s"No version of $rootPath at or before timestamp $tsMillis " +
-          s"(earliest retained record is at ${try ts(versions.head)
+          s"(earliest retained record is at ${try ts(0)
             catch { case _: java.io.FileNotFoundException => -1L }})")
   }
 
@@ -1004,9 +1041,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       TableFile(rel(p), partsOf(rel(p)).toMap, fm.cols,
         if (fm.rows >= 0) Some(fm.rows) else None, Some(len))
     }
-    val props =
-      if (partitionCols.isEmpty) Map.empty[String, String]
-      else Map(ManagedTable.ConvertPartitionDirsProp -> "true")
+    // the converted marker is ALWAYS set (it gates vacuum's
+    // adopted-orphan sweep — unpartitioned adopted files live outside
+    // data/ too and would otherwise leak forever once DML drops them);
+    // the partition-dirs property additionally drives discovery reads
+    // and stays keyed on a hive layout actually existing
+    val props = Map(ManagedTable.ConvertedTableProp -> "true") ++
+      (if (partitionCols.isEmpty) Map.empty[String, String]
+       else Map(ManagedTable.ConvertPartitionDirsProp -> "true"))
     commitDelta(inferred.json, partitionCols, "convert",
       base = None, adds = files, removes = Nil,
       propertiesOverride = Some(props))
@@ -1080,7 +1122,17 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * over verbatim. */
   def overwriteWhere(df: DataFrame, condition: String): Unit = withWriteLock {
     manifest match {
-      case None => overwriteAll(df, Nil, "replaceWhere")
+      case None =>
+        // same membership constraint as the existing-table branch: a row
+        // outside the replaced region would be silently inserted now and
+        // silently DROPPED by the next replace of that region (Delta's
+        // replaceWhere enforces this on first write too)
+        val pred0 = coalesce(expr(condition), lit(false))
+        if (df.filter(!pred0).limit(1).count() > 0)
+          throw new ConstraintViolationException(
+            s"replaceWhere on $rootPath: inserted rows do not all match " +
+              s"'$condition' — they would fall outside the replaced region")
+        overwriteAll(df, Nil, "replaceWhere")
       case Some(m) =>
         val pred = coalesce(expr(condition), lit(false))
         val (withIds, propsOv) =
@@ -2493,9 +2545,39 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val dest = ManagedTable(spark, destPath)
     if (dest.exists)
       throw new MetadataException(s"deepCloneTo: $destPath already exists")
-    val dataCopies = m.files.map(f =>
-      (new Path(root, f.path).toString,
-        new Path(dest.root, f.path).toString))
+    // Relative manifest paths copy rel-path-preserving. ABSOLUTE paths —
+    // this table is itself a shallow clone, so its entries are qualified
+    // URIs into the ORIGINAL table — must be relocated under dest's own
+    // root: resolving them against dest.root would yield (src, src) copy
+    // pairs, and the truncating overwrite-copy would destroy the shared
+    // file. Borrowed hive-layout files (converted source) keep their
+    // partition directories — their partition values live only in the
+    // dir names; engine-written files carry every column in the data and
+    // land in a fresh data/ commit dir.
+    val importId = UUID.randomUUID().toString
+    val hiveDirs = m.properties
+      .get(ManagedTable.ConvertPartitionDirsProp).contains("true")
+    val taken = scala.collection.mutable.HashSet[String]()
+    m.files.foreach(f => if (!new Path(f.path).isAbsolute) taken += f.path)
+    def relocated(f: TableFile, i: Int): String = {
+      val base = new Path(f.path).getName
+      val dir =
+        if (hiveDirs && f.partitionValues.nonEmpty)
+          m.partitionColumns.map(c =>
+            ManagedTable.hiveEscape(c) + "=" +
+              ManagedTable.hiveEscape(f.partitionValues(c))).mkString("/")
+        else s"data/clone-$importId"
+      val plain = s"$dir/$base"
+      if (taken.add(plain)) plain
+      else { val alt = s"$dir/f$i-$base"; taken.add(alt); alt }
+    }
+    val entries0 = m.files.zipWithIndex.map { case (f, i) =>
+      if (new Path(f.path).isAbsolute) f.copy(path = relocated(f, i)) else f
+    }
+    val dataCopies = m.files.zip(entries0).map { case (f, e) =>
+      (new Path(root, f.path).toString, // absolute URIs win over the base
+        new Path(dest.root, e.path).toString)
+    }
     // DV names are bare (this table's _dv) or absolute URIs (this table
     // was itself a shallow clone); either way the copy lands as a bare
     // name under the clone's own _dv and the entry is rewritten to it
@@ -2504,7 +2586,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       (src.toString, new Path(dest.dvDir, src.getName).toString)
     }
     copyBatch(dataCopies ++ dvCopies)
-    val entries = m.files.map(f =>
+    val entries = entries0.map(f =>
       f.copy(dv = f.dv.map(d => new Path(dvDir, d).getName)))
     dest.importFiles(m.schema, m.partitionColumns, entries, "deepClone",
       m.columnMapping, m.generated, m.properties, m.constraints)
@@ -2948,8 +3030,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // so ordinary tables never pay the full-root listing (on a converted
     // 100 TB table the listing is the same O(files) Delta's vacuum does).
     val adoptedOrphans =
-      if (!m.properties.get(ManagedTable.ConvertPartitionDirsProp)
-          .contains("true")) Nil
+      // either marker identifies a converted table: ConvertedTableProp is
+      // the always-set modern one; the partition-dirs property alone
+      // covers tables converted before it existed
+      if (!m.properties.get(ManagedTable.ConvertedTableProp).contains("true")
+          && !m.properties.get(ManagedTable.ConvertPartitionDirsProp)
+            .contains("true")) Nil
       else {
         val dataPrefix = fs.makeQualified(dataDir).toString + "/"
         listParquet(root).filter { case (p, _) =>
@@ -3488,8 +3574,29 @@ object ManagedTable {
     * disabled (the DV scan cannot attach directory values). */
   val ConvertPartitionDirsProp = "graft.convert.partitionDirs"
 
+  /** Permanent marker on every [[ManagedTable.convertInPlace]] table
+    * (partitioned or not): adopted files live OUTSIDE data/, so vacuum
+    * must run its full-root orphan sweep to ever reclaim them. */
+  val ConvertedTableProp = "graft.convert.table"
+
   /** Suffix of parquet checkpoint sidecar directories in `_graft/manifests`. */
   val SidecarSuffix = ".files.parquet"
+
+  /** Hive-style escaping for partition directory segments — the inverse
+    * of `hiveUnescape`, matching Spark's `escapePathName` character set
+    * so reconstructed `col=value` dirs round-trip through both Spark's
+    * partition discovery and our own segment parser. */
+  private[tables] def hiveEscape(s: String): String = {
+    def needsEscaping(c: Char): Boolean = c < ' ' || c == '"' || c == '#' ||
+      c == '%' || c == '\'' || c == '*' || c == '/' || c == ':' || c == '=' ||
+      c == '?' || c == '\\' || c == '\u007F' || c == '{' || c == '[' ||
+      c == ']' || c == '^'
+    val sb = new StringBuilder(s.length)
+    s.foreach { c =>
+      if (needsEscaping(c)) sb.append(f"%%${c.toInt}%02X") else sb.append(c)
+    }
+    sb.result()
+  }
 
   /** Helper column names for the deletion-vector anti-join (never visible
     * to callers — [[readDvFiltered]] projects them away). */

@@ -117,6 +117,30 @@ class ConvertSpec extends AnyFunSuite with Matchers {
     t.vacuumDryRun().adoptedOrphans shouldBe empty
   }
 
+  test("vacuum reclaims adopted orphans of an UNPARTITIONED convert") {
+    import spark.implicits._
+    val dir = tmp() + "/flat2"
+    Seq((1, "a"), (2, "b")).toDF("id", "name").repartition(1)
+      .write.parquet(dir)
+    val t = ManagedTable(spark, dir)
+    t.convertInPlace()
+    // flat converts carry the always-set converted marker (partition-dirs
+    // property stays keyed on a hive layout actually existing)
+    t.manifest.get.properties.get(ManagedTable.ConvertedTableProp) shouldBe
+      Some("true")
+    t.manifest.get.properties.get(ManagedTable.ConvertPartitionDirsProp) shouldBe
+      None
+    // rewrite everything — the adopted file outside data/ becomes garbage
+    t.overwriteAll(Seq((3, "c")).toDF("id", "name"))
+    val plan = t.vacuumDryRun()
+    plan.adoptedOrphans should have size 1
+    t.vacuum()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(plan.adoptedOrphans.head)) shouldBe false
+    t.read().collect().map(_.getInt(0)) shouldBe Array(3)
+  }
+
   test("CONVERT TO GRAFT SQL over a path") {
     val sql = {
       SparkSession.clearActiveSession()

@@ -167,6 +167,72 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     intercept[graft.metadata.MetadataException](t.deepCloneTo(clone.rootPath))
   }
 
+  test("deepCloneTo of a shallow clone relocates borrowed files — never truncates them") {
+    import org.apache.hadoop.fs.Path
+    val t = ManagedTable(spark, tmp() + "/dsc-src")
+    t.overwriteAll(df(Seq((1, "a", "x"), (2, "b", "y"))), Seq("part"))
+    val shallow = t.shallowCloneTo(tmp() + "/dsc-shallow")
+    // shallow entries are absolute URIs into the source
+    shallow.manifest.get.files.foreach(f => f.path should include("dsc-src"))
+    val deep = shallow.deepCloneTo(tmp() + "/dsc-deep")
+    // the SOURCE data survives intact (the old resolve-against-dest bug
+    // produced (src, src) copy pairs and truncated the shared files)
+    t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2)
+    shallow.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2)
+    // the deep clone owns relocated RELATIVE copies — shares nothing
+    deep.manifest.get.files.foreach { f =>
+      f.path should not include "dsc-src"
+      new Path(f.path).isAbsolute shouldBe false
+    }
+    deep.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 2)
+    // destroy the source's history — the deep clone must not notice
+    t.overwriteAll(df(Seq((9, "z", "q"))))
+    t.vacuum()
+    deep.read().collect().map(r => (r.getInt(0), r.getString(2))).sorted
+      .toSeq shouldBe Seq((1, "x"), (2, "y"))
+  }
+
+  test("versionAt: non-monotone legacy timestamps resolve monotonized") {
+    import org.apache.hadoop.fs.Path
+    val t = ManagedTable(spark, tmp() + "/vat-legacy")
+    t.overwriteAll(df(Seq((1, "a", "x"))))          // v0
+    t.append(df(Seq((2, "b", "y"))))                // v1
+    t.append(df(Seq((3, "c", "z"))))                // v2
+    val fs = new Path(t.rootPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = t.history().sortBy(_.version).head.timestampMs
+    // rewrite the records the way a pre-clamp library after an NTP
+    // step-back left them: v1 BEHIND v0, v2 ahead again
+    def setTs(v: Long, ts: Long): Unit = {
+      val rec = new Path(t.rootPath, f"_graft/manifests/v$v%020d.json")
+      val in = fs.open(rec)
+      val raw = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"); in.close()
+      val patched = raw.replaceAll("\"timestampMs\":\\d+",
+        s""""timestampMs":$ts""")
+      val out = fs.create(rec, true)
+      out.write(patched.getBytes("UTF-8")); out.close()
+    }
+    setTs(0L, base)
+    setTs(1L, base - 10000L)
+    setTs(2L, base + 10000L)
+    val t2 = ManagedTable(spark, t.rootPath)
+    // effective (running-max) timestamps: v0=base, v1=base, v2=base+10s —
+    // a naive raw-order binary search could answer v0 or nothing here
+    t2.versionAt(base) shouldBe 1L
+    t2.versionAt(base + 10000L) shouldBe 2L
+    intercept[graft.metadata.MetadataException](t2.versionAt(base - 1))
+  }
+
+  test("overwriteWhere on a fresh table still enforces region membership") {
+    val t = ManagedTable(spark, tmp() + "/trw-fresh")
+    intercept[ConstraintViolationException](
+      t.overwriteWhere(df(Seq((1, "a", "x"), (2, "b", "y"))), "part = 'x'"))
+    t.exists shouldBe false // nothing was committed
+    t.overwriteWhere(df(Seq((1, "a", "x"))), "part = 'x'")
+    t.read().collect().map(_.getInt(0)) shouldBe Array(1)
+  }
+
   test("clones carry CHECK constraints — enforcement survives the copy") {
     val t = ManagedTable(spark, tmp() + "/cc-src")
     t.overwriteAll(df(Seq((1, "a", "x"))))
