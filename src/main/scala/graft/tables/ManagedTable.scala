@@ -844,9 +844,17 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // data/, store every column in the data and read plainly)
     val hiveDirs = m.properties
       .get(ManagedTable.ConvertPartitionDirsProp).contains("true")
-    val (adopted, plain) =
+    val (adopted0, plain) =
       if (hiveDirs) clean.partition(f => !f.path.startsWith("data/"))
       else (Nil, clean)
+    // BORROWED adopted files (absolute URIs — this table is a shallow
+    // clone of a converted table) cannot go through partition discovery:
+    // `basePath` must be an ancestor of every file, and these live under
+    // the SOURCE's root. Scan them plainly and attach partition values
+    // from the manifest via a broadcast file→values lookup instead — one
+    // scan however many partitions, no dependence on directory layout.
+    val (borrowed, adopted) = adopted0.partition(f =>
+      new Path(f.path).isAbsolute)
     val cleanParts = Seq(
       if (plain.isEmpty) None
       else Some(withTag(spark.read.schema(m.physicalSchema)
@@ -857,7 +865,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         .parquet(adopted.map(f => new Path(root, f.path).toString): _*)
         // discovery may order partition columns after data columns —
         // normalize to the manifest schema before tagging
-        .select(m.physicalSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)))
+        .select(m.physicalSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*))),
+      if (borrowed.isEmpty) None
+      else Some(readBorrowedAdopted(m, borrowed, withTag))
     ).flatten
     val cleanDf =
       if (cleanParts.isEmpty && dvd.isEmpty) {
@@ -880,6 +890,49 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     else out.select(m.schema.fields.toSeq.map(f =>
       col(s"`${m.physicalName(f.name)}`").as(f.name)) ++
       tag.map(t => col(s"`$t`")) ++ pos.map(p => col(s"`$p`")): _*)
+  }
+
+  /** Scan adopted hive-layout files BORROWED from another table's root
+    * (absolute manifest URIs — this table shallow-cloned a converted
+    * source): one plain parquet scan of the data columns, partition
+    * values attached by a broadcast join against the manifest's
+    * file→values map and cast to the schema's partition types. Scales as
+    * one scan + one broadcast however many partitions; layout-agnostic. */
+  private def readBorrowedAdopted(m: Manifest, borrowed: Seq[TableFile],
+      withTag: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val partPhys = m.partitionColumns.map(m.physicalName)
+    val dataSchema = StructType(
+      m.physicalSchema.fields.filterNot(f => partPhys.contains(f.name)))
+    val uriCol = "__g_borrow_uri"
+    val scan = withTag(spark.read.schema(dataSchema)
+      .parquet(borrowed.map(f => new Path(root, f.path).toString): _*)
+      .withColumn(uriCol, col("_metadata.file_path")))
+    // every URI rendering the file source might emit, mapped to the
+    // file's partition values (same alias set as fileUriLookup)
+    val keyCol = "__g_borrow_key"
+    val pvCols = partPhys.map(c => s"__g_pv_$c")
+    val lookupRows = borrowed.flatMap { f =>
+      val p = fs.makeQualified(new Path(root, f.path))
+      Set(p.toString, p.toUri.toString, p.toUri.getPath, p.toUri.toASCIIString)
+        .toSeq.map(u => org.apache.spark.sql.Row.fromSeq(
+          u +: m.partitionColumns.map(c => f.partitionValues.getOrElse(c, null))))
+    }
+    val lookupSchema = StructType(StructField(keyCol, StringType) +:
+      pvCols.map(StructField(_, StringType)))
+    val lookup = spark.createDataFrame(
+      spark.sparkContext.parallelize(lookupRows, 1), lookupSchema)
+    val joined = scan.join(broadcast(lookup),
+      scan(uriCol) === lookup(keyCol), "left")
+    val typed = m.physicalSchema.fields.toSeq.map { fld =>
+      if (partPhys.contains(fld.name))
+        col(s"`__g_pv_${fld.name}`").cast(fld.dataType).as(fld.name)
+      else col(s"`${fld.name}`")
+    }
+    val extras = scan.columns.toSeq
+      .filterNot(c => c == uriCol || dataSchema.fieldNames.contains(c))
+      .map(c => col(s"`$c`")) // tag/pos columns added by withTag
+    joined.select(typed ++ extras: _*)
   }
 
   /** Scan `files` (all carrying a DV) with their masked positions

@@ -141,6 +141,34 @@ class ConvertSpec extends AnyFunSuite with Matchers {
     t.read().collect().map(_.getInt(0)) shouldBe Array(3)
   }
 
+  test("shallow clone of a converted table reads across roots; deep clone re-owns the layout") {
+    import spark.implicits._
+    val dir = tmp() + "/hive-sc"
+    Seq((1, "a", "x"), (2, "b", "y")).toDF("id", "name", "part")
+      .write.partitionBy("part").parquet(dir)
+    val t = ManagedTable(spark, dir)
+    t.convertInPlace()
+    val clone = t.shallowCloneTo(tmp() + "/c")
+    // borrowed adopted files live under the SOURCE root — partition
+    // discovery can't span roots, so the read attaches partition values
+    // from the manifest instead
+    clone.read().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(2)))
+      .toSeq shouldBe Seq((1, "x"), (2, "y"))
+    // pruned reads still work on the manifest's partition values
+    clone.readPartitionsIn(Map("part" -> Set("y")))
+      .collect().map(_.getInt(0)) shouldBe Array(2)
+    // deep clone of the shallow clone: borrowed hive files are copied
+    // under the dest with their partition DIRECTORIES reconstructed
+    val deep = clone.deepCloneTo(tmp() + "/d")
+    deep.manifest.get.files.map(_.path).sorted.foreach { p =>
+      p should startWith regex "part=[xy]/"
+    }
+    deep.read().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(2)))
+      .toSeq shouldBe Seq((1, "x"), (2, "y"))
+  }
+
   test("CONVERT TO GRAFT SQL over a path") {
     val sql = {
       SparkSession.clearActiveSession()
