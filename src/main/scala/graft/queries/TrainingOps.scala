@@ -102,6 +102,31 @@ object TrainingOps {
         .orderBy("in_id", "corpus_id")
     },
 
+    // ----------------------- dedup: PERSISTENT MinHash/LSH index search
+    // (q_td_crosscorpus's contract against a STORED corpus substrate:
+    // the corpus is signed once into bucket-partitioned managed tables;
+    // each batch tokenizes only itself and both index reads are
+    // manifest-pruned to the buckets the batch can match — the
+    // sign-once / dedup-many shape of incremental corpus hygiene)
+    QueryDef("q_td_dedup_index", crossCorpusOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      // staged-reuse as q_td_knn_index: sha256-keyed root, revalidated
+      // against the signable-doc count so regenerated data rebuilds
+      val root = s"/tmp/graft_engine/dedupindex_v1_${EngineOps.dirKey(d)}"
+      val signable = corpus
+        .filter(size(split(col("text"), "\\s+")) >= 2).count()
+      val idx = {
+        val existing = graft.ops.DedupIndex(s, root)
+        if (existing.exists && existing.indexedDocs.contains(signable))
+          existing
+        else graft.ops.DedupIndex.create(s, corpus, "doc_id", "text", root)
+      }
+      idx.nearDupPairs(docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text")
+        .orderBy("in_id", "corpus_id")
+    },
+
     // ------------------------------- dedup: connected-component groups
     // (pairs → transitive groups → canonical doc per group; the operator
     // that makes pair output actionable at corpus scale)
