@@ -443,6 +443,51 @@ object EngineOps {
         .orderBy("o_orderkey")
     },
 
+    // Incrementally-maintained aggregate view under the oracle: a
+    // grouped count/sum rollup built once, then kept fresh across a
+    // delete commit and an update+append interval purely from the
+    // row-level change feed (preimage subtraction, postimage addition,
+    // one keyed merge per refresh — O(changed rows), never a rescan).
+    // The oracle recomputes the final aggregate declaratively from the
+    // reconstructed end state: the delta folds must land on exactly it.
+    QueryDef(
+      "q_e_matview",
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, o_custkey % 100 AS grp,
+        |         o_orderkey % 97 AS qty
+        |  FROM orders WHERE o_orderkey % 4 <> 3),
+        |after_delete AS (SELECT * FROM base WHERE NOT (id % 10 = 0)),
+        |after_update AS (
+        |  SELECT id, grp,
+        |         CASE WHEN id % 7 = 0 THEN qty + 5 ELSE qty END AS qty
+        |  FROM after_delete),
+        |appended AS (
+        |  SELECT o_orderkey AS id, o_custkey % 100 AS grp,
+        |         o_orderkey % 97 AS qty
+        |  FROM orders WHERE o_orderkey % 4 = 3),
+        |final AS (SELECT * FROM after_update
+        |          UNION ALL SELECT * FROM appended)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM final GROUP BY grp ORDER BY grp""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "matview")
+      val src = graft.tables.ManagedTable(s, s"$root/src")
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"),
+        (col("o_custkey") % 100).as("grp"),
+        (col("o_orderkey") % 97).as("qty"))
+      src.overwriteAll(o.filter(col("id") % 4 =!= 3).repartition(8))
+      val mv = graft.tables.MaterializedAgg(s, src, s"$root/view", "id",
+        Seq("grp"), Seq("qty"))
+      mv.refresh() // full build at v0
+      src.delete("id % 10 = 0")
+      mv.refresh() // incremental: a delete-only interval
+      src.update(Map("qty" -> "qty + 5"), "id % 7 = 0")
+      src.append(o.filter(col("id") % 4 === 3).repartition(4))
+      mv.refresh() // incremental: updates + inserts netted in one interval
+      mv.read().orderBy("grp")
+    },
+
     // Streaming upsert sink under the oracle: two CDC micro-batches (base
     // snapshot, then updates + within-batch higher-seq re-updates + CDC
     // deletes with null payloads) applied through TableStreamSink's

@@ -1,0 +1,123 @@
+package graft.tables
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.nio.file.Files
+
+/** Incrementally-maintained aggregate views: delta folds must match a
+  * full recompute after any mix of inserts, deletes, and updates; the
+  * bookmark must make refresh idempotent. */
+class MaterializedAggSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft-mv").toString
+
+  import spark.implicits._
+
+  private def rows(ids: Range) =
+    ids.map(i => (i.toLong, (i % 3).toLong, (i % 7).toLong))
+      .toDF("id", "grp", "qty")
+
+  private def recompute(t: ManagedTable) =
+    t.read().groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum(coalesce(col("qty"), lit(0))).as("sum_qty"))
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.select("grp", "cnt", "sum_qty").orderBy("grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("initial build, then incremental refresh over insert+delete+update") {
+    val root = tmp()
+    val src = ManagedTable(spark, s"$root/src")
+    src.overwriteAll(rows(0 until 60))
+    val mv = MaterializedAgg(spark, src, s"$root/view", "id",
+      Seq("grp"), Seq("qty"))
+    mv.refresh() shouldBe 0L
+    canon(mv.read()) shouldBe canon(recompute(src))
+
+    val viewV0 = mv.view.currentVersion.get
+    src.append(rows(60 until 80))                       // inserts
+    src.delete("id % 10 = 0")                           // deletes
+    src.update(Map("qty" -> "qty + 100"), "id % 7 = 1") // updates
+    mv.refresh() shouldBe src.currentVersion.get
+    canon(mv.read()) shouldBe canon(recompute(src))
+    // the refresh was a DELTA fold (one merge commit), not a rebuild
+    mv.view.history().head.operation shouldBe "matview-refresh"
+    mv.view.currentVersion.get shouldBe viewV0 + 1
+  }
+
+  test("refresh is idempotent; a replay of the same interval is a no-op") {
+    val root = tmp()
+    val src = ManagedTable(spark, s"$root/src")
+    src.overwriteAll(rows(0 until 30))
+    val mv = MaterializedAgg(spark, src, s"$root/view", "id",
+      Seq("grp"), Seq("qty"))
+    mv.refresh()
+    val v = mv.view.currentVersion
+    mv.refresh() // nothing changed — must not commit
+    mv.view.currentVersion shouldBe v
+    canon(mv.read()) shouldBe canon(recompute(src))
+  }
+
+  test("groups emptied by deletes disappear; new groups appear") {
+    val root = tmp()
+    val src = ManagedTable(spark, s"$root/src")
+    // grp 2 holds exactly ids 2, 5 — delete both and the group must go
+    src.overwriteAll(rows(0 until 6))
+    val mv = MaterializedAgg(spark, src, s"$root/view", "id",
+      Seq("grp"), Seq("qty"))
+    mv.refresh()
+    mv.read().count() shouldBe 3
+    src.delete("grp = 2")
+    src.append(Seq((100L, 9L, 4L)).toDF("id", "grp", "qty"))
+    mv.refresh()
+    canon(mv.read()) shouldBe canon(recompute(src))
+    mv.read().filter(col("grp") === 2).count() shouldBe 0
+    mv.read().filter(col("grp") === 9).count() shouldBe 1
+  }
+
+  test("multi-key grouping uses the generic merge path") {
+    val root = tmp()
+    val src = ManagedTable(spark, s"$root/src")
+    src.overwriteAll(rows(0 until 40)
+      .withColumn("grp2", col("id") % 2))
+    val mv = MaterializedAgg(spark, src, s"$root/view", "id",
+      Seq("grp", "grp2"), Seq("qty"))
+    mv.refresh()
+    src.delete("id % 5 = 0")
+    src.append(Seq((200L, 1L, 3L, 0L)).toDF("id", "grp", "qty", "grp2"))
+    mv.refresh()
+    val got = mv.read().select("grp", "grp2", "cnt", "sum_qty")
+      .orderBy("grp", "grp2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = src.read().groupBy("grp", "grp2")
+      .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sum_qty"))
+      .orderBy("grp", "grp2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe want
+  }
+
+  test("a count-only view (no sum columns) maintains") {
+    val root = tmp()
+    val src = ManagedTable(spark, s"$root/src")
+    src.overwriteAll(rows(0 until 20))
+    val mv = MaterializedAgg(spark, src, s"$root/view", "id", Seq("grp"))
+    mv.refresh()
+    src.delete("id < 5")
+    mv.refresh()
+    mv.read().select("grp", "cnt").orderBy("grp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      src.read().groupBy("grp").agg(count(lit(1)).as("cnt"))
+        .orderBy("grp").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+}
