@@ -22,6 +22,8 @@ import graft.tables.ManagedTable
   *   OPTIMIZE db.t [ZORDER BY (c1, c2)]
   *   DESCRIBE HISTORY db.t
   *   RESTORE [TABLE] db.t [TO] VERSION AS OF 4
+  *   CREATE MATERIALIZED VIEW v AS SELECT k, COUNT(*), SUM(x) FROM t GROUP BY k
+  *   REFRESH MATERIALIZED VIEW v
   * }}}
   *
   * Targets are session-catalog graft tables (`db.t` / `t`) or direct
@@ -91,6 +93,10 @@ object MaintenanceSql {
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?\s*;?\s*""".r
   private val DropGenerated =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+DROP\s+GENERATED\s+COLUMN\s+(\w+)\s*;?\s*""".r
+  private val CreateMatview =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\S+|graft\.`[^`]+`)\s+AS\s+SELECT\s+(.+?)\s+FROM\s+(\S+|graft\.`[^`]+`)\s+GROUP\s+BY\s+(.+?)\s*;?\s*""".r
+  private val RefreshMatview =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\S+|graft\.`[^`]+`)\s*;?\s*""".r
 
   private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] =
     sql match {
@@ -136,6 +142,10 @@ object MaintenanceSql {
       // only confirmed graft targets, like ANALYZE
       case ShowParts(ident) if isGraftIdent(ident) =>
         Some(GraftShowPartitionsCommand(ident))
+      case CreateMatview(dest, selectList, src, groupBy) =>
+        Some(GraftCreateMatviewCommand(dest, selectList.trim, src,
+          splitCols(groupBy)))
+      case RefreshMatview(ident) => Some(GraftRefreshMatviewCommand(ident))
       case Fsck(ident, dry) => Some(GraftFsckCommand(ident, dry != null))
       case Convert(path) => Some(GraftConvertCommand(path))
       case Copy(ident, src, fmt) =>
@@ -375,6 +385,91 @@ object MaintenanceSql {
           cl
       }
       Seq(Row(cloned.rootPath))
+    }
+  }
+
+  /** `CREATE MATERIALIZED VIEW v AS SELECT keys…, COUNT(*) [AS cnt]
+    * [, SUM(c) [AS sum_c]…] FROM src GROUP BY keys…` — an
+    * incrementally-maintained aggregate ([[graft.tables.MaterializedAgg]]):
+    * built once here, advanced by `REFRESH MATERIALIZED VIEW` reading
+    * only the source rows that changed. The accepted SELECT shape is
+    * exactly the maintainable one (group keys + COUNT(*) + SUMs); column
+    * names in the view are canonical (`cnt`, `sum_<col>`) — an alias, if
+    * given, must match. The source's row identity comes from its
+    * `graft.cdc.keys` table property. */
+  final case class GraftCreateMatviewCommand(
+      dest: String, selectList: String, src: String, groupKeys: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("path", StringType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] = {
+      val s = resolveGraft(session, src)
+      val sourceKeys = s.properties.get("graft.cdc.keys")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+        .getOrElse(throw new MetadataException(
+          s"CREATE MATERIALIZED VIEW over ${s.rootPath}: the source needs " +
+            "a declared row identity — ALTER TABLE … SET TBLPROPERTIES " +
+            "('graft.cdc.keys' = 'id')"))
+      val CountItem = """(?is)COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(\w+))?""".r
+      val SumItem = """(?is)SUM\s*\(\s*`?([\w]+)`?\s*\)(?:\s+AS\s+(\w+))?""".r
+      var sawCount = false
+      var plain = Vector.empty[String]
+      var sums = Vector.empty[String]
+      selectList.split(",(?![^()]*\\))").map(_.trim).filter(_.nonEmpty)
+        .foreach {
+          case CountItem(alias) =>
+            if (alias != null && alias != "cnt")
+              throw new MetadataException(
+                s"materialized view count column is named cnt, not $alias")
+            sawCount = true
+          case SumItem(c, alias) =>
+            if (alias != null && alias != s"sum_$c")
+              throw new MetadataException(
+                s"materialized view sum($c) column is named sum_$c, not $alias")
+            sums :+= c
+          case item =>
+            plain :+= item.stripPrefix("`").stripSuffix("`")
+        }
+      if (!sawCount) throw new MetadataException(
+        "materialized views always maintain COUNT(*) — include it " +
+          "(deletes must know when a group empties)")
+      if (plain.sorted != groupKeys.sorted) throw new MetadataException(
+        s"materialized view SELECT must project exactly the GROUP BY keys " +
+          s"(got ${plain.mkString(", ")}; grouped by ${groupKeys.mkString(", ")})")
+      val PathForm = """(?is)graft\.`([^`]+)`""".r
+      def build(p: String) = {
+        val mv = new graft.tables.MaterializedAgg(session, s,
+          ManagedTable(session, p), sourceKeys, groupKeys, sums)
+        mv.refresh()
+        mv
+      }
+      val mv = dest match {
+        case PathForm(p) => build(p)
+        case name =>
+          val plainName = name.split('.')
+            .map(_.stripPrefix("`").stripSuffix("`")).mkString(".")
+          val loc = graft.metadata.TableLocation(plainName)
+          val target = ManagedTable.forLocation(session, loc)
+          val m = build(target.rootPath)
+          ManagedTable.forLocation(session, loc) // exists now → registers
+          m
+      }
+      Seq(Row(mv.view.rootPath))
+    }
+  }
+
+  /** `REFRESH MATERIALIZED VIEW v` — advance the view to the source's
+    * current version from its self-description, folding in only the
+    * changed rows. Returns the source version now reflected. */
+  final case class GraftRefreshMatviewCommand(ident: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("synced_source_version", LongType,
+        nullable = false)())
+    override def run(session: SparkSession): Seq[Row] = {
+      val v = resolveGraft(session, ident)
+      Seq(Row(graft.tables.MaterializedAgg.forView(session, v).refresh()))
     }
   }
 

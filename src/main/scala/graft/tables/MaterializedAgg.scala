@@ -42,11 +42,12 @@ final class MaterializedAgg(
     spark: SparkSession,
     source: ManagedTable,
     val view: ManagedTable,
-    sourceKey: String,
+    sourceKeys: Seq[String],
     keys: Seq[String],
     sums: Seq[String]) {
 
   require(keys.nonEmpty, "materialized aggregate needs at least one group key")
+  require(sourceKeys.nonEmpty, "materialized aggregate needs the source PK")
 
   private val appId = MaterializedAgg.txnAppId(view.rootPath)
 
@@ -71,13 +72,29 @@ final class MaterializedAgg(
       case None =>
         view.overwriteAll(aggregate(source.read()), Nil, "matview-build",
           txn = Some(Txn(appId, cur)))
+        describeSelf()
         cur
       case Some(v) =>
-        val changed = source.rowChanges(v, cur, Seq(sourceKey),
+        val changed = source.rowChanges(v, cur, sourceKeys,
           includePreimages = true)
         applyDelta(changed, cur)
         cur
     }
+  }
+
+  /** Record the view's definition as table properties so
+    * [[MaterializedAgg.forView]] (and `REFRESH MATERIALIZED VIEW`) can
+    * reconstruct it from the view alone. Idempotent; re-run after the
+    * build commit, so a crash between the two self-heals on the next
+    * [[refresh]] through the construction parameters. */
+  private def describeSelf(): Unit = {
+    val want = Map(
+      MaterializedAgg.SourceProp -> source.rootPath,
+      MaterializedAgg.SourceKeysProp -> sourceKeys.mkString(","),
+      MaterializedAgg.KeysProp -> keys.mkString(","),
+      MaterializedAgg.SumsProp -> sums.mkString(","))
+    if (view.properties.filter { case (k, _) => want.contains(k) } != want)
+      view.setTableProperties(want)
   }
 
   private def cntCol = "cnt"
@@ -125,14 +142,41 @@ final class MaterializedAgg(
 
 object MaterializedAgg {
 
+  /** The view table properties a built view describes itself with —
+    * what lets `REFRESH MATERIALIZED VIEW` run from the view alone. */
+  val SourceProp = "graft.matview.source"
+  val SourceKeysProp = "graft.matview.sourceKeys"
+  val KeysProp = "graft.matview.keys"
+  val SumsProp = "graft.matview.sums"
+
   /** View over `source` stored at `viewRoot`, maintained from changes
     * keyed by `sourceKey` (the source PK), grouped by `keys`, summing
     * `sums`. Call [[MaterializedAgg.refresh]] to (re)build/advance. */
   def apply(spark: SparkSession, source: ManagedTable, viewRoot: String,
       sourceKey: String, keys: Seq[String],
-      sums: Seq[String] = Nil): MaterializedAgg =
+      sums: Seq[String]): MaterializedAgg =
     new MaterializedAgg(spark, source, ManagedTable(spark, viewRoot),
-      sourceKey, keys, sums)
+      sourceKey.split(",").map(_.trim).filter(_.nonEmpty).toSeq, keys, sums)
+
+  def apply(spark: SparkSession, source: ManagedTable, viewRoot: String,
+      sourceKey: String, keys: Seq[String]): MaterializedAgg =
+    apply(spark, source, viewRoot, sourceKey, keys, Nil)
+
+  /** Reconstruct a maintained view from its own self-description — the
+    * REFRESH-by-name path. Fails with the missing property named when
+    * the table was not built by [[MaterializedAgg]]. */
+  def forView(spark: SparkSession, view: ManagedTable): MaterializedAgg = {
+    val props = view.properties
+    def req(k: String): String = props.getOrElse(k, throw new MetadataException(
+      s"${view.rootPath} is not a materialized aggregate view " +
+        s"(missing table property $k)"))
+    def list(k: String): Seq[String] =
+      req(k).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    new MaterializedAgg(spark, ManagedTable(spark, req(SourceProp)), view,
+      list(SourceKeysProp), list(KeysProp),
+      props.get(SumsProp).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil))
+  }
 
   /** Txn appIds are filenames — derive a safe, collision-resistant one
     * from the view's root path. */
