@@ -130,8 +130,6 @@ object Bench {
         case c    => c.toString
       } + "\""
     def sec(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map(r => jstr(r.name) + ":" + sec(r.floor))
-      .mkString("{", ",", "}")
     val repsJson = results.map(r =>
         jstr(r.name) + ":" + r.reps.map(sec).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
@@ -139,13 +137,34 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.filter(_.floor >= 0).map(_.floor).sum
     val failed = results.count(_.err.nonEmpty)
-    // stdout carries ONE compact JSON line (floors only, 3 decimals): the
-    // harness captures a bounded tail of stdout, so the line must stay well
-    // under that window or it truncates into unparseable JSON. Per-rep
-    // detail and error messages go to stderr, which is unbounded.
     System.err.println(s"""BENCH_DETAIL {"reps":$repsJson,"errors":$errs}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failed,"n_reps":$reps,"sf":"$sfDir"}""")
+    // The harness keeps only a ~2.2 KB TAIL of stdout, and the full
+    // floors map outgrew it around 80 queries — the single line then
+    // truncated at the FRONT into unparseable JSON (r7-r10 all landed
+    // with parsed:null). Two lines instead, sized so both survive:
+    //  1. the complete floors map, ASCENDING by cost — if the window
+    //     clips the front, only the cheapest floors scroll out;
+    //  2. (last, always intact) a byte-capped parseable summary: total /
+    //     failed / reps plus the most expensive floors that fit in
+    //     1.4 KB, with the cap stated (n_queries vs queries listed) so a
+    //     truncated listing never reads as complete coverage.
+    val asc = results.sortBy(_.floor)
+    println(asc.map(r => jstr(r.name) + ":" + sec(r.floor))
+      .mkString("""{"all_floors_asc":{""", ",", "}}"))
+    val desc = results.sortBy(-_.floor)
+    def sec2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    val budget = 1400
+    val top = new StringBuilder
+    var nTop = 0
+    desc.foreach { r =>
+      val e = jstr(r.name) + ":" + sec2(r.floor)
+      if (top.length + e.length + 1 <= budget) {
+        if (top.nonEmpty) top.append(','); top.append(e); nTop += 1
+      }
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s""""failed":$failed,"n_reps":$reps,"n_queries":${results.size},""" +
+      s""""queries":{$top},"sf":"$sfDir"}""")
     spark.stop()
     // a bench with any failed query must fail loudly: nonzero exit plus the
     // "failed" field above — a broken query must never read as a perf win

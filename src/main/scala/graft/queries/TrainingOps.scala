@@ -113,7 +113,7 @@ object TrainingOps {
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       // staged-reuse as q_td_knn_index: sha256-keyed root, revalidated
       // against the signable-doc count so regenerated data rebuilds
-      val root = s"/tmp/graft_engine/dedupindex_v1_${EngineOps.dirKey(d)}"
+      val root = s"/tmp/graft_engine/dedupindex_v2_${EngineOps.dirKey(d)}"
       val signable = corpus
         .filter(size(split(col("text"), "\\s+")) >= 2).count()
       val idx = {
