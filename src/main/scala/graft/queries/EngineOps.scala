@@ -383,6 +383,35 @@ object EngineOps {
         .orderBy("o_orderkey")
     },
 
+    // Metadata-only aggregation under the oracle: count(*) + min/max of
+    // long / int / double / timestamp columns answered from the commit
+    // log's per-file footer stats ALONE — statsAggregate returns None on
+    // any inexactness (DV-masked file, missing stats), and the bare .get
+    // here fails the query loudly rather than letting a silent scan pass
+    // as the fast path. The table is staged across TWO commits so the
+    // aggregation spans merged manifests, not one write's stats.
+    QueryDef(
+      "q_e_stats_agg",
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |       min(l_orderkey) AS min_l_orderkey,
+        |       max(l_orderkey) AS max_l_orderkey,
+        |       min(l_linenumber) AS min_l_linenumber,
+        |       max(l_linenumber) AS max_l_linenumber,
+        |       min(l_quantity) AS min_l_quantity,
+        |       max(l_quantity) AS max_l_quantity,
+        |       min(l_shipdate) AS min_l_shipdate,
+        |       max(l_shipdate) AS max_l_shipdate
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "statsagg")
+      val t = graft.tables.ManagedTable(s, s"$root/li")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      t.overwriteAll(li.filter(col("l_orderkey") % 4 =!= 0).repartition(8))
+      t.append(li.filter(col("l_orderkey") % 4 === 0).repartition(4))
+      t.statsAggregate(
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")).get
+    },
+
     // Predicate DML under the oracle: DELETE then UPDATE on a staged
     // managed table (file-granular rewrites — only files containing
     // matching rows are rewritten), hash-compared against the same two

@@ -236,6 +236,130 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     if (known.size == m.files.size) Some(known.sum) else None
   }
 
+  /** Exact `SELECT count(*), min(c), max(c), …` from manifest metadata
+    * alone — O(files) driver arithmetic, ZERO data scan. The 100 TB
+    * economics of [[fastCount]] extended to extrema: a freshness probe or
+    * range-discovery query ("what span of order dates does this table
+    * cover?") answers from the commit log instead of a full-table scan.
+    *
+    * Returns a one-row DataFrame `(cnt BIGINT, min_<c> T, max_<c> T, …)`
+    * typed by the table schema, or None when metadata cannot answer
+    * EXACTLY, falling back is the caller's choice ([[minMaxCount]] does
+    * it automatically). Exactness demands:
+    *
+    *  - every file carries a recorded row count and NO deletion vector
+    *    (a masked row might be the extremum);
+    *  - every requested column is of a fixed-width comparison domain —
+    *    integral, float/double, date, timestamp. String stats are
+    *    excluded by design: parquet writers may truncate/bound-adjust
+    *    binary min/max, which is sound for skipping but not for exact
+    *    answers. Decimals never record stats ([[FileStatistics]]);
+    *  - every non-empty file has footer stats for the column (a missing
+    *    entry could mean all-null, but also an unread footer or a column
+    *    beyond the indexed cap — ambiguity disqualifies, never guesses).
+    *
+    * Nulls are consistent with SQL semantics for free: parquet footer
+    * min/max ignore nulls, exactly as `min()`/`max()` do. An empty table
+    * yields `(0, null, null, …)`. */
+  def statsAggregate(cols: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    manifest.flatMap { m =>
+      val schema = m.schema
+      val cnt = {
+        val known = m.files.flatMap(_.rows)
+        if (known.size == m.files.size && m.files.forall(_.dv.isEmpty))
+          Some(known.sum)
+        else None
+      }
+      cnt.flatMap { total =>
+        val nonEmpty = m.files.filter(_.rows.exists(_ > 0))
+        val perCol: Seq[Option[(StructField, Option[(String, String)])]] =
+          cols.map { c =>
+            schema.fields.find(_.name == c).flatMap { field =>
+              val exact = field.dataType match {
+                case ByteType | ShortType | IntegerType | LongType |
+                     FloatType | DoubleType | DateType |
+                     TimestampType | TimestampNTZType => true
+                case _ => false
+              }
+              if (!exact) None
+              else {
+                val key = m.physicalName(c)
+                val sts = nonEmpty.map(_.stats.get(key))
+                if (sts.exists(_.isEmpty)) None // ambiguous: disqualify
+                else if (sts.isEmpty) Some((field, None)) // 0 live rows
+                else {
+                  val all = sts.flatten
+                  val lo = all.map(_.min).reduce((a, b) =>
+                    if (BigDecimal(a) <= BigDecimal(b)) a else b)
+                  val hi = all.map(_.max).reduce((a, b) =>
+                    if (BigDecimal(a) >= BigDecimal(b)) a else b)
+                  Some((field, Some((lo, hi))))
+                }
+              }
+            }
+          }
+        if (perCol.exists(_.isEmpty)) None
+        else {
+          // stats-domain string → typed value (inverse of the footer
+          // encoding [[statsBound]] translates bounds INTO)
+          def typed(dt: DataType, v: String): Any = dt match {
+            case ByteType    => BigDecimal(v).toByte
+            case ShortType   => BigDecimal(v).toShort
+            case IntegerType => BigDecimal(v).toInt
+            case LongType    => BigDecimal(v).toLong
+            case FloatType   => BigDecimal(v).toFloat
+            case DoubleType  => v.toDouble
+            case DateType    => java.time.LocalDate.ofEpochDay(v.toLong)
+            case TimestampType =>
+              val us = v.toLong
+              java.time.Instant.ofEpochSecond(
+                Math.floorDiv(us, 1000000L),
+                Math.floorMod(us, 1000000L) * 1000L)
+            case TimestampNTZType =>
+              val us = v.toLong
+              java.time.LocalDateTime.ofEpochSecond(
+                Math.floorDiv(us, 1000000L),
+                (Math.floorMod(us, 1000000L) * 1000L).toInt,
+                java.time.ZoneOffset.UTC)
+            case other => throw new IllegalStateException(other.toString)
+          }
+          val fields = StructField("cnt", LongType, nullable = false) +:
+            perCol.flatten.flatMap { case (f, _) => Seq(
+              StructField(s"min_${f.name}", f.dataType),
+              StructField(s"max_${f.name}", f.dataType))
+            }
+          val values: Seq[Any] = (total: java.lang.Long) +:
+            perCol.flatten.flatMap {
+              case (f, Some((lo, hi))) =>
+                Seq(typed(f.dataType, lo), typed(f.dataType, hi))
+              case (_, None) => Seq(null, null)
+            }
+          Some(spark.createDataFrame(
+            java.util.Collections.singletonList(
+              org.apache.spark.sql.Row.fromSeq(values)),
+            StructType(fields)))
+        }
+      }
+    }
+  }
+
+  /** [[statsAggregate]] with an automatic scan fallback: the same one-row
+    * `(cnt, min_<c>, max_<c>, …)` frame, answered from metadata when the
+    * manifest can answer exactly and from a (column-pruned) scan
+    * otherwise. Callers get commit-log latency when possible and
+    * correctness always. */
+  def minMaxCount(cols: Seq[String]): DataFrame =
+    statsAggregate(cols).getOrElse {
+      val d = read()
+      val aggs = org.apache.spark.sql.functions
+        .count(org.apache.spark.sql.functions.lit(1)).as("cnt") +:
+        cols.flatMap(c => Seq(
+          org.apache.spark.sql.functions.min(c).as(s"min_$c"),
+          org.apache.spark.sql.functions.max(c).as(s"max_$c")))
+      d.agg(aggs.head, aggs.tail: _*)
+    }
+
   /** Time travel: the table as of `version`. Versions below the vacuum
     * horizon fail fast — their manifest record may still exist (chain
     * retention) but their data files are gone, and a late
