@@ -412,6 +412,48 @@ object EngineOps {
         Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")).get
     },
 
+    // Row tracking under the oracle: stable row identity across
+    // compaction, copy-on-write DELETE, and Z-order. A pre-rewrite
+    // (row_id, key) snapshot is pinned to parquet, the table is then
+    // rewritten three ways, and the final read joins back on
+    // (_row_id AND both key columns): a row whose ID was lost,
+    // reassigned, or attached to different content drops out of the
+    // equi-join and fails rows_match — the oracle is simply "the rows
+    // that survived the delete", which only an identity-preserving
+    // engine reproduces through this join.
+    QueryDef(
+      "q_e_rowtrack",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem WHERE NOT (l_orderkey % 10 = 0)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate"""
+        .stripMargin) { (s, d) =>
+      val root = scratch(s, d, "rowtrack")
+      val t = graft.tables.ManagedTable(s, s"$root/li")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      t.overwriteAll(li.filter(col("l_orderkey") % 3 =!= 0).repartition(6))
+      t.append(li.filter(col("l_orderkey") % 3 === 0).repartition(3))
+      t.enableRowTracking()
+      // pin the pre-rewrite identity snapshot (DataFrames are lazy — an
+      // unmaterialized read would see the post-rewrite table)
+      val prePath = s"$root/pre"
+      t.readWithRowIds()
+        .select("_row_id", "l_orderkey", "l_linenumber")
+        .write.parquet(prePath)
+      t.compact(minFiles = 2, targetFiles = 4)
+      t.delete("l_orderkey % 10 = 0")
+      t.zorder(Seq("l_orderkey"), targetFiles = 4)
+      val post = t.readWithRowIds()
+      val pre = s.read.parquet(prePath)
+      post.join(pre,
+          post("_row_id") === pre("_row_id") &&
+          post("l_orderkey") === pre("l_orderkey") &&
+          post("l_linenumber") === pre("l_linenumber"))
+        .select(post("l_orderkey"), post("l_linenumber"),
+          post("l_quantity"), post("l_shipdate"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    },
+
     // Predicate DML under the oracle: DELETE then UPDATE on a staged
     // managed table (file-granular rewrites — only files containing
     // matching rows are rewritten), hash-compared against the same two

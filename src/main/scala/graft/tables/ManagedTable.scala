@@ -360,6 +360,69 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       d.agg(aggs.head, aggs.tail: _*)
     }
 
+  /** Switch on row tracking (Delta's `delta.enableRowTracking`): every
+    * row gets a STABLE numeric identity (`_row_id`) that survives
+    * compaction, Z-order, DV masking, and copy-on-write DML — the
+    * anchor an incremental consumer needs to follow a row across
+    * rewrites that don't logically change it. One metadata-only commit:
+    * existing files are backfilled with contiguous base-ID ranges (row
+    * i of a file = `baseRowId + i`); no data is rewritten, ever — later
+    * row-preserving rewrites carry IDs in a materialized column inside
+    * the new files. Requires every file's row count to be recorded
+    * (run [[collectStatistics]] first on legacy/imported tables). */
+  def enableRowTracking(): Unit = withWriteLock {
+    val m = requireManifest
+    if (m.properties.get(ManagedTable.RowTrackingEnabledProp).contains("true"))
+      return
+    val noRows = m.files.filter(_.rows.isEmpty)
+    if (noRows.nonEmpty)
+      throw new MetadataException(
+        s"enableRowTracking on $rootPath: ${noRows.size} file(s) have no " +
+          "recorded row count (e.g. " + noRows.head.path +
+          ") — run collectStatistics() first")
+    // commitDelta allocates base IDs for every add lacking one (the
+    // enabled property below switches allocation on for this commit too)
+    commitDelta(m.schemaJson, m.partitionColumns, "enableRowTracking",
+      base = Some(m), adds = m.files, removes = m.files.map(_.path),
+      propertiesOverride = Some(m.properties +
+        (ManagedTable.RowTrackingEnabledProp -> "true")))
+  }
+
+  private[tables] def rowTrackingActive(m: Manifest): Boolean =
+    m.properties.get(ManagedTable.RowTrackingEnabledProp).contains("true")
+
+  /** The snapshot plus a `rowIdCol` column carrying each row's stable
+    * row-tracking identity (see [[enableRowTracking]]). IDs are unique
+    * across the table's lifetime (allocation only moves the watermark
+    * forward) and stable across row-preserving rewrites; fresh inserts
+    * get fresh IDs. Refuses — rather than emitting overlapping or null
+    * IDs — when any current file was adopted without a recorded row
+    * count (run [[collectStatistics]] to backfill, which also
+    * allocates). */
+  def readWithRowIds(rowIdCol: String = "_row_id"): DataFrame = {
+    val m = requireManifest
+    if (!rowTrackingActive(m))
+      throw new MetadataException(
+        s"row tracking is not enabled on $rootPath — call enableRowTracking()")
+    val missing = m.files.filter(_.baseRowId.isEmpty)
+    if (missing.nonEmpty)
+      throw new MetadataException(
+        s"readWithRowIds on $rootPath: ${missing.size} file(s) have no " +
+          "allocated row-ID range (e.g. " + missing.head.path +
+          ") — run collectStatistics() to backfill")
+    readFilesWithTag(m, m.files, None, None, Some(rowIdCol))
+  }
+
+  /** Maintenance/DML read of `files` that MATERIALIZES row IDs into
+    * [[ManagedTable.MatRowIdCol]] when row tracking is active, so a
+    * rewrite of these rows preserves their identity; the plain masked
+    * read otherwise. */
+  private def readPreservingRowIds(m: Manifest,
+      files: Seq[TableFile]): DataFrame =
+    if (rowTrackingActive(m) && files.forall(_.baseRowId.isDefined))
+      readFilesWithTag(m, files, None, None, Some(ManagedTable.MatRowIdCol))
+    else readFiles(m, files)
+
   /** Time travel: the table as of `version`. Versions below the vacuum
     * horizon fail fast — their manifest record may still exist (chain
     * retention) but their data files are gone, and a late
@@ -956,7 +1019,21 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   }
 
   private def readFilesWithTag(m: Manifest, files: Seq[TableFile],
-      tag: Option[String], pos: Option[String] = None): DataFrame = {
+      tagReq: Option[String], posReq: Option[String] = None,
+      rowId: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // row-ID resolution needs each row's file path and physical index —
+    // piggyback on the tag/pos machinery with internal names when the
+    // caller didn't ask for them
+    val tag = tagReq.orElse(rowId.map(_ => "__g_rt_path"))
+    val pos = posReq.orElse(rowId.map(_ => "__g_rt_pos"))
+    // rewritten files materialize preserved row IDs in a physical column
+    // outside the logical schema; absent columns read as null and fall
+    // back to baseRowId + row_index
+    val scanSchema =
+      if (rowId.isEmpty) m.physicalSchema
+      else StructType(m.physicalSchema.fields :+
+        StructField(ManagedTable.MatRowIdCol, LongType))
     val (dvd, clean) = files.partition(_.dv.isDefined)
     def withTag(df: DataFrame): DataFrame = {
       val t = tag.fold(df)(t => df.withColumn(t, col("_metadata.file_path")))
@@ -981,22 +1058,23 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       new Path(f.path).isAbsolute)
     val cleanParts = Seq(
       if (plain.isEmpty) None
-      else Some(withTag(spark.read.schema(m.physicalSchema)
+      else Some(withTag(spark.read.schema(scanSchema)
         .parquet(plain.map(f => new Path(root, f.path).toString): _*))),
       if (adopted.isEmpty) None
-      else Some(withTag(spark.read.schema(m.physicalSchema)
+      else Some(withTag(spark.read.schema(scanSchema)
         .option("basePath", root.toString)
         .parquet(adopted.map(f => new Path(root, f.path).toString): _*)
         // discovery may order partition columns after data columns —
         // normalize to the manifest schema before tagging
-        .select(m.physicalSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*))),
+        .select(scanSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*))),
       if (borrowed.isEmpty) None
-      else Some(readBorrowedAdopted(m, borrowed, withTag))
+      else Some(readBorrowedAdopted(m, borrowed, withTag,
+        matNull = rowId.isDefined))
     ).flatten
     val cleanDf =
       if (cleanParts.isEmpty && dvd.isEmpty) {
-        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-        val schema = StructType(m.physicalSchema.fields ++
+        import org.apache.spark.sql.types.StringType
+        val schema = StructType(scanSchema.fields ++
           tag.map(StructField(_, StringType)) ++ pos.map(StructField(_, LongType)))
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -1005,15 +1083,48 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val out =
       if (dvd.isEmpty) cleanDf
       else {
-        val masked = readDvFiltered(m, dvd, tag, pos)
+        val masked = readDvFiltered(m, dvd, tag, pos, withMat = rowId.isDefined)
         if (cleanDf == null) masked else cleanDf.union(masked)
       }
     // files store PHYSICAL names; surface the LOGICAL ones (no-op select
     // when column mapping is inactive — names coincide)
-    if (m.columnMapping.isEmpty) out
-    else out.select(m.schema.fields.toSeq.map(f =>
-      col(s"`${m.physicalName(f.name)}`").as(f.name)) ++
-      tag.map(t => col(s"`$t`")) ++ pos.map(p => col(s"`$p`")): _*)
+    val projected =
+      if (m.columnMapping.isEmpty) out
+      else out.select(m.schema.fields.toSeq.map(f =>
+        col(s"`${m.physicalName(f.name)}`").as(f.name)) ++
+        rowId.map(_ => col(s"`${ManagedTable.MatRowIdCol}`")) ++
+        tag.map(t => col(s"`$t`")) ++ pos.map(p => col(s"`$p`")): _*)
+    rowId match {
+      case None => projected
+      case Some(outCol) =>
+        // resolve each row's stable ID: the materialized column when the
+        // file carries one (rewrites), else baseRowId + physical row
+        // index — via a broadcast (uri → base) lookup over every URI
+        // rendering the file source might emit (same alias set as
+        // fileUriLookup / readBorrowedAdopted)
+        import org.apache.spark.sql.types.StringType
+        val uriC = "__g_rt_uri"; val baseC = "__g_rt_base"
+        val lookupRows = files.flatMap { f =>
+          val p = fs.makeQualified(new Path(root, f.path))
+          Set(p.toString, p.toUri.toString, p.toUri.getPath, p.toUri.toASCIIString)
+            .toSeq.map(u => org.apache.spark.sql.Row(
+              u, f.baseRowId.map(Long.box).orNull))
+        }
+        val lookup = spark.createDataFrame(
+          spark.sparkContext.parallelize(lookupRows, 1),
+          StructType(Seq(StructField(uriC, StringType),
+            StructField(baseC, LongType))))
+        projected.join(broadcast(lookup),
+            projected(tag.get) === lookup(uriC), "left")
+          .withColumn(outCol, coalesce(col(s"`${ManagedTable.MatRowIdCol}`"),
+            col(baseC) + col(s"`${pos.get}`")))
+          // maintenance reads name the OUTPUT MatRowIdCol itself (so the
+          // rewrite materializes it) — don't drop what was just computed
+          .drop((if (outCol == ManagedTable.MatRowIdCol) Nil
+            else Seq(ManagedTable.MatRowIdCol)) ++ Seq(uriC, baseC) ++
+            (if (tagReq.isEmpty) tag.toSeq else Nil) ++
+            (if (posReq.isEmpty) pos.toSeq else Nil): _*)
+    }
   }
 
   /** Scan adopted hive-layout files BORROWED from another table's root
@@ -1023,7 +1134,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * file→values map and cast to the schema's partition types. Scales as
     * one scan + one broadcast however many partitions; layout-agnostic. */
   private def readBorrowedAdopted(m: Manifest, borrowed: Seq[TableFile],
-      withTag: DataFrame => DataFrame): DataFrame = {
+      withTag: DataFrame => DataFrame, matNull: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val partPhys = m.partitionColumns.map(m.physicalName)
     val dataSchema = StructType(
@@ -1056,7 +1167,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val extras = scan.columns.toSeq
       .filterNot(c => c == uriCol || dataSchema.fieldNames.contains(c))
       .map(c => col(s"`$c`")) // tag/pos columns added by withTag
-    joined.select(typed ++ extras: _*)
+    // borrowed files are externally written — never a materialized
+    // row-ID column; emit the null slot union-position-compatibly
+    val mat =
+      if (matNull)
+        Seq(lit(null).cast("long").as(ManagedTable.MatRowIdCol))
+      else Nil
+    joined.select(typed ++ mat ++ extras: _*)
   }
 
   /** Scan `files` (all carrying a DV) with their masked positions
@@ -1069,8 +1186,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * falls back to a shuffled anti-join, and maintenance should have
     * purged long before ([[purgeDeletionVectors]]). */
   private def readDvFiltered(m: Manifest, files: Seq[TableFile],
-      tag: Option[String], pos: Option[String] = None): DataFrame = {
-    val scan0 = spark.read.schema(m.physicalSchema)
+      tag: Option[String], pos: Option[String] = None,
+      withMat: Boolean = false): DataFrame = {
+    val scanSchema =
+      if (!withMat) m.physicalSchema
+      else org.apache.spark.sql.types.StructType(m.physicalSchema.fields :+
+        org.apache.spark.sql.types.StructField(
+          ManagedTable.MatRowIdCol, org.apache.spark.sql.types.LongType))
+    val scan0 = spark.read.schema(scanSchema)
       .parquet(files.map(f => new Path(root, f.path).toString): _*)
       .withColumn(DvFileCol, col("_metadata.file_name"))
       .withColumn(DvPosCol, col("_metadata.row_index"))
@@ -1083,7 +1206,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       else dead0
     // output stays PHYSICAL — [[readFilesWithTag]] does the final
     // physical→logical projection uniformly for clean and masked files
-    val outCols = m.physicalSchema.fieldNames.toSeq.map(n => col(s"`$n`")) ++
+    val outCols = scanSchema.fieldNames.toSeq.map(n => col(s"`$n`")) ++
       tag.map(col).toSeq ++ pos.map(p => col(DvPosCol).as(p)).toSeq
     scan.join(dead,
         scan(DvFileCol) === dead("file") && scan(DvPosCol) === dead("pos"),
@@ -1480,7 +1603,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
             case None => col(s"`${f.name}`")
           }
         }
-        touchedRows.select(cols: _*)
+        // materialized row IDs (row tracking) pass through unchanged —
+        // an UPDATE preserves row identity
+        val carry = touchedRows.columns.toSeq
+          .filter(_ == ManagedTable.MatRowIdCol).map(c => col(s"`$c`"))
+        touchedRows.select(cols ++ carry: _*)
       }
     }
 
@@ -1671,7 +1798,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       m.files.filter(f => keep.contains(f.path))
     }
 
-    val touchedRows = readManifestFiles(m, touchedEntries)
+    // row tracking: survivors/updated images keep their identity — the
+    // read materializes IDs, the rewrite carries the column through
+    val touchedRows = readPreservingRowIds(m, touchedEntries)
     replaceFiles(touchedPaths, rewrite(touchedRows, pred), op)
     matched
   }
@@ -1715,21 +1844,50 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private def dvDml(op: String, m: Manifest, candidates: Seq[TableFile],
       pred: org.apache.spark.sql.Column,
       rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
-    val schemaCols = m.schema.fieldNames.toSeq.map(n => col(s"`$n`"))
     val byName: Map[String, TableFile] =
       candidates.map(f => new Path(f.path).getName -> f).toMap
+    // row tracking: resolve each candidate row's stable ID up front (the
+    // basename→baseRowId map is tiny and basenames are unique — DV
+    // eligibility guarantees it) so over-fraction rewrites and UPDATE
+    // images carry identity into their new files
+    val rtActive = rowTrackingActive(m) && candidates.forall(_.baseRowId.isDefined)
+    val schemaCols = m.schema.fieldNames.toSeq.map(n => col(s"`$n`")) ++
+      (if (rtActive) Seq(col(s"`${ManagedTable.MatRowIdCol}`")) else Nil)
+    val scanSchema =
+      if (!rtActive) m.physicalSchema
+      else org.apache.spark.sql.types.StructType(m.physicalSchema.fields :+
+        org.apache.spark.sql.types.StructField(
+          ManagedTable.MatRowIdCol, org.apache.spark.sql.types.LongType))
     // physical scan: row positions index the file as written, independent
     // of any DV already masking it
-    val rawPhys = spark.read.schema(m.physicalSchema)
+    val rawPhys = spark.read.schema(scanSchema)
       .parquet(candidates.map(f => new Path(root, f.path).toString): _*)
       .withColumn(DvFileCol, col("_metadata.file_name"))
       .withColumn(DvPosCol, col("_metadata.row_index"))
     // logical view (pred and rewrite speak logical names), positions kept
-    val raw =
+    val raw0 =
       if (m.columnMapping.isEmpty) rawPhys
       else rawPhys.select(m.schema.fields.toSeq.map(f =>
-        col(s"`${m.physicalName(f.name)}`").as(f.name)) :+
-        col(DvFileCol) :+ col(DvPosCol): _*)
+        col(s"`${m.physicalName(f.name)}`").as(f.name)) ++
+        (if (rtActive) Seq(col(s"`${ManagedTable.MatRowIdCol}`")) else Nil) ++
+        Seq(col(DvFileCol), col(DvPosCol)): _*)
+    val raw =
+      if (!rtActive) raw0
+      else {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val fileC = "__g_rt_file"; val baseC = "__g_rt_base"
+        val lk = spark.createDataFrame(
+          spark.sparkContext.parallelize(candidates.map(f =>
+            org.apache.spark.sql.Row(new Path(f.path).getName,
+              f.baseRowId.map(Long.box).orNull)), 1),
+          StructType(Seq(StructField(fileC, StringType),
+            StructField(baseC, LongType))))
+        raw0.join(broadcast(lk), raw0(DvFileCol) === lk(fileC), "left")
+          .withColumn(ManagedTable.MatRowIdCol,
+            coalesce(col(s"`${ManagedTable.MatRowIdCol}`"),
+              col(baseC) + col(DvPosCol)))
+          .drop(fileC, baseC)
+      }
     val priorNames = candidates.flatMap(_.dv).distinct
     val maskedNames = candidates.filter(_.dv.isDefined)
       .map(f => new Path(f.path).getName)
@@ -2072,6 +2230,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   /** Set (merge) table properties as a metadata-only commit. */
   def setTableProperties(props: Map[String, String]): Unit = withWriteLock {
     val m = requireManifest
+    val guarded = props.keySet.filter(_.startsWith("graft.rowTracking."))
+    if (guarded.nonEmpty)
+      throw new MetadataException(
+        s"propert${if (guarded.size == 1) "y" else "ies"} " +
+          s"${guarded.toSeq.sorted.mkString(", ")} are engine-maintained — " +
+          "use enableRowTracking() (the watermark is never user-settable)")
     if (props.nonEmpty)
       commitDelta(m.schemaJson, m.partitionColumns,
         s"setTblProperties ${props.keys.toSeq.sorted.mkString(",")}",
@@ -2082,6 +2246,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   /** Unset table properties (metadata-only; absent keys are ignored). */
   def unsetTableProperties(keys: Seq[String]): Unit = withWriteLock {
     val m = requireManifest
+    val guarded = keys.filter(_.startsWith("graft.rowTracking."))
+    if (guarded.nonEmpty)
+      throw new MetadataException(
+        s"propert${if (guarded.size == 1) "y" else "ies"} " +
+          s"${guarded.sorted.mkString(", ")} are engine-maintained — row " +
+          "tracking cannot be switched off once readers depend on its IDs")
     if (keys.exists(m.properties.contains))
       commitDelta(m.schemaJson, m.partitionColumns,
         s"unsetTblProperties ${keys.sorted.mkString(",")}",
@@ -2494,9 +2664,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       recompute = true)
     val d = reconcileSchema(g, m)
     enforceConstraints(d, m.constraints, operation)
-    val cmx = extendMapping(m.columnMapping, d.schema)
+    val cmx = extendMapping(m.columnMapping, logicalSchema(d))
     val newFiles = writeCommit(d, m.partitionColumns, cmx)
-    commitDelta(d.schema.json, m.partitionColumns, operation,
+    commitDelta(logicalSchema(d).json, m.partitionColumns, operation,
       base = Some(m), adds = newFiles, removes = removePaths, txn = txn,
       mappingOverride = Some(cmx), propertiesOverride = propsOv)
     maybeAutoCompact()
@@ -2524,14 +2694,20 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       operation: String): Unit = {
     val d = reconcileSchema(df, base)
     enforceConstraints(d, base.constraints, operation)
-    val cmx = extendMapping(base.columnMapping, d.schema)
+    val cmx = extendMapping(base.columnMapping, logicalSchema(d))
     val newFiles = writeCommit(d, base.partitionColumns, cmx)
+    // row-tracking watermark bumps are invisible to a content-preserving
+    // rewrite — an interleaved append moving ONLY the watermark must not
+    // forfeit the OPTIMIZE (the rewritten files carry their IDs
+    // materialized; fresh base ranges re-allocate from the new head)
+    def cmpProps(p: Map[String, String]): Map[String, String] =
+      p - ManagedTable.RowTrackingWatermarkProp
     var b = base
     var attempt = 0
     var committed = false
     while (!committed)
       try {
-        commitDelta(d.schema.json, b.partitionColumns, operation,
+        commitDelta(logicalSchema(d).json, b.partitionColumns, operation,
           base = Some(b), adds = newFiles,
           removes = removeEntries.map(_.path),
           mappingOverride = Some(cmx))
@@ -2549,11 +2725,19 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
               cur.partitionColumns != b.partitionColumns ||
               cur.constraints != b.constraints ||
               cur.generated != b.generated ||
-              cur.properties != b.properties ||
+              cmpProps(cur.properties) != cmpProps(b.properties) ||
               cur.columnMapping != b.columnMapping) throw e
           b = cur // an orphan record keeps colliding → attempts exhaust
       }
   }
+
+  /** `df`'s schema minus engine-internal materialized columns — what a
+    * commit publishes as the TABLE schema even when the written files
+    * carry [[ManagedTable.MatRowIdCol]] alongside the data. */
+  private def logicalSchema(
+      df: DataFrame): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      df.schema.fields.filterNot(_.name == ManagedTable.MatRowIdCol))
 
   /** DV-mode MERGE commit primitive — [[replaceFiles]]'s merge-on-read
     * sibling. Atomically, in one version:
@@ -2604,9 +2788,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       adds ++= dvUpdates.map { case (f, dead) =>
         f.copy(dv = Some(name), dvRows = Some(dead)) }
     }
-    val cmx = extendMapping(m.columnMapping, d.schema)
+    val cmx = extendMapping(m.columnMapping, logicalSchema(d))
     adds ++= writeCommit(d, m.partitionColumns, cmx)
-    commitDelta(d.schema.json, m.partitionColumns, operation,
+    commitDelta(logicalSchema(d).json, m.partitionColumns, operation,
       base = Some(m), adds = adds,
       removes = dropPaths ++ replacePaths ++ dvUpdates.map(_._1.path),
       txn = txn, mappingOverride = Some(cmx), propertiesOverride = propsOv)
@@ -2833,13 +3017,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     if (m.partitionColumns.isEmpty) {
       if (m.files.size >= minFiles)
         replaceFilesMaintenance(m, m.files,
-          readSnapshot(m).coalesce(targetFiles), "compact")
+          readPreservingRowIds(m, m.files).coalesce(targetFiles), "compact")
     } else {
       val affected = m.files.groupBy(_.partitionValues)
         .filter(_._2.size >= minFiles).keys.toSet
       if (affected.nonEmpty) {
         val victims = m.files.filter(f => affected.contains(f.partitionValues))
-        val df = readFiles(m, victims)
+        val df = readPreservingRowIds(m, victims)
           .repartition(m.partitionColumns.map(c => col(s"`$c`")): _*)
         replaceFilesMaintenance(m, victims, df, "compact")
       }
@@ -2877,7 +3061,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       val tgt = if (targetBytes > 0) targetBytes else smallBytes * 8
       val total = victims.iterator.map(f => lens(f.path)).sum
       val nOut = math.max(1, math.ceil(total.toDouble / tgt).toInt)
-      val small = readManifestFiles(m, victims)
+      val small = readPreservingRowIds(m, victims)
       val packed =
         if (m.partitionColumns.isEmpty) small.coalesce(nOut)
         else small.repartition(nOut, m.partitionColumns.map(c => col(s"`$c`")): _*)
@@ -2895,7 +3079,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val m = requireManifest
     val scope = maintenanceScope(m, where).filter(_.dv.isDefined)
     if (scope.nonEmpty)
-      replaceFilesMaintenance(m, scope, readManifestFiles(m, scope), "purgeDv")
+      replaceFilesMaintenance(m, scope, readPreservingRowIds(m, scope),
+        "purgeDv")
   }
 
   /** Multi-dimensional clustering rewrite: re-sort the table along a
@@ -2917,7 +3102,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     require(columns.nonEmpty, "zorder requires at least one column")
     val scope = maintenanceScope(m, where)
     if (scope.isEmpty) return
-    val df = readFiles(m, scope)
+    val df = readPreservingRowIds(m, scope)
     val bounds = ZOrder.boundaries(df, columns)
     val z = ZOrder.zValue(df, bounds).as("__gz")
     // default file count: consolidate small merge-commit files (an 8x
@@ -3284,7 +3469,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     if (missing.nonEmpty)
       throw new MetadataException(
         s"Source is missing target column(s): ${missing.toSeq.sorted.mkString(", ")}")
-    val added = srcFields.keySet -- targetFields.keySet
+    // the materialized row-ID column rides rewrite content without ever
+    // entering the table schema — not drift
+    val added = srcFields.keySet -- targetFields.keySet -
+      ManagedTable.MatRowIdCol.toLowerCase
     if (added.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(classOf[ManagedTable]).warn(
         s"Schema drift on $rootPath: adopting new column(s) " +
@@ -3518,8 +3706,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val now = priorTs.fold(System.currentTimeMillis())(p =>
       math.max(System.currentTimeMillis(), p + 1))
     val removed = removes.toSet
-    val newFiles = base.map(_.files.filterNot(f => removed.contains(f.path)))
-      .getOrElse(Nil) ++ adds
+    val survivors = base.map(_.files.filterNot(f => removed.contains(f.path)))
+      .getOrElse(Nil)
     // constraints carry forward unless this commit changes them
     val cs = constraintsOverride
       .getOrElse(base.map(_.constraints).getOrElse(Map.empty))
@@ -3529,21 +3717,44 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val gs = generatedOverride
       .getOrElse(base.map(_.generated).getOrElse(Map.empty))
     // table properties carry forward unless this commit changes them
-    val ps = propertiesOverride
+    val ps0 = propertiesOverride
       .getOrElse(base.map(_.properties).getOrElse(Map.empty))
+    // row tracking: every added entry without a base row ID gets a fresh
+    // contiguous range from the high watermark (entries carried through
+    // rewrites — DV re-commits, restores — keep theirs). Pure driver
+    // arithmetic, idempotent across commit-race retries (nothing persists
+    // until the record create wins). Files without a recorded row count
+    // stay unallocated — readWithRowIds refuses them loudly rather than
+    // inventing overlapping ranges.
+    val rowTracking = ps0.get(ManagedTable.RowTrackingEnabledProp).contains("true")
+    val (allocated, ps) =
+      if (!rowTracking) (adds, ps0)
+      else {
+        var hw = ps0.get(ManagedTable.RowTrackingWatermarkProp)
+          .map(_.toLong).getOrElse(0L)
+        val out = adds.map { f =>
+          if (f.baseRowId.isDefined) f
+          else f.rows match {
+            case Some(n) => val b = hw; hw += n; f.copy(baseRowId = Some(b))
+            case None    => f
+          }
+        }
+        (out, ps0 + (ManagedTable.RowTrackingWatermarkProp -> hw.toString))
+      }
+    val newFiles = survivors ++ allocated
     // per-commit operation metrics (Delta's operationMetrics): free
     // driver arithmetic over entries already in hand; row/byte sums only
     // when every added entry carries the stat (a partial sum would lie)
     val metrics = Map(
-      "filesAdded" -> adds.size.toLong,
+      "filesAdded" -> allocated.size.toLong,
       "filesRemoved" -> removes.size.toLong) ++
-      (if (adds.nonEmpty && adds.forall(_.rows.isDefined))
-        Map("rowsAdded" -> adds.flatMap(_.rows).sum) else Map.empty) ++
-      (if (adds.nonEmpty && adds.forall(_.bytes.isDefined))
-        Map("bytesAdded" -> adds.flatMap(_.bytes).sum) else Map.empty)
+      (if (allocated.nonEmpty && allocated.forall(_.rows.isDefined))
+        Map("rowsAdded" -> allocated.flatMap(_.rows).sum) else Map.empty) ++
+      (if (allocated.nonEmpty && allocated.forall(_.bytes.isDefined))
+        Map("bytesAdded" -> allocated.flatMap(_.bytes).sum) else Map.empty)
     val checkpoint = base.isEmpty ||
       next % Manifest.CheckpointInterval == 0 ||
-      adds.size + removes.size >= newFiles.size // delta wouldn't be smaller
+      allocated.size + removes.size >= newFiles.size // delta wouldn't be smaller
     val (recordJson, snapshot) =
       if (checkpoint) {
         val m = Manifest(next, schemaJson, partitionBy, newFiles, operation, now,
@@ -3560,7 +3771,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         } else (m.toJsonString, m)
       } else {
         val inc = IncrementalManifest(next, schemaJson, partitionBy,
-          base.get.version, adds, removes, operation, now, txn = txn,
+          base.get.version, allocated, removes, operation, now, txn = txn,
           constraints = cs, metrics = metrics, columnMapping = cm,
           generated = gs, properties = ps)
         (inc.toJsonString,
@@ -3604,7 +3815,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       StructField("rows", LongType),
       StructField("bytes", LongType),
       StructField("dv", StringType),
-      StructField("dvRows", LongType)))
+      StructField("dvRows", LongType),
+      StructField("baseRow", LongType)))
   }
 
   private def writeSidecarFiles(name: String, files: Seq[TableFile]): Unit = {
@@ -3614,7 +3826,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       f.rows.map(Long.box).orNull,
       f.bytes.map(Long.box).orNull,
       f.dv.orNull,
-      f.dvRows.map(Long.box).orNull))
+      f.dvRows.map(Long.box).orNull,
+      f.baseRowId.map(Long.box).orNull))
     // ~100k entries per task keeps sidecar files O(10 MB)
     val parts = math.max(1, files.size / 100000)
     spark.createDataFrame(
@@ -3637,7 +3850,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           if (r.isNullAt(3)) None else Some(r.getLong(3)),
           if (r.isNullAt(4)) None else Some(r.getLong(4)),
           Option(r.getString(5)),
-          if (r.isNullAt(6)) None else Some(r.getLong(6)))
+          if (r.isNullAt(6)) None else Some(r.getLong(6)),
+          if (r.isNullAt(7)) None else Some(r.getLong(7)))
       }
 
   private def writeFile(p: Path, content: String): Unit = {
@@ -3779,6 +3993,28 @@ object ManagedTable {
     * to callers — [[readDvFiltered]] projects them away). */
   private[tables] val DvFileCol = "__g_dv_file"
   private[tables] val DvPosCol = "__g_dv_pos"
+
+  /** Row tracking (Delta row IDs). While [[RowTrackingEnabledProp]] is
+    * "true", every data-adding commit allocates each new file a
+    * contiguous row-ID range from [[RowTrackingWatermarkProp]]
+    * (`TableFile.baseRowId`); row i of a fresh file has stable ID
+    * `baseRowId + i`. Rewrites that preserve rows (compaction, Z-order,
+    * DV purge, copy-on-write DML survivors, update images) materialize
+    * the ID into the physical [[MatRowIdCol]] column inside the new
+    * files — never part of the logical schema — and reads resolve
+    * `coalesce(materialized, baseRowId + row_index)`. Enable via
+    * [[ManagedTable.enableRowTracking]] (backfills existing files);
+    * read via [[ManagedTable.readWithRowIds]]. */
+  val RowTrackingEnabledProp = "graft.rowTracking.enabled"
+
+  /** Next unallocated row ID (maintained by the commit path — direct
+    * writes via setTableProperties are rejected). */
+  val RowTrackingWatermarkProp = "graft.rowTracking.highWatermark"
+
+  /** Physical column materializing preserved row IDs inside rewritten
+    * parquet files. Excluded from every logical schema; fresh files
+    * omit it entirely (their IDs derive from `baseRowId + row_index`). */
+  private[graft] val MatRowIdCol = "_graft_row_id"
 
   /** DV sidecars key rows by data-file BASENAME — safe only when every
     * basename in the manifest is unique (always true for engine-written

@@ -102,7 +102,13 @@ final case class Txn(appId: String, batchId: Long)
   *   only pairs matching this file's basename apply to it.
   * @param dvRows number of masked positions for THIS file — always
   *   recorded with [[dv]] so live counts and deleted-fraction decisions
-  *   never read the sidecar. */
+  *   never read the sidecar.
+  * @param baseRowId row-tracking base (Delta's AddFile.baseRowId): row i
+  *   of this file has the stable row ID `baseRowId + i` unless the file
+  *   carries a materialized `_graft_row_id` column (rewrites preserve
+  *   IDs that way). Allocated from the table's high watermark at commit
+  *   time while `graft.rowTracking.enabled`; None on files committed
+  *   before enablement or adopted without a recorded row count. */
 /** Delta-style column mapping: logical (user-visible) column names decouple
   * from the physical names stored inside parquet files, making RENAME and
   * DROP COLUMN metadata-only commits — at 100 TB a rename must not rewrite
@@ -130,7 +136,8 @@ final case class TableFile(
     rows: Option[Long] = None,
     bytes: Option[Long] = None,
     dv: Option[String] = None,
-    dvRows: Option[Long] = None) {
+    dvRows: Option[Long] = None,
+    baseRowId: Option[Long] = None) {
 
   /** Live rows (physical minus DV-masked), when the physical count is
     * known. */
@@ -363,7 +370,8 @@ object Manifest {
         f.rows.map(r => "rows" -> (JLong(r): JValue)).toList ++
         f.bytes.map(b => "bytes" -> (JLong(b): JValue)).toList ++
         f.dv.map(d => "dv" -> (JString(d): JValue)).toList ++
-        f.dvRows.map(n => "dvRows" -> (JLong(n): JValue)).toList)
+        f.dvRows.map(n => "dvRows" -> (JLong(n): JValue)).toList ++
+        f.baseRowId.map(b => "baseRow" -> (JLong(b): JValue)).toList)
     }.toList)
 
   private def str(v: JValue): String = v match { case JString(x) => x; case _ => "" }
@@ -400,6 +408,11 @@ object Manifest {
           case _          => None
         },
         (f \ "dvRows") match {
+          case JLong(x) => Some(x)
+          case JInt(x)  => Some(x.toLong)
+          case _        => None
+        },
+        (f \ "baseRow") match {
           case JLong(x) => Some(x)
           case JInt(x)  => Some(x.toLong)
           case _        => None
