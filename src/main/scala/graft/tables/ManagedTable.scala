@@ -417,7 +417,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * [[ManagedTable.MatRowIdCol]] when row tracking is active, so a
     * rewrite of these rows preserves their identity; the plain masked
     * read otherwise. */
-  private def readPreservingRowIds(m: Manifest,
+  private[tables] def readPreservingRowIds(m: Manifest,
       files: Seq[TableFile]): DataFrame =
     if (rowTrackingActive(m) && files.forall(_.baseRowId.isDefined))
       readFilesWithTag(m, files, None, None, Some(ManagedTable.MatRowIdCol))
@@ -2993,7 +2993,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       recompute = true)
     val d = reconcileSchema(g, m)
     enforceConstraints(d, m.constraints, operation)
-    val cmx = extendMapping(m.columnMapping, d.schema)
+    val cmx = extendMapping(m.columnMapping, logicalSchema(d))
     val newFiles = writeCommit(d, m.partitionColumns, cmx)
     val removed = partitions match {
       case None => m.files
@@ -3001,7 +3001,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         val replaced = ps.toSet
         m.files.filter(f => replaced.contains(f.partitionValues))
     }
-    commitDelta(d.schema.json, m.partitionColumns, operation,
+    commitDelta(logicalSchema(d).json, m.partitionColumns, operation,
       base = Some(m), adds = newFiles, removes = removed.map(_.path), txn = txn,
       mappingOverride = Some(cmx), propertiesOverride = propsOv)
   }

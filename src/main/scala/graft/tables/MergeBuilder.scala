@@ -256,7 +256,15 @@ final class MergeBuilder private[tables] (
   private def executeGeneric(): MergeMetrics = {
     val m = requireTarget
     val targetCols = m.schema.fields.map(_.name).toSeq
-    val target = prunedTarget(m)
+    val scopeFiles = prunedFiles(m)
+    // row tracking: the partition-granular rewrite re-commits every scope
+    // row — materialize IDs so carried and updated rows keep identity
+    // (source-only inserts get fresh IDs from their new file's base range)
+    val rtActive = table.rowTrackingActive(m) &&
+      scopeFiles.forall(_.baseRowId.isDefined)
+    val target =
+      if (rtActive) table.readPreservingRowIds(m, scopeFiles)
+      else table.readManifestFiles(m, scopeFiles)
 
     val t = target
       .withColumn(TFlag, lit(true))
@@ -311,8 +319,13 @@ final class MergeBuilder private[tables] (
       }.as(name)
     }
 
+    val matCarry =
+      if (rtActive)
+        Seq(col(s"target.`${ManagedTable.MatRowIdCol}`")
+          .as(ManagedTable.MatRowIdCol))
+      else Nil
     val resolved = joined
-      .select(outCols ++ Seq(actionCol.as(ActionCol),
+      .select(outCols ++ matCarry ++ Seq(actionCol.as(ActionCol),
         when(col(SFlag).isNotNull, col(TRowId)).as(TRowId)): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -536,6 +549,26 @@ final class MergeBuilder private[tables] (
           when(clauseCond(c), valueFor(c, name)).otherwise(rest)
         }.as(name)
       }
+      // row tracking: rewritten carried/updated rows keep their stable
+      // IDs — the touched-file read materializes them, the resolve
+      // carries the target's ID column through, and insert rows get a
+      // typed-null slot (fresh IDs allocate from baseRowId + row_index
+      // at read time)
+      val rtActive = table.rowTrackingActive(m) &&
+        touchedEntries.forall(_.baseRowId.isDefined)
+      def readTouched(entries: Seq[TableFile]): DataFrame =
+        if (rtActive) table.readPreservingRowIds(m, entries)
+        else table.readManifestFiles(m, entries)
+      val matCarry =
+        if (rtActive)
+          Seq(col(s"target.`${ManagedTable.MatRowIdCol}`")
+            .as(ManagedTable.MatRowIdCol))
+        else Nil
+      val insertsAligned =
+        if (rtActive)
+          inserts.withColumn(ManagedTable.MatRowIdCol, lit(null).cast("long"))
+        else inserts
+
       // merge-on-read branch: with DVs enabled, matched rows leaving
       // their file (updated or deleted) are MASKED by position instead of
       // the file being rewritten — the updated images and inserts append
@@ -575,21 +608,21 @@ final class MergeBuilder private[tables] (
         // deleted rows just vanish), full rewrite for over-fraction files
         val imgEntries = touchedEntries.filter(f =>
           dvPathSet.contains(f.path) || dropPaths.contains(f.path))
-        val images = joinTarget(table.readManifestFiles(m, imgEntries))
-          .select(outCols :+ actionCol.as(ActionCol): _*)
+        val images = joinTarget(readTouched(imgEntries))
+          .select(outCols ++ matCarry :+ actionCol.as(ActionCol): _*)
           .filter(col(ActionCol) =!= UnchangedTag)
-        val classic = joinTarget(table.readManifestFiles(m, rewriteEntries))
-          .select(outCols :+ actionCol.as(ActionCol): _*)
-        val kept = classic.unionByName(images).unionByName(inserts)
+        val classic = joinTarget(readTouched(rewriteEntries))
+          .select(outCols ++ matCarry :+ actionCol.as(ActionCol): _*)
+        val kept = classic.unionByName(images).unionByName(insertsAligned)
           .filter(col(ActionCol) =!= DropTag &&
             !col(ActionCol).startsWith(DeletePrefix))
           .drop(ActionCol)
         table.maskAndReplaceFiles(dvEntries, newDead, dropPaths,
           rewriteEntries.map(_.path), kept, operationName, txn)
       } else {
-        val rewrite = joinTarget(table.readManifestFiles(m, touchedEntries))
-          .select(outCols :+ actionCol.as(ActionCol): _*)
-        val kept = rewrite.unionByName(inserts)
+        val rewrite = joinTarget(readTouched(touchedEntries))
+          .select(outCols ++ matCarry :+ actionCol.as(ActionCol): _*)
+        val kept = rewrite.unionByName(insertsAligned)
           .filter(col(ActionCol) =!= DropTag && !col(ActionCol).startsWith(DeletePrefix))
           .drop(ActionCol)
         table.replaceFiles(touchedPaths, kept, operationName, txn)

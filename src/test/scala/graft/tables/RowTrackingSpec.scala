@@ -154,6 +154,51 @@ class RowTrackingSpec extends AnyFunSuite with Matchers {
     t.manifest.get.version shouldBe v
   }
 
+  test("keyed MERGE preserves IDs for carried and updated rows; inserts get fresh IDs") {
+    import spark.implicits._
+    val t = freshTable(100)
+    val before = ids(t)
+    val src = Seq((3L, "upd3"), (47L, "upd47"), (200L, "new200"))
+      .toDF("k", "s")
+    val metrics = MergeInto.byKey(t, src, "k")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    metrics.count("m0") shouldBe 2L
+    metrics.count("nm1") shouldBe 1L
+    val after = ids(t)
+    after.size shouldBe 101
+    after.values.toSeq.distinct.size shouldBe 101
+    // every pre-existing row — updated or carried through the touched
+    // files' rewrite — keeps its ID; the insert lands above the watermark
+    before.foreach { case (k, id) => after(k) shouldBe id }
+    after(200L) should be >= 100L
+    t.read().filter("k = 3").select("s").collect()(0).getString(0) shouldBe "upd3"
+  }
+
+  test("DV-mode MERGE and generic-condition MERGE both preserve IDs") {
+    import spark.implicits._
+    val t = freshTable(100)
+    val before = ids(t)
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    try {
+      MergeInto.byKey(t, Seq((5L, "dv5")).toDF("k", "s"), "k")
+        .whenMatchedUpdateAll().execute()
+    } finally spark.conf.set("spark.graft.dv.enabled", "false")
+    val afterDv = ids(t)
+    afterDv.size shouldBe 100
+    before.foreach { case (k, id) => afterDv(k) shouldBe id }
+    // generic path (non-equi condition): partition-granular rewrite still
+    // carries identity for matched and untouched rows
+    MergeInto(t, Seq((10L, "gen")).toDF("k", "s"),
+        "target.k = source.k AND source.k > 1")
+      .whenMatchedUpdateAll().execute()
+    val afterGen = ids(t)
+    afterGen.size shouldBe 100
+    before.foreach { case (k, id) => afterGen(k) shouldBe id }
+    t.read().filter("k = 10").select("s").collect()(0).getString(0) shouldBe "gen"
+  }
+
   test("clones carry IDs; the logical schema never shows _graft_row_id") {
     val t = freshTable(40)
     t.compact() // materialized column now physically present
