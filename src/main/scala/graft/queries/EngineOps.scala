@@ -412,6 +412,38 @@ object EngineOps {
         Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")).get
     },
 
+    // Symlink-manifest export under the oracle: the generated manifest
+    // files' URIs — read back as PLAIN parquet, the way an external
+    // engine without a graft reader would — must reproduce the exact
+    // table content, per partition. A stale/missing/extra listed file
+    // changes the aggregate and fails the hash.
+    QueryDef(
+      "q_e_symlink",
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "symlink")
+      val t = graft.tables.ManagedTable(s, s"$root/orders")
+      t.overwriteAll(Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderpriority").repartition(6),
+        partitionBy = Seq("o_orderpriority"))
+      val manifests = t.generateSymlinkManifest()
+      val uris = manifests.flatMap { p =>
+        val src = scala.io.Source.fromFile(p)
+        try src.getLines().toList finally src.close()
+      }
+      // manifest entries are proper (percent-encoded) URIs — decode into
+      // filesystem paths for the consuming engine
+      val paths = uris.map(u => new Path(new java.net.URI(u)).toString)
+      s.read.parquet(paths: _*)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum("o_custkey").cast("long").as("sum_cust"))
+        .orderBy("o_orderpriority")
+    },
+
     // Row tracking under the oracle: stable row identity across
     // compaction, copy-on-write DELETE, and Z-order. A pre-rewrite
     // (row_id, key) snapshot is pinned to parquet, the table is then

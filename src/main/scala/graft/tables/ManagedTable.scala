@@ -3134,6 +3134,56 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         s"maintenance WHERE on $rootPath must reference partition columns " +
           s"only (got: $where)"))
 
+  /** Export the CURRENT snapshot as a symlink-format manifest (Delta's
+    * `GENERATE symlink_format_manifest`): plain-text `manifest` files
+    * under `_symlink_format_manifest/` — one per partition directory for
+    * partitioned tables — each listing the absolute URIs of the data
+    * files that make up that partition at this version. External
+    * engines without a graft reader (Presto/Trino/Athena-style Hive
+    * external tables) then query a CONSISTENT snapshot by pointing at
+    * the manifest directory instead of listing data paths (which would
+    * see uncommitted and vacuum-pending files).
+    *
+    * The export is a point-in-time copy, NOT auto-maintained: re-run
+    * after commits, and retain enough vacuum history that the last
+    * generated snapshot's files outlive their external readers.
+    * Refuses on DV-carrying snapshots (a file URI cannot express masked
+    * rows — purge first) and under column mapping (external readers
+    * would see physical names), exactly Delta's own limitations.
+    * Returns the manifest file paths written. */
+  def generateSymlinkManifest(): Seq[String] = withWriteLock {
+    val m = requireManifest
+    if (m.files.exists(_.dv.isDefined))
+      throw new MetadataException(
+        s"generateSymlinkManifest on $rootPath: snapshot carries deletion " +
+          "vectors — external engines reading raw files would resurrect " +
+          "masked rows; run purgeDeletionVectors() first")
+    if (m.columnMapping.isDefined)
+      throw new MetadataException(
+        s"generateSymlinkManifest on $rootPath: column mapping is active — " +
+          "data files store physical column names external readers cannot " +
+          "translate")
+    val symDir = new Path(root, "_symlink_format_manifest")
+    // full overwrite: partitions dropped since the last export must not
+    // leave stale manifests behind for external readers to find
+    if (fs.exists(symDir)) fs.delete(symDir, true)
+    val groups: Seq[(Path, Seq[TableFile])] =
+      if (m.partitionColumns.isEmpty) Seq(symDir -> m.files)
+      else m.files.groupBy(f => m.partitionColumns.map(c =>
+          s"$c=${ManagedTable.hiveEscape(
+            f.partitionValues.getOrElse(c, ManagedTable.NullPartitionValue))}")
+          .mkString("/"))
+        .toSeq.map { case (rel, fl) => new Path(symDir, rel) -> fl }
+    groups.map { case (dir, fl) =>
+      val content = fl.map(f =>
+        fs.makeQualified(new Path(root, f.path)).toUri.toString)
+        .sorted.mkString("", "\n", "\n")
+      val p = new Path(dir, "manifest")
+      writeFile(p, content)
+      p.toString
+    }.sorted
+  }
+
   /** Roll the table back (or forward) to the state of `version` as a NEW
     * commit — no data files are copied or deleted, the new manifest simply
     * references `version`'s file set, and history above it stays readable.
