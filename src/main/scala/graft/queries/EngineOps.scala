@@ -455,37 +455,51 @@ object EngineOps {
     // engine reproduces through this join.
     QueryDef(
       "q_e_rowtrack",
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 1000
+        |            ELSE l_quantity END AS l_quantity,
+        |       l_shipdate,
+        |       CAST(CASE WHEN l_orderkey % 7 = 0 THEN 5
+        |                 WHEN l_orderkey % 3 = 0 THEN 1
+        |                 ELSE 0 END AS BIGINT) AS cv
         |FROM lineitem WHERE l_orderkey % 4 = 0 AND NOT (l_orderkey % 10 = 0)
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate"""
         .stripMargin) { (s, d) =>
       val root = scratch(s, d, "rowtrack")
       val t = graft.tables.ManagedTable(s, s"$root/li")
-      // a quarter-slice keeps the bench cost of six commits + three
+      // a quarter-slice keeps the bench cost of seven commits + three
       // rewrites proportionate; the machinery exercised is identical
       val li = Tables.lineitem(s, d)
         .filter(col("l_orderkey") % 4 === 0)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-      t.overwriteAll(li.filter(col("l_orderkey") % 3 =!= 0).repartition(6))
-      t.append(li.filter(col("l_orderkey") % 3 === 0).repartition(3))
-      t.enableRowTracking()
+      t.overwriteAll(li.filter(col("l_orderkey") % 3 =!= 0).repartition(6)) // v0
+      t.append(li.filter(col("l_orderkey") % 3 === 0).repartition(3))       // v1
+      t.enableRowTracking()                                                 // v2
       // pin the pre-rewrite identity snapshot (DataFrames are lazy — an
       // unmaterialized read would see the post-rewrite table)
       val prePath = s"$root/pre"
       t.readWithRowIds()
         .select("_row_id", "l_orderkey", "l_linenumber")
         .write.parquet(prePath)
-      t.compact(minFiles = 2, targetFiles = 4)
-      t.delete("l_orderkey % 10 = 0")
-      t.zorder(Seq("l_orderkey"), targetFiles = 4)
-      val post = t.readWithRowIds()
+      t.compact(minFiles = 2, targetFiles = 4)                              // v3
+      t.delete("l_orderkey % 10 = 0")                                       // v4
+      t.update(Map("l_quantity" -> "l_quantity + 1000"),
+        "l_orderkey % 7 = 0")                                               // v5
+      t.zorder(Seq("l_orderkey"), targetFiles = 4)                          // v6
+      // the oracle's CASE states each surviving row's expected COMMIT
+      // VERSION declaratively: 5 for updated rows, else the commit that
+      // first wrote the row (0 or 1 by the staging split) — only an
+      // engine that preserves per-row versions through compact/delete/
+      // zorder reproduces it
+      val post = t.readWithRowMeta()
       val pre = s.read.parquet(prePath)
       post.join(pre,
           post("_row_id") === pre("_row_id") &&
           post("l_orderkey") === pre("l_orderkey") &&
           post("l_linenumber") === pre("l_linenumber"))
         .select(post("l_orderkey"), post("l_linenumber"),
-          post("l_quantity"), post("l_shipdate"))
+          post("l_quantity"), post("l_shipdate"),
+          post("_row_commit_version").as("cv"))
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
     },
 

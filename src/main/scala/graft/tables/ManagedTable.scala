@@ -399,7 +399,22 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * IDs — when any current file was adopted without a recorded row
     * count (run [[collectStatistics]] to backfill, which also
     * allocates). */
-  def readWithRowIds(rowIdCol: String = "_row_id"): DataFrame = {
+  def readWithRowIds(rowIdCol: String = "_row_id"): DataFrame =
+    readRowMeta(rowIdCol = Some(rowIdCol), cvCol = None)
+
+  /** [[readWithRowIds]] plus each row's COMMIT VERSION — the version of
+    * the commit that last modified it (Delta's `_row_commit_version`):
+    * fresh rows report the commit that wrote their file, updated rows
+    * the update's commit, and row-preserving rewrites (compaction,
+    * Z-order, DV purge) carry the version through unchanged. Rows
+    * written before this library stamped per-file versions report the
+    * version that first re-committed them (enablement/restore). */
+  def readWithRowMeta(rowIdCol: String = "_row_id",
+      commitVersionCol: String = "_row_commit_version"): DataFrame =
+    readRowMeta(Some(rowIdCol), Some(commitVersionCol))
+
+  private def readRowMeta(rowIdCol: Option[String],
+      cvCol: Option[String]): DataFrame = {
     val m = requireManifest
     if (!rowTrackingActive(m))
       throw new MetadataException(
@@ -410,17 +425,19 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         s"readWithRowIds on $rootPath: ${missing.size} file(s) have no " +
           "allocated row-ID range (e.g. " + missing.head.path +
           ") — run collectStatistics() to backfill")
-    readFilesWithTag(m, m.files, None, None, Some(rowIdCol))
+    readFilesWithTag(m, m.files, None, None, rowIdCol, cvCol)
   }
 
-  /** Maintenance/DML read of `files` that MATERIALIZES row IDs into
-    * [[ManagedTable.MatRowIdCol]] when row tracking is active, so a
-    * rewrite of these rows preserves their identity; the plain masked
-    * read otherwise. */
+  /** Maintenance/DML read of `files` that MATERIALIZES row IDs and
+    * per-row commit versions into [[ManagedTable.MatRowIdCol]] /
+    * [[ManagedTable.MatRowCvCol]] when row tracking is active, so a
+    * rewrite of these rows preserves their identity and history; the
+    * plain masked read otherwise. */
   private[tables] def readPreservingRowIds(m: Manifest,
       files: Seq[TableFile]): DataFrame =
     if (rowTrackingActive(m) && files.forall(_.baseRowId.isDefined))
-      readFilesWithTag(m, files, None, None, Some(ManagedTable.MatRowIdCol))
+      readFilesWithTag(m, files, None, None,
+        Some(ManagedTable.MatRowIdCol), Some(ManagedTable.MatRowCvCol))
     else readFiles(m, files)
 
   /** Time travel: the table as of `version`. Versions below the vacuum
@@ -1020,20 +1037,26 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
 
   private def readFilesWithTag(m: Manifest, files: Seq[TableFile],
       tagReq: Option[String], posReq: Option[String] = None,
-      rowId: Option[String] = None): DataFrame = {
+      rowId: Option[String] = None,
+      rowCv: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    // row-ID resolution needs each row's file path and physical index —
-    // piggyback on the tag/pos machinery with internal names when the
-    // caller didn't ask for them
-    val tag = tagReq.orElse(rowId.map(_ => "__g_rt_path"))
+    // row-ID/commit-version resolution needs each row's file path (and,
+    // for IDs, physical index) — piggyback on the tag/pos machinery with
+    // internal names when the caller didn't ask for them
+    val meta = rowId.orElse(rowCv)
+    val tag = tagReq.orElse(meta.map(_ => "__g_rt_path"))
     val pos = posReq.orElse(rowId.map(_ => "__g_rt_pos"))
-    // rewritten files materialize preserved row IDs in a physical column
-    // outside the logical schema; absent columns read as null and fall
-    // back to baseRowId + row_index
+    // rewritten files materialize preserved row IDs / commit versions in
+    // physical columns outside the logical schema; absent columns read
+    // as null and fall back to the manifest entry (baseRowId + row_index
+    // / dataVersion)
+    val matCols: Seq[String] =
+      rowId.map(_ => ManagedTable.MatRowIdCol).toSeq ++
+        rowCv.map(_ => ManagedTable.MatRowCvCol).toSeq
     val scanSchema =
-      if (rowId.isEmpty) m.physicalSchema
-      else StructType(m.physicalSchema.fields :+
-        StructField(ManagedTable.MatRowIdCol, LongType))
+      if (matCols.isEmpty) m.physicalSchema
+      else StructType(m.physicalSchema.fields ++
+        matCols.map(StructField(_, LongType)))
     val (dvd, clean) = files.partition(_.dv.isDefined)
     def withTag(df: DataFrame): DataFrame = {
       val t = tag.fold(df)(t => df.withColumn(t, col("_metadata.file_path")))
@@ -1068,8 +1091,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         // normalize to the manifest schema before tagging
         .select(scanSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*))),
       if (borrowed.isEmpty) None
-      else Some(readBorrowedAdopted(m, borrowed, withTag,
-        matNull = rowId.isDefined))
+      else Some(readBorrowedAdopted(m, borrowed, withTag, matNulls = matCols))
     ).flatten
     val cleanDf =
       if (cleanParts.isEmpty && dvd.isEmpty) {
@@ -1083,7 +1105,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val out =
       if (dvd.isEmpty) cleanDf
       else {
-        val masked = readDvFiltered(m, dvd, tag, pos, withMat = rowId.isDefined)
+        val masked = readDvFiltered(m, dvd, tag, pos, extraMat = matCols)
         if (cleanDf == null) masked else cleanDf.union(masked)
       }
     // files store PHYSICAL names; surface the LOGICAL ones (no-op select
@@ -1092,38 +1114,46 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       if (m.columnMapping.isEmpty) out
       else out.select(m.schema.fields.toSeq.map(f =>
         col(s"`${m.physicalName(f.name)}`").as(f.name)) ++
-        rowId.map(_ => col(s"`${ManagedTable.MatRowIdCol}`")) ++
+        matCols.map(c => col(s"`$c`")) ++
         tag.map(t => col(s"`$t`")) ++ pos.map(p => col(s"`$p`")): _*)
-    rowId match {
-      case None => projected
-      case Some(outCol) =>
-        // resolve each row's stable ID: the materialized column when the
-        // file carries one (rewrites), else baseRowId + physical row
-        // index — via a broadcast (uri → base) lookup over every URI
-        // rendering the file source might emit (same alias set as
-        // fileUriLookup / readBorrowedAdopted)
-        import org.apache.spark.sql.types.StringType
-        val uriC = "__g_rt_uri"; val baseC = "__g_rt_base"
-        val lookupRows = files.flatMap { f =>
-          val p = fs.makeQualified(new Path(root, f.path))
-          Set(p.toString, p.toUri.toString, p.toUri.getPath, p.toUri.toASCIIString)
-            .toSeq.map(u => org.apache.spark.sql.Row(
-              u, f.baseRowId.map(Long.box).orNull))
-        }
-        val lookup = spark.createDataFrame(
-          spark.sparkContext.parallelize(lookupRows, 1),
-          StructType(Seq(StructField(uriC, StringType),
-            StructField(baseC, LongType))))
-        projected.join(broadcast(lookup),
-            projected(tag.get) === lookup(uriC), "left")
-          .withColumn(outCol, coalesce(col(s"`${ManagedTable.MatRowIdCol}`"),
-            col(baseC) + col(s"`${pos.get}`")))
-          // maintenance reads name the OUTPUT MatRowIdCol itself (so the
-          // rewrite materializes it) — don't drop what was just computed
-          .drop((if (outCol == ManagedTable.MatRowIdCol) Nil
-            else Seq(ManagedTable.MatRowIdCol)) ++ Seq(uriC, baseC) ++
-            (if (tagReq.isEmpty) tag.toSeq else Nil) ++
-            (if (posReq.isEmpty) pos.toSeq else Nil): _*)
+    if (meta.isEmpty) projected
+    else {
+      // resolve each row's stable ID / commit version: the materialized
+      // column when the file carries one (rewrites), else the manifest
+      // entry (baseRowId + physical row index / dataVersion) — via a
+      // broadcast (uri → entry) lookup over every URI rendering the file
+      // source might emit (same alias set as fileUriLookup /
+      // readBorrowedAdopted)
+      import org.apache.spark.sql.types.StringType
+      val uriC = "__g_rt_uri"; val baseC = "__g_rt_base"; val dvC = "__g_rt_dv"
+      val lookupRows = files.flatMap { f =>
+        val p = fs.makeQualified(new Path(root, f.path))
+        Set(p.toString, p.toUri.toString, p.toUri.getPath, p.toUri.toASCIIString)
+          .toSeq.map(u => org.apache.spark.sql.Row(
+            u, f.baseRowId.map(Long.box).orNull,
+            f.dataVersion.map(Long.box).orNull))
+      }
+      val lookup = spark.createDataFrame(
+        spark.sparkContext.parallelize(lookupRows, 1),
+        StructType(Seq(StructField(uriC, StringType),
+          StructField(baseC, LongType), StructField(dvC, LongType))))
+      val joined = projected.join(broadcast(lookup),
+        projected(tag.get) === lookup(uriC), "left")
+      val withId = rowId.fold(joined)(outCol =>
+        joined.withColumn(outCol,
+          coalesce(col(s"`${ManagedTable.MatRowIdCol}`"),
+            col(baseC) + col(s"`${pos.get}`"))))
+      val withCv = rowCv.fold(withId)(outCol =>
+        withId.withColumn(outCol,
+          coalesce(col(s"`${ManagedTable.MatRowCvCol}`"), col(dvC))))
+      // maintenance reads name the OUTPUT columns MatRowIdCol/MatRowCvCol
+      // themselves (so the rewrite materializes them) — don't drop what
+      // was just computed
+      val dropMats = matCols.filterNot(c =>
+        rowId.contains(c) || rowCv.contains(c))
+      withCv.drop(dropMats ++ Seq(uriC, baseC, dvC) ++
+        (if (tagReq.isEmpty) tag.toSeq else Nil) ++
+        (if (posReq.isEmpty) pos.toSeq else Nil): _*)
     }
   }
 
@@ -1134,7 +1164,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * file→values map and cast to the schema's partition types. Scales as
     * one scan + one broadcast however many partitions; layout-agnostic. */
   private def readBorrowedAdopted(m: Manifest, borrowed: Seq[TableFile],
-      withTag: DataFrame => DataFrame, matNull: Boolean = false): DataFrame = {
+      withTag: DataFrame => DataFrame,
+      matNulls: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val partPhys = m.partitionColumns.map(m.physicalName)
     val dataSchema = StructType(
@@ -1168,11 +1199,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       .filterNot(c => c == uriCol || dataSchema.fieldNames.contains(c))
       .map(c => col(s"`$c`")) // tag/pos columns added by withTag
     // borrowed files are externally written — never a materialized
-    // row-ID column; emit the null slot union-position-compatibly
-    val mat =
-      if (matNull)
-        Seq(lit(null).cast("long").as(ManagedTable.MatRowIdCol))
-      else Nil
+    // row-ID/commit-version column; emit null slots
+    // union-position-compatibly
+    val mat = matNulls.map(c => lit(null).cast("long").as(c))
     joined.select(typed ++ mat ++ extras: _*)
   }
 
@@ -1187,12 +1216,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * purged long before ([[purgeDeletionVectors]]). */
   private def readDvFiltered(m: Manifest, files: Seq[TableFile],
       tag: Option[String], pos: Option[String] = None,
-      withMat: Boolean = false): DataFrame = {
+      extraMat: Seq[String] = Nil): DataFrame = {
     val scanSchema =
-      if (!withMat) m.physicalSchema
-      else org.apache.spark.sql.types.StructType(m.physicalSchema.fields :+
-        org.apache.spark.sql.types.StructField(
-          ManagedTable.MatRowIdCol, org.apache.spark.sql.types.LongType))
+      if (extraMat.isEmpty) m.physicalSchema
+      else org.apache.spark.sql.types.StructType(m.physicalSchema.fields ++
+        extraMat.map(org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.LongType)))
     val scan0 = spark.read.schema(scanSchema)
       .parquet(files.map(f => new Path(root, f.path).toString): _*)
       .withColumn(DvFileCol, col("_metadata.file_name"))
@@ -1604,9 +1633,15 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           }
         }
         // materialized row IDs (row tracking) pass through unchanged —
-        // an UPDATE preserves row identity
-        val carry = touchedRows.columns.toSeq
-          .filter(_ == ManagedTable.MatRowIdCol).map(c => col(s"`$c`"))
+        // an UPDATE preserves row identity; its COMMIT VERSION moves to
+        // this update's commit for the rows the predicate touched
+        val carry = touchedRows.columns.toSeq.flatMap {
+          case c if c == ManagedTable.MatRowIdCol => Seq(col(s"`$c`"))
+          case c if c == ManagedTable.MatRowCvCol =>
+            Seq(when(pred, lit(m.version + 1))
+              .otherwise(col(s"`$c`")).as(c))
+          case _ => Nil
+        }
         touchedRows.select(cols ++ carry: _*)
       }
     }
@@ -1851,13 +1886,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // eligibility guarantees it) so over-fraction rewrites and UPDATE
     // images carry identity into their new files
     val rtActive = rowTrackingActive(m) && candidates.forall(_.baseRowId.isDefined)
+    val rtCols = Seq(ManagedTable.MatRowIdCol, ManagedTable.MatRowCvCol)
     val schemaCols = m.schema.fieldNames.toSeq.map(n => col(s"`$n`")) ++
-      (if (rtActive) Seq(col(s"`${ManagedTable.MatRowIdCol}`")) else Nil)
+      (if (rtActive) rtCols.map(c => col(s"`$c`")) else Nil)
     val scanSchema =
       if (!rtActive) m.physicalSchema
-      else org.apache.spark.sql.types.StructType(m.physicalSchema.fields :+
-        org.apache.spark.sql.types.StructField(
-          ManagedTable.MatRowIdCol, org.apache.spark.sql.types.LongType))
+      else org.apache.spark.sql.types.StructType(m.physicalSchema.fields ++
+        rtCols.map(org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.LongType)))
     // physical scan: row positions index the file as written, independent
     // of any DV already masking it
     val rawPhys = spark.read.schema(scanSchema)
@@ -1869,24 +1905,28 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       if (m.columnMapping.isEmpty) rawPhys
       else rawPhys.select(m.schema.fields.toSeq.map(f =>
         col(s"`${m.physicalName(f.name)}`").as(f.name)) ++
-        (if (rtActive) Seq(col(s"`${ManagedTable.MatRowIdCol}`")) else Nil) ++
+        (if (rtActive) rtCols.map(c => col(s"`$c`")) else Nil) ++
         Seq(col(DvFileCol), col(DvPosCol)): _*)
     val raw =
       if (!rtActive) raw0
       else {
         import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
         val fileC = "__g_rt_file"; val baseC = "__g_rt_base"
+        val dataVC = "__g_rt_dv"
         val lk = spark.createDataFrame(
           spark.sparkContext.parallelize(candidates.map(f =>
             org.apache.spark.sql.Row(new Path(f.path).getName,
-              f.baseRowId.map(Long.box).orNull)), 1),
+              f.baseRowId.map(Long.box).orNull,
+              f.dataVersion.map(Long.box).orNull)), 1),
           StructType(Seq(StructField(fileC, StringType),
-            StructField(baseC, LongType))))
+            StructField(baseC, LongType), StructField(dataVC, LongType))))
         raw0.join(broadcast(lk), raw0(DvFileCol) === lk(fileC), "left")
           .withColumn(ManagedTable.MatRowIdCol,
             coalesce(col(s"`${ManagedTable.MatRowIdCol}`"),
               col(baseC) + col(DvPosCol)))
-          .drop(fileC, baseC)
+          .withColumn(ManagedTable.MatRowCvCol,
+            coalesce(col(s"`${ManagedTable.MatRowCvCol}`"), col(dataVC)))
+          .drop(fileC, baseC, dataVC)
       }
     val priorNames = candidates.flatMap(_.dv).distinct
     val maskedNames = candidates.filter(_.dv.isDefined)
@@ -2737,7 +2777,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private def logicalSchema(
       df: DataFrame): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
-      df.schema.fields.filterNot(_.name == ManagedTable.MatRowIdCol))
+      df.schema.fields.filterNot(f =>
+        f.name == ManagedTable.MatRowIdCol ||
+          f.name == ManagedTable.MatRowCvCol))
 
   /** DV-mode MERGE commit primitive — [[replaceFiles]]'s merge-on-read
     * sibling. Atomically, in one version:
@@ -3519,10 +3561,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     if (missing.nonEmpty)
       throw new MetadataException(
         s"Source is missing target column(s): ${missing.toSeq.sorted.mkString(", ")}")
-    // the materialized row-ID column rides rewrite content without ever
-    // entering the table schema — not drift
+    // the materialized row-ID/commit-version columns ride rewrite
+    // content without ever entering the table schema — not drift
     val added = srcFields.keySet -- targetFields.keySet -
-      ManagedTable.MatRowIdCol.toLowerCase
+      ManagedTable.MatRowIdCol.toLowerCase -
+      ManagedTable.MatRowCvCol.toLowerCase
     if (added.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(classOf[ManagedTable]).warn(
         s"Schema drift on $rootPath: adopting new column(s) " +
@@ -3777,12 +3820,18 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // stay unallocated — readWithRowIds refuses them loudly rather than
     // inventing overlapping ranges.
     val rowTracking = ps0.get(ManagedTable.RowTrackingEnabledProp).contains("true")
+    // every entry new to this commit is stamped with its commit version
+    // (Delta's defaultRowCommitVersion) — entries carried through
+    // re-commits (DV re-masks, restores, rebased maintenance) keep the
+    // version that introduced their content
+    val stamped = adds.map(f =>
+      if (f.dataVersion.isDefined) f else f.copy(dataVersion = Some(next)))
     val (allocated, ps) =
-      if (!rowTracking) (adds, ps0)
+      if (!rowTracking) (stamped, ps0)
       else {
         var hw = ps0.get(ManagedTable.RowTrackingWatermarkProp)
           .map(_.toLong).getOrElse(0L)
-        val out = adds.map { f =>
+        val out = stamped.map { f =>
           if (f.baseRowId.isDefined) f
           else f.rows match {
             case Some(n) => val b = hw; hw += n; f.copy(baseRowId = Some(b))
@@ -3866,7 +3915,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       StructField("bytes", LongType),
       StructField("dv", StringType),
       StructField("dvRows", LongType),
-      StructField("baseRow", LongType)))
+      StructField("baseRow", LongType),
+      StructField("dataV", LongType)))
   }
 
   private def writeSidecarFiles(name: String, files: Seq[TableFile]): Unit = {
@@ -3877,7 +3927,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       f.bytes.map(Long.box).orNull,
       f.dv.orNull,
       f.dvRows.map(Long.box).orNull,
-      f.baseRowId.map(Long.box).orNull))
+      f.baseRowId.map(Long.box).orNull,
+      f.dataVersion.map(Long.box).orNull))
     // ~100k entries per task keeps sidecar files O(10 MB)
     val parts = math.max(1, files.size / 100000)
     spark.createDataFrame(
@@ -3901,7 +3952,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           if (r.isNullAt(4)) None else Some(r.getLong(4)),
           Option(r.getString(5)),
           if (r.isNullAt(6)) None else Some(r.getLong(6)),
-          if (r.isNullAt(7)) None else Some(r.getLong(7)))
+          if (r.isNullAt(7)) None else Some(r.getLong(7)),
+          if (r.isNullAt(8)) None else Some(r.getLong(8)))
       }
 
   private def writeFile(p: Path, content: String): Unit = {
@@ -4065,6 +4117,12 @@ object ManagedTable {
     * parquet files. Excluded from every logical schema; fresh files
     * omit it entirely (their IDs derive from `baseRowId + row_index`). */
   private[graft] val MatRowIdCol = "_graft_row_id"
+
+  /** Physical column materializing preserved per-row commit versions
+    * (the version that last MODIFIED the row) inside rewritten files —
+    * same lifecycle as [[MatRowIdCol]]; fresh files fall back to their
+    * manifest entry's `dataVersion`. */
+  private[graft] val MatRowCvCol = "_graft_row_cv"
 
   /** DV sidecars key rows by data-file BASENAME — safe only when every
     * basename in the manifest is unique (always true for engine-written

@@ -108,7 +108,14 @@ final case class Txn(appId: String, batchId: Long)
   *   carries a materialized `_graft_row_id` column (rewrites preserve
   *   IDs that way). Allocated from the table's high watermark at commit
   *   time while `graft.rowTracking.enabled`; None on files committed
-  *   before enablement or adopted without a recorded row count. */
+  *   before enablement or adopted without a recorded row count.
+  * @param dataVersion version of the commit that introduced this file
+  *   (Delta's defaultRowCommitVersion): the per-row "last modified"
+  *   fallback — a row's commit version is its materialized
+  *   `_graft_row_cv` when a rewrite carried one, else the file's
+  *   dataVersion. Preserved verbatim when an entry re-commits without
+  *   content change (DV re-masks, restores); stamped at commit time on
+  *   every new entry. */
 /** Delta-style column mapping: logical (user-visible) column names decouple
   * from the physical names stored inside parquet files, making RENAME and
   * DROP COLUMN metadata-only commits — at 100 TB a rename must not rewrite
@@ -137,7 +144,8 @@ final case class TableFile(
     bytes: Option[Long] = None,
     dv: Option[String] = None,
     dvRows: Option[Long] = None,
-    baseRowId: Option[Long] = None) {
+    baseRowId: Option[Long] = None,
+    dataVersion: Option[Long] = None) {
 
   /** Live rows (physical minus DV-masked), when the physical count is
     * known. */
@@ -371,7 +379,8 @@ object Manifest {
         f.bytes.map(b => "bytes" -> (JLong(b): JValue)).toList ++
         f.dv.map(d => "dv" -> (JString(d): JValue)).toList ++
         f.dvRows.map(n => "dvRows" -> (JLong(n): JValue)).toList ++
-        f.baseRowId.map(b => "baseRow" -> (JLong(b): JValue)).toList)
+        f.baseRowId.map(b => "baseRow" -> (JLong(b): JValue)).toList ++
+        f.dataVersion.map(v => "dataV" -> (JLong(v): JValue)).toList)
     }.toList)
 
   private def str(v: JValue): String = v match { case JString(x) => x; case _ => "" }
@@ -413,6 +422,11 @@ object Manifest {
           case _        => None
         },
         (f \ "baseRow") match {
+          case JLong(x) => Some(x)
+          case JInt(x)  => Some(x.toLong)
+          case _        => None
+        },
+        (f \ "dataV") match {
           case JLong(x) => Some(x)
           case JInt(x)  => Some(x.toLong)
           case _        => None

@@ -322,7 +322,11 @@ final class MergeBuilder private[tables] (
     val matCarry =
       if (rtActive)
         Seq(col(s"target.`${ManagedTable.MatRowIdCol}`")
-          .as(ManagedTable.MatRowIdCol))
+            .as(ManagedTable.MatRowIdCol),
+          when(actionCol === lit(UnchangedTag),
+              col(s"target.`${ManagedTable.MatRowCvCol}`"))
+            .otherwise(lit(m.version + 1))
+            .as(ManagedTable.MatRowCvCol))
       else Nil
     val resolved = joined
       .select(outCols ++ matCarry ++ Seq(actionCol.as(ActionCol),
@@ -562,11 +566,19 @@ final class MergeBuilder private[tables] (
       val matCarry =
         if (rtActive)
           Seq(col(s"target.`${ManagedTable.MatRowIdCol}`")
-            .as(ManagedTable.MatRowIdCol))
+              .as(ManagedTable.MatRowIdCol),
+            // updated rows' commit version moves to THIS merge's commit;
+            // carried rows keep the version that last modified them
+            when(actionCol === lit(UnchangedTag),
+                col(s"target.`${ManagedTable.MatRowCvCol}`"))
+              .otherwise(lit(m.version + 1))
+              .as(ManagedTable.MatRowCvCol))
         else Nil
       val insertsAligned =
         if (rtActive)
-          inserts.withColumn(ManagedTable.MatRowIdCol, lit(null).cast("long"))
+          inserts
+            .withColumn(ManagedTable.MatRowIdCol, lit(null).cast("long"))
+            .withColumn(ManagedTable.MatRowCvCol, lit(null).cast("long"))
         else inserts
 
       // merge-on-read branch: with DVs enabled, matched rows leaving

@@ -199,6 +199,64 @@ class RowTrackingSpec extends AnyFunSuite with Matchers {
     t.read().filter("k = 10").select("s").collect()(0).getString(0) shouldBe "gen"
   }
 
+  test("row commit versions: fresh rows report their commit, updates move, rewrites preserve") {
+    import spark.implicits._
+    val t = freshTable(100) // v0 overwrite, v1 append, v2 enable
+    def cvs: Map[Long, Long] =
+      t.readWithRowMeta().select("k", "_row_commit_version").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val initial = cvs
+    (1L to 50L).foreach(k => initial(k) shouldBe 0L)
+    (51L to 100L).foreach(k => initial(k) shouldBe 1L)
+    // row-preserving rewrite: versions carry through
+    t.compact() // v3
+    cvs shouldBe initial
+    // update moves ONLY the touched row's version to the update's commit
+    t.update(Map("s" -> "'u'"), "k = 3") // v4
+    val afterUpd = cvs
+    afterUpd(3L) shouldBe 4L
+    (afterUpd - 3L) shouldBe (initial - 3L)
+    // delete: survivors keep theirs (including through the file rewrite)
+    t.delete("k % 10 = 0") // v5
+    val afterDel = cvs
+    afterDel.size shouldBe 90
+    afterDel.foreach { case (k, v) => v shouldBe afterUpd(k) }
+    // merge: updated row moves to the merge's commit, insert reports it too
+    MergeInto.byKey(t, Seq((7L, "m7"), (300L, "new")).toDF("k", "s"), "k")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute() // v6
+    val afterMerge = cvs
+    afterMerge(7L) shouldBe 6L
+    afterMerge(300L) shouldBe 6L
+    afterMerge(8L) shouldBe afterDel(8L)
+    // zorder after all of it still preserves everything
+    t.zorder(Seq("k")) // v7
+    cvs shouldBe afterMerge
+  }
+
+  test("row commit versions under DV: masks preserve, MoR update images move") {
+    import spark.implicits._
+    val t = freshTable(60) // v0, v1, v2
+    def cvs: Map[Long, Long] =
+      t.readWithRowMeta().select("k", "_row_commit_version").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val initial = cvs
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    try {
+      t.delete("k % 6 = 0") // v3: masks only
+      val afterDel = cvs
+      afterDel.size shouldBe 50
+      afterDel.foreach { case (k, v) => v shouldBe initial(k) }
+      t.update(Map("s" -> "'dvu'"), "k = 11") // v4: mask + image append
+      val afterUpd = cvs
+      afterUpd(11L) shouldBe 4L
+      (afterUpd - 11L) shouldBe (afterDel - 11L)
+    } finally spark.conf.set("spark.graft.dv.enabled", "false")
+    t.purgeDeletionVectors() // v5: materializing rewrite preserves
+    val afterPurge = cvs
+    afterPurge(11L) shouldBe 4L
+    afterPurge.size shouldBe 50
+  }
+
   test("clones carry IDs; the logical schema never shows _graft_row_id") {
     val t = freshTable(40)
     t.compact() // materialized column now physically present
