@@ -93,6 +93,10 @@ object MaintenanceSql {
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?\s*;?\s*""".r
   private val DropGenerated =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+DROP\s+GENERATED\s+COLUMN\s+(\w+)\s*;?\s*""".r
+  private val EnableRowTracking =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ENABLE\s+ROW\s+TRACKING\s*;?\s*""".r
+  private val Generate =
+    """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(\S+|graft\.`[^`]+`)\s*;?\s*""".r
   private val CreateMatview =
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\S+|graft\.`[^`]+`)\s+AS\s+SELECT\s+(.+?)\s+FROM\s+(\S+|graft\.`[^`]+`)\s+GROUP\s+BY\s+(.+?)\s*;?\s*""".r
   private val RefreshMatview =
@@ -146,6 +150,8 @@ object MaintenanceSql {
         Some(GraftCreateMatviewCommand(dest, selectList.trim, src,
           splitCols(groupBy)))
       case RefreshMatview(ident) => Some(GraftRefreshMatviewCommand(ident))
+      case EnableRowTracking(ident) => Some(GraftEnableRowTrackingCommand(ident))
+      case Generate(ident) => Some(GraftGenerateCommand(ident))
       case Fsck(ident, dry) => Some(GraftFsckCommand(ident, dry != null))
       case Convert(path) => Some(GraftConvertCommand(path))
       case Copy(ident, src, fmt) =>
@@ -615,6 +621,25 @@ object MaintenanceSql {
     override val output: Seq[Attribute] = attrs("removed_path" -> StringType)
     override def run(session: SparkSession): Seq[Row] =
       resolveGraft(session, ident).repairTable(dryRun).map(Row(_))
+  }
+
+  /** `ALTER TABLE t ENABLE ROW TRACKING` (Delta's
+    * `delta.enableRowTracking` TBLPROPERTY, as a first-class statement
+    * because the property is engine-maintained here). */
+  final case class GraftEnableRowTrackingCommand(ident: String)
+      extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      resolveGraft(session, ident).enableRowTracking()
+      Nil
+    }
+  }
+
+  /** `GENERATE symlink_format_manifest FOR TABLE t` (Delta's GENERATE). */
+  final case class GraftGenerateCommand(ident: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("manifest_path" -> StringType)
+    override def run(session: SparkSession): Seq[Row] =
+      resolveGraft(session, ident).generateSymlinkManifest().map(Row(_))
   }
 
   /** `TRUNCATE TABLE t` routed away from Spark's directory-clearing V1

@@ -386,6 +386,20 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     spark.table(name).count() shouldBe 1
   }
 
+  test("ENABLE ROW TRACKING and GENERATE symlink_format_manifest through SQL") {
+    val (name, t) = freshTable()
+    spark.sql(s"ALTER TABLE $name ENABLE ROW TRACKING")
+    t.readWithRowIds().select("_row_id").distinct().count() shouldBe 4
+    val ms = spark.sql(
+      s"GENERATE symlink_format_manifest FOR TABLE $name").collect()
+    ms.length shouldBe 1
+    ms.head.getString(0) should include("_symlink_format_manifest")
+    val local = new org.apache.hadoop.fs.Path(ms.head.getString(0))
+      .toUri.getPath
+    scala.io.Source.fromFile(local).getLines().size shouldBe
+      t.manifest.get.files.size
+  }
+
   test("non-graft DML targets still fail with Spark's own error") {
     import spark.implicits._
     val v = Seq((1, "a")).toDF("id", "v")
