@@ -231,5 +231,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // DESCRIBE HISTORY / RESTORE) — delegating sub-grammar parser
     ext.injectParser((_, delegate) =>
       new graft.plans.GraftSqlParser(delegate))
+    // metadata-only count/min/max collapse over graft relations —
+    // see graft.plans.GraftMetadataAggRule
+    ext.injectOptimizerRule(session =>
+      new graft.plans.GraftMetadataAggRule(session))
   }
 }

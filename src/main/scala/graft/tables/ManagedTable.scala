@@ -261,7 +261,34 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * Nulls are consistent with SQL semantics for free: parquet footer
     * min/max ignore nulls, exactly as `min()`/`max()` do. An empty table
     * yields `(0, null, null, …)`. */
-  def statsAggregate(cols: Seq[String]): Option[DataFrame] = {
+  def statsAggregate(cols: Seq[String]): Option[DataFrame] =
+    statsAggregateRaw(cols).map { case (total, perCol) =>
+      import org.apache.spark.sql.types._
+      val fields = StructField("cnt", LongType, nullable = false) +:
+        perCol.flatMap { case (f, _) => Seq(
+          StructField(s"min_${f.name}", f.dataType),
+          StructField(s"max_${f.name}", f.dataType))
+        }
+      val values: Seq[Any] = (total: java.lang.Long) +:
+        perCol.flatMap {
+          case (_, Some((lo, hi))) => Seq(lo, hi)
+          case (_, None)           => Seq(null, null)
+        }
+      spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row.fromSeq(values)),
+        StructType(fields))
+    }
+
+  /** [[statsAggregate]]'s driver-value core: the exact live row count and
+    * per-column typed `(min, max)` extrema (None = zero live rows), or
+    * None when metadata cannot answer exactly. Used directly by the
+    * metadata-only aggregate REWRITE ([[graft.plans.GraftMetadataAggRule]])
+    * so SQL `SELECT count(*), min(c) FROM t` collapses to a LocalRelation
+    * with zero jobs. */
+  private[graft] def statsAggregateRaw(cols: Seq[String])
+      : Option[(Long, Seq[(org.apache.spark.sql.types.StructField,
+        Option[(Any, Any)])])] = {
     import org.apache.spark.sql.types._
     manifest.flatMap { m =>
       val schema = m.schema
@@ -324,21 +351,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
                 java.time.ZoneOffset.UTC)
             case other => throw new IllegalStateException(other.toString)
           }
-          val fields = StructField("cnt", LongType, nullable = false) +:
-            perCol.flatten.flatMap { case (f, _) => Seq(
-              StructField(s"min_${f.name}", f.dataType),
-              StructField(s"max_${f.name}", f.dataType))
-            }
-          val values: Seq[Any] = (total: java.lang.Long) +:
-            perCol.flatten.flatMap {
-              case (f, Some((lo, hi))) =>
-                Seq(typed(f.dataType, lo), typed(f.dataType, hi))
-              case (_, None) => Seq(null, null)
-            }
-          Some(spark.createDataFrame(
-            java.util.Collections.singletonList(
-              org.apache.spark.sql.Row.fromSeq(values)),
-            StructType(fields)))
+          Some((total, perCol.flatten.map {
+            case (f, Some((lo, hi))) =>
+              (f, Some((typed(f.dataType, lo), typed(f.dataType, hi))))
+            case (f, None) => (f, None)
+          }))
         }
       }
     }
