@@ -200,6 +200,25 @@ final case class GraftRelation(
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
+  /** Accurate relation size from manifest-recorded bytes (Delta reports
+    * AddFile sizes the same way) — what lets Catalyst AUTO-BROADCAST a
+    * small graft table in a join: the BaseRelation default is
+    * `spark.sql.defaultSizeInBytes` (≈ Long.Max, "never broadcast"), so
+    * without this every dimension-table join through `spark.table`
+    * shuffles both sides. Falls back to the default when any entry
+    * lacks a recorded size — a partial sum would under-report and
+    * broadcast something huge. */
+  override def sizeInBytes: Long = {
+    val m = versionAsOf match {
+      case Some(v) => scala.util.Try(table.readManifest(v)).toOption
+      case None    => table.manifest
+    }
+    m.flatMap { mm =>
+      val bs = mm.files.flatMap(_.bytes)
+      if (bs.size == mm.files.size) Some(bs.sum) else None
+    }.getOrElse(super.sizeInBytes)
+  }
+
   /** SQL `INSERT INTO` (append commit) / `INSERT OVERWRITE` (atomic
     * overwrite commit, partitioning preserved). Time-travel relations
     * are read-only snapshots. */

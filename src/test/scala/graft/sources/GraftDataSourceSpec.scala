@@ -209,4 +209,23 @@ class GraftDataSourceSpec extends AnyFunSuite with Matchers {
       .toSet shouldBe Set(
         (1L, "insert", 0L), (2L, "insert", 0L), (2L, "delete", 1L))
   }
+
+  test("manifest-priced sizeInBytes lets Catalyst auto-broadcast small tables") {
+    val p = tmp() + "/dim"
+    (1L to 100L).map(i => (i, s"d$i")).toDF("k", "d")
+      .write.format("graft").save(p)
+    val dim = spark.read.format("graft").load(p)
+    // the relation reports its true on-disk size (a few KB), far under
+    // the broadcast threshold
+    val rel = dim.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+    }.get
+    rel.sizeInBytes should be < 10L * 1024 * 1024
+    val fact = spark.range(10000).toDF("k")
+    val joined = fact.join(dim, "k")
+    val planStr = joined.queryExecution.executedPlan.toString
+    planStr should include("BroadcastHashJoin")
+    joined.count() shouldBe 100L
+  }
 }
