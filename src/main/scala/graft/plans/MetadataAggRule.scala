@@ -54,6 +54,7 @@ class GraftMetadataAggRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private sealed trait Shape
   private case object Cnt extends Shape
+  private final case class CntOf(name: String) extends Shape
   private final case class MinOf(name: String) extends Shape
   private final case class MaxOf(name: String) extends Shape
 
@@ -62,6 +63,8 @@ class GraftMetadataAggRule(session: SparkSession) extends Rule[LogicalPlan] {
     case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
       ae.aggregateFunction match {
         case Count(Seq(l: Literal)) if l.value != null => Some(Cnt)
+        // count(col) = non-null count, answered from per-file null counts
+        case Count(Seq(a: AttributeReference)) => Some(CntOf(a.name))
         case Min(a: AttributeReference) => Some(MinOf(a.name))
         case Max(a: AttributeReference) => Some(MaxOf(a.name))
         case _ => None
@@ -74,22 +77,36 @@ class GraftMetadataAggRule(session: SparkSession) extends Rule[LogicalPlan] {
     val shapes = aggExprs.map(shapeOf)
     if (shapes.isEmpty || shapes.exists(_.isEmpty)) return None
     val wanted = shapes.flatten.collect {
+      case CntOf(c) => c
       case MinOf(c) => c
       case MaxOf(c) => c
     }.distinct
     val t = ManagedTable(session, rel.path)
-    try t.statsAggregateRaw(wanted).map { case (total, perCol) =>
-      val byName = perCol.map { case (f, mm) => f.name -> mm }.toMap
-      val values: Seq[Any] = shapes.flatten.map {
-        case Cnt      => total
-        case MinOf(c) => byName(c).map(_._1).orNull
-        case MaxOf(c) => byName(c).map(_._2).orNull
+    try t.statsAggregateRaw(wanted).flatMap { case (total, perCol) =>
+      val byName = perCol.map(c => c.field.name -> c).toMap
+      val values: Seq[Option[Any]] = shapes.flatten.map {
+        case Cnt      => Some(Some(total))
+        case CntOf(c) => byName(c).nonNulls.map(Some(_))
+        case MinOf(c) =>
+          if (byName(c).extremaExact) Some(byName(c).extrema.map(_._1))
+          else None
+        case MaxOf(c) =>
+          if (byName(c).extremaExact) Some(byName(c).extrema.map(_._2))
+          else None
+      }.map {
+        // outer None = CANNOT answer (abort rewrite); inner None = SQL NULL
+        case Some(Some(v)) => Some(v)
+        case Some(None)    => Some(null)
+        case None          => None
       }
-      val catalyst = values.zip(aggExprs).map { case (v, e) =>
-        if (v == null) null
-        else CatalystTypeConverters.createToCatalystConverter(e.dataType)(v)
+      if (values.exists(_.isEmpty)) None
+      else {
+        val catalyst = values.flatten.zip(aggExprs).map { case (v, e) =>
+          if (v == null) null
+          else CatalystTypeConverters.createToCatalystConverter(e.dataType)(v)
+        }
+        Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(catalyst))))
       }
-      LocalRelation(agg.output, Seq(InternalRow.fromSeq(catalyst)))
     } catch {
       // optimization, never an arbiter: any metadata hiccup keeps the scan
       case scala.util.control.NonFatal(_) => None

@@ -348,6 +348,18 @@ final case class GraftRelation(
         Some(table.filesInRangeOf(m, a, None, Some(v)).map(_.path).toSet)
       case LessThanOrEqual(a, v) =>
         Some(table.filesInRangeOf(m, a, None, Some(v)).map(_.path).toSet)
+      // ---- null-count skipping (footer-exact, conservative on unknown;
+      // DV masks can only remove rows, never add nulls, so dropping a
+      // zero-null / all-null file stays sound under masking)
+      case IsNull(a) =>
+        val key = m.physicalName(a)
+        Some(m.files.filterNot(_.nullCounts.get(key).contains(0L))
+          .map(_.path).toSet)
+      case IsNotNull(a) =>
+        val key = m.physicalName(a)
+        Some(m.files.filterNot(f => f.rows.isDefined &&
+            f.nullCounts.get(key).contains(f.rows.get))
+          .map(_.path).toSet)
       case _ => None
     }
     if (sets.isEmpty) m.files

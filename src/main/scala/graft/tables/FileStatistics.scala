@@ -22,10 +22,14 @@ import scala.jdk.CollectionConverters._
   */
 object FileStatistics {
 
-  /** One footer's metadata: per-column min/max plus the exact row count
-    * (-1 when the footer was unreadable — stats are an optimization and
-    * must never fail a commit). */
-  final case class FileMeta(cols: Map[String, ColStats], rows: Long)
+  /** One footer's metadata: per-column min/max, per-column exact null
+    * counts (recorded only when EVERY row group set them — a partial
+    * sum would lie; present even for all-null columns, which have no
+    * min/max), plus the exact row count (-1 when the footer was
+    * unreadable — stats are an optimization and must never fail a
+    * commit). */
+  final case class FileMeta(cols: Map[String, ColStats], rows: Long,
+      nulls: Map[String, Long] = Map.empty)
 
   /** Commit sizes below this read footers on the driver; at or above it
     * the reads distribute across executors. */
@@ -78,11 +82,17 @@ object FileStatistics {
       val blocks = reader.getFooter.getBlocks.asScala
       val rowCount = blocks.iterator.map(_.getRowCount).sum
       val acc = scala.collection.mutable.Map.empty[String, ColStats]
+      // null counts: exact only if every chunk of the column sets one
+      val nullAcc = scala.collection.mutable.Map.empty[String, Long]
+      val nullBroken = scala.collection.mutable.Set.empty[String]
       for (block <- blocks; chunk <- block.getColumns.asScala) {
         val pathParts = chunk.getPath.toArray
         if (pathParts.length == 1 && indexed.contains(pathParts(0))) {
           val name = pathParts(0)
           val st = chunk.getStatistics
+          if (st != null && !st.isEmpty && st.isNumNullsSet)
+            nullAcc(name) = nullAcc.getOrElse(name, 0L) + st.getNumNulls
+          else nullBroken += name
           if (st != null && !st.isEmpty && st.hasNonNullValue) {
             val primitive = chunk.getPrimitiveType
             val logical = primitive.getLogicalTypeAnnotation
@@ -118,7 +128,8 @@ object FileStatistics {
           }
         }
       }
-      FileMeta(acc.toMap, rowCount)
+      FileMeta(acc.toMap, rowCount,
+        (nullAcc -- nullBroken).toMap)
     } catch {
       case _: Exception => FileMeta(Map.empty, -1L) // never fatal
     } finally if (reader != null) reader.close()

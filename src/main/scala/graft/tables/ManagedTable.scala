@@ -262,17 +262,23 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * min/max ignore nulls, exactly as `min()`/`max()` do. An empty table
     * yields `(0, null, null, …)`. */
   def statsAggregate(cols: Seq[String]): Option[DataFrame] =
-    statsAggregateRaw(cols).map { case (total, perCol) =>
+    statsAggregateRaw(cols)
+      // the one-row min/max frame demands EVERY column's extrema be
+      // exact (null-count-only columns serve count(col), not this API)
+      .filter { case (_, perCol) => perCol.forall(_.extremaExact) }
+      .map { case (total, perCol) =>
       import org.apache.spark.sql.types._
       val fields = StructField("cnt", LongType, nullable = false) +:
-        perCol.flatMap { case (f, _) => Seq(
-          StructField(s"min_${f.name}", f.dataType),
-          StructField(s"max_${f.name}", f.dataType))
+        perCol.flatMap { c => Seq(
+          StructField(s"min_${c.field.name}", c.field.dataType),
+          StructField(s"max_${c.field.name}", c.field.dataType))
         }
       val values: Seq[Any] = (total: java.lang.Long) +:
-        perCol.flatMap {
-          case (_, Some((lo, hi))) => Seq(lo, hi)
-          case (_, None)           => Seq(null, null)
+        perCol.flatMap { c =>
+          c.extrema match {
+            case Some((lo, hi)) => Seq(lo, hi)
+            case None           => Seq(null, null)
+          }
         }
       spark.createDataFrame(
         java.util.Collections.singletonList(
@@ -287,8 +293,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * so SQL `SELECT count(*), min(c) FROM t` collapses to a LocalRelation
     * with zero jobs. */
   private[graft] def statsAggregateRaw(cols: Seq[String])
-      : Option[(Long, Seq[(org.apache.spark.sql.types.StructField,
-        Option[(Any, Any)])])] = {
+      : Option[(Long, Seq[ManagedTable.ColAgg])] = {
     import org.apache.spark.sql.types._
     manifest.flatMap { m =>
       val schema = m.schema
@@ -300,7 +305,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       }
       cnt.flatMap { total =>
         val nonEmpty = m.files.filter(_.rows.exists(_ > 0))
-        val perCol: Seq[Option[(StructField, Option[(String, String)])]] =
+        val perCol: Seq[Option[(StructField, Option[(String, String)],
+            Option[Long], Boolean)]] =
           cols.map { c =>
             schema.fields.find(_.name == c).flatMap { field =>
               val exact = field.dataType match {
@@ -309,19 +315,38 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
                      TimestampType | TimestampNTZType => true
                 case _ => false
               }
-              if (!exact) None
+              val key = m.physicalName(c)
+              // exact non-null count = Σ (rows − nulls): only when every
+              // non-empty file recorded the column's null count (type
+              // doesn't matter — a string's null count is still exact)
+              val nonNulls: Option[Long] =
+                if (nonEmpty.forall(f => f.nullCounts.contains(key)))
+                  Some(nonEmpty.map(f =>
+                    f.rows.get - f.nullCounts(key)).sum)
+                else None
+              if (!exact)
+                Some((field, Option.empty[(String, String)], nonNulls, false))
               else {
-                val key = m.physicalName(c)
-                val sts = nonEmpty.map(_.stats.get(key))
-                if (sts.exists(_.isEmpty)) None // ambiguous: disqualify
-                else if (sts.isEmpty) Some((field, None)) // 0 live rows
+                // a file without min/max for the column is ambiguous —
+                // UNLESS its null count says every row is null (no extrema
+                // to contribute, skip it exactly)
+                val withStats = nonEmpty.filter(_.stats.contains(key))
+                val unaccounted = nonEmpty.filterNot(f =>
+                  f.stats.contains(key) ||
+                    f.nullCounts.get(key).contains(f.rows.get))
+                if (unaccounted.nonEmpty)
+                  Some((field, Option.empty[(String, String)], nonNulls,
+                    false)) // extrema ambiguous; null counts may survive
+                else if (withStats.isEmpty)
+                  Some((field, Option.empty[(String, String)], nonNulls,
+                    true)) // 0 rows with values
                 else {
-                  val all = sts.flatten
+                  val all = withStats.map(_.stats(key))
                   val lo = all.map(_.min).reduce((a, b) =>
                     if (BigDecimal(a) <= BigDecimal(b)) a else b)
                   val hi = all.map(_.max).reduce((a, b) =>
                     if (BigDecimal(a) >= BigDecimal(b)) a else b)
-                  Some((field, Some((lo, hi))))
+                  Some((field, Some((lo, hi)), nonNulls, true))
                 }
               }
             }
@@ -352,9 +377,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
             case other => throw new IllegalStateException(other.toString)
           }
           Some((total, perCol.flatten.map {
-            case (f, Some((lo, hi))) =>
-              (f, Some((typed(f.dataType, lo), typed(f.dataType, hi))))
-            case (f, None) => (f, None)
+            case (f, Some((lo, hi)), nn, ex) =>
+              ManagedTable.ColAgg(f,
+                Some((typed(f.dataType, lo), typed(f.dataType, hi))), nn, ex)
+            case (f, None, nn, ex) => ManagedTable.ColAgg(f, None, nn, ex)
           }))
         }
       }
@@ -1385,7 +1411,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       val fm = stats.getOrElse(p.toString,
         FileStatistics.FileMeta(Map.empty, -1L))
       TableFile(rel(p), partsOf(rel(p)).toMap, fm.cols,
-        if (fm.rows >= 0) Some(fm.rows) else None, Some(len))
+        if (fm.rows >= 0) Some(fm.rows) else None, Some(len),
+        nullCounts = fm.nulls)
     }
     // the converted marker is ALWAYS set (it gates vacuum's
     // adopted-orphan sweep — unpartitioned adopted files live outside
@@ -1775,6 +1802,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         case InSet(a: AttributeReference, hset) =>
           Some(sf.In(a.name,
             hset.map(v => convertToScala(v, a.dataType)).toArray))
+        case IsNull(a: AttributeReference) => Some(sf.IsNull(a.name))
+        case IsNotNull(a: AttributeReference) => Some(sf.IsNotNull(a.name))
         case _ => None
       }
       val filters = conj.flatMap(tr)
@@ -3284,7 +3313,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           .filter(fm => fm.cols.nonEmpty || fm.rows >= 0)
           .map(fm => f.copy(
             stats = if (fm.cols.nonEmpty) fm.cols else f.stats,
-            rows = if (fm.rows >= 0) Some(fm.rows) else f.rows))
+            rows = if (fm.rows >= 0) Some(fm.rows) else f.rows,
+            nullCounts = if (fm.nulls.nonEmpty) fm.nulls else f.nullCounts))
       }
       // restated entries travel as remove+add of the same paths
       if (updated.nonEmpty)
@@ -3680,7 +3710,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         metas: Map[String, FileStatistics.FileMeta]): TableFile = {
       val fm = metas.getOrElse(p.toString, FileStatistics.FileMeta(Map.empty, -1L))
       TableFile(rel(p), pv, fm.cols,
-        if (fm.rows >= 0) Some(fm.rows) else None, Some(len))
+        if (fm.rows >= 0) Some(fm.rows) else None, Some(len),
+        nullCounts = fm.nulls)
     }
     if (partitionBy.isEmpty) {
       df.write.parquet(commitDir.toString)
@@ -3933,7 +3964,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       StructField("dv", StringType),
       StructField("dvRows", LongType),
       StructField("baseRow", LongType),
-      StructField("dataV", LongType)))
+      StructField("dataV", LongType),
+      StructField("nullCounts", MapType(StringType, LongType))))
   }
 
   private def writeSidecarFiles(name: String, files: Seq[TableFile]): Unit = {
@@ -3945,7 +3977,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       f.dv.orNull,
       f.dvRows.map(Long.box).orNull,
       f.baseRowId.map(Long.box).orNull,
-      f.dataVersion.map(Long.box).orNull))
+      f.dataVersion.map(Long.box).orNull,
+      if (f.nullCounts.isEmpty) null else f.nullCounts))
     // ~100k entries per task keeps sidecar files O(10 MB)
     val parts = math.max(1, files.size / 100000)
     spark.createDataFrame(
@@ -3970,7 +4003,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           Option(r.getString(5)),
           if (r.isNullAt(6)) None else Some(r.getLong(6)),
           if (r.isNullAt(7)) None else Some(r.getLong(7)),
-          if (r.isNullAt(8)) None else Some(r.getLong(8)))
+          if (r.isNullAt(8)) None else Some(r.getLong(8)),
+          if (r.isNullAt(9)) Map.empty[String, Long]
+          else r.getMap[String, Long](9).toMap)
       }
 
   private def writeFile(p: Path, content: String): Unit = {
@@ -4134,6 +4169,19 @@ object ManagedTable {
     * parquet files. Excluded from every logical schema; fresh files
     * omit it entirely (their IDs derive from `baseRowId + row_index`). */
   private[graft] val MatRowIdCol = "_graft_row_id"
+
+  /** One column's metadata-exact aggregate slice
+    * ([[ManagedTable.statsAggregateRaw]]): typed `(min, max)` extrema
+    * (meaningful only while `extremaExact`; None there ⇔ zero rows
+    * carry a value) and the exact NON-NULL count (None ⇔ some file
+    * lacks a recorded null count — `count(col)` cannot be answered).
+    * `extremaExact` is false for types whose footer bounds are not
+    * exact answers (strings may be truncated, decimals unscaled) or
+    * when any file's stats are ambiguous — null counts can still be
+    * exact there. */
+  final case class ColAgg(field: org.apache.spark.sql.types.StructField,
+      extrema: Option[(Any, Any)], nonNulls: Option[Long],
+      extremaExact: Boolean = true)
 
   /** Physical column materializing preserved per-row commit versions
     * (the version that last MODIFIED the row) inside rewritten files —

@@ -136,6 +136,13 @@ final case class ColumnMapping(
   def reserved: Set[String] = byLogical.values.toSet ++ retired
 }
 
+/** @param nullCounts exact per-column null counts from the footer
+  *   (Delta's stats.nullCount): recorded even for columns with no
+  *   min/max entry (an all-null column has no extrema but a definite
+  *   null count), capped to the same indexed-column set as [[stats]].
+  *   Powers IS NULL / IS NOT NULL file skipping and metadata-exact
+  *   `count(col)`. Absent key ⇔ unknown (old manifests, unreadable
+  *   footers) — consumers must treat unknown conservatively. */
 final case class TableFile(
     path: String,
     partitionValues: Map[String, String],
@@ -145,7 +152,8 @@ final case class TableFile(
     dv: Option[String] = None,
     dvRows: Option[Long] = None,
     baseRowId: Option[Long] = None,
-    dataVersion: Option[Long] = None) {
+    dataVersion: Option[Long] = None,
+    nullCounts: Map[String, Long] = Map.empty) {
 
   /** Live rows (physical minus DV-masked), when the physical count is
     * known. */
@@ -380,7 +388,10 @@ object Manifest {
         f.dv.map(d => "dv" -> (JString(d): JValue)).toList ++
         f.dvRows.map(n => "dvRows" -> (JLong(n): JValue)).toList ++
         f.baseRowId.map(b => "baseRow" -> (JLong(b): JValue)).toList ++
-        f.dataVersion.map(v => "dataV" -> (JLong(v): JValue)).toList)
+        f.dataVersion.map(v => "dataV" -> (JLong(v): JValue)).toList ++
+        (if (f.nullCounts.isEmpty) Nil
+         else List("nulls" -> (JObject(f.nullCounts.toList.sortBy(_._1)
+           .map { case (c, n) => c -> (JLong(n): JValue) }): JValue))))
     }.toList)
 
   private def str(v: JValue): String = v match { case JString(x) => x; case _ => "" }
@@ -430,6 +441,10 @@ object Manifest {
           case JLong(x) => Some(x)
           case JInt(x)  => Some(x.toLong)
           case _        => None
+        },
+        (f \ "nulls") match {
+          case JObject(kvs) => kvs.map { case (c, n) => c -> lng(n) }.toMap
+          case _            => Map.empty[String, Long]
         })
     }
     case _ => Nil

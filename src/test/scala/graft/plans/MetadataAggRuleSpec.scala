@@ -12,13 +12,20 @@ import org.scalatest.matchers.should.Matchers
   * and the scan's answer. */
 class MetadataAggRuleSpec extends AnyFunSuite with Matchers {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
-    .getOrCreate()
+  /** A session WITH the graft extensions (the suite may not be first in
+    * the JVM, so the shared default session can't be assumed to carry
+    * them — build a fresh one on the shared context). */
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftSparkExtensions)
+      .getOrCreate()
+  }
 
   private def stage(): String = {
     import spark.implicits._
@@ -49,12 +56,30 @@ class MetadataAggRuleSpec extends AnyFunSuite with Matchers {
     r.getDouble(2) shouldBe 150.0
   }
 
-  test("filters, grouping, string min, count(col) all keep the scan") {
+  test("count(col) collapses via per-file null counts, strings included") {
+    import spark.implicits._
+    val db = s"maggn${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE DATABASE $db")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-maggn").toString + "/t"
+    val t = ManagedTable(spark, path)
+    t.overwriteAll(Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, null), (3L, "c"), (null, "d"))
+      .toDF("k", "s").coalesce(1))
+    spark.sql(s"CREATE TABLE $db.t USING graft LOCATION '$path'")
+    val q = s"SELECT count(k) AS ck, count(s) AS cs, count(*) AS c FROM $db.t"
+    collapsed(q) shouldBe true
+    val r = spark.sql(q).collect()(0)
+    r.getLong(0) shouldBe 3L
+    r.getLong(1) shouldBe 3L
+    r.getLong(2) shouldBe 4L
+  }
+
+  test("filters, grouping, string min all keep the scan") {
     val name = stage()
     collapsed(s"SELECT count(*) FROM $name WHERE k > 10") shouldBe false
     collapsed(s"SELECT s, count(*) FROM $name GROUP BY s") shouldBe false
     collapsed(s"SELECT min(s) FROM $name") shouldBe false
-    collapsed(s"SELECT count(s) FROM $name") shouldBe false
     // and the unrewritten answers are still right
     spark.sql(s"SELECT count(*) FROM $name WHERE k > 10")
       .collect()(0).getLong(0) shouldBe 90L

@@ -94,9 +94,12 @@ class GraftDataSourceSpec extends AnyFunSuite with Matchers {
     // range comparison on the partition column prunes too
     spark.read.format("graft").load(p).filter(col("part") < "y")
       .count() shouldBe 1
-    // and an unfiltered read really does break (the files are gone)
+    // and an unfiltered SCAN really does break (the files are gone).
+    // Not count(): when the metadata-aggregate rule is injected, a bare
+    // count answers from the manifest without opening any file —
+    // by design (Delta's metadata-only count behaves the same).
     an[Exception] should be thrownBy
-      spark.read.format("graft").load(p).count()
+      spark.read.format("graft").load(p).select("id").collect()
   }
 
   test("pushed point lookups prune via bloom sidecars where min/max is blind") {

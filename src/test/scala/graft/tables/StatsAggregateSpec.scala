@@ -57,7 +57,7 @@ class StatsAggregateSpec extends AnyFunSuite with Matchers {
     r.getAs[java.sql.Date](4).toString shouldBe "2027-12-31"
   }
 
-  test("nulls are ignored like SQL min/max; all-null column disqualifies") {
+  test("nulls are ignored like SQL min/max; all-null files resolve via null counts") {
     import spark.implicits._
     val t = ManagedTable(spark, tmp() + "/n")
     // one file mixes nulls and values -> footer stats ignore the nulls
@@ -67,15 +67,49 @@ class StatsAggregateSpec extends AnyFunSuite with Matchers {
     r.getLong(0) shouldBe 3L
     r.getLong(1) shouldBe 11L
     r.getLong(2) shouldBe 44L
-    // an ALL-null file has no footer stats for v: ambiguous -> None,
-    // and the fallback still answers correctly
+    // an ALL-null file has no footer min/max for v, but its recorded
+    // null count proves it contributes no extremum — still exact
     t.append(Seq[(java.lang.Long, java.lang.Long)]((4L, null), (5L, null))
       .toDF("k", "v").coalesce(1))
-    t.statsAggregate(Seq("v")) shouldBe None
+    val r2 = t.statsAggregate(Seq("v")).get.collect()(0)
+    r2.getLong(0) shouldBe 5L
+    r2.getLong(1) shouldBe 11L
+    r2.getLong(2) shouldBe 44L
     val f = t.minMaxCount(Seq("v")).collect()(0)
     f.getLong(0) shouldBe 5L
     f.getLong(1) shouldBe 11L
     f.getLong(2) shouldBe 44L
+    // exact non-null counts ride the same stats
+    t.statsAggregateRaw(Seq("v")).get._2.head.nonNulls shouldBe Some(2L)
+    t.statsAggregateRaw(Seq("k")).get._2.head.nonNulls shouldBe Some(5L)
+  }
+
+  test("files imported without footer reads stay ambiguous and disqualify") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = tmp() + "/imp"
+    val t0 = ManagedTable(spark, root + "/src")
+    t0.overwriteAll(Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1))
+    val dataRel = t0.manifest.get.files.head.path
+    // adopt the raw file into a fresh table WITHOUT stats or null counts
+    val t = ManagedTable(spark, root + "/src") // same table, new entry path
+    val imp = ManagedTable(spark, root + "/dst")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root + "/dst"))
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(root + "/src/" + dataRel),
+      fs, new org.apache.hadoop.fs.Path(root + "/dst/adopted.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    imp.importFiles(
+      StructType(Seq(StructField("k", LongType), StructField("v", LongType))),
+      Nil, Seq(TableFile("adopted.parquet", Map.empty, rows = Some(2L))))
+    // rows known but no stats / null counts -> min/max must abstain,
+    // and neither extrema nor non-null counts claim exactness
+    imp.statsAggregate(Seq("v")) shouldBe None
+    val raw = imp.statsAggregateRaw(Seq("v")).get._2.head
+    raw.extremaExact shouldBe false
+    raw.nonNulls shouldBe None
   }
 
   test("deletion vectors disqualify; string and unknown columns disqualify") {
