@@ -53,6 +53,8 @@ class GraftDataSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true")))
       return changeFeedRelation(sqlContext, parameters)
+    if (parameters.get("readRowIds").exists(_.equalsIgnoreCase("true")))
+      return rowMetaRelation(sqlContext, parameters)
     val version = parameters.get("versionAsOf").map(_.toLong)
     val ts = parameters.get("timestampAsOf").map(GraftDataSource.parseTimestamp)
     require(version.isEmpty || ts.isEmpty,
@@ -110,6 +112,31 @@ class GraftDataSource extends RelationProvider
       override def needConversion: Boolean = false // internal rows pass through
       override def buildScan(): RDD[Row] =
         df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    }
+  }
+
+  /** `option("readRowIds", "true")`: the current snapshot plus row
+    * tracking's `_row_id` and `_row_commit_version` columns (Delta
+    * exposes the same through `_metadata`). Requires
+    * [[ManagedTable.enableRowTracking]]; current version only. */
+  private def rowMetaRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    require(!parameters.contains("versionAsOf") &&
+        !parameters.contains("timestampAsOf"),
+      "graft readRowIds reads the CURRENT version only")
+    val p = path(parameters)
+    val t = ManagedTable(sqlContext.sparkSession, p)
+    // schema is stable (table schema + two longs); the FRAME is built per
+    // scan so each query sees the then-current snapshot
+    val relSchema = StructType(t.readWithRowMeta().schema.fields)
+    val sc = sqlContext
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = sc
+      override val schema: StructType = relSchema
+      override def needConversion: Boolean = false // internal rows pass through
+      override def buildScan(): RDD[Row] =
+        t.readWithRowMeta().queryExecution.toRdd.asInstanceOf[RDD[Row]]
     }
   }
 

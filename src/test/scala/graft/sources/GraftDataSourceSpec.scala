@@ -231,4 +231,22 @@ class GraftDataSourceSpec extends AnyFunSuite with Matchers {
     planStr should include("BroadcastHashJoin")
     joined.count() shouldBe 100L
   }
+
+  test("option(\"readRowIds\") exposes _row_id and _row_commit_version") {
+    val p = tmp() + "/rt"
+    (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+      .write.format("graft").save(p)
+    val t = ManagedTable(spark, p)
+    t.enableRowTracking()
+    val df = spark.read.format("graft").option("readRowIds", "true").load(p)
+    df.columns.toSeq shouldBe Seq("k", "v", "_row_id", "_row_commit_version")
+    df.select("_row_id").distinct().count() shouldBe 50
+    // snapshot-per-scan: a later append is visible with fresh IDs
+    Seq((51L, "x")).toDF("k", "v")
+      .write.format("graft").mode(SaveMode.Append).save(p)
+    df.count() shouldBe 51
+    intercept[IllegalArgumentException](
+      spark.read.format("graft").option("readRowIds", "true")
+        .option("versionAsOf", "0").load(p))
+  }
 }
