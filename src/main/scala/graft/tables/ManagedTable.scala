@@ -1434,6 +1434,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   def overwriteAll(df: DataFrame, partitionBy: Seq[String] = Nil,
       operation: String = "overwrite", txn: Option[Txn] = None): Unit =
     withWriteLock {
+      if (exists) requireNotAppendOnly("overwrite")
       // constraints and generated-column rules survive a full overwrite
       // (they govern the table, not a snapshot) — and the replacement
       // rows must satisfy them
@@ -1460,6 +1461,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     withWriteLock { manifest match {
       case None => overwriteAll(df, partitionBy)
       case Some(m) =>
+        requireNotAppendOnly("overwriteDynamic")
         // untouched partitions keep their old files but are read under the
         // NEW manifest schema — a silently-committed retype/drop would make
         // them unreadable or erase a column table-wide, so the same guard
@@ -1494,6 +1496,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * those, keeping their non-matching rows; untouched entries carry
     * over verbatim. */
   def overwriteWhere(df: DataFrame, condition: String): Unit = withWriteLock {
+    if (exists) requireNotAppendOnly("overwriteWhere")
     manifest match {
       case None =>
         // same membership constraint as the existing-table branch: a row
@@ -1644,6 +1647,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * SQL three-valued logic: rows where the condition evaluates NULL are
     * KEPT (DELETE removes rows where the predicate is TRUE). */
   def delete(condition: String): Long = withWriteLock {
+    requireNotAppendOnly("DELETE")
     dmlRewrite("delete", condition)((rows, pred) => rows.filter(!pred))
   }
 
@@ -1655,6 +1659,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * shape as [[delete]]. */
   def update(set: Map[String, String], condition: String = "true"): Long =
     withWriteLock {
+      requireNotAppendOnly("UPDATE")
       val m = requireManifest
       val bad = set.keySet -- m.schema.fieldNames
       if (bad.nonEmpty)
@@ -1734,6 +1739,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * properties all survive. Returns the number of rows removed when the
     * manifest prices it exactly, else -1 (stats-free legacy files). */
   def truncate(): Long = withWriteLock {
+    requireNotAppendOnly("TRUNCATE")
     val m = requireManifest
     val rows =
       if (m.files.forall(_.rows.isDefined)) m.files.flatMap(_.liveRows).sum
@@ -2055,6 +2061,17 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       matched
     } finally { live.unpersist(); () }
   }
+
+  /** Delta's `delta.appendOnly`: while the `graft.appendOnly` table
+    * property is "true", statements that modify or remove EXISTING rows
+    * fail fast — appends, inserts, and content-preserving maintenance
+    * (compaction, Z-order, DV purge) stay allowed. Governance for
+    * immutable event/audit tables. */
+  private[tables] def requireNotAppendOnly(op: String): Unit =
+    if (propOrConf("spark.graft.appendOnly", "false").toBoolean)
+      throw new MetadataException(
+        s"$op on $rootPath: table is append-only (graft.appendOnly=true) " +
+          "\u2014 only appends and content-preserving maintenance are allowed")
 
   /** Active CHECK constraints (name → Spark SQL boolean expression). */
   def constraints: Map[String, String] =
@@ -3277,6 +3294,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * references `version`'s file set, and history above it stays readable.
     * Fails fast below the vacuum horizon (those data files are gone). */
   def restore(version: Long): Unit = withWriteLock {
+    requireNotAppendOnly("RESTORE")
     val cur = requireManifest
     earliestReadableVersion.foreach(e =>
       if (version < e) throw new MetadataException(

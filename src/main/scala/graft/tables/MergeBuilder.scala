@@ -152,6 +152,11 @@ final class MergeBuilder private[tables] (
     * silently erased. The lock is reentrant — the inner commit re-acquires
     * it. */
   def execute(): MergeMetrics = table.withWriteLock {
+    // append-only governance: clauses that can touch EXISTING rows
+    // (matched update/delete, not-matched-by-source) are rejected;
+    // insert-only merges still run
+    if (clauses.exists(_.kind != NotMatched))
+      table.requireNotAppendOnly("MERGE (update/delete clauses)")
     if (schemaEvolution) evolveTargetSchema()
     keyColumn match {
       case Some(k) if clausesDeterministic => executeKeyed(k)

@@ -111,4 +111,30 @@ class TablePropertiesSpec extends AnyFunSuite with Matchers {
     val clone = t.shallowCloneTo(tmp() + "/p3c")
     clone.properties shouldBe t.properties
   }
+
+  test("graft.appendOnly rejects mutations of existing rows; appends, " +
+      "inserts and maintenance still run") {
+    import spark.implicits._
+    val t = seed(tmp() + "/ao")
+    t.setTableProperties(Map("graft.appendOnly" -> "true"))
+    a[graft.metadata.MetadataException] should be thrownBy t.delete("id = 1")
+    a[graft.metadata.MetadataException] should be thrownBy
+      t.update(Map("name" -> "'x'"))
+    a[graft.metadata.MetadataException] should be thrownBy t.truncate()
+    a[graft.metadata.MetadataException] should be thrownBy
+      t.overwriteAll(Seq((9, "z")).toDF("id", "name"))
+    a[graft.metadata.MetadataException] should be thrownBy
+      MergeInto.byKey(t, Seq((1, "u")).toDF("id", "name"), "id")
+        .whenMatchedUpdateAll().execute()
+    val before = t.read().count()
+    // allowed: append, insert-only merge, compaction
+    t.append(Seq((100, "new")).toDF("id", "name"))
+    MergeInto.byKey(t, Seq((200, "ins")).toDF("id", "name"), "id")
+      .whenNotMatchedInsertAll().execute()
+    t.compact()
+    t.read().count() shouldBe before + 2
+    // and the property can be lifted again
+    t.setTableProperties(Map("graft.appendOnly" -> "false"))
+    t.delete("id = 100") shouldBe 1L
+  }
 }
