@@ -93,6 +93,12 @@ object MaintenanceSql {
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?\s*;?\s*""".r
   private val DropGenerated =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+DROP\s+GENERATED\s+COLUMN\s+(\w+)\s*;?\s*""".r
+  private val AddColumnDefault =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ADD\s+COLUMN\s+(\w+)\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s+DEFAULT\s+(.+?)\s*;?\s*""".r
+  private val SetColumnDefault =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""".r
+  private val DropColumnDefault =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*;?\s*""".r
   private val EnableRowTracking =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ENABLE\s+ROW\s+TRACKING\s*;?\s*""".r
   private val Generate =
@@ -150,6 +156,12 @@ object MaintenanceSql {
         Some(GraftCreateMatviewCommand(dest, selectList.trim, src,
           splitCols(groupBy)))
       case RefreshMatview(ident) => Some(GraftRefreshMatviewCommand(ident))
+      case AddColumnDefault(ident, c, typ, dflt) =>
+        Some(GraftAddColumnDefaultCommand(ident, c, typ, dflt))
+      case SetColumnDefault(ident, c, dflt) =>
+        Some(GraftColumnDefaultCommand(ident, c, Some(dflt)))
+      case DropColumnDefault(ident, c) =>
+        Some(GraftColumnDefaultCommand(ident, c, None))
       case EnableRowTracking(ident) => Some(GraftEnableRowTrackingCommand(ident))
       case Generate(ident) => Some(GraftGenerateCommand(ident))
       case Fsck(ident, dry) => Some(GraftFsckCommand(ident, dry != null))
@@ -621,6 +633,30 @@ object MaintenanceSql {
     override val output: Seq[Attribute] = attrs("removed_path" -> StringType)
     override def run(session: SparkSession): Seq[Row] =
       resolveGraft(session, ident).repairTable(dryRun).map(Row(_))
+  }
+
+  /** `ALTER TABLE t ADD COLUMN c type DEFAULT expr` — one metadata-only
+    * commit; pre-existing rows read the default at scan time. */
+  final case class GraftAddColumnDefaultCommand(ident: String, col: String,
+      typ: String, default: String) extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      val dt = session.sessionState.sqlParser.parseDataType(typ)
+      resolveGraft(session, ident).addColumnWithDefault(col, dt, default)
+      Nil
+    }
+  }
+
+  /** `ALTER TABLE t ALTER COLUMN c SET DEFAULT expr` / `DROP DEFAULT`. */
+  final case class GraftColumnDefaultCommand(ident: String, col: String,
+      default: Option[String]) extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      val t = resolveGraft(session, ident)
+      default match {
+        case Some(d) => t.setColumnDefault(col, d)
+        case None    => t.dropColumnDefault(col)
+      }
+      Nil
+    }
   }
 
   /** `ALTER TABLE t ENABLE ROW TRACKING` (Delta's

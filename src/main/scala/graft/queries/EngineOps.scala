@@ -444,6 +444,43 @@ object EngineOps {
         .orderBy("o_orderpriority")
     },
 
+    // Column defaults under the oracle: ADD COLUMN … DEFAULT as a
+    // metadata-only commit — pre-add rows read the EXISTS_DEFAULT via
+    // per-file dataVersion, a later append stores real values, an
+    // UPDATE reads the default in its predicate arithmetic, and
+    // compaction materializes everything without changing answers. The
+    // oracle states the whole lifecycle declaratively.
+    QueryDef(
+      "q_e_defaults",
+      """WITH pre AS (
+        |  SELECT o_orderkey, o_custkey, 42 AS region_code FROM orders),
+        |app AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |         CAST(o_custkey % 5 AS INT) AS region_code
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |unioned AS (SELECT * FROM pre UNION ALL SELECT * FROM app)
+        |SELECT o_orderkey, o_custkey,
+        |       CAST(CASE WHEN o_custkey % 7 = 0 THEN region_code + 1
+        |                 ELSE region_code END AS INT) AS region_code
+        |FROM unioned ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "defaults")
+      val t = graft.tables.ManagedTable(s, s"$root/orders")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      t.overwriteAll(o.filter(col("o_orderkey") % 3 =!= 0).repartition(6)) // v0
+      t.append(o.filter(col("o_orderkey") % 3 === 0).repartition(3))       // v1
+      t.addColumnWithDefault("region_code",
+        org.apache.spark.sql.types.IntegerType, "42")                      // v2
+      t.append(o.filter(col("o_orderkey") % 2 === 0).select(               // v3
+        (col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_custkey"),
+        (col("o_custkey") % 5).cast("int").as("region_code")))
+      t.update(Map("region_code" -> "region_code + 1"),
+        "o_custkey % 7 = 0")                                               // v4
+      t.compact(minFiles = 2, targetFiles = 4)                             // v5
+      t.read().select("o_orderkey", "o_custkey", "region_code")
+        .orderBy("o_orderkey")
+    },
+
     // Row tracking under the oracle: stable row identity across
     // compaction, copy-on-write DELETE, and Z-order. A pre-rewrite
     // (row_id, key) snapshot is pinned to parquet, the table is then

@@ -1087,7 +1087,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // for IDs, physical index) — piggyback on the tag/pos machinery with
     // internal names when the caller didn't ask for them
     val meta = rowId.orElse(rowCv)
-    val tag = tagReq.orElse(meta.map(_ => "__g_rt_path"))
+    // columns added WITH DEFAULT: files predating the addition read the
+    // EXISTS_DEFAULT — resolved per file via the same path lookup
+    val defs = existingDefaults(m)
+    val tag = tagReq.orElse(
+      if (meta.isDefined || defs.nonEmpty) Some("__g_rt_path") else None)
     val pos = posReq.orElse(rowId.map(_ => "__g_rt_pos"))
     // rewritten files materialize preserved row IDs / commit versions in
     // physical columns outside the logical schema; absent columns read
@@ -1159,14 +1163,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         col(s"`${m.physicalName(f.name)}`").as(f.name)) ++
         matCols.map(c => col(s"`$c`")) ++
         tag.map(t => col(s"`$t`")) ++ pos.map(p => col(s"`$p`")): _*)
-    if (meta.isEmpty) projected
+    if (meta.isEmpty && defs.isEmpty) projected
     else {
-      // resolve each row's stable ID / commit version: the materialized
-      // column when the file carries one (rewrites), else the manifest
-      // entry (baseRowId + physical row index / dataVersion) — via a
-      // broadcast (uri → entry) lookup over every URI rendering the file
-      // source might emit (same alias set as fileUriLookup /
-      // readBorrowedAdopted)
+      // resolve each row's stable ID / commit version / existing-default
+      // substitution: materialized columns when the file carries them
+      // (rewrites), else the manifest entry (baseRowId + physical row
+      // index / dataVersion) — via a broadcast (uri → entry) lookup over
+      // every URI rendering the file source might emit (same alias set
+      // as fileUriLookup / readBorrowedAdopted)
       import org.apache.spark.sql.types.StringType
       val uriC = "__g_rt_uri"; val baseC = "__g_rt_base"; val dvC = "__g_rt_dv"
       val lookupRows = files.flatMap { f =>
@@ -1182,8 +1186,17 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           StructField(baseC, LongType), StructField(dvC, LongType))))
       val joined = projected.join(broadcast(lookup),
         projected(tag.get) === lookup(uriC), "left")
-      val withId = rowId.fold(joined)(outCol =>
-        joined.withColumn(outCol,
+      // existing defaults first: a file from before the column's ADD
+      // (dataVersion below the threshold, or unstamped = pre-feature =
+      // necessarily pre-add) physically lacks the column — substitute
+      // the constant the ALTER promised those rows
+      val withDefs = defs.foldLeft(joined) { case (d, (n, since, sql, dt)) =>
+        d.withColumn(n,
+          when(col(dvC).isNull || col(dvC) < since, expr(sql).cast(dt))
+            .otherwise(col(s"`$n`")))
+      }
+      val withId = rowId.fold(withDefs)(outCol =>
+        withDefs.withColumn(outCol,
           coalesce(col(s"`${ManagedTable.MatRowIdCol}`"),
             col(baseC) + col(s"`${pos.get}`"))))
       val withCv = rowCv.fold(withId)(outCol =>
@@ -1445,7 +1458,15 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         case Some(m) => applyIdentity(df, m, operation, keepExisting = false)
         case None    => (df, None)
       }
-      val d = applyGenerated(withIds, gs, manifest.map(_.schema), operation)
+      val d0 = applyGenerated(withIds, gs, manifest.map(_.schema), operation)
+      // same-named columns keep the prior schema's field metadata
+      // (column defaults &c.) across a full overwrite
+      val d = manifest.map(_.schema).fold(d0)(prior =>
+        prior.fields.filter(_.metadata !=
+            org.apache.spark.sql.types.Metadata.empty)
+          .filter(f => d0.columns.contains(f.name))
+          .foldLeft(d0)((acc, f) => acc.withColumn(f.name,
+            col(s"`${f.name}`").as(f.name, f.metadata))))
       enforceConstraints(d, cs, operation)
       val files = writeCommit(d, partitionBy)
       commitDelta(d.schema.json, partitionBy, operation,
@@ -1938,6 +1959,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // eligibility guarantees it) so over-fraction rewrites and UPDATE
     // images carry identity into their new files
     val rtActive = rowTrackingActive(m) && candidates.forall(_.baseRowId.isDefined)
+    val dvDefs = existingDefaults(m)
     val rtCols = Seq(ManagedTable.MatRowIdCol, ManagedTable.MatRowCvCol)
     val schemaCols = m.schema.fieldNames.toSeq.map(n => col(s"`$n`")) ++
       (if (rtActive) rtCols.map(c => col(s"`$c`")) else Nil)
@@ -1960,7 +1982,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         (if (rtActive) rtCols.map(c => col(s"`$c`")) else Nil) ++
         Seq(col(DvFileCol), col(DvPosCol)): _*)
     val raw =
-      if (!rtActive) raw0
+      if (!rtActive && dvDefs.isEmpty) raw0
       else {
         import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
         val fileC = "__g_rt_file"; val baseC = "__g_rt_base"
@@ -1972,13 +1994,26 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
               f.dataVersion.map(Long.box).orNull)), 1),
           StructType(Seq(StructField(fileC, StringType),
             StructField(baseC, LongType), StructField(dataVC, LongType))))
-        raw0.join(broadcast(lk), raw0(DvFileCol) === lk(fileC), "left")
-          .withColumn(ManagedTable.MatRowIdCol,
-            coalesce(col(s"`${ManagedTable.MatRowIdCol}`"),
-              col(baseC) + col(DvPosCol)))
-          .withColumn(ManagedTable.MatRowCvCol,
-            coalesce(col(s"`${ManagedTable.MatRowCvCol}`"), col(dataVC)))
-          .drop(fileC, baseC, dataVC)
+        val joined0 = raw0.join(broadcast(lk),
+          raw0(DvFileCol) === lk(fileC), "left")
+        // column defaults: pre-add files read the EXISTS_DEFAULT here
+        // too, so DV-mode predicates and update images see the same
+        // values every other read path does
+        val withDefs = dvDefs.foldLeft(joined0) {
+          case (d, (n, since, sql, dt)) =>
+            d.withColumn(n,
+              when(col(dataVC).isNull || col(dataVC) < since,
+                expr(sql).cast(dt)).otherwise(col(s"`$n`")))
+        }
+        val withRt =
+          if (!rtActive) withDefs
+          else withDefs
+            .withColumn(ManagedTable.MatRowIdCol,
+              coalesce(col(s"`${ManagedTable.MatRowIdCol}`"),
+                col(baseC) + col(DvPosCol)))
+            .withColumn(ManagedTable.MatRowCvCol,
+              coalesce(col(s"`${ManagedTable.MatRowCvCol}`"), col(dataVC)))
+        withRt.drop(fileC, baseC, dataVC)
       }
     val priorNames = candidates.flatMap(_.dv).distinct
     val maskedNames = candidates.filter(_.dv.isDefined)
@@ -2602,6 +2637,129 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       base = Some(m), adds = Nil, removes = Nil,
       mappingOverride = Some(extendMapping(m.columnMapping, newSchema)))
   }
+
+  /** `ALTER TABLE … ADD COLUMN name type DEFAULT expr` (Spark/Delta
+    * column defaults) as ONE metadata-only commit — zero bytes
+    * rewritten at 100 TB:
+    *
+    *  - rows committed BEFORE this version read the default (the
+    *    EXISTS_DEFAULT: per-file `dataVersion` decides at scan time —
+    *    old files physically lack the column, so the projection
+    *    substitutes the constant);
+    *  - writes that OMIT the column fill it with the default (the
+    *    CURRENT_DEFAULT, re-settable via [[setColumnDefault]] /
+    *    removable via [[dropColumnDefault]] without touching existing
+    *    rows' values).
+    *
+    * The default must be a CONSTANT expression (no column references,
+    * deterministic) castable to the column type — validated here, so a
+    * read can never fail on a bad stored default. Defaults travel in
+    * the schema's field METADATA (Spark's own CURRENT_DEFAULT /
+    * EXISTS_DEFAULT keys), so time travel reads each version under the
+    * defaults that governed it. */
+  def addColumnWithDefault(name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      defaultSql: String): Unit = withWriteLock {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+    val m = requireManifest
+    if (m.schema.fieldNames.exists(_.equalsIgnoreCase(name)))
+      throw new MetadataException(
+        s"addColumnWithDefault on $rootPath: column '$name' already exists")
+    validateDefault(name, dataType, defaultSql)
+    val meta = new MetadataBuilder()
+      .putString("CURRENT_DEFAULT", defaultSql)
+      .putString("EXISTS_DEFAULT", defaultSql)
+      .putLong(ManagedTable.DefaultSinceKey, m.version + 1)
+      .build()
+    val newSchema = StructType(m.schema.fields :+
+      StructField(name, dataType, nullable = true, metadata = meta))
+    commitDelta(newSchema.json, m.partitionColumns,
+      s"addColumn $name default", base = Some(m), adds = Nil, removes = Nil,
+      mappingOverride = Some(extendMapping(m.columnMapping, newSchema)))
+  }
+
+  /** Change (or set for the first time) a column's CURRENT default —
+    * affects only FUTURE writes that omit the column; existing rows and
+    * the pre-add EXISTS_DEFAULT are untouched (Delta's `ALTER COLUMN …
+    * SET DEFAULT`). */
+  def setColumnDefault(name: String, defaultSql: String): Unit =
+    withWriteLock {
+      val m = requireManifest
+      val field = m.schema.fields.find(_.name == name).getOrElse(
+        throw new MetadataException(
+          s"setColumnDefault on $rootPath: no column '$name'"))
+      validateDefault(name, field.dataType, defaultSql)
+      updateFieldMetadata(m, name, s"setDefault $name") { b =>
+        b.putString("CURRENT_DEFAULT", defaultSql)
+      }
+    }
+
+  /** Remove a column's CURRENT default: future writes omitting it get
+    * NULL again. The EXISTS_DEFAULT stays — pre-add rows keep reading
+    * the value they were promised. */
+  def dropColumnDefault(name: String): Unit = withWriteLock {
+    val m = requireManifest
+    if (!m.schema.fields.exists(_.name == name))
+      throw new MetadataException(
+        s"dropColumnDefault on $rootPath: no column '$name'")
+    updateFieldMetadata(m, name, s"dropDefault $name") { b =>
+      b.remove("CURRENT_DEFAULT")
+    }
+  }
+
+  private def updateFieldMetadata(m: Manifest, name: String, op: String)(
+      f: org.apache.spark.sql.types.MetadataBuilder =>
+        org.apache.spark.sql.types.MetadataBuilder): Unit = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    val newSchema = StructType(m.schema.fields.map { fld =>
+      if (fld.name != name) fld
+      else fld.copy(metadata =
+        f(new MetadataBuilder().withMetadata(fld.metadata)).build())
+    })
+    commitDelta(newSchema.json, m.partitionColumns, op,
+      base = Some(m), adds = Nil, removes = Nil)
+  }
+
+  /** A default must be a deterministic CONSTANT castable to the column
+    * type — proven by evaluating it once here, so no later scan can die
+    * on a stored default. */
+  private def validateDefault(name: String,
+      dataType: org.apache.spark.sql.types.DataType, sql: String): Unit = {
+    val c =
+      try expr(sql)
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new MetadataException(
+          s"default for '$name' does not parse: $sql", e) }
+    val analyzed =
+      try spark.range(1).select(c.cast(dataType).as(name))
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new MetadataException(
+          s"default for '$name' must be a constant castable to " +
+            s"${dataType.simpleString}: $sql", e) }
+    val exprs = analyzed.queryExecution.analyzed.expressions
+    if (!exprs.forall(_.deterministic))
+      throw new MetadataException(
+        s"default for '$name' must be deterministic: $sql")
+    if (exprs.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute])))
+      throw new MetadataException(
+        s"default for '$name' must not reference columns: $sql")
+    // one-row evaluation proves castability (throws here, not at scan)
+    analyzed.collect()
+  }
+
+  /** Columns whose EXISTS_DEFAULT must be substituted for files
+    * predating their addition: (logical name, since-version, default
+    * SQL, type). */
+  private[tables] def existingDefaults(m: Manifest): Seq[(String, Long,
+      String, org.apache.spark.sql.types.DataType)] =
+    m.schema.fields.toSeq.flatMap { f =>
+      if (f.metadata.contains("EXISTS_DEFAULT") &&
+          f.metadata.contains(ManagedTable.DefaultSinceKey))
+        Some((f.name, f.metadata.getLong(ManagedTable.DefaultSinceKey),
+          f.metadata.getString("EXISTS_DEFAULT"), f.dataType))
+      else None
+    }
 
   /** The table's mapping, activating (identity over the current schema)
     * if this is the first mapping mutation. */
@@ -3621,7 +3779,19 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       case _                                                           => false
     }
     val targetFields = m.schema.fields.map(f => f.name.toLowerCase -> f).toMap
-    val srcFields = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val srcFields0 = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    // a missing column WITH a current default fills instead of erroring
+    // (Spark/Delta column-default write semantics; a PRESENT column is
+    // never touched — explicit NULLs stay NULL)
+    val (fillable, df1) = (targetFields.keySet -- srcFields0.keySet).toSeq
+      .sorted.foldLeft((Set.empty[String], df)) { case ((done, d), n) =>
+        val tf = targetFields(n)
+        if (tf.metadata.contains("CURRENT_DEFAULT"))
+          (done + n, d.withColumn(tf.name,
+            expr(tf.metadata.getString("CURRENT_DEFAULT")).cast(tf.dataType)))
+        else (done, d)
+      }
+    val srcFields = srcFields0 ++ fillable.map(n => n -> targetFields(n))
     val missing = targetFields.keySet -- srcFields.keySet
     if (missing.nonEmpty)
       throw new MetadataException(
@@ -3659,8 +3829,15 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         s"Schema drift on $rootPath: widening column type(s) " +
           s"${widened.toSeq.sorted.mkString(", ")}; existing files are read " +
           "through the wider schema")
-    upcasts.foldLeft(df) { case (d, (name, to)) =>
+    val upcasted = upcasts.foldLeft(df1) { case (d, (name, to)) =>
       d.withColumn(name, col(s"`$name`").cast(to))
+    }
+    // the committed schema comes from THIS frame — target-owned field
+    // metadata (column defaults &c.) must survive a source that
+    // (naturally) carries none, or every write would silently strip it
+    targetFields.values.foldLeft(upcasted) { case (d, tf) =>
+      if (tf.metadata == org.apache.spark.sql.types.Metadata.empty) d
+      else d.withColumn(tf.name, col(s"`${tf.name}`").as(tf.name, tf.metadata))
     }
   }
 
@@ -4200,6 +4377,12 @@ object ManagedTable {
   final case class ColAgg(field: org.apache.spark.sql.types.StructField,
       extrema: Option[(Any, Any)], nonNulls: Option[Long],
       extremaExact: Boolean = true)
+
+  /** Field-metadata key recording the version a defaulted column was
+    * ADDED at (rides next to Spark's own CURRENT_DEFAULT /
+    * EXISTS_DEFAULT keys): files whose `dataVersion` precedes it
+    * physically lack the column and read the EXISTS_DEFAULT. */
+  val DefaultSinceKey = "graft.default.sinceVersion"
 
   /** Physical column materializing preserved per-row commit versions
     * (the version that last MODIFIED the row) inside rewritten files —

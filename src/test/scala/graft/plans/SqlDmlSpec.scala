@@ -400,6 +400,23 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
       t.manifest.get.files.size
   }
 
+  test("column DEFAULT DDL through SQL: add, set, drop") {
+    val (name, t) = freshTable()
+    spark.sql(s"ALTER TABLE $name ADD COLUMN tier STRING DEFAULT 'standard'")
+    spark.sql(s"SELECT tier FROM $name WHERE id = 1").collect()(0)
+      .getString(0) shouldBe "standard"
+    spark.sql(s"ALTER TABLE $name ALTER COLUMN tier SET DEFAULT 'basic'")
+    import spark.implicits._
+    t.append(Seq((9, "i", 90)).toDF("id", "name", "qty"))
+    spark.sql(s"SELECT tier FROM $name WHERE id = 9").collect()(0)
+      .getString(0) shouldBe "basic"
+    spark.sql(s"SELECT tier FROM $name WHERE id = 1").collect()(0)
+      .getString(0) shouldBe "standard" // EXISTS_DEFAULT unaffected
+    spark.sql(s"ALTER TABLE $name ALTER COLUMN tier DROP DEFAULT")
+    t.manifest.get.schema("tier").metadata
+      .contains("CURRENT_DEFAULT") shouldBe false
+  }
+
   test("non-graft DML targets still fail with Spark's own error") {
     import spark.implicits._
     val v = Seq((1, "a")).toDF("id", "v")
