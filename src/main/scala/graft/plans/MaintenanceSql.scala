@@ -99,6 +99,8 @@ object MaintenanceSql {
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""".r
   private val DropColumnDefault =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*;?\s*""".r
+  private val AlterColumnType =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*""".r
   private val EnableRowTracking =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ENABLE\s+ROW\s+TRACKING\s*;?\s*""".r
   private val Generate =
@@ -162,6 +164,8 @@ object MaintenanceSql {
         Some(GraftColumnDefaultCommand(ident, c, Some(dflt)))
       case DropColumnDefault(ident, c) =>
         Some(GraftColumnDefaultCommand(ident, c, None))
+      case AlterColumnType(ident, c, typ) =>
+        Some(GraftAlterColumnTypeCommand(ident, c, typ))
       case EnableRowTracking(ident) => Some(GraftEnableRowTrackingCommand(ident))
       case Generate(ident) => Some(GraftGenerateCommand(ident))
       case Fsck(ident, dry) => Some(GraftFsckCommand(ident, dry != null))
@@ -655,6 +659,17 @@ object MaintenanceSql {
         case Some(d) => t.setColumnDefault(col, d)
         case None    => t.dropColumnDefault(col)
       }
+      Nil
+    }
+  }
+
+  /** `ALTER TABLE t ALTER COLUMN c TYPE wider-type` — metadata-only
+    * lossless type widening (Delta's type-widening feature). */
+  final case class GraftAlterColumnTypeCommand(ident: String, col: String,
+      typ: String) extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      val dt = session.sessionState.sqlParser.parseDataType(typ)
+      resolveGraft(session, ident).alterColumnType(col, dt)
       Nil
     }
   }

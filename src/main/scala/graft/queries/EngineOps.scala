@@ -481,6 +481,48 @@ object EngineOps {
         .orderBy("o_orderkey")
     },
 
+    // Type widening under the oracle: int→bigint and float→double as
+    // metadata-only commits — narrow files written before the ALTER are
+    // read through the wider schema (native parquet promotion), an
+    // appended batch exercises the wide domain (keys beyond Int.Max), an
+    // UPDATE reads old narrow pages through the wide schema in its
+    // arithmetic, and compaction materializes everything. All arithmetic
+    // is chosen exactly representable in float, so both engines hash
+    // identically. The oracle states the lifecycle declaratively.
+    QueryDef(
+      "q_e_widen",
+      """WITH narrow AS (
+        |  SELECT CAST(o_orderkey AS INTEGER) AS okey,
+        |         CAST(o_custkey / 4.0 AS REAL) AS val
+        |  FROM orders),
+        |wide AS (
+        |  SELECT CAST(okey AS BIGINT) AS okey, CAST(val AS DOUBLE) AS val
+        |  FROM narrow
+        |  UNION ALL
+        |  SELECT CAST(okey AS BIGINT) + 10000000000,
+        |         CAST(val AS DOUBLE) * 2
+        |  FROM narrow WHERE okey % 5 = 0)
+        |SELECT okey,
+        |       CASE WHEN okey % 7 = 0 THEN val + 1 ELSE val END AS val
+        |FROM wide ORDER BY okey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val root = scratch(s, d, "widen")
+      val t = graft.tables.ManagedTable(s, s"$root/t")
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").cast("int").as("okey"),
+        (col("o_custkey") / 4.0).cast("float").as("val"))
+      t.overwriteAll(o.filter(col("okey") % 2 === 0).repartition(4))   // v0
+      t.append(o.filter(col("okey") % 2 === 1).repartition(2))         // v1
+      t.alterColumnType("okey", LongType)                              // v2
+      t.alterColumnType("val", DoubleType)                             // v3
+      t.append(o.filter(col("okey") % 5 === 0).select(                 // v4
+        (col("okey").cast("long") + 10000000000L).as("okey"),
+        (col("val").cast("double") * 2).as("val")))
+      t.update(Map("val" -> "val + 1"), "okey % 7 = 0")                // v5
+      t.compact(minFiles = 2, targetFiles = 4)                         // v6
+      t.read().select("okey", "val").orderBy("okey")
+    },
+
     // Row tracking under the oracle: stable row identity across
     // compaction, copy-on-write DELETE, and Z-order. A pre-rewrite
     // (row_id, key) snapshot is pinned to parquet, the table is then

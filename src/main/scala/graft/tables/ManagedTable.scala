@@ -2707,6 +2707,48 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     }
   }
 
+  /** `ALTER TABLE … ALTER COLUMN name TYPE wider-type` (Delta's
+    * type-widening table feature) as ONE metadata-only commit — zero
+    * bytes rewritten at 100 TB. Only LOSSLESS widenings are accepted
+    * ([[ManagedTable.widens]]: byte→short→int→long, float→double,
+    * integral→double below int precision loss); existing narrow parquet
+    * pages are read through the wider manifest schema, a promotion the
+    * Spark 4 readers perform natively and the one the implicit
+    * drift-widening write path already relies on.
+    *
+    * Everything downstream keeps working unchanged, by construction:
+    *  - per-file min/max stats compare numerically
+    *    ([[ColStats.overlaps]] goes through BigDecimal), so files
+    *    written before the widening still skip correctly against
+    *    wider-typed predicate bounds;
+    *  - Bloom sidecars canonicalize every integral type to long
+    *    ([[BloomIndex.probe]]), so pre-widening sidecars answer
+    *    post-widening probes;
+    *  - partition values are stored as strings and cast to the CURRENT
+    *    schema type on read;
+    *  - time travel reads each version under the schema that governed
+    *    it — the narrow type before this commit, the wide one after. */
+  def alterColumnType(name: String,
+      newType: org.apache.spark.sql.types.DataType): Unit = withWriteLock {
+    import org.apache.spark.sql.types.StructType
+    val m = requireManifest
+    val field = m.schema.fields.find(_.name == name).getOrElse(
+      throw new MetadataException(
+        s"alterColumnType on $rootPath: no column '$name'"))
+    if (field.dataType == newType) return
+    if (!ManagedTable.widens(field.dataType, newType))
+      throw new MetadataException(
+        s"alterColumnType on $rootPath.$name: " +
+          s"${field.dataType.simpleString} -> ${newType.simpleString} is not " +
+          "a lossless widening (byte->short->int->long, float->double, " +
+          "byte/short/int->double are)")
+    val newSchema = StructType(m.schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = newType) else f))
+    commitDelta(newSchema.json, m.partitionColumns,
+      s"alterColumnType $name ${newType.simpleString}",
+      base = Some(m), adds = Nil, removes = Nil)
+  }
+
   private def updateFieldMetadata(m: Manifest, name: String, op: String)(
       f: org.apache.spark.sql.types.MetadataBuilder =>
         org.apache.spark.sql.types.MetadataBuilder): Unit = {
@@ -3771,13 +3813,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * new manifest schema — fail instead of committing it. */
   private def reconcileSchema(df: DataFrame, m: Manifest): DataFrame = {
     import org.apache.spark.sql.types._
-    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
-      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
-      case (ShortType, IntegerType | LongType | DoubleType)            => true
-      case (IntegerType, LongType | DoubleType)                        => true
-      case (FloatType, DoubleType)                                     => true
-      case _                                                           => false
-    }
+    import ManagedTable.widens
     val targetFields = m.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     val srcFields0 = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     // a missing column WITH a current default fills instead of erroring
@@ -4383,6 +4419,22 @@ object ManagedTable {
     * EXISTS_DEFAULT keys): files whose `dataVersion` precedes it
     * physically lack the column and read the EXISTS_DEFAULT. */
   val DefaultSinceKey = "graft.default.sinceVersion"
+
+  /** LOSSLESS type widenings: existing parquet pages of type `from` are
+    * readable through a manifest schema declaring `to` (Spark 4 parquet
+    * reader promotions; Delta's type-widening matrix). long→double is
+    * NOT here — above 2⁵³ it loses precision. */
+  private[tables] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType)            => true
+      case (IntegerType, LongType | DoubleType)                        => true
+      case (FloatType, DoubleType)                                     => true
+      case _                                                           => false
+    }
+  }
 
   /** Physical column materializing preserved per-row commit versions
     * (the version that last MODIFIED the row) inside rewritten files —
