@@ -61,7 +61,9 @@ final class AnnIndex(spark: SparkSession, val rootPath: String) {
     * collide with already-indexed ones (the index does not dedup). */
   def appendVectors(df: DataFrame, idCol: String, vecCol: String): Unit =
     vectorsTable.append(
-      AnnIndex.assign(df, centroids, idCol, vecCol), operation = "ann-append")
+      AnnIndex.assign(df, centroids, idCol, vecCol)
+        .repartition(col("cid")), // one file per touched cell, not cells × tasks
+      operation = "ann-append")
 
   /** Exact-rerank probe-limited top-k: `(query_id, neighbor_id, rank,
     * cos)`, at most `k` neighbors per query, cosine descending.
@@ -168,7 +170,8 @@ final class PqAnnIndex(spark: SparkSession, val rootPath: String) {
       PqAnnIndex.encode(df, idCol, vecCol, centroidsTable.read(), cb,
         m * dsub, m)
     }
-    try codesTable.append(codes, "pq-append")
+    // one file per touched cell, not cells × tasks (see create)
+    try codesTable.append(codes.repartition(col("cell")), "pq-append")
     finally h.release()
   }
 
@@ -228,7 +231,12 @@ object PqAnnIndex {
     val (codes, h) = SubstrateCache.scoped {
       encode(corpus, idCol, vecCol, cents, pq, dims, m)
     }
-    try idx.codesTable.overwriteAll(codes, Seq("cell"), "pq-create")
+    // co-locate each cell's codes: without this every upstream task
+    // writes a sliver into every cell dir (cells × tasks files), and
+    // search pays hundreds of file-opens per probe; one shuffle at
+    // build time buys one file per cell forever after
+    try idx.codesTable.overwriteAll(codes.repartition(col("cell")),
+      Seq("cell"), "pq-create")
     finally h.release()
     idx
   }
@@ -268,7 +276,10 @@ object AnnIndex {
     val idx = new AnnIndex(spark, rootPath)
     val cents = codebook.select(col("cid").cast("long").as("cid"), col("centv"))
     idx.centroidsTable.overwriteAll(cents.coalesce(1), Nil, "ann-create")
-    idx.vectorsTable.overwriteAll(assign(corpus, cents, idCol, vecCol),
+    // co-locate per cell (see PqAnnIndex.create): one file per cell,
+    // not cells × upstream-tasks slivers
+    idx.vectorsTable.overwriteAll(
+      assign(corpus, cents, idCol, vecCol).repartition(col("cid")),
       Seq("cid"), "ann-create")
     idx
   }
