@@ -654,8 +654,8 @@ object EngineOps {
       """WITH base AS (
         |  SELECT o_orderkey AS id, o_custkey % 100 AS grp,
         |         o_orderkey % 97 AS qty
-        |  FROM orders WHERE o_orderkey % 4 <> 3),
-        |after_delete AS (SELECT * FROM base WHERE NOT (id % 10 = 0)),
+        |  FROM orders WHERE o_orderkey % 4 = 1),
+        |after_delete AS (SELECT * FROM base WHERE NOT (id % 5 = 0)),
         |after_update AS (
         |  SELECT id, grp,
         |         CASE WHEN id % 7 = 0 THEN qty + 5 ELSE qty END AS qty
@@ -669,20 +669,23 @@ object EngineOps {
         |SELECT grp, CAST(count(*) AS BIGINT) AS cnt,
         |       CAST(sum(qty) AS BIGINT) AS sum_qty
         |FROM final GROUP BY grp ORDER BY grp""".stripMargin) { (s, d) =>
+      // quarter-sliced staging (one quarter built, one appended): the
+      // maintenance machinery under test is O(changed rows), so the
+      // slice exercises every path at proportionate bench cost
       val root = scratch(s, d, "matview")
       val src = graft.tables.ManagedTable(s, s"$root/src")
       val o = Tables.orders(s, d).select(
         col("o_orderkey").as("id"),
         (col("o_custkey") % 100).as("grp"),
         (col("o_orderkey") % 97).as("qty"))
-      src.overwriteAll(o.filter(col("id") % 4 =!= 3).repartition(8))
+      src.overwriteAll(o.filter(col("id") % 4 === 1).repartition(4))
       val mv = graft.tables.MaterializedAgg(s, src, s"$root/view", "id",
         Seq("grp"), Seq("qty"))
       mv.refresh() // full build at v0
-      src.delete("id % 10 = 0")
+      src.delete("id % 5 = 0")
       mv.refresh() // incremental: a delete-only interval
       src.update(Map("qty" -> "qty + 5"), "id % 7 = 0")
-      src.append(o.filter(col("id") % 4 === 3).repartition(4))
+      src.append(o.filter(col("id") % 4 === 3).repartition(2))
       mv.refresh() // incremental: updates + inserts netted in one interval
       mv.read().orderBy("grp")
     },
@@ -967,7 +970,8 @@ object EngineOps {
     QueryDef(
       "q_e_generated",
       """WITH base AS (
-        |  SELECT event_id, ts, event_type, value FROM events),
+        |  SELECT event_id, ts, event_type, value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
         |all_rows AS (
         |  SELECT * FROM base
         |  UNION ALL
@@ -987,7 +991,12 @@ object EngineOps {
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       val root = scratch(s, d, "gen")
       val t = graft.tables.ManagedTable(s, s"$root/events")
+      // half the days (15 partition dirs): the machinery under test —
+      // generated partition column, recompute-on-update, inference
+      // pruning — is day-count- and changed-file-bound, not row-bound,
+      // so the slice keeps every path at proportionate bench cost
       val ev = Tables.events(s, d)
+        .filter("ts < TIMESTAMP'2024-01-16 00:00:00'")
         .select("event_id", "ts", "event_type", "value")
       t.overwriteAll(ev.limit(0))
       t.addGeneratedColumn("day", "CAST(ts AS DATE)")
