@@ -70,7 +70,7 @@ object MaintenanceSql {
   private val DropBloom =
     """(?is)\s*DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?(\S+|graft\.`[^`]+`)(?:\s+FOR\s+COLUMNS\s*\(([^)]+)\))?\s*;?\s*""".r
   private val Analyze =
-    """(?is)\s*ANALYZE\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+COMPUTE\s+STATISTICS\s*;?\s*""".r
+    """(?is)\s*ANALYZE\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(ALL\s+COLUMNS|COLUMNS\s+[\w\s,`]+?))?\s*;?\s*""".r
   private val Convert =
     """(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\.`([^`]+)`\s*;?\s*""".r
   private val Copy =
@@ -148,8 +148,10 @@ object MaintenanceSql {
       // ANALYZE TABLE is live Spark grammar for ordinary tables, so this
       // intercepts ONLY confirmed graft targets — anything else falls
       // through to Spark's own catalog-stats path untouched
-      case Analyze(ident) if isGraftIdent(ident) =>
-        Some(GraftAnalyzeCommand(ident))
+      case Analyze(ident, forCols) if isGraftIdent(ident) =>
+        Some(GraftAnalyzeCommand(ident, Option(forCols).map(fc =>
+          if (fc.trim.toUpperCase.startsWith("ALL")) Nil
+          else splitCols(fc.trim.replaceFirst("(?i)^COLUMNS\\s+", "")))))
       // SHOW PARTITIONS is live grammar for catalog tables — intercept
       // only confirmed graft targets, like ANALYZE
       case ShowParts(ident) if isGraftIdent(ident) =>
@@ -609,12 +611,20 @@ object MaintenanceSql {
     * no-op when complete). For a graft table the manifest, not the
     * catalog entry, is what scans prune with and `fastCount` answers
     * from. */
-  final case class GraftAnalyzeCommand(ident: String)
+  final case class GraftAnalyzeCommand(ident: String,
+      forColumns: Option[Seq[String]] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs("path" -> StringType)
     override def run(session: SparkSession): Seq[Row] = {
       val t = resolveGraft(session, ident)
       t.collectStatistics()
+      // FOR [ALL] COLUMNS additionally builds/tops-up the per-file NDV
+      // sketches (incremental — new files only) and, for a
+      // catalog-registered table, publishes CBO statistics
+      forColumns.foreach { cols =>
+        t.analyzeNdv(cols)
+        t.publishCatalogStats(session)
+      }
       Seq(Row(t.rootPath))
     }
   }

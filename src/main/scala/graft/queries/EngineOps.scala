@@ -481,6 +481,44 @@ object EngineOps {
         .orderBy("o_orderkey")
     },
 
+    // NDV sketches under the oracle: per-file HLL distinct-count
+    // sketches built incrementally (append → only new files scanned,
+    // delete → only rewritten files re-sketched), unioned into
+    // table-level estimates with zero data scan. Every cardinality here
+    // sits in the sketch's exact coupon regime, so the estimates EQUAL
+    // DuckDB's count(DISTINCT …) — the oracle states them declaratively.
+    QueryDef(
+      "q_e_ndv",
+      """WITH t AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(o_custkey % 50 AS INT) AS seg
+        |  FROM orders),
+        |live AS (SELECT * FROM t WHERE NOT (seg = 7))
+        |SELECT 'prio' AS col,
+        |       CAST(count(DISTINCT prio) AS BIGINT) AS ndv FROM live
+        |UNION ALL
+        |SELECT 'seg', CAST(count(DISTINCT seg) AS BIGINT) FROM live
+        |ORDER BY col""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "ndv")
+      val t = graft.tables.ManagedTable(s, s"$root/t")
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("okey"),
+        col("o_orderpriority").as("prio"),
+        (col("o_custkey") % 50).cast("int").as("seg"))
+      t.overwriteAll(o.filter(col("okey") % 3 =!= 0)
+        .drop("okey").repartition(4))                        // v0
+      t.analyzeNdv()                                         // 4 files
+      t.append(o.filter(col("okey") % 3 === 0)
+        .drop("okey").repartition(2))                        // v1
+      t.analyzeNdv()                                         // +2 files only
+      t.delete("seg = 7")                                    // CoW rewrite
+      t.analyzeNdv()                                         // rewritten only
+      val est = t.ndvEstimates()
+      import s.implicits._
+      Seq(("prio", est("prio")), ("seg", est("seg")))
+        .toDF("col", "ndv").orderBy("col")
+    },
+
     // Type widening under the oracle: int→bigint and float→double as
     // metadata-only commits — narrow files written before the ALTER are
     // read through the wider schema (native parquet promotion), an

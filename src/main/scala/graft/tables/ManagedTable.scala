@@ -1019,6 +1019,232 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private def distributedProbeThreshold: Int =
     spark.conf.get("spark.graft.bloom.distributedProbeThreshold", "256").toInt
 
+  // ---------------------------------------------------- NDV sketches
+
+  private val ndvDir = new Path(metaDir, "_ndv")
+  private val ndvPointerFile = new Path(ndvDir, "_current")
+
+  private def ndvCurrentDir: Option[Path] =
+    if (!fs.exists(ndvPointerFile)) None
+    else {
+      val in = fs.open(ndvPointerFile)
+      val name =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
+        finally in.close()
+      Some(new Path(ndvDir, name)).filter(fs.exists)
+    }
+
+  /** Stored sketch rows `(file, col, sketch)` — col is the PHYSICAL
+    * name (stats/bloom convention); a null sketch marks an analyzed
+    * empty file. */
+  private def ndvLoad(): Option[DataFrame] =
+    ndvCurrentDir.map(p => spark.read.parquet(p.toString))
+
+  /** Build (or top up) per-file HLL distinct-count sketches for
+    * `columns` (default: every sketchable column). INCREMENTAL by
+    * construction: a file is scanned only if it lacks a sketch for some
+    * requested column — after an append, re-analyzing touches the new
+    * files alone, and sketches of untouched files are carried verbatim.
+    * That is the 100 TB contract: NDV maintenance costs O(new data),
+    * and a table-level estimate ([[ndvEstimates]]) is a union over
+    * file-count-many small sketches, never a rescan.
+    *
+    * Estimates count the rows as WRITTEN: rows masked by deletion
+    * vectors still contribute until their files are rewritten
+    * (purge/compaction), so estimates on DV-carrying tables are upper
+    * bounds — same staleness contract as every stats-based optimizer
+    * input. Returns the number of files scanned. */
+  def analyzeNdv(columns: Seq[String] = Nil): Int = withWriteLock {
+    val m = requireManifest
+    val targets =
+      if (columns.isEmpty)
+        m.schema.fields.toSeq.filter(f => NdvStats.supported(f.dataType))
+      else columns.map { c =>
+        val f = m.schema.fields.find(_.name == c).getOrElse(
+          throw new MetadataException(
+            s"analyzeNdv on $rootPath: no column '$c'"))
+        if (!NdvStats.supported(f.dataType)) throw new MetadataException(
+          s"analyzeNdv on $rootPath.$c: type ${f.dataType.simpleString} " +
+            "is not sketchable")
+        f
+      }
+    if (targets.isEmpty) return 0
+    import spark.implicits._
+    val phys = targets.map(f => m.physicalName(f.name))
+    val physType = targets.map(f => m.physicalName(f.name) -> f.dataType).toMap
+    val old = ndvLoad()
+    val done: Set[(String, String)] = old match {
+      case None => Set.empty
+      case Some(df) => df.select("file", "col").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    // skip known-empty files; a file missing ANY requested column is
+    // rescanned for ALL of them (one pass, one sketch generation)
+    val todo = m.files.filter(f => !f.rows.contains(0L) &&
+      phys.exists(p => !done((f.path, p))))
+    val newRows: DataFrame =
+      if (todo.isEmpty) spark.emptyDataset[(String, String, Array[Byte])]
+        .toDF("file", "col", "sketch")
+      else {
+        val uriC = "__g_ndv_uri"
+        val scanSchema = org.apache.spark.sql.types.StructType(
+          m.physicalSchema.fields.filter(f => phys.contains(f.name)))
+        val base = spark.read.schema(scanSchema)
+          .parquet(todo.map(f => new Path(root, f.path).toString): _*)
+          .withColumn(uriC, col("_metadata.file_path"))
+        val lk = broadcast(fileUriLookup(todo).toSeq.toDF(s"${uriC}2", "file"))
+        val aggd = base.join(lk, col(uriC) === col(s"${uriC}2"))
+          .groupBy(col("file"))
+          .agg(NdvStats.sketchAgg(col(s"`${phys.head}`"),
+              physType(phys.head)).as(phys.head),
+            phys.tail.map(p =>
+              NdvStats.sketchAgg(col(s"`$p`"), physType(p)).as(p)): _*)
+        val long = aggd.select(col("file"), explode(array(phys.map(p =>
+            struct(lit(p).as("col"), col(s"`$p`").as("sketch"))): _*)).as("kv"))
+          .select(col("file"), col("kv.col").as("col"),
+            col("kv.sketch").as("sketch"))
+        // files whose scan produced no group (0 rows, count unrecorded):
+        // a null-sketch placeholder marks them analyzed
+        val seen = long.select("file").distinct().as[String].collect().toSet
+        val empties = todo.map(_.path).filterNot(seen)
+          .flatMap(f => phys.map(p => (f, p)))
+        if (empties.isEmpty) long
+        else long.unionByName(empties.toDF("file", "col")
+          .withColumn("sketch", lit(null).cast("binary")))
+      }
+    // survivors: rows for files still live, minus rows this run
+    // recomputed — all distributed (the store is file-count-sized;
+    // collecting it would cap the table at driver memory)
+    val keepOld: DataFrame = old match {
+      case None => spark.emptyDataset[(String, String, Array[Byte])]
+        .toDF("file", "col", "sketch")
+      case Some(df) =>
+        val live = broadcast(m.files.map(_.path).toDF("file"))
+        val recomputed = broadcast(todo.map(_.path)
+          .flatMap(f => phys.map(p => (f, p))).toDF("file", "col"))
+        df.join(live, "file")
+          .join(recomputed, Seq("file", "col"), "left_anti")
+          .select("file", "col", "sketch")
+    }
+    val prev = ndvCurrentDir.map(_.getName)
+    val gen = s"s-${UUID.randomUUID()}"
+    keepOld.unionByName(newRows)
+      .coalesce(1).write.parquet(new Path(ndvDir, gen).toString)
+    writeFileAtomic(ndvPointerFile, gen)
+    // prune superseded generations, keeping the immediately previous one
+    // as a grace window for in-flight lock-free readers
+    if (fs.exists(ndvDir)) fs.listStatus(ndvDir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("s-") && n != gen && !prev.contains(n))
+        fs.delete(st.getPath, true)
+    }
+    todo.size
+  }
+
+  /** Table-level approximate distinct counts from the per-file sketches:
+    * one union per column over file-count-many sketches — metadata-sized
+    * work, no data scan. A column appears in the result only when every
+    * live non-empty file carries a sketch for it (run [[analyzeNdv]]
+    * after writes to top up); partition columns answer EXACTLY from
+    * manifest partition values. */
+  def ndvEstimates(columns: Seq[String] = Nil): Map[String, Long] = {
+    val m = requireManifest
+    val names =
+      if (columns.isEmpty) m.schema.fields.toSeq
+        .filter(f => NdvStats.supported(f.dataType)).map(_.name)
+      else columns.map { c =>
+        if (!m.schema.fieldNames.contains(c)) throw new MetadataException(
+          s"ndvEstimates on $rootPath: no column '$c'")
+        c
+      }
+    val (partCols, dataCols) = names.partition(m.partitionColumns.contains)
+    val partNdv = partCols.map(c => c ->
+      m.files.flatMap(_.partitionValues.get(c)).filter(_ != null)
+        .distinct.size.toLong).toMap
+    if (dataCols.isEmpty) return partNdv
+    val physOf = dataCols.map(c => m.physicalName(c) -> c).toMap
+    val required = m.files.count(f => !f.rows.contains(0L))
+    val dataNdv = ndvLoad() match {
+      case None => Map.empty[String, Long]
+      case Some(df) =>
+        import spark.implicits._
+        val live = broadcast(
+          m.files.filterNot(_.rows.contains(0L)).map(_.path).toDF("file"))
+        df.join(live, "file")
+          .filter(col("col").isin(physOf.keys.toSeq: _*))
+          .groupBy("col")
+          .agg(count(lit(1)).as("n"),
+            hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+          .collect().flatMap { r =>
+            if (r.getLong(1) != required) None // not full coverage
+            else Some(physOf(r.getString(0)) ->
+              (if (r.isNullAt(2)) 0L else r.getLong(2)))
+          }.toMap
+    }
+    partNdv ++ dataNdv
+  }
+
+  /** [[ndvEstimates]] for one column; None until analyzed to coverage. */
+  def approxCountDistinct(column: String): Option[Long] =
+    ndvEstimates(Seq(column)).get(column)
+
+  /** Publish optimizer statistics into the session catalog for a
+    * catalog-registered table (no-op otherwise): table size + row count
+    * from the manifest, per-column min/max/null-count from the
+    * manifest's file stats ([[statsAggregateRaw]]), distinct counts
+    * from the NDV sketches ([[ndvEstimates]], the columns analyzed to
+    * coverage). With `spark.sql.cbo.enabled` Spark's cost-based join
+    * reordering and build-side selection then plan against REAL numbers
+    * — the piece of the 100 TB story the manifest alone can't feed,
+    * because Catalyst only consumes catalog statistics.
+    *
+    * Everything here is metadata-sized arithmetic: no scan, no jobs
+    * beyond the sketch-union job. */
+  def publishCatalogStats(session: SparkSession): Unit =
+    catalogName.foreach { name =>
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+      import org.apache.spark.sql.types._
+      val m = requireManifest
+      val sizeBytes = m.files.flatMap(_.bytes).sum.max(1L)
+      val rows = fastCount
+      val ndv = ndvEstimates()
+      val raw = statsAggregateRaw(m.schema.fieldNames.toSeq)
+      // external literal renderings Spark's CatalogColumnStat parses
+      // back (fromExternalString): plain numerics, ISO dates; timestamps
+      // and strings are skipped — their external formats are
+      // version-sensitive and NDV/nullCount carry the planning value
+      def ext(v: Any): Option[String] = v match {
+        case null                     => None
+        case d: java.time.LocalDate   => Some(d.toString)
+        case _: java.time.Instant     => None
+        case _: java.time.LocalDateTime => None
+        case other                    => Some(other.toString)
+      }
+      val perCol = raw.map(_._2.map(c => c.field.name -> c).toMap)
+        .getOrElse(Map.empty)
+      val colStats = m.schema.fields.flatMap { f =>
+        val agg = perCol.get(f.name)
+        val nullCnt = for (t <- rows; nn <- agg.flatMap(_.nonNulls))
+          yield BigInt(t - nn)
+        val (lo, hi) = agg.filter(_.extremaExact).flatMap(_.extrema) match {
+          case Some((a, b)) => (ext(a), ext(b))
+          case None         => (None, None)
+        }
+        val stat = CatalogColumnStat(
+          distinctCount = ndv.get(f.name).map(BigInt(_)),
+          min = lo, max = hi, nullCount = nullCnt)
+        if (stat == CatalogColumnStat()) None else Some(f.name -> stat)
+      }.toMap
+      val parts = name.split('.')
+      val ident =
+        if (parts.length == 2) TableIdentifier(parts(1), Some(parts(0)))
+        else TableIdentifier(name)
+      session.sessionState.catalog.alterTableStats(ident,
+        Some(CatalogStatistics(BigInt(sizeBytes), rows.map(BigInt(_)),
+          colStats)))
+    }
+
   /** Stats are recorded for the file schema's FIRST N top-level columns
     * (Delta's dataSkippingNumIndexedCols): per-file min/max on a
     * 1000-column table is manifest bloat that taxes every driver-side
