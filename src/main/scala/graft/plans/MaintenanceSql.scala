@@ -58,7 +58,11 @@ object MaintenanceSql {
   private val Vacuum =
     """(?is)\s*VACUUM\s+(\S+|graft\.`[^`]+`)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+(\S+|graft\.`[^`]+`)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(\S+|graft\.`[^`]+`)(?:\s+(FULL))?(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+  private val ClusterByCols =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+CLUSTER\s+BY\s*\(([^)]+)\)\s*;?\s*""".r
+  private val ClusterByNone =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+CLUSTER\s+BY\s+NONE\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+|graft\.`[^`]+`)\s*;?\s*""".r
   private val Restore =
@@ -115,11 +119,14 @@ object MaintenanceSql {
       case Vacuum(ident, retain, dry) =>
         Some(GraftVacuumCommand(ident,
           Option(retain).map(_.toInt).getOrElse(0), dry != null))
-      case Optimize(ident, where, zorder) =>
+      case Optimize(ident, full, where, zorder) =>
         Some(GraftOptimizeCommand(ident, Option(zorder)
           .map(_.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty).toSeq).getOrElse(Nil),
-          Option(where).map(_.trim).filter(_.nonEmpty)))
+          Option(where).map(_.trim).filter(_.nonEmpty), full != null))
+      case ClusterByNone(ident) => Some(GraftClusterByCommand(ident, Nil))
+      case ClusterByCols(ident, cols) =>
+        Some(GraftClusterByCommand(ident, splitCols(cols)))
       case History(ident) => Some(GraftHistoryCommand(ident))
       case Restore(ident, v) => Some(GraftRestoreCommand(ident, Right(v.toLong)))
       case RestoreTs(ident, ts) => Some(GraftRestoreCommand(ident, Left(ts)))
@@ -274,7 +281,7 @@ object MaintenanceSql {
     * own manifest record (zeros when the table was already optimal and
     * nothing committed). */
   final case class GraftOptimizeCommand(ident: String, zorderBy: Seq[String],
-      where: Option[String] = None)
+      where: Option[String] = None, full: Boolean = false)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs("path" -> StringType,
       "files_added" -> LongType, "files_removed" -> LongType)
@@ -282,6 +289,10 @@ object MaintenanceSql {
       val t = resolveGraft(session, ident)
       val before = t.currentVersion
       if (zorderBy.nonEmpty) t.zorder(zorderBy, where = where.getOrElse(""))
+      // a CLUSTER BY table's plain OPTIMIZE is the incremental
+      // clustering pass (Delta liquid's contract); FULL re-clusters
+      else if (t.clusterBy.nonEmpty)
+        t.cluster(where.getOrElse(""), full = full)
       else where match {
         case Some(w) =>
           // scoped bin-pack toward the optimize target size; files already
@@ -669,6 +680,18 @@ object MaintenanceSql {
         case Some(d) => t.setColumnDefault(col, d)
         case None    => t.dropColumnDefault(col)
       }
+      Nil
+    }
+  }
+
+  /** `ALTER TABLE t CLUSTER BY (c1, c2)` / `CLUSTER BY NONE` — declare
+    * (or drop) liquid-style clustering columns; plain `OPTIMIZE` then
+    * runs the incremental clustering pass. */
+  final case class GraftClusterByCommand(ident: String, cols: Seq[String])
+      extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      val t = resolveGraft(session, ident)
+      if (cols.isEmpty) t.clearClusterBy() else t.setClusterBy(cols)
       Nil
     }
   }

@@ -481,6 +481,43 @@ object EngineOps {
         .orderBy("o_orderkey")
     },
 
+    // Incremental clustering under the oracle: CLUSTER BY declared as
+    // table intent, a full first pass, an append, then an incremental
+    // pass that Z-orders only the appended files — and the final read
+    // goes through format("graft")'s stats-pruned scan on the clustered
+    // column, so the layout the maintenance produced is also the layout
+    // the filter exploits. The oracle states the surviving rows
+    // declaratively.
+    QueryDef(
+      "q_e_cluster",
+      """WITH t AS (
+        |  SELECT o_orderkey AS okey, CAST(o_custkey % 700 AS INT) AS ckey,
+        |         o_orderpriority AS prio FROM orders),
+        |all_rows AS (
+        |  SELECT * FROM t WHERE okey % 3 <> 0
+        |  UNION ALL
+        |  SELECT okey + 5000000, ckey, prio FROM t WHERE okey % 3 = 0)
+        |SELECT okey, ckey, prio FROM all_rows
+        |WHERE ckey >= 100 AND ckey < 300
+        |ORDER BY okey""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "cluster")
+      val t = graft.tables.ManagedTable(s, s"$root/t")
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("okey"),
+        (col("o_custkey") % 700).cast("int").as("ckey"),
+        col("o_orderpriority").as("prio"))
+      t.overwriteAll(o.filter(col("okey") % 3 =!= 0).repartition(6))   // v0
+      t.setClusterBy(Seq("ckey"))
+      t.cluster()                                     // full first pass
+      t.append(o.filter(col("okey") % 3 === 0).select(
+        (col("okey") + 5000000L).as("okey"), col("ckey"), col("prio"))
+        .repartition(2))
+      t.cluster()                                     // incremental: 2 files
+      s.read.format("graft").load(s"$root/t")
+        .filter("ckey >= 100 and ckey < 300")
+        .select("okey", "ckey", "prio").orderBy("okey")
+    },
+
     // NDV sketches under the oracle: per-file HLL distinct-count
     // sketches built incrementally (append → only new files scanned,
     // delete → only rewritten files re-sketched), unioned into

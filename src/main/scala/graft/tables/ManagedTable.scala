@@ -2594,7 +2594,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   /** Set (merge) table properties as a metadata-only commit. */
   def setTableProperties(props: Map[String, String]): Unit = withWriteLock {
     val m = requireManifest
-    val guarded = props.keySet.filter(_.startsWith("graft.rowTracking."))
+    val guarded = props.keySet.filter(k =>
+      k.startsWith("graft.rowTracking.") || k == ManagedTable.ClusterVersionProp)
     if (guarded.nonEmpty)
       throw new MetadataException(
         s"propert${if (guarded.size == 1) "y" else "ies"} " +
@@ -3653,6 +3654,94 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     replaceFilesMaintenance(m, scope, sorted, op)
   }
 
+  /** Declare clustering columns (Delta liquid clustering's shape):
+    * writes stay untouched — layout is owed by MAINTENANCE, not the
+    * ingest path — and [[cluster]] (or plain `OPTIMIZE` in SQL)
+    * incrementally Z-orders whatever arrived since the last pass.
+    * Clustering a partition column is rejected (constant within its
+    * files, nothing to order). */
+  def setClusterBy(columns: Seq[String]): Unit = withWriteLock {
+    val m = requireManifest
+    require(columns.nonEmpty, "setClusterBy requires at least one column")
+    columns.foreach { c =>
+      if (!m.schema.fieldNames.contains(c)) throw new MetadataException(
+        s"setClusterBy on $rootPath: no column '$c'")
+      if (m.partitionColumns.contains(c)) throw new MetadataException(
+        s"setClusterBy on $rootPath.$c: partition columns are constant " +
+          "within their files — clustering them orders nothing")
+    }
+    setTableProperties(Map(
+      ManagedTable.ClusterByProp -> columns.mkString(",")))
+  }
+
+  /** `CLUSTER BY NONE`: stop clustering; existing layout stays. */
+  def clearClusterBy(): Unit = withWriteLock {
+    val m = requireManifest
+    if (m.properties.contains(ManagedTable.ClusterByProp) ||
+        m.properties.contains(ManagedTable.ClusterVersionProp))
+      commitDelta(m.schemaJson, m.partitionColumns, "clusterBy none",
+        base = Some(m), adds = Nil, removes = Nil,
+        propertiesOverride = Some(m.properties -
+          ManagedTable.ClusterByProp - ManagedTable.ClusterVersionProp))
+  }
+
+  /** The declared clustering columns (empty = none). */
+  def clusterBy: Seq[String] =
+    properties.get(ManagedTable.ClusterByProp).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** INCREMENTAL clustering pass: Z-order ONLY the files that arrived
+    * since the last pass (per-file `dataVersion` vs the recorded
+    * cluster watermark) and advance the watermark — O(new data) per
+    * pass however large the table, which is the whole point at 100 TB:
+    * steady-state maintenance cost tracks ingest rate, not table size.
+    * Each pass's output overlaps earlier generations' key ranges
+    * (exactly Delta liquid's tradeoff); `full = true` re-clusters the
+    * entire scope into one generation when read amplification has crept
+    * up. Files never clustered (no recorded dataVersion) always
+    * qualify. Returns the number of files rewritten. */
+  def cluster(where: String = "", full: Boolean = false,
+      minFiles: Int = 1, targetFiles: Int = 0): Int = withWriteLock {
+    val m = requireManifest
+    val cols = clusterBy
+    if (cols.isEmpty) throw new MetadataException(
+      s"cluster on $rootPath: no CLUSTER BY columns declared " +
+        "(setClusterBy / ALTER TABLE … CLUSTER BY first)")
+    val since = m.properties.get(ManagedTable.ClusterVersionProp).map(_.toLong)
+    val scope0 = maintenanceScope(m, where)
+    val scope =
+      if (full) scope0
+      else scope0.filter(f => since match {
+        case None     => true
+        case Some(sv) => f.dataVersion.forall(_ > sv)
+      })
+    if (scope.size < minFiles.max(1)) return 0
+    val df = readPreservingRowIds(m, scope)
+    val bounds = ZOrder.boundaries(df, cols)
+    val z = ZOrder.zValue(df, bounds).as("__gz")
+    // consolidate while clustering (an incremental pass doubles as the
+    // small-file compactor for its batch) but keep ≥1 file
+    val n =
+      if (targetFiles > 0) targetFiles else math.max(1, scope.size / 8)
+    val partCols = m.partitionColumns.map(c => col(s"`$c`"))
+    val keys = partCols :+ col("__gz")
+    val sorted = df.withColumn("__gz", z)
+      .repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .drop("__gz")
+    replaceFilesMaintenance(m, scope, sorted,
+      s"cluster(${cols.mkString(",")})")
+    // watermark = the rewrite's version: its own outputs are stamped AT
+    // it, so the next incremental pass skips them (engine-maintained —
+    // committed directly, not through the user property surface)
+    val after = requireManifest
+    commitDelta(after.schemaJson, after.partitionColumns, "clusterWatermark",
+      base = Some(after), adds = Nil, removes = Nil,
+      propertiesOverride = Some(after.properties +
+        (ManagedTable.ClusterVersionProp -> after.version.toString)))
+    scope.size
+  }
+
   /** Scope of a maintenance rewrite: the whole table, or — with a
     * `where` over PARTITION columns only (Delta's `OPTIMIZE … WHERE`
     * contract) — just the matching partitions' files, decided on the
@@ -4645,6 +4734,14 @@ object ManagedTable {
     * EXISTS_DEFAULT keys): files whose `dataVersion` precedes it
     * physically lack the column and read the EXISTS_DEFAULT. */
   val DefaultSinceKey = "graft.default.sinceVersion"
+
+  /** Declared clustering columns (comma-joined; Delta liquid's role). */
+  val ClusterByProp = "graft.clusterBy"
+
+  /** Version of the last [[ManagedTable.cluster]] pass — files whose
+    * `dataVersion` is at or below it are already clustered.
+    * Engine-maintained. */
+  val ClusterVersionProp = "graft.cluster.version"
 
   /** LOSSLESS type widenings: existing parquet pages of type `from` are
     * readable through a manifest schema declaring `to` (Spark 4 parquet
