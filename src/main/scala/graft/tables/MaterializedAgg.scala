@@ -112,31 +112,39 @@ final class MaterializedAgg(
     val viewSchema = view.read().schema
     def typed(name: String, c: Column): Column =
       c.cast(viewSchema(name).dataType).as(s"__d_$name")
-    val delta = changed
-      .groupBy(keys.map(c => col(s"`$c`")): _*)
-      .agg(typed(cntCol, sum(sign)),
-        sums.map(c =>
-          typed(sumCol(c), sum(sign * coalesce(col(s"`$c`"), lit(0))))): _*)
-      // zero-net groups (an update that moved no value) have nothing to
-      // apply — dropping them keeps the merge's touch set minimal
-      .filter(col(s"`__d_$cntCol`") =!= 0 ||
-        sums.map(c => col(s"`__d_${sumCol(c)}`") =!= 0)
-          .foldLeft(lit(false))(_ || _))
-    val cond = keys.map(c => s"target.`$c` = source.`$c`").mkString(" AND ")
-    val updates = (cntCol +: sums.map(sumCol)).map(c =>
-      c -> s"target.`$c` + source.`__d_$c`").toMap
-    val inserts = keys.map(c => c -> s"source.`$c`").toMap ++
-      (cntCol +: sums.map(sumCol)).map(c => c -> s"source.`__d_$c`")
-    val b =
-      if (keys.size == 1) MergeInto.byKey(view, delta, keys.head)
-      else MergeInto(view, delta, cond)
-    b.whenMatchedDelete(
-        Some(s"target.`$cntCol` + source.`__d_$cntCol` = 0"))
-      .whenMatchedUpdate(updates)
-      .whenNotMatchedInsert(inserts)
-      .withTxn(appId, cur, operation = "matview-refresh")
-      .execute()
-    ()
+    // the delta is per-GROUP (small) while its lineage is the interval's
+    // diff join (the expensive part) — persist it so the merge's
+    // touch-detect probe and its write materialize the join ONCE, not
+    // once per downstream action
+    val (delta, h) = graft.ops.SubstrateCache.scoped {
+      graft.ops.SubstrateCache.persist(changed
+        .groupBy(keys.map(c => col(s"`$c`")): _*)
+        .agg(typed(cntCol, sum(sign)),
+          sums.map(c =>
+            typed(sumCol(c), sum(sign * coalesce(col(s"`$c`"), lit(0))))): _*)
+        // zero-net groups (an update that moved no value) have nothing to
+        // apply — dropping them keeps the merge's touch set minimal
+        .filter(col(s"`__d_$cntCol`") =!= 0 ||
+          sums.map(c => col(s"`__d_${sumCol(c)}`") =!= 0)
+            .foldLeft(lit(false))(_ || _)))
+    }
+    try {
+      val cond = keys.map(c => s"target.`$c` = source.`$c`").mkString(" AND ")
+      val updates = (cntCol +: sums.map(sumCol)).map(c =>
+        c -> s"target.`$c` + source.`__d_$c`").toMap
+      val inserts = keys.map(c => c -> s"source.`$c`").toMap ++
+        (cntCol +: sums.map(sumCol)).map(c => c -> s"source.`__d_$c`")
+      val b =
+        if (keys.size == 1) MergeInto.byKey(view, delta, keys.head)
+        else MergeInto(view, delta, cond)
+      b.whenMatchedDelete(
+          Some(s"target.`$cntCol` + source.`__d_$cntCol` = 0"))
+        .whenMatchedUpdate(updates)
+        .whenNotMatchedInsert(inserts)
+        .withTxn(appId, cur, operation = "matview-refresh")
+        .execute()
+      ()
+    } finally h.release()
   }
 }
 
