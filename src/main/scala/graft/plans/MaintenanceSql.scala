@@ -448,21 +448,27 @@ object MaintenanceSql {
             "('graft.cdc.keys' = 'id')"))
       val CountItem = """(?is)COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(\w+))?""".r
       val SumItem = """(?is)SUM\s*\(\s*`?([\w]+)`?\s*\)(?:\s+AS\s+(\w+))?""".r
+      val MinItem = """(?is)MIN\s*\(\s*`?([\w]+)`?\s*\)(?:\s+AS\s+(\w+))?""".r
+      val MaxItem = """(?is)MAX\s*\(\s*`?([\w]+)`?\s*\)(?:\s+AS\s+(\w+))?""".r
       var sawCount = false
       var plain = Vector.empty[String]
       var sums = Vector.empty[String]
+      var mins = Vector.empty[String]
+      var maxs = Vector.empty[String]
+      def checkAlias(alias: String, want: String, what: String): Unit =
+        if (alias != null && alias != want) throw new MetadataException(
+          s"materialized view $what column is named $want, not $alias")
       selectList.split(",(?![^()]*\\))").map(_.trim).filter(_.nonEmpty)
         .foreach {
           case CountItem(alias) =>
-            if (alias != null && alias != "cnt")
-              throw new MetadataException(
-                s"materialized view count column is named cnt, not $alias")
+            checkAlias(alias, "cnt", "count")
             sawCount = true
           case SumItem(c, alias) =>
-            if (alias != null && alias != s"sum_$c")
-              throw new MetadataException(
-                s"materialized view sum($c) column is named sum_$c, not $alias")
-            sums :+= c
+            checkAlias(alias, s"sum_$c", s"sum($c)"); sums :+= c
+          case MinItem(c, alias) =>
+            checkAlias(alias, s"min_$c", s"min($c)"); mins :+= c
+          case MaxItem(c, alias) =>
+            checkAlias(alias, s"max_$c", s"max($c)"); maxs :+= c
           case item =>
             plain :+= item.stripPrefix("`").stripSuffix("`")
         }
@@ -475,7 +481,7 @@ object MaintenanceSql {
       val PathForm = """(?is)graft\.`([^`]+)`""".r
       def build(p: String) = {
         val mv = new graft.tables.MaterializedAgg(session, s,
-          ManagedTable(session, p), sourceKeys, groupKeys, sums)
+          ManagedTable(session, p), sourceKeys, groupKeys, sums, mins, maxs)
         mv.refresh()
         mv
       }

@@ -765,6 +765,49 @@ object EngineOps {
       mv.read().orderBy("grp")
     },
 
+    // min/max materialized view under the oracle: extrema cannot be
+    // delta-folded (deleting a group's maximum says nothing about the
+    // next one), so the refresh re-aggregates ONLY the touched groups
+    // from the current source — the delete below kills many groups'
+    // maxima specifically to force that path. The oracle recomputes the
+    // end state declaratively; the touched-group merges must land on it.
+    QueryDef(
+      "q_e_matview_minmax",
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, o_custkey % 40 AS grp,
+        |         o_orderkey % 83 AS qty
+        |  FROM orders WHERE o_orderkey % 4 = 2),
+        |after_delete AS (SELECT * FROM base WHERE NOT (qty >= 78)),
+        |appended AS (
+        |  SELECT o_orderkey AS id, o_custkey % 40 AS grp,
+        |         o_orderkey % 83 AS qty
+        |  FROM orders WHERE o_orderkey % 4 = 0),
+        |final AS (SELECT * FROM after_delete
+        |          UNION ALL SELECT * FROM appended)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(min(qty) AS BIGINT) AS min_qty,
+        |       CAST(max(qty) AS BIGINT) AS max_qty
+        |FROM final GROUP BY grp ORDER BY grp""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "matviewmm")
+      val src = graft.tables.ManagedTable(s, s"$root/src")
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"),
+        (col("o_custkey") % 40).as("grp"),
+        (col("o_orderkey") % 83).as("qty"))
+      src.overwriteAll(o.filter(col("id") % 4 === 2).repartition(4))
+      val mv = graft.tables.MaterializedAgg(s, src, s"$root/view", "id",
+        Seq("grp"), Nil, Seq("qty"), Seq("qty"))
+      mv.refresh()                  // full build
+      src.delete("qty >= 78")       // extremum-killing delete
+      mv.refresh()                  // touched-group recompute
+      src.append(o.filter(col("id") % 4 === 0).repartition(2))
+      mv.refresh()                  // inserts through the same path
+      mv.read().select(col("grp"), col("cnt"),
+          col("min_qty").cast("long").as("min_qty"),
+          col("max_qty").cast("long").as("max_qty"))
+        .orderBy("grp")
+    },
+
     // Streaming upsert sink under the oracle: two CDC micro-batches (base
     // snapshot, then updates + within-batch higher-seq re-updates + CDC
     // deletes with null payloads) applied through TableStreamSink's

@@ -26,14 +26,21 @@ import graft.metadata.MetadataException
   * Recovery takes the max of the txn marker and the newest
   * record-embedded txn, the same contract the streaming sink uses.
   *
-  * Only self-maintainable aggregates are offered: `count(*)` and `sum`
-  * (avg = sum/cnt at read time). `min`/`max` are NOT — a delete of the
-  * current extremum forces a group rescan, which is a different
-  * (recompute-touched-groups) algorithm, not a delta fold. `sum` treats
-  * NULL as 0 (a group whose values are all NULL reports 0, where a full
-  * recompute reports NULL) — use integer/decimal columns for exact
-  * maintenance; floating-point sums drift by reassociation exactly as
-  * any distributed sum does.
+  * `count(*)` and `sum` are maintained by DELTA FOLD (avg = sum/cnt at
+  * read time). `sum` treats NULL as 0 (a group whose values are all NULL
+  * reports 0, where a full recompute reports NULL) — use integer/decimal
+  * columns for exact maintenance; floating-point sums drift by
+  * reassociation exactly as any distributed sum does.
+  *
+  * `min`/`max` aggregates switch the refresh to RECOMPUTE-TOUCHED-GROUPS:
+  * a delete of the current extremum cannot be folded (the new extremum
+  * is not in the delta), so the refresh takes the interval's distinct
+  * group keys and re-aggregates ONLY those groups from the current
+  * source — a semi-join-pruned scan, bounded when the source is
+  * partitioned or [[ManagedTable.setClusterBy]]-clustered on the group
+  * key, which is exactly how a 100 TB table should be laid out for this
+  * view. Untouched groups' rows are never read and never rewritten; a
+  * group whose rows all vanished is deleted from the view.
   *
   * `sourceKey` must uniquely identify source rows (the table PK) — it is
   * what [[ManagedTable.rowChanges]] nets endpoint images by.
@@ -44,7 +51,9 @@ final class MaterializedAgg(
     val view: ManagedTable,
     sourceKeys: Seq[String],
     keys: Seq[String],
-    sums: Seq[String]) {
+    sums: Seq[String],
+    mins: Seq[String] = Nil,
+    maxs: Seq[String] = Nil) {
 
   require(keys.nonEmpty, "materialized aggregate needs at least one group key")
   require(sourceKeys.nonEmpty, "materialized aggregate needs the source PK")
@@ -77,7 +86,8 @@ final class MaterializedAgg(
       case Some(v) =>
         val changed = source.rowChanges(v, cur, sourceKeys,
           includePreimages = true)
-        applyDelta(changed, cur)
+        if (mins.isEmpty && maxs.isEmpty) applyDelta(changed, cur)
+        else recomputeTouched(changed, cur)
         cur
     }
   }
@@ -92,18 +102,56 @@ final class MaterializedAgg(
       MaterializedAgg.SourceProp -> source.rootPath,
       MaterializedAgg.SourceKeysProp -> sourceKeys.mkString(","),
       MaterializedAgg.KeysProp -> keys.mkString(","),
-      MaterializedAgg.SumsProp -> sums.mkString(","))
+      MaterializedAgg.SumsProp -> sums.mkString(","),
+      MaterializedAgg.MinsProp -> mins.mkString(","),
+      MaterializedAgg.MaxsProp -> maxs.mkString(","))
     if (view.properties.filter { case (k, _) => want.contains(k) } != want)
       view.setTableProperties(want)
   }
 
   private def cntCol = "cnt"
   private def sumCol(c: String) = s"sum_$c"
+  private def minCol(c: String) = s"min_$c"
+  private def maxCol(c: String) = s"max_$c"
+  private def aggCols: Seq[String] = (cntCol +: sums.map(sumCol)) ++
+    mins.map(minCol) ++ maxs.map(maxCol)
 
   private def aggregate(df: DataFrame): DataFrame =
     df.groupBy(keys.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as(cntCol),
-        sums.map(c => sum(coalesce(col(s"`$c`"), lit(0))).as(sumCol(c))): _*)
+        sums.map(c => sum(coalesce(col(s"`$c`"), lit(0))).as(sumCol(c))) ++
+          mins.map(c => min(col(s"`$c`")).as(minCol(c))) ++
+          maxs.map(c => max(col(s"`$c`")).as(maxCol(c))): _*)
+
+  /** min/max refresh: re-aggregate ONLY the groups the interval
+    * touched, replace their view rows in one keyed merge, delete
+    * groups that emptied. The source scan is semi-join-pruned to
+    * touched groups — partition/cluster the source by the group key to
+    * bound it. */
+  private def recomputeTouched(changed: DataFrame, cur: Long): Unit = {
+    val keyC = keys.map(c => col(s"`$c`"))
+    val (msrc, h) = graft.ops.SubstrateCache.scoped {
+      val touched = changed.select(keyC: _*).distinct()
+      val fresh = aggregate(source.read().join(touched, keys, "left_semi"))
+      // a touched group absent from the recompute has no live rows left
+      graft.ops.SubstrateCache.persist(touched.join(fresh, keys, "left"))
+    }
+    try {
+      val cond = keys.map(c => s"target.`$c` = source.`$c`").mkString(" AND ")
+      val b =
+        if (keys.size == 1) MergeInto.byKey(view, msrc, keys.head)
+        else MergeInto(view, msrc, cond)
+      b.whenMatchedDelete(Some(s"source.`$cntCol` IS NULL"))
+        .whenMatchedUpdate(
+          aggCols.map(c => c -> s"source.`$c`").toMap)
+        .whenNotMatchedInsert(
+          (keys ++ aggCols).map(c => c -> s"source.`$c`").toMap,
+          cond = Some(s"source.`$cntCol` IS NOT NULL"))
+        .withTxn(appId, cur, operation = "matview-refresh")
+        .execute()
+      ()
+    } finally h.release()
+  }
 
   private def applyDelta(changed: DataFrame, cur: Long): Unit = {
     val sign = when(
@@ -156,15 +204,24 @@ object MaterializedAgg {
   val SourceKeysProp = "graft.matview.sourceKeys"
   val KeysProp = "graft.matview.keys"
   val SumsProp = "graft.matview.sums"
+  val MinsProp = "graft.matview.mins"
+  val MaxsProp = "graft.matview.maxs"
 
   /** View over `source` stored at `viewRoot`, maintained from changes
     * keyed by `sourceKey` (the source PK), grouped by `keys`, summing
-    * `sums`. Call [[MaterializedAgg.refresh]] to (re)build/advance. */
+    * `sums`, tracking extrema of `mins`/`maxs`. Call
+    * [[MaterializedAgg.refresh]] to (re)build/advance. */
+  def apply(spark: SparkSession, source: ManagedTable, viewRoot: String,
+      sourceKey: String, keys: Seq[String], sums: Seq[String],
+      mins: Seq[String], maxs: Seq[String]): MaterializedAgg =
+    new MaterializedAgg(spark, source, ManagedTable(spark, viewRoot),
+      sourceKey.split(",").map(_.trim).filter(_.nonEmpty).toSeq, keys, sums,
+      mins, maxs)
+
   def apply(spark: SparkSession, source: ManagedTable, viewRoot: String,
       sourceKey: String, keys: Seq[String],
       sums: Seq[String]): MaterializedAgg =
-    new MaterializedAgg(spark, source, ManagedTable(spark, viewRoot),
-      sourceKey.split(",").map(_.trim).filter(_.nonEmpty).toSeq, keys, sums)
+    apply(spark, source, viewRoot, sourceKey, keys, sums, Nil, Nil)
 
   def apply(spark: SparkSession, source: ManagedTable, viewRoot: String,
       sourceKey: String, keys: Seq[String]): MaterializedAgg =
@@ -180,10 +237,12 @@ object MaterializedAgg {
         s"(missing table property $k)"))
     def list(k: String): Seq[String] =
       req(k).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def opt(k: String): Seq[String] =
+      props.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
     new MaterializedAgg(spark, ManagedTable(spark, req(SourceProp)), view,
-      list(SourceKeysProp), list(KeysProp),
-      props.get(SumsProp).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil))
+      list(SourceKeysProp), list(KeysProp), opt(SumsProp),
+      opt(MinsProp), opt(MaxsProp))
   }
 
   /** Txn appIds are filenames — derive a safe, collision-resistant one

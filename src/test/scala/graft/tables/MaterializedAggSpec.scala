@@ -120,4 +120,76 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers {
         .orderBy("grp").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
   }
+
+  private def recomputeMm(t: ManagedTable) =
+    t.read().groupBy("grp").agg(count(lit(1)).as("cnt"),
+      sum(coalesce(col("qty"), lit(0))).as("sum_qty"),
+      min(col("qty")).as("min_qty"), max(col("qty")).as("max_qty"))
+
+  private def canonMm(df: org.apache.spark.sql.DataFrame) =
+    df.select("grp", "cnt", "sum_qty", "min_qty", "max_qty").orderBy("grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+
+  test("min/max view survives an extremum delete via touched-group recompute") {
+    val root = tmp()
+    val src = ManagedTable(spark, s"$root/src")
+    src.overwriteAll(rows(0 until 60))
+    val mv = MaterializedAgg(spark, src, s"$root/view", "id",
+      Seq("grp"), Seq("qty"), Seq("qty"), Seq("qty"))
+    mv.refresh()
+    canonMm(mv.read()) shouldBe canonMm(recomputeMm(src))
+    // delete exactly the rows carrying each group's maximum qty (6):
+    // a delta fold could never recover the new max — the recompute must
+    src.delete("qty = 6")
+    mv.refresh()
+    canonMm(mv.read()) shouldBe canonMm(recomputeMm(src))
+    // inserts + updates still flow through the same path
+    src.append(Seq((300L, 0L, 50L), (301L, 7L, 2L)).toDF("id", "grp", "qty"))
+    src.update(Map("qty" -> "qty - 1"), "id % 11 = 3")
+    mv.refresh()
+    canonMm(mv.read()) shouldBe canonMm(recomputeMm(src))
+    // untouched groups' view rows were not rewritten needlessly: a
+    // refresh touching nothing is a no-op commit-wise
+    val v = mv.view.currentVersion.get
+    mv.refresh()
+    mv.view.currentVersion.get shouldBe v
+  }
+
+  test("min/max view deletes a group that empties") {
+    val root = tmp()
+    val src = ManagedTable(spark, s"$root/src")
+    src.overwriteAll(rows(0 until 30))
+    val mv = MaterializedAgg(spark, src, s"$root/view", "id",
+      Seq("grp"), Nil, Seq("qty"), Seq("qty"))
+    mv.refresh()
+    src.delete("grp = 2") // every row of group 2
+    mv.refresh()
+    mv.read().filter(col("grp") === 2).count() shouldBe 0
+    canonMmNoSum(mv.read()) shouldBe canonMmNoSum(
+      src.read().groupBy("grp").agg(count(lit(1)).as("cnt"),
+        min(col("qty")).as("min_qty"), max(col("qty")).as("max_qty")))
+  }
+
+  private def canonMmNoSum(df: org.apache.spark.sql.DataFrame) =
+    df.select("grp", "cnt", "min_qty", "max_qty").orderBy("grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+
+  test("min/max view round-trips through self-description (forView)") {
+    val root = tmp()
+    val src = ManagedTable(spark, s"$root/src")
+    src.overwriteAll(rows(0 until 20))
+    val mv = MaterializedAgg(spark, src, s"$root/view", "id",
+      Seq("grp"), Seq("qty"), Seq("qty"), Nil)
+    mv.refresh()
+    src.delete("qty = 6")
+    val again = MaterializedAgg.forView(spark, ManagedTable(spark, s"$root/view"))
+    again.refresh()
+    again.read().columns should contain allOf ("cnt", "sum_qty", "min_qty")
+    again.read().select("grp", "min_qty").orderBy("grp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      src.read().groupBy("grp").agg(min(col("qty")).as("m")).orderBy("grp")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
 }
