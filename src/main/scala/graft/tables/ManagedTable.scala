@@ -64,7 +64,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private def fs: FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists: Boolean = fs.exists(pointerFile)
+  /** Transient-safe existence: the fast path is the pointer file, but a
+    * reader landing inside a pointer swap's rename window must not
+    * conclude the table vanished — the meta dir (never touched by
+    * swaps) arbitrates, and [[currentVersion]] rides out the window. */
+  def exists: Boolean = fs.exists(pointerFile) ||
+    (fs.exists(metaDir) &&
+      scala.util.Try(currentVersion).toOption.flatten.isDefined)
 
   /** Catalog identity (`db.table`) when this instance was resolved from a
     * metadata [[graft.metadata.TableLocation]] or a SQL statement over a
@@ -126,21 +132,28 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * on checksummed filesystems (local FS) the data file and its `.crc`
     * sidecar move in two renames — a reader landing between them (e.g.
     * a streaming source polling every trigger) sees a transient
-    * ChecksumException. Content is never torn; re-reading resolves it. */
+    * ChecksumException, and on stores where rename-with-overwrite is
+    * delete+rename the pointer can even be transiently ABSENT. Content
+    * is never torn; re-reading resolves it. "Table truly missing" vs
+    * "mid-swap gap" is decided by the meta dir, which exists from first
+    * commit and is never touched by a swap — a bare `fs.exists(pointer)`
+    * pre-check here once made a concurrent reader (a streaming
+    * foreachBatch refresh racing an append) conclude the whole table was
+    * gone. */
   def currentVersion: Option[Long] = {
     var attempt = 0
     while (true) {
-      if (!exists) return None
       try {
         val in = fs.open(pointerFile)
         try return Some(
           new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
         finally in.close()
       } catch {
+        case _: java.io.FileNotFoundException if !fs.exists(metaDir) =>
+          return None // never created (or dropped): genuinely absent
         case e @ (_: org.apache.hadoop.fs.ChecksumException
                   | _: java.io.FileNotFoundException) =>
-          // FileNotFound covers the swap's rename window on stores where
-          // rename-with-overwrite is delete+rename
+          // mid-swap window (meta dir present, pointer briefly unreadable)
           attempt += 1
           if (attempt >= 20) throw e
           Thread.sleep(5L * attempt)

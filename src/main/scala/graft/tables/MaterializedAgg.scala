@@ -70,6 +70,27 @@ final class MaterializedAgg(
   /** The maintained aggregate, one row per live group. */
   def read(): DataFrame = view.read()
 
+  /** Continuous maintenance: a Structured Streaming query over the
+    * source's change feed whose only job is to call [[refresh]] once
+    * per micro-batch — the feed is the TRIGGER (a batch arrives exactly
+    * when the source commits), while the refresh itself re-reads the
+    * interval through its own exactly-once bookmark, so a crash or
+    * replayed batch folds into a no-op, never a double-count. Stop the
+    * returned query to stop maintenance; the view stays consistent at
+    * whatever version it last synced. */
+  def maintainStream(checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .load(source.rootPath)
+      .writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) => refresh(); () }
+      .start()
+
   /** Bring the view up to the source's current version. First call
     * builds it with one full aggregate; later calls fold only the
     * changed rows in. Returns the source version now reflected. */

@@ -176,6 +176,26 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSeq
 
+  test("maintainStream keeps the view fresh as the source commits") {
+    val root = tmp()
+    val src = ManagedTable(spark, s"$root/src")
+    src.overwriteAll(rows(0 until 30))
+    val mv = MaterializedAgg(spark, src, s"$root/view", "id",
+      Seq("grp"), Seq("qty"))
+    mv.refresh()
+    val q = mv.maintainStream(s"$root/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      src.append(rows(30 until 50))
+      src.delete("id % 4 = 1")
+      q.processAllAvailable()
+      canon(mv.read()) shouldBe canon(recompute(src))
+      src.update(Map("qty" -> "qty + 9"), "id % 5 = 0")
+      q.processAllAvailable()
+      canon(mv.read()) shouldBe canon(recompute(src))
+    } finally q.stop()
+  }
+
   test("min/max view round-trips through self-description (forView)") {
     val root = tmp()
     val src = ManagedTable(spark, s"$root/src")
