@@ -151,9 +151,16 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       } catch {
         case _: java.io.FileNotFoundException if !fs.exists(metaDir) =>
           return None // never created (or dropped): genuinely absent
-        case e @ (_: org.apache.hadoop.fs.ChecksumException
-                  | _: java.io.FileNotFoundException) =>
-          // mid-swap window (meta dir present, pointer briefly unreadable)
+        case _: java.io.FileNotFoundException =>
+          // meta dir present, pointer absent: either a swap's rename
+          // window (microseconds — the short retry rides it out) or a
+          // table MID-CREATION, where the pointer legitimately does not
+          // exist yet and the only correct answer is None — never throw
+          attempt += 1
+          if (attempt >= 5) return None
+          Thread.sleep(5L * attempt)
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          // crc/data rename gap: content exists, re-reading resolves it
           attempt += 1
           if (attempt >= 20) throw e
           Thread.sleep(5L * attempt)
