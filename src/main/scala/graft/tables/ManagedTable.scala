@@ -153,12 +153,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           return None // never created (or dropped): genuinely absent
         case _: java.io.FileNotFoundException =>
           // meta dir present, pointer absent: either a swap's rename
-          // window (microseconds — the short retry rides it out) or a
-          // table MID-CREATION, where the pointer legitimately does not
-          // exist yet and the only correct answer is None — never throw
+          // window (sub-millisecond — two quick retries ride it out) or
+          // a table MID-CREATION, where the pointer legitimately does
+          // not exist yet and the only correct answer is None — never
+          // throw, and keep the absent-path cost small (a creating
+          // writer's sink probes this repeatedly before first commit)
           attempt += 1
-          if (attempt >= 5) return None
-          Thread.sleep(5L * attempt)
+          if (attempt >= 3) return None
+          Thread.sleep(2L * attempt)
         case e: org.apache.hadoop.fs.ChecksumException =>
           // crc/data rename gap: content exists, re-reading resolves it
           attempt += 1
@@ -3241,7 +3243,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * rewrite work. */
   private[tables] def replaceFilesMaintenance(base: Manifest,
       removeEntries: Seq[TableFile], df: DataFrame,
-      operation: String): Unit = {
+      operation: String,
+      propsExtraFor: Long => Map[String, String] = _ => Map.empty): Unit = {
     val d = reconcileSchema(df, base)
     enforceConstraints(d, base.constraints, operation)
     val cmx = extendMapping(base.columnMapping, logicalSchema(d))
@@ -3257,10 +3260,16 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     var committed = false
     while (!committed)
       try {
+        // propsExtraFor rides maintenance bookkeeping (e.g. the cluster
+        // watermark) in the SAME commit — keyed by the version this
+        // attempt will publish, recomputed per rebase
+        val extra = propsExtraFor(b.version + 1)
         commitDelta(logicalSchema(d).json, b.partitionColumns, operation,
           base = Some(b), adds = newFiles,
           removes = removeEntries.map(_.path),
-          mappingOverride = Some(cmx))
+          mappingOverride = Some(cmx),
+          propertiesOverride =
+            if (extra.isEmpty) None else Some(b.properties ++ extra))
         committed = true
       } catch {
         case e: ConcurrentWriteException =>
@@ -3749,16 +3758,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       .repartitionByRange(n, keys: _*)
       .sortWithinPartitions(keys: _*)
       .drop("__gz")
+    // the watermark rides the rewrite commit itself (one version, and
+    // OPTIMIZE's metrics read IT): outputs are stamped AT the watermark,
+    // so the next incremental pass skips them
     replaceFilesMaintenance(m, scope, sorted,
-      s"cluster(${cols.mkString(",")})")
-    // watermark = the rewrite's version: its own outputs are stamped AT
-    // it, so the next incremental pass skips them (engine-maintained —
-    // committed directly, not through the user property surface)
-    val after = requireManifest
-    commitDelta(after.schemaJson, after.partitionColumns, "clusterWatermark",
-      base = Some(after), adds = Nil, removes = Nil,
-      propertiesOverride = Some(after.properties +
-        (ManagedTable.ClusterVersionProp -> after.version.toString)))
+      s"cluster(${cols.mkString(",")})",
+      v => Map(ManagedTable.ClusterVersionProp -> v.toString))
     scope.size
   }
 

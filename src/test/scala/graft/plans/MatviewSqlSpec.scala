@@ -100,6 +100,34 @@ class MatviewSqlSpec extends AnyFunSuite with Matchers {
     ex3.getMessage should include("cnt")
   }
 
+  test("MIN/MAX items create an extremum-maintained view") {
+    val src = freshSource()
+    val view = src.stripSuffix("/src") + "/vmm"
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.`$view` AS
+         |SELECT grp, COUNT(*), MIN(qty), MAX(qty) FROM graft.`$src`
+         |GROUP BY grp""".stripMargin)
+    val s = ManagedTable(spark, src)
+    // kill every group's maximum: only a touched-group recompute recovers
+    s.delete("qty = 6")
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").collect()
+    val want = s.read().groupBy("grp")
+      .agg(org.apache.spark.sql.functions.min(col("qty")).as("mn"),
+        org.apache.spark.sql.functions.max(col("qty")).as("mx"))
+      .orderBy("grp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    ManagedTable(spark, view).read()
+      .select("grp", "min_qty", "max_qty").orderBy("grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq shouldBe want
+    // alias must match the canonical name
+    val ex = intercept[graft.metadata.MetadataException](spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.`${view}2` AS
+         |SELECT grp, COUNT(*), MIN(qty) AS lo FROM graft.`$src`
+         |GROUP BY grp""".stripMargin))
+    ex.getMessage should include("min_qty")
+  }
+
   test("source without declared row identity refuses with guidance") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-mvsql")
