@@ -105,6 +105,8 @@ object MaintenanceSql {
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*;?\s*""".r
   private val AlterColumnType =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*""".r
+  private val Reorg =
+    """(?is)\s*REORG\s+TABLE\s+(\S+|graft\.`[^`]+`)(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val EnableRowTracking =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ENABLE\s+ROW\s+TRACKING\s*;?\s*""".r
   private val Generate =
@@ -175,6 +177,8 @@ object MaintenanceSql {
         Some(GraftColumnDefaultCommand(ident, c, None))
       case AlterColumnType(ident, c, typ) =>
         Some(GraftAlterColumnTypeCommand(ident, c, typ))
+      case Reorg(ident, where) => Some(GraftReorgCommand(ident,
+        Option(where).map(_.trim).filter(_.nonEmpty)))
       case EnableRowTracking(ident) => Some(GraftEnableRowTrackingCommand(ident))
       case Generate(ident) => Some(GraftGenerateCommand(ident))
       case Fsck(ident, dry) => Some(GraftFsckCommand(ident, dry != null))
@@ -687,6 +691,24 @@ object MaintenanceSql {
         case None    => t.dropColumnDefault(col)
       }
       Nil
+    }
+  }
+
+  /** `REORG TABLE t [WHERE partitionPred] APPLY (PURGE)` — Delta's
+    * deletion-vector materialization: rewrite every DV-carrying file in
+    * scope to its live rows and drop the masks
+    * ([[ManagedTable.purgeDeletionVectors]]). Returns the purged file
+    * count. */
+  final case class GraftReorgCommand(ident: String, where: Option[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = attrs("path" -> StringType,
+      "files_purged" -> LongType)
+    override def run(session: SparkSession): Seq[Row] = {
+      val t = resolveGraft(session, ident)
+      val before = t.manifest.map(_.files.count(_.dv.isDefined)).getOrElse(0)
+      t.purgeDeletionVectors(where.getOrElse(""))
+      val after = t.manifest.map(_.files.count(_.dv.isDefined)).getOrElse(0)
+      Seq(Row(t.rootPath, (before - after).toLong))
     }
   }
 

@@ -417,6 +417,26 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
       .contains("CURRENT_DEFAULT") shouldBe false
   }
 
+  test("REORG TABLE ... APPLY (PURGE) materializes deletion vectors") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-reorg")
+      .toString + "/t"
+    val t = graft.tables.ManagedTable(spark, root)
+    t.overwriteAll((1 to 500).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1))
+    val name = s"graft.`$root`"
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    try {
+      spark.sql(s"DELETE FROM $name WHERE id = 2")
+      t.manifest.get.files.count(_.dv.isDefined) should be >= 1
+      val out = spark.sql(s"REORG TABLE $name APPLY (PURGE)").collect()
+      out.head.getLong(1) should be >= 1L
+      t.manifest.get.files.count(_.dv.isDefined) shouldBe 0
+      spark.sql(s"SELECT count(*) FROM $name WHERE id = 2").collect()(0)
+        .getLong(0) shouldBe 0L
+    } finally spark.conf.unset("spark.graft.dv.enabled")
+  }
+
   test("non-graft DML targets still fail with Spark's own error") {
     import spark.implicits._
     val v = Seq((1, "a")).toDF("id", "v")
