@@ -1210,6 +1210,25 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   def approxCountDistinct(column: String): Option[Long] =
     ndvEstimates(Seq(column)).get(column)
 
+  /** Opt-in (`graft.ndv.auto` property / `spark.graft.ndv.auto` conf):
+    * after an append, top the sketch store up for the new files — the
+    * COLUMNS come from the store itself (whatever set the last explicit
+    * ANALYZE chose), so estimates stay continuously available through a
+    * steady append stream without anyone remembering to re-analyze.
+    * No-op without an existing store (the first ANALYZE is an explicit
+    * choice); advisory, so a failure never fails the write. */
+  private def maybeAutoAnalyzeNdv(): Unit =
+    if (propOrConf("spark.graft.ndv.auto", "false").toBoolean &&
+        fs.exists(ndvPointerFile))
+      try {
+        val m = requireManifest
+        val stored = ndvLoad().map(_.select("col").distinct()
+          .collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
+        val cols = m.schema.fields.toSeq
+          .filter(f => stored.contains(m.physicalName(f.name))).map(_.name)
+        if (cols.nonEmpty) analyzeNdv(cols)
+      } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Publish optimizer statistics into the session catalog for a
     * catalog-registered table (no-op otherwise): table size + row count
     * from the manifest, per-column min/max/null-count from the
@@ -1898,6 +1917,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
               base = cur // an orphan record keeps colliding → attempts exhaust
           }
         maybeAutoCompact()
+        maybeAutoAnalyzeNdv()
     } }
 
   /** Snapshot restricted to exactly `files` (entries of `m`) — the

@@ -113,6 +113,25 @@ class NdvStatsSpec extends AnyFunSuite with Matchers {
     t.ndvEstimates().keySet shouldBe Set("k")
   }
 
+  test("graft.ndv.auto tops up the analyzed column set on append") {
+    import spark.implicits._
+    val t = ManagedTable(spark, tmp() + "/t")
+    t.overwriteAll((1 to 100).map(i => (i, i % 9, s"x$i")).toDF("k", "g", "s")
+      .repartition(2))
+    // no store yet: auto stays a no-op even with the property on
+    t.setTableProperties(Map("graft.ndv.auto" -> "true"))
+    t.append((101 to 110).map(i => (i, i % 9, s"x$i")).toDF("k", "g", "s"))
+    t.ndvEstimates() shouldBe Map.empty
+    // explicit ANALYZE chooses the columns; appends then self-maintain
+    t.analyzeNdv(Seq("k", "g"))
+    t.append((111 to 160).map(i => (i, i % 9, s"x$i")).toDF("k", "g", "s")
+      .coalesce(1))
+    t.approxCountDistinct("k") shouldBe Some(160L)
+    t.approxCountDistinct("g") shouldBe Some(9L)
+    // the un-analyzed column stays un-analyzed (the store's set rules)
+    t.approxCountDistinct("s") shouldBe None
+  }
+
   test("SQL ANALYZE ... FOR COLUMNS + catalog stats under CBO") {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
