@@ -776,12 +776,12 @@ object EngineOps {
       """WITH base AS (
         |  SELECT o_orderkey AS id, o_custkey % 40 AS grp,
         |         o_orderkey % 83 AS qty
-        |  FROM orders WHERE o_orderkey % 4 = 2),
+        |  FROM orders WHERE o_orderkey % 8 = 2),
         |after_delete AS (SELECT * FROM base WHERE NOT (qty >= 78)),
         |appended AS (
         |  SELECT o_orderkey AS id, o_custkey % 40 AS grp,
         |         o_orderkey % 83 AS qty
-        |  FROM orders WHERE o_orderkey % 4 = 0),
+        |  FROM orders WHERE o_orderkey % 8 = 4),
         |final AS (SELECT * FROM after_delete
         |          UNION ALL SELECT * FROM appended)
         |SELECT grp, CAST(count(*) AS BIGINT) AS cnt,
@@ -794,13 +794,15 @@ object EngineOps {
         col("o_orderkey").as("id"),
         (col("o_custkey") % 40).as("grp"),
         (col("o_orderkey") % 83).as("qty"))
-      src.overwriteAll(o.filter(col("id") % 4 === 2).repartition(4))
+      // eighth-slices: the recompute path's cost is touched-group-bound,
+      // so the slice keeps every path at proportionate bench cost
+      src.overwriteAll(o.filter(col("id") % 8 === 2).repartition(4))
       val mv = graft.tables.MaterializedAgg(s, src, s"$root/view", "id",
         Seq("grp"), Nil, Seq("qty"), Seq("qty"))
       mv.refresh()                  // full build
       src.delete("qty >= 78")       // extremum-killing delete
       mv.refresh()                  // touched-group recompute
-      src.append(o.filter(col("id") % 4 === 0).repartition(2))
+      src.append(o.filter(col("id") % 8 === 4).repartition(2))
       mv.refresh()                  // inserts through the same path
       mv.read().select(col("grp"), col("cnt"),
           col("min_qty").cast("long").as("min_qty"),

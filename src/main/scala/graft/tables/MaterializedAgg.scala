@@ -105,10 +105,15 @@ final class MaterializedAgg(
         describeSelf()
         cur
       case Some(v) =>
-        val changed = source.rowChanges(v, cur, sourceKeys,
-          includePreimages = true)
-        if (mins.isEmpty && maxs.isEmpty) applyDelta(changed, cur)
-        else recomputeTouched(changed, cur)
+        if (mins.isEmpty && maxs.isEmpty)
+          applyDelta(source.rowChanges(v, cur, sourceKeys,
+            includePreimages = true), cur)
+        else
+          // the recompute path needs only the touched GROUP KEYS, so it
+          // reads the raw file-diff feed: no key-netting full-outer
+          // join, no dup probe, no preimage explode — cheaper per
+          // refresh, identical touched set
+          recomputeTouched(source.changes(v, cur), cur)
         cur
     }
   }
