@@ -387,13 +387,14 @@ object MaintenanceSql {
       AttributeReference("num_rows", LongType, nullable = true)(),
       AttributeReference("size_bytes", LongType, nullable = false)(),
       AttributeReference("partition_columns", StringType, nullable = false)(),
+      AttributeReference("clustering_columns", StringType, nullable = false)(),
       AttributeReference("operation", StringType, nullable = false)(),
       AttributeReference("timestamp", TimestampType, nullable = false)())
     override def run(session: SparkSession): Seq[Row] = {
       val d = resolveGraft(session, ident).detail()
       Seq(Row(d.version, d.numFiles, d.rows.map(Long.box).orNull, d.sizeBytes,
-        d.partitionColumns.mkString(","), d.operation,
-        new java.sql.Timestamp(d.timestampMs)))
+        d.partitionColumns.mkString(","), d.clusteringColumns.mkString(","),
+        d.operation, new java.sql.Timestamp(d.timestampMs)))
     }
   }
 

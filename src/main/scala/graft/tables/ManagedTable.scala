@@ -243,7 +243,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       .map(f => f.bytes.getOrElse(fs.getFileStatus(new Path(root, f.path)).getLen))
       .sum
     TableDetail(m.version, m.files.size.toLong, fastCount, bytes,
-      m.partitionColumns, m.operation, m.timestampMs)
+      m.partitionColumns, m.operation, m.timestampMs, clusterBy)
   }
 
   /** Exact `count(*)` from manifest metadata alone — O(files) driver
@@ -4648,7 +4648,8 @@ final case class TableDetail(
     sizeBytes: Long,
     partitionColumns: Seq[String],
     operation: String,
-    timestampMs: Long)
+    timestampMs: Long,
+    clusteringColumns: Seq[String] = Nil)
 
 /** What a [[ManagedTable.vacuum]] with the same retention would delete
   * ([[ManagedTable.vacuumDryRun]]): the horizon it would publish, the

@@ -212,7 +212,8 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     val d = spark.sql(s"DESCRIBE DETAIL $name").head
     d.getLong(0) shouldBe 0L // version
     d.getLong(2) shouldBe 4L // metadata-only exact row count
-    d.getString(5) shouldBe "overwrite"
+    d.getString(5) shouldBe "" // no clustering declared
+    d.getString(6) shouldBe "overwrite"
 
     val db = name.split('.')(0)
     spark.sql(s"DELETE FROM $name WHERE id = 4") // v1
