@@ -18,6 +18,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // local-mode harness choice: the checksummed LocalFileSystem forks
+      // an external process per getFileStatus AND shadows every file
+      // with a .crc twin — pure overhead on a local benchmark (a real
+      // deployment reads HDFS/S3, where this config is moot)
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
       // graft_* SQL functions + SQL DML (MERGE/UPDATE/DELETE) rule
       .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
       .getOrCreate()

@@ -15,6 +15,9 @@ object Profile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("GRAFT_FILE_IMPL",
+          "org.apache.hadoop.fs.RawLocalFileSystem"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     @volatile var jobs = 0

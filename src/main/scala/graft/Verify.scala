@@ -25,6 +25,9 @@ object Verify {
       // write µs (not INT96) so the driver's reader sees the same values DuckDB emits
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // same local-FS choice as Bench: no fork-per-stat, no .crc twins
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
       // graft_* SQL functions + SQL DML (MERGE/UPDATE/DELETE) rule
       .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
       .getOrCreate()

@@ -44,8 +44,31 @@ object FileStatistics {
   def forPaths(spark: org.apache.spark.sql.SparkSession, conf: Configuration,
       paths: Seq[Path], maxIndexedCols: Int = Int.MaxValue): Map[String, FileMeta] =
     if (paths.size < DistributedThreshold)
-      paths.map(p => p.toString -> fromFooter(conf, p, maxIndexedCols)).toMap
+      driverParallel(conf, paths, maxIndexedCols)
     else collectDistributed(spark, conf, paths, maxIndexedCols)
+
+  /** Driver-side footer reads on a bounded thread pool. Each read is an
+    * independent metadata round trip (open + footer parse, no data), so
+    * a per-commit batch of N files costs ~N/threads round trips instead
+    * of N — this is commit-latency critical: every write commit and every
+    * streaming micro-batch pays exactly one such batch. */
+  private def driverParallel(conf: Configuration, paths: Seq[Path],
+      maxIndexedCols: Int): Map[String, FileMeta] = {
+    if (paths.size <= 1)
+      return paths.map(p => p.toString -> fromFooter(conf, p, maxIndexedCols)).toMap
+    val threads = math.min(paths.size, 16)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val futures = paths.map { p =>
+        scala.concurrent.Future(p.toString -> fromFooter(conf, p, maxIndexedCols))
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf).toMap
+    } finally pool.shutdown()
+  }
 
   /** Footer reads as a Spark job — one task per slice of files. The Hadoop
     * conf travels as key/value pairs (Configuration is not serializable). */

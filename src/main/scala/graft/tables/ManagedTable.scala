@@ -215,9 +215,22 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private def readRecordString(version: Long): String = {
     recordReadCount.incrementAndGet()
     val p = new Path(manifestsDir, f"v$version%020d.json")
-    val in = fs.open(p)
-    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-    finally in.close()
+    val key = fs.makeQualified(p).toString
+    val cached = ManagedTable.recordStringCache.get(key)
+    if (cached != null) cached
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+              finally in.close()
+      // cache ONLY content that parses: a read racing a live cross-
+      // process writer can catch the record mid-write, and caching that
+      // torn prefix would poison every later read of the version in this
+      // JVM (the caller's own parse failure stays transient — the next
+      // read re-reads the file)
+      try { Manifest.recordFromJsonString(s); ManagedTable.recordStringCache.put(key, s) }
+      catch { case scala.util.control.NonFatal(_) => }
+      s
+    }
   }
 
   /** Manifest versions `version` depends on (itself through its nearest
@@ -3954,6 +3967,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     deleteBatch(w.records.map { case (p, isSidecar, _) =>
       (p.toString, isSidecar, false)
     })
+    // pruned records leave the global content cache too, so a
+    // below-horizon time travel in this JVM fails exactly as it would in
+    // a fresh one instead of answering from a ghost
+    w.records.foreach { case (p, _, _) =>
+      ManagedTable.recordStringCache.invalidate(p.toString)
+    }
     // crashed writers leak `.tmp.<uuid>` rename intermediates under
     // _graft (the publishing rename never ran). A LIVE writer's tmp
     // exists only for the milliseconds between write and rename, so
@@ -4527,7 +4546,15 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // serialize on the table lock); it fires only for a cross-process
     // writer violating the single-writer deployment contract — turning
     // undetected data loss into a retryable error.
-    writeFileNoOverwrite(new Path(manifestsDir, f"v$next%020d.json"), recordJson)
+    val recordPath = new Path(manifestsDir, f"v$next%020d.json")
+    writeFileNoOverwrite(recordPath, recordJson)
+    // a successful put-if-absent CREATE proves any cached content under
+    // this path belonged to a dead table generation (the directory was
+    // deleted out-of-band and the version numbers restarted) — refresh
+    // the global cache with the new truth; this also saves the read-back
+    // every later reconstruction of this version would pay
+    ManagedTable.recordStringCache.put(
+      fs.makeQualified(recordPath).toString, recordJson)
     snapshotCache.put(next, snapshot)
     // atomic pointer swap: tmp write + rename-with-overwrite
     writeFileAtomic(pointerFile, next.toString)
@@ -4699,6 +4726,53 @@ object ManagedTable {
     * cross-process commit race (an orphan record never resolves —
     * retrying forever would hang the writer on operator error). */
   val MaxAppendRetries = 5
+
+  /** JVM-global cache of manifest-record file CONTENTS keyed by the
+    * record's fully-qualified path. Records are immutable once published
+    * (created put-if-absent, never rewritten), so sharing across
+    * ManagedTable instances is safe — and instances are plentiful: one
+    * per query step, per [[graft.sources.GraftRelation]] scan, per
+    * stream batch. Without this, every fresh instance re-reads the whole
+    * base chain up to its checkpoint; with it, a chain costs one storage
+    * round trip per NEW record JVM-wide (on an object store that is the
+    * difference between O(instances × chain) and O(records) GETs).
+    * Byte-bounded LRU; oversized records skip it (sidecar-threshold
+    * tables externalize their file lists anyway). Vacuum invalidates the
+    * records it prunes. */
+  private[tables] val recordStringCache =
+    new RecordCache(maxBytes = 64L << 20, maxEntryBytes = 4L << 20)
+
+  private[tables] final class RecordCache(maxBytes: Long,
+      maxEntryBytes: Long) {
+    private var bytes = 0L
+    private val map =
+      new java.util.LinkedHashMap[String, String](256, 0.75f, true)
+    def get(k: String): String = synchronized(map.get(k))
+    def put(k: String, v: String): Unit = synchronized {
+      if (v.length * 2L > maxEntryBytes) return
+      val old = map.put(k, v)
+      if (old != null) bytes -= old.length * 2L
+      bytes += v.length * 2L
+      val it = map.entrySet().iterator()
+      while (bytes > maxBytes && it.hasNext) {
+        val e = it.next()
+        bytes -= e.getValue.length * 2L
+        it.remove()
+      }
+    }
+    def invalidate(k: String): Unit = synchronized {
+      val old = map.remove(k)
+      if (old != null) bytes -= old.length * 2L
+    }
+    def clear(): Unit = synchronized { map.clear(); bytes = 0L }
+  }
+
+  /** Test hook: drop the global record cache after OUT-OF-BAND record
+    * mutation (specs simulating legacy-library or corrupted logs). The
+    * engine never mutates a published record, so production code never
+    * needs this — a real deployment doing such surgery restarts its
+    * drivers anyway. */
+  private[graft] def clearRecordCache(): Unit = recordStringCache.clear()
 
   /** Directory marker Spark uses for null partition values. */
   val NullPartitionValue = "__HIVE_DEFAULT_PARTITION__"

@@ -102,6 +102,9 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     fs.delete(rec, false)
     val out = fs.create(rec, true)
     out.write(bumped.getBytes("UTF-8")); out.close()
+    // in-place record surgery violates the immutability contract the
+    // global record cache relies on — drop it, as a JVM restart would
+    ManagedTable.clearRecordCache()
     // next commits must still be recorded strictly AFTER v0
     val t2 = ManagedTable(spark, t.rootPath)
     t2.append(df(Seq((2, "b", "y"))))               // v1
@@ -216,6 +219,9 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     setTs(0L, base)
     setTs(1L, base - 10000L)
     setTs(2L, base + 10000L)
+    // in-place record surgery violates the immutability contract the
+    // global record cache relies on — drop it, as a JVM restart would
+    ManagedTable.clearRecordCache()
     val t2 = ManagedTable(spark, t.rootPath)
     // effective (running-max) timestamps: v0=base, v1=base, v2=base+10s —
     // a naive raw-order binary search could answer v0 or nothing here
