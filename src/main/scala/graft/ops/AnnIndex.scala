@@ -61,8 +61,8 @@ final class AnnIndex(spark: SparkSession, val rootPath: String) {
     * collide with already-indexed ones (the index does not dedup). */
   def appendVectors(df: DataFrame, idCol: String, vecCol: String): Unit =
     vectorsTable.append(
-      AnnIndex.assign(df, centroids, idCol, vecCol)
-        .repartition(col("cid")), // one file per touched cell, not cells × tasks
+      // one file per touched cell, not cells × tasks
+      AnnIndex.coLocate(AnnIndex.assign(df, centroids, idCol, vecCol), "cid"),
       operation = "ann-append")
 
   /** Exact-rerank probe-limited top-k: `(query_id, neighbor_id, rank,
@@ -171,7 +171,7 @@ final class PqAnnIndex(spark: SparkSession, val rootPath: String) {
         m * dsub, m)
     }
     // one file per touched cell, not cells × tasks (see create)
-    try codesTable.append(codes.repartition(col("cell")), "pq-append")
+    try codesTable.append(AnnIndex.coLocate(codes, "cell"), "pq-append")
     finally h.release()
   }
 
@@ -235,7 +235,7 @@ object PqAnnIndex {
     // writes a sliver into every cell dir (cells × tasks files), and
     // search pays hundreds of file-opens per probe; one shuffle at
     // build time buys one file per cell forever after
-    try idx.codesTable.overwriteAll(codes.repartition(col("cell")),
+    try idx.codesTable.overwriteAll(AnnIndex.coLocate(codes, "cell"),
       Seq("cell"), "pq-create")
     finally h.release()
     idx
@@ -265,6 +265,17 @@ object AnnIndex {
   def apply(spark: SparkSession, rootPath: String): AnnIndex =
     new AnnIndex(spark, rootPath)
 
+  /** Hash-co-locate rows of one `key` value into one task ahead of a
+    * partitioned write (one file per key, not keys × tasks slivers) —
+    * with the partition count PINNED to ~cores. The no-N
+    * `repartition(col)` form lets AQE coalesce a small shuffle into one
+    * task and serialize the whole upstream compute + write (r11:
+    * q_td_knn_pqindex 3.4× regression); an explicit N is exempt from
+    * AQE coalescing, keeps every core busy, and each key still lands
+    * wholly in one task. */
+  private[ops] def coLocate(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   /** Build (or rebuild) an index at `rootPath`: persist `codebook` as the
     * centroids table and the assigned corpus as the cell-partitioned
     * vectors table. `codebook` is any `(cid, centv)` frame —
@@ -279,7 +290,7 @@ object AnnIndex {
     // co-locate per cell (see PqAnnIndex.create): one file per cell,
     // not cells × upstream-tasks slivers
     idx.vectorsTable.overwriteAll(
-      assign(corpus, cents, idCol, vecCol).repartition(col("cid")),
+      coLocate(assign(corpus, cents, idCol, vecCol), "cid"),
       Seq("cid"), "ann-create")
     idx
   }

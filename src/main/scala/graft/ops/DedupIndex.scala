@@ -155,16 +155,19 @@ object DedupIndex {
     // P-task write fans out into P×buckets tiny files (observed: 2k files
     // for a 20 MB index, and every search paid 2k file opens). One extra
     // hash shuffle at build time buys one-file-per-bucket reads forever.
-    rows.withColumn("bkt",
-        pmod(hash(keyCols: _*), lit(buckets)).cast("string"))
-      .repartition(col("bkt"))
+    AnnIndex.coLocate(
+      rows.withColumn("bkt",
+        pmod(hash(keyCols: _*), lit(buckets)).cast("string")),
+      "bkt")
   }
 
   /** Sig rows `(sbkt, id, hs)` — the exact-Jaccard substrate.
     * Bucket-co-located before the write for the same reason as
     * [[flatBands]]. */
   private[ops] def sigRows(docs: DataFrame, buckets: Int): DataFrame =
-    docs.select(col("__id").as("id"), col("__hs").as("hs"))
-      .withColumn("sbkt", pmod(hash(col("id")), lit(buckets)).cast("string"))
-      .repartition(col("sbkt"))
+    AnnIndex.coLocate(
+      docs.select(col("__id").as("id"), col("__hs").as("hs"))
+        .withColumn("sbkt",
+          pmod(hash(col("id")), lit(buckets)).cast("string")),
+      "sbkt")
 }

@@ -151,15 +151,33 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       } catch {
         case _: java.io.FileNotFoundException if !fs.exists(metaDir) =>
           return None // never created (or dropped): genuinely absent
-        case _: java.io.FileNotFoundException =>
+        case e: java.io.FileNotFoundException =>
           // meta dir present, pointer absent: either a swap's rename
-          // window (sub-millisecond — two quick retries ride it out) or
+          // window (delete+rename on stores without atomic overwrite —
+          // unbounded if the writer stalls mid-swap, e.g. a GC pause) or
           // a table MID-CREATION, where the pointer legitimately does
-          // not exist yet and the only correct answer is None — never
-          // throw, and keep the absent-path cost small (a creating
-          // writer's sink probes this repeatedly before first commit)
+          // not exist yet. The two are disambiguated by the manifests
+          // dir: any committed record means the table EXISTS and the gap
+          // is a swap — keep retrying and surface a retryable error
+          // rather than a false "missing". No records = creating writer
+          // probing before first commit: answer None quickly and cheaply.
           attempt += 1
-          if (attempt >= 3) return None
+          if (attempt >= 3) {
+            // the dir listing is deferred to here so the common case (a
+            // creating writer's sink probing before first commit) stays
+            // a few cheap exists calls, not a listStatus per probe
+            val committed =
+              try fs.exists(manifestsDir) &&
+                fs.listStatus(manifestsDir).exists(
+                  _.getPath.getName.startsWith("v"))
+              catch { case scala.util.control.NonFatal(_) => false }
+            if (!committed) return None
+            if (attempt >= 20)
+              throw new java.io.IOException(
+                s"pointer $pointerFile absent across $attempt reads while " +
+                  "committed manifests exist — a writer's pointer swap " +
+                  "appears stalled; retry the read", e)
+          }
           Thread.sleep(2L * attempt)
         case e: org.apache.hadoop.fs.ChecksumException =>
           // crc/data rename gap: content exists, re-reading resolves it
@@ -376,12 +394,26 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
                   Some((field, Option.empty[(String, String)], nonNulls,
                     true)) // 0 rows with values
                 else {
+                  // float/double bounds are Double.toString, which can be
+                  // "Infinity"/"-Infinity" (parquet only drops stats for
+                  // NaN) — BigDecimal can't parse those, so an unparsable
+                  // bound degrades to "extrema ambiguous" instead of
+                  // throwing (same conservative contract as
+                  // [[ColStats.overlaps]])
                   val all = withStats.map(_.stats(key))
-                  val lo = all.map(_.min).reduce((a, b) =>
-                    if (BigDecimal(a) <= BigDecimal(b)) a else b)
-                  val hi = all.map(_.max).reduce((a, b) =>
-                    if (BigDecimal(a) >= BigDecimal(b)) a else b)
-                  Some((field, Some((lo, hi)), nonNulls, true))
+                  scala.util.Try {
+                    // parse EVERY bound (reduce on a 1-file list never
+                    // invokes the comparator, so validation must not hide
+                    // inside it)
+                    all.foreach(s => { BigDecimal(s.min); BigDecimal(s.max) })
+                    val lo = all.map(_.min).reduce((a, b) =>
+                      if (BigDecimal(a) <= BigDecimal(b)) a else b)
+                    val hi = all.map(_.max).reduce((a, b) =>
+                      if (BigDecimal(a) >= BigDecimal(b)) a else b)
+                    (field, Some((lo, hi)), nonNulls, true)
+                  }.toOption.orElse(
+                    Some((field, Option.empty[(String, String)], nonNulls,
+                      false)))
                 }
               }
             }
@@ -1194,7 +1226,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       }
     val (partCols, dataCols) = names.partition(m.partitionColumns.contains)
     val partNdv = partCols.map(c => c ->
-      m.files.flatMap(_.partitionValues.get(c)).filter(_ != null)
+      // NULL partitions are stored as the sentinel, and count(DISTINCT c)
+      // ignores NULL — exclude it or a null partition overcounts by one
+      m.files.flatMap(_.partitionValues.get(c)).filter(v =>
+          v != null && v != ManagedTable.NullPartitionValue)
         .distinct.size.toLong).toMap
     if (dataCols.isEmpty) return partNdv
     val physOf = dataCols.map(c => m.physicalName(c) -> c).toMap
@@ -4481,9 +4516,17 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // every entry new to this commit is stamped with its commit version
     // (Delta's defaultRowCommitVersion) — entries carried through
     // re-commits (DV re-masks, restores, rebased maintenance) keep the
-    // version that introduced their content
+    // version that introduced their content. An unstamped add whose path
+    // ALREADY exists in the base manifest is a carried legacy entry
+    // (pre-dataVersion build, re-added verbatim by enableRowTracking /
+    // restore): stamping it here would lift its rows past an ADD COLUMN
+    // DEFAULT's sinceVersion and silently flip them from EXISTS_DEFAULT
+    // to NULL — preserve "unknown" so the defaults predicate keeps
+    // substituting.
+    val basePaths = base.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
     val stamped = adds.map(f =>
-      if (f.dataVersion.isDefined) f else f.copy(dataVersion = Some(next)))
+      if (f.dataVersion.isDefined || basePaths.contains(f.path)) f
+      else f.copy(dataVersion = Some(next)))
     val (allocated, ps) =
       if (!rowTracking) (stamped, ps0)
       else {
