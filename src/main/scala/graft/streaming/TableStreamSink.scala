@@ -187,9 +187,11 @@ class TableStreamSink(
         t.overwriteAll(initial, partitionColumns, tag, Some(Txn(appId, batchId)))
       } else {
         val base =
-          if (mergeKeys.size == 1) MergeInto.byKey(t, deduped, mergeKeys.head)
-          else MergeInto(t, deduped,
-            mergeKeys.map(k => s"target.`$k` = source.`$k`").mkString(" AND "))
+          (if (mergeKeys.size == 1) MergeInto.byKey(t, deduped, mergeKeys.head)
+           else MergeInto(t, deduped,
+             mergeKeys.map(k => s"target.`$k` = source.`$k`").mkString(" AND ")))
+            // deduped IS unique per merge key by construction above
+            .assumeUniqueSourceKeys()
         val clauses = deleteColumn match {
           case Some(d) => base
             .whenMatchedDelete(Some(isDelete(d)))

@@ -698,13 +698,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     *    carried-over rows are not changes)
     *
     * `keyCols` must identify rows uniquely within the interval (the
-    * merge PK does) — duplicate keys would cross-multiply in the diff
-    * join, so a cheap limit-1 probe (one aggregation over the already-
-    * minimal changed-file rows) fails fast naming the offending key
-    * instead of silently emitting a multiplied feed. Cost is
-    * O(changed-file rows) with ONE shuffle on the key; the file-granular
-    * merge is what keeps that input minimal, so a 10-row upsert's row
-    * feed costs a handful of files, not the table.
+    * merge PK does) — a duplicated key would make the diff ambiguous,
+    * so the classification expression itself raises (at evaluation,
+    * naming the offending key) instead of silently emitting a multiplied
+    * feed; the guard rides the one aggregation every consumer already
+    * evaluates, costing zero extra jobs. Cost is O(changed-file rows)
+    * with ONE shuffle on the key; the file-granular merge is what keeps
+    * that input minimal, so a 10-row upsert's row feed costs a handful
+    * of files, not the table.
     *
     * The "did the row change" comparison spans only columns present in
     * BOTH endpoint schemas: a column added or dropped across the
@@ -716,28 +717,14 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * key, the OLD row as `update_preimage` (Delta CDF's pre/postimage
     * pair) — consumers maintaining downstream aggregates subtract the
     * preimage and add the postimage without re-reading the table. The
-    * pair is produced from the same single full-outer join (one
-    * exploded two-element array per updated key), so the plan cost is
-    * unchanged: one shuffle on the key, O(changed-file rows). */
+    * pair is produced from the same single aggregation (one exploded
+    * two-element array per updated key), so the plan cost is unchanged:
+    * one shuffle on the key, O(changed-file rows). */
   def rowChanges(fromVersion: Long, toVersion: Long,
       keyCols: Seq[String], includePreimages: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "rowChanges needs at least one key column")
     val feed = changes(fromVersion, toVersion)
     val dataCols = feed.columns.filterNot(_ == "_change_type").toSeq
-
-    val dup = feed
-      .groupBy(col("_change_type") +: keyCols.map(c => col(s"`$c`")): _*)
-      .count().filter(col("count") > 1).limit(1).collect()
-    if (dup.nonEmpty) {
-      val row = dup.head
-      val keyDesc = keyCols.zipWithIndex
-        .map { case (c, i) => s"$c=${row.get(i + 1)}" }.mkString(", ")
-      throw new MetadataException(
-        s"rowChanges($fromVersion, $toVersion) on $rootPath: key ($keyDesc) " +
-          s"appears ${row.getLong(keyCols.size + 1)} times among the " +
-          s"interval's ${row.getString(0)} rows — keyCols must uniquely " +
-          "identify rows within the interval")
-    }
 
     val fromCols = readManifest(fromVersion).schema.fieldNames
       .map(_.toLowerCase).toSet
@@ -746,34 +733,58 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val comparable = dataCols.filter(c =>
       fromCols.contains(c.toLowerCase) && toCols.contains(c.toLowerCase))
 
-    val aFlag = "__graft_in_added"
-    val rFlag = "__graft_in_removed"
-    val a = feed.filter(col("_change_type") === "added")
-      .drop("_change_type").withColumn(aFlag, lit(true)).alias("a")
-    val r = feed.filter(col("_change_type") === "removed")
-      .drop("_change_type").withColumn(rFlag, lit(true)).alias("r")
-    val keyCond = keyCols.map(c => col(s"a.`$c`") <=> col(s"r.`$c`"))
-      .reduce(_ && _)
-    val inA = col(s"a.`$aFlag`").isNotNull
-    val inR = col(s"r.`$rFlag`").isNotNull
+    // ONE aggregation does the whole diff: keys are unique per side, so
+    // grouping by key leaves at most one added and one removed row per
+    // group — `first(when(side, struct(row)))` picks each endpoint image
+    // and the per-side counts both classify and GUARD (a duplicated key
+    // raises from inside the classification expression, which every
+    // consumer evaluates — the `_change_type` filter below consumes it,
+    // so column pruning can never drop the check). The previous shape —
+    // an eager probe job plus a full-outer self-join — scanned the
+    // changed files three times and shuffled twice; this scans once and
+    // shuffles once, and is lazy like every other read path.
+    val isA = col("_change_type") === "added"
+    val isR = col("_change_type") === "removed"
+    val rowStruct = struct(dataCols.map(c => col(s"`$c`")): _*)
+    val agg = feed
+      .groupBy(keyCols.map(c => col(s"`$c`")): _*)
+      .agg(
+        first(when(isA, rowStruct), ignoreNulls = true).as("__a"),
+        first(when(isR, rowStruct), ignoreNulls = true).as("__r"),
+        count(when(isA, lit(1))).as("__na"),
+        count(when(isR, lit(1))).as("__nr"))
+    val inA = col("__a").isNotNull
+    val inR = col("__r").isNotNull
+    val dupSide = when(col("__na") > 1, lit("added"))
+      .otherwise(lit("removed"))
+    val dupGuard = raise_error(concat(
+      lit(s"rowChanges($fromVersion, $toVersion) on $rootPath: key ("),
+      concat_ws(", ", keyCols.map(c =>
+        concat(lit(s"$c="), coalesce(col(s"`$c`").cast("string"),
+          lit("null")))): _*),
+      lit(") appears "),
+      greatest(col("__na"), col("__nr")).cast("string"),
+      lit(" times among the interval's "), dupSide,
+      lit(" rows — keyCols must uniquely identify rows within the " +
+        "interval")))
     val differs = comparable.filterNot(keyCols.contains)
-      .map(c => !(col(s"a.`$c`") <=> col(s"r.`$c`")))
+      .map(c => !(col(s"__a.`$c`") <=> col(s"__r.`$c`")))
       .foldLeft(lit(false))(_ || _)
-    val changeType = when(inA && !inR, "insert")
+    val changeType = when(col("__na") > 1 || col("__nr") > 1, dupGuard)
+      .when(inA && !inR, "insert")
       .when(!inA && inR, "delete")
       .when(differs, "update_postimage")
       .otherwise(lit(null).cast("string"))
     val out = dataCols.map(c =>
-      when(inA, col(s"a.`$c`")).otherwise(col(s"r.`$c`")).as(c))
-    val joined = a.join(r, keyCond, "full_outer")
+      when(inA, col(s"__a.`$c`")).otherwise(col(s"__r.`$c`")).as(c))
     if (!includePreimages)
-      joined.select(out :+ changeType.as("_change_type"): _*)
+      agg.select(out :+ changeType.as("_change_type"): _*)
         .filter(col("_change_type").isNotNull)
     else {
       val post = struct(out :+ changeType.as("_change_type"): _*)
-      val pre = struct(dataCols.map(c => col(s"r.`$c`").as(c)) :+
+      val pre = struct(dataCols.map(c => col(s"__r.`$c`").as(c)) :+
         lit("update_preimage").as("_change_type"): _*)
-      joined
+      agg
         .select(explode(when(changeType === "update_postimage",
           array(pre, post)).otherwise(array(post))).as("__graft_change"))
         .select(col("__graft_change.*"))
@@ -798,6 +809,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     if (cur == fromVersion) return cur
     val rc = rowChanges(fromVersion, cur, Seq(keyCol))
     MergeInto.byKey(downstream, rc, keyCol)
+      // rowChanges raises on duplicated keys itself — the feed is
+      // unique per key by the time the merge consumes it
+      .assumeUniqueSourceKeys()
       .whenMatchedDelete(cond = Some("source._change_type = 'delete'"))
       .whenMatchedUpdateAll(cond = Some("source._change_type != 'delete'"))
       .whenNotMatchedInsertAll(cond = Some("source._change_type != 'delete'"))

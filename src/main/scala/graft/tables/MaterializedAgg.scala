@@ -165,8 +165,11 @@ final class MaterializedAgg(
     try {
       val cond = keys.map(c => s"target.`$c` = source.`$c`").mkString(" AND ")
       val b =
-        if (keys.size == 1) MergeInto.byKey(view, msrc, keys.head)
-        else MergeInto(view, msrc, cond)
+        (if (keys.size == 1) MergeInto.byKey(view, msrc, keys.head)
+         else MergeInto(view, msrc, cond))
+          // msrc is one row per touched group key — the multi-match
+          // guard's extra job would verify a tautology
+          .assumeUniqueSourceKeys()
       b.whenMatchedDelete(Some(s"source.`$cntCol` IS NULL"))
         .whenMatchedUpdate(
           aggCols.map(c => c -> s"source.`$c`").toMap)
@@ -187,8 +190,8 @@ final class MaterializedAgg(
     def typed(name: String, c: Column): Column =
       c.cast(viewSchema(name).dataType).as(s"__d_$name")
     // the delta is per-GROUP (small) while its lineage is the interval's
-    // diff join (the expensive part) — persist it so the merge's
-    // touch-detect probe and its write materialize the join ONCE, not
+    // diff aggregation (the expensive part) — persist it so the merge's
+    // touch-detect probe and its write materialize the diff ONCE, not
     // once per downstream action
     val (delta, h) = graft.ops.SubstrateCache.scoped {
       graft.ops.SubstrateCache.persist(changed
@@ -209,8 +212,10 @@ final class MaterializedAgg(
       val inserts = keys.map(c => c -> s"source.`$c`").toMap ++
         (cntCol +: sums.map(sumCol)).map(c => c -> s"source.`__d_$c`")
       val b =
-        if (keys.size == 1) MergeInto.byKey(view, delta, keys.head)
-        else MergeInto(view, delta, cond)
+        (if (keys.size == 1) MergeInto.byKey(view, delta, keys.head)
+         else MergeInto(view, delta, cond))
+          // the delta is a groupBy-keys output — one row per group
+          .assumeUniqueSourceKeys()
       b.whenMatchedDelete(
           Some(s"target.`$cntCol` + source.`__d_$cntCol` = 0"))
         .whenMatchedUpdate(updates)

@@ -458,13 +458,21 @@ final class MergeBuilder private[tables] (
             "MERGE source has multiple rows matching one target row")
       }
 
+      // touch detection and action metrics come from ONE aggregation —
+      // (action, file) counts, cardinality bounded by files-in-scope ×
+      // clauses — collected once: merges are commit-latency critical and
+      // a separate distinct-files job + counts job doubles the probe's
+      // action count for no information the fused collect lacks
+      val byFileAction = probe.groupBy(ActionCol, TFile).count().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
       // touched files, translated back to manifest paths on the driver
       // (bounded by the file count). An untranslatable name would mean the
       // old file survives next to its rewrite — duplicates — so ANY failed
       // translation falls back to rewriting the full pruned scope, which
       // is the pre-file-granular (correct, partition-level) behavior.
-      val touchedUris = probe.filter(col(ActionCol) =!= UnchangedTag)
-        .select(TFile).distinct().collect().map(_.getString(0)).toSeq
+      val touchedUris = byFileAction.filter(_._1 != UnchangedTag)
+        .map(_._2).distinct.toSeq
       val lookup = table.fileUriLookup(scopeFiles)
       val translated = touchedUris.map(u =>
         lookup.get(u).orElse(lookup.get(decodeUri(u))))
@@ -485,8 +493,8 @@ final class MergeBuilder private[tables] (
       // manifest's per-file row counts when every in-scope entry carries
       // one (zero jobs; at 100 TB the alternative is a million-footer
       // count job per merge), else a footer-only count job
-      val probeCounts = probe.groupBy(ActionCol).count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val probeCounts = byFileAction.groupBy(_._1)
+        .map { case (a, rows) => a -> rows.map(_._3).sum }
       val scopeRows = scopeFiles.flatMap(_.liveRows)
       val totalInScope =
         if (scopeRows.size == scopeFiles.size) scopeRows.sum
@@ -594,13 +602,12 @@ final class MergeBuilder private[tables] (
       val dvMode = table.dvEnabled && table.dvEligible(m) &&
         translated.forall(_.isDefined)
       if (dvMode && touchedEntries.nonEmpty) {
-        val deadByPath: Map[String, Long] = probe
-          .filter(col(ActionCol) =!= UnchangedTag)
-          .groupBy(TFile).count()
-          .collect().map { r =>
-            val u = r.getString(0)
-            lookup.get(u).orElse(lookup.get(decodeUri(u))).get -> r.getLong(1)
-          }.toMap
+        val deadByPath: Map[String, Long] = byFileAction
+          .filter(_._1 != UnchangedTag)
+          .groupBy(_._2).map { case (u, rows) =>
+            lookup.get(u).orElse(lookup.get(decodeUri(u))).get ->
+              rows.map(_._3).sum
+          }
         var dropPaths = List.empty[String]
         var rewriteEntries = List.empty[TableFile]
         var dvEntries = List.empty[(TableFile, Long)]

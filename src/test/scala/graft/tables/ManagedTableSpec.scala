@@ -626,11 +626,15 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     t.overwriteAll(df(Seq((1, "a", "x"))))
     val v0 = t.currentVersion.get
     // an append introduces TWO rows with key 2 — a non-unique keyCol
-    // would cross-multiply in the diff join, so it must fail fast
+    // makes the diff ambiguous, so evaluating the feed must raise (the
+    // guard rides the classification expression; see rowChanges doc)
     t.append(df(Seq((2, "b", "x"), (2, "B", "x"))))
-    val e = intercept[graft.metadata.MetadataException](
+    val e = intercept[Exception](
       t.rowChanges(v0, t.currentVersion.get, Seq("id")).collect())
-    e.getMessage should include("id=2")
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage))
+      .mkString("\n")
+    messages should include("id=2")
     // with a genuinely identifying key the same interval classifies fine
     t.rowChanges(v0, t.currentVersion.get, Seq("id", "name"))
       .collect().length shouldBe 2
