@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Harness contract: graft.Bench's final stdout line must be bare JSON.
+// sbt's default logger prefixes forked-run output with "[info] " and
+// appends a "[success] Total time" line — both corrupt the tail the
+// driver parses (r7-r11 all landed parsed:null). StdoutOutput pipes the
+// forked JVM's stdout through verbatim; showSuccess drops the trailer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -18,6 +18,19 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // the in-memory status stores (AppStatusListener + SQL listener run
+      // even with the UI off) retain up to 100k task rows + 1000
+      // executions by default — across ~100 queries × 3 reps that is
+      // hundreds of MB of old-gen listener state and per-event CPU,
+      // which inflates every LATER query's floor (r11: q_w_sessions
+      // 5.25 s official vs 0.51 s isolated). The bench reads nothing
+      // from them; keep only a diagnostic sliver.
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
+      .config("spark.ui.retainedDeadExecutors", "5")
+      .config("spark.sql.ui.retainedExecutions", "10")
+      .config("spark.appStateStore.asyncTracking.enable", "true")
       // local-mode harness choice: the checksummed LocalFileSystem forks
       // an external process per getFileStatus AND shadows every file
       // with a .crc twin — pure overhead on a local benchmark (a real
@@ -116,6 +129,18 @@ object Bench {
           // poisons every later measurement
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
+          // broadcasts and shuffle files are reference-tracked: the
+          // ContextCleaner reclaims them only after a GC proves the
+          // query plan unreachable. Without forcing one here, ~100
+          // queries × reps of broadcast blocks and shuffle dirs pile up
+          // until collection happens MID-measurement of some later
+          // query — the r11 cross-query contamination (floors inflating
+          // with alphabetical run position). An explicit GC between
+          // reps moves that reclamation into untimed harness space; the
+          // brief sleep lets the (asynchronous) cleaner thread drain
+          // the reference queue before the next measurement starts.
+          System.gc()
+          Thread.sleep(50)
           jobCounter.zip(j0).foreach { case (c, (js, ss)) =>
             System.err.println(f"JOBS $name rep$r: jobs=${c.jobs.get - js}%d " +
               f"stages=${c.stages.get - ss}%d sec=$dt%.2f ok=$ok")

@@ -267,6 +267,67 @@ object EngineOps {
         .orderBy("c_custkey")
     },
 
+    // S2 under the oracle: bronze is a CATALOG TABLE holding BOTH
+    // slices tagged by source file — the pipeline must read it via
+    // spark.read.table (the `bronze_table` setting) and slice-filter on
+    // source_filename, so silver receives ONLY the named slice's rows
+    // (reference: Processing.scala:305-307 Unity-catalog branch).
+    QueryDef(
+      "q_s2b_table_slice",
+      s"""WITH ${sliceSql(withAcct = false)}
+         |SELECT id AS ID, name, segment, false AS deleted,
+         |       TIMESTAMP '2024-01-10 10:00:00' AS lastSeen
+         |FROM s2 ORDER BY ID""".stripMargin) { (s, d) =>
+      implicit val sp: SparkSession = s
+      val root = scratch(s, d, "s2b")
+      slice1(s, d, withAcct = false)
+        .withColumn("source_filename", lit("a.parquet"))
+        .unionByName(slice2(s, d, withAcct = false)
+          .withColumn("source_filename", lit("b.parquet")))
+        .createOrReplaceTempView("graft_bronze_s2b")
+      val md = Metadata.fromJson(
+        s"""{
+           |  "environment": { "name": "engineq", "timezone": "UTC",
+           |                   "root_folder": "$root" },
+           |  "connections": [ { "name": "c1" } ],
+           |  "entities": [
+           |    { "id": 1, "name": "cust", "connection": "c1",
+           |      "processtype": "merge",
+           |      "settings": { "bronze_table": "graft_bronze_s2b" },
+           |      "columns": [
+           |        { "name": "ID", "datatype": "long",
+           |          "fieldroles": ["businesskey"] },
+           |        { "name": "name", "datatype": "string" },
+           |        { "name": "segment", "datatype": "string" }
+           |      ] } ]
+           |}""".stripMargin)
+      val e = md.getEntity(1)
+      new Processing(md, e, "b.parquet",
+        Map("processing.time" -> T1)).process()
+      new Processing(md, e, "b.parquet").table.read()
+        .select("ID", "name", "segment", "deleted", "lastSeen")
+        .orderBy("ID")
+    },
+
+    // S8 under the oracle: the append sink — an overwrite creating the
+    // table plus two append commits; the read must union all three
+    // batches exactly (idempotent manifest growth, no rewrites). The
+    // concurrent-append rebase race is asserted by spec; here the
+    // oracle hashes the accumulated state.
+    QueryDef(
+      "q_e_append",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "append")
+      val t = graft.tables.ManagedTable(s, s"$root/t")
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      t.overwriteAll(o.filter(col("o_orderkey") % 3 === 0).repartition(2))
+      t.append(o.filter(col("o_orderkey") % 3 === 1).repartition(2))
+      t.append(o.filter(col("o_orderkey") % 3 === 2).repartition(2))
+      t.read().orderBy("o_orderkey")
+    },
+
     // S9 + J1 + J4: the 4-clause MERGE with unbounded delete inference.
     // After run 2: s2 rows upserted (all touched at T2); s1-only rows
     // soft-deleted at T2.
