@@ -1691,9 +1691,22 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           continue = false
         else {
           try {
-            Manifest.recordFromJsonString(readRecordString(next))
-            writeFileAtomic(pointerFile, next.toString)
-            head = next
+            val rec = Manifest.recordFromJsonString(readRecordString(next))
+            val (rv, rs) = rec.fold(
+              m => (m.version, m.schemaJson),
+              i => (i.version, i.schemaJson))
+            // the lenient JSON parse default-fills missing fields, so a
+            // torn or foreign write like "{}" "parses" — roll forward
+            // only records that are SELF-CONSISTENT (their own version
+            // stamp matches the slot, their schema deserializes);
+            // anything else stays unpublished for manual removal, and
+            // committers against this slot surface the conflict
+            if (rv != next) continue = false
+            else {
+              org.apache.spark.sql.types.DataType.fromJson(rs)
+              writeFileAtomic(pointerFile, next.toString)
+              head = next
+            }
           } catch {
             case scala.util.control.NonFatal(_) => continue = false
           }
@@ -1954,6 +1967,18 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         enforceConstraints(d, m.constraints, operation)
         val cmx = extendMapping(m.columnMapping, d.schema)
         val newFiles = writeCommit(d, m.partitionColumns, cmx)
+        // a TERMINAL commit failure must not orphan the just-written
+        // commit dir (every path of this append shares one
+        // data/<commitId>/ root, and no manifest references it until
+        // commitDelta succeeds) — without the sweep, a writer that loses
+        // a cross-process race beyond the retry budget leaks its files
+        // until vacuum
+        def dropWritten(): Unit =
+          try newFiles.headOption.foreach { f =>
+            val segs = f.path.split('/')
+            if (segs.length >= 2 && segs(0) == dataDir.getName)
+              fs.delete(new Path(root, s"${segs(0)}/${segs(1)}"), true)
+          } catch { case scala.util.control.NonFatal(_) => () }
         var base = m
         var attempt = 0
         var committed = false
@@ -1969,13 +1994,17 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           } catch {
             case e: ConcurrentWriteException =>
               attempt += 1
-              if (attempt > ManagedTable.MaxAppendRetries) throw e
+              if (attempt > ManagedTable.MaxAppendRetries) {
+                dropWritten(); throw e
+              }
               val cur = requireManifest // the winner's head (pointer moved)
               if (cur.schemaJson != base.schemaJson ||
                   cur.partitionColumns != base.partitionColumns ||
                   cur.constraints != base.constraints ||
                   cur.generated != base.generated ||
-                  cur.properties != base.properties) throw e
+                  cur.properties != base.properties) {
+                dropWritten(); throw e
+              }
               base = cur // an orphan record keeps colliding → attempts exhaust
           }
         maybeAutoCompact()
