@@ -1185,13 +1185,19 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           .select(col("file"), col("kv.col").as("col"),
             col("kv.sketch").as("sketch"))
         // files whose scan produced no group (0 rows, count unrecorded):
-        // a null-sketch placeholder marks them analyzed
-        val seen = long.select("file").distinct().as[String].collect().toSet
-        val empties = todo.map(_.path).filterNot(seen)
-          .flatMap(f => phys.map(p => (f, p)))
-        if (empties.isEmpty) long
-        else long.unionByName(empties.toDF("file", "col")
-          .withColumn("sketch", lit(null).cast("binary")))
+        // a null-sketch placeholder marks them analyzed. When every
+        // scanned file has a recorded positive row count (the normal
+        // case — commits record footer counts), each is guaranteed a
+        // group, so the extra distinct-collect job is skipped.
+        if (todo.forall(_.rows.exists(_ > 0L))) long
+        else {
+          val seen = long.select("file").distinct().as[String].collect().toSet
+          val empties = todo.map(_.path).filterNot(seen)
+            .flatMap(f => phys.map(p => (f, p)))
+          if (empties.isEmpty) long
+          else long.unionByName(empties.toDF("file", "col")
+            .withColumn("sketch", lit(null).cast("binary")))
+        }
       }
     // survivors: rows for files still live, minus rows this run
     // recomputed — all distributed (the store is file-count-sized;
@@ -1210,7 +1216,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val prev = ndvCurrentDir.map(_.getName)
     val gen = s"s-${UUID.randomUUID()}"
     keepOld.unionByName(newRows)
-      .coalesce(1).write.parquet(new Path(ndvDir, gen).toString)
+      .coalesce(1).write.options(commitWriteOpts)
+      .parquet(new Path(ndvDir, gen).toString)
     writeFileAtomic(ndvPointerFile, gen)
     // prune superseded generations, keeping the immediately previous one
     // as a grace window for in-flight lock-free readers
@@ -2423,7 +2430,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         live.filter(col(DvFileCol).isin(dvNames: _*))
           .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
           .union(prior.filter(col("file").isin(dvNames: _*)))
-          .write.parquet(new Path(dvDir, name).toString)
+          .write.options(commitWriteOpts)
+          .parquet(new Path(dvDir, name).toString)
         adds ++= dvEntries.map { case (f, dead) =>
           f.copy(dv = Some(name), dvRows = Some(dead)) }
         removes ++= dvEntries.map(_._1.path)
@@ -3456,7 +3464,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           .filter(col("file").isin(
             masked.map(f => new Path(f.path).getName): _*))
       newDead.select(col("file"), col("pos")).union(prior)
-        .write.parquet(new Path(dvDir, name).toString)
+        .write.options(commitWriteOpts)
+        .parquet(new Path(dvDir, name).toString)
       adds ++= dvUpdates.map { case (f, dead) =>
         f.copy(dv = Some(name), dvRows = Some(dead)) }
     }
@@ -4386,6 +4395,18 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     files
   }
 
+  /** Committer knobs for commit-dir writes. The fresh `data/<uuid>/` dir is
+    * invisible until the manifest references it (a failed job drops the
+    * whole dir), so the v1 committer's crash-safety — a driver-side,
+    * SEQUENTIAL O(files) rename pass at job commit, the classic commit
+    * bottleneck on object stores — buys nothing here. v2 renames at task
+    * commit (parallel, executor-side; the commit coordinator still admits
+    * one attempt per task), and the `_SUCCESS` marker is skipped because
+    * the manifest, not a marker file, is this table's commit record. */
+  private val commitWriteOpts = Map(
+    "mapreduce.fileoutputcommitter.algorithm.version" -> "2",
+    "mapreduce.fileoutputcommitter.marksuccessfuljobs" -> "false")
+
   private def writeCommitFiles(
       df: DataFrame, partitionBy: Seq[String]): Seq[TableFile] = {
     val commitId = UUID.randomUUID().toString
@@ -4402,7 +4423,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         nullCounts = fm.nulls)
     }
     if (partitionBy.isEmpty) {
-      df.write.parquet(commitDir.toString)
+      df.write.options(commitWriteOpts).parquet(commitDir.toString)
       val listed = listParquet(commitDir)
       val stats = FileStatistics.forPaths(spark, conf, listed.map(_._1), maxIndexedCols)
       listed.map { case (p, len) => toFile(p, len, Map.empty, stats) }
@@ -4432,7 +4453,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
             else Nil)
           withDirCols0.repartition(keys: _*)
         } else withDirCols0
-      withDirCols.write.partitionBy(dirCols: _*).parquet(commitDir.toString)
+      withDirCols.write.options(commitWriteOpts)
+        .partitionBy(dirCols: _*).parquet(commitDir.toString)
       val listed = listParquet(commitDir)
       val stats = FileStatistics.forPaths(spark, conf, listed.map(_._1), maxIndexedCols)
       listed.map { case (p, len) =>
@@ -4687,7 +4709,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val parts = math.max(1, files.size / 100000)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, parts), sidecarSchema)
-      .write.mode("overwrite")
+      .write.mode("overwrite").options(commitWriteOpts)
       .parquet(new Path(manifestsDir, name).toString)
   }
 
