@@ -1927,9 +1927,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           d.unionByName(k.select(d.columns.map(c => col(s"`$c`")): _*)))
         val cmx = extendMapping(m.columnMapping, d.schema)
         val newFiles = writeCommit(content, m.partitionColumns, cmx)
-        commitDelta(d.schema.json, m.partitionColumns, "replaceWhere",
-          base = Some(m), adds = newFiles, removes = removePaths,
-          mappingOverride = Some(cmx), propertiesOverride = propsOv)
+        // replaceWhere's read set IS the predicate region (inserted rows
+        // are constrained to it above), so it rebases under the same
+        // predicate-aware rule as DML
+        commitReplaceWithRebase(m, d.schema.json, "replaceWhere", newFiles,
+          removePaths, None, Some(cmx), propsOv, Some(condition))
         maybeAutoCompact()
     }
   }
@@ -2163,35 +2165,49 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
             split(f.condition)
         }.flatten
       // translate exactly the shapes the pruner exploits (=, IN, ranges
-      // on a column vs literal); everything else contributes no pruning
+      // on a column vs literal); everything else contributes no pruning.
+      // The ANALYZED plan (the optimizer would fold the whole filter away
+      // over this empty relation) wraps literals in type-coercion casts —
+      // `id < 100` against a BIGINT column arrives as
+      // `id < CAST(100 AS BIGINT)` — so the literal side matches any
+      // foldable expression, evaluated eagerly.
       import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
       import org.apache.spark.sql.catalyst.expressions._
       import org.apache.spark.sql.{sources => sf}
+      object Lit {
+        def unapply(e: Expression): Option[Literal] = e match {
+          case l: Literal => Some(l)
+          case _ if e.foldable =>
+            scala.util.Try(Literal.create(e.eval(null), e.dataType)).toOption
+          case _ => None
+        }
+      }
       def ext(l: Literal): Any = convertToScala(l.value, l.dataType)
       def tr(e: Expression): Option[sf.Filter] = e match {
-        case EqualTo(a: AttributeReference, l: Literal) =>
+        case EqualTo(a: AttributeReference, Lit(l)) =>
           Some(sf.EqualTo(a.name, ext(l)))
-        case EqualTo(l: Literal, a: AttributeReference) =>
+        case EqualTo(Lit(l), a: AttributeReference) =>
           Some(sf.EqualTo(a.name, ext(l)))
-        case GreaterThan(a: AttributeReference, l: Literal) =>
+        case GreaterThan(a: AttributeReference, Lit(l)) =>
           Some(sf.GreaterThan(a.name, ext(l)))
-        case GreaterThan(l: Literal, a: AttributeReference) =>
+        case GreaterThan(Lit(l), a: AttributeReference) =>
           Some(sf.LessThan(a.name, ext(l)))
-        case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        case GreaterThanOrEqual(a: AttributeReference, Lit(l)) =>
           Some(sf.GreaterThanOrEqual(a.name, ext(l)))
-        case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        case GreaterThanOrEqual(Lit(l), a: AttributeReference) =>
           Some(sf.LessThanOrEqual(a.name, ext(l)))
-        case LessThan(a: AttributeReference, l: Literal) =>
+        case LessThan(a: AttributeReference, Lit(l)) =>
           Some(sf.LessThan(a.name, ext(l)))
-        case LessThan(l: Literal, a: AttributeReference) =>
+        case LessThan(Lit(l), a: AttributeReference) =>
           Some(sf.GreaterThan(a.name, ext(l)))
-        case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        case LessThanOrEqual(a: AttributeReference, Lit(l)) =>
           Some(sf.LessThanOrEqual(a.name, ext(l)))
-        case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        case LessThanOrEqual(Lit(l), a: AttributeReference) =>
           Some(sf.GreaterThanOrEqual(a.name, ext(l)))
-        case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        case In(a: AttributeReference, vs)
+            if vs.forall(Lit.unapply(_).isDefined) =>
           Some(sf.In(a.name,
-            vs.map(v => ext(v.asInstanceOf[Literal])).toArray))
+            vs.map(v => ext(Lit.unapply(v).get)).toArray))
         case InSet(a: AttributeReference, hset) =>
           Some(sf.In(a.name,
             hset.map(v => convertToScala(v, a.dataType)).toArray))
@@ -2229,8 +2245,45 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         val matched =
           if (victims.forall(_.rows.isDefined)) victims.flatMap(_.liveRows).sum
           else readManifestFiles(m, victims).count()
-        commitDelta(m.schemaJson, m.partitionColumns, op,
-          base = Some(m), adds = Nil, removes = victims.map(_.path))
+        // same predicate-aware rebase as the rewrite path, but EXACT: a
+        // partition-only predicate is decidable per file from partition
+        // values alone, so a winner's adds either land in dropped
+        // partitions (conflict) or provably outside them (rebase)
+        var b = m
+        var attempt = 0
+        var committed = false
+        val victimByPath = victims.map(f => f.path -> f).toMap
+        while (!committed)
+          try {
+            onReplaceCommitAttempt()
+            commitDelta(b.schemaJson, b.partitionColumns, op,
+              base = Some(b), adds = Nil, removes = victims.map(_.path))
+            committed = true
+          } catch {
+            case e: ConcurrentWriteException =>
+              attempt += 1
+              if (attempt > ManagedTable.MaxAppendRetries) throw e
+              val cur = requireManifest
+              val byPath = cur.files.map(f => f.path -> f).toMap
+              val victimsUntouched = victims.forall(f =>
+                byPath.get(f.path).exists(x =>
+                  victimByPath.get(f.path).exists(_.dv == x.dv)))
+              val basePaths = b.files.map(_.path).toSet
+              val added = cur.files.filterNot(f => basePaths.contains(f.path))
+              val addsDisjoint = added.isEmpty ||
+                partitionOnlyMatches(cur.copy(files = added), condition)
+                  .exists(_.isEmpty)
+              if (!victimsUntouched || !addsDisjoint ||
+                  cur.schemaJson != b.schemaJson ||
+                  cur.partitionColumns != b.partitionColumns ||
+                  cur.constraints != b.constraints ||
+                  cur.generated != b.generated ||
+                  cur.columnMapping != b.columnMapping ||
+                  (cur.properties - ManagedTable.RowTrackingWatermarkProp) !=
+                    (b.properties - ManagedTable.RowTrackingWatermarkProp))
+                throw e
+              b = cur
+          }
         return matched
       case Some(victims) if victims.isEmpty => return 0L
       case _ => ()
@@ -2275,7 +2328,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // row tracking: survivors/updated images keep their identity — the
     // read materializes IDs, the rewrite carries the column through
     val touchedRows = readPreservingRowIds(m, touchedEntries)
-    replaceFiles(touchedPaths, rewrite(touchedRows, pred), op)
+    replaceFiles(touchedPaths, rewrite(touchedRows, pred), op,
+      dmlRebasePredicate = Some(condition))
     matched
   }
 
@@ -3313,17 +3367,51 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         .map(_ -> f.path)
     }.toMap
 
-  /** File-granular MERGE commit primitive: atomically replace exactly the
-    * files named in `removePaths` with the files written from `df`; every
-    * other manifest entry carries into the new version verbatim (no data
-    * movement, no stats recomputation). This is what keeps a small keyed
-    * merge's write amplification proportional to the rows it touches, not
-    * to the partition layout. */
+  /** Test seam: invoked at the top of every [[replaceFiles]] commit
+    * attempt. Cross-process commit races cannot be interleaved
+    * deterministically from a spec; the per-path JVM lock is reentrant,
+    * so a test hook can land a competing commit here on the same thread
+    * and exercise the conflict paths for real. Always a no-op outside
+    * tests. */
+  private[tables] var onReplaceCommitAttempt: () => Unit = () => ()
+
+  /** File-granular MERGE / DML commit primitive: atomically replace
+    * exactly the files named in `removePaths` with the files written from
+    * `df`; every other manifest entry carries into the new version
+    * verbatim (no data movement, no stats recomputation). This is what
+    * keeps a small keyed merge's write amplification proportional to the
+    * rows it touches, not to the partition layout.
+    *
+    * `dmlRebasePredicate` (set by [[delete]]/[[update]]) enables
+    * predicate-aware conflict resolution (Delta's write-serializable DML
+    * rule): a lost cross-process commit race auto-rebases IFF the winner
+    * provably did not intersect this DML's read set —
+    *
+    *  - every removed file still sits untouched in the winner's head
+    *    (same path AND same deletion-vector identity), and
+    *  - every file the winner ADDED provably contains no row matching
+    *    the DML predicate (file footer stats must EXCLUDE the predicate;
+    *    a stats-opaque predicate or a stats-less file conservatively
+    *    surfaces the conflict), and
+    *  - the winner changed no schema / partitioning / constraints /
+    *    generated columns / column mapping / properties (the
+    *    row-tracking watermark excepted — identity-preserving rewrites
+    *    carry their IDs materialized, so a watermark-only bump by an
+    *    interleaved append is invisible to this commit).
+    *
+    * Then the already-written rewrite re-commits against the new head
+    * metadata-only. At 100 TB this is what lets `DELETE WHERE day <
+    * retention` coexist with the live ingest stream appending today's
+    * data instead of dying at the finish line. MERGE keeps fail-fast
+    * (`dmlRebasePredicate = None`): its read set is the whole source
+    * frame, which no file-stats check can summarize. A terminal conflict
+    * sweeps the just-written commit dir, so the loser leaks nothing. */
   def replaceFiles(
       removePaths: Seq[String],
       df: DataFrame,
       operation: String = "replaceFiles",
-      txn: Option[Txn] = None): Unit = withWriteLock {
+      txn: Option[Txn] = None,
+      dmlRebasePredicate: Option[String] = None): Unit = withWriteLock {
     val m = requireManifest
     // engine-built rewrite content (merge updates, DML images): existing
     // identity values pass through, NULLs (merge inserts) allocate;
@@ -3337,10 +3425,77 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     enforceConstraints(d, m.constraints, operation)
     val cmx = extendMapping(m.columnMapping, logicalSchema(d))
     val newFiles = writeCommit(d, m.partitionColumns, cmx)
-    commitDelta(logicalSchema(d).json, m.partitionColumns, operation,
-      base = Some(m), adds = newFiles, removes = removePaths, txn = txn,
-      mappingOverride = Some(cmx), propertiesOverride = propsOv)
+    commitReplaceWithRebase(m, logicalSchema(d).json, operation, newFiles,
+      removePaths, txn, Some(cmx), propsOv, dmlRebasePredicate)
     maybeAutoCompact()
+  }
+
+  /** Shared replace-commit loop with the predicate-aware rebase rule (see
+    * [[replaceFiles]] for the full contract). `rebasePredicate = None`
+    * fails fast on the first conflict; either way a terminal conflict
+    * sweeps the just-written commit dir so the loser leaks nothing. An
+    * identity allocation (`propsOv` defined) always surfaces — its
+    * watermark was read from the pre-race head, and a rebase would
+    * clobber the winner's. */
+  private def commitReplaceWithRebase(
+      m: Manifest, schemaJson: String, operation: String,
+      newFiles: Seq[TableFile], removePaths: Seq[String], txn: Option[Txn],
+      mappingOverride: Option[Option[ColumnMapping]],
+      propsOv: Option[Map[String, String]],
+      rebasePredicate: Option[String]): Unit = {
+    def dropWritten(): Unit =
+      try newFiles.headOption.foreach { f =>
+        val segs = f.path.split('/')
+        if (segs.length >= 2 && segs(0) == dataDir.getName)
+          fs.delete(new Path(root, s"${segs(0)}/${segs(1)}"), true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    val removedByPath = {
+      val keep = removePaths.toSet
+      m.files.filter(f => keep.contains(f.path)).map(f => f.path -> f).toMap
+    }
+    var b = m
+    var attempt = 0
+    var committed = false
+    while (!committed)
+      try {
+        onReplaceCommitAttempt()
+        commitDelta(schemaJson, b.partitionColumns, operation,
+          base = Some(b), adds = newFiles, removes = removePaths, txn = txn,
+          mappingOverride = mappingOverride, propertiesOverride = propsOv)
+        committed = true
+      } catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          // identity allocation (propsOv) embeds a watermark read from the
+          // pre-race head — a rebase would clobber the winner's; surface
+          if (attempt > ManagedTable.MaxAppendRetries ||
+              rebasePredicate.isEmpty || propsOv.isDefined) {
+            dropWritten(); throw e
+          }
+          val cur = requireManifest // the winner's head (pointer moved)
+          val byPath = cur.files.map(f => f.path -> f).toMap
+          val victimsUntouched = removePaths.forall(p =>
+            byPath.get(p).exists(f => removedByPath.get(p).exists(_.dv == f.dv)))
+          val basePaths = b.files.map(_.path).toSet
+          val added = cur.files.filterNot(f => basePaths.contains(f.path))
+          val addsDisjoint = added.isEmpty ||
+            (try statsPrunedFiles(cur.copy(files = added),
+                rebasePredicate.get).isEmpty
+            catch { case scala.util.control.NonFatal(_) => false })
+          def cmpProps(p: Map[String, String]): Map[String, String] =
+            p - ManagedTable.RowTrackingWatermarkProp
+          val metaUnchanged =
+            cur.schemaJson == b.schemaJson &&
+              cur.partitionColumns == b.partitionColumns &&
+              cur.constraints == b.constraints &&
+              cur.generated == b.generated &&
+              cur.columnMapping == b.columnMapping &&
+              cmpProps(cur.properties) == cmpProps(b.properties)
+          if (!victimsUntouched || !addsDisjoint || !metaUnchanged) {
+            dropWritten(); throw e
+          }
+          b = cur // an orphan record keeps colliding → attempts exhaust
+      }
   }
 
   /** Content-preserving maintenance commit ([[compact]], [[compactSmall]],
