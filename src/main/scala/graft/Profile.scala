@@ -24,6 +24,7 @@ object Profile {
     @volatile var stages = 0
     @volatile var tasks = 0L
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    @volatile var base = System.nanoTime()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs += 1
@@ -31,7 +32,8 @@ object Profile {
         val p = Option(j.properties)
         val site = p.flatMap(x => Option(x.getProperty("callSite.short"))).getOrElse("")
         val desc = p.flatMap(x => Option(x.getProperty("spark.job.description"))).getOrElse("")
-        println(s"[job ${j.jobId}] stages=${j.stageInfos.size} $site | ${desc.take(80)}")
+        val at = (System.nanoTime() - base) / 1e6
+        println(f"[job ${j.jobId}] t=$at%.0fms stages=${j.stageInfos.size} $site | ${desc.take(80)}")
       }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         Option(starts.get(j.jobId)).foreach { t0 =>
@@ -46,6 +48,7 @@ object Profile {
     spark.catalog.clearCache()
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
+    base = t0
     val n = SparkEntry.queries(name)(spark, sfDir).collect().length
     val sec = (System.nanoTime() - t0) / 1e9
     spark.sparkContext.removeSparkListener(listener)

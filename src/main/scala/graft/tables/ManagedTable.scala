@@ -4578,9 +4578,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         nullCounts = fm.nulls)
     }
     if (partitionBy.isEmpty) {
-      df.write.options(commitWriteOpts).parquet(commitDir.toString)
-      val listed = listParquet(commitDir)
-      val stats = FileStatistics.forPaths(spark, conf, listed.map(_._1), maxIndexedCols)
+      Phase("write")(df.write.options(commitWriteOpts).parquet(commitDir.toString))
+      val listed = Phase("list")(listParquet(commitDir))
+      val stats = Phase("footerStats")(
+        FileStatistics.forPaths(spark, conf, listed.map(_._1), maxIndexedCols))
       listed.map { case (p, len) => toFile(p, len, Map.empty, stats) }
     } else {
       val dirCols = partitionBy.map(c => s"__gp_$c")
@@ -4608,10 +4609,11 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
             else Nil)
           withDirCols0.repartition(keys: _*)
         } else withDirCols0
-      withDirCols.write.options(commitWriteOpts)
-        .partitionBy(dirCols: _*).parquet(commitDir.toString)
-      val listed = listParquet(commitDir)
-      val stats = FileStatistics.forPaths(spark, conf, listed.map(_._1), maxIndexedCols)
+      Phase("write")(withDirCols.write.options(commitWriteOpts)
+        .partitionBy(dirCols: _*).parquet(commitDir.toString))
+      val listed = Phase("list")(listParquet(commitDir))
+      val stats = Phase("footerStats")(
+        FileStatistics.forPaths(spark, conf, listed.map(_._1), maxIndexedCols))
       listed.map { case (p, len) =>
         val relPath = rel(p)
         val pv = relPath.split('/').iterator
@@ -4676,7 +4678,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       // Some(None) — surviving files are gone, so no translation remains)
       mappingOverride: Option[Option[ColumnMapping]] = None,
       generatedOverride: Option[Map[String, String]] = None,
-      propertiesOverride: Option[Map[String, String]] = None): Unit = {
+      propertiesOverride: Option[Map[String, String]] = None): Unit =
+    Phase("commitDelta") {
     val next = currentVersion.map(_ + 1).getOrElse(0L)
     // stale-base guard: the put-if-absent record create below only
     // detects a rival racing for the SAME version number. A rival whose
@@ -4821,7 +4824,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     snapshotCache.put(next, snapshot)
     // atomic pointer swap: tmp write + rename-with-overwrite
     writeFileAtomic(pointerFile, next.toString)
-    registerCatalog()
+    Phase("registerCatalog")(registerCatalog())
   }
 
   /** File count at/above which checkpoint file lists are externalized to
