@@ -46,15 +46,22 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d: DeleteFromTable if d.childrenResolved =>
       graftTarget(d.table) match {
-        case Some((p, cat)) => GraftDeleteCommand(p, plainSql(d.condition), cat)
+        case Some((p, cat)) =>
+          val (text, views) = condWithSubqueries(d.condition, "DELETE")
+          GraftDeleteCommand(p, text, cat, views)
         case None => plan
       }
     case u: UpdateTable if u.childrenResolved =>
       graftTarget(u.table) match {
         case Some((p, cat)) =>
+          u.assignments.foreach(a => rejectSubqueries(a.value,
+            "UPDATE SET values over a graft table"))
+          val (text, views) = u.condition
+            .map(condWithSubqueries(_, "UPDATE"))
+            .getOrElse(("true", Nil))
           GraftUpdateCommand(p,
             u.assignments.map(a => assignName(a.key) -> plainSql(a.value)).toMap,
-            u.condition.map(plainSql).getOrElse("true"), cat)
+            text, cat, views)
         case None => plan
       }
     case m: MergeIntoTable if m.childrenResolved =>
@@ -91,6 +98,10 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       case other => throw new MetadataException(
         s"MERGE INTO graft table: unsupported action $other")
     }
+    rejectSubqueries(m.mergeCondition, "MERGE INTO graft table: ON condition")
+    (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+      .foreach(a => a.children.foreach(rejectSubqueries(_,
+        "MERGE INTO graft table: clause")))
     val clauses =
       m.matchedActions.map(clause('m')) ++
         m.notMatchedActions.map(clause('i')) ++
@@ -295,6 +306,73 @@ object SqlDml {
       case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
     }.sql
 
+  /** DML condition → (SQL text, named subquery plans). `Expression.sql`
+    * cannot round-trip a subquery (an analyzed `ListQuery` renders as an
+    * unparseable `listquery(...)` call), so each subquery expression is
+    * swapped for a unique marker literal, the remainder rendered by
+    * [[plainSql]], and the markers spliced back as `(SELECT * FROM
+    * <view>)` — the command registers each named ANALYZED plan as a temp
+    * view at run time and the engine's own DML machinery evaluates the
+    * predicate unchanged (Spark resolves subqueries inside DataFrame
+    * filters). `NOT IN` arrives as `Not(InSubquery)` and keeps its
+    * three-valued-null semantics through the `NOT (… IN (…))` rendering.
+    * Correlated subqueries are rejected — Delta's DML contract
+    * (uncorrelated only), and the right call at scale: a correlated
+    * probe per candidate row is a hidden join the user should write as
+    * MERGE instead. */
+  private[plans] def condWithSubqueries(e: Expression, op: String):
+      (String, Seq[(String, LogicalPlan)]) = {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery,
+      ListQuery, Literal, ScalarSubquery, SubqueryExpression}
+    if (!e.exists(_.isInstanceOf[SubqueryExpression]))
+      return (plainSql(e), Nil)
+    var views = Vector.empty[(String, LogicalPlan)]
+    var spliced = Map.empty[String, String]
+    def fresh(plan: LogicalPlan, outer: Seq[Expression],
+        render: String => String): Expression = {
+      if (outer.nonEmpty) throw new MetadataException(
+        s"$op over a graft table: only uncorrelated subqueries are " +
+          "supported in the condition (rewrite a correlated probe as " +
+          "MERGE INTO)")
+      val name = "graft_subq_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      views :+= name -> plan
+      val marker = s"__GRAFT_SUBQ_${name}__"
+      spliced += s"'$marker'" -> render(name)
+      Literal(marker)
+    }
+    // top-down: a replaced subquery's internals are never revisited, so
+    // the bare ListQuery inside an InSubquery cannot trip the leftover
+    // check below
+    val replaced = e.transformDown {
+      case InSubquery(values, l: ListQuery) =>
+        val vals = values.map(plainSql).mkString(", ")
+        fresh(l.plan, l.outerAttrs, n => s"(($vals) IN (SELECT * FROM $n))")
+      case x: Exists =>
+        fresh(x.plan, x.outerAttrs, n => s"(EXISTS (SELECT * FROM $n))")
+      case s: ScalarSubquery =>
+        fresh(s.plan, s.outerAttrs, n => s"((SELECT * FROM $n))")
+    }
+    replaced.foreach {
+      case leftover: SubqueryExpression => throw new MetadataException(
+        s"$op over a graft table: unsupported subquery form " +
+          s"${leftover.getClass.getSimpleName} in the condition")
+      case _ => ()
+    }
+    val text = spliced.foldLeft(plainSql(replaced)) {
+      case (t, (marker, sql)) => t.replace(marker, sql)
+    }
+    (text, views)
+  }
+
+  /** Loud rejection for positions where a subquery cannot be routed into
+    * the string-predicate engine (SET values, MERGE conditions — the
+    * same positions Delta rejects). */
+  private[plans] def rejectSubqueries(e: Expression, what: String): Unit =
+    if (e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+      throw new MetadataException(s"$what: subqueries are not supported here")
+
   /** Assignment key → bare column name (nested fields unsupported —
     * managed tables merge at row granularity). */
   private[plans] def assignName(key: Expression): String = key match {
@@ -341,21 +419,41 @@ object SqlDml {
     t
   }
 
+  /** Register the condition's subquery plans as temp views for the span
+    * of the DML body (the spliced `(SELECT * FROM <view>)` text resolves
+    * against them), dropping them afterwards. */
+  private def withSubqueryViews[T](session: SparkSession,
+      views: Seq[(String, LogicalPlan)])(body: => T): T = {
+    views.foreach { case (name, plan) =>
+      GraftDmlShim.ofRows(session, plan).createOrReplaceTempView(name)
+    }
+    try body
+    finally views.foreach { case (name, _) =>
+      session.catalog.dropTempView(name)
+    }
+  }
+
   final case class GraftDeleteCommand(path: String, cond: String,
-      catalog: Option[String] = None)
+      catalog: Option[String] = None,
+      subqueryViews: Seq[(String, LogicalPlan)] = Nil)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = metricAttrs("num_affected_rows")
     override def run(session: SparkSession): Seq[Row] =
-      Seq(Row(tableFor(session, path, catalog).delete(cond)))
+      withSubqueryViews(session, subqueryViews) {
+        Seq(Row(tableFor(session, path, catalog).delete(cond)))
+      }
   }
 
   final case class GraftUpdateCommand(
       path: String, set: Map[String, String], cond: String,
-      catalog: Option[String] = None)
+      catalog: Option[String] = None,
+      subqueryViews: Seq[(String, LogicalPlan)] = Nil)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = metricAttrs("num_affected_rows")
     override def run(session: SparkSession): Seq[Row] =
-      Seq(Row(tableFor(session, path, catalog).update(set, cond)))
+      withSubqueryViews(session, subqueryViews) {
+        Seq(Row(tableFor(session, path, catalog).update(set, cond)))
+      }
   }
 
   /** `INSERT INTO … REPLACE WHERE` → predicate-scoped overwrite. The

@@ -1038,6 +1038,48 @@ object EngineOps {
       t.read().select("id", "name", "segment").orderBy("id")
     },
 
+    // Subquery DML under the oracle: DELETE with `IN (SELECT …)` over
+    // another table and UPDATE gated by a scalar subquery, both through
+    // spark.sql (the resolution rule splices each analyzed subquery plan
+    // back in as a run-time temp view — Expression.sql cannot round-trip
+    // a ListQuery). The oracle replays the retention-style scenario
+    // declaratively: survivors are the NOT-IN complement, the update is
+    // a CASE over the scalar threshold.
+    QueryDef(
+      "q_e_sql_subq",
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey <= 600),
+        |surv AS (
+        |  SELECT * FROM base WHERE id NOT IN (
+        |    SELECT DISTINCT o_custkey FROM orders
+        |    WHERE o_totalprice > 400000)),
+        |thr AS (
+        |  SELECT max(o_custkey) - 1100 AS v FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |SELECT id, name,
+        |       CASE WHEN id > (SELECT v FROM thr) THEN 0.0 ELSE bal END
+        |         AS bal
+        |FROM surv ORDER BY id""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "sql_subq")
+      val t = graft.tables.ManagedTable(s, s"$root/t")
+      val cust = Tables.customer(s, d)
+      t.overwriteAll(cust.filter(col("c_custkey") <= 600).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("bal")).repartition(4))
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_subq")
+      s.sql("DROP TABLE IF EXISTS graft_subq.t")
+      s.sql(s"CREATE TABLE graft_subq.t USING graft LOCATION '$root/t'")
+      Tables.orders(s, d).createOrReplaceTempView("graft_subq_orders")
+      s.sql("""DELETE FROM graft_subq.t WHERE id IN (
+              |  SELECT DISTINCT o_custkey FROM graft_subq_orders
+              |  WHERE o_totalprice > 400000)""".stripMargin)
+      s.sql("""UPDATE graft_subq.t SET bal = 0.0 WHERE id > (
+              |  SELECT max(o_custkey) - 1100 FROM graft_subq_orders
+              |  WHERE o_orderpriority = '1-URGENT')""".stripMargin)
+      t.read().select("id", "name", "bal").orderBy("id")
+    },
+
     // SQL time travel + maintenance under the oracle: a four-commit
     // lifecycle driven entirely through spark.sql — overwrite (v0), SQL
     // DELETE (v1), OPTIMIZE compaction (v2, content-preserving), RESTORE

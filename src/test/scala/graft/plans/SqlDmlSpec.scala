@@ -444,4 +444,62 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     v.createOrReplaceTempView("plainview")
     intercept[Exception](spark.sql("DELETE FROM plainview WHERE id = 1"))
   }
+
+  test("DELETE / UPDATE with IN (subquery), mixed with plain conjuncts") {
+    import spark.implicits._
+    val (name, t) = freshTable()
+    Seq(2, 3, 99).toDF("kid").createOrReplaceTempView("kill_sq")
+    val out = spark.sql(
+      s"DELETE FROM $name WHERE id IN (SELECT kid FROM kill_sq) AND qty < 25")
+      .collect()
+    out.map(_.getLong(0)) shouldBe Array(1L) // id=2 only (id=3 has qty 30)
+    t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 3, 4)
+    // the run-time temp views were dropped after the command
+    spark.catalog.tableExists("kill_sq") shouldBe true
+    spark.catalog.listTables().collect()
+      .map(_.name).count(_.startsWith("graft_subq_")) shouldBe 0
+
+    spark.sql(s"UPDATE $name SET qty = 0 WHERE id IN (SELECT kid FROM kill_sq)")
+      .collect().map(_.getLong(0)) shouldBe Array(1L) // id=3
+    t.read().filter(col("qty") === 0).collect().map(_.getInt(0)) shouldBe
+      Array(3)
+  }
+
+  test("DELETE with NOT IN keeps three-valued null semantics; EXISTS and " +
+      "scalar subqueries route through") {
+    import spark.implicits._
+    val (name, t) = freshTable()
+    // NOT IN over a subquery producing a NULL matches NOTHING (SQL
+    // three-valued logic) — the naive anti-join translation would delete
+    Seq(Some(1), None).toDF("kid").createOrReplaceTempView("nullable_sq")
+    spark.sql(s"DELETE FROM $name WHERE id NOT IN (SELECT kid FROM nullable_sq)")
+      .collect().map(_.getLong(0)) shouldBe Array(0L)
+    t.read().count() shouldBe 4
+
+    Seq(1, 4).toDF("kid").createOrReplaceTempView("plain_sq")
+    spark.sql(s"DELETE FROM $name WHERE id NOT IN (SELECT kid FROM plain_sq)")
+      .collect().map(_.getLong(0)) shouldBe Array(2L)
+    t.read().collect().map(_.getInt(0)).sorted shouldBe Array(1, 4)
+
+    // uncorrelated EXISTS is all-or-nothing; scalar subquery in comparison
+    spark.sql(s"UPDATE $name SET qty = -1 WHERE EXISTS " +
+      "(SELECT 1 FROM plain_sq WHERE kid = 1)")
+      .collect().map(_.getLong(0)) shouldBe Array(2L)
+    spark.sql(s"DELETE FROM $name WHERE id < (SELECT max(kid) FROM plain_sq)")
+      .collect().map(_.getLong(0)) shouldBe Array(1L)
+    t.read().collect().map(_.getInt(0)) shouldBe Array(4)
+  }
+
+  test("correlated subqueries and subqueries in unsupported positions " +
+      "are rejected loudly") {
+    import spark.implicits._
+    val (name, _) = freshTable()
+    Seq(1).toDF("kid").createOrReplaceTempView("corr_sq")
+    val e1 = intercept[Exception](spark.sql(
+      s"DELETE FROM $name WHERE EXISTS (SELECT 1 FROM corr_sq WHERE kid = id)"))
+    e1.getMessage should include("uncorrelated")
+    val e2 = intercept[Exception](spark.sql(
+      s"UPDATE $name SET qty = (SELECT max(kid) FROM corr_sq) WHERE id = 1"))
+    e2.getMessage should include("not supported")
+  }
 }
