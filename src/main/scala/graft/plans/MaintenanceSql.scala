@@ -57,6 +57,8 @@ object MaintenanceSql {
 
   private val Vacuum =
     """(?is)\s*VACUUM\s+(\S+|graft\.`[^`]+`)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+DRY\s+RUN)?\s*;?\s*""".r
+  private val VacuumHours =
+    """(?is)\s*VACUUM\s+(\S+|graft\.`[^`]+`)\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+(\S+|graft\.`[^`]+`)(?:\s+(FULL))?(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val ClusterByCols =
@@ -118,6 +120,9 @@ object MaintenanceSql {
 
   private[plans] def maintenancePlan(sql: String): Option[LogicalPlan] =
     sql match {
+      case VacuumHours(ident, hours, dry) =>
+        Some(GraftVacuumCommand(ident, 0, dry != null,
+          retainMs = (hours.toDouble * 3600 * 1000).toLong))
       case Vacuum(ident, retain, dry) =>
         Some(GraftVacuumCommand(ident,
           Option(retain).map(_.toInt).getOrElse(0), dry != null))
@@ -259,20 +264,23 @@ object MaintenanceSql {
     fields.map { case (n, t) => AttributeReference(n, t, nullable = false)() }
 
   /** `VACUUM` — horizon-publishing retention sweep via
-    * [[ManagedTable.vacuum]]; `DRY RUN` enumerates the blast radius
-    * ([[ManagedTable.vacuumDryRun]]) without deleting, one path per
-    * row like Delta. */
+    * [[ManagedTable.vacuum]]; `RETAIN n VERSIONS` pins a version count,
+    * `RETAIN n HOURS` a time window (Delta's form — everything committed
+    * inside it stays time-travelable); `DRY RUN` enumerates the blast
+    * radius ([[ManagedTable.vacuumDryRun]]) without deleting, one path
+    * per row like Delta. */
   final case class GraftVacuumCommand(
-      ident: String, retainVersions: Int, dryRun: Boolean)
+      ident: String, retainVersions: Int, dryRun: Boolean,
+      retainMs: Long = 0L)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = attrs("path" -> StringType)
     override def run(session: SparkSession): Seq[Row] = {
       val t = resolveGraft(session, ident)
       if (dryRun) {
-        val plan = t.vacuumDryRun(retainVersions)
+        val plan = t.vacuumDryRun(retainVersions, retainMs)
         (plan.dataDirs ++ plan.dvSidecars).map(Row(_))
       } else {
-        t.vacuum(retainVersions)
+        t.vacuum(retainVersions, retainMs)
         Seq(Row(t.rootPath))
       }
     }

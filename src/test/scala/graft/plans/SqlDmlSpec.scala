@@ -157,6 +157,15 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     // ZORDER form + path-escape form both parse and run
     spark.sql(s"OPTIMIZE graft.`${t.rootPath}` ZORDER BY (id)").collect()
     t.read().count() shouldBe 5
+
+    // RETAIN n HOURS (Delta's time-based form): everything committed
+    // within the window survives — a generous window prunes nothing
+    spark.sql(s"INSERT INTO $name VALUES (7, 'g', 70)")
+    val dryH = spark.sql(s"VACUUM $name RETAIN 168 HOURS DRY RUN").collect()
+    dryH.length shouldBe 0
+    spark.sql(s"VACUUM $name RETAIN 168 HOURS").collect()
+    t.earliestReadableVersion.get should be < t.currentVersion.get
+    t.read().count() shouldBe 6
     // ordinary SQL still parses through the delegate
     spark.sql("SELECT 1 + 1").head.getInt(0) shouldBe 2
   }
