@@ -49,8 +49,11 @@ import graft.tables.{ManagedTable, TableFile}
   *   spark.readStream
   *     .format(classOf[TableStreamProvider].getName)
   *     .option("path", tableRoot)
-  *     .option("maxFilesPerTrigger", "100")   // optional
-  *     .option("maxBytesPerTrigger", "1g")    // optional
+  *     .option("maxFilesPerTrigger", "100")      // optional
+  *     .option("maxBytesPerTrigger", "1g")       // optional
+  *     .option("skipChangeCommits", "true")      // optional: appends only
+  *     .option("startingVersion", "0")           // optional: no snapshot
+  *     .option("startingTimestamp", "2026-01-01")// optional: no snapshot
   *     .load()
   * }}}
   */
@@ -156,6 +159,70 @@ class TableStreamSource(
   private val maxBytes: Option[Long] =
     parameters.get("maxBytesPerTrigger").map(TableStreamSource.parseBytes)
 
+  /** Delta's `skipChangeCommits`: a commit that removed or re-masked any
+    * existing file is a CHANGE commit (merge/update/delete/compaction) —
+    * emit nothing from it, so downstream sees appends only and never a
+    * re-emitted row. Pure-append commits still flow. Default false =
+    * re-emit rewritten files (Delta `ignoreChanges` semantics, consumers
+    * dedupe by key). */
+  private val skipChangeCommits: Boolean =
+    parameters.get("skipChangeCommits").exists(_.trim.toBoolean)
+
+  /** Delta's `startingVersion` / `startingTimestamp` on the table
+    * source: skip the initial snapshot and stream file additions from a
+    * version onward — `0` replays every commit, `latest` only commits
+    * after stream start, a timestamp the first retained commit at or
+    * after the instant. Without either, the stream begins with the full
+    * snapshot (Delta's default). */
+  private val startingVersionOpt: Option[String] =
+    parameters.get("startingVersion").map { s =>
+      if (!s.equalsIgnoreCase("latest"))
+        require(s.trim.toLong >= 0,
+          s"startingVersion must be >= 0 or 'latest', got $s")
+      s.trim
+    }
+  private val startingTimestamp: Option[Long] =
+    parameters.get("startingTimestamp").map(ChangeFeedStreamSource.parseTs)
+  require(startingVersionOpt.isEmpty || startingTimestamp.isEmpty,
+    "graft table stream source: startingVersion and startingTimestamp " +
+      "are mutually exclusive")
+  private def hasStartingSpec: Boolean =
+    startingVersionOpt.isDefined || startingTimestamp.isDefined
+
+  /** Exclusive from-version of the stream's first batch (the snapshot
+    * surrogate), frozen at first resolution. `latest` anchors to the
+    * head at STREAM START; on a batch-0 replay after restart the
+    * in-memory anchor is gone, but a `latest` first batch is always
+    * empty, so re-anchoring to the replayed end offset's version is
+    * exact, and the version/timestamp forms recompute deterministically
+    * from their parameters. */
+  private var anchor: Option[Long] = None
+
+  private def resolveAnchor(head: Long): Long = anchor.getOrElse {
+    val f = startingVersionOpt match {
+      case Some(s) if s.equalsIgnoreCase("latest") => head
+      case Some(s) =>
+        val v = s.toLong
+        guardHorizon(v)
+        v - 1L
+      case None =>
+        // first retained commit at or after the instant; none → only
+        // commits after the current head (the `latest` behavior)
+        table.history().filter(_.timestampMs >= startingTimestamp.get)
+          .map(_.version).minOption.getOrElse(head + 1L) - 1L
+    }
+    anchor = Some(f)
+    f
+  }
+
+  /** The stream's first offset: the initial-snapshot marker, or — with a
+    * starting spec — "anchor version fully emitted", so the walk resumes
+    * with the next commit's file additions. */
+  private def startOffset(head: Long): GraftSourceOffset =
+    if (!hasStartingSpec) GraftSourceOffset(head, -1L, isInitial = true)
+    else GraftSourceOffset(resolveAnchor(head), Long.MaxValue,
+      isInitial = false)
+
   /** Position of the last offset this source offered or served — the
     * legacy `getOffset` path continues from here. The engine itself
     * drives this source through [[latestOffset]] (it implements
@@ -181,8 +248,7 @@ class TableStreamSource(
     val head = availableNowCap.fold(headRaw)(math.min(_, headRaw))
     val from = Option(start).map(GraftSourceOffset.of)
     from.foreach(f => guardHorizon(f.version))
-    val next = advance(
-      from.getOrElse(GraftSourceOffset(head, -1L, isInitial = true)), head)
+    val next = advance(from.getOrElse(startOffset(head)), head)
     // unchanged position → return the caller's own offset: equal offsets
     // mean "no new data" (a legacy clamped offset normalizes through one
     // empty batch instead)
@@ -213,14 +279,19 @@ class TableStreamSource(
     * version, the manifest-diff additions otherwise. Order is the
     * manifest's file order — stable, because records are immutable. */
   private def listFor(version: Long, isInitial: Boolean): Seq[TableFile] =
-    if (isInitial || version == 0L) table.readManifest(version).files
+    if (version < 0L) Nil // starting-spec anchor before the first commit
+    else if (isInitial || version == 0L) table.readManifest(version).files
     else {
       // file identity is (path, deletion-vector): a DV commit keeps the
       // path but re-masks rows, and re-emits like any rewritten file
       val prev = table.readManifest(version - 1).files
         .map(f => (f.path, f.dv)).toSet
-      table.readManifest(version).files
-        .filterNot(f => prev.contains((f.path, f.dv)))
+      val cur = table.readManifest(version).files
+      if (skipChangeCommits) {
+        val curSet = cur.map(f => (f.path, f.dv)).toSet
+        if (prev.exists(p => !curSet.contains(p))) return Nil
+      }
+      cur.filterNot(f => prev.contains((f.path, f.dv)))
     }
 
   private def priced(f: TableFile): Long =
@@ -231,8 +302,8 @@ class TableStreamSource(
     guardHorizon(position.map(_.version).getOrElse(head))
     val next = position match {
       case None =>
-        // fresh stream: the initial snapshot at the current head version
-        advance(GraftSourceOffset(head, -1L, isInitial = true), head)
+        // fresh stream: the initial snapshot (or starting-spec anchor)
+        advance(startOffset(head), head)
       case Some(p) => advance(p, head)
     }
     if (position.contains(next)) position // no new files → no batch
@@ -296,19 +367,27 @@ class TableStreamSource(
     // versioned spans of the interval (start, end]: exclusiveFrom is the
     // start offset's index WITHIN its version (exclusive bound, None for
     // "from the beginning"), inclusiveTo the end offset's
+    def spansFrom(sO: GraftSourceOffset): Seq[(Long, Boolean, Option[Long], Long)] =
+      (sO.version to endO.version).map { v =>
+        val isInit = sO.isInitial && v == sO.version
+        val from = if (v == sO.version) Some(sO.index) else None
+        val to = if (v == endO.version) endO.index else Long.MaxValue
+        (v, isInit, from, to)
+      }
     val spans: Seq[(Long, Boolean, Option[Long], Long)] = start match {
+      case None if hasStartingSpec =>
+        // first batch under a starting spec (or its replay): versioned
+        // diffs from the anchor — resolveAnchor recomputes it
+        // deterministically after a restart (see its scaladoc)
+        spansFrom(GraftSourceOffset(resolveAnchor(endO.version),
+          Long.MaxValue, isInitial = false))
       case None =>
         // first batch (or its replay): a slice of the initial snapshot
         Seq((endO.version, true, None, endO.index))
       case Some(s) =>
         val sO = GraftSourceOffset.of(s)
         guardHorizon(sO.version)
-        (sO.version to endO.version).map { v =>
-          val isInit = sO.isInitial && v == sO.version
-          val from = if (v == sO.version) Some(sO.index) else None
-          val to = if (v == endO.version) endO.index else Long.MaxValue
-          (v, isInit, from, to)
-        }
+        spansFrom(sO)
     }
     val frames = spans.flatMap { case (v, isInit, exclusiveFrom, inclusiveTo) =>
       val list = listFor(v, isInit)

@@ -119,6 +119,118 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("table stream source: skipChangeCommits suppresses rewrite commits, " +
+      "appends still flow") {
+    import graft.tables.ManagedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft-tscc").toString
+    val t = ManagedTable(spark, dir + "/t")
+    t.overwriteAll(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    val stream = spark.readStream
+      .format(classOf[TableStreamProvider].getName)
+      .option("path", dir + "/t")
+      .option("skipChangeCommits", "true")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("tscc")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      spark.table("tscc").count() shouldBe 2 // initial snapshot
+
+      // UPDATE rewrites the file: a change commit — nothing re-emitted
+      t.update(Map("v" -> "'B'"), "id = 2")
+      q.processAllAvailable()
+      spark.table("tscc").count() shouldBe 2
+
+      // a pure append after the skipped commit still flows
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      spark.table("tscc").collect().map(_.getLong(0)).sorted shouldBe
+        Array(1L, 2L, 3L)
+
+      // default behavior (no option) re-emits the rewritten file
+      val q2 = spark.readStream
+        .format(classOf[TableStreamProvider].getName)
+        .option("path", dir + "/t")
+        .load()
+        .writeStream.format("memory").queryName("tscc_all")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        q2.processAllAvailable()
+        val before = spark.table("tscc_all").count() // snapshot: 3
+        t.update(Map("v" -> "'A'"), "id = 1")
+        q2.processAllAvailable()
+        // the rewrite re-emitted its file's live rows
+        spark.table("tscc_all").count() should be > before
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
+  test("table stream source: startingVersion skips the snapshot; " +
+      "latest streams only new commits; startingTimestamp anchors") {
+    import graft.tables.ManagedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft-tsv").toString
+    val t = ManagedTable(spark, dir + "/t")
+    t.overwriteAll(Seq((1L, "a")).toDF("id", "v"))   // v0
+    t.append(Seq((2L, "b")).toDF("id", "v"))          // v1
+    val t1 = t.history().find(_.version == 1L).get.timestampMs
+    t.append(Seq((3L, "c")).toDF("id", "v"))          // v2
+
+    def run(opts: (String, String)*)(body: ManagedTable => Unit): Seq[Long] = {
+      val name = s"tsv${System.nanoTime() % 1000000}"
+      var r = spark.readStream.format(classOf[TableStreamProvider].getName)
+        .option("path", dir + "/t")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load().writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        q.processAllAvailable()
+        body(t)
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.getLong(0)).sorted.toSeq
+      } finally q.stop()
+    }
+
+    // startingVersion 0: every commit replayed, no snapshot semantics
+    run("startingVersion" -> "0")(_ => ()) shouldBe Seq(1L, 2L, 3L)
+    // startingVersion 2: only v2 onward
+    run("startingVersion" -> "2")(_ => ()) shouldBe Seq(3L)
+    // latest: nothing until a commit lands after stream start
+    run("startingVersion" -> "latest")(
+      _.append(Seq((4L, "d")).toDF("id", "v"))) shouldBe Seq(4L)
+    // timestamp anchored at v1's commit instant: v1 onward
+    run("startingTimestamp" -> t1.toString)(_ => ()) shouldBe
+      Seq(2L, 3L, 4L)
+  }
+
+  test("table stream source: startingVersion restart resumes from the " +
+      "checkpoint, no snapshot and no re-emission") {
+    import graft.tables.ManagedTable
+    val base = java.nio.file.Files.createTempDirectory("graft-tsvr").toString
+    val t = ManagedTable(spark, base + "/t")
+    t.overwriteAll(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    def start() = spark.readStream
+      .format(classOf[TableStreamProvider].getName)
+      .option("path", base + "/t")
+      .option("startingVersion", "1")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", base + "/out")
+      .option("checkpointLocation", base + "/cp")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    spark.read.parquet(base + "/out").collect()
+      .map(_.getLong(0)) shouldBe Array(2L)
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // the checkpoint resumes past v1: across both incarnations the
+    // snapshot never arrives and nothing re-emits
+    spark.read.parquet(base + "/out").collect()
+      .map(_.getLong(0)).sorted shouldBe Array(2L, 3L)
+  }
+
   test("table stream source: checkpoint restart resumes, no re-emission") {
     import graft.tables.ManagedTable
     val base = java.nio.file.Files.createTempDirectory("graft-tsr").toString
