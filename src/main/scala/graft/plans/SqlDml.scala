@@ -69,8 +69,33 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         case Some((p, cat)) => translateMerge(m, p, cat)
         case None => plan
       }
+    // `CREATE TABLE t (schema) USING graft [PARTITIONED BY …]
+    // [TBLPROPERTIES …]` — Spark's V1 command only writes the CATALOG
+    // entry; the first read/INSERT would then find no manifest. Delta's
+    // DDL creates the transaction log, so wrap the command to follow the
+    // catalog write with an empty v0 commit carrying the declared
+    // schema, partitioning, and properties. The schema-less registration
+    // form (`CREATE TABLE t USING graft LOCATION …` over an existing
+    // table) passes through untouched.
+    case c: org.apache.spark.sql.execution.command.CreateDataSourceTableCommand
+        if graftProvider(c.table) && c.table.schema.nonEmpty =>
+      GraftCreateTableCommand(c)
+    // CTAS: Spark's V1 path hands a CreatableRelationProvider only the
+    // user OPTIONS — `PARTITIONED BY` would be dropped silently, the one
+    // clause that matters most at scale. Splice it into the options the
+    // write-side createRelation already honors.
+    case c: org.apache.spark.sql.execution.command.CreateDataSourceTableAsSelectCommand
+        if graftProvider(c.table) && c.table.partitionColumnNames.nonEmpty &&
+          !c.table.storage.properties.contains("partitionBy") =>
+      c.copy(table = c.table.copy(storage = c.table.storage.copy(
+        properties = c.table.storage.properties +
+          ("partitionBy" -> c.table.partitionColumnNames.mkString(",")))))
     case _ => plan
   }
+
+  private def graftProvider(
+      ct: org.apache.spark.sql.catalyst.catalog.CatalogTable): Boolean =
+    ct.provider.exists(_.equalsIgnoreCase("graft"))
 
   private def translateMerge(m: MergeIntoTable, path: String,
       catalog: Option[String]): LogicalPlan = {
@@ -467,6 +492,31 @@ object SqlDml {
       tableFor(session, path, catalog)
         .overwriteWhere(GraftDmlShim.ofRows(session, source), cond)
       Nil
+    }
+  }
+
+  /** DDL-creates-the-log (Delta semantics): commit an empty v0 carrying
+    * the declared schema, partitioning, and TBLPROPERTIES, THEN run
+    * Spark's catalog-entry command — its relation resolution needs the
+    * manifest to exist, and the next INSERT/read finds a real table
+    * whose behavior travels with it. Idempotent over an existing
+    * manifest (re-registration of a live table). */
+  final case class GraftCreateTableCommand(
+      inner: org.apache.spark.sql.execution.command.CreateDataSourceTableCommand)
+      extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      val loc = inner.table.storage.locationUri.getOrElse(
+        session.sessionState.catalog.defaultTablePath(inner.table.identifier))
+      val t = ManagedTable(session, loc.toString)
+      if (t.manifest.isEmpty) {
+        val empty = session.createDataFrame(
+          session.sparkContext.emptyRDD[Row], inner.table.schema)
+        t.overwriteAll(empty, inner.table.partitionColumnNames, "create")
+        val props = inner.table.properties.view.filterKeys(k =>
+          !k.startsWith("transient_") && !k.startsWith("spark.sql.")).toMap
+        if (props.nonEmpty) t.setTableProperties(props)
+      }
+      inner.run(session)
     }
   }
 

@@ -148,8 +148,17 @@ class GraftDataSource extends RelationProvider
       data: DataFrame): BaseRelation = {
     val p = path(parameters)
     val t = ManagedTable(sqlContext.sparkSession, p)
+    // `.option("partitionBy", "a,b")` or the native
+    // `DataFrameWriter.partitionBy(...)`, which Spark forwards to V1
+    // sources as a JSON-encoded option under PARTITIONING_COLUMNS_KEY —
+    // dropping it silently would discard the clause that matters most
+    // at scale
+    import org.apache.spark.sql.execution.datasources.DataSourceUtils
     val partitionBy = parameters.get("partitionBy")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(parameters.get(DataSourceUtils.PARTITIONING_COLUMNS_KEY)
+        .map(DataSourceUtils.decodePartitioningColumns))
+      .getOrElse(Nil)
     mode match {
       case SaveMode.Overwrite     => parameters.get("replaceWhere") match {
         // Delta's writer option: predicate-scoped overwrite instead of

@@ -499,6 +499,35 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     t.read().collect().map(_.getInt(0)) shouldBe Array(4)
   }
 
+  test("CREATE TABLE with declared schema initializes the table; " +
+      "CTAS honors PARTITIONED BY") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ddl").toString
+    val db = s"ddl${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE DATABASE $db")
+
+    // empty CREATE: schema + partitioning + properties land in the
+    // manifest (v0), so the first INSERT/read just works
+    spark.sql(s"""CREATE TABLE $db.pt (id BIGINT, day INT) USING graft
+                 |PARTITIONED BY (day)
+                 |TBLPROPERTIES ('graft.appendOnly' = 'true')
+                 |LOCATION '$dir/pt'""".stripMargin)
+    val pt = ManagedTable(spark, s"$dir/pt")
+    pt.manifest.map(_.partitionColumns) shouldBe Some(Seq("day"))
+    pt.properties.get("graft.appendOnly") shouldBe Some("true")
+    spark.sql(s"INSERT INTO $db.pt VALUES (1, 10), (2, 20)")
+    spark.table(s"$db.pt").count() shouldBe 2
+    // the declared property is live: appendOnly rejects row mutations
+    intercept[Exception](spark.sql(s"DELETE FROM $db.pt WHERE id = 1"))
+
+    // CTAS: PARTITIONED BY must reach the manifest, not be dropped
+    spark.sql(s"""CREATE TABLE $db.ct USING graft PARTITIONED BY (day)
+                 |LOCATION '$dir/ct'
+                 |AS SELECT id, day FROM $db.pt""".stripMargin)
+    ManagedTable(spark, s"$dir/ct").manifest
+      .map(_.partitionColumns) shouldBe Some(Seq("day"))
+    spark.table(s"$db.ct").count() shouldBe 2
+  }
+
   test("correlated subqueries and subqueries in unsupported positions " +
       "are rejected loudly") {
     import spark.implicits._

@@ -232,6 +232,23 @@ class GraftDataSourceSpec extends AnyFunSuite with Matchers {
     joined.count() shouldBe 100L
   }
 
+  test("DataFrameWriter.partitionBy reaches the manifest (V1 forwards it " +
+      "as the __partition_columns option)") {
+    val p = tmp() + "/pby"
+    Seq((1L, 10), (2L, 20), (3L, 10)).toDF("id", "day")
+      .write.format("graft").partitionBy("day").save(p)
+    val t = ManagedTable(spark, p)
+    t.manifest.map(_.partitionColumns) shouldBe Some(Seq("day"))
+    // partition pruning works off the layout the writer declared
+    spark.read.format("graft").load(p)
+      .filter(col("day") === 10).count() shouldBe 2
+    // appends inherit the table's partitioning
+    Seq((4L, 30)).toDF("id", "day")
+      .write.format("graft").mode(SaveMode.Append).save(p)
+    ManagedTable(spark, p).manifest
+      .map(_.partitionColumns) shouldBe Some(Seq("day"))
+  }
+
   test("option(\"readRowIds\") exposes _row_id and _row_commit_version") {
     val p = tmp() + "/rt"
     (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
