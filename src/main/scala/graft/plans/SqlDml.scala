@@ -183,6 +183,34 @@ class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
     // database named `graft` exists (the catalog wins the name).
     case u: UnresolvedRelation if isPathEscape(u.multipartIdentifier) =>
       pathRelation(u.multipartIdentifier(1))
+    // `INSERT [OVERWRITE] t PARTITION (day=10 | day)` — Spark's own V1
+    // resolution checks the spec against CATALOG partitioning and the
+    // InsertableRelation path cannot scope an overwrite to a partition
+    // anyway, so translate before resolution: static specs become
+    // literal-filled columns + a predicate-scoped overwrite (or a plain
+    // append), dynamic keys a dynamic partition overwrite.
+    case i: InsertIntoStatement if i.partitionSpec.nonEmpty =>
+      i.table match {
+        case u: UnresolvedRelation =>
+          graftLocation(u.multipartIdentifier) match {
+            case Some(path) =>
+              if (i.ifPartitionNotExists) throw new MetadataException(
+                "INSERT ... PARTITION IF NOT EXISTS is not supported " +
+                  "over graft tables")
+              if (i.userSpecifiedCols.nonEmpty) throw new MetadataException(
+                "INSERT ... PARTITION with an explicit column list is " +
+                  "not supported over graft tables")
+              val cat =
+                if (isPathEscape(u.multipartIdentifier)) None
+                else catalogGraftTable(u.multipartIdentifier).map(ct =>
+                  ct.identifier.database.map(d => s"$d.${ct.identifier.table}")
+                    .getOrElse(ct.identifier.table))
+              SqlDml.GraftInsertPartitionCommand(path,
+                i.partitionSpec.toSeq, i.query, i.overwrite, cat)
+            case None => i
+          }
+        case _ => i
+      }
     // InsertIntoStatement carries its target as a FIELD, not a child —
     // the operator traversal never visits it, so rewrite it here
     case i: InsertIntoStatement => i.table match {
@@ -491,6 +519,66 @@ object SqlDml {
     override def run(session: SparkSession): Seq[Row] = {
       tableFor(session, path, catalog)
         .overwriteWhere(GraftDmlShim.ofRows(session, source), cond)
+      Nil
+    }
+  }
+
+  /** `INSERT [OVERWRITE] t PARTITION (spec)` — the query's columns map
+    * positionally to the table's schema-order columns MINUS the static
+    * spec keys (dynamic partition columns stay at their schema position);
+    * static keys fill as cast literals. OVERWRITE with an all-static spec
+    * scopes to exactly those partitions (one metadata-only remove + the
+    * new data — replacing one day of a 100 TB table moves no other
+    * bytes); any dynamic key replaces exactly the partitions the data
+    * lands in; INSERT INTO appends. */
+  final case class GraftInsertPartitionCommand(
+      path: String,
+      spec: Seq[(String, Option[String])],
+      query: LogicalPlan,
+      overwrite: Boolean,
+      catalog: Option[String] = None)
+      extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      val t = tableFor(session, path, catalog)
+      val m = t.manifest.getOrElse(throw new MetadataException(
+        s"INSERT ... PARTITION: no graft table at $path"))
+      spec.foreach { case (k, _) =>
+        if (!m.partitionColumns.exists(_.equalsIgnoreCase(k)))
+          throw new MetadataException(
+            s"INSERT ... PARTITION ($k): not a partition column of $path " +
+              s"(partitioned by ${m.partitionColumns.mkString(", ")})")
+      }
+      val static = spec.collect { case (k, Some(v)) => k -> v }
+      val dynamic = spec.collect { case (k, None) => k }
+      val specKeys = spec.map(_._1.toLowerCase).toSet
+      // positional convention (Hive/Spark): non-spec columns in schema
+      // order, then DYNAMIC partition keys last, in spec order
+      val remaining = m.schema.fields.map(_.name)
+        .filterNot(n => specKeys.contains(n.toLowerCase)) ++
+        dynamic.map(k =>
+          m.schema.fieldNames.find(_.equalsIgnoreCase(k)).get)
+      val df0 = GraftDmlShim.ofRows(session, query)
+      if (df0.columns.length != remaining.length)
+        throw new MetadataException(
+          s"INSERT ... PARTITION into $path: query supplies " +
+            s"${df0.columns.length} columns, expected ${remaining.length} " +
+            s"(${remaining.mkString(", ")})")
+      val renamed = df0.toDF(remaining.toIndexedSeq: _*)
+      val withStatics = static.foldLeft(renamed) { case (d, (k, v)) =>
+        val field = m.schema(m.schema.fieldIndex(
+          m.schema.fieldNames.find(_.equalsIgnoreCase(k)).get))
+        d.withColumn(field.name,
+          org.apache.spark.sql.functions.lit(v).cast(field.dataType))
+      }
+      val df = withStatics.select(m.schema.fields.toSeq.map(f =>
+        org.apache.spark.sql.functions.col(s"`${f.name}`")): _*)
+      if (!overwrite) t.append(df)
+      else if (static.size == spec.size) {
+        val cond = static.map { case (k, v) =>
+          s"`$k` = '${v.replace("'", "''")}'"
+        }.mkString(" AND ")
+        t.overwriteWhere(df, cond)
+      } else t.overwriteDynamic(df, m.partitionColumns)
       Nil
     }
   }

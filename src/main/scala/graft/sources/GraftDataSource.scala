@@ -164,6 +164,17 @@ class GraftDataSource extends RelationProvider
         // Delta's writer option: predicate-scoped overwrite instead of
         // whole-table replacement
         case Some(cond) => t.overwriteWhere(data, cond)
+        // dynamic partition overwrite: replace ONLY the partitions
+        // present in the data — silently widening this to a full
+        // overwrite would drop every untouched partition
+        case None if parameters.get("partitionOverwriteMode")
+            .exists(_.equalsIgnoreCase("dynamic")) =>
+          val pby =
+            if (partitionBy.nonEmpty) partitionBy
+            else t.manifest.map(_.partitionColumns).getOrElse(Nil)
+          require(pby.nonEmpty, "partitionOverwriteMode=dynamic needs a " +
+            s"partitioned table (none declared at $p)")
+          t.overwriteDynamic(data, pby)
         case None       => t.overwriteAll(data, partitionBy)
       }
       case SaveMode.Append        => t.appendOrCreate(data, partitionBy)

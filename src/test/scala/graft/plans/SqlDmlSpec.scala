@@ -528,6 +528,35 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     spark.table(s"$db.ct").count() shouldBe 2
   }
 
+  test("INSERT [OVERWRITE] ... PARTITION: static spec scopes the " +
+      "overwrite, dynamic keys replace only touched partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ipart").toString
+    val db = s"ip${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE DATABASE $db")
+    val t = ManagedTable(spark, s"$dir/t")
+    t.overwriteAll(Seq((1L, 10, "a"), (2L, 20, "b")).toDF("id", "day", "v"),
+      Seq("day"))
+    spark.sql(s"CREATE TABLE $db.pt USING graft LOCATION '$dir/t'")
+    def state = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+
+    // static OVERWRITE: only day=10 replaced, day=20 untouched
+    spark.sql(s"INSERT OVERWRITE $db.pt PARTITION (day=10) VALUES (9, 'z')")
+    state shouldBe Seq((2L, 20, "b"), (9L, 10, "z"))
+    // static INSERT INTO: plain append with the literal filled
+    spark.sql(s"INSERT INTO $db.pt PARTITION (day=30) VALUES (5, 'e')")
+    state shouldBe Seq((2L, 20, "b"), (5L, 30, "e"), (9L, 10, "z"))
+    // dynamic key (Hive convention: partition column LAST in VALUES):
+    // replaces exactly the partitions the data lands in
+    spark.sql(s"INSERT OVERWRITE $db.pt PARTITION (day) VALUES (7, 'q', 20)")
+    state shouldBe Seq((5L, 30, "e"), (7L, 20, "q"), (9L, 10, "z"))
+    // non-partition column in the spec is rejected loudly
+    val e = intercept[Exception](spark.sql(
+      s"INSERT OVERWRITE $db.pt PARTITION (v='x') VALUES (1, 10)"))
+    e.getMessage should include("not a partition column")
+  }
+
   test("correlated subqueries and subqueries in unsupported positions " +
       "are rejected loudly") {
     import spark.implicits._

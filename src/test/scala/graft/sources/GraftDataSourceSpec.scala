@@ -249,6 +249,24 @@ class GraftDataSourceSpec extends AnyFunSuite with Matchers {
       .map(_.partitionColumns) shouldBe Some(Seq("day"))
   }
 
+  test("partitionOverwriteMode=dynamic replaces only the partitions in " +
+      "the data") {
+    val p = tmp() + "/dyn"
+    Seq((1L, 10, "a"), (2L, 20, "b")).toDF("id", "day", "v")
+      .write.format("graft").partitionBy("day").save(p)
+    Seq((9L, 10, "z")).toDF("id", "day", "v")
+      .write.format("graft").mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic").save(p)
+    spark.read.format("graft").load(p).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))) shouldBe
+      Array((2L, 20), (9L, 10)) // day=20 untouched
+    // without the option, overwrite stays a full replacement
+    Seq((7L, 30, "w")).toDF("id", "day", "v")
+      .write.format("graft").mode(SaveMode.Overwrite)
+      .option("partitionBy", "day").save(p)
+    spark.read.format("graft").load(p).count() shouldBe 1
+  }
+
   test("option(\"readRowIds\") exposes _row_id and _row_commit_version") {
     val p = tmp() + "/rt"
     (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
