@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructType}
 
 import graft.metadata.MetadataException
 import graft.sources.GraftRelation
@@ -183,6 +183,25 @@ class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
     // database named `graft` exists (the catalog wins the name).
     case u: UnresolvedRelation if isPathEscape(u.multipartIdentifier) =>
       pathRelation(u.multipartIdentifier(1))
+    // `[CREATE OR] REPLACE TABLE … USING graft [AS SELECT …]` — the V1
+    // session catalog rejects REPLACE TABLE outright (V2-only), so
+    // translate before resolution. REPLACE is an overwrite commit on the
+    // existing log (history and time travel survive, Delta semantics),
+    // not a drop-and-recreate.
+    case r: ReplaceTable
+        if SqlDml.specProvider(r.tableSpec).exists(_.equalsIgnoreCase("graft")) =>
+      SqlDml.GraftReplaceTableCommand(
+        SqlDml.identParts(r.name), r.tableSchema,
+        SqlDml.identityPartitions(r.partitioning),
+        SqlDml.specProps(r.tableSpec), SqlDml.specLocation(r.tableSpec),
+        r.orCreate, None)
+    case r: ReplaceTableAsSelect
+        if SqlDml.specProvider(r.tableSpec).exists(_.equalsIgnoreCase("graft")) =>
+      SqlDml.GraftReplaceTableCommand(
+        SqlDml.identParts(r.name), new StructType(),
+        SqlDml.identityPartitions(r.partitioning),
+        SqlDml.specProps(r.tableSpec), SqlDml.specLocation(r.tableSpec),
+        r.orCreate, Some(r.query))
     // `INSERT [OVERWRITE] t PARTITION (day=10 | day)` — Spark's own V1
     // resolution checks the spec against CATALOG partitioning and the
     // InsertableRelation path cannot scope an overwrite to a partition
@@ -519,6 +538,127 @@ object SqlDml {
     override def run(session: SparkSession): Seq[Row] = {
       tableFor(session, path, catalog)
         .overwriteWhere(GraftDmlShim.ofRows(session, source), cond)
+      Nil
+    }
+  }
+
+  // ---- [CREATE OR] REPLACE TABLE helpers (parse-time extraction) ----
+  private[plans] def identParts(name: LogicalPlan): Seq[String] = name match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+      u.nameParts
+    case other => throw new MetadataException(
+      s"REPLACE TABLE over graft: unsupported identifier plan $other")
+  }
+  // at parse time (where the pre-resolution rule runs) the spec is
+  // UnresolvedTableSpec; the resolved TableSpec shape is matched too for
+  // robustness
+  private[plans] def specProvider(ts: TableSpecBase): Option[String] =
+    ts match {
+      case s: TableSpec => s.provider
+      case s: UnresolvedTableSpec => s.provider
+      case _ => None
+    }
+  private[plans] def specProps(ts: TableSpecBase): Map[String, String] =
+    ts match {
+      case s: TableSpec => s.properties
+      case s: UnresolvedTableSpec => s.properties
+      case _ => Map.empty
+    }
+  private[plans] def specLocation(ts: TableSpecBase): Option[String] =
+    ts match {
+      case s: TableSpec => s.location
+      case s: UnresolvedTableSpec => s.location
+      case _ => None
+    }
+  private[plans] def identityPartitions(
+      transforms: Seq[org.apache.spark.sql.connector.expressions.Transform]):
+      Seq[String] = transforms.map {
+    case t if t.name == "identity" && t.references.length == 1 &&
+        t.references()(0).fieldNames.length == 1 =>
+      t.references()(0).fieldNames()(0)
+    case other => throw new MetadataException(
+      s"REPLACE TABLE over graft: only PARTITIONED BY (column) is " +
+        s"supported, got $other")
+  }
+
+  /** `[CREATE OR] REPLACE TABLE` over the session catalog: an overwrite
+    * commit on the existing log (history survives — `RESTORE` can undo a
+    * bad REPLACE), declared properties applied on top; the catalog entry
+    * is altered in place (never drop-and-recreate, which would purge a
+    * managed location and its transaction log with it). Plain REPLACE of
+    * a missing table fails like Delta; OR CREATE creates it. */
+  final case class GraftReplaceTableCommand(
+      nameParts: Seq[String],
+      declaredSchema: StructType,
+      partitionBy: Seq[String],
+      props: Map[String, String],
+      location: Option[String],
+      orCreate: Boolean,
+      query: Option[LogicalPlan])
+      extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+      val id = nameParts match {
+        case Seq(t) => TableIdentifier(t)
+        case Seq(db, t) => TableIdentifier(t, Some(db))
+        case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+          TableIdentifier(t, Some(db))
+        case other => throw new MetadataException(
+          s"REPLACE TABLE over graft: cannot resolve ${other.mkString(".")}")
+      }
+      val catalog = session.sessionState.catalog
+      val existing =
+        if (catalog.tableExists(id)) Some(catalog.getTableMetadata(id))
+        else None
+      if (existing.isEmpty && !orCreate) throw new MetadataException(
+        s"REPLACE TABLE ${id.unquotedString}: table not found " +
+          "(use CREATE OR REPLACE)")
+      existing.foreach(ct =>
+        if (!ct.provider.exists(_.equalsIgnoreCase("graft")))
+          throw new MetadataException(
+            s"REPLACE TABLE ${id.unquotedString}: existing table is not " +
+              s"a graft table (provider ${ct.provider.getOrElse("?")})"))
+      val loc = location.map(new java.net.URI(_))
+        .orElse(existing.map(_.location))
+        .getOrElse(catalog.defaultTablePath(id))
+      val t = ManagedTable(session, loc.toString)
+      val df = query match {
+        case Some(q) => GraftDmlShim.ofRows(session, q)
+        case None => session.createDataFrame(
+          session.sparkContext.emptyRDD[Row], declaredSchema)
+      }
+      t.overwriteAll(df, partitionBy, "replaceTable")
+      if (props.nonEmpty) t.setTableProperties(props)
+      // catalog schema: nullable (parquet reads come back nullable) and
+      // partition columns LAST (the V1 catalog invariant)
+      val nullable = StructType(df.schema.fields.map(_.copy(nullable = true)))
+      val dataFields = nullable.fields
+        .filterNot(f => partitionBy.exists(_.equalsIgnoreCase(f.name)))
+      val partFields = partitionBy.map(pc =>
+        nullable.fields.find(_.name.equalsIgnoreCase(pc))
+          .getOrElse(throw new MetadataException(
+            s"REPLACE TABLE ${id.unquotedString}: partition column $pc " +
+              "is not in the schema")))
+      val catSchema = StructType(dataFields ++ partFields)
+      val ct = CatalogTable(
+        identifier = id,
+        tableType =
+          if (location.isDefined || existing.exists(_.tableType ==
+              CatalogTableType.EXTERNAL)) CatalogTableType.EXTERNAL
+          else CatalogTableType.MANAGED,
+        storage = CatalogStorageFormat.empty.copy(locationUri = Some(loc)),
+        schema = catSchema,
+        provider = Some("graft"),
+        partitionColumnNames = partitionBy,
+        properties = props)
+      if (existing.isDefined) {
+        // SessionCatalog.alterTable leaves the schema alone on some
+        // catalog implementations — push the new columns explicitly
+        catalog.alterTable(ct)
+        catalog.alterTableDataSchema(id, StructType(dataFields))
+        catalog.refreshTable(id)
+      } else catalog.createTable(ct, ignoreIfExists = false)
       Nil
     }
   }

@@ -557,6 +557,38 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     e.getMessage should include("not a partition column")
   }
 
+  test("CREATE OR REPLACE TABLE: overwrite commit on the existing log, " +
+      "history survives; RTAS; plain REPLACE of missing table fails") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cor").toString
+    val db = s"cor${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE DATABASE $db")
+    spark.sql(s"""CREATE OR REPLACE TABLE $db.rt (id BIGINT, day INT)
+                 |USING graft PARTITIONED BY (day)
+                 |LOCATION '$dir/rt'""".stripMargin)
+    spark.sql(s"INSERT INTO $db.rt VALUES (1, 10)")
+    spark.table(s"$db.rt").count() shouldBe 1
+
+    // REPLACE swaps schema + properties in ONE overwrite commit — the
+    // log survives, so RESTORE can undo a bad replace
+    spark.sql(s"""CREATE OR REPLACE TABLE $db.rt (k STRING) USING graft
+                 |TBLPROPERTIES ('x' = '1') LOCATION '$dir/rt'""".stripMargin)
+    spark.table(s"$db.rt").columns.toSeq shouldBe Seq("k")
+    val t = ManagedTable(spark, s"$dir/rt")
+    t.properties.get("x") shouldBe Some("1")
+    t.history().map(_.operation) should contain("replaceTable")
+    spark.sql(s"RESTORE TABLE graft.`$dir/rt` TO VERSION AS OF 1")
+    t.read().count() shouldBe 1
+
+    // RTAS
+    spark.sql(s"""CREATE OR REPLACE TABLE $db.rtas USING graft
+                 |LOCATION '$dir/rtas' AS SELECT 1L AS a""".stripMargin)
+    spark.table(s"$db.rtas").count() shouldBe 1
+    // plain REPLACE of a missing table fails like Delta
+    val e = intercept[Exception](spark.sql(
+      s"REPLACE TABLE $db.missing (id BIGINT) USING graft LOCATION '$dir/m'"))
+    e.getMessage should include("not found")
+  }
+
   test("correlated subqueries and subqueries in unsupported positions " +
       "are rejected loudly") {
     import spark.implicits._
