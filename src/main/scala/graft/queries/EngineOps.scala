@@ -1080,6 +1080,43 @@ object EngineOps {
       t.read().select("id", "name", "bal").orderBy("id")
     },
 
+    // Partition-scoped INSERT under the oracle: a partitioned table takes
+    // a static-spec OVERWRITE (only that partition replaced), a static
+    // INSERT INTO (append with the literal filled), and a dynamic-key
+    // OVERWRITE (only the partitions the data lands in replaced). The
+    // oracle composes the same per-partition replacements declaratively.
+    QueryDef(
+      "q_e_sql_partinsert",
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, o_custkey AS cust,
+        |         (o_orderkey % 4) AS bucket
+        |  FROM orders WHERE o_orderkey <= 2000)
+        |SELECT id, cust, bucket FROM base WHERE bucket NOT IN (0, 1)
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(7 AS BIGINT), 0
+        |UNION ALL
+        |SELECT CAST(-2 AS BIGINT), CAST(8 AS BIGINT), 1
+        |UNION ALL
+        |SELECT CAST(-3 AS BIGINT), CAST(9 AS BIGINT), 9
+        |ORDER BY bucket, id""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "sql_partinsert")
+      val t = graft.tables.ManagedTable(s, s"$root/t")
+      val ord = Tables.orders(s, d)
+      t.overwriteAll(ord.filter(col("o_orderkey") <= 2000).select(
+        col("o_orderkey").as("id"), col("o_custkey").as("cust"),
+        (col("o_orderkey") % 4).as("bucket")), Seq("bucket"))
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_pi")
+      s.sql("DROP TABLE IF EXISTS graft_pi.t")
+      s.sql(s"CREATE TABLE graft_pi.t USING graft LOCATION '$root/t'")
+      // static spec scopes the overwrite to bucket=0 alone
+      s.sql("INSERT OVERWRITE graft_pi.t PARTITION (bucket=0) VALUES (-1, 7)")
+      // static INSERT INTO appends into a brand-new partition
+      s.sql("INSERT INTO graft_pi.t PARTITION (bucket=9) VALUES (-3, 9)")
+      // dynamic key replaces exactly the partitions the rows land in
+      s.sql("INSERT OVERWRITE graft_pi.t PARTITION (bucket) VALUES (-2, 8, 1)")
+      t.read().select("id", "cust", "bucket").orderBy("bucket", "id")
+    },
+
     // SQL time travel + maintenance under the oracle: a four-commit
     // lifecycle driven entirely through spark.sql — overwrite (v0), SQL
     // DELETE (v1), OPTIMIZE compaction (v2, content-preserving), RESTORE
