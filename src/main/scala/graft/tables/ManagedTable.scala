@@ -4328,12 +4328,45 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val horizon = retained.map(_.version).min
     val live = retained.flatMap(_.files)
       .map(f => fs.makeQualified(new Path(root, f.path)).toString).toSet
+    // files ANY record still on disk references: committed-then-superseded
+    // content is safe to reclaim the moment it leaves retention, but a
+    // file NO record has ever named is either crash garbage or — under
+    // the cross-process optimistic-commit protocol — ANOTHER writer's
+    // in-flight commit whose record has not landed yet. Deleting the
+    // latter would let that writer's record then publish a manifest whose
+    // files are gone (undetectable corruption: its put-if-absent still
+    // wins). Unknown files are therefore reclaimed only past an age
+    // floor (Delta's file-retention design; conf
+    // `spark.graft.vacuum.orphanMinAgeMs`, default 24 h — bound it below
+    // the longest write-to-commit window of any concurrent writer).
+    val known: Set[String] = live ++
+      (math.max(0L, earliestReadableVersion.getOrElse(0L)) until floor)
+        .iterator.flatMap { v =>
+          try readManifest(v).files.iterator
+            .map(f => fs.makeQualified(new Path(root, f.path)).toString)
+          catch { case _: Exception => Iterator.empty }
+        }
+    val orphanCutoff = System.currentTimeMillis() -
+      propOrConf("spark.graft.vacuum.orphanMinAgeMs",
+        (24L * 3600 * 1000).toString).toLong
+    def youngUnknown(dirStatus: org.apache.hadoop.fs.FileStatus,
+        files: Seq[(Path, Long)]): Boolean =
+      !files.exists { case (p, _) =>
+        known.contains(fs.makeQualified(p).toString) } && {
+        val newest = (dirStatus.getModificationTime +: files.map {
+          case (p, _) =>
+            try fs.getFileStatus(p).getModificationTime
+            catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+        }).max
+        newest > orphanCutoff
+      }
     val dataDirs =
       if (!fs.exists(dataDir)) Nil
       else fs.listStatus(dataDir).toSeq.flatMap { st =>
         val commitFiles = listParquet(st.getPath)
         if (commitFiles.forall { case (p, _) =>
-              !live.contains(fs.makeQualified(p).toString) })
+              !live.contains(fs.makeQualified(p).toString) } &&
+            !youngUnknown(st, commitFiles))
           Some(st.getPath -> commitFiles)
         else None
       }
@@ -4383,7 +4416,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           !q.startsWith(dataPrefix) && !live.contains(q) &&
             !rel(p).split('/').exists(seg =>
               (seg.startsWith("_") || seg.startsWith(".")) &&
-                !seg.contains("="))
+                !seg.contains("=")) &&
+            // same unknown-file age floor as the commit-dir sweep: a
+            // foreign writer mid-import may have just placed this file
+            (known.contains(q) ||
+              (try fs.getFileStatus(p).getModificationTime <= orphanCutoff
+              catch { case scala.util.control.NonFatal(_) => false }))
         }
       }
     VacuumWork(horizon, dataDirs, dvSidecars, records, adoptedOrphans)

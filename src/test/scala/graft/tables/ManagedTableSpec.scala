@@ -728,6 +728,33 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     intercept[Exception](t.readVersion(0).collect())
   }
 
+  test("vacuum never eats a young never-committed dir (a concurrent " +
+      "writer's in-flight commit); crash garbage goes once it ages out") {
+    import spark.implicits._
+    val root = tmp() + "/t6b"
+    val t = ManagedTable(spark, root)
+    t.overwriteAll(df(Seq((1, "a", "x"))))
+    t.overwriteAll(df(Seq((2, "b", "x"))))
+    // a second process mid-commit: data files on disk, record not landed
+    val inflight = s"$root/data/00000000-feed-face-0000-000000000001"
+    Seq((9, "z")).toDF("id", "v").coalesce(1).write.parquet(inflight)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    t.vacuum() // default orphan age floor: the young unknown dir survives
+    fs.exists(new org.apache.hadoop.fs.Path(inflight)) shouldBe true
+    // committed-then-pruned content was still reclaimed immediately
+    intercept[Exception](t.readVersion(0).collect())
+
+    // once past the age floor it is crash garbage — reclaimed
+    spark.conf.set("spark.graft.vacuum.orphanMinAgeMs", "0")
+    try {
+      t.vacuum()
+      fs.exists(new org.apache.hadoop.fs.Path(inflight)) shouldBe false
+      t.read().collect().map(_.getInt(0)) shouldBe Array(2)
+    } finally spark.conf.unset("spark.graft.vacuum.orphanMinAgeMs")
+  }
+
   test("vacuumDryRun reports the blast radius without deleting anything") {
     val t = ManagedTable(spark, tmp() + "/tdry")
     t.overwriteAll(df(Seq((1, "a", "x"))))                           // v0
