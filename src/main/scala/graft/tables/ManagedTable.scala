@@ -4373,13 +4373,28 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     // DV sidecars referenced by no retained version are garbage (a purge
     // or rewrite superseded them). Only this table's own _dv dir is
     // swept — absolute references (shallow clones into a source table)
-    // resolve elsewhere and are that table's to manage.
+    // resolve elsewhere and are that table's to manage. Sidecars NO
+    // record names get the same unknown-file age floor as data dirs: a
+    // concurrent DV DML writes its sidecar before its commit record.
     val liveDv = retained.flatMap(_.files).flatMap(_.dv)
       .map(d => fs.makeQualified(new Path(dvDir, d)).toString).toSet
+    val knownDv: Set[String] = liveDv ++
+      (math.max(0L, earliestReadableVersion.getOrElse(0L)) until floor)
+        .iterator.flatMap { v =>
+          try readManifest(v).files.iterator.flatMap(_.dv.iterator)
+            .map(d => fs.makeQualified(new Path(dvDir, d)).toString)
+          catch { case _: Exception => Iterator.empty }
+        }
     val dvSidecars =
       if (!fs.exists(dvDir)) Nil
-      else fs.listStatus(dvDir).toSeq.map(_.getPath)
-        .filterNot(p => liveDv.contains(fs.makeQualified(p).toString))
+      else fs.listStatus(dvDir).toSeq
+        .filter { st =>
+          val q = fs.makeQualified(st.getPath).toString
+          !liveDv.contains(q) &&
+            (knownDv.contains(q) ||
+              st.getModificationTime <= orphanCutoff)
+        }
+        .map(_.getPath)
     val needed = retained.map(_.version).toSet ++
       retained.flatMap(r => chainVersions(r.version))
     def prunable(name: String, isSidecar: Boolean): Option[Long] = {
