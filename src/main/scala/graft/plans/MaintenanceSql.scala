@@ -96,7 +96,9 @@ object MaintenanceSql {
   private val AddGenerated =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*;?\s*""".r
   private val AddIdentity =
-    """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?\s*;?\s*""".r
+  private val SyncIdentity =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+(?:CHANGE|ALTER)\s+COLUMN\s+(\w+)\s+SYNC\s+IDENTITY\s*;?\s*""".r
   private val DropGenerated =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+DROP\s+GENERATED\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val AddColumnDefault =
@@ -151,10 +153,13 @@ object MaintenanceSql {
         Some(GraftAddConstraintCommand(ident, cname, expr.trim))
       case DropConstraint(ident, cname) =>
         Some(GraftDropConstraintCommand(ident, cname))
-      case AddIdentity(ident, cname, start, step) =>
+      case AddIdentity(ident, cname, kind, start, step) =>
         Some(GraftAddIdentityCommand(ident, cname,
           Option(start).map(_.toLong).getOrElse(1L),
-          Option(step).map(_.toLong).getOrElse(1L)))
+          Option(step).map(_.toLong).getOrElse(1L),
+          always = kind.equalsIgnoreCase("always")))
+      case SyncIdentity(ident, cname) =>
+        Some(GraftSyncIdentityCommand(ident, cname))
       case AddGenerated(ident, cname, expr) =>
         Some(GraftAddGeneratedCommand(ident, cname, expr.trim))
       case DropGenerated(ident, cname) =>
@@ -583,11 +588,23 @@ object MaintenanceSql {
     * ([[ManagedTable.addIdentityColumn]]: watermark travels in the
     * manifest atomically with the rows it covers). */
   final case class GraftAddIdentityCommand(
-      ident: String, name: String, start: Long, step: Long)
+      ident: String, name: String, start: Long, step: Long,
+      always: Boolean = true)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Nil
     override def run(session: SparkSession): Seq[Row] = {
-      resolveGraft(session, ident).addIdentityColumn(name, start, step)
+      resolveGraft(session, ident).addIdentityColumn(name, start, step, always)
+      Nil
+    }
+  }
+
+  /** `ALTER TABLE t CHANGE COLUMN c SYNC IDENTITY` — advance the identity
+    * watermark past explicit BY DEFAULT values (Delta's statement). */
+  final case class GraftSyncIdentityCommand(ident: String, name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Nil
+    override def run(session: SparkSession): Seq[Row] = {
+      resolveGraft(session, ident).syncIdentity(name)
       Nil
     }
   }

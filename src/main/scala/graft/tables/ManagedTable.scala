@@ -2680,7 +2680,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * user values are rejected (GENERATED ALWAYS). Declarable only while
     * the table holds no rows (the column is adopted as BIGINT). */
   def addIdentityColumn(name: String, start: Long = 1L,
-      step: Long = 1L): Unit = withWriteLock {
+      step: Long = 1L, always: Boolean = true): Unit = withWriteLock {
     require(step != 0L, "identity step must be non-zero")
     val m = requireManifest
     if (m.properties.contains(s"graft.identity.$name"))
@@ -2707,7 +2707,32 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       mappingOverride = Some(extendMapping(m.columnMapping, newSchema)),
       propertiesOverride = Some(m.properties ++ Map(
         s"graft.identity.$name" -> step.toString,
-        s"graft.identity.$name.next" -> start.toString)))
+        s"graft.identity.$name.next" -> start.toString) ++
+        (if (always) Map.empty[String, String]
+         else Map(s"graft.identity.$name.byDefault" -> "true"))))
+  }
+
+  /** `SYNC IDENTITY` (Delta's `ALTER TABLE … CHANGE COLUMN c SYNC
+    * IDENTITY`): advance the watermark past every value PRESENT in the
+    * column — after a BY DEFAULT writer supplied explicit ids, future
+    * engine assignments must not collide with them. One column scan,
+    * one metadata-only commit; a watermark already ahead stays put. */
+  def syncIdentity(name: String): Unit = withWriteLock {
+    val m = requireManifest
+    val (step, next) = identityRules(m).getOrElse(name,
+      throw new MetadataException(
+        s"syncIdentity $name on $rootPath: not an identity column"))
+    val maxRow = read().selectExpr(s"max(`$name`)").head()
+    if (!maxRow.isNullAt(0)) {
+      val synced = maxRow.getLong(0) + step
+      val target = if (step > 0) math.max(next, synced)
+                   else math.min(next, synced)
+      if (target != next)
+        commitDelta(m.schemaJson, m.partitionColumns, s"syncIdentity $name",
+          base = Some(m), adds = Nil, removes = Nil,
+          propertiesOverride = Some(m.properties +
+            (s"graft.identity.$name.next" -> target.toString)))
+    }
   }
 
   /** Columns governed by an identity rule (for MERGE's source-absent
@@ -2719,7 +2744,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private def identityRules(m: Manifest): Map[String, (Long, Long)] =
     m.properties.collect {
       case (k, step) if k.startsWith("graft.identity.") &&
-          !k.endsWith(".next") =>
+          !k.endsWith(".next") && !k.endsWith(".byDefault") =>
         val col = k.stripPrefix("graft.identity.")
         col -> (step.toLong,
           m.properties.getOrElse(s"graft.identity.$col.next", "1").toLong)
@@ -2745,7 +2770,12 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     var changed = false
     rules.toSeq.sortBy(_._1).foreach { case (name, (step, next)) =>
       val has = out.columns.contains(name)
-      if (has && !keepExisting &&
+      // GENERATED BY DEFAULT (Delta's opt-out): explicit user values
+      // pass through, the engine fills only NULLs — collisions with
+      // future assignments are the user's to reconcile via syncIdentity
+      val byDefault = m.properties
+        .get(s"graft.identity.$name.byDefault").contains("true")
+      if (has && !keepExisting && !byDefault &&
           out.filter(col(s"`$name`").isNotNull).limit(1).count() > 0)
         throw new ConstraintViolationException(
           s"identity column '$name' is GENERATED ALWAYS on $rootPath — " +
