@@ -99,6 +99,10 @@ object MaintenanceSql {
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?\s*;?\s*""".r
   private val SyncIdentity =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+(?:CHANGE|ALTER)\s+COLUMN\s+(\w+)\s+SYNC\s+IDENTITY\s*;?\s*""".r
+  private val SetNotNull =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+NOT\s+NULL\s*;?\s*""".r
+  private val DropNotNull =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+NOT\s+NULL\s*;?\s*""".r
   private val DropGenerated =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+DROP\s+GENERATED\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val AddColumnDefault =
@@ -160,6 +164,15 @@ object MaintenanceSql {
           always = kind.equalsIgnoreCase("always")))
       case SyncIdentity(ident, cname) =>
         Some(GraftSyncIdentityCommand(ident, cname))
+      // NOT NULL rides the CHECK-constraint machinery: add validates the
+      // existing data with a limit-1 probe and every write path already
+      // enforces constraints — no new enforcement code, and the rule is
+      // visible/auditable as a named constraint
+      case SetNotNull(ident, cname) =>
+        Some(GraftAddConstraintCommand(ident, s"${cname}_not_null",
+          s"`$cname` IS NOT NULL"))
+      case DropNotNull(ident, cname) =>
+        Some(GraftDropConstraintCommand(ident, s"${cname}_not_null"))
       case AddGenerated(ident, cname, expr) =>
         Some(GraftAddGeneratedCommand(ident, cname, expr.trim))
       case DropGenerated(ident, cname) =>

@@ -216,6 +216,23 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     t.read().count() shouldBe 6
   }
 
+  test("ALTER COLUMN SET/DROP NOT NULL: validated on add, enforced on " +
+      "writes, droppable") {
+    import spark.implicits._
+    val (name, t) = freshTable()
+    spark.sql(s"ALTER TABLE $name ALTER COLUMN name SET NOT NULL")
+    // enforced on writes via the constraint machinery
+    intercept[Exception](
+      t.append(Seq((9, Option.empty[String], 90)).toDF("id", "name", "qty")))
+    // DROP restores nullability
+    spark.sql(s"ALTER TABLE $name ALTER COLUMN name DROP NOT NULL")
+    t.append(Seq((7, Option.empty[String], 70)).toDF("id", "name", "qty"))
+    t.read().filter("name IS NULL").count() shouldBe 1
+    // re-adding over the existing NULL is rejected up front
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $name ALTER COLUMN name SET NOT NULL"))
+  }
+
   test("DESCRIBE DETAIL and CREATE TABLE ... SHALLOW CLONE through SQL") {
     val (name, t) = freshTable()
     val d = spark.sql(s"DESCRIBE DETAIL $name").head
