@@ -172,11 +172,29 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
                   _.getPath.getName.startsWith("v"))
               catch { case scala.util.control.NonFatal(_) => false }
             if (!committed) return None
-            if (attempt >= 20)
-              throw new java.io.IOException(
-                s"pointer $pointerFile absent across $attempt reads while " +
-                  "committed manifests exist — a writer's pointer swap " +
-                  "appears stalled; retry the read", e)
+            if (attempt >= 20) {
+              // the swap's rename-with-overwrite degrades to
+              // delete+rename on some stores (the local ChecksumFs
+              // included) — a writer SIGKILLed inside that window leaves
+              // the pointer absent FOREVER, wedging every reader and
+              // writer (the roll-forward healer itself starts from the
+              // pointer). Records are the ground truth: each was fully
+              // written and validated before any pointer moved, so
+              // republish the newest self-consistent one. Put-if-absent,
+              // so a stalled-but-alive writer's rename landing
+              // concurrently simply overwrites with the same-or-newer
+              // value, and two repairing readers collide benignly.
+              repairAbsentPointer() match {
+                case Some(v) => return Some(v)
+                case None =>
+                  throw new java.io.IOException(
+                    s"pointer $pointerFile absent across $attempt reads " +
+                      "while committed manifests exist — a writer's " +
+                      "pointer swap appears stalled and no " +
+                      "self-consistent record could republish it; " +
+                      "retry the read", e)
+              }
+            }
           }
           Thread.sleep(2L * attempt)
         case e: org.apache.hadoop.fs.ChecksumException =>
@@ -188,6 +206,49 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     }
     None // unreachable
   }
+
+  /** Pointer self-repair for the absent-pointer crash window (see the
+    * caller in [[currentVersion]]): newest record whose own version stamp
+    * matches its slot and whose schema deserializes wins — the same
+    * self-consistency bar [[healOrphanRecord]] applies, so a torn head
+    * record stays unpublished and the repair lands one below it. */
+  private def repairAbsentPointer(): Option[Long] =
+    try {
+      val versions = fs.listStatus(manifestsDir).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .flatMap { n =>
+          val s = n.stripPrefix("v").stripSuffix(".json")
+          if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+        }
+        .sorted(Ordering[Long].reverse)
+      val valid = versions.iterator.flatMap { v =>
+        try {
+          val rec = Manifest.recordFromJsonString(readRecordString(v))
+          val (rv, rs) = rec.fold(
+            m => (m.version, m.schemaJson), i => (i.version, i.schemaJson))
+          if (rv != v) None
+          else {
+            org.apache.spark.sql.types.DataType.fromJson(rs)
+            Some(v)
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }.take(1).toSeq.headOption
+      valid.flatMap { v =>
+        try { writeFileNoOverwrite(pointerFile, v.toString); Some(v) }
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            // lost the race to the stalled writer (or another repairing
+            // reader) — whatever landed is authoritative
+            scala.util.Try {
+              val in = fs.open(pointerFile)
+              try new String(in.readAllBytes(),
+                StandardCharsets.UTF_8).trim.toLong
+              finally in.close()
+            }.toOption
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   def manifest: Option[Manifest] = currentVersion.map(readManifest)
 

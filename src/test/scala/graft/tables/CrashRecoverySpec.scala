@@ -1,0 +1,112 @@
+package graft.tables
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.file.Files
+
+/** Crash-point fuzz of the commit protocol: a child JVM commits
+  * single-row appends in a loop and the parent SIGKILLs it at varied
+  * offsets after its first commit — landing the kill inside the data
+  * write, the record create, or the pointer swap on different
+  * iterations. After every kill the table must (a) read cleanly, (b)
+  * satisfy the append invariant `rows == seed + (version − v0)` (every
+  * commit is exactly one row, so a torn commit must contribute either a
+  * full version or nothing), and (c) accept the parent's own next
+  * append (the roll-forward healer digests any orphaned record).
+  * Finally an aggressive vacuum sweeps the kill debris and the
+  * invariant still holds. */
+class CrashRecoverySpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def forkWriter(root: String, writer: String): Process = {
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cmd: Seq[String] = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tables.CrashWriterMain", root, writer, "1000")
+    new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+  }
+
+  test("SIGKILL at varied commit-stream offsets: table reads, append " +
+      "invariant holds, healer lets the next writer proceed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-crash").toString + "/t"
+    val t = ManagedTable(spark, root)
+    t.overwriteAll(Seq(("seed", "s")).toDF("id", "w").coalesce(1))
+    val v0 = t.currentVersion.get
+    val seed = 1L
+
+    // per-iteration kill delay after the FIRST observed commit — varied
+    // offsets land the kill in different phases of later commits
+    val delaysMs = Seq(0L, 40L, 120L, 350L)
+    delaysMs.zipWithIndex.foreach { case (delay, it) =>
+      val child = forkWriter(root, s"w$it")
+      val out = new BufferedReader(
+        new InputStreamReader(child.getInputStream))
+      // drain asynchronously so the child never blocks on a full pipe;
+      // latch on the first commit marker
+      val sawCommit = new java.util.concurrent.CountDownLatch(1)
+      val drain = new Thread(() => {
+        var line = out.readLine()
+        while (line != null) {
+          if (line.startsWith("XCRASH_COMMITTED")) sawCommit.countDown()
+          line = try out.readLine() catch { case _: Exception => null }
+        }
+      })
+      drain.setDaemon(true)
+      drain.start()
+      withClue(s"iteration $it: child never committed\n") {
+        sawCommit.await(120, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      }
+      Thread.sleep(delay)
+      child.destroyForcibly()
+      child.waitFor()
+
+      // fresh handle: nothing cached from before the kill
+      val h = ManagedTable(spark, root)
+      val rows = h.read().count()
+      val v = h.currentVersion.get
+      withClue(s"iteration $it (delay ${delay}ms): rows=$rows v=$v v0=$v0\n") {
+        // every committed version added exactly one row; a torn commit
+        // must be all-or-nothing
+        rows shouldBe seed + (v - v0)
+        // history reconstructs and the head is readable twice (cache +
+        // cold paths)
+        h.history().head.version shouldBe v
+        h.readVersion(v).count() shouldBe rows
+      }
+      // the parent's own append digests any orphaned record (healer)
+      h.append(Seq((s"p$it", "p")).toDF("id", "w").coalesce(1))
+      h.read().count() shouldBe rows + 1
+    }
+
+    // aggressive vacuum sweeps kill debris; the invariant still holds
+    spark.conf.set("spark.graft.vacuum.orphanMinAgeMs", "0")
+    try {
+      val h = ManagedTable(spark, root)
+      val before = h.read().count()
+      h.vacuum()
+      h.read().count() shouldBe before
+      h.currentVersion.get shouldBe h.history().head.version
+    } finally spark.conf.unset("spark.graft.vacuum.orphanMinAgeMs")
+  }
+}
