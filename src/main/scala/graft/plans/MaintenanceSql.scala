@@ -89,6 +89,8 @@ object MaintenanceSql {
     """(?is)\s*DESCRIBE\s+DETAIL\s+(\S+|graft\.`[^`]+`)\s*;?\s*""".r
   private val Clone =
     """(?is)\s*CREATE\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+(?:(SHALLOW|DEEP)\s+)?CLONE\s+(\S+|graft\.`[^`]+`)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val CloneTs =
+    """(?is)\s*CREATE\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+(?:(SHALLOW|DEEP)\s+)?CLONE\s+(\S+|graft\.`[^`]+`)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+(\S+|graft\.`[^`]+`)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
@@ -153,6 +155,10 @@ object MaintenanceSql {
         // bare CLONE = deep, Delta's default; SHALLOW is the opt-in
         Some(GraftCloneCommand(dest, srcT, Option(v).map(_.toLong),
           shallow = Option(kind).exists(_.equalsIgnoreCase("shallow"))))
+      case CloneTs(dest, kind, srcT, ts) =>
+        Some(GraftCloneCommand(dest, srcT, None,
+          shallow = Option(kind).exists(_.equalsIgnoreCase("shallow")),
+          timestamp = Some(ts)))
       case AddConstraint(ident, cname, expr) =>
         Some(GraftAddConstraintCommand(ident, cname, expr.trim))
       case DropConstraint(ident, cname) =>
@@ -430,15 +436,19 @@ object MaintenanceSql {
     * TableLocation. */
   final case class GraftCloneCommand(
       dest: String, src: String, version: Option[Long],
-      shallow: Boolean = true)
+      shallow: Boolean = true, timestamp: Option[String] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       Seq(AttributeReference("path", StringType, nullable = false)())
     override def run(session: SparkSession): Seq[Row] = {
       val PathForm = """(?is)graft\.`([^`]+)`""".r
       val s = resolveGraft(session, src)
+      // TIMESTAMP AS OF resolves against the SOURCE's commit history,
+      // exactly as a time-travel read would
+      val v = timestamp.fold(version)(ts =>
+        Some(s.versionAt(graft.streaming.ChangeFeedStreamSource.parseTs(ts))))
       def clone(p: String) =
-        if (shallow) s.shallowCloneTo(p, version) else s.deepCloneTo(p, version)
+        if (shallow) s.shallowCloneTo(p, v) else s.deepCloneTo(p, v)
       val cloned = dest match {
         case PathForm(p) => clone(p)
         case name =>

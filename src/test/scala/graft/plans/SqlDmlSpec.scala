@@ -360,6 +360,11 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     out.head.getString(0) shouldBe s"${t.rootPath}-deep"
     val clone = ManagedTable(spark, s"${t.rootPath}-deep")
     clone.history().head.operation shouldBe "deepClone"
+    // TIMESTAMP AS OF resolves against the source's commit history
+    val ts0 = new java.sql.Timestamp(t.history().last.timestampMs)
+    spark.sql(s"CREATE TABLE graft.`${t.rootPath}-ts` SHALLOW CLONE " +
+      s"$name TIMESTAMP AS OF '$ts0'")
+    ManagedTable(spark, s"${t.rootPath}-ts").read().count() shouldBe 4
     t.overwriteAll(Seq((9, "z", 0)).toDF("id", "name", "qty"))
     t.vacuum() // source history gone — the deep clone is untouched
     clone.read().count() shouldBe 4
