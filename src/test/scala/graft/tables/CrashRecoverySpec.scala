@@ -184,4 +184,46 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
       h.fastCount shouldBe Some(before)
     } finally spark.conf.unset("spark.graft.vacuum.orphanMinAgeMs")
   }
+
+  test("SIGKILL mid-vacuum: horizon fence stays consistent, the head " +
+      "reads, and a re-run finishes the sweep") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-crashvac").toString + "/t"
+    val t = ManagedTable(spark, root)
+    // a real history: many small commits so the delete fan-out has work
+    t.overwriteAll((1 to 50).map(i => (i.toLong, "s")).toDF("id", "w")
+      .repartition(4))
+    (1 to 12).foreach { i =>
+      t.append((1 to 20).map(j => (1000L * i + j, "a")).toDF("id", "w")
+        .repartition(3))
+    }
+    val head = t.currentVersion.get
+    val rows = t.read().count()
+
+    // kill shortly after vacuum starts — inside horizon write or deletes
+    Seq(0L, 30L, 150L).zipWithIndex.foreach { case (delay, it) =>
+      killAfterFirstCommit(root, s"v$it", "graft.tables.CrashVacuumMain",
+        delay)
+      val h = ManagedTable(spark, root)
+      withClue(s"iteration $it (delay ${delay}ms)\n") {
+        // the live snapshot is untouchable by vacuum
+        h.currentVersion.get shouldBe head
+        h.read().count() shouldBe rows
+        h.fastCount shouldBe Some(rows)
+        // the published horizon fences fail-fast: a pruned version
+        // errors cleanly, never a mid-scan FileNotFound
+        h.earliestReadableVersion.foreach { e =>
+          if (e > 0) intercept[Exception](h.readVersion(e - 1).collect())
+          h.readVersion(e).count() should be >= 0L
+        }
+      }
+    }
+
+    // a surviving vacuum finishes whatever the kills left behind
+    val h = ManagedTable(spark, root)
+    h.vacuum(retainVersions = 2)
+    h.read().count() shouldBe rows
+    val dry = h.vacuumDryRun(retainVersions = 2)
+    dry.dataDirs shouldBe empty
+  }
 }
