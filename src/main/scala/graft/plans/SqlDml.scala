@@ -628,7 +628,10 @@ object SqlDml {
         case None => session.createDataFrame(
           session.sparkContext.emptyRDD[Row], declaredSchema)
       }
-      t.overwriteAll(df, partitionBy, "replaceTable")
+      // REPLACE defines the table's metadata from scratch: prior
+      // constraints / generated / identity rules and properties are
+      // dropped, the declared TBLPROPERTIES alone apply
+      t.overwriteAll(df, partitionBy, "replaceTable", resetRules = true)
       if (props.nonEmpty) t.setTableProperties(props)
       // catalog schema: nullable (parquet reads come back nullable) and
       // partition columns LAST (the V1 catalog invariant)
@@ -689,6 +692,22 @@ object SqlDml {
               s"(partitioned by ${m.partitionColumns.mkString(", ")})")
       }
       val static = spec.collect { case (k, Some(v)) => k -> v }
+      // a static value unparsable as the column type would cast to NULL:
+      // rows land in the null partition while the overwrite predicate
+      // matches nothing — fail eagerly instead (Spark/Delta analysis error)
+      static.foreach { case (k, v) =>
+        val field = m.schema(m.schema.fieldIndex(
+          m.schema.fieldNames.find(_.equalsIgnoreCase(k)).get))
+        val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(v),
+          field.dataType,
+          Some(session.sessionState.conf.sessionLocalTimeZone))
+        if (cast.eval() == null)
+          throw new MetadataException(
+            s"INSERT ... PARTITION ($k='$v') into $path: value cannot be " +
+              s"cast to ${field.dataType.simpleString} — fix the literal " +
+              "(it would otherwise land in the null partition)")
+      }
       val dynamic = spec.collect { case (k, None) => k }
       val specKeys = spec.map(_._1.toLowerCase).toSet
       // positional convention (Hive/Spark): non-spec columns in schema
@@ -733,16 +752,40 @@ object SqlDml {
       inner: org.apache.spark.sql.execution.command.CreateDataSourceTableCommand)
       extends LeafRunnableCommand {
     override def run(session: SparkSession): Seq[Row] = {
+      val catalog = session.sessionState.catalog
+      val id = inner.table.identifier
+      // fail/no-op on an existing catalog entry BEFORE touching the log —
+      // otherwise a failed `inner.run` leaves an orphan transaction log
+      // at the (often managed, derived) location
+      if (catalog.tableExists(id)) {
+        if (inner.ignoreIfExists) return Nil
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(
+            Seq(id.database.getOrElse("default"), id.table))
+      }
       val loc = inner.table.storage.locationUri.getOrElse(
-        session.sessionState.catalog.defaultTablePath(inner.table.identifier))
+        catalog.defaultTablePath(id))
       val t = ManagedTable(session, loc.toString)
-      if (t.manifest.isEmpty) {
-        val empty = session.createDataFrame(
-          session.sparkContext.emptyRDD[Row], inner.table.schema)
-        t.overwriteAll(empty, inner.table.partitionColumnNames, "create")
-        val props = inner.table.properties.view.filterKeys(k =>
-          !k.startsWith("transient_") && !k.startsWith("spark.sql.")).toMap
-        if (props.nonEmpty) t.setTableProperties(props)
+      t.manifest match {
+        case Some(m) if inner.table.schema.nonEmpty =>
+          // re-registration of a live table: the declared schema must
+          // agree with the manifest's — a silent mismatch would serve
+          // reads under the wrong catalog schema
+          def shape(s: org.apache.spark.sql.types.StructType) =
+            s.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
+          if (shape(inner.table.schema) != shape(m.schema))
+            throw new MetadataException(
+              s"CREATE TABLE ${id.unquotedString}: declared schema " +
+                s"(${inner.table.schema.simpleString}) disagrees with the " +
+                s"existing graft table at $loc (${m.schema.simpleString})")
+        case None =>
+          val empty = session.createDataFrame(
+            session.sparkContext.emptyRDD[Row], inner.table.schema)
+          t.overwriteAll(empty, inner.table.partitionColumnNames, "create")
+          val props = inner.table.properties.view.filterKeys(k =>
+            !k.startsWith("transient_") && !k.startsWith("spark.sql.")).toMap
+          if (props.nonEmpty) t.setTableProperties(props)
+        case _ => ()
       }
       inner.run(session)
     }

@@ -275,12 +275,24 @@ class TableStreamSource(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = table.currentVersion
 
+  private def belowHorizon(version: Long): Boolean =
+    version < 0L || table.earliestReadableVersion.exists(version < _)
+
   /** Files "of" a version: the full snapshot for the stream's initial
     * version, the manifest-diff additions otherwise. Order is the
-    * manifest's file order — stable, because records are immutable. */
+    * manifest's file order — stable, because records are immutable.
+    *
+    * A version whose PREDECESSOR was vacuumed past (the natural
+    * `startingVersion` after retention pruning is the horizon itself)
+    * replays from its own record: the full file set at that version is
+    * its "additions" — Delta replays commit `s` from its own log entry
+    * without needing `s-1`. A version itself below the horizon is only
+    * ever referenced as a fully-emitted anchor; its list is never
+    * sliced, so empty is exact. */
   private def listFor(version: Long, isInitial: Boolean): Seq[TableFile] =
-    if (version < 0L) Nil // starting-spec anchor before the first commit
+    if (belowHorizon(version)) Nil
     else if (isInitial || version == 0L) table.readManifest(version).files
+    else if (belowHorizon(version - 1)) table.readManifest(version).files
     else {
       // file identity is (path, deletion-vector): a DV commit keeps the
       // path but re-masks rows, and re-emits like any rewritten file
@@ -390,6 +402,10 @@ class TableStreamSource(
         spansFrom(sO)
     }
     val frames = spans.flatMap { case (v, isInit, exclusiveFrom, inclusiveTo) =>
+      // "version fully emitted" (anchor or legacy offset): nothing to
+      // slice — skip without reading manifests the anchor may not have
+      if (exclusiveFrom.contains(Long.MaxValue)) None
+      else {
       val list = listFor(v, isInit)
       // saturating bounds: a legacy "version fully emitted" offset
       // carries index = Long.MaxValue — clamp within the list before the
@@ -403,6 +419,7 @@ class TableStreamSource(
         // one: a column a later version dropped null-fills, a widened
         // type casts back — the plan shape never changes mid-stream
         Some(project(table.readManifestFiles(table.readManifest(v), files)))
+      }
       }
     }
     val batch = frames.reduceOption(_ unionAll _).getOrElse(

@@ -1853,30 +1853,42 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
 
   /** Replace the whole table. Always a full checkpoint record. `txn`
     * embeds a streaming-writer transaction identity in the record —
-    * atomic with the data (see [[Txn]]). */
+    * atomic with the data (see [[Txn]]). `resetRules` is the
+    * `REPLACE TABLE` DDL contract: the replacement defines the table's
+    * metadata from scratch — prior constraints, generated-column rules,
+    * identity rules, and properties do NOT carry over (Delta resets
+    * table configuration to what the statement declares). */
   def overwriteAll(df: DataFrame, partitionBy: Seq[String] = Nil,
-      operation: String = "overwrite", txn: Option[Txn] = None): Unit =
+      operation: String = "overwrite", txn: Option[Txn] = None,
+      resetRules: Boolean = false): Unit =
     withWriteLock {
       if (exists) requireNotAppendOnly("overwrite")
       // constraints and generated-column rules survive a full overwrite
       // (they govern the table, not a snapshot) — and the replacement
       // rows must satisfy them
-      val cs = manifest.map(_.constraints).getOrElse(Map.empty)
-      val gs = manifest.map(_.generated).getOrElse(Map.empty)
-      val ps = manifest.map(_.properties).getOrElse(Map.empty)
+      val cs = if (resetRules) Map.empty[String, String]
+               else manifest.map(_.constraints).getOrElse(Map.empty)
+      val gs = if (resetRules) Map.empty[String, String]
+               else manifest.map(_.generated).getOrElse(Map.empty)
+      val ps = if (resetRules) Map.empty[String, String]
+               else manifest.map(_.properties).getOrElse(Map.empty)
       val (withIds, propsOv) = manifest match {
-        case Some(m) => applyIdentity(df, m, operation, keepExisting = false)
-        case None    => (df, None)
+        case Some(m) if !resetRules =>
+          applyIdentity(df, m, operation, keepExisting = false)
+        case _ => (df, None)
       }
       val d0 = applyGenerated(withIds, gs, manifest.map(_.schema), operation)
       // same-named columns keep the prior schema's field metadata
-      // (column defaults &c.) across a full overwrite
-      val d = manifest.map(_.schema).fold(d0)(prior =>
-        prior.fields.filter(_.metadata !=
-            org.apache.spark.sql.types.Metadata.empty)
-          .filter(f => d0.columns.contains(f.name))
-          .foldLeft(d0)((acc, f) => acc.withColumn(f.name,
-            col(s"`${f.name}`").as(f.name, f.metadata))))
+      // (column defaults &c.) across a full overwrite — unless the
+      // replacement resets the table's rules
+      val d =
+        if (resetRules) d0
+        else manifest.map(_.schema).fold(d0)(prior =>
+          prior.fields.filter(_.metadata !=
+              org.apache.spark.sql.types.Metadata.empty)
+            .filter(f => d0.columns.contains(f.name))
+            .foldLeft(d0)((acc, f) => acc.withColumn(f.name,
+              col(s"`${f.name}`").as(f.name, f.metadata))))
       enforceConstraints(d, cs, operation)
       val files = writeCommit(d, partitionBy)
       commitDelta(d.schema.json, partitionBy, operation,
@@ -2783,7 +2795,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     val (step, next) = identityRules(m).getOrElse(name,
       throw new MetadataException(
         s"syncIdentity $name on $rootPath: not an identity column"))
-    val maxRow = read().selectExpr(s"max(`$name`)").head()
+    // "past every value present" depends on the walk direction: a
+    // negative-step column collides with the MINIMUM present value
+    val extremumExpr = if (step > 0) s"max(`$name`)" else s"min(`$name`)"
+    val maxRow = read().selectExpr(extremumExpr).head()
     if (!maxRow.isNullAt(0)) {
       val synced = maxRow.getLong(0) + step
       val target = if (step > 0) math.max(next, synced)

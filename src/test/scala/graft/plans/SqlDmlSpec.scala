@@ -577,6 +577,12 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     val e = intercept[Exception](spark.sql(
       s"INSERT OVERWRITE $db.pt PARTITION (v='x') VALUES (1, 10)"))
     e.getMessage should include("not a partition column")
+    // a static value unparsable as the column type (typo'd int) is an
+    // eager analysis error, not a silent landing in the null partition
+    val e2 = intercept[Exception](spark.sql(
+      s"INSERT OVERWRITE $db.pt PARTITION (day='2O24') VALUES (1, 'x')"))
+    e2.getMessage should include("cannot be cast")
+    state shouldBe Seq((5L, 30, "e"), (7L, 20, "q"), (9L, 10, "z"))
   }
 
   test("CREATE OR REPLACE TABLE: overwrite commit on the existing log, " +
@@ -609,6 +615,57 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     val e = intercept[Exception](spark.sql(
       s"REPLACE TABLE $db.missing (id BIGINT) USING graft LOCATION '$dir/m'"))
     e.getMessage should include("not found")
+  }
+
+  test("REPLACE TABLE resets constraints, identity rules, and properties " +
+      "to what the statement declares") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rst").toString
+    val db = s"rst${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE DATABASE $db")
+    spark.sql(s"""CREATE TABLE $db.r (id BIGINT) USING graft
+                 |TBLPROPERTIES ('old' = 'yes') LOCATION '$dir/r'""".stripMargin)
+    spark.sql(s"ALTER TABLE $db.r ADD CONSTRAINT small CHECK (id < 10)")
+    spark.sql(s"ALTER TABLE $db.r ADD COLUMN gid GENERATED ALWAYS AS IDENTITY")
+    spark.sql(s"INSERT INTO $db.r (id) VALUES (1)")
+    // the replacement violates the OLD constraint and supplies the OLD
+    // GENERATED ALWAYS identity column — both rules must be gone
+    spark.sql(s"""CREATE OR REPLACE TABLE $db.r USING graft
+                 |TBLPROPERTIES ('fresh' = '1') LOCATION '$dir/r'
+                 |AS SELECT 100L AS id, 5L AS gid""".stripMargin)
+    spark.table(s"$db.r").collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe
+      Array((100L, 5L))
+    val t = ManagedTable(spark, s"$dir/r")
+    t.identityColumnNames shouldBe empty
+    t.properties.get("old") shouldBe None
+    t.properties.get("fresh") shouldBe Some("1")
+    // no stale CHECK: a row the old constraint would reject inserts fine
+    spark.sql(s"INSERT INTO $db.r VALUES (200, 6)")
+    spark.table(s"$db.r").count() shouldBe 2
+  }
+
+  test("CREATE TABLE over an existing catalog entry fails BEFORE creating " +
+      "a log; re-registration validates the declared schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ctv").toString
+    val db = s"ctv${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE DATABASE $db")
+    spark.sql(s"CREATE TABLE $db.e (id BIGINT) USING graft LOCATION '$dir/a'")
+    spark.sql(s"INSERT INTO $db.e VALUES (1)")
+    // duplicate name, different location: fails loudly AND leaves no
+    // orphan transaction log at the new location
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $db.e (id BIGINT) USING graft LOCATION '$dir/b'"))
+    ManagedTable(spark, s"$dir/b").manifest shouldBe empty
+    // IF NOT EXISTS: clean no-op, also no orphan log
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $db.e (id BIGINT) USING graft LOCATION '$dir/c'")
+    ManagedTable(spark, s"$dir/c").manifest shouldBe empty
+    // re-registering a live table under a new name with a WRONG declared
+    // schema is rejected; with the matching schema it passes
+    val em = intercept[Exception](spark.sql(
+      s"CREATE TABLE $db.e2 (wrong STRING) USING graft LOCATION '$dir/a'"))
+    em.getMessage should include("disagrees")
+    spark.sql(s"CREATE TABLE $db.e3 (id BIGINT) USING graft LOCATION '$dir/a'")
+    spark.table(s"$db.e3").count() shouldBe 1
   }
 
   test("correlated subqueries and subqueries in unsupported positions " +

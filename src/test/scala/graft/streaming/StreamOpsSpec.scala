@@ -202,6 +202,41 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
       Seq(2L, 3L, 4L)
   }
 
+  test("table stream source: startingVersion at the vacuum horizon " +
+      "replays that version from its own record") {
+    import graft.tables.ManagedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft-tsh").toString
+    val t = ManagedTable(spark, dir + "/t")
+    t.overwriteAll(Seq((1L, "a")).toDF("id", "v"))   // v0
+    t.append(Seq((2L, "b")).toDF("id", "v"))          // v1
+    t.append(Seq((3L, "c")).toDF("id", "v"))          // v2
+    t.vacuum() // prunes pre-horizon manifests — the natural state after
+               // retention; startingVersion=horizon is the natural option
+    val hz = t.earliestReadableVersion.get
+    hz should be > 0L
+
+    def run(sv: Long)(body: => Unit): Seq[Long] = {
+      val name = s"tsh${System.nanoTime() % 1000000}"
+      val q = spark.readStream.format(classOf[TableStreamProvider].getName)
+        .option("path", dir + "/t").option("startingVersion", sv.toString)
+        .load().writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        q.processAllAvailable(); body; q.processAllAvailable()
+        spark.table(name).collect().map(_.getLong(0)).sorted.toSeq
+      } finally q.stop()
+    }
+
+    // horizon start: version hz replays from its own record (the full
+    // retained state — its predecessor's manifest no longer exists),
+    // later commits flow normally
+    run(hz)(t.append(Seq((4L, "d")).toDF("id", "v"))) shouldBe
+      Seq(1L, 2L, 3L, 4L)
+    // below the horizon still fails loudly (data genuinely vacuumed)
+    val e = intercept[Exception](run(hz - 1)(()))
+    e.getMessage should include("vacuum")
+  }
+
   test("table stream source: startingVersion restart resumes from the " +
       "checkpoint, no snapshot and no re-emission") {
     import graft.tables.ManagedTable
