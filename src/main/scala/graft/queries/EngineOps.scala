@@ -1277,6 +1277,77 @@ object EngineOps {
           "ts < TIMESTAMP'2024-03-15 00:00:00'")
         .select("event_id", "ts", "day", "event_type", "value")
         .orderBy("event_id")
+    },
+
+    // A5 under the oracle: the ProcessingSummary the merge strategy
+    // reports (reference: Merge.scala:126-132) — each count stated
+    // declaratively over the same slice rows, which also pins the
+    // identity inserted + updated + unchanged = recordsInSlice
+    // (m0 matched-source-deletes are 0 here: slices carry no deletes).
+    QueryDef(
+      "q_a8_merge_metrics",
+      s"""WITH ${sliceSql(withAcct = false)}
+         |SELECT 'merge' AS strategy,
+         |  CAST((SELECT count(*) FROM s2) AS BIGINT) AS records_in_slice,
+         |  CAST((SELECT count(*) FROM s2
+         |        WHERE id NOT IN (SELECT id FROM s1)) AS BIGINT) AS inserted,
+         |  CAST((SELECT count(*) FROM s1 JOIN s2 ON s1.id = s2.id
+         |        WHERE s1.name <> s2.name) AS BIGINT) AS updated,
+         |  CAST((SELECT count(*) FROM s1
+         |        WHERE id NOT IN (SELECT id FROM s2)) AS BIGINT) AS deleted,
+         |  CAST((SELECT count(*) FROM s1 JOIN s2 ON s1.id = s2.id
+         |        WHERE s1.name = s2.name) AS BIGINT) AS unchanged""".stripMargin) { (s, d) =>
+      implicit val sp: SparkSession = s
+      val root = scratch(s, d, "merge_metrics")
+      val bronze = ensureSlices(s, d, withAcct = false)
+      val md = Metadata.fromJson(metadataJson(root, bronze, "merge",
+        deleteMissing = true, withAcct = false))
+      val e = md.getEntity(1)
+      new Processing(md, e, "s1.parquet", Map("processing.time" -> T1)).process()
+      val sum =
+        new Processing(md, e, "s2.parquet", Map("processing.time" -> T2)).process()
+      import s.implicits._
+      Seq((sum.strategy, sum.recordsInSlice, sum.inserted, sum.updated,
+          sum.deleted, sum.unchanged))
+        .toDF("strategy", "records_in_slice", "inserted", "updated",
+          "deleted", "unchanged")
+    },
+
+    // S4 under the oracle: the watermark system table's write →
+    // read-latest round-trip (reference: WatermarkData.scala:14-96) —
+    // latest-by-timestamp wins, an empty increment is skipped (must not
+    // destroy the bookmark), reset stores the None$ sentinel and reads
+    // back as no value.
+    QueryDef(
+      "q_s4_watermark_store",
+      """SELECT CAST(1 AS INT) AS entity_id, 'o_orderkey' AS column_name,
+        |  CAST((SELECT max(o_orderkey) FROM orders WHERE o_orderkey % 5 = 0)
+        |       AS VARCHAR) AS last_value
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'o_orderdate', NULL
+        |ORDER BY entity_id""".stripMargin) { (s, d) =>
+      val root = scratch(s, d, "wmstore")
+      val store = new graft.watermark.WatermarkStore(s, s"$root/system")
+      val wmK = graft.metadata.WatermarkDef("o_orderkey")
+      val wmD = graft.metadata.WatermarkDef("o_orderdate")
+      val orders = Tables.orders(s, d)
+      def maxKey(pred: String): String =
+        orders.filter(pred).agg(max("o_orderkey")).head().getLong(0).toString
+      // run 1: both entities bookmark
+      store.write(1, Seq(wmK -> Some(maxKey("o_orderkey % 7 = 0"))), T1)
+      store.write(2, Seq(wmD -> Some("1995-01-01")), T1)
+      // run 2: entity 1 advances (latest timestamp wins, whatever the
+      // value ordering), entity 2 resets explicitly
+      store.write(1, Seq(wmK -> Some(maxKey("o_orderkey % 5 = 0"))), T2)
+      store.reset(2, "o_orderdate", T2)
+      // run 3: an empty increment (all-null column / empty slice) writes
+      // nothing and must not destroy entity 1's bookmark
+      store.write(1, Seq(wmK -> None), "2024-01-12T10:00:00")
+      import s.implicits._
+      Seq((1, "o_orderkey", store.lastValue(1, "o_orderkey")),
+          (2, "o_orderdate", store.lastValue(2, "o_orderdate")))
+        .toDF("entity_id", "column_name", "last_value")
+        .orderBy("entity_id")
     }
   )
 }

@@ -170,6 +170,35 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT 1 + 1").head.getInt(0) shouldBe 2
   }
 
+  test("VACUUM ... DRY RUN excludes files under the unknown-file age " +
+      "floor, so operators see the true blast radius") {
+    import spark.implicits._
+    val (name, t) = freshTable()
+    // v1 rewrites every file, so v0's commit dir is dead once v0 leaves
+    // retention
+    spark.sql(s"UPDATE $name SET qty = qty + 1")
+    // a second process mid-commit: data on disk, record not landed —
+    // protected by the orphan age floor, so NOT part of the blast radius
+    val inflight = s"${t.rootPath}/data/00000000-dead-beef-0000-000000000042"
+    Seq((9, "z")).toDF("id", "v").coalesce(1).write.parquet(inflight)
+
+    val dry = spark.sql(s"VACUUM $name RETAIN 0 VERSIONS DRY RUN").collect()
+      .map(_.getString(0))
+    dry.length should be >= 1                      // v0's dead commit dir
+    dry.exists(_.contains("dead-beef")) shouldBe false
+    // DRY RUN deleted nothing: the in-flight dir and v0 both still exist
+    t.readVersion(0).count() shouldBe 4
+
+    // past the age floor the same dir IS crash garbage — and the report
+    // agrees with what the destructive pass would then reclaim
+    spark.conf.set("spark.graft.vacuum.orphanMinAgeMs", "0")
+    try {
+      val dry2 = spark.sql(s"VACUUM $name RETAIN 0 VERSIONS DRY RUN").collect()
+        .map(_.getString(0))
+      dry2.exists(_.contains("dead-beef")) shouldBe true
+    } finally spark.conf.unset("spark.graft.vacuum.orphanMinAgeMs")
+  }
+
   test("path escape: SELECT, time travel, DML, INSERT on graft.`/path`") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-esc").toString + "/t"
