@@ -57,6 +57,15 @@ final class DedupIndex(spark: SparkSession, val rootPath: String,
     * per-file row counts are recorded (they are for engine writes). */
   def indexedDocs: Option[Long] = sigsTable.fastCount
 
+  /** Build-time fingerprint: the row count of the exact frame passed to
+    * [[DedupIndex.create]]. Callers revalidate a staged index with one
+    * cheap `count()` of their source instead of re-tokenizing it —
+    * at corpus scale the tokenize pass is the cost the index exists to
+    * avoid, so the reuse check must not pay it either. */
+  def sourceCount: Option[Long] =
+    sigsTable.manifest.flatMap(_.properties.get(DedupIndex.SourceCountProp))
+      .map(_.toLong)
+
   /** Sign `df` and append its band rows and shingle sets — incremental
     * indexing. Ids must not collide with already-indexed ones (the
     * index does not dedup itself; run [[nearDupPairs]] first and append
@@ -79,28 +88,49 @@ final class DedupIndex(spark: SparkSession, val rootPath: String,
     val inDocs = SubstrateCache.persist(
       TextOps.minHashSignatures(batch, idCol, textCol))
     val inBands = flatBands(inDocs, buckets)
-    // the batch's band buckets: a driver-side list bounded by the bucket
-    // count (never the batch or corpus size) — exactly what the manifest
-    // partition prune needs
-    val inBkts = inBands.select("bkt").distinct()
-      .collect().map(_.getString(0)).toSet
+    // the batch's band buckets + per-bucket counts in ONE action: the
+    // bucket list is the manifest partition prune (bounded by the bucket
+    // count, never corpus size), the summed count sizes the broadcast
+    // decision below
+    val bktCounts = inBands.groupBy("bkt").count().collect()
+    val inBkts = bktCounts.map(_.getString(0)).toSet
+    val nInBands = bktCounts.map(_.getLong(1)).sum
     val corpusBands = bandsTable.readPartitionsIn(Map("bkt" -> inBkts))
     val keys = (0 until TextOps.RowsPerBand).map(r => s"k$r")
     val joinCond = (Seq("pos") ++ keys)
       .map(c => col(s"a.`$c`") === col(s"b.`$c`"))
       .reduce(_ && _)
-    val pairs = inBands.alias("a").join(corpusBands.alias("b"), joinCond)
-      .select(col("a.id").as("in_id"), col("b.id").as("corpus_id"))
-      .distinct()
+    // the scale contract is "small batch against a huge corpus": below
+    // the row bound the batch's band rows broadcast (~50 B each), so the
+    // corpus side NEVER shuffles — it streams out of its pruned,
+    // bucket-partitioned files straight into the hash join. A backfill-
+    // sized batch falls back to the shuffle join.
+    val inSide =
+      if (nInBands <= BroadcastBandRowBound) broadcast(inBands.alias("a"))
+      else inBands.alias("a")
+    // persisted: the candidate-bucket collect below materializes the band
+    // join once, and the final confirm join reads the cached candidates —
+    // without this the (corpus-side) band join executes twice per probe
+    val pairs = SubstrateCache.persist(
+      inSide.join(corpusBands.alias("b"), joinCond)
+        .select(col("a.id").as("in_id"), col("b.id").as("corpus_id"))
+        .distinct())
     // exact-Jaccard confirm: candidates' sig buckets prune the sigs scan
     val candWithBkt = pairs.withColumn("sbkt",
       pmod(hash(col("corpus_id")), lit(buckets)).cast("string"))
-    val candBkts = candWithBkt.select("sbkt").distinct()
-      .collect().map(_.getString(0)).toSet
+    val candCounts = candWithBkt.groupBy("sbkt").count().collect()
+    val candBkts = candCounts.map(_.getString(0)).toSet
+    val nCand = candCounts.map(_.getLong(1)).sum
     val corpusSigs =
       if (candBkts.isEmpty) sigsTable.read().limit(0)
       else sigsTable.readPartitionsIn(Map("sbkt" -> candBkts))
-    candWithBkt.drop("sbkt")
+    // candidates are bounded by real duplication — broadcast them through
+    // both confirm joins so neither the cached batch signatures nor the
+    // pruned corpus sigs shuffle
+    val candSide =
+      if (nCand <= BroadcastBandRowBound) broadcast(candWithBkt.drop("sbkt"))
+      else candWithBkt.drop("sbkt")
+    candSide
       .join(inDocs.select(col("__id").as("in_id"), col("__hs").as("hs_a")),
         "in_id")
       .join(corpusSigs.select(col("id").as("corpus_id"), col("hs").as("hs_b")),
@@ -120,21 +150,34 @@ object DedupIndex {
     * while a full-corpus rebuild still compacts cleanly. */
   val DefaultBuckets = 64
 
+  /** Batch band rows at or below this broadcast through the index joins
+    * (~50 B/row → ≲50 MB broadcast at the bound); larger batches fall
+    * back to shuffle joins. */
+  val BroadcastBandRowBound = 1000000L
+
   def apply(spark: SparkSession, rootPath: String,
       buckets: Int = DefaultBuckets): DedupIndex =
     new DedupIndex(spark, rootPath, buckets)
 
-  /** Build (or rebuild) the index at `rootPath` from `corpus`. */
+  /** Table property holding [[DedupIndex.create]]'s source row count. */
+  val SourceCountProp = "graft.dedupindex.sourceCount"
+
+  /** Build (or rebuild) the index at `rootPath` from `corpus`. The
+    * source row count is recorded as a table property
+    * ([[SourceCountProp]]) so later sessions can revalidate reuse with
+    * one cheap count instead of a tokenize pass. */
   def create(spark: SparkSession, corpus: DataFrame,
       idCol: String, textCol: String, rootPath: String,
       buckets: Int = DefaultBuckets): DedupIndex = {
     val idx = new DedupIndex(spark, rootPath, buckets)
     val docs = SubstrateCache.persist(
       TextOps.minHashSignatures(corpus, idCol, textCol))
+    val n = corpus.count()
     idx.bandsTable.overwriteAll(flatBands(docs, buckets), Seq("bkt"),
       "dedup-create")
     idx.sigsTable.overwriteAll(sigRows(docs, buckets), Seq("sbkt"),
       "dedup-create")
+    idx.sigsTable.setTableProperties(Map(SourceCountProp -> n.toString))
     idx
   }
 

@@ -112,14 +112,13 @@ object TrainingOps {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       // staged-reuse as q_td_knn_index: sha256-keyed root, revalidated
-      // against the signable-doc count so regenerated data rebuilds
-      val root = s"/tmp/graft_engine/dedupindex_v2_${EngineOps.dirKey(d)}"
-      val signable = corpus
-        .filter(size(split(col("text"), "\\s+")) >= 2).count()
+      // against the build-time source-count property so regenerated data
+      // rebuilds — one cheap count(), not a per-probe tokenize pass
+      val root = s"/tmp/graft_engine/dedupindex_v3_${EngineOps.dirKey(d)}"
+      val n = corpus.count()
       val idx = {
         val existing = graft.ops.DedupIndex(s, root)
-        if (existing.exists && existing.indexedDocs.contains(signable))
-          existing
+        if (existing.exists && existing.sourceCount.contains(n)) existing
         else graft.ops.DedupIndex.create(s, corpus, "doc_id", "text", root)
       }
       idx.nearDupPairs(docs.filter(col("doc_id") % 10 === 0),
