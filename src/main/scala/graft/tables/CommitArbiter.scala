@@ -1,0 +1,169 @@
+package graft.tables
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+/** The two atomic publish primitives the cross-process commit protocol
+  * needs from a store, extracted behind an interface so a deployment can
+  * match them to what its store actually guarantees — the protocol
+  * semantics (put-if-absent record create arbitrates racing writers; the
+  * pointer publish is atomic for lock-free readers) never change, only
+  * the mechanism:
+  *
+  *  - [[RenameCommitArbiter]] — tmp write + rename, for stores with
+  *    atomic rename (HDFS, ABFS). The original mechanism.
+  *  - [[PosixCommitArbiter]] — java.nio hard-link create (put-if-absent
+  *    is `link(2)`: atomic, fails `EEXIST`) + `rename(2)` overwrite
+  *    publish. The local-filesystem fast path: Hadoop's `FileContext`
+  *    rename on the checksummed local FS costs ~18 ms per call (measured)
+  *    and degrades overwrite to delete+rename (a visible absent-pointer
+  *    window the crash fuzz caught); `link`/`rename` are atomic syscalls.
+  *  - [[ConditionalPutCommitArbiter]] — direct conditional writes, for
+  *    object stores with no rename but atomic per-object PUT
+  *    (S3 `If-None-Match`, GCS generation preconditions). No tmp files,
+  *    no rename: `putIfAbsent` maps to the store's conditional create,
+  *    `putAtomic` to a plain PUT (readers see old or new object, never a
+  *    torn one — the store's own atomicity contract).
+  *
+  * Selection: `spark.graft.commit.arbiter` = `rename` | `posix` |
+  * `condput` | `auto` (default). `auto` picks [[PosixCommitArbiter]] for
+  * `file:` tables and [[RenameCommitArbiter]] otherwise.
+  */
+private[tables] sealed trait CommitArbiter {
+
+  /** Publish `content` at `target` if and only if no file exists there —
+    * the commit ARBITER: of two processes racing to publish the same
+    * version record, exactly one wins; the loser gets a
+    * [[ConcurrentWriteException]]. A published record is always complete
+    * (never a torn prefix). */
+  def putIfAbsent(target: Path, content: String): Unit
+
+  /** Publish `content` at `target`, replacing any previous content
+    * atomically: a lock-free reader sees the old content or the new,
+    * never a truncated file. */
+  def putAtomic(target: Path, content: String): Unit
+}
+
+/** Atomic-rename stores (HDFS, ABFS, test filesystems): bytes land in a
+  * tmp file under `tmpDir` first, a rename moves them into place.
+  * Rename-without-overwrite is the put-if-absent arbiter;
+  * rename-with-overwrite the pointer publish. */
+private[tables] final class RenameCommitArbiter(
+    fs: FileSystem, fc: FileContext, tmpDir: Path) extends CommitArbiter {
+
+  private def writeTmp(name: String, content: String): Path = {
+    val tmp = new Path(tmpDir, s"$name.tmp.${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    tmp
+  }
+
+  override def putIfAbsent(target: Path, content: String): Unit = {
+    val tmp = writeTmp(target.getName, content)
+    try fc.rename(tmp, target, Options.Rename.NONE)
+    catch {
+      case e: java.io.IOException =>
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+        throw new ConcurrentWriteException(
+          s"concurrent commit detected at $target: another writer created " +
+            "this record first", e)
+    }
+  }
+
+  override def putAtomic(target: Path, content: String): Unit = {
+    val tmp = writeTmp(target.getName, content)
+    fc.rename(tmp, target, Options.Rename.OVERWRITE)
+  }
+}
+
+/** Local-filesystem fast path: `link(2)` put-if-absent + `rename(2)`
+  * overwrite, both single atomic syscalls (~0.05 ms vs ~18 ms through
+  * Hadoop's checksummed FileContext). `rename(2)` also removes the
+  * delete+rename absent-pointer window ChecksumFs exposes. Tmp and
+  * target live in the same directory, so the link/rename never crosses
+  * filesystems. Stale checksum twins from a previous rename-arbiter life
+  * are dropped so checksummed readers never verify new content against
+  * an old `.crc`. */
+private[tables] final class PosixCommitArbiter(tmpDir: Path)
+    extends CommitArbiter {
+
+  import java.nio.file.{Files, Paths, StandardCopyOption, FileAlreadyExistsException}
+
+  private def nio(p: Path): java.nio.file.Path = Paths.get(p.toUri.getPath)
+
+  private def writeTmp(target: Path, content: String): java.nio.file.Path = {
+    Files.createDirectories(nio(tmpDir))
+    val tmp = nio(tmpDir).resolve(s"${target.getName}.tmp.${UUID.randomUUID()}")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    tmp
+  }
+
+  /** A checksummed-FS writer that previously owned this table left a
+    * `.crc` twin; our raw writes would no longer match it and a
+    * checksummed reader would fail verification — remove it. */
+  private def dropStaleCrc(target: Path): Unit = {
+    val crc = nio(target.getParent).resolve(s".${target.getName}.crc")
+    try Files.deleteIfExists(crc)
+    catch { case _: java.io.IOException => () }
+  }
+
+  override def putIfAbsent(target: Path, content: String): Unit = {
+    val tmp = writeTmp(target, content)
+    try {
+      dropStaleCrc(target)
+      // link(2): atomic, EEXIST if the record is already there — the
+      // same arbiter contract rename-without-overwrite gives on HDFS
+      Files.createLink(nio(target), tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case e: FileAlreadyExistsException =>
+        try Files.deleteIfExists(tmp)
+        catch { case _: java.io.IOException => () }
+        throw new ConcurrentWriteException(
+          s"concurrent commit detected at $target: another writer created " +
+            "this record first", e)
+    }
+  }
+
+  override def putAtomic(target: Path, content: String): Unit = {
+    val tmp = writeTmp(target, content)
+    dropStaleCrc(target)
+    Files.move(tmp, nio(target),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+/** Conditional-put stores (S3-style): no tmp, no rename — the store's
+  * per-object atomicity carries the contract. `putIfAbsent` maps to a
+  * conditional create (`overwrite = false`, the filesystem-level
+  * equivalent of S3 `If-None-Match: *`); `putAtomic` to a plain
+  * overwrite PUT. On a real object store connector both are single
+  * requests and the object swap is atomic; running it against a plain
+  * filesystem (as tests do) keeps the same visible semantics except
+  * that an in-flight PUT could be observed torn — which is exactly the
+  * property the STORE, not this class, must provide. */
+private[tables] final class ConditionalPutCommitArbiter(fs: FileSystem)
+    extends CommitArbiter {
+
+  override def putIfAbsent(target: Path, content: String): Unit = {
+    val out =
+      try fs.create(target, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new ConcurrentWriteException(
+            s"concurrent commit detected at $target: another writer " +
+              "created this record first", e)
+      }
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  override def putAtomic(target: Path, content: String): Unit = {
+    val out = fs.create(target, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
