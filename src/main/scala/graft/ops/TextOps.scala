@@ -508,6 +508,21 @@ object TextOps {
       size(regexp_extract_all(lower(col(textCol)),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"))
 
+  /** Vocab-accurate BPE token counting
+    * ([[graft.functions.BpeTokenizer]]): GPT-2 byte-level BPE driven by
+    * a merges table in the published `merges.txt` format (one `a b`
+    * line per rank). Pass a real vocab's merges for production counts;
+    * tests pin tiny hand-checkable sets. Runs as a native codegen
+    * expression — per-word memoized, no UDF. Requires the graft
+    * function registry ([[graft.functions.GraftFunctions.register]] or
+    * the session extensions). */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String]): DataFrame =
+    df.select(
+      col(s"`$idCol`").as("doc_id"),
+      call_function("graft_bpe_count", col(s"`$textCol`"),
+        lit(merges.mkString("\n"))).as("bpe_tokens"))
+
   /** Fixed-size token-window chunking with overlap — the context-window /
     * RAG prep step: chunk `k` covers tokens `[k*stride, min(k*stride +
     * chunkTokens, t))` with `stride = chunkTokens - overlapTokens`; a

@@ -495,6 +495,30 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------- text: vocab-accurate BPE counts
+    // GPT-2 byte-level BPE under a pinned two-rule merges table chosen so
+    // the greedy merge has a declarative closed form the oracle can
+    // state: rules "o n" and "i n" are letter-disjoint from every GPT-2
+    // contraction tail (s,t,d,m,e,l), so a rule pair adjacent in raw
+    // text is ALWAYS inside one pre-token, the two patterns cannot
+    // overlap each other or themselves, and no rule consumes another's
+    // output — each merge count is then exactly the non-overlapping
+    // occurrence count replace() computes, and the token count is
+    // utf8-byte-length minus total merges. (The Spark side runs the
+    // real iterative merge loop; the algebra above is a property of
+    // THIS vocab, which is what makes it oracle-checkable.)
+    QueryDef(
+      "q_td_tokens_bpe",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text))
+        |    - (length(text) - length(replace(text, 'on', ''))) / 2
+        |    - (length(text) - length(replace(text, 'in', ''))) / 2
+        |    AS INT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.bpeTokenCounts(Tables.documents(s, d), "doc_id", "text",
+        Seq("o n", "i n")).orderBy("doc_id")
+    },
+
     // ------------------------------------------------- text: chunking
     // 64-token windows, 16-token overlap (stride 48); trailing windows
     // adding no tokens beyond the previous overlap are suppressed
