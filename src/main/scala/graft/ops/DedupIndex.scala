@@ -69,12 +69,107 @@ final class DedupIndex(spark: SparkSession, val rootPath: String,
   /** Sign `df` and append its band rows and shingle sets — incremental
     * indexing. Ids must not collide with already-indexed ones (the
     * index does not dedup itself; run [[nearDupPairs]] first and append
-    * only the survivors). */
-  def append(df: DataFrame, idCol: String, textCol: String): Unit = {
+    * only the survivors). `txn` embeds a streaming-writer transaction in
+    * each table's commit (the exactly-once anchor for
+    * [[dedupStream]]). */
+  def append(df: DataFrame, idCol: String, textCol: String,
+      txn: Option[graft.tables.Txn] = None): Unit = {
     val docs = SubstrateCache.persist(
       TextOps.minHashSignatures(df, idCol, textCol))
-    bandsTable.append(flatBands(docs, buckets), operation = "dedup-append")
-    sigsTable.append(sigRows(docs, buckets), operation = "dedup-append")
+    bandsTable.appendOrCreate(flatBands(docs, buckets), Seq("bkt"),
+      "dedup-append", txn)
+    sigsTable.appendOrCreate(sigRows(docs, buckets), Seq("sbkt"),
+      "dedup-append", txn)
+  }
+
+  /** Continuous corpus dedup — the steady-state loop of the class doc as
+    * a first-class streaming operator. Each micro-batch:
+    *
+    *  1. probes the index ([[nearDupPairs]]) and DROPS rows with a
+    *     near-duplicate at/above `threshold` (exact shingle-set Jaccard,
+    *     LSH-candidate-bounded);
+    *  2. resolves the batch's own near-dup groups
+    *     ([[GraphOps.dedupGroups]] over in-batch pairs) and keeps only
+    *     each group's canonical member;
+    *  3. appends the survivors to the DESTINATION table and to the
+    *     index (bands + sigs) — the corpus stays near-dup-free and is
+    *     never re-signed.
+    *
+    * Exactly-once: all three appends embed the same `(appId, batchId)`
+    * writer transaction; a replayed batch skips whichever appends
+    * already committed, so a crash between the three CONVERGES on
+    * restart instead of double-appending (each table's txn walk is the
+    * same contract the streaming sink uses). Ids must be integral (the
+    * group resolution requires it — hash string ids first). */
+  def dedupStream(stream: DataFrame, idCol: String, textCol: String,
+      destRoot: String, checkpointLocation: String,
+      threshold: Double = 0.5,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val appId = DedupIndex.streamAppId(destRoot, rootPath)
+    stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processDedupBatch(batch, idCol, textCol, destRoot, appId, batchId,
+          threshold)
+        ()
+      }
+      .start()
+  }
+
+  /** One [[dedupStream]] micro-batch — package-visible so tests can
+    * drive replay semantics directly. */
+  private[ops] def processDedupBatch(batch: DataFrame, idCol: String,
+      textCol: String, destRoot: String, appId: String, batchId: Long,
+      threshold: Double): Unit = {
+    val dest = ManagedTable(spark, destRoot)
+    def lastTxn(t: ManagedTable): Option[Long] =
+      if (!t.exists) None
+      else (t.getTxn(appId).toSeq ++ t.newestRecordTxn(appId).toSeq)
+        .maxOption
+    def fresh(t: ManagedTable): Boolean = !lastTxn(t).exists(_ >= batchId)
+    if (!fresh(dest) && !fresh(bandsTable) && !fresh(sigsTable)) return
+    val txn = Some(graft.tables.Txn(appId, batchId))
+    val (survivors, h) = SubstrateCache.scoped {
+      // 1. corpus near-dups out (skip the probe while the index is empty)
+      val kept0 =
+        if (!exists) batch
+        else {
+          val dups = nearDupPairs(batch, idCol, textCol)
+            .filter(col("inter").cast("double") >= col("uni") * threshold)
+            .select(col("in_id")).distinct()
+          batch.join(dups, batch(s"`$idCol`") === dups("in_id"), "left_anti")
+        }
+      // 2. in-batch groups: keep each group's canonical member
+      val inPairs = TextOps.minHashNearDupPairs(kept0, idCol, textCol)
+        .filter(col("inter").cast("double") >= col("uni") * threshold)
+      val drops = GraphOps.dedupGroups(inPairs, "id_a", "id_b")
+        .filter(!col("is_canonical")).select(col("doc_id"))
+      SubstrateCache.persist(
+        kept0.join(drops, kept0(s"`$idCol`") === drops("doc_id"), "left_anti"))
+    }
+    try {
+      // 3. idempotent per-table appends: the txn rides each commit, the
+      // marker is the O(1) fast path for the next recovery
+      if (fresh(dest)) {
+        dest.appendOrCreate(survivors, Nil, s"dedup-ingest b$batchId", txn)
+        dest.setTxn(appId, batchId)
+      }
+      if (fresh(bandsTable) || fresh(sigsTable)) {
+        val docs = SubstrateCache.persist(
+          TextOps.minHashSignatures(survivors, idCol, textCol))
+        if (fresh(bandsTable))
+          bandsTable.appendOrCreate(flatBands(docs, buckets), Seq("bkt"),
+            s"dedup-append b$batchId", txn)
+        if (fresh(sigsTable))
+          sigsTable.appendOrCreate(sigRows(docs, buckets), Seq("sbkt"),
+            s"dedup-append b$batchId", txn)
+        bandsTable.setTxn(appId, batchId)
+        sigsTable.setTxn(appId, batchId)
+      }
+    } finally h.release()
   }
 
   /** Near-duplicate pairs between `batch` and the INDEXED corpus:
@@ -154,6 +249,14 @@ object DedupIndex {
     * (~50 B/row → ≲50 MB broadcast at the bound); larger batches fall
     * back to shuffle joins. */
   val BroadcastBandRowBound = 1000000L
+
+  /** Writer identity of a [[DedupIndex.dedupStream]] pipeline — stable
+    * per (destination, index) pair, filename-safe. */
+  private[ops] def streamAppId(destRoot: String, indexRoot: String): String =
+    "dedup-" + java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$destRoot|$indexRoot"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(12).map("%02x".format(_)).mkString
 
   def apply(spark: SparkSession, rootPath: String,
       buckets: Int = DefaultBuckets): DedupIndex =

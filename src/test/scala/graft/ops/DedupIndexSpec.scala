@@ -104,4 +104,76 @@ class DedupIndexSpec extends AnyFunSuite with Matchers {
     val alien = Seq((100L, "zz1 zz2 zz3 zz4 zz5 zz6")).toDF("doc_id", "text")
     idx.nearDupPairs(alien, "doc_id", "text").count() shouldBe 0L
   }
+
+  test("dedupStream batch step: corpus dups dropped, in-batch groups keep " +
+      "the canonical member, survivors land in dest AND index, replay is " +
+      "a no-op") {
+    val base = freshRoot("stream")
+    val idxRoot = s"$base/idx"
+    val destRoot = s"$base/dest"
+    val text = (0 until 12).map(w => s"c0_$w").mkString(" ")
+    val corpus = Seq((1L, text)).toDF("doc_id", "text")
+    val idx = DedupIndex.create(spark, corpus, "doc_id", "text", idxRoot)
+    val appId = DedupIndex.streamAppId(destRoot, idxRoot)
+
+    // batch 0: 100 duplicates the indexed doc (dropped); 101/102 are an
+    // in-batch identical pair (canonical 101 kept, 102 dropped); 103 fresh
+    val other = (0 until 12).map(w => s"f_$w").mkString(" ")
+    val b0 = Seq(
+      (100L, text), (101L, other), (102L, other),
+      (103L, (0 until 12).map(w => s"g_$w").mkString(" "))
+    ).toDF("doc_id", "text")
+    idx.processDedupBatch(b0, "doc_id", "text", destRoot, appId, 0L, 0.5)
+
+    val dest = graft.tables.ManagedTable(spark, destRoot)
+    dest.read().select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(101L, 103L)
+    // the survivors are INDEXED: a later batch repeating 101's text dedups
+    val b1 = Seq((200L, other)).toDF("doc_id", "text")
+    idx.processDedupBatch(b1, "doc_id", "text", destRoot, appId, 1L, 0.5)
+    dest.read().count() shouldBe 2 // 200 was a dup of now-indexed 101
+
+    // exactly-once: replaying both batches appends nothing anywhere
+    val (dv, bv, sv) = (dest.currentVersion, idx.bandsTable.currentVersion,
+      idx.sigsTable.currentVersion)
+    idx.processDedupBatch(b0, "doc_id", "text", destRoot, appId, 0L, 0.5)
+    idx.processDedupBatch(b1, "doc_id", "text", destRoot, appId, 1L, 0.5)
+    dest.currentVersion shouldBe dv
+    idx.bandsTable.currentVersion shouldBe bv
+    idx.sigsTable.currentVersion shouldBe sv
+    dest.read().count() shouldBe 2
+  }
+
+  test("dedupStream end-to-end: a real streaming query over a file " +
+      "source dedups continuously into a fresh index") {
+    val base = freshRoot("stream_e2e")
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+    val text = (0 until 12).map(w => s"s0_$w").mkString(" ")
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Paths.get(inDir, s".tmp-$name")
+      java.nio.file.Files.write(tmp, rows.map { case (i, t) =>
+        s"""{"doc_id":$i,"text":"$t"}""" }.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(inDir, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    land("a.json", Seq((1L, text), (2L, text)))          // in-batch pair
+    val idx = DedupIndex(spark, s"$base/idx")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .json(inDir)
+    val q = idx.dedupStream(stream, "doc_id", "text", s"$base/dest",
+      s"$base/cp", trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      land("b.json", Seq((3L, text)))                    // dup of indexed 1
+      land("c.json", Seq((4L, "q1 q2 q3 q4 q5 q6 q7")))  // fresh
+      q.processAllAvailable()
+      graft.tables.ManagedTable(spark, s"$base/dest").read()
+        .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+        Array(1L, 4L)
+    } finally q.stop()
+  }
 }
