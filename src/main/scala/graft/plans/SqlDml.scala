@@ -80,6 +80,18 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case c: org.apache.spark.sql.execution.command.CreateDataSourceTableCommand
         if graftProvider(c.table) && c.table.schema.nonEmpty =>
       GraftCreateTableCommand(c)
+    // `CREATE TABLE t LIKE src [USING graft]` — Spark's command copies
+    // only the CATALOG entry; the new table would have no transaction
+    // log and every read/INSERT would fail. Follow it with an empty v0
+    // carrying the source's schema and partitioning (same
+    // DDL-creates-the-log contract as plain CREATE TABLE).
+    case c: org.apache.spark.sql.execution.command.CreateTableLikeCommand
+        if c.provider.exists(_.equalsIgnoreCase("graft")) ||
+          (c.provider.isEmpty &&
+            scala.util.Try(session.sessionState.catalog
+              .getTableMetadata(c.sourceTable)).toOption
+              .exists(graftProvider)) =>
+      GraftCreateTableLikeCommand(c)
     // CTAS: Spark's V1 path hands a CreatableRelationProvider only the
     // user OPTIONS — `PARTITIONED BY` would be dropped silently, the one
     // clause that matters most at scale. Splice it into the options the
@@ -105,16 +117,43 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     def qualOpt(e: Option[Expression]): Option[String] = e.map(qual)
     def setMap(as: Seq[Assignment]): Map[String, String] =
       as.map(a => assignName(a.key) -> qual(a.value)).toMap
+    // the analyzer expands `INSERT *` / `UPDATE SET *` against the
+    // PRE-EVOLUTION target schema: same-named source attributes covering
+    // every target column. Under WITH SCHEMA EVOLUTION that expansion
+    // must be recovered to the star form, or the adopted columns would
+    // insert/update as NULL even though the source carries values (the
+    // builder's InsertAll/UpdateAll resolve against the POST-evolution
+    // schema). A hand-written clause matching the signature is
+    // byte-identical to a star, so the rewrite never changes semantics.
+    def stripCast(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => c.child
+      case x => x
+    }
+    def starLike(as: Seq[Assignment]): Boolean = {
+      val tgtNames = m.targetTable.output.map(_.name.toLowerCase).toSet
+      as.map(a => assignName(a.key).toLowerCase).toSet == tgtNames &&
+      as.forall(a => stripCast(a.value) match {
+        case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          src.contains(ar) && ar.name.equalsIgnoreCase(assignName(a.key))
+        case _ => false
+      })
+    }
     def clause(kind: Char)(a: MergeAction): DmlMergeClause = a match {
       case UpdateStarAction(c) if kind == 'm' => MatchedUpdateAll(qualOpt(c))
       // the analyzer expands UPDATE SET * into per-column assignments
       // with fromStar = true — keep the updateAll fast form for those
       case UpdateAction(c, _, true) if kind == 'm' =>
         MatchedUpdateAll(qualOpt(c))
+      case UpdateAction(c, as, _)
+          if kind == 'm' && m.withSchemaEvolution && starLike(as) =>
+        MatchedUpdateAll(qualOpt(c))
       case UpdateAction(c, as, _) if kind == 'm' =>
         MatchedUpdate(setMap(as), qualOpt(c))
       case DeleteAction(c) if kind == 'm' => MatchedDelete(qualOpt(c))
       case InsertStarAction(c) if kind == 'i' => NotMatchedInsertAll(qualOpt(c))
+      case InsertAction(c, as)
+          if kind == 'i' && m.withSchemaEvolution && starLike(as) =>
+        NotMatchedInsertAll(qualOpt(c))
       case InsertAction(c, as) if kind == 'i' =>
         NotMatchedInsert(setMap(as), qualOpt(c))
       case UpdateAction(c, as, _) if kind == 's' =>
@@ -364,7 +403,12 @@ object SqlDml {
         (ct.location.toString, Some(name))
       }
     case lr: LogicalRelation => lr.relation match {
-      case g: GraftRelation => Some((g.path, None))
+      // recover the catalog identity when the V1 path resolved it away —
+      // schema-changing DML (evolving MERGE, …) must sync the catalog
+      // entry or `SELECT *` keeps serving the pre-evolution columns
+      case g: GraftRelation => Some((g.path, lr.catalogTable.map(ct =>
+        ct.identifier.database.map(d => s"$d.${ct.identifier.table}")
+          .getOrElse(ct.identifier.table))))
       case _ => None
     }
     case _ => None
@@ -787,7 +831,50 @@ object SqlDml {
           if (props.nonEmpty) t.setTableProperties(props)
         case _ => ()
       }
+      // a MANAGED table (no LOCATION clause): Spark's command both
+      // re-resolves the relation with no path option AND validates that
+      // the managed location does not exist — which the v0 log we just
+      // committed fails. Register the entry directly instead: the schema
+      // and partitioning are exactly what the manifest carries, and the
+      // recorded location makes DROP TABLE clean the log up with the
+      // data, the managed contract.
+      if (inner.table.storage.locationUri.isDefined) inner.run(session)
+      else {
+        catalog.createTable(
+          inner.table.copy(storage =
+            inner.table.storage.copy(locationUri = Some(loc))),
+          inner.ignoreIfExists,
+          /* validateTableLocation = */ false)
+        Nil
+      }
+    }
+  }
+
+  /** `CREATE TABLE t LIKE src`: run Spark's catalog-copy command, then
+    * commit the empty v0 the new location needs — schema and
+    * partitioning from the just-created catalog entry (the source's).
+    * Ordering matters the other way around here: the catalog command
+    * carries its own existence/validation checks, and a failure must
+    * not leave an orphan log. */
+  final case class GraftCreateTableLikeCommand(
+      inner: org.apache.spark.sql.execution.command.CreateTableLikeCommand)
+      extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
       inner.run(session)
+      val catalog = session.sessionState.catalog
+      val ct = catalog.getTableMetadata(inner.targetTable)
+      val loc = ct.storage.locationUri.getOrElse(
+        catalog.defaultTablePath(inner.targetTable))
+      val t = ManagedTable(session, loc.toString)
+      if (t.manifest.isEmpty) {
+        val empty = session.createDataFrame(
+          session.sparkContext.emptyRDD[Row], ct.schema)
+        t.overwriteAll(empty, ct.partitionColumnNames, "create")
+        val props = ct.properties.view.filterKeys(k =>
+          !k.startsWith("transient_") && !k.startsWith("spark.sql.")).toMap
+        if (props.nonEmpty) t.setTableProperties(props)
+      }
+      Nil
     }
   }
 

@@ -646,6 +646,39 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     e.getMessage should include("not found")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION through SQL: INSERT */UPDATE SET * " +
+      "populate the adopted column and the catalog schema syncs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mevo").toString
+    val db = s"mevo${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE DATABASE $db")
+    spark.sql(s"CREATE TABLE $db.t (id BIGINT, v STRING) USING graft " +
+      s"LOCATION '$dir/t'")
+    spark.sql(s"INSERT INTO $db.t VALUES (1, 'a'), (2, 'b')")
+    // the analyzer expands the stars against the PRE-evolution schema —
+    // the adopted column's values must still land (not silent NULLs)
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $db.t AS t
+         |USING (SELECT * FROM VALUES (2L, 'b2', 20.0D), (3L, 'c', 30.0D)
+         |       AS s(id, v, score)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val rows = spark.sql(s"SELECT id, v, score FROM $db.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    rows shouldBe Array((1L, "a", None), (2L, "b2", Some(20.0)),
+      (3L, "c", Some(30.0)))
+    // catalog entry mirrors the evolved manifest: SELECT * sees the column
+    spark.table(s"$db.t").columns.toSeq shouldBe Seq("id", "v", "score")
+    // without the clause, source-only columns are still silently ignored
+    spark.sql(
+      s"""MERGE INTO $db.t AS t
+         |USING (SELECT 4L AS id, 'd' AS v, 40.0D AS score, true AS extra) s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    spark.table(s"$db.t").columns.toSeq shouldBe Seq("id", "v", "score")
+  }
+
   test("REPLACE TABLE resets constraints, identity rules, and properties " +
       "to what the statement declares") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rst").toString
@@ -695,6 +728,44 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     em.getMessage should include("disagrees")
     spark.sql(s"CREATE TABLE $db.e3 (id BIGINT) USING graft LOCATION '$dir/a'")
     spark.table(s"$db.e3").count() shouldBe 1
+  }
+
+  test("managed CREATE TABLE (no LOCATION) creates the log at the derived " +
+      "location; DROP TABLE cleans it up; CREATE TABLE LIKE clones the " +
+      "shape with a fresh log") {
+    import spark.implicits._
+    val db = s"mgd${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE DATABASE $db")
+    // managed form: log created under the warehouse, fully usable
+    spark.sql(s"CREATE TABLE $db.m (id BIGINT, day INT) USING graft " +
+      "PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO $db.m VALUES (1, 10), (2, 20)")
+    spark.table(s"$db.m").count() shouldBe 2
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("m", Some(db)))
+      .location
+    ManagedTable(spark, loc.toString)
+      .manifest.get.partitionColumns shouldBe Seq("day")
+    // DROP on a managed table removes data AND log (the managed contract)
+    spark.sql(s"DROP TABLE $db.m")
+    new java.io.File(java.net.URI.create(loc.toString).getPath)
+      .exists() shouldBe false
+
+    // LIKE: schema + partitioning cloned, EMPTY content, fresh log
+    val dir = java.nio.file.Files.createTempDirectory("graft-like").toString
+    spark.sql(s"CREATE TABLE $db.src (id BIGINT, day INT) USING graft " +
+      s"PARTITIONED BY (day) LOCATION '$dir/src'")
+    spark.sql(s"INSERT INTO $db.src VALUES (1, 10)")
+    spark.sql(s"CREATE TABLE $db.cl LIKE $db.src USING graft " +
+      s"LOCATION '$dir/cl'")
+    spark.table(s"$db.cl").count() shouldBe 0
+    val cl = ManagedTable(spark, s"$dir/cl")
+    cl.manifest.get.partitionColumns shouldBe Seq("day")
+    spark.sql(s"INSERT INTO $db.cl VALUES (5, 50)")
+    spark.table(s"$db.cl").collect().map(_.getLong(0)) shouldBe Array(5L)
+    // ALTER TABLE RENAME keeps the (external) log working
+    spark.sql(s"ALTER TABLE $db.cl RENAME TO $db.cl2")
+    spark.table(s"$db.cl2").count() shouldBe 1
   }
 
   test("correlated subqueries and subqueries in unsupported positions " +
