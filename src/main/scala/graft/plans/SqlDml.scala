@@ -217,6 +217,26 @@ class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
             isStreaming = false)
         case None => tt
       }
+    // reader-option time travel over a CATALOG table —
+    // `spark.read.option("versionAsOf", n).table("db.t")` (Delta's
+    // surface; the load(path) form already honors the options through
+    // the data source itself). Spark routes table options only to V2
+    // relations, so rewrite here before its resolution rejects them.
+    case u: UnresolvedRelation
+        if (u.options.containsKey("versionAsOf") ||
+          u.options.containsKey("timestampAsOf")) &&
+          graftLocation(u.multipartIdentifier).isDefined =>
+      val path = graftLocation(u.multipartIdentifier).get
+      require(!(u.options.containsKey("versionAsOf") &&
+          u.options.containsKey("timestampAsOf")),
+        "graft: versionAsOf and timestampAsOf are mutually exclusive")
+      val v = Option(u.options.get("versionAsOf")).map(_.toLong).getOrElse(
+        graft.tables.ManagedTable(session, path).versionAt(
+          graft.sources.GraftDataSource.parseTimestamp(
+            u.options.get("timestampAsOf"))))
+      LogicalRelation(
+        GraftRelation(session.sqlContext, path, Some(v)),
+        isStreaming = false)
     // Delta-style path escape without registration: SELECT / DML /
     // INSERT over `graft.`/path/to/table``. Only fires when no real
     // database named `graft` exists (the catalog wins the name).

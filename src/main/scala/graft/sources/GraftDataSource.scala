@@ -439,7 +439,7 @@ object GraftDataSource {
     * `yyyy-MM-dd[ HH:mm:ss[.f]]` interpreted in the JVM's local
     * timezone (java.sql semantics — pass epoch millis for an
     * unambiguous instant). */
-  private[sources] def parseTimestamp(s: String): Long = {
+  private[graft] def parseTimestamp(s: String): Long = {
     val t = s.trim
     if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
     else {

@@ -4622,8 +4622,26 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         s"Schema drift on $rootPath: adopting new column(s) " +
           s"${added.toSeq.sorted.map(srcFields(_).name).mkString(", ")} " +
           "into the table schema; rows in existing files read them as null")
+    // nested-type comparison must ignore nullability flags: a parquet
+    // round-trip flips array containsNull / struct-field nullable (the
+    // reader infers them from encoding), so a DELETE/UPDATE rewrite of an
+    // array<int> column would otherwise self-detect as a type change and
+    // make every DML on nested-typed tables impossible
+    def normType(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case s: StructType => StructType(s.fields.map(f => f.copy(
+          dataType = normType(f.dataType), nullable = true,
+          metadata = org.apache.spark.sql.types.Metadata.empty)))
+        case a: ArrayType => ArrayType(normType(a.elementType), true)
+        case m: MapType => MapType(normType(m.keyType), normType(m.valueType), true)
+        case x => x
+      }
+    }
     val shared = targetFields.collect {
-      case (n, tf) if srcFields(n).dataType != tf.dataType => (n, tf, srcFields(n))
+      case (n, tf) if normType(srcFields(n).dataType) != normType(tf.dataType) =>
+        (n, tf, srcFields(n))
     }
     val illegal = shared.collect {
       case (_, tf, sf)

@@ -768,6 +768,33 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     spark.table(s"$db.cl2").count() shouldBe 1
   }
 
+  test("nested-typed columns survive DML: array/struct rewrites don't " +
+      "self-detect as type changes; reader-option time travel works on " +
+      "catalog tables") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nested").toString
+    val db = s"nst${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE DATABASE $db")
+    Seq((1L, Seq(1, 2), ("x", 5)), (2L, Seq(3), ("y", 7)))
+      .toDF("id", "arr", "s")
+      .write.format("graft").save(s"$dir/t")
+    spark.sql(s"CREATE TABLE $db.n USING graft LOCATION '$dir/t'")
+    // a parquet round-trip flips nested nullability flags — the rewrite
+    // must not read that as a type change
+    spark.sql(s"DELETE FROM $db.n WHERE id = 1").head.getLong(0) shouldBe 1L
+    spark.sql(s"UPDATE $db.n SET id = id + 10 WHERE s._2 = 7")
+      .head.getLong(0) shouldBe 1L
+    spark.table(s"$db.n").select("id", "s._1").collect()
+      .map(r => (r.getLong(0), r.getString(1))) shouldBe Array((12L, "y"))
+    spark.sql(s"INSERT INTO $db.n VALUES (3, array(9), struct('z', 1))")
+    spark.table(s"$db.n").count() shouldBe 2
+    // Delta's reader-option time travel on the CATALOG name
+    spark.read.option("versionAsOf", "0").table(s"$db.n").count() shouldBe 2
+    spark.read.option("versionAsOf", "1").table(s"$db.n").count() shouldBe 1
+    intercept[Exception](spark.read.option("versionAsOf", "0")
+      .option("timestampAsOf", "2024-01-01").table(s"$db.n").collect())
+  }
+
   test("correlated subqueries and subqueries in unsupported positions " +
       "are rejected loudly") {
     import spark.implicits._
