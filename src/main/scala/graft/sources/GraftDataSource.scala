@@ -166,7 +166,14 @@ class GraftDataSource extends RelationProvider
         case Some(cond) => t.overwriteWhere(data, cond)
         // dynamic partition overwrite: replace ONLY the partitions
         // present in the data — silently widening this to a full
-        // overwrite would drop every untouched partition
+        // overwrite would drop every untouched partition. The writer
+        // option wins; absent it, the SESSION conf
+        // `spark.sql.sources.partitionOverwriteMode=dynamic` applies to
+        // partitioned targets (Spark's file sources and Delta both honor
+        // it — ignoring it here was silent data loss). The session-conf
+        // form falls back to a full overwrite on unpartitioned tables
+        // (dynamic is meaningless there); the EXPLICIT option still
+        // demands a partitioned target.
         case None if parameters.get("partitionOverwriteMode")
             .exists(_.equalsIgnoreCase("dynamic")) =>
           val pby =
@@ -174,6 +181,15 @@ class GraftDataSource extends RelationProvider
             else t.manifest.map(_.partitionColumns).getOrElse(Nil)
           require(pby.nonEmpty, "partitionOverwriteMode=dynamic needs a " +
             s"partitioned table (none declared at $p)")
+          t.overwriteDynamic(data, pby)
+        case None if parameters.get("partitionOverwriteMode").isEmpty &&
+            sqlContext.sparkSession.sessionState.conf.partitionOverwriteMode ==
+              org.apache.spark.sql.internal.SQLConf.PartitionOverwriteMode.DYNAMIC &&
+            (partitionBy.nonEmpty ||
+              t.manifest.exists(_.partitionColumns.nonEmpty)) =>
+          val pby =
+            if (partitionBy.nonEmpty) partitionBy
+            else t.manifest.map(_.partitionColumns).getOrElse(Nil)
           t.overwriteDynamic(data, pby)
         case None       => t.overwriteAll(data, partitionBy)
       }

@@ -265,6 +265,27 @@ class GraftDataSourceSpec extends AnyFunSuite with Matchers {
       .write.format("graft").mode(SaveMode.Overwrite)
       .option("partitionBy", "day").save(p)
     spark.read.format("graft").load(p).count() shouldBe 1
+
+    // the SESSION conf form must be honored too (Spark file sources and
+    // Delta both do) — ignoring it was a silent full overwrite
+    Seq((8L, 40, "x")).toDF("id", "day", "v")
+      .write.format("graft").mode(SaveMode.Overwrite)
+      .option("partitionBy", "day").save(p) // full overwrite: only day=40 remains
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((5L, 50, "y")).toDF("id", "day", "v")
+        .write.format("graft").mode(SaveMode.Overwrite).save(p)
+      spark.read.format("graft").load(p).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))) shouldBe
+        Array((5L, 50), (8L, 40)) // day=40 untouched under the conf
+      // unpartitioned target + session conf: plain full overwrite, no error
+      val up = tmp() + "/dynu"
+      Seq((1L, "a")).toDF("id", "v").write.format("graft").save(up)
+      Seq((2L, "b")).toDF("id", "v")
+        .write.format("graft").mode(SaveMode.Overwrite).save(up)
+      spark.read.format("graft").load(up).collect()
+        .map(_.getLong(0)) shouldBe Array(2L)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
   }
 
   test("option(\"readRowIds\") exposes _row_id and _row_commit_version") {
