@@ -99,6 +99,14 @@ final class MaterializedAgg(
       s"materialized aggregate over missing table ${source.rootPath}"))
     syncedVersion match {
       case Some(v) if v == cur => cur
+      // the synced anchor fell below the source's vacuum horizon — the
+      // incremental interval is no longer diffable, but a view is always
+      // recomputable: fall back to one full rebuild (same txn contract)
+      // instead of wedging every future refresh on a MetadataException
+      case Some(v) if source.earliestReadableVersion.exists(v < _) =>
+        view.overwriteAll(aggregate(source.read()), Nil, "matview-rebuild",
+          txn = Some(Txn(appId, cur)))
+        cur
       case None =>
         view.overwriteAll(aggregate(source.read()), Nil, "matview-build",
           txn = Some(Txn(appId, cur)))

@@ -212,4 +212,22 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers {
       src.read().groupBy("grp").agg(min(col("qty")).as("m")).orderBy("grp")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
   }
+
+  test("a vacuumed-past sync anchor falls back to one full rebuild " +
+      "instead of wedging every refresh") {
+    val root = tmp()
+    val src = ManagedTable(spark, s"$root/src")
+    src.overwriteAll(rows(1 to 20))
+    val mv = MaterializedAgg(spark, src, s"$root/view", "id", Seq("grp"),
+      Seq("qty"))
+    mv.refresh() // synced at v0
+    src.append(rows(21 to 30))
+    src.vacuum() // horizon moves past the synced anchor
+    mv.refresh() // incremental interval gone → rebuild, not an exception
+    canon(mv.read()) shouldBe canon(recompute(src))
+    // the rebuild re-synced: the NEXT interval folds incrementally again
+    src.delete("id <= 5")
+    mv.refresh()
+    canon(mv.read()) shouldBe canon(recompute(src))
+  }
 }
