@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Plan-SHAPE regression tests: the properties that decide whether a
+  * query survives a 100× scale-up, asserted on the physical plan so a
+  * refactor that silently de-optimizes (drops a broadcast, introduces a
+  * cartesian product, breaks codegen, un-prunes a scan) fails here even
+  * though results stay correct. */
+class PlanShapeSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+
+  import spark.implicits._
+
+  private def docs = (0L until 60L).map { i =>
+    val fam = i / 3
+    (i, (0 until 12).map(w => s"w${fam}_$w").mkString(" "))
+  }.toDF("doc_id", "text")
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("minhash near-dup pairs: banded join, never a cartesian product") {
+    val p = plan(graft.ops.TextOps.minHashNearDupPairs(docs, "doc_id", "text"))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the self-join hashes on the band key
+    p should include("Join")
+  }
+
+  test("dedup index probe: batch side broadcasts, corpus side never " +
+      "shuffles into the band join") {
+    val root = java.nio.file.Files.createTempDirectory("graft-psidx").toString
+    val idx = graft.ops.DedupIndex.create(spark,
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", s"$root/i")
+    val probe = idx.nearDupPairs(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    val p = plan(probe)
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("vector similarity runs as a codegen expression inside " +
+      "whole-stage codegen, not a UDF") {
+    // a real scan (local relations constant-fold away entirely)
+    val dir = java.nio.file.Files.createTempDirectory("graft-psv").toString
+    (0 until 50).map(i => (i.toLong, Array.fill(8)(i / 50.0)))
+      .toDF("id", "v").write.parquet(s"$dir/v")
+    val df = spark.read.parquet(s"$dir/v")
+      .withColumn("c", expr("graft_cosine(v, v)"))
+    df.collect() // finalize the (adaptive) physical plan
+    val phys = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case x => x
+    }
+    // `*(n)` prefixes mark operators fused into a whole-stage-codegen
+    // stage in the compact plan rendering
+    phys.toString should include("*(1) Project")
+    phys.toString should not include "BatchEvalPython"
+  }
+
+  test("partial aggregation (map-side combine) is present on a big groupBy") {
+    val df = (0L until 1000L).map(i => (i % 7, i)).toDF("k", "x")
+      .groupBy("k").agg(sum("x"))
+    // partial + final pair: two HashAggregates around the exchange
+    "HashAggregate".r.findAllIn(plan(df)).size should be >= 2
+  }
+
+  test("managed-table partition filter prunes files BEFORE the scan is " +
+      "planned (driver-side manifest prune, not row filtering)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pspr").toString
+    val t = graft.tables.ManagedTable(spark, s"$root/t")
+    t.overwriteAll((0L until 40L).map(i => (i, (i % 4).toString))
+      .toDF("id", "part"), Seq("part"))
+    val filtered = spark.read.format("graft").load(s"$root/t")
+      .filter(col("part") === "1")
+    // files of other partitions never enter the scan: the relation's
+    // pushdown path selects entries by manifest partition values, so the
+    // scan's input size is a quarter of the table
+    val scanned = filtered.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    t.manifest.get.files.filter(_.partitionValues("part") != "1")
+      .foreach(f => scanned should not include f.path.split('/').last)
+    filtered.count() shouldBe 10
+  }
+
+  test("metadata-only count answers from the manifest with no file scan") {
+    val s2 = {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftSparkExtensions)
+        .getOrCreate()
+    }
+    import s2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-psct").toString
+    val t = graft.tables.ManagedTable(s2, s"$root/t")
+    t.overwriteAll((0L until 100L).map(i => (i, s"r$i")).toDF("id", "v"))
+    val cnt = s2.read.format("graft").load(s"$root/t").groupBy().count()
+    // the optimizer rule collapses the scan to a LocalRelation
+    plan(cnt) should not include "FileScan"
+    cnt.head.getLong(0) shouldBe 100L
+  }
+}
