@@ -58,12 +58,49 @@ final class AnnIndex(spark: SparkSession, val rootPath: String) {
 
   /** Assign `df`'s vectors to their nearest existing cells and append
     * them into the index — incremental add, no retrain. Ids must not
-    * collide with already-indexed ones (the index does not dedup). */
-  def appendVectors(df: DataFrame, idCol: String, vecCol: String): Unit =
+    * collide with already-indexed ones (the index does not dedup).
+    * `txn` embeds a streaming-writer transaction in the commit (the
+    * exactly-once anchor for [[indexStream]]). */
+  def appendVectors(df: DataFrame, idCol: String, vecCol: String,
+      txn: Option[graft.tables.Txn] = None): Unit =
     vectorsTable.append(
       // one file per touched cell, not cells × tasks
       AnnIndex.coLocate(AnnIndex.assign(df, centroids, idCol, vecCol), "cid"),
-      operation = "ann-append")
+      operation = "ann-append", txn)
+
+  /** Continuous embedding ingestion — keep the index fresh as vectors
+    * stream in: each micro-batch assigns against the FIXED trained
+    * codebook and appends its vectors to exactly the touched cells
+    * (FAISS `IndexIVF.add` economics, no retrain; retrain remains an
+    * explicit offline [[AnnIndex.create]]). Exactly-once: the commit
+    * embeds the `(appId, batchId)` writer transaction, so a replayed
+    * batch appends nothing — the streaming sink's contract on the
+    * index table. */
+  def indexStream(stream: DataFrame, idCol: String, vecCol: String,
+      checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(exists, s"indexStream needs a trained index at $rootPath " +
+      "(AnnIndex.create first — streaming never retrains)")
+    val appId = "ann-" + java.security.MessageDigest.getInstance("SHA-256")
+      .digest(rootPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(12).map("%02x".format(_)).mkString
+    stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val last = (vectorsTable.getTxn(appId).toSeq ++
+          vectorsTable.newestRecordTxn(appId).toSeq).maxOption
+        if (!last.exists(_ >= batchId)) {
+          appendVectors(batch, idCol, vecCol,
+            Some(graft.tables.Txn(appId, batchId)))
+          vectorsTable.setTxn(appId, batchId)
+        }
+        ()
+      }
+      .start()
+  }
 
   /** Exact-rerank probe-limited top-k: `(query_id, neighbor_id, rank,
     * cos)`, at most `k` neighbors per query, cosine descending.

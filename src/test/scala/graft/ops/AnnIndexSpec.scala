@@ -162,4 +162,41 @@ class AnnIndexSpec extends AnyFunSuite with Matchers {
     added should not be empty
     added.flatMap(_.partitionValues.get("cid")).toSet.size shouldBe 1
   }
+
+  test("indexStream ingests a live vector stream exactly-once; replayed " +
+      "batches append nothing") {
+    val c = corpus
+    val root = freshRoot("stream")
+    val idx = AnnIndex.create(spark, c, "vec_id", "embedding",
+      AnnIndex.seedCodebook(c, "vec_id", "embedding", 4), root)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark)
+    val q = idx.indexStream(ms.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$root/cp",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      ms.addData((100L, Array(1.0f, 0.05f, 0.05f, 0.05f)))
+      q.processAllAvailable()
+      ms.addData((101L, Array(0.05f, 1.0f, 0.05f, 0.05f)))
+      q.processAllAvailable()
+      idx.indexedVectors shouldBe Some(22L)
+      // streamed vectors are immediately searchable in their cells
+      idx.search(c.filter(col("vec_id") === 0L), "vec_id", "embedding",
+          nProbe = 1, k = 3)
+        .collect().map(_.getLong(1)) should contain(100L)
+    } finally q.stop()
+    // replay: a restarted query re-delivering batch 0 must append nothing
+    val v = idx.vectorsTable.currentVersion
+    implicit val sq2: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark)
+    // same checkpoint → same writer identity and batch sequence
+    val q2 = idx.indexStream(ms2.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$root/cp",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try { q2.processAllAvailable() } finally q2.stop()
+    idx.vectorsTable.currentVersion shouldBe v
+    idx.indexedVectors shouldBe Some(22L)
+  }
 }
