@@ -29,6 +29,27 @@ final class Metadata(
   private val connectionByName: Map[String, Connection] =
     connections.map(c => c.name.toLowerCase -> c).toMap
 
+  // load-time contract checks: a typo'd connection name would silently
+  // drop that connection's settings from the cascade, and a keyed
+  // process type (merge/delta/historic) without a businesskey column
+  // would only fail rounds later inside the merge plan with an
+  // unresolved-column error — both fail HERE with the entity named
+  locally {
+    val badConn = entities.filter(e =>
+      !connectionByName.contains(e.connection.toLowerCase))
+    if (badConn.nonEmpty)
+      throw new MetadataException("Unknown connection reference(s): " +
+        badConn.map(e => s"entity '${e.name}' -> '${e.connection}'")
+          .mkString(", "))
+    val keyless = entities.filter(e =>
+      e.processType != ProcessType.Full && e.businessKeyColumns.isEmpty)
+    if (keyless.nonEmpty)
+      throw new MetadataException(
+        keyless.map(e => s"entity '${e.name}': processtype " +
+          s"'${e.processType.toString.toLowerCase}' requires at least one " +
+          "column with the businesskey fieldrole").mkString("; "))
+  }
+
   def getEntity(id: Int): Entity =
     entityById.getOrElse(id, throw new EntityNotFoundException(s"Entity $id not found"))
   def getConnection(name: String): Connection =

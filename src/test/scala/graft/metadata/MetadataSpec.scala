@@ -155,6 +155,27 @@ class MetadataSpec extends AnyFunSuite with Matchers {
       "entities": [ { "id": 1, "name": "a" }, { "id": 1, "name": "b" } ] }"""))
   }
 
+  test("load-time contract: unknown connection references and keyless " +
+      "keyed-processtype entities fail with the entity named") {
+    // a typo'd connection would silently drop its settings cascade
+    val e1 = intercept[MetadataException](Metadata.fromJson("""{
+      "environment": { "name": "e", "root_folder": "/r" },
+      "connections": [ { "name": "c" } ],
+      "entities": [ { "id": 1, "name": "a", "connection": "NOPE",
+        "columns": [ { "name": "ID", "fieldroles": ["businesskey"] } ] } ] }"""))
+    e1.getMessage should include("'a' -> 'NOPE'")
+    // merge/historic without a businesskey would only fail rounds later
+    // inside the merge plan with an unresolved-column error
+    val e2 = intercept[MetadataException](Metadata.fromJson("""{
+      "environment": { "name": "e", "root_folder": "/r" },
+      "connections": [ { "name": "c" } ],
+      "entities": [ { "id": 1, "name": "nk", "connection": "c",
+        "processtype": "merge",
+        "columns": [ { "name": "ID" } ] } ] }"""))
+    e2.getMessage should include("businesskey")
+    e2.getMessage should include("'nk'")
+  }
+
   test("file and folder loaders; folder merge combines sections") {
     val dir = Files.createTempDirectory("graft-md")
     Files.writeString(Paths.get(dir.toString, "01_env.json"),
