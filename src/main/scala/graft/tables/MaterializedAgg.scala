@@ -6,18 +6,20 @@ import org.apache.spark.sql.functions._
 import graft.metadata.MetadataException
 
 /** Incrementally-maintained aggregate table (a materialized view) over a
-  * source [[ManagedTable]]'s row-level change feed — the "keep a 100 TB
-  * rollup fresh without rescanning it" primitive.
+  * source [[ManagedTable]]'s change feed — the "keep a 100 TB rollup
+  * fresh without rescanning it" primitive.
   *
   * The view is `SELECT keys…, count(*) AS cnt, sum(c) AS sum_c… FROM
   * source GROUP BY keys…`, stored as its own managed table. [[refresh]]
   * reads only the source rows that CHANGED since the last refresh
-  * ([[ManagedTable.rowChanges]] with preimages — O(changed files), not
-  * O(table)), folds them into per-group deltas (+1/+x for inserts and
-  * update postimages, −1/−x for deletes and update preimages), and
-  * applies the deltas in ONE keyed MERGE that rewrites only view files
-  * containing touched groups. End-to-end work is O(changed rows), however
-  * large the source or the view.
+  * ([[ManagedTable.changes]], the raw file-diff feed — O(changed files),
+  * not O(table)), folds them into per-group deltas (+1/+x for rows in
+  * added files, −1/−x for rows in removed files), and applies the deltas
+  * in ONE keyed MERGE that rewrites only view files containing touched
+  * groups. Linear aggregates need NO key netting: a rewritten file's
+  * carried-over rows appear on both sides of the diff and cancel
+  * exactly, updates telescope to their net movement. End-to-end work is
+  * O(changed rows), however large the source or the view.
   *
   * Exactly-once: the synced source version rides the merge commit as a
   * writer transaction ([[MergeBuilder.withTxn]] — atomic with the data,
@@ -42,8 +44,9 @@ import graft.metadata.MetadataException
   * view. Untouched groups' rows are never read and never rewritten; a
   * group whose rows all vanished is deleted from the view.
   *
-  * `sourceKey` must uniquely identify source rows (the table PK) — it is
-  * what [[ManagedTable.rowChanges]] nets endpoint images by.
+  * `sourceKey` must uniquely identify source rows (the table PK). The
+  * linear-fold path never nets by it (exact regardless), but the min/max
+  * recompute path and downstream CDC consumers rely on it.
   */
 final class MaterializedAgg(
     spark: SparkSession,
@@ -114,8 +117,17 @@ final class MaterializedAgg(
         cur
       case Some(v) =>
         if (mins.isEmpty && maxs.isEmpty)
-          applyDelta(source.rowChanges(v, cur, sourceKeys,
-            includePreimages = true), cur)
+          // count/sum are LINEAR, so the delta folds from the RAW file
+          // diff feed — added rows +, removed rows − — with no key
+          // netting at all: a rewritten file's carried-over rows appear
+          // on both sides and cancel exactly, updates telescope to their
+          // net movement, and the fold equals aggregate(to) −
+          // aggregate(from) by construction. Skipping rowChanges drops
+          // the full-outer netting join + preimage explode from every
+          // refresh (the interval's dominant plan cost); it also means
+          // no PK-uniqueness guard runs here — linear folds are exact
+          // even under duplicate keys, so none is needed
+          applyDelta(source.changes(v, cur), cur)
         else
           // the recompute path needs only the touched GROUP KEYS, so it
           // reads the raw file-diff feed: no key-netting full-outer
@@ -190,10 +202,11 @@ final class MaterializedAgg(
     } finally h.release()
   }
 
+  /** Fold the RAW file-diff feed ([[ManagedTable.changes]]:
+    * `_change_type` added/removed) into per-group deltas and merge them
+    * into the view. */
   private def applyDelta(changed: DataFrame, cur: Long): Unit = {
-    val sign = when(
-      col("_change_type").isin("insert", "update_postimage"), 1)
-      .otherwise(-1)
+    val sign = when(col("_change_type") === "added", 1).otherwise(-1)
     val viewSchema = view.read().schema
     def typed(name: String, c: Column): Column =
       c.cast(viewSchema(name).dataType).as(s"__d_$name")

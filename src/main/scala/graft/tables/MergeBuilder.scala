@@ -393,7 +393,8 @@ final class MergeBuilder private[tables] (
     val m = requireTarget
     val targetCols = m.schema.fields.map(_.name).toSeq
     val scopeFiles = prunedFiles(m)
-    val probeFiles = bloomPrunedProbeScope(m, k, scopeFiles)
+    val probeFiles = Phase("mrg:bloomScope")(
+      bloomPrunedProbeScope(m, k, scopeFiles))
     lastProbeFileCount = probeFiles.size
 
     val s0 = source.withColumn(SFlag, lit(true)).alias("source")
@@ -463,7 +464,8 @@ final class MergeBuilder private[tables] (
       // clauses — collected once: merges are commit-latency critical and
       // a separate distinct-files job + counts job doubles the probe's
       // action count for no information the fused collect lacks
-      val byFileAction = probe.groupBy(ActionCol, TFile).count().collect()
+      val byFileAction = Phase("mrg:probeCollect")(
+        probe.groupBy(ActionCol, TFile).count().collect())
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
 
       // touched files, translated back to manifest paths on the driver
@@ -538,13 +540,20 @@ final class MergeBuilder private[tables] (
         .join(matchedKeys, Seq(k), "left_anti")
         .select(insertValueCols :+ insertAction.as(ActionCol): _*)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val insertCounts = inserts.groupBy(ActionCol).count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // insert-clause METRICS are deferred until after the phase-2 write:
+      // the write is what first materializes the persisted `inserts`
+      // frame (the anti-join runs inside that job), so collecting counts
+      // afterwards is a cache-local scan instead of a second execution of
+      // the anti-join — one fewer full action on the commit-latency path
+      def insertCounts(): Map[String, Long] = Phase("mrg:insertCollect")(
+        inserts.groupBy(ActionCol).count().collect())
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
       // zero-count tags are dropped: the generic path only reports tags it
       // observed, and `MergeMetrics.count` already resolves absent → 0
-      val counts = (baseCounts.keySet ++ insertCounts.keySet).map(key =>
-        key -> (baseCounts.getOrElse(key, 0L) + insertCounts.getOrElse(key, 0L)))
-        .toMap.filter(_._2 != 0L)
+      def counts(ic: Map[String, Long]): Map[String, Long] =
+        (baseCounts.keySet ++ ic.keySet).map(key =>
+          key -> (baseCounts.getOrElse(key, 0L) + ic.getOrElse(key, 0L)))
+          .toMap.filter(_._2 != 0L)
 
       // ---- phase 2: re-resolve ONLY the touched files (deterministic
       // expressions reproduce phase 1's actions exactly) and commit them
@@ -649,9 +658,10 @@ final class MergeBuilder private[tables] (
         val kept = rewrite.unionByName(insertsAligned)
           .filter(col(ActionCol) =!= DropTag && !col(ActionCol).startsWith(DeletePrefix))
           .drop(ActionCol)
-        table.replaceFiles(touchedPaths, kept, operationName, txn)
+        Phase("mrg:replaceFiles")(
+          table.replaceFiles(touchedPaths, kept, operationName, txn))
       }
-      MergeMetrics(counts - DropTag)
+      MergeMetrics(counts(insertCounts()) - DropTag)
     } finally {
       probe.unpersist()
       if (inserts != null) inserts.unpersist()
