@@ -176,11 +176,35 @@ final class MaterializedAgg(
     * bound it. */
   private def recomputeTouched(changed: DataFrame, cur: Long): Unit = {
     val keyC = keys.map(c => col(s"`$c`"))
+    val real = "__real"
     val (msrc, h) = graft.ops.SubstrateCache.scoped {
-      val touched = changed.select(keyC: _*).distinct()
-      val fresh = aggregate(source.read().join(touched, keys, "left_semi"))
-      // a touched group absent from the recompute has no live rows left
-      graft.ops.SubstrateCache.persist(touched.join(fresh, keys, "left"))
+      // ONE aggregation yields both the recompute and the emptied-group
+      // marker: live source rows of touched groups (semi-join-pruned,
+      // tagged 1) unioned with a PHANTOM row per changed row (tagged 0,
+      // null values). `cnt = sum(tag)` counts only live rows, extrema
+      // ignore the phantom nulls, and a group whose rows all vanished
+      // still surfaces — with cnt 0 — through its phantoms. Duplicate
+      // keys are harmless everywhere (phantoms add 0), so the feed needs
+      // NO distinct shuffle and the recompute joins NOTHING back: plan is
+      // semi-join → union → one shuffle. Join strategy is left to AQE —
+      // a slice-sized feed broadcasts, a huge backfill interval degrades
+      // to a shuffle join, never to all-pairs.
+      val touchedKeys = changed.select(keyC: _*)
+      val valued = source.read()
+        .join(touchedKeys, keys, "left_semi")
+        .select(keyC ++ Seq(lit(1L).as(real)) ++
+          (sums ++ mins ++ maxs).distinct.map(c => col(s"`$c`")): _*)
+      val phantoms = touchedKeys
+        .select(keyC ++ Seq(lit(0L).as(real)) ++
+          (sums ++ mins ++ maxs).distinct.map(c =>
+            lit(null).cast(source.read().schema(c).dataType).as(c)): _*)
+      graft.ops.SubstrateCache.persist(
+        valued.unionByName(phantoms)
+          .groupBy(keyC: _*)
+          .agg(sum(col(real)).as(cntCol),
+            sums.map(c => sum(coalesce(col(s"`$c`"), lit(0))).as(sumCol(c))) ++
+              mins.map(c => min(col(s"`$c`")).as(minCol(c))) ++
+              maxs.map(c => max(col(s"`$c`")).as(maxCol(c))): _*))
     }
     try {
       val cond = keys.map(c => s"target.`$c` = source.`$c`").mkString(" AND ")
@@ -190,12 +214,12 @@ final class MaterializedAgg(
           // msrc is one row per touched group key — the multi-match
           // guard's extra job would verify a tautology
           .assumeUniqueSourceKeys()
-      b.whenMatchedDelete(Some(s"source.`$cntCol` IS NULL"))
+      b.whenMatchedDelete(Some(s"source.`$cntCol` = 0"))
         .whenMatchedUpdate(
           aggCols.map(c => c -> s"source.`$c`").toMap)
         .whenNotMatchedInsert(
           (keys ++ aggCols).map(c => c -> s"source.`$c`").toMap,
-          cond = Some(s"source.`$cntCol` IS NOT NULL"))
+          cond = Some(s"source.`$cntCol` <> 0"))
         .withTxn(appId, cur, operation = "matview-refresh")
         .execute()
       ()
