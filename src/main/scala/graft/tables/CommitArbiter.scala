@@ -67,9 +67,21 @@ private[tables] final class RenameCommitArbiter(
     catch {
       case e: java.io.IOException =>
         try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
-        throw new ConcurrentWriteException(
-          s"concurrent commit detected at $target: another writer created " +
-            "this record first", e)
+        // losing the race is only ONE way a rename fails: report a
+        // conflict only when the record DEMONSTRABLY exists — a
+        // disk-full or permission error must surface as itself, not as
+        // "another writer won" (which callers treat as retryable).
+        // Exception type alone cannot decide: Hadoop raises
+        // FileAlreadyExistsException for a non-directory PARENT too, so
+        // the post-failure existence probe is the arbiter (records are
+        // never deleted in this window, so a winner is still visible)
+        val lostRace =
+          try fs.exists(target) catch { case _: java.io.IOException => false }
+        if (lostRace)
+          throw new ConcurrentWriteException(
+            s"concurrent commit detected at $target: another writer created " +
+              "this record first", e)
+        else throw e
     }
   }
 
@@ -144,7 +156,10 @@ private[tables] final class PosixCommitArbiter(tmpDir: Path)
   * requests and the object swap is atomic; running it against a plain
   * filesystem (as tests do) keeps the same visible semantics except
   * that an in-flight PUT could be observed torn — which is exactly the
-  * property the STORE, not this class, must provide. */
+  * property the STORE, not this class, must provide. A crash inside the
+  * filesystem simulation's create→write window leaves a zero-length or
+  * truncated record; `ManagedTable.maybeDropTornRecord` (age-gated)
+  * frees the slot so the table never wedges. */
 private[tables] final class ConditionalPutCommitArbiter(fs: FileSystem)
     extends CommitArbiter {
 
@@ -153,9 +168,17 @@ private[tables] final class ConditionalPutCommitArbiter(fs: FileSystem)
       try fs.create(target, false)
       catch {
         case e: java.io.IOException =>
-          throw new ConcurrentWriteException(
-            s"concurrent commit detected at $target: another writer " +
-              "created this record first", e)
+          // same distinction as the rename arbiter: only an
+          // actually-existing record is a lost race (probed, never
+          // inferred from exception type); IO failures (disk full,
+          // permissions) surface as themselves
+          val lostRace =
+            try fs.exists(target) catch { case _: java.io.IOException => false }
+          if (lostRace)
+            throw new ConcurrentWriteException(
+              s"concurrent commit detected at $target: another writer " +
+                "created this record first", e)
+          else throw e
       }
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()

@@ -145,9 +145,27 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     while (true) {
       try {
         val in = fs.open(pointerFile)
-        try return Some(
-          new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
+        val s = try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
         finally in.close()
+        if (s.nonEmpty && s.forall(_.isDigit)) return Some(s.toLong)
+        // TORN pointer: a store whose overwrite PUT is not atomic (the
+        // conditional-put arbiter on a plain filesystem) can expose an
+        // empty or truncated pointer if the writer dies mid-swap — and
+        // unlike the absent-pointer window this never self-heals, so
+        // after a few re-reads (a live writer's PUT completes in ms)
+        // republish from the records, which are the ground truth
+        attempt += 1
+        if (attempt >= 5) {
+          repairAbsentPointer() match {
+            case Some(v) => return Some(v)
+            case None =>
+              throw new java.io.IOException(
+                s"pointer $pointerFile holds malformed content " +
+                  s"('${s.take(32)}') and no self-consistent record " +
+                  "could republish it; retry the read")
+          }
+        }
+        Thread.sleep(2L * attempt)
       } catch {
         case _: java.io.FileNotFoundException if !fs.exists(metaDir) =>
           return None // never created (or dropped): genuinely absent
@@ -238,14 +256,28 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         try { writeFileNoOverwrite(pointerFile, v.toString); Some(v) }
         catch {
           case scala.util.control.NonFatal(_) =>
-            // lost the race to the stalled writer (or another repairing
-            // reader) — whatever landed is authoritative
+            // the pointer file exists: either the stalled writer (or
+            // another repairing reader) landed a VALID value — which is
+            // authoritative — or the existing file is the TORN pointer
+            // that sent us here, which no put-if-absent can ever fix:
+            // overwrite it with the records-derived version. (A valid
+            // value appearing between the re-read and the overwrite can
+            // only come from a writer whose record the scan above already
+            // saw or a repairer that computed the same thing, so the
+            // overwrite is monotone in practice; the healer's roll-forward
+            // absorbs any remaining skew on the next write.)
             scala.util.Try {
               val in = fs.open(pointerFile)
               try new String(in.readAllBytes(),
-                StandardCharsets.UTF_8).trim.toLong
+                StandardCharsets.UTF_8).trim
               finally in.close()
-            }.toOption
+            }.toOption match {
+              case Some(s) if s.nonEmpty && s.forall(_.isDigit) =>
+                Some(s.toLong)
+              case Some(_) =>
+                writeFileAtomic(pointerFile, v.toString); Some(v)
+              case None => None
+            }
         }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -897,8 +929,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     if (!fs.exists(earliestFile)) None
     else {
       val in = fs.open(earliestFile)
-      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
+      val s = try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
       finally in.close()
+      // a non-atomic-PUT store (condput arbiter) can expose a torn
+      // horizon if a vacuum died mid-overwrite: treat it as absent —
+      // the fence is a fail-fast OPTIMIZATION, never load-bearing for
+      // live reads, and the next vacuum republishes it
+      if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
     }
 
   /** Record `batchId` as the last transaction committed by streaming
@@ -931,9 +968,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       if (!fs.exists(p)) return None
       try {
         val in = fs.open(p)
-        try return Some(
-          new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
+        val s = try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
         finally in.close()
+        // torn marker (writer died inside a non-atomic overwrite PUT):
+        // treat as absent — the marker may lawfully trail the truth by
+        // one crash window, and recovery already takes the max with the
+        // record-embedded txn, which is the atomic source of truth
+        return if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
       } catch {
         case e @ (_: org.apache.hadoop.fs.ChecksumException
                   | _: java.io.FileNotFoundException) =>
@@ -1747,8 +1788,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * as if it had survived (Delta has no such window — its log file IS
     * the commit; this closes ours). Racing against a LIVE cross-process
     * writer is benign: its own swap writes the same value. A record that
-    * fails to parse (a pre-upgrade torn write) is never published —
-    * those still require manual removal, as before. */
+    * fails to parse is never published; if it is not even valid JSON and
+    * old enough to be a crashed conditional-put writer, it is dropped
+    * ([[maybeDropTornRecord]]) — anything else requires manual removal,
+    * as before. */
   private def healOrphanRecord(): Unit =
     currentVersion.foreach { v =>
       var head = v
@@ -1776,11 +1819,43 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
               head = next
             }
           } catch {
-            case scala.util.control.NonFatal(_) => continue = false
+            case scala.util.control.NonFatal(e) =>
+              maybeDropTornRecord(next, e)
+              continue = false
           }
         }
       }
     }
+
+  /** Liveness repair for the conditional-put arbiter's crash window: a
+    * writer SIGKILLed between creating its record object and writing the
+    * content leaves a ZERO-LENGTH or JSON-truncated file at head+1 that
+    * can never roll forward — and, left in place, makes every future
+    * commit of that slot lose arbitration forever. A record that is not
+    * even valid JSON cannot be a commit from any (past or future) writer,
+    * so once it is old enough that no in-flight PUT can still be writing
+    * it (`spark.graft.commit.tornRecordGraceMs`, default 60 s — the
+    * create→close window is milliseconds; the grace absorbs GC pauses),
+    * it is dropped and the slot freed. Records that parse as JSON but
+    * fail self-consistency (foreign tooling, future formats) are NEVER
+    * auto-deleted — those keep requiring manual removal, as before. On a
+    * real object store PUT is atomic and this path never fires. */
+  private def maybeDropTornRecord(version: Long, cause: Throwable): Unit =
+    try {
+      val p = new Path(manifestsDir, f"v$version%020d.json")
+      val st = fs.getFileStatus(p)
+      val torn = st.getLen == 0 ||
+        cause.isInstanceOf[com.fasterxml.jackson.core.JacksonException]
+      val grace = spark.conf.get(
+        "spark.graft.commit.tornRecordGraceMs", "60000").toLong
+      if (torn && System.currentTimeMillis() - st.getModificationTime > grace) {
+        org.slf4j.LoggerFactory.getLogger(classOf[ManagedTable]).warn(
+          s"dropping torn commit record $p (${st.getLen} bytes, " +
+            "not parseable as JSON): crashed conditional-put writer; " +
+            "freeing the slot for future commits")
+        fs.delete(p, false)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Adopt an existing parquet directory as a managed table IN PLACE
     * (Delta's `CONVERT TO DELTA`): enumerate the data files, read their
@@ -4561,14 +4636,16 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       .map(_.toLong).sorted.reverse
       .flatMap { v =>
         // lock-free like all reads: a concurrent vacuum may delete a
-        // record between the listing and the read — skip it, don't throw
+        // record between the listing and the read, and a crashed
+        // conditional-put writer can leave a torn (zero-length or
+        // truncated) one above the head — skip either, don't throw
         try Some(Manifest.recordFromJsonString(readRecordString(v)) match {
           case Left(m) => TableHistory(v, m.operation, m.timestampMs,
             checkpoint = true, metrics = m.metrics)
           case Right(inc) => TableHistory(v, inc.operation, inc.timestampMs,
             checkpoint = false, metrics = inc.metrics)
         })
-        catch { case _: java.io.FileNotFoundException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
       }
 
   // ------------------------------------------------------------- internals

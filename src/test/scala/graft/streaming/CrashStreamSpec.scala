@@ -33,8 +33,21 @@ class CrashStreamSpec extends AnyFunSuite with Matchers {
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 
+  private val allArbiters = Seq("rename", "posix", "condput")
+
+  /** Parent-side arbiter selection; zero grace lets recovery drop a
+    * condput kill's torn record immediately (see CrashRecoverySpec). */
+  private def withArbiter[A](arbiter: String)(f: => A): A = {
+    spark.conf.set("spark.graft.commit.arbiter", arbiter)
+    spark.conf.set("spark.graft.commit.tornRecordGraceMs", "0")
+    try f finally {
+      spark.conf.unset("spark.graft.commit.arbiter")
+      spark.conf.unset("spark.graft.commit.tornRecordGraceMs")
+    }
+  }
+
   private def fork(main: String, root: String, writer: String,
-      n: String): Process = {
+      n: String, arbiter: String): Process = {
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",
@@ -48,6 +61,8 @@ class CrashStreamSpec extends AnyFunSuite with Matchers {
       System.getProperty("java.home"), "bin"), "java").getAbsolutePath
     val cmd: Seq[String] = Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx2g", "-Dspark.ui.enabled=false",
+      s"-Dspark.graft.commit.arbiter=$arbiter",
+      "-Dspark.graft.commit.tornRecordGraceMs=0",
       "-cp", System.getProperty("java.class.path"),
       main, root, writer, n)
     new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
@@ -56,8 +71,9 @@ class CrashStreamSpec extends AnyFunSuite with Matchers {
   /** Fork `main`, latch on its first `XCRASH_COMMITTED`, sleep `delay`,
     * SIGKILL. Returns after the child is dead. */
   private def killAfterFirstCommit(main: String, root: String,
-      writer: String, delay: Long, n: String = "100000"): Unit = {
-    val child = fork(main, root, writer, n)
+      writer: String, delay: Long, arbiter: String,
+      n: String = "100000"): Unit = {
+    val child = fork(main, root, writer, n, arbiter)
     val out = new BufferedReader(new InputStreamReader(child.getInputStream))
     val sawCommit = new java.util.concurrent.CountDownLatch(1)
     val drain = new Thread(() => {
@@ -79,8 +95,8 @@ class CrashStreamSpec extends AnyFunSuite with Matchers {
 
   /** Run `main` to voluntary completion (`XCRASH_DONE`). */
   private def runToDone(main: String, root: String, writer: String,
-      n: String): Unit = {
-    val child = fork(main, root, writer, n)
+      n: String, arbiter: String): Unit = {
+    val child = fork(main, root, writer, n, arbiter)
     val out = new BufferedReader(new InputStreamReader(child.getInputStream))
     var done = false
     var line = out.readLine()
@@ -99,16 +115,15 @@ class CrashStreamSpec extends AnyFunSuite with Matchers {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("SIGKILL inside the stream sink's micro-batch commit: no committed " +
-      "batch duplicates or vanishes across restarts; drain lands every file " +
-      "exactly once") {
-    val root = Files.createTempDirectory("graft-crashsink").toString
+  private def sinkFuzz(arbiter: String): Unit = {
+    val root = Files.createTempDirectory(s"graft-crashsink-$arbiter")
+      .toString
     // three kill rounds at varied offsets land inside different phases
     // of the micro-batch commit; each restart recovers from the same
     // checkpoint and must suppress any replayed batch
     Seq(0L, 80L, 250L).zipWithIndex.foreach { case (delay, it) =>
       killAfterFirstCommit("graft.streaming.CrashSinkMain", root,
-        s"s$it", delay)
+        s"s$it", delay, arbiter)
       val counts = idCounts(root)
       withClue(s"iteration $it (delay ${delay}ms): dup ids " +
           s"${counts.filter(_._2 > 1)}\n") {
@@ -118,19 +133,19 @@ class CrashStreamSpec extends AnyFunSuite with Matchers {
     }
     // recovery half: a clean AvailableNow run drains the backlog; the
     // table must then hold EVERY landed input id exactly once
-    runToDone("graft.streaming.CrashSinkMain", root, "drain", "0")
+    runToDone("graft.streaming.CrashSinkMain", root, "drain", "0", arbiter)
     val landed = (0L to CrashSinkMain.maxInput(s"$root/in")).toSet
     val counts = idCounts(root)
     counts.keySet shouldBe landed
     all(counts.values) shouldBe 1L
   }
 
-  test("SIGKILL inside COPY INTO's ledger+commit window: a re-run loads " +
-      "each landed file exactly once, never double, never drops") {
-    val root = Files.createTempDirectory("graft-crashcopy").toString
+  private def copyFuzz(arbiter: String): Unit = {
+    val root = Files.createTempDirectory(s"graft-crashcopy-$arbiter")
+      .toString
     Seq(0L, 60L, 200L).zipWithIndex.foreach { case (delay, it) =>
       killAfterFirstCommit("graft.streaming.CrashCopyMain", root,
-        s"c$it", delay, n = "100000")
+        s"c$it", delay, arbiter, n = "100000")
       val counts = idCounts(root)
       withClue(s"iteration $it (delay ${delay}ms): dup ids " +
           s"${counts.filter(_._2 > 1)}\n") {
@@ -143,5 +158,19 @@ class CrashStreamSpec extends AnyFunSuite with Matchers {
     val counts = idCounts(root)
     counts.keySet shouldBe landed
     all(counts.values) shouldBe 1L
+  }
+
+  allArbiters.foreach { arb =>
+    test(s"[$arb] SIGKILL inside the stream sink's micro-batch commit: " +
+        "no committed batch duplicates or vanishes across restarts; " +
+        "drain lands every file exactly once") {
+      withArbiter(arb)(sinkFuzz(arb))
+    }
+
+    test(s"[$arb] SIGKILL inside COPY INTO's ledger+commit window: a " +
+        "re-run loads each landed file exactly once, never double, " +
+        "never drops") {
+      withArbiter(arb)(copyFuzz(arb))
+    }
   }
 }

@@ -59,6 +59,65 @@ class CommitArbiterSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("a real IO failure is NOT reported as a lost commit race: rename " +
+      "and condput arbiters rethrow when the target does not exist") {
+    val base = Files.createTempDirectory("graft-arb-io").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    // a target whose PARENT is a plain file: create/rename must fail with
+    // a genuine IO error (not-a-directory), and the target provably does
+    // not exist — the arbiter must surface the failure, not translate it
+    // into ConcurrentWriteException (callers would retry a hopeless commit)
+    val blocker = new Path(base, "blocker")
+    val fs = blocker.getFileSystem(conf)
+    val out = fs.create(blocker, true)
+    out.write("f".getBytes("UTF-8")); out.close()
+    val impossible = new Path(s"$base/blocker/v1.json")
+    val rename = new RenameCommitArbiter(fs,
+      FileContext.getFileContext(new Path(base).toUri, conf), new Path(base))
+    val condput = new ConditionalPutCommitArbiter(fs)
+    Seq("rename" -> rename, "condput" -> condput).foreach { case (n, arb) =>
+      withClue(s"arbiter $n:\n") {
+        val e = intercept[Exception](arb.putIfAbsent(impossible, "content"))
+        e.isInstanceOf[ConcurrentWriteException] shouldBe false
+      }
+    }
+    // and the true lost-race case still reports as one
+    val rec = new Path(base, "v2.json")
+    rename.putIfAbsent(rec, "winner")
+    intercept[ConcurrentWriteException](condput.putIfAbsent(rec, "loser"))
+  }
+
+  test("a zero-length record left by a crashed conditional-put writer is " +
+      "age-gated dropped and the slot commits again (liveness repair)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-torn").toString + "/t"
+    spark.conf.set("spark.graft.commit.tornRecordGraceMs", "0")
+    try {
+      val t = ManagedTable(spark, root)
+      t.overwriteAll(Seq((1, "a")).toDF("id", "v"))
+      t.append(Seq((2, "b")).toDF("id", "v"))
+      // simulate the condput crash window: an empty record at head+1
+      val conf = spark.sparkContext.hadoopConfiguration
+      val torn = new Path(s"$root/_graft/manifests/" + f"v${2L}%020d.json")
+      val fs = torn.getFileSystem(conf)
+      fs.create(torn, false).close()
+      fs.getFileStatus(torn).getLen shouldBe 0L
+      // next write op heals the slot and commits where it would have
+      // wedged on permanent arbitration loss
+      val t2 = ManagedTable(spark, root)
+      t2.append(Seq((3, "c")).toDF("id", "v"))
+      t2.read().count() shouldBe 3
+      // a record that PARSES as JSON but is not self-consistent is left
+      // for manual removal, exactly as before
+      val foreign = new Path(s"$root/_graft/manifests/" + f"v${3L}%020d.json")
+      val o = fs.create(foreign, false)
+      o.write("{}".getBytes("UTF-8")); o.close()
+      val t3 = ManagedTable(spark, root)
+      intercept[Exception](t3.append(Seq((4, "d")).toDF("id", "v")))
+      fs.exists(foreign) shouldBe true
+    } finally spark.conf.unset("spark.graft.commit.tornRecordGraceMs")
+  }
+
   test("full table lifecycle is arbiter-independent: create, append, DML, " +
       "time travel, restore under rename, posix, and the hostile-store " +
       "conditional-put arbiter") {

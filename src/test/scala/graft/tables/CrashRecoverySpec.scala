@@ -17,7 +17,12 @@ import java.nio.file.Files
   * full version or nothing), and (c) accept the parent's own next
   * append (the roll-forward healer digests any orphaned record).
   * Finally an aggressive vacuum sweeps the kill debris and the
-  * invariant still holds. */
+  * invariant still holds.
+  *
+  * The WHOLE matrix runs under every commit arbiter — rename, posix,
+  * and the hostile conditional-put stand-in, whose non-atomic
+  * filesystem simulation exercises the torn-record and torn-pointer
+  * recovery paths no other arbiter can reach. */
 class CrashRecoverySpec extends AnyFunSuite with Matchers {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -27,7 +32,21 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 
-  private def forkWriter(root: String, writer: String,
+  private val allArbiters = Seq("rename", "posix", "condput")
+
+  /** Parent-side arbiter selection; the zero grace lets the parent's
+    * healer drop a condput kill's torn record immediately instead of
+    * waiting out the in-flight-PUT grace window. */
+  private def withArbiter[A](arbiter: String)(f: => A): A = {
+    spark.conf.set("spark.graft.commit.arbiter", arbiter)
+    spark.conf.set("spark.graft.commit.tornRecordGraceMs", "0")
+    try f finally {
+      spark.conf.unset("spark.graft.commit.arbiter")
+      spark.conf.unset("spark.graft.commit.tornRecordGraceMs")
+    }
+  }
+
+  private def forkWriter(root: String, writer: String, arbiter: String,
       main: String = "graft.tables.CrashWriterMain"): Process = {
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -42,6 +61,8 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
       System.getProperty("java.home"), "bin"), "java").getAbsolutePath
     val cmd: Seq[String] = Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx2g", "-Dspark.ui.enabled=false",
+      s"-Dspark.graft.commit.arbiter=$arbiter",
+      "-Dspark.graft.commit.tornRecordGraceMs=0",
       "-cp", System.getProperty("java.class.path"),
       main, root, writer, "1000")
     new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
@@ -51,8 +72,8 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
     * ms. Stdout drains on a daemon thread so the child never blocks on a
     * full pipe. */
   private def killAfterFirstCommit(root: String, writer: String,
-      main: String, delay: Long): Unit = {
-    val child = forkWriter(root, writer, main)
+      arbiter: String, main: String, delay: Long): Unit = {
+    val child = forkWriter(root, writer, arbiter, main)
     val out = new BufferedReader(new InputStreamReader(child.getInputStream))
     val sawCommit = new java.util.concurrent.CountDownLatch(1)
     val drain = new Thread(() => {
@@ -72,10 +93,10 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
     child.waitFor()
   }
 
-  test("SIGKILL at varied commit-stream offsets: table reads, append " +
-      "invariant holds, healer lets the next writer proceed") {
+  private def appendFuzz(arbiter: String): Unit = {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-crash").toString + "/t"
+    val root = Files.createTempDirectory(s"graft-crash-$arbiter")
+      .toString + "/t"
     val t = ManagedTable(spark, root)
     t.overwriteAll(Seq(("seed", "s")).toDF("id", "w").coalesce(1))
     val v0 = t.currentVersion.get
@@ -85,27 +106,8 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
     // offsets land the kill in different phases of later commits
     val delaysMs = Seq(0L, 40L, 120L, 350L)
     delaysMs.zipWithIndex.foreach { case (delay, it) =>
-      val child = forkWriter(root, s"w$it")
-      val out = new BufferedReader(
-        new InputStreamReader(child.getInputStream))
-      // drain asynchronously so the child never blocks on a full pipe;
-      // latch on the first commit marker
-      val sawCommit = new java.util.concurrent.CountDownLatch(1)
-      val drain = new Thread(() => {
-        var line = out.readLine()
-        while (line != null) {
-          if (line.startsWith("XCRASH_COMMITTED")) sawCommit.countDown()
-          line = try out.readLine() catch { case _: Exception => null }
-        }
-      })
-      drain.setDaemon(true)
-      drain.start()
-      withClue(s"iteration $it: child never committed\n") {
-        sawCommit.await(120, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
-      }
-      Thread.sleep(delay)
-      child.destroyForcibly()
-      child.waitFor()
+      killAfterFirstCommit(root, s"w$it", arbiter,
+        "graft.tables.CrashWriterMain", delay)
 
       // fresh handle: nothing cached from before the kill
       val h = ManagedTable(spark, root)
@@ -143,16 +145,17 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
     } finally spark.conf.unset("spark.graft.vacuum.orphanMinAgeMs")
   }
 
-  test("SIGKILL inside mixed append/DELETE/compaction streams: every " +
-      "surviving version is all-or-nothing and manifest stats stay true") {
+  private def mixedFuzz(arbiter: String): Unit = {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-crashmix").toString + "/t"
+    val root = Files.createTempDirectory(s"graft-crashmix-$arbiter")
+      .toString + "/t"
     val t = ManagedTable(spark, root)
     t.overwriteAll((1 to 20).map(i => (s"seed-$i", i % 7, "s"))
       .toDF("id", "bucket", "w").repartition(4))
 
     Seq(0L, 60L, 200L, 500L).zipWithIndex.foreach { case (delay, it) =>
-      killAfterFirstCommit(root, s"m$it", "graft.tables.CrashMixedMain", delay)
+      killAfterFirstCommit(root, s"m$it", arbiter,
+        "graft.tables.CrashMixedMain", delay)
       val h = ManagedTable(spark, root)
       val v = h.currentVersion.get
       val rows = h.read().count()
@@ -185,10 +188,10 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
     } finally spark.conf.unset("spark.graft.vacuum.orphanMinAgeMs")
   }
 
-  test("SIGKILL mid-vacuum: horizon fence stays consistent, the head " +
-      "reads, and a re-run finishes the sweep") {
+  private def vacuumFuzz(arbiter: String): Unit = {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-crashvac").toString + "/t"
+    val root = Files.createTempDirectory(s"graft-crashvac-$arbiter")
+      .toString + "/t"
     val t = ManagedTable(spark, root)
     // a real history: many small commits so the delete fan-out has work
     t.overwriteAll((1 to 50).map(i => (i.toLong, "s")).toDF("id", "w")
@@ -202,8 +205,8 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
 
     // kill shortly after vacuum starts — inside horizon write or deletes
     Seq(0L, 30L, 150L).zipWithIndex.foreach { case (delay, it) =>
-      killAfterFirstCommit(root, s"v$it", "graft.tables.CrashVacuumMain",
-        delay)
+      killAfterFirstCommit(root, s"v$it", arbiter,
+        "graft.tables.CrashVacuumMain", delay)
       val h = ManagedTable(spark, root)
       withClue(s"iteration $it (delay ${delay}ms)\n") {
         // the live snapshot is untouchable by vacuum
@@ -225,5 +228,23 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
     h.read().count() shouldBe rows
     val dry = h.vacuumDryRun(retainVersions = 2)
     dry.dataDirs shouldBe empty
+  }
+
+  allArbiters.foreach { arb =>
+    test(s"[$arb] SIGKILL at varied commit-stream offsets: table reads, " +
+        "append invariant holds, healer lets the next writer proceed") {
+      withArbiter(arb)(appendFuzz(arb))
+    }
+
+    test(s"[$arb] SIGKILL inside mixed append/DELETE/compaction streams: " +
+        "every surviving version is all-or-nothing and manifest stats " +
+        "stay true") {
+      withArbiter(arb)(mixedFuzz(arb))
+    }
+
+    test(s"[$arb] SIGKILL mid-vacuum: horizon fence stays consistent, the " +
+        "head reads, and a re-run finishes the sweep") {
+      withArbiter(arb)(vacuumFuzz(arb))
+    }
   }
 }
