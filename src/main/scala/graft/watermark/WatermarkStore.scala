@@ -81,6 +81,17 @@ final class WatermarkStore(spark: SparkSession, systemPath: String) {
     * SQL scalar — a deliberate dialect change (SQL, not Scala) since
     * scala-compiler is not a safe cluster dependency. Bindings: last_value,
     * watermark (alias), b19_epoch_day / reflex_now (days since 1900-01-01).
+    *
+    * MIGRATION SHIM: reference metadata carries *Scala* expressions
+    * (documented patterns — `LocalDate.parse('${last_value}')
+    * .minusDays(7).toString()` and friends, docs/processing/
+    * WATERMARKS.md:86-115). [[WatermarkScalaDialect.translate]] rewrites
+    * those shapes into equivalent Spark SQL before evaluation, so
+    * reference metadata runs unchanged. An expression that fails SQL
+    * evaluation and LOOKS like untranslatable Scala logs one loud
+    * warning per (column, expression) with a migration hint — without
+    * it the watermark silently evals to None on EVERY run and the
+    * incremental merge quietly degrades to a full-window rescan.
     * Failure → None, watermark skipped (reference: Watermark.scala:44-53).
     */
   def evaluateExpression(wm: WatermarkDef, lastValue: String): Option[String] = {
@@ -90,7 +101,9 @@ final class WatermarkStore(spark: SparkSession, systemPath: String) {
     // default SQL parser mode) then quotes, so e.g. "C:\data\" or
     // "O'Brien" can't break (or inject into) the generated SQL
     val escaped = lastValue.replace("\\", "\\\\").replace("'", "''")
-    val substituted = wm.expression
+    val sqlExpr = WatermarkScalaDialect.translate(wm.expression)
+      .getOrElse(wm.expression)
+    val substituted = sqlExpr
       .replace("${last_value}", escaped)
       .replace("${watermark}", escaped)
       .replace("${b19_epoch_day}", epochDay1900.toString)
@@ -99,9 +112,112 @@ final class WatermarkStore(spark: SparkSession, systemPath: String) {
       val r = spark.sql(s"SELECT CAST(($substituted) AS STRING)").head()
       if (r.isNullAt(0)) None else Some(r.getString(0))
     } catch {
-      case _: Exception => None
+      case _: Exception =>
+        WatermarkScalaDialect.warnIfScalaIsm(wm.columnName, wm.expression)
+        None
     }
   }
+}
+
+/** Translates the reference's DOCUMENTED Scala watermark-expression
+  * patterns (docs/processing/WATERMARKS.md:60-115; evaluated there via a
+  * runtime ToolBox, Expressions.scala:66-94) into equivalent Spark SQL:
+  *
+  *  - `LocalDate.parse(X)[.plusDays(n)|.minusDays(n)|.plusWeeks|
+  *    .minusWeeks|.plusMonths|.minusMonths|.plusYears|.minusYears]*
+  *    .toString()` → date arithmetic over `CAST(X AS DATE)`
+  *  - `LocalDateTime.parse(X[, defaultFormat])[.plusDays(n)|…|
+  *    .minusHours(n)…]*.format(F)` / `.toString()` → interval arithmetic
+  *    over `TO_TIMESTAMP(X[, fmt])` + `DATE_FORMAT`
+  *  - `F` ∈ `DateTimeFormatter.ISO_LOCAL_DATE`, `ISO_LOCAL_DATE_TIME`,
+  *    `defaultFormat` (the reference's `yyyy-MM-dd HH:mm:ss.S`),
+  *    `DateTimeFormatter.ofPattern("…")` (pattern passed through —
+  *    Java and Spark datetime patterns agree on y/M/d/H/m/s/S)
+  *
+  * Anything outside these shapes returns None (callers then evaluate
+  * the expression as SQL, unchanged behavior). */
+private[graft] object WatermarkScalaDialect {
+
+  private val DefaultFormat = "yyyy-MM-dd HH:mm:ss.S"
+
+  private val DateChain =
+    ("""(?s)^\s*LocalDate\.parse\(\s*([^(),]*?)\s*\)""" +
+      """((?:\.(?:plus|minus)(?:Days|Weeks|Months|Years)\(\s*\d+\s*\))*)""" +
+      """\.toString\(\)\s*$""").r
+  private val TimeChain =
+    ("""(?s)^\s*LocalDateTime\.parse\(\s*([^(),]*?)\s*""" +
+      """(?:,\s*defaultFormat\s*)?\)""" +
+      """((?:\.(?:plus|minus)(?:Days|Weeks|Hours|Minutes|Seconds)\(\s*\d+\s*\))*)""" +
+      """(?:\.format\(\s*(.*)\s*\)|\.toString\(\))\s*$""").r
+  private val HasDefaultFormat = """LocalDateTime\.parse\([^)]*,\s*defaultFormat""".r
+  private val Op = """\.(plus|minus)(Days|Weeks|Months|Years|Hours|Minutes|Seconds)\(\s*(\d+)\s*\)""".r
+
+  def translate(expr: String): Option[String] = expr match {
+    case DateChain(arg, ops) =>
+      val base = s"CAST($arg AS DATE)"
+      val folded = Op.findAllMatchIn(ops).foldLeft(base) { (acc, m) =>
+        val sign = if (m.group(1) == "plus") 1 else -1
+        val n = m.group(3).toInt
+        m.group(2) match {
+          case "Days"   => s"DATE_ADD($acc, ${sign * n})"
+          case "Weeks"  => s"DATE_ADD($acc, ${sign * n * 7})"
+          case "Months" => s"ADD_MONTHS($acc, ${sign * n})"
+          case "Years"  => s"ADD_MONTHS($acc, ${sign * n * 12})"
+        }
+      }
+      Some(s"CAST($folded AS STRING)")
+    case TimeChain(arg, ops, fmt) =>
+      val base =
+        if (HasDefaultFormat.findFirstIn(expr).isDefined)
+          s"TO_TIMESTAMP($arg, '$DefaultFormat')"
+        else s"TO_TIMESTAMP($arg)"
+      val folded = Op.findAllMatchIn(ops).foldLeft(base) { (acc, m) =>
+        val op = if (m.group(1) == "plus") "+" else "-"
+        val unit = m.group(2).toUpperCase // DAYS/WEEKS/HOURS/MINUTES/SECONDS
+        s"($acc $op INTERVAL ${m.group(3)} $unit)"
+      }
+      val pattern = Option(fmt).map(_.trim) match {
+        case None | Some("") =>
+          // LocalDateTime.toString(): ISO local date-time
+          Some("yyyy-MM-dd'T'HH:mm:ss")
+        case Some("DateTimeFormatter.ISO_LOCAL_DATE") => Some("yyyy-MM-dd")
+        case Some("DateTimeFormatter.ISO_LOCAL_DATE_TIME") =>
+          Some("yyyy-MM-dd'T'HH:mm:ss")
+        case Some("defaultFormat") => Some(DefaultFormat)
+        case Some(p) =>
+          val OfPattern = """DateTimeFormatter\.ofPattern\(\s*"([^"]*)"\s*\)""".r
+          p match {
+            case OfPattern(pat) => Some(pat)
+            case _              => None // unknown formatter: not translatable
+          }
+      }
+      pattern.map(p =>
+        s"DATE_FORMAT($folded, '${p.replace("'", "''")}')")
+    case _ => None
+  }
+
+  /** Does the (raw) expression look like the reference's Scala dialect?
+    * Used only to decide whether a failed evaluation deserves a loud
+    * migration warning. */
+  private[graft] def looksLikeScala(expr: String): Boolean =
+    Seq("LocalDate", "LocalDateTime", "DateTimeFormatter", ".toString()",
+      ".format(", "defaultFormat").exists(expr.contains)
+
+  private val warnedOnce =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  private[watermark] def warnIfScalaIsm(column: String, expr: String): Unit =
+    if (looksLikeScala(expr) && warnedOnce.add((column, expr)))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"watermark expression for column '$column' failed SQL " +
+          s"evaluation and looks like the reference's SCALA dialect: " +
+          s"'$expr'. This engine evaluates watermark expressions as " +
+          "Spark SQL (documented LocalDate/LocalDateTime patterns are " +
+          "auto-translated; this one was not translatable). Until the " +
+          "expression is migrated to SQL the watermark evaluates to " +
+          "None on EVERY run and each incremental merge rescans the " +
+          "full window — rewrite it, e.g. " +
+          "date_sub(CAST('${last_value}' AS DATE), 7).")
 }
 
 object WatermarkStore {

@@ -807,6 +807,43 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     intercept[DuplicateBusinesskeyException](run(md, 50, "s2.parquet", T2))
   }
 
+  test("reference Scala-dialect watermark expressions run unchanged " +
+      "(migration shim): every documented WATERMARKS.md pattern") {
+    val md = fixture()
+    val ws = new WatermarkStore(spark, md.environment.systemPath)
+    def ev(expr: String, last: String): Option[String] =
+      ws.evaluateExpression(WatermarkDef("c", expression = expr), last)
+
+    // docs/processing/WATERMARKS.md "Simple Last Value"
+    ev("'${last_value}'", "2024-01-10") shouldBe Some("2024-01-10")
+    // "Date Arithmetic": 7 days before the last value
+    ev("LocalDate.parse('${last_value}').minusDays(7).toString()",
+      "2024-01-10") shouldBe Some("2024-01-03")
+    ev("LocalDate.parse('${last_value}').plusDays(3).toString()",
+      "2024-01-10") shouldBe Some("2024-01-13")
+    // chained calendar arithmetic
+    ev("LocalDate.parse('${last_value}').minusMonths(1).plusDays(1).toString()",
+      "2024-03-31") shouldBe Some("2024-03-01")
+    // "Epoch Day Calculation"
+    val days = java.time.LocalDate.now().toEpochDay -
+      java.time.LocalDate.of(1900, 1, 1).toEpochDay
+    ev("${b19_epoch_day} - 1", "x") shouldBe Some((days - 1).toString)
+    // "Formatted Date": parse with the reference defaultFormat
+    // (yyyy-MM-dd HH:mm:ss.S), reformat as ISO date
+    ev("LocalDateTime.parse('${last_value}', defaultFormat)" +
+        ".format(DateTimeFormatter.ISO_LOCAL_DATE)",
+      "2024-01-10 10:30:00.0") shouldBe Some("2024-01-10")
+    // explicit ofPattern passthrough + interval arithmetic
+    ev("LocalDateTime.parse('${last_value}', defaultFormat).minusDays(2)" +
+        """.format(DateTimeFormatter.ofPattern("yyyy/MM/dd"))""",
+      "2024-01-10 10:30:00.0") shouldBe Some("2024/01/08")
+    // an untranslatable Scala expression still fails to None (and warns)
+    ev("new java.util.Date().toString()", "x") shouldBe None
+    // a bad VALUE under a translated expression also fails to None
+    ev("LocalDate.parse('${last_value}').minusDays(7).toString()",
+      "not-a-date") shouldBe None
+  }
+
   test("watermark values with backslashes survive SQL embedding") {
     val md = fixture()
     val ws = new WatermarkStore(spark, md.environment.systemPath)
