@@ -33,21 +33,38 @@ final class Metadata(
   // drop that connection's settings from the cascade, and a keyed
   // process type (merge/delta/historic) without a businesskey column
   // would only fail rounds later inside the merge plan with an
-  // unresolved-column error — both fail HERE with the entity named
+  // unresolved-column error — both fail HERE with the entity named.
+  // ONLY ENABLED entities fail the load (the reference resolves
+  // connections lazily, Entity.scala:88, so a parked entity never
+  // blocks it either); violations on disabled entities — including an
+  // entity whose connection field is absent — log a warning so the
+  // problem is visible before someone re-enables them, but one parked
+  // entity cannot block loading the whole config
   locally {
-    val badConn = entities.filter(e =>
-      !connectionByName.contains(e.connection.toLowerCase))
-    if (badConn.nonEmpty)
-      throw new MetadataException("Unknown connection reference(s): " +
-        badConn.map(e => s"entity '${e.name}' -> '${e.connection}'")
-          .mkString(", "))
-    val keyless = entities.filter(e =>
-      e.processType != ProcessType.Full && e.businessKeyColumns.isEmpty)
-    if (keyless.nonEmpty)
-      throw new MetadataException(
-        keyless.map(e => s"entity '${e.name}': processtype " +
+    def violations(es: Seq[Entity]): Seq[String] = {
+      val badConn = es.filter(e =>
+        !connectionByName.contains(e.connection.toLowerCase))
+        .map(e => s"entity '${e.name}': unknown connection " +
+          s"'${e.connection}'")
+      val keyless = es.filter(e =>
+        e.processType != ProcessType.Full && e.businessKeyColumns.isEmpty)
+        .map(e => s"entity '${e.name}': processtype " +
           s"'${e.processType.toString.toLowerCase}' requires at least one " +
-          "column with the businesskey fieldrole").mkString("; "))
+          "column with the businesskey fieldrole")
+      badConn ++ keyless
+    }
+    // enabled = entity flag ∧ its connection's flag (when resolvable)
+    val (active, parked) = entities.partition(e =>
+      e.enabled &&
+        connectionByName.get(e.connection.toLowerCase).forall(_.enabled))
+    val hard = violations(active)
+    if (hard.nonEmpty)
+      throw new MetadataException(hard.mkString("; "))
+    val soft = violations(parked)
+    if (soft.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(classOf[Metadata]).warn(
+        "metadata violations on DISABLED entities (load continues; fix " +
+          "before re-enabling): " + soft.mkString("; "))
   }
 
   def getEntity(id: Int): Entity =

@@ -105,11 +105,27 @@ class TableStreamProvider extends StreamSourceProvider {
   * snapshot version, whose "list" is the FULL file set at that version
   * (Delta's `isStartingVersion`); later versions' lists are the files
   * the version ADDED (manifest diff). Self-describing, so `getBatch`
-  * needs no side state to interpret a checkpointed interval. */
-final case class GraftSourceOffset(version: Long, index: Long, isInitial: Boolean)
+  * needs no side state to interpret a checkpointed interval.
+  *
+  * `listSize` records the length of `version`'s list AS THIS OFFSET SAW
+  * IT — the list-identity fingerprint. A manifest-diff list silently
+  * becomes the (longer) full-snapshot list when vacuum moves the
+  * horizon to exactly `version`; a resumed mid-list index would then
+  * slice a DIFFERENT list, re-emitting delivered files and/or skipping
+  * undelivered ones. With the fingerprint, "fully emitted"
+  * (`index ≥ listSize − 1`) survives the swap exactly, and a genuine
+  * mid-list resume whose list changed fails LOUDLY instead. None on
+  * offsets restored from pre-fingerprint checkpoints. */
+final case class GraftSourceOffset(version: Long, index: Long,
+    isInitial: Boolean, listSize: Option[Long] = None)
     extends Offset {
+  /** True when the recorded fingerprint proves every file of `version`'s
+    * list was emitted (the legacy `Long.MaxValue` sentinel also counts). */
+  def fullyEmitted: Boolean =
+    index == Long.MaxValue || listSize.exists(sz => index >= sz - 1)
   override def json: String =
-    s"""{"version":$version,"index":$index,"isInitial":$isInitial}"""
+    s"""{"version":$version,"index":$index,"isInitial":$isInitial""" +
+      listSize.fold("")(sz => s""","listSize":$sz""") + "}"
 }
 
 object GraftSourceOffset {
@@ -126,7 +142,11 @@ object GraftSourceOffset {
         case JLong(x) => x; case JInt(x) => x.toLong; case _ => 0L
       }
       GraftSourceOffset(lng(p \ "version"), lng(p \ "index"),
-        (p \ "isInitial") match { case JBool(b) => b; case _ => false })
+        (p \ "isInitial") match { case JBool(b) => b; case _ => false },
+        (p \ "listSize") match {
+          case JLong(x) => Some(x); case JInt(x) => Some(x.toLong)
+          case _        => None
+        })
     }
   }
 
@@ -327,18 +347,23 @@ class TableStreamSource(
     * one file when any is available. With no limits configured this
     * jumps straight to the head version's full list. */
   private def advance(from: GraftSourceOffset, head: Long): GraftSourceOffset = {
+    guardResume(from)
     var v = from.version
-    var i = math.min(from.index,
-      listFor(v, from.isInitial).size - 1L)
+    var i =
+      if (from.fullyEmitted) listFor(v, from.isInitial).size - 1L
+      else math.min(from.index, listFor(v, from.isInitial).size - 1L)
     var initial = from.isInitial
+    def at(version: Long, idx: Long, init: Boolean): GraftSourceOffset =
+      GraftSourceOffset(version, idx, init,
+        Some(listFor(version, init).size.toLong))
     if (maxFiles.isEmpty && maxBytes.isEmpty) {
       // unlimited: drain everything up to head (but finish an in-flight
       // initial snapshot at its own version first — its list type differs)
       if (initial && i < listFor(v, initial).size - 1L)
-        return GraftSourceOffset(v, listFor(v, initial).size - 1L, initial)
-      if (v >= head) return GraftSourceOffset(v, i, initial)
-      return GraftSourceOffset(head, listFor(head, isInitial = false).size - 1L,
-        isInitial = false)
+        return at(v, listFor(v, initial).size - 1L, initial)
+      if (v >= head) return at(v, i, initial)
+      return at(head, listFor(head, isInitial = false).size - 1L,
+        init = false)
     }
     var files = 0
     var bytes = 0L
@@ -358,7 +383,7 @@ class TableStreamSource(
         else { v += 1; i = -1L; initial = false }
       }
     }
-    GraftSourceOffset(v, i, initial)
+    at(v, i, initial)
   }
 
   private def guardHorizon(version: Long): Unit =
@@ -366,6 +391,36 @@ class TableStreamSource(
       if (version < e) throw new MetadataException(
         s"Streaming read of $path from version $version: vacuumed " +
           s"(earliest readable version is $e)"))
+
+  /** Mid-version resume guard: an offset that stopped INSIDE `version`'s
+    * list can only continue against the IDENTICAL list. Vacuum moving
+    * the horizon to exactly `version` silently swaps the manifest-diff
+    * list for the full snapshot (see [[listFor]]) — previously this
+    * re-emitted delivered files and/or skipped undelivered ones;
+    * exactly-once is unrecoverable there, so fail loudly instead (the
+    * same contract as a vacuum past the offset itself). Fully-emitted
+    * offsets (fingerprinted, or the legacy sentinel) resume safely
+    * regardless — the swapped list is never sliced. Fingerprint-less
+    * legacy mid-list offsets fail whenever continuing would slice a
+    * list whose diff-ness is no longer provable. */
+  private def guardResume(from: GraftSourceOffset): Unit = {
+    if (from.fullyEmitted || from.isInitial || from.index < 0) return
+    val swapRisk = belowHorizon(from.version - 1)
+    val sizeNow = listFor(from.version, from.isInitial).size.toLong
+    val identityBroken = from.listSize.exists(_ != sizeNow)
+    if ((swapRisk && from.listSize.isEmpty && from.index + 1 < sizeNow) ||
+        (swapRisk && identityBroken) || (!swapRisk && identityBroken))
+      throw new MetadataException(
+        s"Streaming read of $path: checkpointed offset stopped inside " +
+          s"version ${from.version}'s file list (index ${from.index}" +
+          from.listSize.fold("")(sz => s" of $sz") + s"), but that " +
+          s"list is no longer the one the offset indexed (current size " +
+          s"$sizeNow" +
+          (if (swapRisk) ", and vacuum has passed the predecessor " +
+            "version, so the manifest diff is gone" else "") +
+          "); resuming would re-emit or skip files — exactly-once is " +
+          "unrecoverable, restart the stream from a fresh checkpoint")
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame =
     // MicroBatchExecution requires isStreaming=true on a v1 batch
@@ -382,7 +437,13 @@ class TableStreamSource(
     def spansFrom(sO: GraftSourceOffset): Seq[(Long, Boolean, Option[Long], Long)] =
       (sO.version to endO.version).map { v =>
         val isInit = sO.isInitial && v == sO.version
-        val from = if (v == sO.version) Some(sO.index) else None
+        // a fully-emitted start (fingerprinted, or the legacy sentinel)
+        // must never slice its version's CURRENT list — the list may
+        // have been swapped for the full snapshot since (see listFor)
+        val from =
+          if (v == sO.version)
+            Some(if (sO.fullyEmitted) Long.MaxValue else sO.index)
+          else None
         val to = if (v == endO.version) endO.index else Long.MaxValue
         (v, isInit, from, to)
       }
@@ -399,6 +460,7 @@ class TableStreamSource(
       case Some(s) =>
         val sO = GraftSourceOffset.of(s)
         guardHorizon(sO.version)
+        guardResume(sO)
         spansFrom(sO)
     }
     val frames = spans.flatMap { case (v, isInit, exclusiveFrom, inclusiveTo) =>

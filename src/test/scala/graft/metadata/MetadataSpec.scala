@@ -163,7 +163,8 @@ class MetadataSpec extends AnyFunSuite with Matchers {
       "connections": [ { "name": "c" } ],
       "entities": [ { "id": 1, "name": "a", "connection": "NOPE",
         "columns": [ { "name": "ID", "fieldroles": ["businesskey"] } ] } ] }"""))
-    e1.getMessage should include("'a' -> 'NOPE'")
+    e1.getMessage should include("'a'")
+    e1.getMessage should include("'NOPE'")
     // merge/historic without a businesskey would only fail rounds later
     // inside the merge plan with an unresolved-column error
     val e2 = intercept[MetadataException](Metadata.fromJson("""{
@@ -174,6 +175,37 @@ class MetadataSpec extends AnyFunSuite with Matchers {
         "columns": [ { "name": "ID" } ] } ] }"""))
     e2.getMessage should include("businesskey")
     e2.getMessage should include("'nk'")
+  }
+
+  test("load-time contract checks skip DISABLED entities: one parked " +
+      "entity (or one on a disabled connection) cannot block the load") {
+    // entity-level disabled + unknown connection: loads (warn only)
+    val md = Metadata.fromJson("""{
+      "environment": { "name": "e", "root_folder": "/r" },
+      "connections": [ { "name": "c" } ],
+      "entities": [
+        { "id": 1, "name": "live", "connection": "c",
+          "columns": [ { "name": "ID", "fieldroles": ["businesskey"] } ] },
+        { "id": 2, "name": "parked", "connection": "GONE", "enabled": false,
+          "columns": [ { "name": "ID" } ] } ] }""")
+    md.getEntity(1).name shouldBe "live"
+    md.isEnabled(md.getEntity(2)) shouldBe false
+    // an entity with NO connection field at all, disabled: also loads
+    Metadata.fromJson("""{
+      "environment": { "name": "e", "root_folder": "/r" },
+      "connections": [ { "name": "c" } ],
+      "entities": [
+        { "id": 3, "name": "stray", "enabled": false,
+          "processtype": "merge",
+          "columns": [ { "name": "ID" } ] } ] }""").entities should have size 1
+    // a keyless merge entity on a DISABLED connection: loads (warn only)
+    Metadata.fromJson("""{
+      "environment": { "name": "e", "root_folder": "/r" },
+      "connections": [ { "name": "off", "enabled": false } ],
+      "entities": [
+        { "id": 4, "name": "offline", "connection": "off",
+          "processtype": "merge",
+          "columns": [ { "name": "ID" } ] } ] }""").entities should have size 1
   }
 
   test("file and folder loaders; folder merge combines sections") {

@@ -419,6 +419,60 @@ class StreamOpsSpec extends AnyFunSuite with Matchers {
     perBatch should be <= 2.0
   }
 
+  test("table stream source: a mid-version offset whose predecessor was " +
+      "vacuumed fails loudly instead of slicing the swapped snapshot list") {
+    import graft.tables.ManagedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft-midvac").toString
+    val t = ManagedTable(spark, dir + "/t")
+    t.overwriteAll(Seq((1L, "a")).toDF("id", "v").coalesce(1))        // v0
+    val schema = t.manifest.get.schema
+    def mkSource(maxFiles: String) = new TableStreamSource(spark.sqlContext,
+      dir + "/t", schema,
+      if (maxFiles.isEmpty) Map.empty
+      else Map("maxFilesPerTrigger" -> maxFiles))
+
+    // drain the v0 snapshot first, THEN commit v1 so its 3 files arrive
+    // as a manifest-diff list the stream can stop inside
+    val src = mkSource("1")
+    val o0 = GraftSourceOffset.of(
+      src.latestOffset(null, src.getDefaultReadLimit))   // snapshot (1 file)
+    o0.isInitial shouldBe true
+    t.append((2L to 4L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartitionByRange(3, $"id"))                                   // v1
+    val mid = GraftSourceOffset.of(
+      src.latestOffset(o0, src.getDefaultReadLimit))     // 1 of v1's 3 files
+    mid.version shouldBe 1L
+    mid.isInitial shouldBe false
+    mid.fullyEmitted shouldBe false
+    mid.listSize shouldBe Some(3L)
+
+    // vacuum to the head: v0's manifest is gone, v1's diff list is no
+    // longer derivable — listFor(v1) would silently become the 4-file
+    // full snapshot and the mid-list index would slice the wrong list
+    t.vacuum() // retainVersions 0: only the head survives
+    t.earliestReadableVersion shouldBe Some(1L)
+    val e = intercept[Exception] {
+      mkSource("1").latestOffset(mid, src.getDefaultReadLimit)
+    }
+    e.getMessage should include("no longer the one")
+
+    // a FULLY-EMITTED offset at the same version resumes safely: the
+    // swapped list is never sliced, and new commits flow
+    val done = GraftSourceOffset(1L, 2L, isInitial = false, Some(3L))
+    done.fullyEmitted shouldBe true
+    val src2 = mkSource("")
+    val idle = src2.latestOffset(done, src2.getDefaultReadLimit)
+    Option(idle).map(GraftSourceOffset.of).foreach { o =>
+      // no new data: nothing beyond v1 may be offered
+      src2.batchFrame(Some(done), o).count() shouldBe 0L
+    }
+    t.append(Seq((9L, "z")).toDF("id", "v").coalesce(1))              // v2
+    val o2 = GraftSourceOffset.of(
+      src2.latestOffset(done, src2.getDefaultReadLimit))
+    src2.batchFrame(Some(done), o2).select("id").collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(9L)
+  }
+
   test("admission offset walk: exactly-once under random commits, limits, and restarts") {
     // simulates the engine's driver loop (latestOffset → getBatch →
     // checkpoint) over randomized commit shapes, per-trigger limits, and
