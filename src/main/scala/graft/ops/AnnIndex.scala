@@ -97,6 +97,12 @@ final class AnnIndex(spark: SparkSession, val rootPath: String) {
             Some(graft.tables.Txn(appId, batchId)))
           vectorsTable.setTxn(appId, batchId)
         }
+        // compaction cadence: each micro-batch drips one file per
+        // touched cell — the autoCompact property folds them back on
+        // later appends (separate maintenance commit; a crash there
+        // loses only the compaction), so probe cost per cell stays
+        // bounded however long the stream runs
+        DedupIndex.ensureAutoCompact(vectorsTable)
         ()
       }
       .start()

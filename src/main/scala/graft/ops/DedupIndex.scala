@@ -51,6 +51,14 @@ final class DedupIndex(spark: SparkSession, val rootPath: String,
   private[ops] val bandsTable = ManagedTable(spark, s"$rootPath/bands")
   private[ops] val sigsTable = ManagedTable(spark, s"$rootPath/sigs")
 
+  /** Effective broadcast row bound for the probe's index joins —
+    * [[DedupIndex.BroadcastBandRowBound]] unless the session overrides
+    * `spark.graft.dedupindex.broadcastRowBound` (deployment tuning; and
+    * what lets tests force the shuffle backfill path on small data). */
+  private def broadcastBandRowBound: Long =
+    spark.conf.get("spark.graft.dedupindex.broadcastRowBound",
+      BroadcastBandRowBound.toString).toLong
+
   def exists: Boolean = bandsTable.exists && sigsTable.exists
 
   /** Indexed corpus size (docs with ≥1 shingle) — metadata-only when
@@ -169,6 +177,13 @@ final class DedupIndex(spark: SparkSession, val rootPath: String,
         bandsTable.setTxn(appId, batchId)
         sigsTable.setTxn(appId, batchId)
       }
+      // steady-state compaction cadence: each micro-batch drips one file
+      // per touched bucket into bands/sigs (and one into dest), so probe
+      // cost would otherwise grow with batch count. The sink's
+      // autoCompact property makes every FUTURE append fold small files
+      // back (separate maintenance commit — a crash there loses only the
+      // compaction, never the ingested batch). Seeded once per table.
+      Seq(dest, bandsTable, sigsTable).foreach(DedupIndex.ensureAutoCompact)
     } finally h.release()
   }
 
@@ -201,7 +216,7 @@ final class DedupIndex(spark: SparkSession, val rootPath: String,
     // bucket-partitioned files straight into the hash join. A backfill-
     // sized batch falls back to the shuffle join.
     val inSide =
-      if (nInBands <= BroadcastBandRowBound) broadcast(inBands.alias("a"))
+      if (nInBands <= broadcastBandRowBound) broadcast(inBands.alias("a"))
       else inBands.alias("a")
     // persisted: the candidate-bucket collect below materializes the band
     // join once, and the final confirm join reads the cached candidates —
@@ -223,7 +238,7 @@ final class DedupIndex(spark: SparkSession, val rootPath: String,
     // both confirm joins so neither the cached batch signatures nor the
     // pruned corpus sigs shuffle
     val candSide =
-      if (nCand <= BroadcastBandRowBound) broadcast(candWithBkt.drop("sbkt"))
+      if (nCand <= broadcastBandRowBound) broadcast(candWithBkt.drop("sbkt"))
       else candWithBkt.drop("sbkt")
     candSide
       .join(inDocs.select(col("__id").as("in_id"), col("__hs").as("hs_a")),
@@ -247,7 +262,10 @@ object DedupIndex {
 
   /** Batch band rows at or below this broadcast through the index joins
     * (~50 B/row → ≲50 MB broadcast at the bound); larger batches fall
-    * back to shuffle joins. */
+    * back to shuffle joins. Default for
+    * `spark.graft.dedupindex.broadcastRowBound` (session-tunable so a
+    * deployment can match it to executor memory — and tests can force
+    * the shuffle backfill path on small data). */
   val BroadcastBandRowBound = 1000000L
 
   /** Writer identity of a [[DedupIndex.dedupStream]] pipeline — stable
@@ -264,6 +282,16 @@ object DedupIndex {
 
   /** Table property holding [[DedupIndex.create]]'s source row count. */
   val SourceCountProp = "graft.dedupindex.sourceCount"
+
+  /** Seed the post-commit auto-compaction property on a drip-appended
+    * index table (idempotent — the property write is itself a commit, so
+    * it only happens when absent). Every later append then folds small
+    * files back once `graft.autoCompact.minSmallFiles` of them are below
+    * `graft.autoCompact.smallBytes` — bounded probe cost at steady
+    * state, whoever the writer is. */
+  private[ops] def ensureAutoCompact(t: graft.tables.ManagedTable): Unit =
+    if (t.exists && !t.properties.contains("graft.autoCompact.enabled"))
+      t.setTableProperties(Map("graft.autoCompact.enabled" -> "true"))
 
   /** Build (or rebuild) the index at `rootPath` from `corpus`. The
     * source row count is recorded as a table property

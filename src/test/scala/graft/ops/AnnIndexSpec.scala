@@ -163,6 +163,43 @@ class AnnIndexSpec extends AnyFunSuite with Matchers {
     added.flatMap(_.partitionValues.get("cid")).toSet.size shouldBe 1
   }
 
+  test("indexStream file count stays bounded across 24 micro-batches " +
+      "(auto-compaction cadence per cell)") {
+    val c = corpus
+    val root = freshRoot("compact")
+    val idx = AnnIndex.create(spark, c, "vec_id", "embedding",
+      AnnIndex.seedCodebook(c, "vec_id", "embedding", 4), root)
+    spark.conf.set("spark.graft.autoCompact.smallBytes", (1L << 20).toString)
+    spark.conf.set("spark.graft.autoCompact.minSmallFiles", "4")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark)
+    val q = idx.indexStream(ms.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$root/cp",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      (1 to 24).foreach { b =>
+        val v = Array.fill(4)(0.05f); v(b % 4) = 1.0f + b * 0.001f
+        ms.addData((1000L + b, v))
+        q.processAllAvailable()
+      }
+      // without the cadence: one file per touched cell per batch (~24
+      // beyond the build's); the fold keeps steady state within one
+      // window per cell (4 cells × fold window of 4, plus the carry)
+      val files = idx.vectorsTable.manifest.get.files.size
+      withClue(s"vector files=$files\n") { files should be <= 20 }
+      idx.indexedVectors shouldBe Some(44L)
+      // probes still prune to cells and find streamed vectors
+      idx.search(c.filter(col("vec_id") === 0L), "vec_id", "embedding",
+          nProbe = 1, k = 30)
+        .collect().map(_.getLong(1)) should contain(1004L)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.graft.autoCompact.smallBytes")
+      spark.conf.unset("spark.graft.autoCompact.minSmallFiles")
+    }
+  }
+
   test("indexStream ingests a live vector stream exactly-once; replayed " +
       "batches append nothing") {
     val c = corpus

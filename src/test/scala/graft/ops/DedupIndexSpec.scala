@@ -97,6 +97,50 @@ class DedupIndexSpec extends AnyFunSuite with Matchers {
     allBkts should not be empty
   }
 
+  test("backfill path: past the broadcast bound the probe degrades to " +
+      "shuffle joins with identical results and intact bucket pruning") {
+    val idx = DedupIndex.create(spark, docs, "doc_id", "text",
+      freshRoot("backfill"))
+    // re-id'd copies of planted corpus texts: guaranteed matches
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000)
+    // reference run under the default (broadcast) bound
+    val expect = canon(idx.nearDupPairs(batch, "doc_id", "text"))
+    expect should not be empty
+    // force EVERY probe join past the bound → shuffle backfill path
+    spark.conf.set("spark.graft.dedupindex.broadcastRowBound", "0")
+    try {
+      val df = idx.nearDupPairs(batch, "doc_id", "text")
+      canon(df) shouldBe expect
+      // the driver-side manifest prune is independent of join strategy:
+      // the bands scan must still touch ONLY the batch's buckets
+      val batchBkts = DedupIndex.flatBands(
+        TextOps.minHashSignatures(batch, "doc_id", "text"),
+        DedupIndex.DefaultBuckets)
+        .select("bkt").distinct().collect().map(_.getString(0)).toSet
+      batchBkts.size should be < DedupIndex.DefaultBuckets
+      // inputFiles reads the OPTIMIZED plan, where the probe's persisted
+      // candidate subtree is already an InMemoryRelation hiding the band
+      // scan — walk the analyzed plan's file relations instead
+      val scanned = df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.inputFiles.toSeq
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      val bandFiles = scanned.filter(_.contains("/bands/"))
+      bandFiles should not be empty
+      val touched = bandFiles.flatMap(f =>
+        "__gp_bkt=([^/]+)".r.findFirstMatchIn(f).map(_.group(1))).toSet
+      withClue(s"touched=$touched batch=$batchBkts\n") {
+        touched.subsetOf(batchBkts) shouldBe true
+      }
+    } finally
+      spark.conf.unset("spark.graft.dedupindex.broadcastRowBound")
+  }
+
   test("no collisions: a disjoint batch yields zero pairs and empty-prune safety") {
     val corpus = docs.filter(col("doc_id") < 6)
     val idx = DedupIndex.create(spark, corpus, "doc_id", "text",
@@ -142,6 +186,50 @@ class DedupIndexSpec extends AnyFunSuite with Matchers {
     idx.bandsTable.currentVersion shouldBe bv
     idx.sigsTable.currentVersion shouldBe sv
     dest.read().count() shouldBe 2
+  }
+
+  test("streaming ingest file count stays bounded across 24 micro-batches " +
+      "(auto-compaction cadence on dest, bands, and sigs)") {
+    val base = freshRoot("compact")
+    val idxRoot = s"$base/idx"
+    val destRoot = s"$base/dest"
+    val idx = DedupIndex.create(spark,
+      Seq((0L, (0 until 12).map(w => s"seed_$w").mkString(" ")))
+        .toDF("doc_id", "text"), "doc_id", "text", idxRoot, buckets = 2)
+    val appId = DedupIndex.streamAppId(destRoot, idxRoot)
+    // every index file is tiny, so classify generously and fold early
+    spark.conf.set("spark.graft.autoCompact.smallBytes", (1L << 20).toString)
+    spark.conf.set("spark.graft.autoCompact.minSmallFiles", "4")
+    try {
+      (1 to 24).foreach { b =>
+        val batch = Seq((100L * b,
+          (0 until 12).map(w => s"b${b}_$w").mkString(" ")))
+          .toDF("doc_id", "text")
+        idx.processDedupBatch(batch, "doc_id", "text", destRoot, appId,
+          b.toLong, 0.5)
+      }
+      val dest = graft.tables.ManagedTable(spark, destRoot)
+      // without compaction: ~24 files in dest and ~24 per bucket table;
+      // the cadence folds each table back whenever 4+ small files
+      // accumulate, so steady state stays under one fold window
+      val destFiles = dest.manifest.get.files.size
+      val bandFiles = idx.bandsTable.manifest.get.files.size
+      val sigFiles = idx.sigsTable.manifest.get.files.size
+      withClue(s"dest=$destFiles bands=$bandFiles sigs=$sigFiles\n") {
+        destFiles should be <= 6
+        bandFiles should be <= 12  // ≤ fold window × buckets(2) + carry
+        sigFiles should be <= 12
+      }
+      // correctness is untouched: all 24 unique docs present, dedup works
+      dest.read().count() shouldBe 24L
+      val rep = Seq((9999L, (0 until 12).map(w => s"b7_$w").mkString(" ")))
+        .toDF("doc_id", "text")
+      idx.processDedupBatch(rep, "doc_id", "text", destRoot, appId, 25L, 0.5)
+      dest.read().count() shouldBe 24L // dup of batch 7's doc: dropped
+    } finally {
+      spark.conf.unset("spark.graft.autoCompact.smallBytes")
+      spark.conf.unset("spark.graft.autoCompact.minSmallFiles")
+    }
   }
 
   test("dedupStream end-to-end: a real streaming query over a file " +
