@@ -123,8 +123,15 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     // must be recovered to the star form, or the adopted columns would
     // insert/update as NULL even though the source carries values (the
     // builder's InsertAll/UpdateAll resolve against the POST-evolution
-    // schema). A hand-written clause matching the signature is
-    // byte-identical to a star, so the rewrite never changes semantics.
+    // schema). UPDATE actions carry the analyzer's own `fromStar` flag,
+    // so only provable star expansions take the UpdateAll form —
+    // hand-written SET lists keep Delta's explicit-assignment semantics
+    // (adopted columns untouched). INSERT actions carry NO such flag, so
+    // star recovery is structural — a DOCUMENTED deviation in exactly
+    // one case: a hand-written INSERT list that covers every
+    // pre-evolution column with identity mappings behaves as INSERT *
+    // post-evolution (adopted columns receive source values, where Delta
+    // would leave them NULL). Scoped to WITH SCHEMA EVOLUTION clauses.
     def stripCast(e: Expression): Expression = e match {
       case c: org.apache.spark.sql.catalyst.expressions.Cast => c.child
       case x => x
@@ -143,9 +150,6 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       // the analyzer expands UPDATE SET * into per-column assignments
       // with fromStar = true — keep the updateAll fast form for those
       case UpdateAction(c, _, true) if kind == 'm' =>
-        MatchedUpdateAll(qualOpt(c))
-      case UpdateAction(c, as, _)
-          if kind == 'm' && m.withSchemaEvolution && starLike(as) =>
         MatchedUpdateAll(qualOpt(c))
       case UpdateAction(c, as, _) if kind == 'm' =>
         MatchedUpdate(setMap(as), qualOpt(c))
@@ -860,9 +864,23 @@ object SqlDml {
       // data, the managed contract.
       if (inner.table.storage.locationUri.isDefined) inner.run(session)
       else {
+        // normalize like CreateDataSourceTableCommand would have: the V1
+        // catalog invariant stores partition columns LAST in the schema
+        // (the same reorder the replaceTable path applies) — a statement
+        // declaring them mid-schema must not register a divergent order
+        val parts = inner.table.partitionColumnNames
+        val dataFields = inner.table.schema.fields
+          .filterNot(f => parts.exists(_.equalsIgnoreCase(f.name)))
+        val partFields = parts.map(pc =>
+          inner.table.schema.fields.find(_.name.equalsIgnoreCase(pc))
+            .getOrElse(throw new MetadataException(
+              s"CREATE TABLE ${id.unquotedString}: partition column $pc " +
+                "is not in the schema")))
         catalog.createTable(
-          inner.table.copy(storage =
-            inner.table.storage.copy(locationUri = Some(loc))),
+          inner.table.copy(
+            schema = org.apache.spark.sql.types.StructType(
+              dataFields ++ partFields),
+            storage = inner.table.storage.copy(locationUri = Some(loc))),
           inner.ignoreIfExists,
           /* validateTableLocation = */ false)
         Nil

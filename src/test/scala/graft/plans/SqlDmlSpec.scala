@@ -679,6 +679,34 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     spark.table(s"$db.t").columns.toSeq shouldBe Seq("id", "v", "score")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: a hand-written UPDATE SET list that " +
+      "covers every pre-evolution column keeps explicit semantics — " +
+      "adopted columns stay NULL on updates, star-insert adopts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mexp").toString
+    val db = s"mexp${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE DATABASE $db")
+    spark.sql(s"CREATE TABLE $db.t (id BIGINT, v STRING) USING graft " +
+      s"LOCATION '$dir/t'")
+    spark.sql(s"INSERT INTO $db.t VALUES (1, 'a'), (2, 'b')")
+    // SET id = s.id, v = s.v covers every pre-evolution column with
+    // identity mappings — byte-identical to the analyzer's SET *
+    // expansion, but hand-written: Delta's explicit-assignment contract
+    // says the adopted column is NOT updated (stays NULL), and the
+    // fromStar flag is what distinguishes the two
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $db.t AS t
+         |USING (SELECT * FROM VALUES (2L, 'b2', 20.0D), (3L, 'c', 30.0D)
+         |       AS s(id, v, score)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET id = s.id, v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val rows = spark.sql(s"SELECT id, v, score FROM $db.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    rows shouldBe Array((1L, "a", None), (2L, "b2", None),
+      (3L, "c", Some(30.0)))
+  }
+
   test("REPLACE TABLE resets constraints, identity rules, and properties " +
       "to what the statement declares") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rst").toString
@@ -766,6 +794,23 @@ class SqlDmlSpec extends AnyFunSuite with Matchers {
     // ALTER TABLE RENAME keeps the (external) log working
     spark.sql(s"ALTER TABLE $db.cl RENAME TO $db.cl2")
     spark.table(s"$db.cl2").count() shouldBe 1
+
+    // a MID-SCHEMA partition column: the registered catalog schema must
+    // follow the V1 convention (partition columns LAST), exactly as
+    // CreateDataSourceTableCommand would normalize it
+    spark.sql(s"CREATE TABLE $db.mid (id BIGINT, day INT, v STRING) " +
+      "USING graft PARTITIONED BY (day)")
+    val midCt = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("mid", Some(db)))
+    midCt.schema.fieldNames.toSeq shouldBe Seq("id", "v", "day")
+    midCt.partitionColumnNames shouldBe Seq("day")
+    // positional INSERT maps to the NORMALIZED catalog order — the
+    // standard V1 behavior for partitioned tables (same as parquet/Delta)
+    spark.sql(s"INSERT INTO $db.mid VALUES (1, 'a', 10)")
+    spark.sql(s"SELECT id, day, v FROM $db.mid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))) shouldBe
+      Array((1L, 10, "a"))
+    spark.sql(s"DROP TABLE $db.mid")
   }
 
   test("nested-typed columns survive DML: array/struct rewrites don't " +
