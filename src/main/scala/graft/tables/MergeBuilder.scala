@@ -159,8 +159,30 @@ final class MergeBuilder private[tables] (
       table.requireNotAppendOnly("MERGE (update/delete clauses)")
     if (schemaEvolution) evolveTargetSchema()
     keyColumn match {
-      case Some(k) if clausesDeterministic => executeKeyed(k)
-      case _                               => executeGeneric()
+      case Some(k) if clausesDeterministic && !smallScope => executeKeyed(k)
+      case _                                              => executeGeneric()
+    }
+  }
+
+  /** A pruned scope small enough that the keyed path's touch-detection
+    * probe cannot pay for itself: every scope file would be cheap to
+    * rewrite outright, so the single-phase generic resolve (one action
+    * materializes the persisted resolve for metrics, the write re-reads
+    * the cache) beats probe + selective rewrite + insert anti-join by a
+    * whole action on the commit-latency path. Sized from MANIFEST bytes
+    * only — an entry without a recorded size disqualifies (conservative:
+    * stay file-granular). DV tables keep the keyed path (its masking
+    * avoids the rewrite entirely, strictly better). At 100 TB the bound
+    * (`spark.graft.merge.smallScopeBytes`, default 64 MB, 0 disables)
+    * routes only slice-sized tables or well-pruned partitions here —
+    * e.g. an incrementally-maintained VIEW over a huge source. */
+  private def smallScope: Boolean = {
+    val bound = source.sparkSession.conf
+      .get("spark.graft.merge.smallScopeBytes", (64L << 20).toString).toLong
+    bound > 0 && !table.dvEnabled && {
+      val files = table.manifest.map(prunedFiles).getOrElse(Nil)
+      files.forall(_.bytes.isDefined) &&
+        files.iterator.flatMap(_.bytes).sum <= bound
     }
   }
 
@@ -262,6 +284,8 @@ final class MergeBuilder private[tables] (
     val m = requireTarget
     val targetCols = m.schema.fields.map(_.name).toSeq
     val scopeFiles = prunedFiles(m)
+    // this path reads (and rewrites) the whole pruned scope
+    lastProbeFileCount = scopeFiles.size
     // row tracking: the partition-granular rewrite re-commits every scope
     // row — materialize IDs so carried and updated rows keep identity
     // (source-only inserts get fresh IDs from their new file's base range)
@@ -339,12 +363,15 @@ final class MergeBuilder private[tables] (
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // Delta contract: multiple source rows matching one target row is an
-      // error, not silent duplication
-      val multi = resolved.filter(col(TRowId).isNotNull)
-        .groupBy(TRowId).count().filter(col("count") > 1).limit(1).count()
-      if (multi > 0)
-        throw new graft.metadata.MetadataException(
-          "MERGE source has multiple rows matching one target row")
+      // error, not silent duplication (skipped when the caller asserted
+      // key-unique sources — the keyed path's same contract)
+      if (!sourceKeysUnique) {
+        val multi = resolved.filter(col(TRowId).isNotNull)
+          .groupBy(TRowId).count().filter(col("count") > 1).limit(1).count()
+        if (multi > 0)
+          throw new graft.metadata.MetadataException(
+            "MERGE source has multiple rows matching one target row")
+      }
       val counts = resolved.groupBy(ActionCol).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val kept = resolved

@@ -363,6 +363,9 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
 
   test("keyed merge touch-detect data-skips through the PK bloom index") {
     import spark.implicits._
+    // pin the at-scale keyed path: this test asserts probe internals the
+    // small-scope single-phase routing would (correctly) bypass
+    spark.conf.set("spark.graft.merge.smallScopeBytes", "0")
     val t = ManagedTable(spark, tmp() + "/bm")
     // 80 rows hash-mixed into 8 files: every file's id min/max spans nearly
     // the whole domain, so stats alone cannot prune — only the bloom can
@@ -398,6 +401,7 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
       .whenNotMatchedBySourceUpdate(Map("part" -> "'seen'"))
     b2.execute()
     b2.lastProbeFileCount shouldBe nFiles2
+    spark.conf.unset("spark.graft.merge.smallScopeBytes")
   }
 
   test("insert(set): explicit expressions, NULL fill, keyed matches generic") {
@@ -504,6 +508,9 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
 
   test("keyed merge rewrites only files containing touched rows (untouched entries carry over)") {
     import spark.implicits._
+    // pin the at-scale keyed path (file granularity is what's under test;
+    // a slice-sized table would otherwise take the single-phase route)
+    spark.conf.set("spark.graft.merge.smallScopeBytes", "0")
     val t = ManagedTable(spark, tmp() + "/fg")
     t.overwriteAll((1 to 40).map(i => (i, s"n$i", "x"))
       .toDF("id", "name", "part").repartition(4))
@@ -529,10 +536,12 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     after should not contain touched
     t.read().count() shouldBe 40
     t.read().filter(col("id") === 2).select("name").head().getString(0) shouldBe "B"
+    spark.conf.unset("spark.graft.merge.smallScopeBytes")
   }
 
   test("change feed: file-diff rows between versions, minimal under file-granular merge") {
     import spark.implicits._
+    spark.conf.set("spark.graft.merge.smallScopeBytes", "0") // see above
     val t = ManagedTable(spark, tmp() + "/cdf")
     t.overwriteAll((1 to 40).map(i => (i, s"n$i", "x"))
       .toDF("id", "name", "part").repartition(4)) // v0, 4 files
@@ -569,6 +578,7 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
     bookmark shouldBe 1
     feed2.count() shouldBe feed.length
     t.changesSince(bookmark)._1.count() shouldBe 0
+    spark.conf.unset("spark.graft.merge.smallScopeBytes")
   }
 
   test("rowChanges classifies insert/update/delete; carried-over rows dropped") {
