@@ -213,6 +213,63 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
   }
 
+  test("refresh action count stays bounded: the scale-critical driver " +
+      "cost is Spark-job count, locked as a regression test") {
+    val root = tmp()
+    val src = ManagedTable(spark, s"$root/src")
+    src.overwriteAll(rows(1 to 400))
+    val mv = MaterializedAgg(spark, src, s"$root/view", "id", Seq("grp"),
+      Seq("qty"))
+    mv.refresh()
+    src.delete("id % 5 = 0")
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      mv.refresh() // raw-fold delta + single-phase merge
+      Thread.sleep(300) // listener bus drains async; bound is an upper limit
+      // current shape runs well under this bound (AQE stage jobs
+      // included); the netting-join/probe shapes this replaced ran far
+      // above it — a regression reintroducing an action or a join
+      // stage-chain trips the lock before it costs bench seconds
+      val n = counter.jobs.get
+      withClue(s"refresh ran $n jobs\n") { n should be <= 16 }
+    } finally spark.sparkContext.removeSparkListener(counter)
+    canon(mv.read()) shouldBe canon(recompute(src))
+
+    // min/max recompute path: same lock
+    val mm = MaterializedAgg(spark, src, s"$root/viewmm", "id", Seq("grp"),
+      Nil, Seq("qty"), Seq("qty"))
+    mm.refresh()
+    src.delete("qty >= 5")
+    val c2 = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(c2)
+    try {
+      mm.refresh() // phantom-union recompute + single-phase merge
+      Thread.sleep(300)
+      val n = c2.jobs.get
+      withClue(s"min/max refresh ran $n jobs\n") { n should be <= 16 }
+    } finally spark.sparkContext.removeSparkListener(c2)
+    mm.read().select("grp", "cnt", "min_qty", "max_qty").orderBy("grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq shouldBe
+      src.read().groupBy("grp").agg(count(lit(1)).as("cnt"),
+          min("qty").as("min_qty"), max("qty").as("max_qty"))
+        .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSeq
+  }
+
   test("a vacuumed-past sync anchor falls back to one full rebuild " +
       "instead of wedging every refresh") {
     val root = tmp()
