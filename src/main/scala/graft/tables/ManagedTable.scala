@@ -4018,6 +4018,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         val replaced = ps.toSet
         m.files.filter(f => replaced.contains(f.partitionValues))
     }
+    // no rebase here — a rival commit inside the window surfaces as
+    // ConcurrentWriteException via commitDelta's stale-base check
+    // (fail-fast; the hook is the race-injection seam tests use)
+    onReplaceCommitAttempt()
     commitDelta(logicalSchema(d).json, m.partitionColumns, operation,
       base = Some(m), adds = newFiles, removes = removed.map(_.path), txn = txn,
       mappingOverride = Some(cmx), propertiesOverride = propsOv)
