@@ -216,9 +216,18 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           }
           Thread.sleep(2L * attempt)
         case e: org.apache.hadoop.fs.ChecksumException =>
-          // crc/data rename gap: content exists, re-reading resolves it
+          // crc/data rename gap: content exists and a LIVE writer's swap
+          // resolves on re-read — but a writer KILLED inside the swap can
+          // leave a PERMANENTLY stale `.crc` twin (crash-fuzz finding):
+          // after a few failed verifications, republish from the records
+          // (the overwrite replaces content and twin atomically)
           attempt += 1
-          if (attempt >= 20) throw e
+          if (attempt >= 8) {
+            repairAbsentPointer() match {
+              case Some(v) => return Some(v)
+              case None    => if (attempt >= 20) throw e
+            }
+          }
           Thread.sleep(5L * attempt)
       }
     }
@@ -256,16 +265,22 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         try { writeFileNoOverwrite(pointerFile, v.toString); Some(v) }
         catch {
           case scala.util.control.NonFatal(_) =>
-            // the pointer file exists: either the stalled writer (or
+            // the put-if-absent lost: either the stalled writer (or
             // another repairing reader) landed a VALID value — which is
-            // authoritative — or the existing file is the TORN pointer
-            // that sent us here, which no put-if-absent can ever fix:
-            // overwrite it with the records-derived version. (A valid
-            // value appearing between the re-read and the overwrite can
-            // only come from a writer whose record the scan above already
-            // saw or a repairer that computed the same thing, so the
-            // overwrite is monotone in practice; the healer's roll-forward
-            // absorbs any remaining skew on the next write.)
+            // authoritative — or the pointer is in a state no
+            // put-if-absent can ever fix: torn content, or a half-dead
+            // ChecksumFs twin (a killed overwrite leaves a stale
+            // `._current.crc`; the next put-if-absent then half-renames
+            // and every subsequent read fails checksum verification —
+            // observed under the crash fuzz). EVERY unreadable state
+            // resolves the same way: overwrite-publish the
+            // records-derived version, which atomically replaces content
+            // AND checksum twin. (A valid value appearing between the
+            // re-read and the overwrite can only come from a writer
+            // whose record the scan above already saw or a repairer that
+            // computed the same thing, so the overwrite is monotone in
+            // practice; the healer's roll-forward absorbs any remaining
+            // skew on the next write.)
             scala.util.Try {
               val in = fs.open(pointerFile)
               try new String(in.readAllBytes(),
@@ -274,9 +289,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
             }.toOption match {
               case Some(s) if s.nonEmpty && s.forall(_.isDigit) =>
                 Some(s.toLong)
-              case Some(_) =>
+              case _ =>
                 writeFileAtomic(pointerFile, v.toString); Some(v)
-              case None => None
             }
         }
       }
