@@ -893,4 +893,163 @@ object TextOps {
       .join(stitched, col(idCol) === col("__id"), "left")
       .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
   }
+
+  /** Max words per document the occurrence order key can index — the
+    * (doc, position) total order is `id * OrdScale + pos`, so ids up to
+    * ~9·10¹² and documents up to a million words fit a signed 64-bit key
+    * with no collision. */
+  val OrdScale = 1000000L
+
+  /** Default word-gram length for [[dedupSubstrings]] — long enough that
+    * chance k-gram collisions across unrelated documents are rare, short
+    * enough to catch the clipped/near-dup spans the synthetic corpus
+    * plants. */
+  val SubstringGramK = 6
+
+  /** Cross-document EXACT SUBSTRING dedup at word-`k`-gram granularity —
+    * the span-excision pass of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better": remove every repeated substring
+    * occurrence except the corpus-wide first), approximated on word
+    * grams instead of a suffix array: a suffix array finds maximal
+    * repeats of length ≥ k; marking every duplicated k-gram occurrence
+    * and erasing the words it covers excises the same spans (a repeat of
+    * length L ≥ k is covered by its L−k+1 duplicated k-grams), at the
+    * cost of hashing k-grams instead of building the global suffix
+    * structure no cluster wants to materialize.
+    *
+    * Semantics, per document: tokenize to words; every word-k-gram
+    * occurrence whose hash also occurs EARLIER in the corpus total order
+    * (`id × OrdScale + position`) is a duplicate; the union of the word
+    * spans `[pos, pos+k−1]` of all duplicate occurrences is erased; the
+    * survivors re-join with single spaces. The corpus-wide first
+    * occurrence of every span survives, so no content is lost globally —
+    * exactly the keep-first contract of [[dedupParagraphs]] one
+    * granularity finer.
+    *
+    * Returns (id, n_words, n_dup_grams, n_removed, kept_text) — one row
+    * per input document; docs shorter than k words pass through intact.
+    *
+    * Scale shape: one explode to (doc, pos, gram-hash) rows — O(total
+    * tokens), never O(docs²); the cross-document comparison is a single
+    * hash aggregate on the gram hash (map-side combined min); duplicate
+    * spans explode k rows each and collapse with a distinct keyed by
+    * (doc, position). Every shuffle is an equi hash partition on the
+    * gram hash or the doc id; the reassembly is the same in-row
+    * sort-and-join as [[dedupParagraphs]]. The tokenized substrate feeds
+    * the gram pass, the erase join, and the per-doc stats, so it is
+    * persisted via [[SubstrateCache]] instead of tokenizing three
+    * times. */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+      k: Int = SubstringGramK): DataFrame = {
+    require(k >= 2, s"substring gram length must be >= 2, got $k")
+    val toks = SubstrateCache.persist(
+      df.select(col(s"`$idCol`").as("__id"), tokens(col(s"`$textCol`")).as("__ws")))
+    val words = toks
+      .select(col("__id"), posexplode(col("__ws")).as(Seq("__p0", "__w")))
+      .select(col("__id"), (col("__p0") + 1).as("__pos"), col("__w"))
+    // (doc, pos, gram) occurrences; ord is the corpus total order
+    val grams = toks.select(col("__id"),
+        posexplode(ngramHashes(hashAll(col("__ws")), k)).as(Seq("__p0", "__g")))
+      .select(col("__id"), (col("__p0") + 1).as("__pos"), col("__g"),
+        (col("__id") * OrdScale + col("__p0") + 1).as("__ord"))
+    val winners = grams.groupBy("__g").agg(min("__ord").as("__win"))
+    val dups = grams.join(winners, Seq("__g"))
+      .filter(col("__ord") =!= col("__win"))
+      .select("__id", "__pos")
+    // union of erased word positions: explode each dup span, collapse
+    val removed = dups
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__rp"))
+      .distinct()
+    val kept = words.join(removed,
+      words("__id") === removed("__id") && col("__pos") === col("__rp"),
+      "left_anti")
+    val stitched = kept.groupBy("__id").agg(
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__w")))),
+          x => x.getField("__w")),
+        " ").as("__text"))
+    val dupCounts = dups.groupBy("__id").agg(count(lit(1)).as("__nd"))
+    val remCounts = removed.groupBy("__id").agg(count(lit(1)).as("__nr"))
+    toks.select(col("__id"), size(col("__ws")).cast("long").as("n_words"))
+      .join(dupCounts, Seq("__id"), "left")
+      .join(remCounts, Seq("__id"), "left")
+      .join(stitched, Seq("__id"), "left")
+      .select(col("__id").as("doc_id"), col("n_words"),
+        coalesce(col("__nd"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("__nr"), lit(0L)).as("n_removed"),
+        coalesce(col("__text"), lit("")).as("kept_text"))
+  }
+
+  /** Feature-hash buckets for [[dsirWeights]]'s bag-of-n-grams model. */
+  val DsirBuckets = 1024
+
+  /** DSIR importance weights — data selection via hashed n-gram
+    * importance resampling (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): fit unigram+bigram
+    * bucket distributions over a TARGET domain corpus and over the RAW
+    * corpus, then score every raw document by its log likelihood ratio
+    * `Σ_b c_b · ln(p̂_target(b) / p̂_raw(b))` (add-1 smoothed). High
+    * scores read "looks like the target domain"; resampling the raw
+    * corpus by these weights steers a web-scale mixture toward a
+    * curated domain without training a classifier.
+    *
+    * Determinism contract: the ONLY transcendental is `ln`, evaluated
+    * once per feature bucket (≤ [[DsirBuckets]] rows, never per
+    * document) and immediately quantized to integer micro-nats
+    * (`round(10⁶·ln(…))`); every per-document reduction is then exact
+    * 64-bit integer arithmetic — order-free, hash-identical across
+    * engines and partitionings. A per-document double sum would hang
+    * parity on float fold order; a boundary flip here needs a bucket's
+    * ln to land within one ulp of a half-micro-nat.
+    *
+    * Returns (doc_id, n_feats, logw_micro, rank) for every raw document,
+    * rank 1 = most target-like (ties break on doc_id).
+    *
+    * Scale shape: explode to (doc, bucket) feature rows — O(total
+    * tokens); two map-side-combined hash aggregates produce the
+    * ≤ [[DsirBuckets]]-row bucket tables whose totals are 1-row
+    * aggregates OF THOSE TABLES (the token stream is scanned once per
+    * corpus, not once per statistic); the weight table broadcasts back
+    * onto the per-doc bucket counts. The global rank is a single
+    * window over one narrow row per raw document — at corpus scale
+    * select by a logw threshold instead and drop the rank column. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = DsirBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def featRows(df: DataFrame): DataFrame = {
+      val hw = df.select(col(s"`$idCol`").as("__id"),
+        hashAll(tokens(col(s"`$textCol`"))).as("__hw"))
+      val uni = hw.select(col("__id"), explode(col("__hw")).as("__h"))
+      val bi = hw.select(col("__id"),
+        explode(bigramShingleHashes(col("__hw"))).as("__h"))
+      uni.union(bi).select(col("__id"),
+        pmod(col("__h"), lit(buckets.toLong)).as("__b"))
+    }
+    val docb = featRows(raw).groupBy("__id", "__b")
+      .agg(count(lit(1)).as("__c"))
+    val rawb = docb.groupBy("__b").agg(sum("__c").as("__r"))
+    val tgtb = featRows(target).groupBy("__b").agg(count(lit(1)).as("__t"))
+    val totals = rawb.agg(sum("__r").as("__rr"))
+      .crossJoin(tgtb.agg(sum("__t").as("__tt")))
+    // micro-nat weight per bucket: the one place doubles appear
+    val wt = rawb.join(tgtb, Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__b"),
+        round(lit(1e6) * log(
+          ((coalesce(col("__t"), lit(0L)) + lit(1.0)) /
+            (col("__tt") + lit(buckets.toLong))) /
+            ((col("__r") + lit(1.0)) / (col("__rr") + lit(buckets.toLong)))))
+          .cast("long").as("__lw"))
+    val scored = docb.join(broadcast(wt), Seq("__b"))
+      .groupBy("__id")
+      .agg(sum("__c").as("n_feats"),
+        sum(col("__c") * col("__lw")).as("logw_micro"))
+    val w = Window.orderBy(col("logw_micro").desc, col("doc_id"))
+    scored.select(col("__id").as("doc_id"),
+        col("n_feats").cast("long").as("n_feats"),
+        col("logw_micro").cast("long").as("logw_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
 }

@@ -765,6 +765,30 @@ object TrainingOps {
         .orderBy("id")
     },
 
+    // ------------- dedup: cross-document exact substring EXCISION
+    // (Lee et al. 2022's span-removal pass, word-6-gram approximation of
+    // the suffix-array repeat scan: every duplicated k-gram occurrence
+    // except the corpus-wide first is erased and the document re-stitched
+    // from surviving words — keep-first at substring granularity, where
+    // q_td_repeated_spans only SCORES the overlap)
+    QueryDef("q_td_substring_dedup", substringDedupOracle) { (s, d) =>
+      TextOps.dedupSubstrings(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---------------- curation: DSIR hashed n-gram importance weights
+    // (Xie et al. 2023 — select raw-corpus docs that LOOK like a target
+    // domain by bag-of-hashed-ngrams log likelihood ratio; here: steer
+    // the non-English pool toward the English docs' n-gram profile.
+    // Integer micro-nat quantization keeps the per-doc reduction exact.)
+    QueryDef("q_td_dsir", dsirOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextOps.dsirWeights(
+        docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ----------------------- curation: source-mixture plan + deterministic
     // sample (domain reweighting under a token budget; src0 is weighted
     // past its availability to exercise the rate cap)
@@ -1218,9 +1242,9 @@ object TrainingOps {
   /** Nested-parenthesis SQL for the rolling n-gram hash at list position
     * `i` — the exact fold of [[TextOps.ngramHashes]] over a `hw`
     * word-hash list. */
-  private def ngramHashSql(n: Int): String =
-    (1 until n).foldLeft("hw[i]") { (acc, j) =>
-      s"(($acc) * 1000003 + hw[i+$j]) % ${TextOps.ShingleMod}"
+  private def ngramHashSql(n: Int, idx: String = "i"): String =
+    (1 until n).foldLeft(s"hw[$idx]") { (acc, j) =>
+      s"(($acc) * 1000003 + hw[$idx+$j]) % ${TextOps.ShingleMod}"
     }
 
   // `def`, not `val`: referenced from the `all` initializer above — a val
@@ -1249,6 +1273,92 @@ object TrainingOps {
        |  coalesce(p.repeated_spans, 0) AS repeated_spans
        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
        |ORDER BY id""".stripMargin
+
+  /** Substring-excision oracle — mirrors [[TextOps.dedupSubstrings]]
+    * clause for clause: k-gram occurrences with positions, corpus-order
+    * winner per gram hash, erased-position union, single-space
+    * reassembly of survivors. Integer/string arithmetic only. */
+  private def substringDedupOracle: String = {
+    val k = TextOps.SubstringGramK
+    s"""WITH toks AS (
+       |  SELECT doc_id, $Words AS ws FROM documents),
+       |hw AS (
+       |  SELECT doc_id, ws, list_transform(ws, w -> ${H("w")}) AS hw
+       |  FROM toks),
+       |grams AS (
+       |  SELECT doc_id, pos, (${ngramHashSql(k, "pos")}) AS g
+       |  FROM (SELECT doc_id, hw, unnest(range(1, len(hw) - ${k - 2})) AS pos
+       |        FROM hw WHERE len(hw) >= $k)),
+       |winners AS (
+       |  SELECT g, min(doc_id * ${TextOps.OrdScale} + pos) AS w
+       |  FROM grams GROUP BY g),
+       |dups AS (
+       |  SELECT gr.doc_id, gr.pos FROM grams gr JOIN winners wi ON gr.g = wi.g
+       |  WHERE gr.doc_id * ${TextOps.OrdScale} + gr.pos <> wi.w),
+       |removed AS (
+       |  SELECT DISTINCT doc_id, pos + j AS rp
+       |  FROM dups, (SELECT unnest(range(0, $k)) AS j)),
+       |words AS (
+       |  SELECT doc_id, unnest(range(1, len(ws)+1)) AS pos, ws FROM toks),
+       |kept AS (
+       |  SELECT w.doc_id, w.pos, w.ws[w.pos] AS word
+       |  FROM words w LEFT JOIN removed r
+       |    ON r.doc_id = w.doc_id AND r.rp = w.pos
+       |  WHERE r.rp IS NULL),
+       |stitched AS (
+       |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS txt
+       |  FROM kept GROUP BY doc_id),
+       |nd AS (SELECT doc_id, count(*) AS nd FROM dups GROUP BY 1),
+       |nr AS (SELECT doc_id, count(*) AS nr FROM removed GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_words,
+       |  coalesce(nd.nd, 0) AS n_dup_grams,
+       |  coalesce(nr.nr, 0) AS n_removed,
+       |  coalesce(st.txt, '') AS kept_text
+       |FROM toks t LEFT JOIN nd USING (doc_id) LEFT JOIN nr USING (doc_id)
+       |LEFT JOIN stitched st USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DSIR oracle — mirrors [[TextOps.dsirWeights]]: unigram+bigram
+    * feature buckets, add-1 smoothed bucket log-ratios quantized to
+    * integer micro-nats per BUCKET (the only doubles; ≤ once per bucket),
+    * then exact integer per-doc sums. */
+  private def dsirOracle: String = {
+    val b = TextOps.DsirBuckets
+    s"""WITH hw AS (
+       |  SELECT doc_id, lang, list_transform($Words, w -> ${H("w")}) AS hw
+       |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id, lang, h % $b AS b FROM (
+       |    SELECT doc_id, lang, unnest(hw) AS h FROM hw
+       |    UNION ALL
+       |    SELECT doc_id, lang,
+       |      unnest(CASE WHEN len(hw) < 2 THEN CAST([] AS BIGINT[])
+       |        ELSE list_transform(range(1, len(hw)),
+       |          i -> (hw[i] * 1000003 + hw[i+1]) % ${TextOps.ShingleMod})
+       |      END) AS h
+       |    FROM hw)),
+       |tgt AS (SELECT b, count(*) AS t FROM feats WHERE lang = 'en' GROUP BY b),
+       |docb AS (SELECT doc_id, b, count(*) AS c FROM feats
+       |         WHERE lang <> 'en' GROUP BY doc_id, b),
+       |rawb AS (SELECT b, CAST(sum(c) AS BIGINT) AS r FROM docb GROUP BY b),
+       |tot AS (SELECT (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) FROM tgt) AS tt,
+       |               (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) FROM rawb) AS rr),
+       |wt AS (
+       |  SELECT rawb.b,
+       |    CAST(round(1e6 * ln( ((coalesce(tgt.t, 0) + 1.0) / (tot.tt + $b))
+       |                       / ((rawb.r + 1.0) / (tot.rr + $b)) )) AS BIGINT)
+       |      AS lw
+       |  FROM rawb LEFT JOIN tgt ON rawb.b = tgt.b CROSS JOIN tot),
+       |scored AS (
+       |  SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_feats,
+       |         CAST(sum(d.c * w.lw) AS BIGINT) AS logw_micro
+       |  FROM docb d JOIN wt w ON d.b = w.b GROUP BY d.doc_id)
+       |SELECT doc_id, n_feats, logw_micro,
+       |  CAST(row_number() OVER (ORDER BY logw_micro DESC, doc_id) AS BIGINT)
+       |    AS rank
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
 
   /** Mixture query constants: src0 deliberately over-weighted past its
     * availability so the rate cap (`least(1, …)`) is exercised; 16 of the

@@ -711,6 +711,46 @@ class OpsSpec extends AnyFunSuite with Matchers {
       Map(1L -> "z\n\na", 2L -> "q")
   }
 
+  test("substring dedup: corpus-first k-gram spans survive, later copies excised") {
+    val d = Seq(
+      (1L, "a b c d e"),     // all grams first occurrences → intact
+      (2L, "x y a b c d q"), // carries doc 1's "a b c d" → excised
+      (3L, "a b c"),         // entirely seen → empties, row kept
+      (4L, "p q"),           // shorter than k → no grams, intact
+      (5L, "m n o m n o")    // WITHIN-doc repeat: second copy excised
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupSubstrings(d, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    out(1L) shouldBe ((5L, 0L, 0L, "a b c d e"))
+    // dup grams "a b c"@3 and "b c d"@4 erase positions 3..6
+    out(2L) shouldBe ((7L, 2L, 4L, "x y q"))
+    out(3L) shouldBe ((3L, 1L, 3L, ""))
+    out(4L) shouldBe ((2L, 0L, 0L, "p q"))
+    out(5L) shouldBe ((6L, 1L, 3L, "m n o"))
+  }
+
+  test("dsir: target-like raw docs outrank disjoint ones; feature counts exact") {
+    val target = Seq(
+      (100L, "the quick brown fox"),
+      (101L, "the quick red fox")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the quick brown fox"), // target vocabulary
+      (2L, "zzz qqq www uuu")      // disjoint vocabulary
+    ).toDF("doc_id", "text")
+    val out = TextOps.dsirWeights(raw, target, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    out(1L)._1 shouldBe 7L // 4 unigram + 3 bigram features
+    out(2L)._1 shouldBe 7L
+    out(1L)._2 should be > out(2L)._2 // higher log likelihood ratio
+    out(1L)._3 shouldBe 1L            // rank 1 = most target-like
+    out(2L)._3 shouldBe 2L
+  }
+
   test("lexical diversity: ttr, hapax, simpson from exact counts") {
     val out = TextOps.lexicalDiversity(docs((1L, "a a b c")), "doc_id", "text")
       .collect().head
