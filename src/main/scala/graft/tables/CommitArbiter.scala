@@ -159,9 +159,26 @@ private[tables] final class PosixCommitArbiter(tmpDir: Path)
   * property the STORE, not this class, must provide. A crash inside the
   * filesystem simulation's create→write window leaves a zero-length or
   * truncated record; `ManagedTable.maybeDropTornRecord` (age-gated)
-  * frees the slot so the table never wedges. */
+  * frees the slot so the table never wedges.
+  *
+  * The torn window cuts the other way too: a concurrent prober running
+  * with a zero torn-record grace can judge OUR in-flight object torn,
+  * drop it, and claim the slot itself — after which our create has
+  * already "won" arbitration and our writes land on an unlinked inode.
+  * Without a check that is a SILENT LOST UPDATE (the racing-writer
+  * SIGKILL fuzz caught it: the stolen writer keeps committing on top of
+  * a version that never became visible). So `putIfAbsent` verifies by
+  * read-back after close: the slot's winner is whoever's content is
+  * visible at the target — if it is not ours, the claim was stolen and
+  * we surface [[ConcurrentWriteException]] so the caller rebases, never
+  * a lost update. A real conditional PUT has no observable in-flight
+  * state, so the read-back there is one redundant GET per commit. */
 private[tables] final class ConditionalPutCommitArbiter(fs: FileSystem)
     extends CommitArbiter {
+
+  /** Test seam: fires between close and the read-back verification —
+    * the window a concurrent torn-record drop can steal. */
+  private[tables] var onBeforeVerify: () => Unit = () => ()
 
   override def putIfAbsent(target: Path, content: String): Unit = {
     val out =
@@ -180,8 +197,29 @@ private[tables] final class ConditionalPutCommitArbiter(fs: FileSystem)
                 "created this record first", e)
           else throw e
       }
-    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    val bytes = content.getBytes(StandardCharsets.UTF_8)
+    try out.write(bytes)
     finally out.close()
+    onBeforeVerify()
+    val visible =
+      try {
+        val in = fs.open(target)
+        try {
+          val buf = new java.io.ByteArrayOutputStream(bytes.length)
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n >= 0) {
+            buf.write(chunk, 0, n)
+            n = in.read(chunk)
+          }
+          buf.toByteArray
+        } finally in.close()
+      } catch { case _: java.io.IOException => null }
+    if (visible == null || !java.util.Arrays.equals(visible, bytes))
+      throw new ConcurrentWriteException(
+        s"commit record at $target was dropped or replaced while being " +
+          "written (a concurrent prober judged the in-flight object torn " +
+          "and claimed the slot): treating as a lost race")
   }
 
   override def putAtomic(target: Path, content: String): Unit = {

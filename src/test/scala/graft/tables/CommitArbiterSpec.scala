@@ -118,6 +118,36 @@ class CommitArbiterSpec extends AnyFunSuite with Matchers {
     } finally spark.conf.unset("spark.graft.commit.tornRecordGraceMs")
   }
 
+  test("a stolen in-flight condput slot surfaces as a lost race, never a " +
+      "silent lost update (read-back verification)") {
+    val base = Files.createTempDirectory("graft-steal").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base).getFileSystem(conf)
+    val writer = new ConditionalPutCommitArbiter(fs)
+    val rec = new Path(base, "v7.json")
+    // simulate the racing-fuzz interleaving deterministically: between
+    // the writer's close and its read-back, a concurrent prober (torn
+    // grace 0) drops the object and a rival claims the slot
+    writer.onBeforeVerify = () => {
+      fs.delete(rec, false)
+      val rival = new ConditionalPutCommitArbiter(fs)
+      rival.putIfAbsent(rec, "rival")
+    }
+    try intercept[ConcurrentWriteException](writer.putIfAbsent(rec, "mine"))
+    finally writer.onBeforeVerify = () => ()
+    // the rival's claim is the visible winner, intact
+    val in = fs.open(rec)
+    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    content shouldBe "rival"
+    // a drop with NO rival re-claim is also a lost race (slot freed):
+    // the writer must not report success for content that is not visible
+    val rec2 = new Path(base, "v8.json")
+    writer.onBeforeVerify = () => fs.delete(rec2, false)
+    try intercept[ConcurrentWriteException](writer.putIfAbsent(rec2, "mine"))
+    finally writer.onBeforeVerify = () => ()
+    fs.exists(rec2) shouldBe false
+  }
+
   test("full table lifecycle is arbiter-independent: create, append, DML, " +
       "time travel, restore under rename, posix, and the hostile-store " +
       "conditional-put arbiter") {

@@ -230,10 +230,130 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
     dry.dataDirs shouldBe empty
   }
 
+  /** Fork the bounded survivor writer and return (process, marker-seen
+    * latch). The survivor races the killable writer on the same root and
+    * must finish every commit. */
+  private def forkSurvivor(root: String, writer: String, arbiter: String,
+      nCommits: Int): (Process, java.util.concurrent.CountDownLatch) = {
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cmd: Seq[String] = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      s"-Dspark.graft.commit.arbiter=$arbiter",
+      "-Dspark.graft.commit.tornRecordGraceMs=0",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tables.CrashRaceSurvivorMain", root, writer, nCommits.toString)
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new BufferedReader(new InputStreamReader(p.getInputStream))
+    val sawMarker = new java.util.concurrent.CountDownLatch(1)
+    val drain = new Thread(() => {
+      var line = out.readLine()
+      while (line != null) {
+        if (line.startsWith(s"XRACE_DONE $writer $nCommits"))
+          sawMarker.countDown()
+        line = try out.readLine() catch { case _: Exception => null }
+      }
+    })
+    drain.setDaemon(true)
+    drain.start()
+    (p, sawMarker)
+  }
+
+  /** The RACING window: two concurrent writers, one SIGKILLed mid-commit
+    * while the other keeps committing against the same version slots the
+    * corpse may have half-claimed. The survivor must land every one of
+    * its commits (its retry loop digests the corpse's orphaned or torn
+    * record — no lost update, no wedge); the killed writer's surviving
+    * rows must be a gapless prefix of its sequential commits; and the
+    * global one-row-per-version invariant must hold across BOTH
+    * writers' interleaved commits. */
+  private def racingFuzz(arbiter: String): Unit = {
+    import spark.implicits._
+    val root = Files.createTempDirectory(s"graft-crashrace-$arbiter")
+      .toString + "/t"
+    val t = ManagedTable(spark, root)
+    t.overwriteAll(Seq(("seed", "s")).toDF("id", "w").coalesce(1))
+    val v0 = t.currentVersion.get
+    val survivorCommits = 10
+
+    Seq(0L, 150L).zipWithIndex.foreach { case (delay, it) =>
+      val killable = forkWriter(root, s"k$it", arbiter)
+      val kOut = new BufferedReader(new InputStreamReader(killable.getInputStream))
+      val sawCommit = new java.util.concurrent.CountDownLatch(1)
+      val drain = new Thread(() => {
+        var line = kOut.readLine()
+        while (line != null) {
+          if (line.startsWith("XCRASH_COMMITTED")) sawCommit.countDown()
+          line = try kOut.readLine() catch { case _: Exception => null }
+        }
+      })
+      drain.setDaemon(true)
+      drain.start()
+      val (survivor, sawMarker) = forkSurvivor(root, s"s$it", arbiter,
+        survivorCommits)
+      withClue(s"iteration $it: killable writer never committed\n") {
+        sawCommit.await(120, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      }
+      Thread.sleep(delay)
+      killable.destroyForcibly()
+      killable.waitFor()
+      withClue(s"iteration $it: survivor did not finish cleanly\n") {
+        survivor.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+        survivor.exitValue() shouldBe 0
+        sawMarker.await(5, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      }
+
+      val h = ManagedTable(spark, root)
+      val v = h.currentVersion.get
+      val df = h.read().cache()
+      try {
+        val rows = df.count()
+        withClue(s"iteration $it (delay ${delay}ms): rows=$rows v=$v v0=$v0\n") {
+          // every commit from EITHER writer added exactly one row
+          rows shouldBe 1L + (v - v0)
+          h.history().head.version should (be(v) or be(v + 1))
+          // all survivor commits landed, none lost to the race
+          df.filter($"w" === s"s$it").count() shouldBe survivorCommits.toLong
+          // the corpse's rows are a gapless prefix of its sequence
+          val killedIdx = df.filter($"w" === s"k$it")
+            .select("id").as[String].collect()
+            .map(_.split('-').last.toInt).sorted
+          killedIdx shouldBe (1 to killedIdx.length).toArray
+        }
+      } finally df.unpersist()
+      // healer digests the corpse's leftovers; the next writer proceeds
+      h.append(Seq((s"p$it", "p")).toDF("id", "w").coalesce(1))
+    }
+
+    spark.conf.set("spark.graft.vacuum.orphanMinAgeMs", "0")
+    try {
+      val h = ManagedTable(spark, root)
+      val before = h.read().count()
+      h.vacuum()
+      h.read().count() shouldBe before
+      h.currentVersion.get shouldBe h.history().head.version
+    } finally spark.conf.unset("spark.graft.vacuum.orphanMinAgeMs")
+  }
+
   allArbiters.foreach { arb =>
     test(s"[$arb] SIGKILL at varied commit-stream offsets: table reads, " +
         "append invariant holds, healer lets the next writer proceed") {
       withArbiter(arb)(appendFuzz(arb))
+    }
+
+    test(s"[$arb] SIGKILL one of two RACING writers: the survivor lands " +
+        "every commit, the corpse leaves a gapless prefix, and the " +
+        "one-row-per-version invariant spans both") {
+      withArbiter(arb)(racingFuzz(arb))
     }
 
     test(s"[$arb] SIGKILL inside mixed append/DELETE/compaction streams: " +
