@@ -79,9 +79,27 @@ object BpeTokenizer {
 
   /** The GPT-2 pre-tokenizer: contractions, optionally-space-led letter /
     * digit / symbol runs, then whitespace. Merges never cross pre-token
-    * boundaries. */
-  private val PreToken = java.util.regex.Pattern.compile(
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+    * boundaries. Exposed as a pattern string so vocabulary INDUCTION
+    * ([[graft.ops.TextOps.bpeInduce]]) can build its word histogram with
+    * Spark's codegen'd `regexp_extract_all` over the exact same
+    * segmentation the encoder uses (both sides compile Java regex). */
+  private[graft] val PreTokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  private val PreToken = java.util.regex.Pattern.compile(PreTokenPattern)
+
+  /** Byte-level start symbols of a pre-token: one mapped char per UTF-8
+    * byte — the sequence BPE merges begin from, shared by the encoder
+    * ([[countTokens]]) and vocabulary induction. */
+  private[graft] def initialSymbols(word: String): Array[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val syms = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      syms(i) = String.valueOf(byteToChar(bytes(i) & 0xff)); i += 1
+    }
+    syms
+  }
 
   /** A compiled merges table: `"a b"` pair → rank (line order), plus the
     * per-word memo the reference encoder keeps. */
@@ -112,13 +130,7 @@ object BpeTokenizer {
   private def countWord(word: String, ranks: Ranks): Int = {
     val hit = ranks.cache.get(word)
     if (hit != null) return hit.intValue()
-    // byte-level start symbols: one mapped char per UTF-8 byte
-    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var syms = new Array[String](bytes.length)
-    var i = 0
-    while (i < bytes.length) {
-      syms(i) = String.valueOf(byteToChar(bytes(i) & 0xff)); i += 1
-    }
+    var syms = initialSymbols(word)
     // greedy merge loop: fuse every occurrence of the lowest-ranked
     // adjacent pair (left-to-right, non-overlapping), repeat until no
     // pair is in the table — the reference encoder's fixpoint

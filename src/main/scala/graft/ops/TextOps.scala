@@ -523,6 +523,88 @@ object TextOps {
       call_function("graft_bpe_count", col(s"`$textCol`"),
         lit(merges.mkString("\n"))).as("bpe_tokens"))
 
+  /** BPE VOCABULARY INDUCTION — learn a byte-level merge table from the
+    * corpus itself (Sennrich et al. 2016, "Neural Machine Translation of
+    * Rare Words with Subword Units", with GPT-2's byte-level start
+    * alphabet and pre-tokenizer), closing the tokenizer loop: the learned
+    * merge lines feed [[bpeTokenCounts]]'s codegen'd `graft_bpe_count`
+    * expression directly, so a corpus can be tokenized by a vocabulary
+    * trained on it with no external artifacts.
+    *
+    * Merge selection is DETERMINISTIC: highest weighted pair frequency,
+    * ties broken by lexicographically smallest `"a b"` line — the same
+    * corpus always learns the same vocabulary, on any cluster. Induction
+    * stops early when the best pair occurs fewer than 2 times.
+    *
+    * Scale shape — this is how production tokenizer trainers are built:
+    * the ONLY corpus-scale pass is ONE map-side-combined pre-token
+    * histogram aggregate (the same regex segmentation the encoder uses,
+    * codegen'd `regexp_extract_all`); merge learning then runs on the
+    * bounded histogram (`maxWords` most frequent pre-tokens, ties broken
+    * by token text — an EXPLICIT cap, stated here because the tail it
+    * drops are near-singleton words that cannot win a merge anyway).
+    * The collect is vocab-scale like [[graft.ops.AnnIndex]]'s centroid
+    * collects — bounded by `maxWords`, never by corpus size. */
+  def bpeInduce(df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 100000): Seq[String] = {
+    import graft.functions.BpeTokenizer
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val hist = df
+      .select(explode(regexp_extract_all(col(s"`$textCol`"),
+        lit(BpeTokenizer.PreTokenPattern), lit(0))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__w"))
+      .limit(maxWords)
+      .collect()
+    var words: Array[(Array[String], Long)] =
+      hist.map(r => (BpeTokenizer.initialSymbols(r.getString(0)), r.getLong(1)))
+    val merges = Seq.newBuilder[String]
+    var round = 0
+    var done = words.isEmpty
+    while (round < numMerges && !done) {
+      // weighted adjacent-pair frequencies over the histogram (every
+      // adjacent occurrence counts, as the reference get_stats does)
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (syms, w) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = syms(i) + " " + syms(i + 1)
+          counts.update(k, counts.getOrElse(k, 0L) + w)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (bestPair, bestCount) = counts.foldLeft(("", Long.MinValue)) {
+          case (acc @ (bp, bc), (p, c)) =>
+            if (c > bc || (c == bc && p < bp)) (p, c) else acc
+        }
+        if (bestCount < 2) done = true
+        else {
+          merges += bestPair
+          val Array(a, b) = bestPair.split(" ", 2)
+          val fused = a + b
+          // greedy left-to-right, non-overlapping — the encoder's rule
+          words = words.map { case (syms, w) =>
+            if (syms.length < 2) (syms, w)
+            else {
+              val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                  out += fused; j += 2
+                } else { out += syms(j); j += 1 }
+              }
+              (out.toArray, w)
+            }
+          }
+        }
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
   /** Fixed-size token-window chunking with overlap — the context-window /
     * RAG prep step: chunk `k` covers tokens `[k*stride, min(k*stride +
     * chunkTokens, t))` with `stride = chunkTokens - overlapTokens`; a

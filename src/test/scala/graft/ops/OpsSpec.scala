@@ -751,6 +751,33 @@ class OpsSpec extends AnyFunSuite with Matchers {
     out(2L)._3 shouldBe 2L
   }
 
+  test("bpe induction: learns the hand-computed merge sequence, " +
+      "deterministically, and the learned vocab drives the encoder") {
+    graft.functions.GraftFunctions.register(spark)
+    val d = Seq((1L, "aaab"), (2L, "aaab"), (3L, "aab")).toDF("doc_id", "text")
+    // histogram: aaab×2, aab×1. Round 1: (a,a) 5 > (a,b) 3 → "a a".
+    // Round 2: (aa,a) 2 ties (a,b) 2 → lexicographic "a b" wins.
+    // Round 3: (aa,ab) 2 → "aa ab". Round 4: best count 1 → stop.
+    val merges = TextOps.bpeInduce(d, "text", numMerges = 10)
+    merges shouldBe Seq("a a", "a b", "aa ab")
+    TextOps.bpeInduce(d, "text", numMerges = 10) shouldBe merges // stable
+    // the learned lines ARE an encoder vocabulary: aaab fuses to one
+    // token, aab (no "aa b" merge learned) stays two
+    val counts = TextOps.bpeTokenCounts(d, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    counts shouldBe Map(1L -> 1, 2L -> 1, 3L -> 2)
+    // corpus smoke: a vocab learned ON the corpus compresses it vs the
+    // byte-level start alphabet (empty merge table)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val learned = TextOps.bpeInduce(docs, "text", numMerges = 20)
+    learned.size shouldBe 20
+    val withVocab = TextOps.bpeTokenCounts(docs, "doc_id", "text", learned)
+      .agg(sum("bpe_tokens")).collect().head.getLong(0)
+    val noVocab = TextOps.bpeTokenCounts(docs, "doc_id", "text", Nil)
+      .agg(sum("bpe_tokens")).collect().head.getLong(0)
+    withVocab should be < noVocab
+  }
+
   test("lexical diversity: ttr, hapax, simpson from exact counts") {
     val out = TextOps.lexicalDiversity(docs((1L, "a a b c")), "doc_id", "text")
       .collect().head
