@@ -1100,12 +1100,22 @@ object TextOps {
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = DsirBuckets): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // exploded rows, not per-row array lambdas — the same reasoning as
+    // [[shingleRows]]: sha-per-word stays in whole-stage codegen and
+    // linear (an array-lambda pipeline re-evaluates the inner hash
+    // transform per element_at), and (doc, feature) rows hash-partition
+    // evenly regardless of document-length skew
     def featRows(df: DataFrame): DataFrame = {
-      val hw = df.select(col(s"`$idCol`").as("__id"),
-        hashAll(tokens(col(s"`$textCol`"))).as("__hw"))
-      val uni = hw.select(col("__id"), explode(col("__hw")).as("__h"))
-      val bi = hw.select(col("__id"),
-        explode(bigramShingleHashes(col("__hw"))).as("__h"))
+      val wh = SubstrateCache.persist(
+        df.select(col(s"`$idCol`").as("__id"),
+            posexplode(tokens(col(s"`$textCol`"))).as(Seq("__pos", "__w")))
+          .select(col("__id"), col("__pos"), portableHash(col("__w")).as("__h")))
+      val uni = wh.select(col("__id"), col("__h"))
+      val win = Window.partitionBy("__id").orderBy("__pos")
+      val bi = wh.withColumn("__h2", lead("__h", 1).over(win))
+        .filter(col("__h2").isNotNull)
+        .select(col("__id"),
+          pmod(col("__h") * 1000003L + col("__h2"), lit(ShingleMod)).as("__h"))
       uni.union(bi).select(col("__id"),
         pmod(col("__h"), lit(buckets.toLong)).as("__b"))
     }
