@@ -98,6 +98,25 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     filtered.count() shouldBe 10
   }
 
+  test("substring excision: gram winners via hash aggregate, every join " +
+      "an equi join — never a cartesian product") {
+    val p = plan(graft.ops.TextOps.dedupSubstrings(docs, "doc_id", "text"))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // cross-document comparison is an aggregate on the gram hash, with a
+    // map-side partial before the exchange
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+  }
+
+  test("dsir: the bucket weight table broadcasts onto the per-doc counts " +
+      "(corpus never shuffles against a vocab-scale side)") {
+    val raw = docs.filter(col("doc_id") % 3 =!= 0)
+    val tgt = docs.filter(col("doc_id") % 3 === 0)
+    val p = plan(graft.ops.TextOps.dsirWeights(raw, tgt, "doc_id", "text"))
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("metadata-only count answers from the manifest with no file scan") {
     val s2 = {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
