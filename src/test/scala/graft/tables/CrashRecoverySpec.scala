@@ -344,10 +344,53 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
     } finally spark.conf.unset("spark.graft.vacuum.orphanMinAgeMs")
   }
 
+  /** Matview maintenance under SIGKILL: each child iteration is a base
+    * append plus an incremental refresh; kills land inside the append,
+    * inside the refresh's merge commit, or between the two. The view's
+    * sync anchor rides the refresh commit as a writer txn, so after ANY
+    * kill a fresh refresh must make the view EXACTLY equal a full
+    * recompute of the base — a half-applied or replayed delta would
+    * double-count and diverge. */
+  private def matviewFuzz(arbiter: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count => cnt, lit, sum}
+    val root = Files.createTempDirectory(s"graft-crashmv-$arbiter").toString
+    val src = ManagedTable(spark, s"$root/src")
+    src.overwriteAll((0L until 60L).map(i => (i, i % 3, i % 7))
+      .toDF("id", "grp", "qty").repartition(2))
+    MaterializedAgg(spark, src, s"$root/view", "id",
+      Seq("grp"), Seq("qty")).refresh()
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select("grp", "cnt", "sum_qty").orderBy("grp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    Seq(0L, 80L, 300L).zipWithIndex.foreach { case (delay, it) =>
+      // the "writer" slot carries the child's disjoint id offset
+      killAfterFirstCommit(root, s"${100000L * (it + 1)}", arbiter,
+        "graft.tables.CrashMatviewMain", delay)
+      val src2 = ManagedTable(spark, s"$root/src")
+      val mv2 = MaterializedAgg(spark, src2, s"$root/view", "id",
+        Seq("grp"), Seq("qty"))
+      withClue(s"iteration $it (delay ${delay}ms):\n") {
+        mv2.refresh() shouldBe src2.currentVersion.get
+        val expected = src2.read().groupBy("grp").agg(
+          cnt(lit(1)).as("cnt"), sum("qty").as("sum_qty"))
+        canon(mv2.read()) shouldBe canon(expected)
+      }
+    }
+  }
+
   allArbiters.foreach { arb =>
     test(s"[$arb] SIGKILL at varied commit-stream offsets: table reads, " +
         "append invariant holds, healer lets the next writer proceed") {
       withArbiter(arb)(appendFuzz(arb))
+    }
+
+    test(s"[$arb] SIGKILL inside matview append+refresh iterations: a " +
+        "fresh refresh always lands the view exactly on the base's full " +
+        "recompute (anchor txn is atomic with the delta)") {
+      withArbiter(arb)(matviewFuzz(arb))
     }
 
     test(s"[$arb] SIGKILL one of two RACING writers: the survivor lands " +
