@@ -4966,6 +4966,27 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         s"concurrent commit detected at $rootPath: transaction based on " +
           s"version ${b.version} but the table is at ${next - 1} — " +
           "another writer committed in between"))
+    // txn replay guard — the exactly-once check ATOMIC with arbitration.
+    // Callers' pre-commit replay probes (streaming sink, matview refresh)
+    // race a concurrent writer applying the SAME batch: if the rival's
+    // commit lands BETWEEN a probe and this commit's data write, this
+    // commit arrives here on a clean, current base (the stale-base guard
+    // above cannot see it) and would re-apply the batch — a silent
+    // double-count. The state checked here is at least as new as `next`'s
+    // predecessor, and winning the record arbitration below proves no
+    // commit interleaved after `next` was read — so a duplicate can
+    // never slip through. (Walk cost is O(versions since the app's last
+    // txn): apps that embed txns do so on most of their commits.)
+    txn.foreach { t =>
+      val recorded = (getTxn(t.appId) ++ newestRecordTxn(t.appId))
+        .reduceOption(_ max _)
+      if (recorded.exists(_ >= t.batchId))
+        throw new ConcurrentWriteException(
+          s"transaction ${t.appId}#${t.batchId} is already recorded at " +
+            s"$rootPath (newest ${recorded.get}): a concurrent writer " +
+            "applied this batch — surfacing the race instead of " +
+            "re-applying it")
+    }
     // in-commit timestamp monotonicity (Delta's inCommitTimestamps): a
     // wall clock stepped backwards (NTP correction, VM migration) must
     // not record version n+1 as OLDER than n — timestampAsOf resolves by

@@ -86,7 +86,7 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
     drain.setDaemon(true)
     drain.start()
     withClue(s"writer $writer never committed\n") {
-      sawCommit.await(120, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      sawCommit.await(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
     }
     Thread.sleep(delay)
     child.destroyForcibly()
@@ -301,13 +301,13 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
       val (survivor, sawMarker) = forkSurvivor(root, s"s$it", arbiter,
         survivorCommits)
       withClue(s"iteration $it: killable writer never committed\n") {
-        sawCommit.await(120, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+        sawCommit.await(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
       }
       Thread.sleep(delay)
       killable.destroyForcibly()
       killable.waitFor()
       withClue(s"iteration $it: survivor did not finish cleanly\n") {
-        survivor.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+        survivor.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
         survivor.exitValue() shouldBe 0
         sawMarker.await(5, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
       }

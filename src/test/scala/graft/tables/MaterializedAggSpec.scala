@@ -68,6 +68,46 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers {
     canon(mv.read()) shouldBe canon(recompute(src))
   }
 
+  test("racing refreshes from two handles never double-apply a delta") {
+    val root = tmp()
+    val src = ManagedTable(spark, s"$root/src")
+    src.overwriteAll(rows(0 until 60))
+    MaterializedAgg(spark, src, s"$root/view", "id",
+      Seq("grp"), Seq("qty")).refresh()
+    (1 to 3).foreach { i =>
+      src.append(rows(40 + 20 * i until 60 + 20 * i))
+      // two INDEPENDENT handles race the same interval on two threads:
+      // whichever loses arbitration may surface the conflict, but the
+      // delta must land exactly once — a double-apply would double the
+      // new rows' contribution and diverge from the recompute forever
+      val racers = Seq.fill(2) {
+        MaterializedAgg(spark, ManagedTable(spark, s"$root/src"),
+          s"$root/view", "id", Seq("grp"), Seq("qty"))
+      }
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = racers.map { m =>
+        new Thread(() => {
+          try { m.refresh(); () }
+          catch {
+            case _: ConcurrentWriteException => () // losing cleanly is fine
+            case t: Throwable => errs.add(t)
+          }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      withClue(s"round $i: unexpected racer failure ${errs.peek()}\n") {
+        errs.isEmpty shouldBe true
+      }
+      val fin = MaterializedAgg(spark, ManagedTable(spark, s"$root/src"),
+        s"$root/view", "id", Seq("grp"), Seq("qty"))
+      fin.refresh()
+      withClue(s"round $i:\n") {
+        canon(fin.read()) shouldBe canon(recompute(src))
+      }
+    }
+  }
+
   test("groups emptied by deletes disappear; new groups appear") {
     val root = tmp()
     val src = ManagedTable(spark, s"$root/src")
