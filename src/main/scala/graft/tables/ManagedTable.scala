@@ -4986,6 +4986,20 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
             s"$rootPath (newest ${recorded.get}): a concurrent writer " +
             "applied this batch — surfacing the race instead of " +
             "re-applying it")
+      // anchor fence for state-derived batches: a rival that applied a
+      // SHORTER overlapping interval has a lower batchId than ours, so
+      // the duplicate check above passes — but the anchor this batch's
+      // content was computed from no longer matches the recorded txn,
+      // and applying it would re-fold the overlap. Only writers that set
+      // expectedPrev pay this check (see [[Txn]]).
+      t.expectedPrev.foreach { prev =>
+        if (recorded.getOrElse(-1L) != prev)
+          throw new ConcurrentWriteException(
+            s"transaction ${t.appId}#${t.batchId} was derived from " +
+              s"recorded txn $prev but $rootPath now records " +
+              s"${recorded.getOrElse(-1L)}: a concurrent writer advanced " +
+              "the anchor — recompute the batch from the new state")
+      }
     }
     // in-commit timestamp monotonicity (Delta's inCommitTimestamps): a
     // wall clock stepped backwards (NTP correction, VM migration) must

@@ -78,8 +78,19 @@ object ColStats {
   * separate "the batch's rows are in the table" from "the batch is
   * marked committed". [[ManagedTable.vacuum]] rolls these forward into
   * vacuum-exempt marker files before pruning records, so recovery
-  * (`max(marker, newest embedded txn)`) never loses a committed batch. */
-final case class Txn(appId: String, batchId: Long)
+  * (`max(marker, newest embedded txn)`) never loses a committed batch.
+  *
+  * `expectedPrev` is a commit-time PRECONDITION, never serialized: when
+  * set, the commit only proceeds if the app's newest recorded txn is
+  * exactly this value (−1 encodes "none recorded"). Writers whose batch
+  * CONTENT is derived from the recorded txn (matview refresh: the delta
+  * covers `(anchor, cur]`) fence on the anchor this way — a plain
+  * "batchId already recorded" check cannot catch a rival that applied a
+  * shorter overlapping interval, because the rival's endpoint is lower
+  * than ours. Dense sequential writers (the streaming sink, whose batch
+  * content is checkpoint-determined) don't need it. */
+final case class Txn(appId: String, batchId: Long,
+    expectedPrev: Option[Long] = None)
 
 /** @param rows exact PHYSICAL row count from the parquet footer at commit
   *   time — includes rows a deletion vector has since masked ([[dv]]); the

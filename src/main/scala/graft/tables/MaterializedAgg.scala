@@ -97,10 +97,21 @@ final class MaterializedAgg(
   /** Bring the view up to the source's current version. First call
     * builds it with one full aggregate; later calls fold only the
     * changed rows in. Returns the source version now reflected. */
+  /** Test seam: fires after the (anchor, cur) reads and before the
+    * delta computes/commits — the window a rival refresh can land in.
+    * The commit-time anchor fence (expectedPrev) closes it. */
+  private[tables] var onAnchorRead: () => Unit = () => ()
+
   def refresh(): Long = {
     val cur = source.currentVersion.getOrElse(throw new MetadataException(
       s"materialized aggregate over missing table ${source.rootPath}"))
-    syncedVersion match {
+    val anchor = syncedVersion
+    onAnchorRead()
+    // every txn fences on the anchor it was derived from (−1 = none):
+    // a rival refresh landing between the reads above and the commit
+    // below surfaces as a conflict, never a re-folded overlap
+    val fence = Some(anchor.getOrElse(-1L))
+    anchor match {
       case Some(v) if v == cur => cur
       // the synced anchor fell below the source's vacuum horizon — the
       // incremental interval is no longer diffable, but a view is always
@@ -108,11 +119,11 @@ final class MaterializedAgg(
       // instead of wedging every future refresh on a MetadataException
       case Some(v) if source.earliestReadableVersion.exists(v < _) =>
         view.overwriteAll(aggregate(source.read()), Nil, "matview-rebuild",
-          txn = Some(Txn(appId, cur)))
+          txn = Some(Txn(appId, cur, fence)))
         cur
       case None =>
         view.overwriteAll(aggregate(source.read()), Nil, "matview-build",
-          txn = Some(Txn(appId, cur)))
+          txn = Some(Txn(appId, cur, fence)))
         describeSelf()
         cur
       case Some(v) =>
@@ -127,13 +138,13 @@ final class MaterializedAgg(
           // refresh (the interval's dominant plan cost); it also means
           // no PK-uniqueness guard runs here — linear folds are exact
           // even under duplicate keys, so none is needed
-          applyDelta(source.changes(v, cur), cur)
+          applyDelta(source.changes(v, cur), cur, v)
         else
           // the recompute path needs only the touched GROUP KEYS, so it
           // reads the raw file-diff feed: no key-netting full-outer
           // join, no dup probe, no preimage explode — cheaper per
           // refresh, identical touched set
-          recomputeTouched(source.changes(v, cur), cur)
+          recomputeTouched(source.changes(v, cur), cur, v)
         cur
     }
   }
@@ -174,7 +185,8 @@ final class MaterializedAgg(
     * groups that emptied. The source scan is semi-join-pruned to
     * touched groups — partition/cluster the source by the group key to
     * bound it. */
-  private def recomputeTouched(changed: DataFrame, cur: Long): Unit = {
+  private def recomputeTouched(changed: DataFrame, cur: Long,
+      anchor: Long): Unit = {
     val keyC = keys.map(c => col(s"`$c`"))
     val real = "__real"
     val (msrc, h) = graft.ops.SubstrateCache.scoped {
@@ -220,7 +232,8 @@ final class MaterializedAgg(
         .whenNotMatchedInsert(
           (keys ++ aggCols).map(c => c -> s"source.`$c`").toMap,
           cond = Some(s"source.`$cntCol` <> 0"))
-        .withTxn(appId, cur, operation = "matview-refresh")
+        .withTxn(appId, cur, operation = "matview-refresh",
+          expectedPrev = Some(anchor))
         .execute()
       ()
     } finally h.release()
@@ -229,7 +242,8 @@ final class MaterializedAgg(
   /** Fold the RAW file-diff feed ([[ManagedTable.changes]]:
     * `_change_type` added/removed) into per-group deltas and merge them
     * into the view. */
-  private def applyDelta(changed: DataFrame, cur: Long): Unit = {
+  private def applyDelta(changed: DataFrame, cur: Long,
+      anchor: Long): Unit = {
     val sign = when(col("_change_type") === "added", 1).otherwise(-1)
     val viewSchema = view.read().schema
     def typed(name: String, c: Column): Column =
@@ -265,7 +279,8 @@ final class MaterializedAgg(
           Some(s"target.`$cntCol` + source.`__d_$cntCol` = 0"))
         .whenMatchedUpdate(updates)
         .whenNotMatchedInsert(inserts)
-        .withTxn(appId, cur, operation = "matview-refresh")
+        .withTxn(appId, cur, operation = "matview-refresh",
+          expectedPrev = Some(anchor))
         .execute()
       ()
     } finally h.release()

@@ -88,8 +88,9 @@ final class MergeBuilder private[tables] (
     * "batch marked committed". `operation` names the commit in
     * [[ManagedTable.history]] (defaults to `merge`). */
   def withTxn(appId: String, batchId: Long,
-      operation: String = "merge"): this.type = {
-    txn = Some(Txn(appId, batchId))
+      operation: String = "merge",
+      expectedPrev: Option[Long] = None): this.type = {
+    txn = Some(Txn(appId, batchId, expectedPrev))
     operationName = operation
     this
   }

@@ -108,6 +108,50 @@ class MaterializedAggSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("an overlapping-interval racing refresh is fenced on its anchor, " +
+      "never re-folded") {
+    // The interleave the duplicate-batch check alone cannot catch:
+    //   A reads (anchor a0, cur s1) and pauses; the source advances to
+    //   s2; B reads (anchor a0, cur s2) and pauses; A commits (a0,s1];
+    //   B resumes — its merge base-read lands AFTER A's commit (fresh
+    //   base, no stale-base conflict) and its batchId s2 exceeds the
+    //   recorded s1 (no duplicate conflict) — yet applying B's (a0,s2]
+    //   re-folds A's (a0,s1]. The anchor fence (expectedPrev) rejects B.
+    val root = tmp()
+    val src = ManagedTable(spark, s"$root/src")
+    src.overwriteAll(rows(0 until 60))
+    MaterializedAgg(spark, src, s"$root/view", "id",
+      Seq("grp"), Seq("qty")).refresh()
+    src.append(rows(60 until 80)) // s1 — the overlap A applies first
+
+    def handle() = MaterializedAgg(spark, ManagedTable(spark, s"$root/src"),
+      s"$root/view", "id", Seq("grp"), Seq("qty"))
+    def pauseAt(m: MaterializedAgg) = {
+      val paused = new java.util.concurrent.CountDownLatch(1)
+      val resume = new java.util.concurrent.CountDownLatch(1)
+      m.onAnchorRead = () => { paused.countDown(); resume.await() }
+      (paused, resume)
+    }
+    val a = handle(); val b = handle()
+    val (aPaused, aResume) = pauseAt(a)
+    val (bPaused, bResume) = pauseAt(b)
+    val bOutcome = new java.util.concurrent.atomic.AtomicReference[String]
+    val tA = new Thread(() => a.refresh())
+    tA.start(); aPaused.await()
+    src.append(rows(80 until 100)) // s2 — B's wider interval
+    val tB = new Thread(() => {
+      try { b.refresh(); bOutcome.set("applied") }
+      catch { case _: ConcurrentWriteException => bOutcome.set("fenced") }
+    })
+    tB.start(); bPaused.await()
+    aResume.countDown(); tA.join(120000) // A lands (a0, s1]
+    bResume.countDown(); tB.join(120000)
+    bOutcome.get() shouldBe "fenced"
+    // a clean retry advances from A's anchor and converges exactly
+    handle().refresh() shouldBe src.currentVersion.get
+    canon(handle().read()) shouldBe canon(recompute(src))
+  }
+
   test("groups emptied by deletes disappear; new groups appear") {
     val root = tmp()
     val src = ManagedTable(spark, s"$root/src")
