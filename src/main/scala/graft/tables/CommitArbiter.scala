@@ -172,7 +172,24 @@ private[tables] final class PosixCommitArbiter(tmpDir: Path)
   * visible at the target — if it is not ours, the claim was stolen and
   * we surface [[ConcurrentWriteException]] so the caller rebases, never
   * a lost update. A real conditional PUT has no observable in-flight
-  * state, so the read-back there is one redundant GET per commit. */
+  * state, so the read-back there is one redundant GET per commit.
+  *
+  * The read-back distinguishes outcomes the way the create does: only a
+  * DEMONSTRABLY stolen slot (record gone, or holding someone else's
+  * bytes) is a lost race. A transient IO failure on the GET after a
+  * durably-visible PUT must NOT read as "stolen" — the caller would
+  * rebase and re-commit the same files at a new version, duplicating
+  * rows for writers without an embedded txn — so transient IOExceptions
+  * retry a bounded number of times and then surface as themselves.
+  *
+  * Residual TOCTOU, simulation only: a prober that stat'ed our record
+  * zero-length mid-write (torn-record grace 0) can execute its delete
+  * AFTER our read-back verified — both sides then believe they won.
+  * `ManagedTable.maybeDropTornRecord` narrows this by re-stating
+  * immediately before the delete and skipping records that have grown,
+  * but only a real conditional PUT (no observable in-flight state) or a
+  * nonzero grace closes it completely; production configs keep the
+  * default 60 s grace. */
 private[tables] final class ConditionalPutCommitArbiter(fs: FileSystem)
     extends CommitArbiter {
 
@@ -201,21 +218,44 @@ private[tables] final class ConditionalPutCommitArbiter(fs: FileSystem)
     try out.write(bytes)
     finally out.close()
     onBeforeVerify()
-    val visible =
+    // the GET decides between three outcomes, and only the first two are
+    // lost races: record GONE (FileNotFoundException — a prober dropped
+    // it), record holding OTHER bytes (a rival claimed the freed slot),
+    // or the store merely hiccuping. A throttled/transient IO error
+    // after a durably-visible PUT reported as "lost race" would make the
+    // blind-append rebase re-commit the same files at a new version —
+    // duplicated rows — so transient errors retry and then rethrow.
+    var stolen = false
+    var attempt = 0
+    var verified = false
+    while (!verified) {
+      attempt += 1
       try {
         val in = fs.open(target)
-        try {
-          val buf = new java.io.ByteArrayOutputStream(bytes.length)
-          val chunk = new Array[Byte](8192)
-          var n = in.read(chunk)
-          while (n >= 0) {
-            buf.write(chunk, 0, n)
-            n = in.read(chunk)
-          }
-          buf.toByteArray
-        } finally in.close()
-      } catch { case _: java.io.IOException => null }
-    if (visible == null || !java.util.Arrays.equals(visible, bytes))
+        val visible =
+          try {
+            val buf = new java.io.ByteArrayOutputStream(bytes.length)
+            val chunk = new Array[Byte](8192)
+            var n = in.read(chunk)
+            while (n >= 0) {
+              buf.write(chunk, 0, n)
+              n = in.read(chunk)
+            }
+            buf.toByteArray
+          } finally in.close()
+        stolen = !java.util.Arrays.equals(visible, bytes)
+        verified = true
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          stolen = true
+          verified = true
+        case e: java.io.IOException =>
+          if (attempt >= ConditionalPutCommitArbiter.MaxVerifyAttempts)
+            throw e
+          Thread.sleep(50L * attempt)
+      }
+    }
+    if (stolen)
       throw new ConcurrentWriteException(
         s"commit record at $target was dropped or replaced while being " +
           "written (a concurrent prober judged the in-flight object torn " +
@@ -227,4 +267,10 @@ private[tables] final class ConditionalPutCommitArbiter(fs: FileSystem)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
+}
+
+private[tables] object ConditionalPutCommitArbiter {
+  /** Bounded read-back retries before a transient GET failure surfaces
+    * as the IO error it is (never as a false lost race). */
+  val MaxVerifyAttempts = 3
 }

@@ -1863,11 +1863,23 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       val grace = spark.conf.get(
         "spark.graft.commit.tornRecordGraceMs", "60000").toLong
       if (torn && System.currentTimeMillis() - st.getModificationTime > grace) {
-        org.slf4j.LoggerFactory.getLogger(classOf[ManagedTable]).warn(
-          s"dropping torn commit record $p (${st.getLen} bytes, " +
-            "not parseable as JSON): crashed conditional-put writer; " +
-            "freeing the slot for future commits")
-        fs.delete(p, false)
+        // re-stat immediately before the delete: a record observed
+        // zero-length above may belong to an in-flight writer whose close
+        // landed since — deleting it then would steal a slot the writer's
+        // read-back verification already confirmed (silent lost update).
+        // Skipping any record that has grown narrows that TOCTOU to the
+        // stat→delete instruction window; only a real conditional PUT or
+        // a nonzero grace closes it fully (see ConditionalPutCommitArbiter).
+        val st2 = fs.getFileStatus(p)
+        val stillTorn = st2.getLen == st.getLen &&
+          st2.getModificationTime == st.getModificationTime
+        if (stillTorn) {
+          org.slf4j.LoggerFactory.getLogger(classOf[ManagedTable]).warn(
+            s"dropping torn commit record $p (${st.getLen} bytes, " +
+              "not parseable as JSON): crashed conditional-put writer; " +
+              "freeing the slot for future commits")
+          fs.delete(p, false)
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
@@ -2165,7 +2177,9 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           } catch {
             case e: ConcurrentWriteException =>
               attempt += 1
-              if (attempt > ManagedTable.MaxAppendRetries) {
+              // a txn-guard/anchor-fence conflict is permanent (recorded
+              // txns never regress) — a rebase cannot clear it
+              if (!e.retryable || attempt > ManagedTable.MaxAppendRetries) {
                 dropWritten(); throw e
               }
               val cur = requireManifest // the winner's head (pointer moved)
@@ -2424,7 +2438,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           } catch {
             case e: ConcurrentWriteException =>
               attempt += 1
-              if (attempt > ManagedTable.MaxAppendRetries) throw e
+              if (!e.retryable || attempt > ManagedTable.MaxAppendRetries)
+                throw e
               val cur = requireManifest
               val byPath = cur.files.map(f => f.path -> f).toMap
               val victimsUntouched = victims.forall(f =>
@@ -3663,7 +3678,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           attempt += 1
           // identity allocation (propsOv) embeds a watermark read from the
           // pre-race head — a rebase would clobber the winner's; surface
-          if (attempt > ManagedTable.MaxAppendRetries ||
+          if (!e.retryable || attempt > ManagedTable.MaxAppendRetries ||
               rebasePredicate.isEmpty || propsOv.isDefined) {
             dropWritten(); throw e
           }
@@ -3743,7 +3758,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       } catch {
         case e: ConcurrentWriteException =>
           attempt += 1
-          if (attempt > ManagedTable.MaxAppendRetries) throw e
+          if (!e.retryable || attempt > ManagedTable.MaxAppendRetries) throw e
           val cur = requireManifest // the winner's head (pointer moved)
           val byPath = cur.files.map(f => f.path -> f).toMap
           val untouched = removeEntries.forall(f =>
@@ -4985,7 +5000,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           s"transaction ${t.appId}#${t.batchId} is already recorded at " +
             s"$rootPath (newest ${recorded.get}): a concurrent writer " +
             "applied this batch — surfacing the race instead of " +
-            "re-applying it")
+            "re-applying it", null, retryable = false)
       // anchor fence for state-derived batches: a rival that applied a
       // SHORTER overlapping interval has a lower batchId than ours, so
       // the duplicate check above passes — but the anchor this batch's
@@ -4998,7 +5013,8 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
             s"transaction ${t.appId}#${t.batchId} was derived from " +
               s"recorded txn $prev but $rootPath now records " +
               s"${recorded.getOrElse(-1L)}: a concurrent writer advanced " +
-              "the anchor — recompute the batch from the new state")
+              "the anchor — recompute the batch from the new state",
+            null, retryable = false)
       }
     }
     // in-commit timestamp monotonicity (Delta's inCommitTimestamps): a
@@ -5288,8 +5304,15 @@ final class ConstraintViolationException(msg: String)
 /** Thrown when the put-if-absent commit-record create loses to another
   * writer's record for the same version — a cross-process writer raced
   * this commit. The transaction wrote no pointer: readers still see the
-  * previous version, and the caller may re-read the table and retry. */
-final class ConcurrentWriteException(msg: String, cause: Throwable = null)
+  * previous version, and the caller may re-read the table and retry.
+  *
+  * `retryable = false` marks conflicts a rebase can NEVER clear: the txn
+  * replay guard and anchor fence (recorded txns only advance, so a
+  * duplicate batch stays duplicate on every re-read). Rebase loops fail
+  * fast on those instead of burning their full retry budget re-reading
+  * manifests for an outcome that cannot change. */
+final class ConcurrentWriteException(msg: String, cause: Throwable = null,
+    val retryable: Boolean = true)
   extends graft.metadata.MetadataException(msg, cause)
 
 object ManagedTable {

@@ -94,14 +94,14 @@ final class MaterializedAgg(
       .foreachBatch { (_: DataFrame, _: Long) => refresh(); () }
       .start()
 
-  /** Bring the view up to the source's current version. First call
-    * builds it with one full aggregate; later calls fold only the
-    * changed rows in. Returns the source version now reflected. */
   /** Test seam: fires after the (anchor, cur) reads and before the
     * delta computes/commits — the window a rival refresh can land in.
     * The commit-time anchor fence (expectedPrev) closes it. */
   private[tables] var onAnchorRead: () => Unit = () => ()
 
+  /** Bring the view up to the source's current version. First call
+    * builds it with one full aggregate; later calls fold only the
+    * changed rows in. Returns the source version now reflected. */
   def refresh(): Long = {
     val cur = source.currentVersion.getOrElse(throw new MetadataException(
       s"materialized aggregate over missing table ${source.rootPath}"))

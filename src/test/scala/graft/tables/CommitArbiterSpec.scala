@@ -148,6 +148,66 @@ class CommitArbiterSpec extends AnyFunSuite with Matchers {
     fs.exists(rec2) shouldBe false
   }
 
+  test("a transient IO failure on the condput read-back is NOT a lost " +
+      "race: the GET retries and the durably-visible PUT stands") {
+    val base = Files.createTempDirectory("graft-verify-io").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val real = new Path(base).getFileSystem(conf)
+    // a store that throttles the first N GETs after the PUT — the shape
+    // of an eventually-throttled object store, where the old behavior
+    // (any IOException → "stolen") made the rebase loop re-commit the
+    // same files at a new version
+    val failures = new java.util.concurrent.atomic.AtomicInteger(2)
+    val flaky = new org.apache.hadoop.fs.FilterFileSystem(real) {
+      override def open(p: Path, bufferSize: Int)
+          : org.apache.hadoop.fs.FSDataInputStream = {
+        if (failures.getAndDecrement() > 0)
+          throw new java.io.IOException("simulated transient GET throttle")
+        super.open(p, bufferSize)
+      }
+    }
+    val writer = new ConditionalPutCommitArbiter(flaky)
+    val rec = new Path(base, "v9.json")
+    writer.putIfAbsent(rec, "mine") // must NOT throw
+    val in = real.open(rec)
+    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    content shouldBe "mine"
+
+    // but a GET that NEVER recovers surfaces as the IO error it is —
+    // never as ConcurrentWriteException (callers would rebase a commit
+    // that actually succeeded, duplicating its rows)
+    failures.set(Int.MaxValue)
+    val rec2 = new Path(base, "v10.json")
+    val e = intercept[java.io.IOException](writer.putIfAbsent(rec2, "mine"))
+    e.getMessage should include("throttle")
+    e should not be a[ConcurrentWriteException]
+  }
+
+  test("txn replay-guard and anchor-fence conflicts are marked " +
+      "non-retryable: a duplicate batch fails fast instead of burning " +
+      "the rebase budget on an outcome that cannot change") {
+    import graft.tables.Txn
+    import org.apache.spark.sql.functions.lit
+    val base = Files.createTempDirectory("graft-txn-fast").toString
+    val t = ManagedTable(spark, s"$base/t")
+    val df = spark.range(3).toDF("id").withColumn("v", lit("x"))
+    t.append(df, "streamBatch=0", Some(Txn("app", 0L)))
+    // replay of the same batch: permanent conflict (recorded txns never
+    // regress) — the loop must rethrow on the FIRST attempt
+    val e1 = intercept[ConcurrentWriteException](
+      t.append(df, "streamBatch=0", Some(Txn("app", 0L))))
+    e1.retryable shouldBe false
+    e1.getMessage should include("already recorded")
+    // anchor fence: batch derived from a stale anchor — also permanent
+    val e2 = intercept[ConcurrentWriteException](
+      t.append(df, "streamBatch=1",
+        Some(Txn("app", 1L, expectedPrev = Some(-1L)))))
+    e2.retryable shouldBe false
+    // the record-arbitration race stays retryable (a rebase CAN clear it)
+    new ConcurrentWriteException("race").retryable shouldBe true
+    t.read().count() shouldBe 3
+  }
+
   test("full table lifecycle is arbiter-independent: create, append, DML, " +
       "time travel, restore under rename, posix, and the hostile-store " +
       "conditional-put arbiter") {
