@@ -556,14 +556,111 @@ object TextOps {
       .orderBy(col("__n").desc, col("__w"))
       .limit(maxWords)
       .collect()
-    var words: Array[(Array[String], Long)] =
-      hist.map(r => (BpeTokenizer.initialSymbols(r.getString(0)), r.getLong(1)))
+    bpeLearnMerges(
+      hist.map(r =>
+        (BpeTokenizer.initialSymbols(r.getString(0)), r.getLong(1))),
+      numMerges)
+  }
+
+  /** Driver-side merge learner over a bounded word histogram — pair
+    * counts are maintained INCREMENTALLY: a merge of `a b` touches only
+    * the words that contain the pair (reachable through an inverted
+    * pair→words index), subtracting each touched word's old adjacent
+    * pairs and re-adding its rewritten ones. A full rescan per round —
+    * O(maxWords · wordLen) × numMerges — is what every real tokenizer
+    * trainer avoids; a 32k-merge vocab build over a 100k-word histogram
+    * would pay ~10¹¹ symbol visits there vs ~10⁷ touched-word visits
+    * here. Best-pair selection is O(log pairs) via a tree ordered by
+    * (count desc, pair-line asc), so merge choice and tie-breaks are
+    * bit-identical to the naive rescan ([[bpeLearnMergesNaive]], kept as
+    * the test oracle). */
+  private[ops] def bpeLearnMerges(words0: Array[(Array[String], Long)],
+      numMerges: Int): Seq[String] = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] = words0.map(_._1)
+    val weights: Array[Long] = words0.map(_._2)
+    val counts = mutable.HashMap.empty[String, Long]
+    val index = mutable.HashMap.empty[String, mutable.Set[Int]]
+    // (−count, pair) tree: head = highest count, lexicographically
+    // smallest "a b" line on ties — the naive fold's exact ordering
+    val ord = new java.util.Comparator[(Long, String)] {
+      def compare(x: (Long, String), y: (Long, String)): Int = {
+        val c = java.lang.Long.compare(y._1, x._1)
+        if (c != 0) c else x._2.compareTo(y._2)
+      }
+    }
+    val sorted = new java.util.TreeSet[(Long, String)](ord)
+    def bump(k: String, delta: Long): Unit = {
+      val old = counts.getOrElse(k, 0L)
+      if (old != 0L) sorted.remove((old, k))
+      val nw = old + delta
+      if (nw == 0L) counts.remove(k)
+      else { counts.update(k, nw); sorted.add((nw, k)) }
+    }
+    def eachPair(syms: Array[String])(f: String => Unit): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        f(syms(i) + " " + syms(i + 1)); i += 1
+      }
+    }
+    words.indices.foreach { wi =>
+      eachPair(words(wi)) { k =>
+        bump(k, weights(wi))
+        index.getOrElseUpdate(k, mutable.Set.empty) += wi
+      }
+    }
+    val merges = Seq.newBuilder[String]
+    var round = 0
+    var done = sorted.isEmpty
+    while (round < numMerges && !done) {
+      val (bestCount, bestPair) = sorted.first()
+      if (bestCount < 2) done = true
+      else {
+        merges += bestPair
+        val Array(a, b) = bestPair.split(" ", 2)
+        val fused = a + b
+        val touched = index.getOrElse(bestPair, mutable.Set.empty).toArray
+        java.util.Arrays.sort(touched) // determinism is by-construction
+        touched.foreach { wi =>
+          val syms = words(wi)
+          val w = weights(wi)
+          // retire the word's old contributions entirely, then re-add the
+          // rewritten word's — simpler than span-local deltas and exactly
+          // as incremental (cost is THIS word's length, not the histogram)
+          eachPair(syms) { k =>
+            bump(k, -w); index.get(k).foreach(_ -= wi)
+          }
+          // greedy left-to-right, non-overlapping — the encoder's rule
+          val out = new mutable.ArrayBuffer[String](syms.length)
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+              out += fused; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          words(wi) = out.toArray
+          eachPair(words(wi)) { k =>
+            bump(k, w)
+            index.getOrElseUpdate(k, mutable.Set.empty) += wi
+          }
+        }
+        done = sorted.isEmpty
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
+  /** The straightforward rescan-every-round learner — quadratic, kept
+    * ONLY as the equivalence oracle for [[bpeLearnMerges]]'s incremental
+    * counts (specs assert bit-identical merge lists). */
+  private[ops] def bpeLearnMergesNaive(words0: Array[(Array[String], Long)],
+      numMerges: Int): Seq[String] = {
+    var words = words0
     val merges = Seq.newBuilder[String]
     var round = 0
     var done = words.isEmpty
     while (round < numMerges && !done) {
-      // weighted adjacent-pair frequencies over the histogram (every
-      // adjacent occurrence counts, as the reference get_stats does)
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
       words.foreach { case (syms, w) =>
         var i = 0
@@ -584,7 +681,6 @@ object TextOps {
           merges += bestPair
           val Array(a, b) = bestPair.split(" ", 2)
           val fused = a + b
-          // greedy left-to-right, non-overlapping — the encoder's rule
           words = words.map { case (syms, w) =>
             if (syms.length < 2) (syms, w)
             else {
@@ -831,15 +927,27 @@ object TextOps {
     * word hashes i..i+n-1, `acc → (acc*1000003 + h) mod 2³²`. Each fold
     * step's product stays under 2⁵² — no signed-64 overflow. Empty for
     * docs shorter than n words. */
-  def ngramHashes(wordHashes: Column, n: Int): Column = {
+  def ngramHashes(wordHashes: Column, n: Int,
+      mult: Long = 1000003L): Column = {
     require(n >= 2, s"n-gram length must be >= 2, got $n")
+    require(mult < (1L << 20), // acc < 2³², so the fold product stays < 2⁵²
+      s"fold multiplier must stay under 2^20 to avoid signed-64 overflow")
     when(size(wordHashes) < n, array().cast("array<long>"))
       .otherwise(transform(
         sequence(lit(1), size(wordHashes) - (n - 1)),
         i => (1 until n).foldLeft(element_at(wordHashes, i)) { (acc, j) =>
-          pmod(acc * 1000003L + element_at(wordHashes, i + j), lit(ShingleMod))
+          pmod(acc * mult + element_at(wordHashes, i + j), lit(ShingleMod))
         }))
   }
+
+  /** Second, independent fold multiplier: paired with the default fold it
+    * widens a gram key to 64 bits (two 32-bit folds, grouped together)
+    * for paths where a collision DESTROYS data rather than merely scoring
+    * it — [[dedupSubstrings]] erases text on key equality, and at
+    * billions of grams birthday collisions in a single 32-bit space are
+    * certain. Both multipliers stay under 2²⁰ so each fold step's product
+    * stays under 2⁵². */
+  val ShingleMult2 = 999983L
 
   /** Span-level repeated n-gram counts — the substring-granular dedup
     * signal that document-level dedup misses (repeated boilerplate /
@@ -1029,13 +1137,23 @@ object TextOps {
     val words = toks
       .select(col("__id"), posexplode(col("__ws")).as(Seq("__p0", "__w")))
       .select(col("__id"), (col("__p0") + 1).as("__pos"), col("__w"))
-    // (doc, pos, gram) occurrences; ord is the corpus total order
-    val grams = toks.select(col("__id"),
-        posexplode(ngramHashes(hashAll(col("__ws")), k)).as(Seq("__p0", "__g")))
-      .select(col("__id"), (col("__p0") + 1).as("__pos"), col("__g"),
+    // (doc, pos, gram) occurrences; ord is the corpus total order. The
+    // gram key is TWO independent 32-bit folds grouped together (64 bits
+    // effective): this path ERASES text on key equality, so the 32-bit
+    // space that is fine for scoring ([[repeatedSpanCounts]]) or for
+    // later-verified candidates (MinHash) would turn birthday collisions
+    // into corpus-wide lossy excision at billions of grams.
+    val grams = toks
+      .select(col("__id"), col("__ws"), hashAll(col("__ws")).as("__hw"))
+      .select(col("__id"), posexplode(zip_with(
+          ngramHashes(col("__hw"), k),
+          ngramHashes(col("__hw"), k, ShingleMult2),
+          (x, y) => struct(x.as("g1"), y.as("g2")))).as(Seq("__p0", "__gs")))
+      .select(col("__id"), (col("__p0") + 1).as("__pos"),
+        col("__gs.g1").as("__g"), col("__gs.g2").as("__g2"),
         (col("__id") * OrdScale + col("__p0") + 1).as("__ord"))
-    val winners = grams.groupBy("__g").agg(min("__ord").as("__win"))
-    val dups = grams.join(winners, Seq("__g"))
+    val winners = grams.groupBy("__g", "__g2").agg(min("__ord").as("__win"))
+    val dups = grams.join(winners, Seq("__g", "__g2"))
       .filter(col("__ord") =!= col("__win"))
       .select("__id", "__pos")
     // union of erased word positions: explode each dup span, collapse
@@ -1095,10 +1213,28 @@ object TextOps {
     * aggregates OF THOSE TABLES (the token stream is scanned once per
     * corpus, not once per statistic); the weight table broadcasts back
     * onto the per-doc bucket counts. The global rank is a single
-    * window over one narrow row per raw document — at corpus scale
-    * select by a logw threshold instead and drop the rank column. */
+    * window over one narrow row per raw document — a single-partition
+    * sort at corpus scale, so at 100 TB use [[dsirScores]] (identical
+    * scores, NO window: filter on a micro-nat threshold instead). */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = DsirBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("logw_micro").desc, col("doc_id"))
+    dsirScores(raw, target, idCol, textCol, buckets)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** Rank-free [[dsirWeights]] — the 100-TB surface: same (doc_id,
+    * n_feats, logw_micro) scores, NO global window anywhere in the plan
+    * (every shuffle is an equi hash partition; selection is a filter).
+    * `minLogwMicro` keeps documents scoring at or above the threshold —
+    * the importance-resampling cut expressed as a fully-parallel
+    * predicate. None returns every raw document scored. */
+  def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = DsirBuckets,
+      minLogwMicro: Option[Long] = None): DataFrame = {
+    // per-DOC window for bigram adjacency only (hash-partitioned on the
+    // doc id — not the global rank dsirWeights adds)
     import org.apache.spark.sql.expressions.Window
     // exploded rows, not per-row array lambdas — the same reasoning as
     // [[shingleRows]]: sha-per-word stays in whole-stage codegen and
@@ -1138,10 +1274,9 @@ object TextOps {
       .groupBy("__id")
       .agg(sum("__c").as("n_feats"),
         sum(col("__c") * col("__lw")).as("logw_micro"))
-    val w = Window.orderBy(col("logw_micro").desc, col("doc_id"))
-    scored.select(col("__id").as("doc_id"),
+      .select(col("__id").as("doc_id"),
         col("n_feats").cast("long").as("n_feats"),
         col("logw_micro").cast("long").as("logw_micro"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    minLogwMicro.fold(scored)(t => scored.filter(col("logw_micro") >= t))
   }
 }

@@ -1242,9 +1242,10 @@ object TrainingOps {
   /** Nested-parenthesis SQL for the rolling n-gram hash at list position
     * `i` — the exact fold of [[TextOps.ngramHashes]] over a `hw`
     * word-hash list. */
-  private def ngramHashSql(n: Int, idx: String = "i"): String =
+  private def ngramHashSql(n: Int, idx: String = "i",
+      mult: Long = 1000003L): String =
     (1 until n).foldLeft(s"hw[$idx]") { (acc, j) =>
-      s"(($acc) * 1000003 + hw[$idx+$j]) % ${TextOps.ShingleMod}"
+      s"(($acc) * $mult + hw[$idx+$j]) % ${TextOps.ShingleMod}"
     }
 
   // `def`, not `val`: referenced from the `all` initializer above — a val
@@ -1286,14 +1287,16 @@ object TrainingOps {
        |  SELECT doc_id, ws, list_transform(ws, w -> ${H("w")}) AS hw
        |  FROM toks),
        |grams AS (
-       |  SELECT doc_id, pos, (${ngramHashSql(k, "pos")}) AS g
+       |  SELECT doc_id, pos, (${ngramHashSql(k, "pos")}) AS g,
+       |    (${ngramHashSql(k, "pos", TextOps.ShingleMult2)}) AS g2
        |  FROM (SELECT doc_id, hw, unnest(range(1, len(hw) - ${k - 2})) AS pos
        |        FROM hw WHERE len(hw) >= $k)),
        |winners AS (
-       |  SELECT g, min(doc_id * ${TextOps.OrdScale} + pos) AS w
-       |  FROM grams GROUP BY g),
+       |  SELECT g, g2, min(doc_id * ${TextOps.OrdScale} + pos) AS w
+       |  FROM grams GROUP BY g, g2),
        |dups AS (
-       |  SELECT gr.doc_id, gr.pos FROM grams gr JOIN winners wi ON gr.g = wi.g
+       |  SELECT gr.doc_id, gr.pos FROM grams gr
+       |  JOIN winners wi ON gr.g = wi.g AND gr.g2 = wi.g2
        |  WHERE gr.doc_id * ${TextOps.OrdScale} + gr.pos <> wi.w),
        |removed AS (
        |  SELECT DISTINCT doc_id, pos + j AS rp

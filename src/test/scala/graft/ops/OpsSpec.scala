@@ -778,6 +778,100 @@ class OpsSpec extends AnyFunSuite with Matchers {
     withVocab should be < noVocab
   }
 
+  test("bpe induction golden lock: the full merge table for a fixed " +
+      "corpus is pinned, rank for rank — tie-break or histogram changes " +
+      "cannot silently reorder ranks downstream token counts depend on") {
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = Seq(
+      (1L, "the lower the better for the lowest loss"),
+      (2L, "new year newer model newest weights"),
+      (3L, "the model trains and the training loss lowers"),
+      (4L, "lower training loss means better models"),
+      (5L, "the newest weights train the best model"),
+      (6L, "low loss and lower loss and lowest loss")
+    ).toDF("doc_id", "text")
+    // Ġ (U+0120) is GPT-2's byte-level marker for a leading space
+    val golden = Seq(
+      "l o", "w e", "Ġ lo", "Ġ t", "h e", "i n", "s s",
+      "Ġlo ss", "s t", "we r", "Ġ m", "a in", "a n", "d e",
+      "de l", "n e", "o del", "r ain", "we st", "Ġm odel",
+      "Ġt he", "Ġt rain", "an d", "b e")
+    TextOps.bpeInduce(corpus, "text", numMerges = 24) shouldBe golden
+    // a PREFIX of the vocabulary is the same vocabulary cut short —
+    // rank k's merge never depends on merges learned after it
+    TextOps.bpeInduce(corpus, "text", numMerges = 7) shouldBe golden.take(7)
+    // and the pinned table drives the encoder end-to-end: "the lowest
+    // loss" under the learned merges
+    val counts = TextOps.bpeTokenCounts(
+      Seq((1L, " the lowest loss")).toDF("doc_id", "text"), "doc_id", "text",
+      golden).collect().head.getInt(1)
+    // " the"→[Ġthe]; " lowest"→[Ġlo,west]; " loss"→[Ġloss]
+    counts shouldBe 4
+  }
+
+  test("bpe incremental pair counts match the naive rescan merge-for-" +
+      "merge, and a 5k-merge induction finishes in seconds") {
+    import graft.functions.BpeTokenizer
+    // deterministic pseudo-random histogram: varied lengths, shared
+    // substrings, weight skew — the shapes that stress tie-breaks and
+    // the inverted index (a linear congruence, no Random seed drift)
+    var s = 12345L
+    def next(n: Int): Int = { s = (s * 6364136223846793005L + 1442695040888963407L); (((s >>> 33) % n).toInt + n) % n }
+    val alpha = "abcdefgh"
+    val words = Array.tabulate(4000) { i =>
+      val len = 2 + next(9)
+      val sb = new StringBuilder
+      (0 until len).foreach(_ => sb.append(alpha(next(alpha.length))))
+      (BpeTokenizer.initialSymbols(sb.toString), (1 + next(50)).toLong)
+    }
+    val incr = TextOps.bpeLearnMerges(words.map(w => (w._1.clone(), w._2)), 300)
+    val naive = TextOps.bpeLearnMergesNaive(words.map(w => (w._1.clone(), w._2)), 300)
+    incr shouldBe naive
+    incr.size should be > 100 // the corpus actually supports deep merging
+    // scale smoke: 5k merges over a 50k-word histogram — the naive
+    // rescan pays O(maxWords · len) per round (minutes); incremental
+    // touches only words containing the merged pair
+    var s2 = 98765L
+    def next2(n: Int): Int = { s2 = (s2 * 6364136223846793005L + 1442695040888963407L); (((s2 >>> 33) % n).toInt + n) % n }
+    val big = Array.tabulate(50000) { _ =>
+      val len = 3 + next2(12)
+      val sb = new StringBuilder
+      (0 until len).foreach(_ => sb.append(alpha(next2(alpha.length))))
+      (BpeTokenizer.initialSymbols(sb.toString), (1 + next2(100)).toLong)
+    }
+    val t0 = System.nanoTime()
+    val merges = TextOps.bpeLearnMerges(big, 5000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    merges.size should be > 1000
+    secs should be < 30.0 // seconds, not the naive loop's minutes
+  }
+
+  test("dsirScores: identical scores to dsirWeights minus the global " +
+      "rank; threshold filter keeps exactly the at-or-above docs") {
+    val target = Seq(
+      (100L, "the quick brown fox"),
+      (101L, "the quick red fox")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "zzz qqq www uuu"),
+      (3L, "the quick red dog")
+    ).toDF("doc_id", "text")
+    val ranked = TextOps.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val scores = TextOps.dsirScores(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    scores shouldBe ranked // same (n_feats, logw_micro), window-free
+    val cut = ranked(3L)._2 // threshold at doc 3's score
+    val kept = TextOps.dsirScores(raw, target, "doc_id", "text",
+        minLogwMicro = Some(cut))
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe ranked.filter(_._2._2 >= cut).keySet
+    kept should contain(3L)
+    kept should not contain 2L
+  }
+
   test("lexical diversity: ttr, hapax, simpson from exact counts") {
     val out = TextOps.lexicalDiversity(docs((1L, "a a b c")), "doc_id", "text")
       .collect().head

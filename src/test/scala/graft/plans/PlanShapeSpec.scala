@@ -117,6 +117,26 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("dsirScores (the 100-TB surface) plans NO global rank window: the " +
+      "only windows are per-doc bigram adjacency, hash-partitioned") {
+    val raw = docs.filter(col("doc_id") % 3 =!= 0)
+    val tgt = docs.filter(col("doc_id") % 3 === 0)
+    val p = plan(graft.ops.TextOps.dsirScores(raw, tgt, "doc_id", "text",
+      minLogwMicro = Some(0L)))
+    // dsirWeights' global rank is a row_number over an unpartitioned
+    // window — a single-partition sort of the whole corpus; the rank-free
+    // surface must never plan one
+    p should not include "row_number"
+    // every Window node present must carry a partition spec (the per-doc
+    // lead() for bigrams); an empty PartitionBy would read "Window [...], [ts..." with
+    // no partition column list between the function and the sort spec
+    val windows = "Window \\[[^\\]]*\\], \\[[^\\]]*\\]".r.findAllIn(p).toList
+    windows.foreach(w => w should include("__id"))
+    // and the ranked surface DOES (pinning that the two differ where claimed)
+    val ranked = plan(graft.ops.TextOps.dsirWeights(raw, tgt, "doc_id", "text"))
+    ranked should include("row_number")
+  }
+
   test("metadata-only count answers from the manifest with no file scan") {
     val s2 = {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
