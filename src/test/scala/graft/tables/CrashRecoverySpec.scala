@@ -234,7 +234,10 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
     * latch). The survivor races the killable writer on the same root and
     * must finish every commit. */
   private def forkSurvivor(root: String, writer: String, arbiter: String,
-      nCommits: Int): (Process, java.util.concurrent.CountDownLatch) = {
+      nCommits: Int,
+      main: String = "graft.tables.CrashRaceSurvivorMain",
+      marker: String = "XRACE_DONE")
+      : (Process, java.util.concurrent.CountDownLatch) = {
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",
@@ -251,14 +254,14 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
       s"-Dspark.graft.commit.arbiter=$arbiter",
       "-Dspark.graft.commit.tornRecordGraceMs=0",
       "-cp", System.getProperty("java.class.path"),
-      "graft.tables.CrashRaceSurvivorMain", root, writer, nCommits.toString)
+      main, root, writer, nCommits.toString)
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val out = new BufferedReader(new InputStreamReader(p.getInputStream))
     val sawMarker = new java.util.concurrent.CountDownLatch(1)
     val drain = new Thread(() => {
       var line = out.readLine()
       while (line != null) {
-        if (line.startsWith(s"XRACE_DONE $writer $nCommits"))
+        if (line.startsWith(s"$marker $writer $nCommits"))
           sawMarker.countDown()
         line = try out.readLine() catch { case _: Exception => null }
       }
@@ -381,10 +384,90 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  /** TWO concurrent refreshers of the SAME matview, one SIGKILLed: the
+    * anchor fence rejects whichever racer derived its delta from a
+    * stale anchor, and the loser's correct response — re-calling
+    * refresh(), which re-reads the advanced anchor and RECOMPUTES the
+    * batch — is what the surviving child exercises under kill debris.
+    * This fuzzes the fence's recompute path, not just its reject path:
+    * the survivor must land all of its iterations through live
+    * contention, and after every kill the view must equal a full
+    * recompute of the base exactly (a re-folded overlap would
+    * double-count; a lost delta would undercount). */
+  private def matviewRaceFuzz(arbiter: String): Unit = {
+    import org.apache.spark.sql.functions.{count => cnt, lit, sum}
+    val root = Files.createTempDirectory(s"graft-crashmvr-$arbiter").toString
+    val src = ManagedTable(spark, s"$root/src")
+    import spark.implicits._
+    src.overwriteAll((0L until 60L).map(i => (i, i % 3, i % 7))
+      .toDF("id", "grp", "qty").repartition(2))
+    MaterializedAgg(spark, src, s"$root/view", "id",
+      Seq("grp"), Seq("qty")).refresh()
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select("grp", "cnt", "sum_qty").orderBy("grp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val survivorIters = 6
+    Seq(0L, 120L).zipWithIndex.foreach { case (delay, it) =>
+      // disjoint id ranges per child and per round
+      val killId = 1000000L * (2 * it + 1)
+      val surId = 1000000L * (2 * it + 2)
+      val killable = forkWriter(root, killId.toString, arbiter,
+        "graft.tables.CrashMatviewRaceMain")
+      val kOut = new BufferedReader(new InputStreamReader(killable.getInputStream))
+      val dbg = new java.io.PrintWriter(s"/tmp/mvrace-$arbiter-$it-k.log")
+      val sawCommit = new java.util.concurrent.CountDownLatch(1)
+      val drain = new Thread(() => {
+        var line = kOut.readLine()
+        while (line != null) {
+          dbg.println(line); dbg.flush()
+          if (line.startsWith("XCRASH_COMMITTED")) sawCommit.countDown()
+          line = try kOut.readLine() catch { case _: Exception => null }
+        }
+      })
+      drain.setDaemon(true)
+      drain.start()
+      val (survivor, sawMarker) = forkSurvivor(root, surId.toString, arbiter,
+        survivorIters, "graft.tables.CrashMatviewRaceMain", "XMVRACE_DONE")
+      withClue(s"iteration $it: killable refresher never committed\n") {
+        sawCommit.await(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      }
+      Thread.sleep(delay)
+      killable.destroyForcibly()
+      killable.waitFor()
+      withClue(s"iteration $it: surviving refresher did not finish\n") {
+        survivor.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+        survivor.exitValue() shouldBe 0
+        sawMarker.await(5, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      }
+
+      val src2 = ManagedTable(spark, s"$root/src")
+      val mv2 = MaterializedAgg(spark, src2, s"$root/view", "id",
+        Seq("grp"), Seq("qty"))
+      withClue(s"iteration $it (delay ${delay}ms):\n") {
+        // the survivor's own appends all landed (its refresh-retry loop
+        // digested every fence rejection by recomputing)
+        src2.read().filter($"id" >= surId && $"id" < surId + 1000000L)
+          .count() shouldBe survivorIters * 20L
+        mv2.refresh() shouldBe src2.currentVersion.get
+        val expected = src2.read().groupBy("grp").agg(
+          cnt(lit(1)).as("cnt"), sum("qty").as("sum_qty"))
+        canon(mv2.read()) shouldBe canon(expected)
+      }
+    }
+  }
+
   allArbiters.foreach { arb =>
     test(s"[$arb] SIGKILL at varied commit-stream offsets: table reads, " +
         "append invariant holds, healer lets the next writer proceed") {
       withArbiter(arb)(appendFuzz(arb))
+    }
+
+    test(s"[$arb] SIGKILL one of two RACING refreshers of the SAME " +
+        "matview: the survivor recomputes through every fence rejection " +
+        "and the view lands exactly on the base's full recompute") {
+      withArbiter(arb)(matviewRaceFuzz(arb))
     }
 
     test(s"[$arb] SIGKILL inside matview append+refresh iterations: a " +
