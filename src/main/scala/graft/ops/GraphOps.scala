@@ -16,9 +16,10 @@ import org.apache.spark.storage.StorageLevel
   * rounds. Near-dup graphs are dense clusters with tiny diameter (2-4), so
   * the loop runs a handful of rounds regardless of corpus size, and every
   * round is embarrassingly parallel on the node hash. Labels only ever
-  * decrease, so convergence is detected by comparing the per-round label
-  * SUM (exact decimal, no joins). Lineage is truncated each round with
-  * `localCheckpoint` to keep plan analysis O(1) per round.
+  * decrease, so convergence is an exact per-node `new < old` count FUSED
+  * into the propagation aggregate itself — one Spark job per round, no
+  * separate convergence action, no joins. Lineage is truncated each round
+  * with `localCheckpoint` to keep plan analysis O(1) per round.
   */
 object GraphOps {
 
@@ -64,66 +65,82 @@ object GraphOps {
     }
     val src = col(s"`$srcCol`").cast("long")
     val dst = col(s"`$dstCol`").cast("long")
-    // persist the (possibly very expensive) upstream pair plan FIRST: `sym`
-    // references it twice (forward + swapped), and without the persist the
-    // whole near-dup pipeline would execute twice
-    val in = edges.select(src.as("a"), dst.as("b"))
+    // symmetrize in ONE pass over the (possibly very expensive) upstream
+    // pair plan — each input edge explodes to its two directions, so the
+    // upstream executes once with no persist of the raw pairs. Dedup runs
+    // AFTER the repartition on the probe key `b`: hash(b) already
+    // co-locates equal (a, b) rows, so the (a, b) aggregate needs no
+    // second exchange and its output KEEPS the hash(b) layout — the
+    // per-round join (sym.b == labels.node) then reads the cached layout
+    // with NO exchange on the edge side (labels comes out of its
+    // aggregation hash(node) with the same partition count), so rounds
+    // shuffle only the (small) label union, never the edge list.
+    val sym = edges.select(src.as("a"), dst.as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // persisted hash-partitioned on the probe key `b`: the per-round join
-    // (sym.b == labels.node) then reads the cached layout with NO exchange
-    // on the edge side — labels comes out of its aggregation hash(node)
-    // with the same partition count, so rounds shuffle only the (small)
-    // label union, never the edge list
-    val sym = in
-      .union(in.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("__e"))
+      .select(col("__e.a").as("a"), col("__e.b").as("b"))
       .repartition(col("b"))
+      .dropDuplicates("a", "b")
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    if (sym.isEmpty) {
-      sym.unpersist(); in.unpersist()
-      return Seq.empty[(Long, Long)].toDF("node", "component")
-    }
 
     // init: each node labeled with min(itself, its neighbors) — the first
     // propagation round fused into the node-list aggregation.
     // localCheckpoint is LAZY throughout: it caches partitions as the
-    // convergence-sum action computes them, so each round is ONE job
-    // (propagate + materialize + sum), not a checkpoint job plus a sum job
+    // convergence-count action computes them, so each round is ONE job
+    // (propagate + materialize + change count), not a checkpoint job plus
+    // a count job — and the init frame materializes inside round 1's job,
+    // so the whole loop runs `rounds` jobs with no separate init action
+    // and no up-front emptiness probe (an empty graph surfaces as a null
+    // change count in round 1).
     var labels = sym
       .groupBy(col("a").as("node"))
       .agg(min(least(col("a"), col("b"))).as("component"))
       .localCheckpoint(eager = false)
 
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
-
-    var prevSum = labelSum(labels)
-    in.unpersist() // sym is materialized by the init aggregation above
     var iter = 1
     var converged = false
-    while (!converged && iter < maxIters) {
+    var empty = false
+    while (!converged && !empty && iter < maxIters) {
+      // shuffle-hash, build = labels: both sides are already
+      // hash-partitioned on the join key with the same partition count
+      // (sym from its persisted repartition, labels from its aggregation),
+      // so this join plans ZERO exchanges and ZERO sorts — where the
+      // planner's stats-estimated broadcast would collect the ENTIRE
+      // label table (one row per node — corpus-scale, not dim-scale)
+      // through the driver every round, an extra job per round locally
+      // and an OOM at 100 TB
       val neighborLabels = sym
-        .join(labels, sym("b") === labels("node"))
-        .select(sym("a").as("node"), col("component"))
-      val next = labels.union(neighborLabels)
-        .groupBy("node").agg(min("component").as("component"))
+        .join(labels.hint("shuffle_hash"), sym("b") === labels("node"))
+        .select(sym("a").as("node"), labels("component").as("component"))
+      // convergence detection FUSED into the propagation aggregate: the
+      // self rows carry their previous label through `__old` (min ignores
+      // the neighbor rows' nulls; every node has exactly one self row),
+      // so one action yields the new labels AND the changed count —
+      // labels only ever decrease, making `component < __old` exact
+      val next = labels
+        .select(col("node"), col("component"), col("component").as("__old"))
+        .unionByName(neighborLabels
+          .withColumn("__old", lit(null).cast("long")))
+        .groupBy("node")
+        .agg(min("component").as("component"), min("__old").as("__old"))
         .localCheckpoint(eager = false)
-      val nextSum = labelSum(next)
-      // the sum action materialized every partition of `next`, truncating
-      // its lineage to its own cached blocks — the superseded round's
-      // blocks are unreachable from here on and must not accumulate
+      val changed = next.agg(
+        sum(when(col("component") < col("__old"), 1L).otherwise(0L))).head()
+      // the action materialized every partition of `next`, truncating its
+      // lineage to its own cached blocks — the superseded round's blocks
+      // are unreachable from here on and must not accumulate
       // (O(rounds × nodes) leaked cache otherwise; under a long bench or
       // service session that pressure evicts OTHER queries' caches)
       dropCheckpoint(labels)
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      if (changed.isNullAt(0)) empty = true
+      else converged = changed.getLong(0) == 0L
       iter += 1
     }
     sym.unpersist()
+    if (empty) return Seq.empty[(Long, Long)].toDF("node", "component")
     // an unconverged exit means the labels are WRONG (some nodes still carry
     // a non-minimal component id) — returning them silently would corrupt
     // canonical-doc selection downstream. maxIters is an error bound, not a
@@ -133,7 +150,7 @@ object GraphOps {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters iterations " +
           "(component diameter exceeds the cap); raise maxIters")
-    labels
+    labels.select("node", "component")
   }
 
   /** Dedup groups from near-dup pairs: `(doc, group, is_canonical)` for

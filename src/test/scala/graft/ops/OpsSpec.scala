@@ -660,6 +660,28 @@ class OpsSpec extends AnyFunSuite with Matchers {
     GraphOps.connectedComponents(empty, "x", "y").count() shouldBe 0L
   }
 
+  test("connected components run ONE spark job per propagation round — " +
+      "convergence fused into the aggregate, no init or emptiness actions") {
+    val sc = spark.sparkContext
+    // path 0-1-2-3: init (fused) labels {0:0,1:0,2:1,3:2}; round 1 fixes
+    // 2 and 3 partially, round 2 fixes 3, round 3 observes zero changes —
+    // exactly 3 actions, each one job with AQE off
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("x", "y")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("graft-cc-jobcount", "cc per-round job-count lock")
+    val out =
+      try GraphOps.connectedComponents(path, "x", "y")
+      finally {
+        sc.clearJobGroup()
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      }
+    val jobs = sc.statusTracker.getJobIdsForGroup("graft-cc-jobcount").length
+    jobs shouldBe 3
+    out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L)
+  }
+
   test("dedup groups mark exactly one canonical doc per group") {
     val edges = Seq((5L, 9L), (9L, 7L), (30L, 31L)).toDF("id_a", "id_b")
     val g = GraphOps.dedupGroups(edges, "id_a", "id_b").collect()
