@@ -4916,13 +4916,37 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   }
 
   private def listParquet(dir: Path): Seq[(Path, Long)] = {
-    val it = fs.listFiles(dir, true)
-    val buf = Seq.newBuilder[(Path, Long)]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.getPath.getName.endsWith(".parquet")) buf += st.getPath -> st.getLen
+    // local fast path: walk with raw NIO (one readdir+stat per entry).
+    // Hadoop's checksummed LocalFileSystem pays per-entry wrapper costs
+    // (LocatedFileStatus construction, CRC-twin filtering, block-location
+    // stubs) that measured 100-300 ms per commit listing on partitioned
+    // writes — a fixed tax on EVERY commit that NIO does in single-digit
+    // ms. Remote stores keep the Hadoop listing (their listFiles is one
+    // bulk RPC per page, already optimal).
+    if ("file" == fs.getUri.getScheme) {
+      val base = java.nio.file.Paths.get(dir.toUri.getPath)
+      val buf = Seq.newBuilder[(Path, Long)]
+      if (java.nio.file.Files.isDirectory(base))
+        java.nio.file.Files.walkFileTree(base,
+          new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+            override def visitFile(f: java.nio.file.Path,
+                attrs: java.nio.file.attribute.BasicFileAttributes)
+                : java.nio.file.FileVisitResult = {
+              if (f.getFileName.toString.endsWith(".parquet"))
+                buf += new Path(f.toUri) -> attrs.size()
+              java.nio.file.FileVisitResult.CONTINUE
+            }
+          })
+      buf.result()
+    } else {
+      val it = fs.listFiles(dir, true)
+      val buf = Seq.newBuilder[(Path, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) buf += st.getPath -> st.getLen
+      }
+      buf.result()
     }
-    buf.result()
   }
 
   private def rel(p: Path): String = {
