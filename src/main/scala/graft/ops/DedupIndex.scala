@@ -198,14 +198,22 @@ final class DedupIndex(spark: SparkSession, val rootPath: String,
     val inDocs = SubstrateCache.persist(
       TextOps.minHashSignatures(batch, idCol, textCol))
     val inBands = flatBands(inDocs, buckets)
-    // the batch's band buckets + per-bucket counts in ONE action: the
-    // bucket list is the manifest partition prune (bounded by the bucket
-    // count, never corpus size), the summed count sizes the broadcast
-    // decision below
-    val bktCounts = inBands.groupBy("bkt").count().collect()
-    val inBkts = bktCounts.map(_.getString(0)).toSet
-    val nInBands = bktCounts.map(_.getLong(1)).sum
-    val corpusBands = bandsTable.readPartitionsIn(Map("bkt" -> inBkts))
+    // [[flatBands]] emits exactly [[TextOps.Bands]] rows per signed doc,
+    // so the broadcast-sizing count is a plain cache count (materializes
+    // the substrate, no shuffle) — and the manifest partition prune only
+    // runs when it can PAY: a batch of n random band keys covers
+    // ~buckets·(1−e^(−n/buckets)) buckets (coupon collector), so past a
+    // few rows per bucket the batch provably hits essentially every
+    // partition and the distinct-collect would buy a full scan anyway.
+    // Tiny batches (the CDC steady state this index exists for) keep the
+    // exact bucket-list prune.
+    val nInBands = TextOps.Bands.toLong * inDocs.count()
+    val corpusBands =
+      if (nInBands <= buckets.toLong * PruneCollectRowsPerBucket) {
+        val inBkts = inBands.select("bkt").distinct()
+          .collect().map(_.getString(0)).toSet
+        bandsTable.readPartitionsIn(Map("bkt" -> inBkts))
+      } else bandsTable.read()
     val keys = (0 until TextOps.RowsPerBand).map(r => s"k$r")
     val joinCond = (Seq("pos") ++ keys)
       .map(c => col(s"a.`$c`") === col(s"b.`$c`"))
@@ -226,14 +234,18 @@ final class DedupIndex(spark: SparkSession, val rootPath: String,
         .select(col("a.id").as("in_id"), col("b.id").as("corpus_id"))
         .distinct())
     // exact-Jaccard confirm: candidates' sig buckets prune the sigs scan
+    // (same prune-only-when-it-pays gate as the band scan; the cache
+    // count doubles as the broadcast sizing)
     val candWithBkt = pairs.withColumn("sbkt",
       pmod(hash(col("corpus_id")), lit(buckets)).cast("string"))
-    val candCounts = candWithBkt.groupBy("sbkt").count().collect()
-    val candBkts = candCounts.map(_.getString(0)).toSet
-    val nCand = candCounts.map(_.getLong(1)).sum
+    val nCand = pairs.count()
     val corpusSigs =
-      if (candBkts.isEmpty) sigsTable.read().limit(0)
-      else sigsTable.readPartitionsIn(Map("sbkt" -> candBkts))
+      if (nCand == 0) sigsTable.read().limit(0)
+      else if (nCand <= buckets.toLong * PruneCollectRowsPerBucket) {
+        val candBkts = candWithBkt.select("sbkt").distinct()
+          .collect().map(_.getString(0)).toSet
+        sigsTable.readPartitionsIn(Map("sbkt" -> candBkts))
+      } else sigsTable.read()
     // candidates are bounded by real duplication — broadcast them through
     // both confirm joins so neither the cached batch signatures nor the
     // pruned corpus sigs shuffle
@@ -267,6 +279,12 @@ object DedupIndex {
     * deployment can match it to executor memory — and tests can force
     * the shuffle backfill path on small data). */
   val BroadcastBandRowBound = 1000000L
+
+  /** Probe-side rows per bucket above which the manifest partition prune
+    * is skipped: by coupon-collector coverage a batch this large hits
+    * essentially every bucket, so collecting its exact bucket list costs
+    * a distinct+collect to authorize what is a full scan regardless. */
+  val PruneCollectRowsPerBucket = 4L
 
   /** Writer identity of a [[DedupIndex.dedupStream]] pipeline — stable
     * per (destination, index) pair, filename-safe. */
