@@ -434,6 +434,110 @@ object TextOps {
         * (lit(1.0) - punct.cast("double") / col(nCharsCol)), 4).as("quality"))
   }
 
+  /** The Gopher rules' required-stopword probe set (Rae et al. 2021,
+    * §A1.1): a document passing the other rules but containing fewer
+    * than 2 of these is still flagged (catches keyword-stuffing pages
+    * that never form sentences). */
+  val GopherRequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality RULES (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", §A1.1) — the
+    * standard rule-based pre-filter most web-scale curation pipelines
+    * apply before any model-based scoring. Per document: the rule
+    * metrics, one boolean per rule, and the conjunction as `keep`.
+    * Implemented rules (the document-shape subset; line-layout rules
+    * need line structure this corpus lacks):
+    *
+    *  - word count within [minWords, maxWords]          (`ok_word_count`)
+    *  - mean word length within [3, 10] characters      (`ok_mean_word_len`)
+    *  - symbol words (`#`, `...`, `…`) ≤ 10% of words   (`ok_symbol_ratio`)
+    *  - ≥ 80% of words contain an alphabetic character  (`ok_alpha_words`)
+    *  - ≥ 2 distinct required stopwords present         (`ok_stopwords`)
+    *
+    * Every FLAG compares exact integers (cross-multiplied ratios), so
+    * keep decisions are bit-identical across engines; the reported
+    * `mean_word_len` double is one IEEE division on identical operands.
+    *
+    * Scale shape: pure per-row column algebra over the tokenized text —
+    * whole-stage codegen, no shuffle at all (the filter most worth
+    * running FIRST at 100 TB, before anything that pays a shuffle). */
+  def gopherQualityRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val ws = tokens(col(s"`$textCol`"))
+    val nWords = size(ws)
+    val sumLen = aggregate(transform(ws, w => length(w)),
+      lit(0L), (acc, x) => acc + x)
+    val nSymbol = size(filter(ws, w => w === "#" || w === "..." || w === "…"))
+    val nAlpha = size(filter(ws, w => w.rlike("[a-zA-Z]")))
+    val nReqStops = size(array_intersect(
+      array_distinct(transform(ws, lower(_))),
+      array(GopherRequiredStopwords.map(lit): _*)))
+    val okCount = nWords >= minWords && nWords <= maxWords
+    // 3 ≤ sumLen/n ≤ 10 as exact integer cross-multiplication
+    val okMeanLen = sumLen >= nWords.cast("long") * 3L &&
+      sumLen <= nWords.cast("long") * 10L
+    val okSymbol = nSymbol.cast("long") * 10L <= nWords.cast("long")
+    val okAlpha = nAlpha.cast("long") * 5L >= nWords.cast("long") * 4L
+    val okStops = nReqStops >= 2
+    df.select(
+      col(s"`$idCol`").as("doc_id"),
+      nWords.cast("long").as("n_words"),
+      (sumLen.cast("double") / nWords).as("mean_word_len"),
+      nSymbol.cast("long").as("n_symbol_words"),
+      nAlpha.cast("long").as("n_alpha_words"),
+      nReqStops.cast("long").as("n_req_stopwords"),
+      okCount.as("ok_word_count"),
+      okMeanLen.as("ok_mean_word_len"),
+      okSymbol.as("ok_symbol_ratio"),
+      okAlpha.as("ok_alpha_words"),
+      okStops.as("ok_stopwords"),
+      (okCount && okMeanLen && okSymbol && okAlpha && okStops).as("keep"))
+  }
+
+  /** Corpus-order n-gram NOVELTY — per document, the share of its
+    * word-n-gram occurrences that are the corpus-wide FIRST occurrence
+    * of that n-gram (under the same `id × OrdScale + pos` total order
+    * and 64-bit two-fold gram keys as [[dedupSubstrings]]). Documents
+    * dominated by already-seen n-grams add little new signal; pruning or
+    * down-weighting by novelty is the aggregate-score counterpart of
+    * span excision (Lee et al. 2022 measure the duplication; this
+    * reports its complement per document as a selection signal).
+    *
+    * Returns (doc_id, n_grams, n_novel, novelty) — `novelty` is NULL for
+    * documents shorter than n words (no gram evidence ≠ novel).
+    *
+    * Scale shape: identical to [[dedupSubstrings]]'s gram pass — one
+    * explode to (doc, pos, gram) rows, one hash aggregate for the
+    * corpus-first winners, one equi join back, one per-doc aggregate;
+    * O(total tokens), all shuffles hash-partitioned on the gram key or
+    * the doc id. */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+      n: Int = SubstringGramK): DataFrame = {
+    require(n >= 2, s"n-gram length must be >= 2, got $n")
+    val toks = SubstrateCache.persist(
+      df.select(col(s"`$idCol`").as("__id"), tokens(col(s"`$textCol`")).as("__ws")))
+    val grams = toks
+      .select(col("__id"), hashAll(col("__ws")).as("__hw"))
+      .select(col("__id"), posexplode(zip_with(
+          ngramHashes(col("__hw"), n),
+          ngramHashes(col("__hw"), n, ShingleMult2),
+          (x, y) => struct(x.as("g1"), y.as("g2")))).as(Seq("__p0", "__gs")))
+      .select(col("__id"), col("__gs.g1").as("__g"), col("__gs.g2").as("__g2"),
+        (col("__id") * OrdScale + col("__p0") + 1).as("__ord"))
+    val winners = grams.groupBy("__g", "__g2").agg(min("__ord").as("__win"))
+    val perDoc = grams.join(winners, Seq("__g", "__g2"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__ord") === col("__win"), 1L).otherwise(0L)).as("__nov"))
+    toks.select(col("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as("doc_id"),
+        coalesce(col("__n"), lit(0L)).as("n_grams"),
+        coalesce(col("__nov"), lit(0L)).as("n_novel"),
+        (col("__nov").cast("double") / col("__n")).as("novelty"))
+  }
+
   /** Lexical-diversity scores per document: type-token ratio, hapax ratio
     * (types occurring exactly once — low hapax flags template/boilerplate
     * text), and Simpson concentration Σ(cnt/n)² (the probability two

@@ -408,6 +408,22 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // -------------------------------- text: Gopher rule-based pre-filter
+    // (Rae et al. 2021 §A1.1 — the standard web-curation rule gate;
+    // integer cross-multiplied flags keep keep-decisions bit-identical)
+    QueryDef("q_td_gopher", gopherOracle) { (s, d) =>
+      TextOps.gopherQualityRules(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------- text: corpus-order n-gram novelty
+    // (share of a doc's n-gram occurrences that are corpus-first — the
+    // score-level complement of q_td_substring_dedup's excision)
+    QueryDef("q_td_novelty", noveltyOracle) { (s, d) =>
+      TextOps.noveltyScores(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // -------------------------------------- text: lexical diversity scores
     // (rational quotients of integer aggregates — bit-identical across
     // engines; see TextOps.lexicalDiversity)
@@ -1320,6 +1336,67 @@ object TrainingOps {
        |FROM toks t LEFT JOIN nd USING (doc_id) LEFT JOIN nr USING (doc_id)
        |LEFT JOIN stitched st USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Gopher-rules oracle — mirrors [[TextOps.gopherQualityRules]]: every
+    * flag an exact integer comparison (cross-multiplied ratios). */
+  private def gopherOracle: String = {
+    val stops = TextOps.GopherRequiredStopwords.map(w => s"'$w'").mkString(",")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_len,
+       |    CAST(len(list_filter(ws, w -> w = '#' OR w = '...' OR w = '…'))
+       |      AS BIGINT) AS n_symbol_words,
+       |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+       |      AS BIGINT) AS n_alpha_words,
+       |    CAST(len(list_intersect(list_distinct(list_transform(ws,
+       |      w -> lower(w))), [$stops])) AS BIGINT) AS n_req_stopwords
+       |  FROM (SELECT doc_id, $Words AS ws FROM documents))
+       |SELECT doc_id, n_words,
+       |  CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+       |  n_symbol_words, n_alpha_words, n_req_stopwords,
+       |  (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+       |  (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+       |    AS ok_mean_word_len,
+       |  (n_symbol_words * 10 <= n_words) AS ok_symbol_ratio,
+       |  (n_alpha_words * 5 >= n_words * 4) AS ok_alpha_words,
+       |  (n_req_stopwords >= 2) AS ok_stopwords,
+       |  ((n_words >= 50 AND n_words <= 100000)
+       |    AND (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+       |    AND (n_symbol_words * 10 <= n_words)
+       |    AND (n_alpha_words * 5 >= n_words * 4)
+       |    AND (n_req_stopwords >= 2)) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Novelty oracle — the gram/winner chain of [[substringDedupOracle]]
+    * reduced to a per-document first-occurrence share. */
+  private def noveltyOracle: String = {
+    val k = TextOps.SubstringGramK
+    s"""WITH toks AS (
+       |  SELECT doc_id, $Words AS ws FROM documents),
+       |hw AS (
+       |  SELECT doc_id, list_transform(ws, w -> ${H("w")}) AS hw FROM toks),
+       |grams AS (
+       |  SELECT doc_id, (${ngramHashSql(k, "pos")}) AS g,
+       |    (${ngramHashSql(k, "pos", TextOps.ShingleMult2)}) AS g2,
+       |    doc_id * ${TextOps.OrdScale} + pos AS ord
+       |  FROM (SELECT doc_id, hw, unnest(range(1, len(hw) - ${k - 2})) AS pos
+       |        FROM hw WHERE len(hw) >= $k)),
+       |winners AS (
+       |  SELECT g, g2, min(ord) AS w FROM grams GROUP BY g, g2),
+       |perdoc AS (
+       |  SELECT gr.doc_id, count(*) AS n,
+       |    CAST(sum(CASE WHEN gr.ord = wi.w THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nov
+       |  FROM grams gr JOIN winners wi ON gr.g = wi.g AND gr.g2 = wi.g2
+       |  GROUP BY 1)
+       |SELECT t.doc_id, coalesce(p.n, 0) AS n_grams,
+       |  coalesce(p.nov, 0) AS n_novel,
+       |  CAST(p.nov AS DOUBLE) / p.n AS novelty
+       |FROM toks t LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
   }
 
   /** DSIR oracle — mirrors [[TextOps.dsirWeights]]: unigram+bigram

@@ -894,6 +894,56 @@ class OpsSpec extends AnyFunSuite with Matchers {
     kept should not contain 2L
   }
 
+  test("gopher rules: each rule trips on its own violation, keep is the " +
+      "conjunction, flags are exact-integer decisions") {
+    val the8 = "the be to of and that have with" // all 8 required stopwords
+    // 48 stopwords (sum len 144) + 2 more words → 50 words, mean 3.08
+    val fifty = (the8 + " ") * 6 + "golden flow"
+    val d = Seq(
+      (1L, fifty),                                    // passes everything
+      (2L, "the be " + ("word " * 10).trim),          // too few words
+      (3L, the8 + " " + ("a " * 42).trim),            // 50 words, mean len < 3
+      (4L, the8 + " " + ("# " * 42).trim),            // symbol ratio > 10%
+      (5L, the8 + " " + ("42 " * 42).trim),           // < 80% alphabetic
+      (6L, ("green " * 50).trim)                      // < 2 required stopwords
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherQualityRules(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
+          r.getBoolean(10), r.getBoolean(11)))).toMap
+    out(1L) shouldBe ((true, true, true, true, true, true))
+    out(2L)._1 shouldBe false // word count
+    out(3L)._2 shouldBe false // mean word length
+    out(4L)._3 shouldBe false // symbol ratio
+    out(5L)._4 shouldBe false // alpha share
+    out(6L)._5 shouldBe false // required stopwords
+    // keep only when every rule passes
+    out.foreach { case (_, f) =>
+      f._6 shouldBe (f._1 && f._2 && f._3 && f._4 && f._5) }
+    // metrics are exact: doc 1 has 50 words, 8 distinct required stops
+    val m = TextOps.gopherQualityRules(d, "doc_id", "text")
+      .filter(col("doc_id") === 1).collect().head
+    m.getLong(1) shouldBe 50L
+    m.getLong(5) shouldBe 8L
+  }
+
+  test("novelty: corpus-first grams count as novel, repeats do not; short " +
+      "docs carry null novelty") {
+    val d = Seq(
+      (1L, "a b c d e f"),    // 6 words, 4 trigrams... k=3 → all novel
+      (2L, "a b c d x y z"),  // trigrams abc, bcd seen from doc 1
+      (3L, "a b")             // shorter than k → no grams
+    ).toDF("doc_id", "text")
+    val out = TextOps.noveltyScores(d, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3))))
+      .toMap
+    out(1L) shouldBe ((4L, 4L, 1.0))   // abc bcd cde def, all first
+    // doc 2 grams: abc bcd cdx dxy xyz — abc,bcd seen → 3/5 novel
+    out(2L) shouldBe ((5L, 3L, 0.6))
+    out(3L) shouldBe ((0L, 0L, -1.0))  // null novelty, row kept
+  }
+
   test("lexical diversity: ttr, hapax, simpson from exact counts") {
     val out = TextOps.lexicalDiversity(docs((1L, "a a b c")), "doc_id", "text")
       .collect().head
