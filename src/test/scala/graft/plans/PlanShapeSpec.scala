@@ -137,6 +137,25 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     ranked should include("row_number")
   }
 
+  test("gopher rules plan ZERO exchanges — pure per-row codegen column " +
+      "algebra (the filter to run before anything that pays a shuffle)") {
+    // parquet-backed input: a local Seq constant-folds into a
+    // LocalTableScan, which would vacuously pass the no-Exchange claim
+    // and vacuously fail the codegen one
+    val pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(graft.ops.TextOps.gopherQualityRules(pq, "doc_id", "text"))
+    p should not include "Exchange"
+    p should include("*(1)") // the whole operator is ONE codegen stage
+  }
+
+  test("novelty: cross-document comparison through a hash aggregate and " +
+      "equi joins only — never a cartesian product") {
+    val p = plan(graft.ops.TextOps.noveltyScores(docs, "doc_id", "text"))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+  }
+
   test("metadata-only count answers from the manifest with no file scan") {
     val s2 = {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
