@@ -1383,4 +1383,44 @@ object TextOps {
         col("logw_micro").cast("long").as("logw_micro"))
     minLogwMicro.fold(scored)(t => scored.filter(col("logw_micro") >= t))
   }
+
+  /** DSIR importance RESAMPLING draw — the selection step of Xie et al.
+    * 2023 (the paper SAMPLES by weight rather than taking top-k, to keep
+    * diversity the hard cut destroys): a weighted sample WITHOUT
+    * replacement of `k` raw documents with probability ∝ exp(logw/τ),
+    * via the Gumbel top-k identity (adding independent Gumbel noise to
+    * each log-weight and taking the k largest IS such a sample).
+    *
+    * Determinism: the per-document uniform comes from the sha-256
+    * [[portableHash]] of the doc id (the same device [[mixturePlan]]'s
+    * rate sampling uses), so the draw is reproducible across runs,
+    * engines, and partitionings; the perturbed key quantizes to integer
+    * micro-nats before ranking (one `ln` chain per doc on identical
+    * operands — a cross-engine flip needs a libm disagreement within one
+    * ulp of a half-micro-nat). Ties break on doc_id.
+    *
+    * Returns (doc_id, logw_micro, key_micro), the k selected docs.
+    *
+    * Scale shape: [[dsirScores]]' window-free plan plus ONE distributed
+    * top-k (Spark's TakeOrderedAndProject: each partition keeps its k
+    * best, the driver merges k-sized heaps — no global sort, no single
+    * partition). */
+  def dsirSample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = DsirBuckets,
+      temperature: Double = 1.0): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val scored = dsirScores(raw, target, idCol, textCol, buckets)
+    // u in (0,1): the +0.5 keeps both log arguments strictly inside
+    // their domains for every hash value
+    val u = (pmod(portableHash(col("doc_id").cast("string")), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1e6)
+    val gumbel = -log(-log(u))
+    val key = round((col("logw_micro").cast("double") / lit(1e6)
+      / lit(temperature) + gumbel) * lit(1e6)).cast("long")
+    scored.withColumn("key_micro", key)
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("logw_micro"), col("key_micro"))
+  }
 }

@@ -805,6 +805,17 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // ------------- curation: DSIR importance resampling DRAW (Gumbel
+    // top-k: weighted sample without replacement by exp(logw), the
+    // selection step Xie et al. actually run — sampling, not a hard cut)
+    QueryDef("q_td_dsir_sample", dsirSampleOracle(DsirSampleK)) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextOps.dsirSample(
+        docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en"),
+        "doc_id", "text", k = DsirSampleK)
+        .orderBy("doc_id")
+    },
+
     // ----------------------- curation: source-mixture plan + deterministic
     // sample (domain reweighting under a token budget; src0 is weighted
     // past its availability to exercise the rate cap)
@@ -1403,9 +1414,35 @@ object TrainingOps {
     * feature buckets, add-1 smoothed bucket log-ratios quantized to
     * integer micro-nats per BUCKET (the only doubles; ≤ once per bucket),
     * then exact integer per-doc sums. */
-  private def dsirOracle: String = {
+  private def dsirOracle: String =
+    s"""WITH $dsirScoredCtes
+       |SELECT doc_id, n_feats, logw_micro,
+       |  CAST(row_number() OVER (ORDER BY logw_micro DESC, doc_id) AS BIGINT)
+       |    AS rank
+       |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** Gumbel top-k resampling oracle — mirrors [[TextOps.dsirSample]]:
+    * uniform from the doc-id hash, perturbed key quantized to micro-nats
+    * BEFORE ranking, ties on doc_id. */
+  private def dsirSampleOracle(k: Int): String =
+    s"""WITH $dsirScoredCtes,
+       |keyed AS (
+       |  SELECT doc_id, logw_micro,
+       |    CAST(round((CAST(logw_micro AS DOUBLE) / 1e6 / 1.0
+       |      + -ln(-ln(((${H("CAST(doc_id AS VARCHAR)")} % 1000000) + 0.5)
+       |                / 1e6))) * 1e6) AS BIGINT) AS key_micro
+       |  FROM scored)
+       |SELECT * FROM (
+       |  SELECT doc_id, logw_micro, key_micro FROM keyed
+       |  ORDER BY key_micro DESC, doc_id LIMIT $k)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Shared DSIR CTE chain ending in `scored(doc_id, n_feats,
+    * logw_micro)` — the ONE place the hashed-n-gram LLR model is stated
+    * in SQL (ranked, threshold, and resampling oracles all read it). */
+  private def dsirScoredCtes: String = {
     val b = TextOps.DsirBuckets
-    s"""WITH hw AS (
+    s"""hw AS (
        |  SELECT doc_id, lang, list_transform($Words, w -> ${H("w")}) AS hw
        |  FROM documents),
        |feats AS (
@@ -1433,16 +1470,14 @@ object TrainingOps {
        |scored AS (
        |  SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_feats,
        |         CAST(sum(d.c * w.lw) AS BIGINT) AS logw_micro
-       |  FROM docb d JOIN wt w ON d.b = w.b GROUP BY d.doc_id)
-       |SELECT doc_id, n_feats, logw_micro,
-       |  CAST(row_number() OVER (ORDER BY logw_micro DESC, doc_id) AS BIGINT)
-       |    AS rank
-       |FROM scored ORDER BY doc_id""".stripMargin
+       |  FROM docb d JOIN wt w ON d.b = w.b GROUP BY d.doc_id)""".stripMargin
   }
 
   /** Mixture query constants: src0 deliberately over-weighted past its
     * availability so the rate cap (`least(1, …)`) is exercised; 16 of the
     * 20 sources carry no weight (rate 0). */
+  private def DsirSampleK = 100
+
   private[queries] def MixtureWeights: Seq[(String, Long)] =
     Seq("src0" -> 8L, "src1" -> 4L, "src2" -> 2L, "src3" -> 1L)
   private[queries] def MixtureBudget: Long = 3000L

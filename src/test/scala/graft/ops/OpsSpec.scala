@@ -944,6 +944,36 @@ class OpsSpec extends AnyFunSuite with Matchers {
     out(3L) shouldBe ((0L, 0L, -1.0))  // null novelty, row kept
   }
 
+  test("dsirSample: Gumbel top-k draw matches the hand-computed keys, " +
+      "deterministic across runs") {
+    val target = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val raw = (1L to 20L).map { i =>
+      val text = if (i % 2 == 0) "the quick brown fox jumps high"
+                 else s"zzz$i qqq$i www$i uuu$i vvv$i yyy$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = TextOps.dsirSample(raw, target, "doc_id", "text", k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    out.length shouldBe 6
+    // replicate the draw exactly from the rank-free scores: sha-hash
+    // uniform, Gumbel perturb, micro-quantize, top-6 by (key desc, id)
+    val scores = TextOps.dsirScores(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val expected = scores.toSeq.map { case (id, lw) =>
+      val u = (h32(id.toString) % 1000000L + 0.5) / 1e6
+      val key = math.round((lw / 1e6 + -math.log(-math.log(u))) * 1e6)
+      (id, lw, key)
+    }.sortBy { case (id, _, key) => (-key, id) }.take(6).sorted
+    out.toSeq shouldBe expected
+    // deterministic across invocations
+    TextOps.dsirSample(raw, target, "doc_id", "text", k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq shouldBe expected
+  }
+
   test("lexical diversity: ttr, hapax, simpson from exact counts") {
     val out = TextOps.lexicalDiversity(docs((1L, "a a b c")), "doc_id", "text")
       .collect().head
