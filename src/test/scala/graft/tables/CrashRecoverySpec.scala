@@ -416,12 +416,13 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
       val killable = forkWriter(root, killId.toString, arbiter,
         "graft.tables.CrashMatviewRaceMain")
       val kOut = new BufferedReader(new InputStreamReader(killable.getInputStream))
-      val dbg = new java.io.PrintWriter(s"/tmp/mvrace-$arbiter-$it-k.log")
       val sawCommit = new java.util.concurrent.CountDownLatch(1)
       val drain = new Thread(() => {
         var line = kOut.readLine()
         while (line != null) {
-          dbg.println(line); dbg.flush()
+          // a crashed child prints XMVRACE_CRASH with the exception —
+          // surface it instead of a bare "never committed" timeout
+          if (line.startsWith("XMVRACE_CRASH")) System.err.println(line)
           if (line.startsWith("XCRASH_COMMITTED")) sawCommit.countDown()
           line = try kOut.readLine() catch { case _: Exception => null }
         }
