@@ -115,4 +115,127 @@ class PropertySpec extends AnyFunSuite with Matchers {
       got shouldBe want
     }
   }
+
+  /** Random-corpus generator shared by the text-op properties: short
+    * words over a tiny alphabet force heavy cross-document n-gram
+    * overlap — the regime that stresses excision/novelty/BPE. */
+  private def randomCorpus(nDocs: Int, seedOffset: Long): Seq[(Long, String)] = {
+    val word = Gen.choose(1, 3)
+      .flatMap(l => Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val doc = Gen.choose(0, 14).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    Gen.listOfN(nDocs, doc).apply(Gen.Parameters.default, Seed(7L + seedOffset))
+      .get.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  test("dedupSubstrings invariants over random corpora: kept words are a " +
+      "subsequence of the original, counts consistent, first doc intact") {
+    val corpus = randomCorpus(60, 1)
+    val df = corpus.toDF("doc_id", "text")
+    val out = TextOps.dedupSubstrings(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    out.size shouldBe corpus.size // every doc returns, none dropped
+    corpus.foreach { case (id, text) =>
+      val (nWords, nDup, nRemoved, kept) = out(id)
+      val orig = text.trim.split("\\s+").filter(_.nonEmpty)
+      nWords shouldBe (if (text.trim.isEmpty) text.split("\\s+").length.toLong
+        else orig.length.toLong)
+      nRemoved should be <= nWords
+      nRemoved should be >= 0L
+      // erased spans cover every dup gram's k words, so dup grams can
+      // never exceed removed positions × k nor the total gram count
+      if (nDup > 0) nRemoved should be >= 3L // at least one k-span erased
+      // kept_text is a subsequence of the original words (order kept)
+      val keptWords = kept.split(" ").filter(_.nonEmpty)
+      var i = 0
+      keptWords.foreach { w =>
+        var found = false
+        while (!found && i < orig.length) {
+          if (orig(i) == w) found = true
+          i += 1
+        }
+        withClue(s"doc $id: '$w' out of order vs original:\n") {
+          found shouldBe true }
+      }
+    }
+    // the corpus-minimum (doc, pos) always survives: doc 0 intact
+    val first = corpus.head._2
+    if (first.trim.split("\\s+").count(_.nonEmpty) >= 3)
+      out(0L)._4 shouldBe first.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+  }
+
+  test("noveltyScores invariants over random corpora: novelty in [0,1], " +
+      "gram counts match word counts, duplicate docs score zero") {
+    val base = randomCorpus(40, 2).filter(_._2.trim.split("\\s+").count(_.nonEmpty) >= 3)
+    // append exact duplicates of the first three docs at higher ids
+    val corpus = base ++ base.take(3).zipWithIndex.map { case ((_, t), j) =>
+      (1000L + j, t) }
+    val out = TextOps.noveltyScores(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    corpus.foreach { case (id, text) =>
+      val (nGrams, nNovel, nov) = out(id)
+      val w = text.trim.split("\\s+").count(_.nonEmpty)
+      nGrams shouldBe math.max(0, w - 2).toLong
+      nNovel should be <= nGrams
+      nov.foreach { v => v should (be >= 0.0 and be <= 1.0) }
+      if (nGrams == 0) nov shouldBe None
+    }
+    // an exact duplicate of an earlier doc has zero novel grams
+    (0 until 3).foreach { j =>
+      val (nGrams, nNovel, _) = out(1000L + j)
+      if (nGrams > 0) nNovel shouldBe 0L
+    }
+  }
+
+  test("bpe incremental learner ≡ naive rescan across random histograms") {
+    import graft.functions.BpeTokenizer
+    val word = Gen.choose(1, 8)
+      .flatMap(l => Gen.listOfN(l, Gen.oneOf('x', 'y', 'z', 'w')).map(_.mkString))
+    (0 until 5).foreach { round =>
+      val hist = Gen.listOfN(120, Gen.zip(word, Gen.choose(1L, 40L)))
+        .apply(Gen.Parameters.default, Seed(100L + round)).get
+        .groupBy(_._1).map { case (w, ws) =>
+          (BpeTokenizer.initialSymbols(w), ws.map(_._2).sum) }.toArray
+      val inc = TextOps.bpeLearnMerges(hist.map(h => (h._1.clone(), h._2)), 50)
+      val naive = TextOps.bpeLearnMergesNaive(hist.map(h => (h._1.clone(), h._2)), 50)
+      withClue(s"seed round $round:\n") { inc shouldBe naive }
+    }
+  }
+
+  test("gopher flags are exactly the stated integer inequalities over " +
+      "random corpora") {
+    val corpus = randomCorpus(80, 3) ++ Seq(
+      (900L, ("the be to of " * 15).trim), (901L, ("# " * 60).trim))
+    val out = TextOps.gopherQualityRules(corpus.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5),
+          (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+           r.getBoolean(9), r.getBoolean(10), r.getBoolean(11))))).toMap
+    corpus.foreach { case (id, text) =>
+      val ws = text.split("\\s+") // Spark's split keeps a leading "" too
+      val n = ws.length.toLong
+      val sumLen = ws.map(_.length.toLong).sum
+      val nSym = ws.count(w => w == "#" || w == "..." || w == "…").toLong
+      val nAlpha = ws.count(_.exists(_.isLetter)).toLong
+      val nStops = ws.map(_.toLowerCase).distinct
+        .count(TextOps.GopherRequiredStopwords.contains).toLong
+      val (gn, gs, ga, gst, flags) = out(id)
+      withClue(s"doc $id ('$text'):\n") {
+        gn shouldBe n
+        gs shouldBe nSym
+        ga shouldBe nAlpha
+        gst shouldBe nStops
+        flags._1 shouldBe (n >= 50 && n <= 100000)
+        flags._2 shouldBe (sumLen >= 3 * n && sumLen <= 10 * n)
+        flags._3 shouldBe (10 * nSym <= n)
+        flags._4 shouldBe (5 * nAlpha >= 4 * n)
+        flags._5 shouldBe (nStops >= 2)
+        flags._6 shouldBe (flags._1 && flags._2 && flags._3 && flags._4 && flags._5)
+      }
+    }
+  }
 }
