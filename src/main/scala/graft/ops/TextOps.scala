@@ -538,6 +538,59 @@ object TextOps {
         (col("__nov").cast("double") / col("__n")).as("novelty"))
   }
 
+  /** Cross-source n-gram OVERLAP matrix — the leakage/mirror audit run
+    * before choosing mixture weights: for every pair of sources sharing
+    * at least one distinct word-n-gram, the two distinct-gram counts,
+    * the common count, Jaccard, and containment (common over the
+    * smaller side — the signal that flags one source as a subset/mirror
+    * of another even when Jaccard is diluted by the larger side).
+    * Two crawls of the same site, a dataset re-released inside a
+    * compilation, or benchmark text syndicated across sources all
+    * surface here before they skew a mixture plan.
+    *
+    * Returns (source_a, source_b, grams_a, grams_b, n_common, jaccard,
+    * containment), source_a < source_b, only pairs with n_common > 0.
+    *
+    * Scale shape: one explode to DISTINCT (source, gram) rows — the
+    * aggregate bounds everything downstream by distinct grams, not
+    * corpus size; the pair join is an equi self-join on the gram hash
+    * (a gram in s sources emits s·(s−1)/2 pairs — bounded by the SOURCE
+    * count squared, not documents); per-pair and per-source counts are
+    * map-side-combined hash aggregates. Ratios are single IEEE
+    * divisions of exact longs. 32-bit gram hashes are the scoring-grade
+    * key ([[repeatedSpanCounts]]'s reasoning): a rare collision perturbs
+    * a count, destroys nothing. */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String, groupCol: String,
+      n: Int = 3): DataFrame = {
+    // bind the per-word hash array BEFORE the gram fold: inlined, the
+    // fold's element_at lambda re-evaluates the whole sha-256 array per
+    // gram position — O(words²) hashing per document (measured 40 s vs
+    // 0.7 s at sf0.1). The projection boundary pins it to once per doc
+    // (CollapseProject keeps multi-referenced non-cheap expressions).
+    val grams = SubstrateCache.persist(
+      df.select(col(s"`$groupCol`").as("__src"),
+          hashAll(tokens(col(s"`$textCol`"))).as("__hw"))
+        .select(col("__src"), explode(ngramHashes(col("__hw"), n)).as("__g"))
+        .distinct())
+    val counts = grams.groupBy("__src").agg(count(lit(1)).as("__n"))
+    val common = grams.alias("a")
+      .join(grams.alias("b"),
+        col("a.__g") === col("b.__g") && col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("source_a"), col("b.__src").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(counts).withColumnRenamed("__src", "source_a")
+        .withColumnRenamed("__n", "grams_a"), Seq("source_a"))
+      .join(broadcast(counts).withColumnRenamed("__src", "source_b")
+        .withColumnRenamed("__n", "grams_b"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("grams_a"), col("grams_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("grams_a") + col("grams_b") - col("n_common"))).as("jaccard"),
+        (col("n_common").cast("double") /
+          least(col("grams_a"), col("grams_b"))).as("containment"))
+  }
+
   /** Lexical-diversity scores per document: type-token ratio, hapax ratio
     * (types occurring exactly once — low hapax flags template/boilerplate
     * text), and Simpson concentration Σ(cnt/n)² (the probability two

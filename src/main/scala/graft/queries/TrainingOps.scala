@@ -416,6 +416,14 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // --------------------------- text: cross-source n-gram overlap audit
+    // (which sources mirror each other — run before mixture design;
+    // containment flags subset/mirror sources Jaccard dilutes)
+    QueryDef("q_td_source_overlap", sourceOverlapOracle) { (s, d) =>
+      TextOps.sourceOverlapMatrix(Tables.documents(s, d), "text", "source")
+        .orderBy("source_a", "source_b")
+    },
+
     // ------------------------------- text: corpus-order n-gram novelty
     // (share of a doc's n-gram occurrences that are corpus-first — the
     // score-level complement of q_td_substring_dedup's excision)
@@ -1380,6 +1388,32 @@ object TrainingOps {
        |    AND (n_req_stopwords >= 2)) AS keep
        |FROM m ORDER BY doc_id""".stripMargin
   }
+
+  /** Source-overlap oracle — mirrors [[TextOps.sourceOverlapMatrix]]:
+    * distinct (source, 3-gram-hash) rows, self-join on the gram, exact
+    * integer counts, IEEE ratios of identical operands. */
+  private def sourceOverlapOracle: String =
+    s"""WITH hw AS (
+       |  SELECT source, list_transform($Words, w -> ${H("w")}) AS hw
+       |  FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT source, (${ngramHashSql(3, "i")}) AS g
+       |  FROM (SELECT source, hw, unnest(range(1, len(hw) - 1)) AS i
+       |        FROM hw WHERE len(hw) >= 3)),
+       |counts AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+       |common AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    count(*) AS n_common
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT c.source_a, c.source_b,
+       |  ca.n AS grams_a, cb.n AS grams_b, c.n_common,
+       |  CAST(c.n_common AS DOUBLE) / (ca.n + cb.n - c.n_common) AS jaccard,
+       |  CAST(c.n_common AS DOUBLE) / least(ca.n, cb.n) AS containment
+       |FROM common c
+       |JOIN counts ca ON ca.source = c.source_a
+       |JOIN counts cb ON cb.source = c.source_b
+       |ORDER BY c.source_a, c.source_b""".stripMargin
 
   /** Novelty oracle — the gram/winner chain of [[substringDedupOracle]]
     * reduced to a per-document first-occurrence share. */

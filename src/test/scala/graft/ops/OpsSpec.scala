@@ -974,6 +974,26 @@ class OpsSpec extends AnyFunSuite with Matchers {
       .sorted.toSeq shouldBe expected
   }
 
+  test("source overlap matrix: a mirrored source shows containment 1.0, " +
+      "disjoint sources emit no pair, counts exact") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon", "A"), // A's grams ⊂ B's
+      (2L, "alpha beta gamma delta epsilon zeta eta", "B"),
+      (3L, "one two three four five six", "C")      // disjoint from both
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.sourceOverlapMatrix(d, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    out.keySet shouldBe Set(("A", "B")) // C pairs with nothing
+    val (ga, gb, common, jac, cont) = out(("A", "B"))
+    ga shouldBe 3L  // 5 words → 3 trigrams
+    gb shouldBe 5L  // 7 words → 5 trigrams
+    common shouldBe 3L // every A-gram appears in B
+    cont shouldBe 1.0  // the mirror signal Jaccard dilutes…
+    jac shouldBe 0.6   // …to 3/5 here
+  }
+
   test("lexical diversity: ttr, hapax, simpson from exact counts") {
     val out = TextOps.lexicalDiversity(docs((1L, "a a b c")), "doc_id", "text")
       .collect().head
