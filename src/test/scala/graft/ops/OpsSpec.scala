@@ -892,6 +892,7 @@ class OpsSpec extends AnyFunSuite with Matchers {
     kept shouldBe ranked.filter(_._2._2 >= cut).keySet
     kept should contain(3L)
     kept should not contain 2L
+    SubstrateCache.release(spark)
   }
 
   test("gopher rules: each rule trips on its own violation, keep is the " +
@@ -942,6 +943,7 @@ class OpsSpec extends AnyFunSuite with Matchers {
     // doc 2 grams: abc bcd cdx dxy xyz — abc,bcd seen → 3/5 novel
     out(2L) shouldBe ((5L, 3L, 0.6))
     out(3L) shouldBe ((0L, 0L, -1.0))  // null novelty, row kept
+    SubstrateCache.release(spark)
   }
 
   test("dsirSample: Gumbel top-k draw matches the hand-computed keys, " +
@@ -972,6 +974,7 @@ class OpsSpec extends AnyFunSuite with Matchers {
     TextOps.dsirSample(raw, target, "doc_id", "text", k = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sorted.toSeq shouldBe expected
+    SubstrateCache.release(spark)
   }
 
   test("source overlap matrix: a mirrored source shows containment 1.0, " +
@@ -992,6 +995,7 @@ class OpsSpec extends AnyFunSuite with Matchers {
     common shouldBe 3L // every A-gram appears in B
     cont shouldBe 1.0  // the mirror signal Jaccard dilutes…
     jac shouldBe 0.6   // …to 3/5 here
+    SubstrateCache.release(spark)
   }
 
   test("lexical diversity: ttr, hapax, simpson from exact counts") {

@@ -162,6 +162,7 @@ class PropertySpec extends AnyFunSuite with Matchers {
     val first = corpus.head._2
     if (first.trim.split("\\s+").count(_.nonEmpty) >= 3)
       out(0L)._4 shouldBe first.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    SubstrateCache.release(spark)
   }
 
   test("noveltyScores invariants over random corpora: novelty in [0,1], " +
@@ -188,6 +189,7 @@ class PropertySpec extends AnyFunSuite with Matchers {
       val (nGrams, nNovel, _) = out(1000L + j)
       if (nGrams > 0) nNovel shouldBe 0L
     }
+    SubstrateCache.release(spark)
   }
 
   test("bpe incremental learner ≡ naive rescan across random histograms") {

@@ -699,6 +699,10 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     writeSlice(md, md.getEntity(23), "s1.parquet", Seq((1, "a")).toDF("ID", "name"))
     writeSlice(md, md.getEntity(24), "s1.parquet", Seq((2, "b")).toDF("ID", "name"))
 
+    // order-independence: earlier suites in the shared session may have
+    // left session-registered substrates (ops register session-wide when
+    // unscoped); this test asserts on the COUNT, so start from zero
+    graft.ops.SubstrateCache.release(spark)
     // an unrelated concurrent operator holds a scoped substrate (the
     // in-flight accelerator of a THIRD entity, in Runner.parallelism
     // terms) across the whole parallel run
