@@ -35,28 +35,35 @@ object CrashMatviewRaceMain {
       val mv = MaterializedAgg(spark, src, s"$root/view", "id",
         Seq("grp"), Seq("qty"))
       val off = writerId.toLong
-      (1 to n.toInt).foreach { i =>
-        val lo = off + (i - 1) * 20L
-        val rows = (lo until lo + 20L)
-          .map(id => (id, id % 3, id % 7)).toDF("id", "grp", "qty")
-        src.append(rows.coalesce(1))
-        // anchor-fence conflicts (rival refresh landed first) surface as
-        // ConcurrentWriteException — recompute from the NEW state by
-        // calling refresh() again; never re-apply the stale delta. The
-        // budget is TIME-based: fence conflicts fail fast (non-retryable
-        // at the commit layer), so under sustained contention a rival
-        // can burn a fixed attempt count in seconds while both racers
-        // are live — starvation, not an error
-        val deadline = System.currentTimeMillis() + 240000L
-        var refreshed = false
-        while (!refreshed) {
-          try { mv.refresh(); refreshed = true }
+      // time-based retry for BOTH steps: fence conflicts and exhausted
+      // append-rebase budgets both fail fast at the commit layer, so
+      // under sustained contention a fixed attempt count can burn out in
+      // seconds while both racers are live — starvation, not an error.
+      // The two loops stay SEPARATE: a whole-iteration retry would
+      // re-append a batch whose append already committed.
+      def retryContention(deadline: Long)(step: => Unit): Unit = {
+        var done = false
+        while (!done) {
+          try { step; done = true }
           catch {
             case e: ConcurrentWriteException =>
               if (System.currentTimeMillis() > deadline) throw e
               Thread.sleep(10 + scala.util.Random.nextInt(40))
           }
         }
+      }
+      (1 to n.toInt).foreach { i =>
+        val lo = off + (i - 1) * 20L
+        val rows = (lo until lo + 20L)
+          .map(id => (id, id % 3, id % 7)).toDF("id", "grp", "qty")
+        val deadline = System.currentTimeMillis() + 240000L
+        // a blind append that lost its bounded rebase budget committed
+        // nothing (failed attempts drop their files) — safe to re-run
+        retryContention(deadline)(src.append(rows.coalesce(1)))
+        // anchor-fence conflicts (rival refresh landed first) surface as
+        // ConcurrentWriteException — recompute from the NEW state by
+        // calling refresh() again; never re-apply the stale delta
+        retryContention(deadline)(mv.refresh())
         println(s"XCRASH_COMMITTED $i")
         System.out.flush()
       }

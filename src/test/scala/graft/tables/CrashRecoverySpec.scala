@@ -261,6 +261,9 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
     val drain = new Thread(() => {
       var line = out.readLine()
       while (line != null) {
+        // a crashed child prints XMVRACE_CRASH with its exception —
+        // surface it (a bare nonzero exit is undiagnosable)
+        if (line.startsWith("XMVRACE_CRASH")) System.err.println(line)
         if (line.startsWith(s"$marker $writer $nCommits"))
           sawMarker.countDown()
         line = try out.readLine() catch { case _: Exception => null }
