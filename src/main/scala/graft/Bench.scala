@@ -41,6 +41,14 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B knob: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" applies session confs
+    // before any query runs — lets a floors campaign toggle engine
+    // features (e.g. spark.graft.write.rebalance) without recompiling
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';')
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     // warm the page cache + file indexes so timings measure query compute,
     // not first-touch I/O of whichever query happens to run first
     Seq("region", "nation", "customer", "supplier", "part", "orders",

@@ -75,6 +75,18 @@ object GraphOps {
     // with NO exchange on the edge side (labels comes out of its
     // aggregation hash(node) with the same partition count), so rounds
     // shuffle only the (small) label union, never the edge list.
+    // AQE off for the whole propagation (restored on exit): every round's
+    // plan is zero-exchange BY CONSTRUCTION (persisted hash layout on the
+    // edge side, aggregation layout on the label side, shuffle_hash hint),
+    // so adaptive re-planning has nothing to improve — but it wraps each
+    // materialized query stage in its own Spark job, doubling-to-tripling
+    // the loop's job count (measured: q_td_dedup_groups 18 jobs with AQE,
+    // rounds+pairs-pipeline jobs without). Fewer jobs = less per-job
+    // driver/listener overhead — the exact multiplier a long service
+    // session pays on every propagation round.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     val sym = edges.select(src.as("a"), dst.as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .select(explode(array(
@@ -140,17 +152,28 @@ object GraphOps {
       iter += 1
     }
     sym.unpersist()
-    if (empty) return Seq.empty[(Long, Long)].toDF("node", "component")
+    // the final frame's checkpoint blocks are released on BOTH abnormal
+    // exits: nothing downstream will read them, and the throw path would
+    // otherwise leave a corpus-scale label frame pinned in the session's
+    // block manager — exactly the pressure the in-loop dropCheckpoint
+    // exists to relieve
+    if (empty) {
+      dropCheckpoint(labels)
+      return Seq.empty[(Long, Long)].toDF("node", "component")
+    }
     // an unconverged exit means the labels are WRONG (some nodes still carry
     // a non-minimal component id) — returning them silently would corrupt
     // canonical-doc selection downstream. maxIters is an error bound, not a
     // truncation point: component diameter > maxIters is a data shape this
     // caller must opt into by raising the cap.
-    if (!converged)
+    if (!converged) {
+      dropCheckpoint(labels)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters iterations " +
           "(component diameter exceeds the cap); raise maxIters")
+    }
     labels.select("node", "component")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   /** Dedup groups from near-dup pairs: `(doc, group, is_canonical)` for

@@ -667,15 +667,16 @@ class OpsSpec extends AnyFunSuite with Matchers {
     // 2 and 3 partially, round 2 fixes 3, round 3 observes zero changes —
     // exactly 3 actions, each one job with AQE off
     val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("x", "y")
-    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // AQE stays ON here: connectedComponents owns the toggle now (every
+    // round's plan is zero-exchange by construction, so AQE would only
+    // wrap each query stage in an extra job — measured 18→7 jobs on
+    // q_td_dedup_groups) and must restore the session's setting on exit
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     sc.setJobGroup("graft-cc-jobcount", "cc per-round job-count lock")
     val out =
       try GraphOps.connectedComponents(path, "x", "y")
-      finally {
-        sc.clearJobGroup()
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
-      }
+      finally sc.clearJobGroup()
+    spark.conf.get("spark.sql.adaptive.enabled") shouldBe "true"
     val jobs = sc.statusTracker.getJobIdsForGroup("graft-cc-jobcount").length
     jobs shouldBe 3
     out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe

@@ -1255,6 +1255,37 @@ class ManagedTableSpec extends AnyFunSuite with Matchers {
       t.replaceFilesMaintenance(base, victims, packed, "compactSmall")
     }
   }
+
+  test("opt-in write rebalance coalesces small commits; maintenance " +
+      "rewrites keep their own layout") {
+    import spark.implicits._
+    val root = tmp() + "/reb"
+    // default OFF: a 4-partition upstream commits one file per partition
+    val wide = (1 to 400).map(i => (i, s"n$i", "p")).toDF("id", "name", "part")
+      .repartition(4)
+    val t0 = ManagedTable(spark, root + "/off")
+    t0.overwriteAll(wide)
+    t0.manifest.get.files.size shouldBe 4
+    // opt-in ON: AQE resizes the round-robin exchange — a tiny frame
+    // lands in one advisory-sized file regardless of upstream layout
+    spark.conf.set("spark.graft.write.rebalance", "true")
+    try {
+      val t1 = ManagedTable(spark, root + "/on")
+      t1.overwriteAll(wide)
+      t1.manifest.get.files.size shouldBe 1
+      t1.read().count() shouldBe 400
+      // appends (the MERGE/CDC delta shape) coalesce too
+      t1.append((1 to 50).map(i => (1000 + i, s"m$i", "p"))
+        .toDF("id", "name", "part").repartition(4))
+      t1.manifest.get.files.size shouldBe 2
+      t1.read().count() shouldBe 450
+      // maintenance owns its layout: zorder's targetFiles survives even
+      // with rebalance on (preserveLayout bypasses the hint)
+      t1.zorder(Seq("id"), targetFiles = 3)
+      t1.manifest.get.files.size shouldBe 3
+      t1.read().count() shouldBe 450
+    } finally spark.conf.unset("spark.graft.write.rebalance")
+  }
 }
 
 /** Latches for the append-race test — object statics so the gating UDF
