@@ -208,8 +208,19 @@ final class DedupIndex(spark: SparkSession, val rootPath: String,
     // Tiny batches (the CDC steady state this index exists for) keep the
     // exact bucket-list prune.
     val nInBands = TextOps.Bands.toLong * inDocs.count()
+    // the coupon-collector argument above holds only for WELL-SPREAD
+    // keys: a large batch of near-identical documents concentrates in a
+    // handful of buckets, where skipping the prune would trade a few
+    // pruned partition reads for a full corpus-bands scan — on exactly
+    // the duplicate-heavy batches the index serves. Past the row cutoff,
+    // one approx_count_distinct pass (O(batch) CPU, ≤ a few KB shuffled
+    // per task — HLL sketches, never the band rows) arbitrates: provably
+    // near-full coverage reads the table outright; a skewed batch keeps
+    // the exact bucket-list prune.
     val corpusBands =
-      if (nInBands <= buckets.toLong * PruneCollectRowsPerBucket) {
+      if (nInBands <= buckets.toLong * PruneCollectRowsPerBucket ||
+          inBands.agg(approx_count_distinct("bkt")).head().getLong(0) <
+            (buckets.toLong * 4) / 5) {
         val inBkts = inBands.select("bkt").distinct()
           .collect().map(_.getString(0)).toSet
         bandsTable.readPartitionsIn(Map("bkt" -> inBkts))
@@ -241,7 +252,9 @@ final class DedupIndex(spark: SparkSession, val rootPath: String,
     val nCand = pairs.count()
     val corpusSigs =
       if (nCand == 0) sigsTable.read().limit(0)
-      else if (nCand <= buckets.toLong * PruneCollectRowsPerBucket) {
+      else if (nCand <= buckets.toLong * PruneCollectRowsPerBucket ||
+          candWithBkt.agg(approx_count_distinct("sbkt")).head().getLong(0) <
+            (buckets.toLong * 4) / 5) { // same skew arbitration as bands
         val candBkts = candWithBkt.select("sbkt").distinct()
           .collect().map(_.getString(0)).toSet
         sigsTable.readPartitionsIn(Map("sbkt" -> candBkts))

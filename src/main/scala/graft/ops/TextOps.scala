@@ -451,9 +451,16 @@ object TextOps {
     *
     *  - word count within [minWords, maxWords]          (`ok_word_count`)
     *  - mean word length within [3, 10] characters      (`ok_mean_word_len`)
-    *  - symbol words (`#`, `...`, `…`) ≤ 10% of words   (`ok_symbol_ratio`)
+    *  - `#` occurrences ≤ 10% of words                  (`ok_hash_ratio`)
+    *  - ellipsis (`...`/`…`) occurrences ≤ 10% of words (`ok_ellipsis_ratio`)
     *  - ≥ 80% of words contain an alphabetic character  (`ok_alpha_words`)
     *  - ≥ 2 distinct required stopwords present         (`ok_stopwords`)
+    *
+    * The symbol rules count occurrences ANYWHERE in the text (`foo#bar`
+    * counts, a trailing `word...` counts; `...` occurrences are
+    * non-overlapping left-to-right, Python `str.count`'s convention) and
+    * bound each symbol type separately — the paper's "symbol-to-word
+    * ratio greater than 0.1 for either the hash symbol or the ellipsis".
     *
     * Every FLAG compares exact integers (cross-multiplied ratios), so
     * keep decisions are bit-identical across engines; the reported
@@ -464,11 +471,18 @@ object TextOps {
     * running FIRST at 100 TB, before anything that pays a shuffle). */
   def gopherQualityRules(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
-    val ws = tokens(col(s"`$textCol`"))
+    val t = col(s"`$textCol`")
+    val ws = tokens(t)
     val nWords = size(ws)
     val sumLen = aggregate(transform(ws, w => length(w)),
       lit(0L), (acc, x) => acc + x)
-    val nSymbol = size(filter(ws, w => w === "#" || w === "..." || w === "…"))
+    // occurrence counts via replace-and-measure (literal, non-overlapping
+    // left-to-right — Python str.count's convention): exact integers, no
+    // regex engine on the hot path
+    val nHash = length(t) - length(replace(t, lit("#")))
+    val nEllipsis =
+      (length(t) - length(replace(t, lit("...")))) / 3 +
+        (length(t) - length(replace(t, lit("…"))))
     val nAlpha = size(filter(ws, w => w.rlike("[a-zA-Z]")))
     val nReqStops = size(array_intersect(
       array_distinct(transform(ws, lower(_))),
@@ -477,22 +491,92 @@ object TextOps {
     // 3 ≤ sumLen/n ≤ 10 as exact integer cross-multiplication
     val okMeanLen = sumLen >= nWords.cast("long") * 3L &&
       sumLen <= nWords.cast("long") * 10L
-    val okSymbol = nSymbol.cast("long") * 10L <= nWords.cast("long")
+    val okHash = nHash.cast("long") * 10L <= nWords.cast("long")
+    val okEllipsis = nEllipsis.cast("long") * 10L <= nWords.cast("long")
     val okAlpha = nAlpha.cast("long") * 5L >= nWords.cast("long") * 4L
     val okStops = nReqStops >= 2
     df.select(
       col(s"`$idCol`").as("doc_id"),
       nWords.cast("long").as("n_words"),
       (sumLen.cast("double") / nWords).as("mean_word_len"),
-      nSymbol.cast("long").as("n_symbol_words"),
+      nHash.cast("long").as("n_hash"),
+      nEllipsis.cast("long").as("n_ellipsis"),
       nAlpha.cast("long").as("n_alpha_words"),
       nReqStops.cast("long").as("n_req_stopwords"),
       okCount.as("ok_word_count"),
       okMeanLen.as("ok_mean_word_len"),
-      okSymbol.as("ok_symbol_ratio"),
+      okHash.as("ok_hash_ratio"),
+      okEllipsis.as("ok_ellipsis_ratio"),
       okAlpha.as("ok_alpha_words"),
       okStops.as("ok_stopwords"),
-      (okCount && okMeanLen && okSymbol && okAlpha && okStops).as("keep"))
+      (okCount && okMeanLen && okHash && okEllipsis && okAlpha && okStops)
+        .as("keep"))
+  }
+
+  /** Line-start bullet markers for [[gopherLineRules]] (the common
+    * repro set: unicode bullets plus the ASCII dash/star). */
+  val GopherBulletPrefixes: Seq[String] =
+    Seq("•", "‣", "▶", "◦", "▪", "▫", "-", "*")
+
+  /** Gopher LINE-layout rules (Rae et al. 2021 §A1.1's line-based half —
+    * the rules [[gopherQualityRules]]' document-shape subset leaves to
+    * line structure). Lines are the '\n'-split segments with surrounding
+    * spaces trimmed, empty segments dropped. Per document:
+    *
+    *  - duplicate-line fraction ≤ 30% of lines       (`ok_dup_lines`)
+    *  - duplicate-line CHARS ≤ 20% of line chars     (`ok_dup_chars`)
+    *  - bullet-started lines ≤ 90% of lines          (`ok_bullet_lines`)
+    *  - ellipsis-ended (`...`/`…`) lines ≤ 30%       (`ok_ellipsis_lines`)
+    *
+    * "Duplicate" counts every occurrence beyond a line's first — computed
+    * by sorting the line array and summing adjacent equalities, O(L log L)
+    * per document instead of the O(L²) per-line containment probe (equal
+    * values are adjacent under any total order, so the count is
+    * sort-order-independent and engine-portable). A document with no
+    * non-empty lines passes every rule (0 ≤ 0 bounds — no line evidence
+    * is not a violation). Flags are exact integer cross-multiplications.
+    *
+    * Scale shape: per-row array algebra, zero shuffle — same contract as
+    * [[gopherQualityRules]]: run both BEFORE anything that pays an
+    * exchange at 100 TB. */
+  def gopherLineRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = filter(
+      transform(split(col(s"`$textCol`"), "\n"), l => trim(l)), l => l =!= "")
+    val n = size(lines)
+    val sorted = array_sort(lines)
+    val adjLen = greatest(n - 1, lit(0))
+    // adjacent-equality over the sorted array: element i duplicates its
+    // predecessor ⇒ one occurrence beyond the first
+    val dupPairs = zip_with(
+      slice(sorted, lit(1), adjLen), slice(sorted, lit(2), adjLen),
+      (a, b) => when(a === b, length(b)).otherwise(0))
+    val nDupLines = aggregate(dupPairs,
+      lit(0L), (acc, x) => acc + when(x > 0, 1L).otherwise(0L))
+    val dupChars = aggregate(dupPairs, lit(0L), (acc, x) => acc + x)
+    val lineChars = aggregate(transform(lines, l => length(l)),
+      lit(0L), (acc, x) => acc + x)
+    val isBullet = (l: Column) => GopherBulletPrefixes
+      .map(p => l.startsWith(p)).reduce(_ || _)
+    val nBullet = size(filter(lines, isBullet))
+    val nEllipsis = size(filter(lines,
+      l => l.endsWith("...") || l.endsWith("…")))
+    val okDupLines = nDupLines * 10L <= n.cast("long") * 3L
+    val okDupChars = dupChars * 5L <= lineChars
+    val okBullet = nBullet.cast("long") * 10L <= n.cast("long") * 9L
+    val okEllipsis = nEllipsis.cast("long") * 10L <= n.cast("long") * 3L
+    df.select(
+      col(s"`$idCol`").as("doc_id"),
+      n.cast("long").as("n_lines"),
+      nDupLines.as("n_dup_lines"),
+      dupChars.as("dup_line_chars"),
+      lineChars.as("line_chars"),
+      nBullet.cast("long").as("n_bullet_lines"),
+      nEllipsis.cast("long").as("n_ellipsis_lines"),
+      okDupLines.as("ok_dup_lines"),
+      okDupChars.as("ok_dup_chars"),
+      okBullet.as("ok_bullet_lines"),
+      okEllipsis.as("ok_ellipsis_lines"),
+      (okDupLines && okDupChars && okBullet && okEllipsis).as("keep"))
   }
 
   /** Corpus-order n-gram NOVELTY — per document, the share of its
@@ -557,9 +641,13 @@ object TextOps {
     * (a gram in s sources emits s·(s−1)/2 pairs — bounded by the SOURCE
     * count squared, not documents); per-pair and per-source counts are
     * map-side-combined hash aggregates. Ratios are single IEEE
-    * divisions of exact longs. 32-bit gram hashes are the scoring-grade
-    * key ([[repeatedSpanCounts]]'s reasoning): a rare collision perturbs
-    * a count, destroys nothing. */
+    * divisions of exact longs. Gram keys are TWO independent 32-bit
+    * folds (64-bit effective, [[dedupSubstrings]]/[[noveltyScores]]'
+    * key): distinct grams per source approach 2^32 at 100 TB, where a
+    * single 32-bit fold would inflate every pair's n_common by
+    * ~|A|·|B|/2^32 spurious matches — hundreds of millions of fake
+    * common grams, materially skewing the very jaccard/containment
+    * signals this leakage audit exists to produce. */
   def sourceOverlapMatrix(df: DataFrame, textCol: String, groupCol: String,
       n: Int = 3): DataFrame = {
     // bind the per-word hash array BEFORE the gram fold: inlined, the
@@ -570,12 +658,17 @@ object TextOps {
     val grams = SubstrateCache.persist(
       df.select(col(s"`$groupCol`").as("__src"),
           hashAll(tokens(col(s"`$textCol`"))).as("__hw"))
-        .select(col("__src"), explode(ngramHashes(col("__hw"), n)).as("__g"))
+        .select(col("__src"), posexplode(zip_with(
+            ngramHashes(col("__hw"), n),
+            ngramHashes(col("__hw"), n, ShingleMult2),
+            (x, y) => struct(x.as("g1"), y.as("g2")))).as(Seq("__p0", "__gs")))
+        .select(col("__src"), col("__gs.g1").as("__g"), col("__gs.g2").as("__g2"))
         .distinct())
     val counts = grams.groupBy("__src").agg(count(lit(1)).as("__n"))
     val common = grams.alias("a")
       .join(grams.alias("b"),
-        col("a.__g") === col("b.__g") && col("a.__src") < col("b.__src"))
+        col("a.__g") === col("b.__g") && col("a.__g2") === col("b.__g2") &&
+          col("a.__src") < col("b.__src"))
       .groupBy(col("a.__src").as("source_a"), col("b.__src").as("source_b"))
       .agg(count(lit(1)).as("n_common"))
     common
@@ -1247,6 +1340,10 @@ object TextOps {
     * with no collision. */
   val OrdScale = 1000000L
 
+  /** Words per re-stitch segment in [[dedupSubstrings]] — bounds any
+    * single aggregation buffer regardless of document size. */
+  val StitchSegmentWords = 4096
+
   /** Default word-gram length for [[dedupSubstrings]] — long enough that
     * chance k-gram collisions across unrelated documents are rare, short
     * enough to catch the clipped/near-dup spans the synthetic corpus
@@ -1321,11 +1418,27 @@ object TextOps {
     val kept = words.join(removed,
       words("__id") === removed("__id") && col("__pos") === col("__rp"),
       "left_anti")
-    val stitched = kept.groupBy("__id").agg(
+    // SEGMENTED re-stitch: one aggregation buffer never holds more than
+    // [[StitchSegmentWords]] kept words — a multi-GB document's word
+    // structs would otherwise concentrate (with per-element struct
+    // overhead and a million-element in-buffer sort) in a single task's
+    // buffer. Segments partition the position space in order, so sorting
+    // within each segment and then sorting the segments reproduces the
+    // full positional sort exactly; the final row is still document-sized
+    // (inherent to returning the kept text as one value), but its peak
+    // build cost is segment-bounded and the big sort is gone.
+    val seg = floor((col("__pos") - 1) / StitchSegmentWords).as("__seg")
+    val segs = kept.groupBy(col("__id"), seg).agg(
       array_join(
         transform(
           array_sort(collect_list(struct(col("__pos"), col("__w")))),
           x => x.getField("__w")),
+        " ").as("__st"))
+    val stitched = segs.groupBy("__id").agg(
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("__seg"), col("__st")))),
+          x => x.getField("__st")),
         " ").as("__text"))
     val dupCounts = dups.groupBy("__id").agg(count(lit(1)).as("__nd"))
     val remCounts = removed.groupBy("__id").agg(count(lit(1)).as("__nr"))

@@ -36,6 +36,22 @@ object TrainingOps {
        |FROM (SELECT doc_id, list_transform($Words, w -> ${H("w")}) AS hw
        |      FROM documents)""".stripMargin
 
+  /** Fixed seed corpus for the induced-BPE round trip — the same corpus
+    * whose 24-merge table OpsSpec golden-locks (any drift fails both the
+    * spec and the oracle). */
+  private val BpeSeedCorpus: Seq[(Long, String)] = Seq(
+    (1L, "the lower the better for the lowest loss"),
+    (2L, "new year newer model newest weights"),
+    (3L, "the model trains and the training loss lowers"),
+    (4L, "lower training loss means better models"),
+    (5L, "the newest weights train the best model"),
+    (6L, "low loss and lower loss and lowest loss"))
+
+  /** sha-256 of the golden 24-merge table joined with '\n' — computed
+    * from the OpsSpec golden list, independent of the learner. */
+  private val InducedVocabSha =
+    "a04edeb1266511d3e2c39ffae6461fe4d8196d0da0c7b3e29e5ac25eb087230c"
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------ dedup: exact
@@ -416,6 +432,28 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // ------------------------------ text: Gopher line-layout rule gate
+    // (the §A1.1 line-based half: duplicate-line fractions, bullet-start
+    // and ellipsis-end ratios; the fixture corpus has no newlines, so
+    // line structure is SYNTHESIZED deterministically — each doc joined
+    // with its successor plus id-keyed bullet/ellipsis/duplicate lines,
+    // the same device q_td_dedup_paragraphs uses)
+    QueryDef("q_td_gopher_lines", gopherLinesOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val succ = docs.select(col("doc_id").as("did2"), col("text").as("t2"))
+      val synth = docs.join(succ, ((col("doc_id") + 1) % n) === col("did2"))
+        .select(col("doc_id"), concat_ws("\n",
+          col("text"),
+          when(col("doc_id") % 3 === 0, lit("- bullet item"))
+            .otherwise(lit("plain line")),
+          col("t2"),
+          when(col("doc_id") % 4 === 0, lit("to be continued..."))
+            .otherwise(col("text")), // a duplicate of line 1
+          lit("")).as("text"))       // empty trailing line — dropped
+      TextOps.gopherLineRules(synth, "doc_id", "text").orderBy("doc_id")
+    },
+
     // --------------------------- text: cross-source n-gram overlap audit
     // (which sources mirror each other — run before mixture design;
     // containment flags subset/mirror sources Jaccard dilutes)
@@ -541,6 +579,36 @@ object TrainingOps {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextOps.bpeTokenCounts(Tables.documents(s, d), "doc_id", "text",
         Seq("o n", "i n")).orderBy("doc_id")
+    },
+
+    // --------------------- text: INDUCED-BPE round trip (learn → count)
+    // (q_td_tokens_bpe pins a hand-written merge table; this one LEARNS
+    // the vocabulary live with bpeInduce over a fixed seed corpus — the
+    // golden-locked corpus of OpsSpec — then counts tokens under the
+    // learned table. The oracle pins the end-to-end result as literals:
+    // per-doc counts plus the sha-256 fingerprint of the learned merge
+    // list, so a tie-break / histogram / encoder regression anywhere in
+    // the learn→encode chain fails the driver's compare. DuckDB cannot
+    // learn the vocab; the literals ARE the golden lock, driver-checked.)
+    QueryDef(
+      "q_td_vocab_induced",
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(bpe_tokens AS INT) AS bpe_tokens, vocab_sha
+         |FROM (VALUES
+         |  (1, 19, '$InducedVocabSha'), (2, 21, '$InducedVocabSha'),
+         |  (3, 15, '$InducedVocabSha'), (4, 18, '$InducedVocabSha'),
+         |  (5, 18, '$InducedVocabSha'), (6, 13, '$InducedVocabSha'))
+         |  AS t(doc_id, bpe_tokens, vocab_sha)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val corpus = BpeSeedCorpus.toDF("doc_id", "text")
+      val learned = TextOps.bpeInduce(corpus, "text", numMerges = 24)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(learned.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      TextOps.bpeTokenCounts(corpus, "doc_id", "text", learned)
+        .withColumn("vocab_sha", lit(sha))
+        .orderBy("doc_id")
     },
 
     // ------------------------------------------------- text: chunking
@@ -1365,27 +1433,83 @@ object TrainingOps {
        |  SELECT doc_id,
        |    CAST(len(ws) AS BIGINT) AS n_words,
        |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_len,
-       |    CAST(len(list_filter(ws, w -> w = '#' OR w = '...' OR w = '…'))
-       |      AS BIGINT) AS n_symbol_words,
+       |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+       |    CAST((len(text) - len(replace(text, '...', ''))) // 3
+       |      + (len(text) - len(replace(text, '…', ''))) AS BIGINT)
+       |      AS n_ellipsis,
        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
        |      AS BIGINT) AS n_alpha_words,
        |    CAST(len(list_intersect(list_distinct(list_transform(ws,
        |      w -> lower(w))), [$stops])) AS BIGINT) AS n_req_stopwords
-       |  FROM (SELECT doc_id, $Words AS ws FROM documents))
+       |  FROM (SELECT doc_id, text, $Words AS ws FROM documents))
        |SELECT doc_id, n_words,
        |  CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
-       |  n_symbol_words, n_alpha_words, n_req_stopwords,
+       |  n_hash, n_ellipsis, n_alpha_words, n_req_stopwords,
        |  (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
        |  (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
        |    AS ok_mean_word_len,
-       |  (n_symbol_words * 10 <= n_words) AS ok_symbol_ratio,
+       |  (n_hash * 10 <= n_words) AS ok_hash_ratio,
+       |  (n_ellipsis * 10 <= n_words) AS ok_ellipsis_ratio,
        |  (n_alpha_words * 5 >= n_words * 4) AS ok_alpha_words,
        |  (n_req_stopwords >= 2) AS ok_stopwords,
        |  ((n_words >= 50 AND n_words <= 100000)
        |    AND (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
-       |    AND (n_symbol_words * 10 <= n_words)
+       |    AND (n_hash * 10 <= n_words)
+       |    AND (n_ellipsis * 10 <= n_words)
        |    AND (n_alpha_words * 5 >= n_words * 4)
        |    AND (n_req_stopwords >= 2)) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Gopher line-rules oracle — same synthesized line structure, same
+    * trimmed-nonempty line set, duplicate counting via sorted adjacency
+    * (order-independent: equal values are adjacent under any sort), and
+    * the exact integer cross-multiplied bounds. */
+  private def gopherLinesOracle: String = {
+    val bullets = TextOps.GopherBulletPrefixes
+      .map(p => s"starts_with(l, '$p')").mkString(" OR ")
+    s"""WITH n AS (SELECT count(*) AS c FROM documents),
+       |synth AS (
+       |  SELECT d1.doc_id, concat_ws(chr(10), d1.text,
+       |    CASE WHEN d1.doc_id % 3 = 0 THEN '- bullet item'
+       |         ELSE 'plain line' END,
+       |    d2.text,
+       |    CASE WHEN d1.doc_id % 4 = 0 THEN 'to be continued...'
+       |         ELSE d1.text END, '') AS text
+       |  FROM documents d1, documents d2, n
+       |  WHERE d2.doc_id = (d1.doc_id + 1) % n.c),
+       |ls AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(string_split(text, chr(10)),
+       |      l -> trim(l)), l -> l <> '') AS ls
+       |  FROM synth),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(coalesce(list_sum(list_transform(range(2, len(ls) + 1),
+       |      i -> CASE WHEN list_sort(ls)[i] = list_sort(ls)[i-1]
+       |                THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_dup_lines,
+       |    CAST(coalesce(list_sum(list_transform(range(2, len(ls) + 1),
+       |      i -> CASE WHEN list_sort(ls)[i] = list_sort(ls)[i-1]
+       |                THEN len(list_sort(ls)[i]) ELSE 0 END)), 0)
+       |      AS BIGINT) AS dup_line_chars,
+       |    CAST(coalesce(list_sum(list_transform(ls, l -> len(l))), 0)
+       |      AS BIGINT) AS line_chars,
+       |    CAST(len(list_filter(ls, l -> $bullets)) AS BIGINT)
+       |      AS n_bullet_lines,
+       |    CAST(len(list_filter(ls, l -> ends_with(l, '...')
+       |      OR ends_with(l, '…'))) AS BIGINT) AS n_ellipsis_lines
+       |  FROM ls)
+       |SELECT doc_id, n_lines, n_dup_lines, dup_line_chars, line_chars,
+       |  n_bullet_lines, n_ellipsis_lines,
+       |  (n_dup_lines * 10 <= n_lines * 3) AS ok_dup_lines,
+       |  (dup_line_chars * 5 <= line_chars) AS ok_dup_chars,
+       |  (n_bullet_lines * 10 <= n_lines * 9) AS ok_bullet_lines,
+       |  (n_ellipsis_lines * 10 <= n_lines * 3) AS ok_ellipsis_lines,
+       |  ((n_dup_lines * 10 <= n_lines * 3)
+       |    AND (dup_line_chars * 5 <= line_chars)
+       |    AND (n_bullet_lines * 10 <= n_lines * 9)
+       |    AND (n_ellipsis_lines * 10 <= n_lines * 3)) AS keep
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
@@ -1397,14 +1521,16 @@ object TrainingOps {
        |  SELECT source, list_transform($Words, w -> ${H("w")}) AS hw
        |  FROM documents),
        |grams AS (
-       |  SELECT DISTINCT source, (${ngramHashSql(3, "i")}) AS g
+       |  SELECT DISTINCT source, (${ngramHashSql(3, "i")}) AS g,
+       |    (${ngramHashSql(3, "i", TextOps.ShingleMult2)}) AS g2
        |  FROM (SELECT source, hw, unnest(range(1, len(hw) - 1)) AS i
        |        FROM hw WHERE len(hw) >= 3)),
        |counts AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
        |common AS (
        |  SELECT a.source AS source_a, b.source AS source_b,
        |    count(*) AS n_common
-       |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.g2 = b.g2
+       |    AND a.source < b.source
        |  GROUP BY 1, 2)
        |SELECT c.source_a, c.source_b,
        |  ca.n AS grams_a, cb.n AS grams_b, c.n_common,

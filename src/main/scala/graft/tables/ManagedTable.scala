@@ -4968,8 +4968,17 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     if ("file" == fs.getUri.getScheme) {
       val base = java.nio.file.Paths.get(dir.toUri.getPath)
       val buf = Seq.newBuilder[(Path, Long)]
+      // FOLLOW_LINKS: the Hadoop listing this path replaces follows
+      // symlinks, and convertInPlace adopts external local layouts where
+      // symlinked partition dirs are plausible — default (no-follow)
+      // would silently omit their files from the converted table and
+      // under-list vacuum's data-dir sweep. walkFileTree raises
+      // FileSystemLoopException on a cycle, surfacing the broken layout
+      // instead of spinning.
       if (java.nio.file.Files.isDirectory(base))
         java.nio.file.Files.walkFileTree(base,
+          java.util.EnumSet.of(java.nio.file.FileVisitOption.FOLLOW_LINKS),
+          Integer.MAX_VALUE,
           new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
             override def visitFile(f: java.nio.file.Path,
                 attrs: java.nio.file.attribute.BasicFileAttributes)

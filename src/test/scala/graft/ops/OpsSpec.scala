@@ -896,6 +896,30 @@ class OpsSpec extends AnyFunSuite with Matchers {
     SubstrateCache.release(spark)
   }
 
+  test("substring dedup: segmented re-stitch preserves exact word order " +
+      "across segment boundaries on a multi-megabyte document") {
+    // doc 1 spans many stitch segments (600k words ≈ 4 MB); doc 2 is a
+    // verbatim copy (erased entirely); doc 3 embeds a 300-word span of
+    // doc 1 mid-text (only that span erased, order intact around it)
+    val n = 600000
+    val w1 = (0 until n).map(i => s"w$i")
+    val text1 = w1.mkString(" ")
+    val span = w1.slice(1000, 1300)
+    val text3 = ((0 until 500).map(i => s"v$i") ++ span ++
+      (500 until 1000).map(i => s"v$i")).mkString(" ")
+    val d = Seq((1L, text1), (2L, text1), (3L, text3)).toDF("doc_id", "text")
+    val out = TextOps.dedupSubstrings(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getString(4)))).toMap
+    out(1L) shouldBe ((n.toLong, 0L, text1)) // first occurrence: intact, ordered
+    out(2L)._2 shouldBe n.toLong             // full copy: everything erased
+    out(2L)._3 shouldBe ""
+    out(3L)._2 shouldBe 300L                 // exactly the embedded span
+    out(3L)._3 shouldBe ((0 until 500).map(i => s"v$i") ++
+      (500 until 1000).map(i => s"v$i")).mkString(" ")
+    SubstrateCache.release(spark)
+  }
+
   test("gopher rules: each rule trips on its own violation, keep is the " +
       "conjunction, flags are exact-integer decisions") {
     val the8 = "the be to of and that have with" // all 8 required stopwords
@@ -905,28 +929,80 @@ class OpsSpec extends AnyFunSuite with Matchers {
       (1L, fifty),                                    // passes everything
       (2L, "the be " + ("word " * 10).trim),          // too few words
       (3L, the8 + " " + ("a " * 42).trim),            // 50 words, mean len < 3
-      (4L, the8 + " " + ("# " * 42).trim),            // symbol ratio > 10%
+      (4L, the8 + " " + ("ha#sh " * 42).trim),        // '#' ratio > 10% (embedded)
       (5L, the8 + " " + ("42 " * 42).trim),           // < 80% alphabetic
-      (6L, ("green " * 50).trim)                      // < 2 required stopwords
+      (6L, ("green " * 50).trim),                     // < 2 required stopwords
+      (7L, the8 + " " + ("dots... " * 42).trim)       // ellipsis ratio > 10%
     ).toDF("doc_id", "text")
     val out = TextOps.gopherQualityRules(d, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
-        ((r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
-          r.getBoolean(10), r.getBoolean(11)))).toMap
-    out(1L) shouldBe ((true, true, true, true, true, true))
+        ((r.getBoolean(7), r.getBoolean(8), r.getBoolean(9), r.getBoolean(10),
+          r.getBoolean(11), r.getBoolean(12), r.getBoolean(13)))).toMap
+    out(1L) shouldBe ((true, true, true, true, true, true, true))
     out(2L)._1 shouldBe false // word count
     out(3L)._2 shouldBe false // mean word length
-    out(4L)._3 shouldBe false // symbol ratio
-    out(5L)._4 shouldBe false // alpha share
-    out(6L)._5 shouldBe false // required stopwords
+    out(4L)._3 shouldBe false // '#' occurrences (counted INSIDE words)
+    out(7L)._4 shouldBe false // trailing-ellipsis occurrences
+    out(5L)._5 shouldBe false // alpha share
+    out(6L)._6 shouldBe false // required stopwords
     // keep only when every rule passes
     out.foreach { case (_, f) =>
-      f._6 shouldBe (f._1 && f._2 && f._3 && f._4 && f._5) }
-    // metrics are exact: doc 1 has 50 words, 8 distinct required stops
+      f._7 shouldBe (f._1 && f._2 && f._3 && f._4 && f._5 && f._6) }
+    // metrics are exact: doc 1 has 50 words, 8 distinct required stops;
+    // docs 4/7 count one symbol occurrence per repeated word
     val m = TextOps.gopherQualityRules(d, "doc_id", "text")
       .filter(col("doc_id") === 1).collect().head
     m.getLong(1) shouldBe 50L
-    m.getLong(5) shouldBe 8L
+    m.getLong(6) shouldBe 8L
+    val sym = TextOps.gopherQualityRules(d, "doc_id", "text")
+      .filter(col("doc_id").isin(4L, 7L)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    sym(4L) shouldBe ((42L, 0L))
+    sym(7L) shouldBe ((0L, 42L))
+  }
+
+  test("gopher line rules: each line rule trips on its own violation, " +
+      "line set is trimmed/non-empty, dup counting is occurrences beyond " +
+      "first") {
+    val d = Seq(
+      // 10 varied lines, 0 dups, 1 bullet, 1 ellipsis → passes all
+      (1L, (1 to 8).map(i => s"unique line number $i").mkString("\n") +
+        "\n- one bullet\nwraps up fine"),
+      // 4/10 duplicate occurrences (> 30%): "same" ×5 = 4 beyond first
+      (2L, (Seq.fill(5)("same") ++ (1 to 5).map(i => s"u$i")).mkString("\n")),
+      // dup LINE fraction ok (1/10 ≤ 30%) but the duplicated line is huge
+      // → char fraction > 20% trips ok_dup_chars alone
+      (3L, (Seq.fill(2)("x" * 200) ++ (1 to 8).map(i => s"u$i")).mkString("\n")),
+      // 10/10 bullet-started (> 90%)
+      (4L, (1 to 10).map(i => s"• item $i").mkString("\n")),
+      // 4/10 ellipsis-ended (> 30%), mixing ... and …
+      (5L, ((1 to 6).map(i => s"u$i") ++ Seq("a...", "b...", "c…", "d..."))
+        .mkString("\n")),
+      // whitespace-only and empty segments are not lines; "  x  " trims
+      (6L, "  x  \n\n   \nx\ny"),   // lines: x, x, y → 1 dup occurrence
+      (7L, "")                      // no lines at all → passes everything
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherLineRules(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6),
+          (r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
+           r.getBoolean(10), r.getBoolean(11))))).toMap
+    out(1L)._7 shouldBe ((true, true, true, true, true))
+    out(2L)._7._1 shouldBe false // duplicate-line fraction
+    out(2L)._1 shouldBe 10L
+    out(2L)._2 shouldBe 4L       // 5 copies = 4 beyond the first
+    out(3L)._7._1 shouldBe true
+    out(3L)._7._2 shouldBe false // duplicate-line CHAR fraction
+    out(4L)._7._3 shouldBe false // bullet-start ratio
+    out(5L)._7._4 shouldBe false // ellipsis-end ratio
+    out(5L)._6 shouldBe 4L
+    out(6L)._1 shouldBe 3L       // trimmed, empties dropped
+    out(6L)._2 shouldBe 1L
+    out(7L)._1 shouldBe 0L
+    out(7L)._7 shouldBe ((true, true, true, true, true))
+    out.foreach { case (_, m) =>
+      m._7._5 shouldBe (m._7._1 && m._7._2 && m._7._3 && m._7._4) }
   }
 
   test("novelty: corpus-first grams count as novel, repeats do not; short " +

@@ -207,36 +207,125 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("gopher line rules are exactly the stated integer inequalities " +
+      "over random multi-line documents") {
+    // small line alphabet forces duplicate lines; bullets/ellipses mixed in
+    val line = Gen.frequency(
+      (4, Gen.oneOf("alpha beta", "gamma", "delta epsilon zeta", "eta")),
+      (2, Gen.oneOf("- item one", "• point", "* star")),
+      (2, Gen.oneOf("trailing off...", "more…")),
+      (1, Gen.oneOf("", "   ", "  padded  ")))
+    val doc = Gen.choose(0, 12).flatMap(k => Gen.listOfN(k, line).map(_.mkString("\n")))
+    val corpus = Gen.listOfN(70, doc)
+      .apply(Gen.Parameters.default, Seed(77L)).get
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val out = TextOps.gopherLineRules(corpus.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6),
+          (r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
+           r.getBoolean(10), r.getBoolean(11))))).toMap
+    corpus.foreach { case (id, text) =>
+      val lines = text.split("\n", -1).map(_.trim).filter(_.nonEmpty).toSeq
+      val n = lines.length.toLong
+      val byLine = lines.groupBy(identity)
+      val nDup = byLine.values.map(g => g.length - 1L).sum
+      val dupChars = byLine.values.map(g => (g.length - 1L) * g.head.length).sum
+      val chars = lines.map(_.length.toLong).sum
+      val nBul = lines.count(l =>
+        TextOps.GopherBulletPrefixes.exists(l.startsWith)).toLong
+      val nEll = lines.count(l => l.endsWith("...") || l.endsWith("…")).toLong
+      val (gn, gd, gdc, gc, gb, ge, flags) = out(id)
+      withClue(s"doc $id (${text.replace('\n', '|')}):\n") {
+        gn shouldBe n
+        gd shouldBe nDup
+        gdc shouldBe dupChars
+        gc shouldBe chars
+        gb shouldBe nBul
+        ge shouldBe nEll
+        flags._1 shouldBe (nDup * 10 <= 3 * n)
+        flags._2 shouldBe (dupChars * 5 <= chars)
+        flags._3 shouldBe (nBul * 10 <= 9 * n)
+        flags._4 shouldBe (nEll * 10 <= 3 * n)
+        flags._5 shouldBe (flags._1 && flags._2 && flags._3 && flags._4)
+      }
+    }
+  }
+
+  test("source overlap matrix identities over random corpora: bounds, " +
+      "containment >= jaccard, mirror source has containment 1") {
+    // three sources of random docs, plus a fourth that duplicates the
+    // first verbatim — a perfect mirror MUST surface with containment 1
+    val base = randomCorpus(90, 5)
+    val rows = base.map { case (id, t) => (s"s${id % 3}", t) } ++
+      base.filter(_._1 % 3 == 0).map { case (_, t) => ("mirror", t) }
+    val out = TextOps.sourceOverlapMatrix(
+        rows.toDF("source", "text"), "text", "source")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getDouble(5), r.getDouble(6)))).toMap
+    out should not be empty
+    out.foreach { case ((a, b), (ga, gb, nc, j, c)) =>
+      withClue(s"pair ($a,$b):\n") {
+        a should be < b                       // canonical ordering
+        nc should be > 0L                     // only overlapping pairs emit
+        nc should be <= math.min(ga, gb)      // common ⊆ either side
+        j should (be > 0.0 and be <= 1.0)
+        c should (be >= j and be <= 1.0)      // containment dominates jaccard
+        j shouldBe nc.toDouble / (ga + gb - nc)
+        c shouldBe nc.toDouble / math.min(ga, gb)
+      }
+    }
+    // the verbatim mirror: identical distinct-gram set as source s0
+    val ((ga, gb, nc, j, c)) = out(("mirror", "s0"))
+    ga shouldBe nc
+    gb should be >= nc
+    c shouldBe 1.0
+    if (ga == gb) j shouldBe 1.0
+    SubstrateCache.release(spark)
+  }
+
   test("gopher flags are exactly the stated integer inequalities over " +
       "random corpora") {
     val corpus = randomCorpus(80, 3) ++ Seq(
-      (900L, ("the be to of " * 15).trim), (901L, ("# " * 60).trim))
+      (900L, ("the be to of " * 15).trim), (901L, ("x#y z... " * 30).trim),
+      (902L, "tail… " * 20 + ("the be of and " * 13).trim))
     val out = TextOps.gopherQualityRules(corpus.toDF("doc_id", "text"),
         "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5),
-          (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
-           r.getBoolean(9), r.getBoolean(10), r.getBoolean(11))))).toMap
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          (r.getBoolean(7), r.getBoolean(8), r.getBoolean(9), r.getBoolean(10),
+           r.getBoolean(11), r.getBoolean(12), r.getBoolean(13))))).toMap
+    def countSub(s: String, sub: String): Long = {
+      var i = 0; var c = 0L
+      while ({ i = s.indexOf(sub, i); i >= 0 }) { c += 1; i += sub.length }
+      c
+    }
     corpus.foreach { case (id, text) =>
       val ws = text.split("\\s+") // Spark's split keeps a leading "" too
       val n = ws.length.toLong
       val sumLen = ws.map(_.length.toLong).sum
-      val nSym = ws.count(w => w == "#" || w == "..." || w == "…").toLong
+      val nHash = countSub(text, "#")
+      val nEll = countSub(text, "...") + countSub(text, "…")
       val nAlpha = ws.count(_.exists(_.isLetter)).toLong
       val nStops = ws.map(_.toLowerCase).distinct
         .count(TextOps.GopherRequiredStopwords.contains).toLong
-      val (gn, gs, ga, gst, flags) = out(id)
+      val (gn, gh, ge, ga, gst, flags) = out(id)
       withClue(s"doc $id ('$text'):\n") {
         gn shouldBe n
-        gs shouldBe nSym
+        gh shouldBe nHash
+        ge shouldBe nEll
         ga shouldBe nAlpha
         gst shouldBe nStops
         flags._1 shouldBe (n >= 50 && n <= 100000)
         flags._2 shouldBe (sumLen >= 3 * n && sumLen <= 10 * n)
-        flags._3 shouldBe (10 * nSym <= n)
-        flags._4 shouldBe (5 * nAlpha >= 4 * n)
-        flags._5 shouldBe (nStops >= 2)
-        flags._6 shouldBe (flags._1 && flags._2 && flags._3 && flags._4 && flags._5)
+        flags._3 shouldBe (10 * nHash <= n)
+        flags._4 shouldBe (10 * nEll <= n)
+        flags._5 shouldBe (5 * nAlpha >= 4 * n)
+        flags._6 shouldBe (nStops >= 2)
+        flags._7 shouldBe (flags._1 && flags._2 && flags._3 && flags._4 &&
+          flags._5 && flags._6)
       }
     }
   }

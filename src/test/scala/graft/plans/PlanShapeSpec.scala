@@ -148,6 +148,13 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should include("*(1)") // the whole operator is ONE codegen stage
   }
 
+  test("gopher LINE rules plan ZERO exchanges — per-row array algebra " +
+      "like the document-shape rules") {
+    val pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(graft.ops.TextOps.gopherLineRules(pq, "doc_id", "text"))
+    p should not include "Exchange"
+  }
+
   test("novelty: cross-document comparison through a hash aggregate and " +
       "equi joins only — never a cartesian product") {
     val p = plan(graft.ops.TextOps.noveltyScores(docs, "doc_id", "text"))
