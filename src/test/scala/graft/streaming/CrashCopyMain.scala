@@ -23,6 +23,7 @@ object CrashCopyMain {
       .getOrElse(-1L)
 
   def main(args: Array[String]): Unit = {
+    graft.tables.ChildWatchdog.arm()
     val Array(root, writerId, n) = args
     val spark = SparkSession.builder()
       .master("local[2]")

@@ -44,6 +44,7 @@ object CrashSinkMain {
   }
 
   def main(args: Array[String]): Unit = {
+    graft.tables.ChildWatchdog.arm()
     val Array(root, writerId, _) = args
     val drain = writerId == "drain"
     val spark = SparkSession.builder()

@@ -85,12 +85,20 @@ class CrashStreamSpec extends AnyFunSuite with Matchers {
     })
     drain.setDaemon(true)
     drain.start()
-    withClue(s"$main $writer never committed\n") {
-      sawCommit.await(180, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+    // destroy in finally: a latch-timeout assertion thrown HERE used to
+    // skip the kill and orphan a child mid-fuzz — two such orphans were
+    // found burning ~3 cores each for hours, inflating every co-hosted
+    // benchmark (the child now also carries ChildWatchdog as its own
+    // backstop)
+    try {
+      withClue(s"$main $writer never committed\n") {
+        sawCommit.await(180, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      }
+      Thread.sleep(delay)
+    } finally {
+      child.destroyForcibly()
+      child.waitFor()
     }
-    Thread.sleep(delay)
-    child.destroyForcibly()
-    child.waitFor()
   }
 
   /** Run `main` to voluntary completion (`XCRASH_DONE`). */

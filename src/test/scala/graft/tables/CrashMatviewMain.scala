@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
   * after each full append+refresh iteration. */
 object CrashMatviewMain {
   def main(args: Array[String]): Unit = {
+    ChildWatchdog.arm()
     val Array(root, idOffset, n) = args
     val spark = SparkSession.builder()
       .master("local[2]")

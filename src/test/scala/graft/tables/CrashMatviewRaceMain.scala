@@ -20,6 +20,7 @@ import org.apache.spark.sql.SparkSession
   * landed (the parent's survivor assertion). */
 object CrashMatviewRaceMain {
   def main(args: Array[String]): Unit = {
+    ChildWatchdog.arm()
     val Array(root, writerId, n) = args
     val spark = SparkSession.builder()
       .master("local[2]")

@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
   * <i>` after each op. */
 object CrashMixedMain {
   def main(args: Array[String]): Unit = {
+    ChildWatchdog.arm()
     val Array(root, writerId, n) = args
     val spark = SparkSession.builder()
       .master("local[2]")

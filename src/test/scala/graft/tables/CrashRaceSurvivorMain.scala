@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
   * clean exit. */
 object CrashRaceSurvivorMain {
   def main(args: Array[String]): Unit = {
+    ChildWatchdog.arm()
     val Array(root, writerId, n) = args
     val spark = SparkSession.builder()
       .master("local[2]")

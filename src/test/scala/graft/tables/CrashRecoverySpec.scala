@@ -85,12 +85,17 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
     })
     drain.setDaemon(true)
     drain.start()
-    withClue(s"writer $writer never committed\n") {
-      sawCommit.await(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+    // destroy in finally: a latch-timeout assertion must never skip the
+    // kill and orphan a full-CPU fuzz child (see ChildWatchdog)
+    try {
+      withClue(s"writer $writer never committed\n") {
+        sawCommit.await(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      }
+      Thread.sleep(delay)
+    } finally {
+      child.destroyForcibly()
+      child.waitFor()
     }
-    Thread.sleep(delay)
-    child.destroyForcibly()
-    child.waitFor()
   }
 
   private def appendFuzz(arbiter: String): Unit = {
@@ -306,16 +311,23 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
       drain.start()
       val (survivor, sawMarker) = forkSurvivor(root, s"s$it", arbiter,
         survivorCommits)
-      withClue(s"iteration $it: killable writer never committed\n") {
-        sawCommit.await(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
-      }
-      Thread.sleep(delay)
-      killable.destroyForcibly()
-      killable.waitFor()
-      withClue(s"iteration $it: survivor did not finish cleanly\n") {
-        survivor.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
-        survivor.exitValue() shouldBe 0
-        sawMarker.await(5, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      // any assertion below must still reap BOTH children (orphaned fuzz
+      // writers burn full CPU indefinitely — see ChildWatchdog)
+      try {
+        withClue(s"iteration $it: killable writer never committed\n") {
+          sawCommit.await(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+        }
+        Thread.sleep(delay)
+        killable.destroyForcibly()
+        killable.waitFor()
+        withClue(s"iteration $it: survivor did not finish cleanly\n") {
+          survivor.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+          survivor.exitValue() shouldBe 0
+          sawMarker.await(5, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+        }
+      } finally {
+        killable.destroyForcibly(); killable.waitFor()
+        survivor.destroyForcibly(); survivor.waitFor()
       }
 
       val h = ManagedTable(spark, root)
@@ -434,16 +446,22 @@ class CrashRecoverySpec extends AnyFunSuite with Matchers {
       drain.start()
       val (survivor, sawMarker) = forkSurvivor(root, surId.toString, arbiter,
         survivorIters, "graft.tables.CrashMatviewRaceMain", "XMVRACE_DONE")
-      withClue(s"iteration $it: killable refresher never committed\n") {
-        sawCommit.await(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
-      }
-      Thread.sleep(delay)
-      killable.destroyForcibly()
-      killable.waitFor()
-      withClue(s"iteration $it: surviving refresher did not finish\n") {
-        survivor.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
-        survivor.exitValue() shouldBe 0
-        sawMarker.await(5, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+      // reap BOTH children on any assertion throw (see ChildWatchdog)
+      try {
+        withClue(s"iteration $it: killable refresher never committed\n") {
+          sawCommit.await(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+        }
+        Thread.sleep(delay)
+        killable.destroyForcibly()
+        killable.waitFor()
+        withClue(s"iteration $it: surviving refresher did not finish\n") {
+          survivor.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+          survivor.exitValue() shouldBe 0
+          sawMarker.await(5, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+        }
+      } finally {
+        killable.destroyForcibly(); killable.waitFor()
+        survivor.destroyForcibly(); survivor.waitFor()
       }
 
       val src2 = ManagedTable(spark, s"$root/src")

@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   * window under test). */
 object CrashVacuumMain {
   def main(args: Array[String]): Unit = {
+    ChildWatchdog.arm()
     val Array(root, writerId, _) = args
     val spark = SparkSession.builder()
       .master("local[2]")

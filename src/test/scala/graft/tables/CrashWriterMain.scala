@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   * the commit protocol. */
 object CrashWriterMain {
   def main(args: Array[String]): Unit = {
+    ChildWatchdog.arm()
     val Array(root, writerId, n) = args
     val spark = SparkSession.builder()
       .master("local[2]")

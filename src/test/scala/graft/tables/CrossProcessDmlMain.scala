@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
   * success — the parent asserts both the marker and the merged state. */
 object CrossProcessDmlMain {
   def main(args: Array[String]): Unit = {
+    graft.tables.ChildWatchdog.arm()
     val Array(root, writerId, idStart, n, day) = args
     val spark = SparkSession.builder()
       .master("local[2]")

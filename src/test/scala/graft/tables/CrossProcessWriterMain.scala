@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   * asserts both the marker and the merged table state. */
 object CrossProcessWriterMain {
   def main(args: Array[String]): Unit = {
+    ChildWatchdog.arm()
     val Array(root, writerId, nCommits, rowsPerCommit) = args
     val spark = SparkSession.builder()
       .master("local[2]")
