@@ -579,6 +579,63 @@ object TextOps {
       (okDupLines && okDupChars && okBullet && okEllipsis).as("keep"))
   }
 
+  /** Page-level kill phrases and line-level kill words for
+    * [[c4QualityRules]] (Raffel et al. 2020 §2.2's published lists). */
+  val C4PolicyPhrases: Seq[String] =
+    Seq("terms of use", "privacy policy", "cookie policy", "uses cookies")
+
+  /** C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer", §2.2) —
+    * the line-and-page heuristics that produced C4 from Common Crawl,
+    * the other canonical curation gate next to [[gopherQualityRules]].
+    * Lines are '\n'-split, trimmed, non-empty. A line is KEPT when it
+    *
+    *  - has at least `minWordsPerLine` (default 5) words,
+    *  - ends in terminal punctuation (`.` `!` `?` `"`), and
+    *  - mentions neither "javascript" nor a policy phrase
+    *    ([[C4PolicyPhrases]]), case-insensitively.
+    *
+    * Page-level flags: "lorem ipsum" anywhere, a `{` anywhere (the
+    * paper's code-page proxy), and the ≥3-sentence requirement —
+    * sentences approximated as terminal-punctuation marks in the kept
+    * lines (the paper uses an English sentence splitter; the mark count
+    * is the engine-portable declarative stand-in). `keep` =
+    * no-lorem ∧ no-brace ∧ ≥3 sentences.
+    *
+    * Returns (doc_id, n_lines, n_kept_lines, n_sentences,
+    * has_lorem_ipsum, has_curly_brace, kept_text, keep).
+    *
+    * Scale shape: per-row array algebra, zero shuffle — run alongside
+    * the Gopher gates before anything that pays an exchange. */
+  def c4QualityRules(df: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 5): DataFrame = {
+    val t = col(s"`$textCol`")
+    val lines = filter(
+      transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    val keptArr = filter(lines, l => {
+      val ll = lower(l)
+      val killed = (C4PolicyPhrases.map(p => ll.contains(p)) :+
+        ll.contains("javascript")).reduce(_ || _)
+      size(split(l, "\\s+")) >= minWordsPerLine &&
+        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+          l.endsWith("\"")) && !killed
+    })
+    val keptText = array_join(keptArr, "\n")
+    val nSentences = length(keptText) -
+      length(translate(keptText, ".!?", ""))
+    val hasLorem = lower(t).contains("lorem ipsum")
+    val hasBrace = t.contains("{")
+    df.select(
+      col(s"`$idCol`").as("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(keptArr).cast("long").as("n_kept_lines"),
+      nSentences.cast("long").as("n_sentences"),
+      hasLorem.as("has_lorem_ipsum"),
+      hasBrace.as("has_curly_brace"),
+      keptText.as("kept_text"),
+      (!hasLorem && !hasBrace && nSentences >= 3).as("keep"))
+  }
+
   /** Corpus-order n-gram NOVELTY — per document, the share of its
     * word-n-gram occurrences that are the corpus-wide FIRST occurrence
     * of that n-gram (under the same `id × OrdScale + pos` total order

@@ -454,6 +454,27 @@ object TrainingOps {
       TextOps.gopherLineRules(synth, "doc_id", "text").orderBy("doc_id")
     },
 
+    // --------------------------------- text: C4 cleaning rule gate
+    // (Raffel et al. 2020 §2.2 line+page heuristics; line structure
+    // synthesized deterministically like q_td_gopher_lines, with
+    // id-keyed kill-word / policy-phrase / lorem-ipsum / brace branches)
+    QueryDef("q_td_c4", c4Oracle) { (s, d) =>
+      val synth = Tables.documents(s, d).select(col("doc_id"), concat_ws("\n",
+        concat(col("text"), lit(".")),
+        lit("too short."),
+        lit("this line has no terminal punctuation at all"),
+        when(col("doc_id") % 5 === 0, lit("we use javascript on this page."))
+          .otherwise(lit("a perfectly fine sentence with words.")),
+        when(col("doc_id") % 7 === 0,
+            lit("please read our Privacy Policy today."))
+          .otherwise(lit("another good sentence ends right here!")),
+        when(col("doc_id") % 11 === 0, lit("lorem ipsum dolor sit amet."))
+          .otherwise(lit("closing remarks conclude the page here?")),
+        when(col("doc_id") % 13 === 0, lit("code snippet { embedded in page."))
+          .otherwise(lit("final line of honest prose today."))).as("text"))
+      TextOps.c4QualityRules(synth, "doc_id", "text").orderBy("doc_id")
+    },
+
     // --------------------------- text: cross-source n-gram overlap audit
     // (which sources mirror each other — run before mixture design;
     // containment flags subset/mirror sources Jaccard dilutes)
@@ -1458,6 +1479,58 @@ object TrainingOps {
        |    AND (n_ellipsis * 10 <= n_words)
        |    AND (n_alpha_words * 5 >= n_words * 4)
        |    AND (n_req_stopwords >= 2)) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** C4 cleaning-rules oracle — same synthesized lines, same kept-line
+    * predicate, sentence marks counted by replace-and-measure. */
+  private def c4Oracle: String = {
+    val kills = (TextOps.C4PolicyPhrases :+ "javascript")
+      .map(p => s"NOT contains(lower(l), '$p')").mkString(" AND ")
+    s"""WITH synth AS (
+       |  SELECT doc_id, concat_ws(chr(10), text || '.',
+       |    'too short.',
+       |    'this line has no terminal punctuation at all',
+       |    CASE WHEN doc_id % 5 = 0 THEN 'we use javascript on this page.'
+       |         ELSE 'a perfectly fine sentence with words.' END,
+       |    CASE WHEN doc_id % 7 = 0
+       |         THEN 'please read our Privacy Policy today.'
+       |         ELSE 'another good sentence ends right here!' END,
+       |    CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.'
+       |         ELSE 'closing remarks conclude the page here?' END,
+       |    CASE WHEN doc_id % 13 = 0
+       |         THEN 'code snippet { embedded in page.'
+       |         ELSE 'final line of honest prose today.' END) AS text
+       |  FROM documents),
+       |ls AS (
+       |  SELECT doc_id, text,
+       |    list_filter(list_transform(string_split(text, chr(10)),
+       |      l -> trim(l)), l -> l <> '') AS ls
+       |  FROM synth),
+       |kept AS (
+       |  SELECT doc_id, text, ls,
+       |    array_to_string(list_filter(ls, l ->
+       |      len(string_split_regex(l, '\\s+')) >= 5
+       |      AND (ends_with(l, '.') OR ends_with(l, '!')
+       |           OR ends_with(l, '?') OR ends_with(l, '"'))
+       |      AND $kills), chr(10)) AS kt,
+       |    CAST(len(list_filter(ls, l ->
+       |      len(string_split_regex(l, '\\s+')) >= 5
+       |      AND (ends_with(l, '.') OR ends_with(l, '!')
+       |           OR ends_with(l, '?') OR ends_with(l, '"'))
+       |      AND $kills)) AS BIGINT) AS n_kept
+       |  FROM ls),
+       |m AS (
+       |  SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, n_kept,
+       |    CAST(len(kt) - len(replace(replace(replace(kt, '.', ''),
+       |      '!', ''), '?', '')) AS BIGINT) AS n_sentences,
+       |    contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+       |    contains(text, '{') AS has_curly_brace, kt
+       |  FROM kept)
+       |SELECT doc_id, n_lines, n_kept AS n_kept_lines, n_sentences,
+       |  has_lorem_ipsum, has_curly_brace, kt AS kept_text,
+       |  (NOT has_lorem_ipsum AND NOT has_curly_brace
+       |    AND n_sentences >= 3) AS keep
        |FROM m ORDER BY doc_id""".stripMargin
   }
 

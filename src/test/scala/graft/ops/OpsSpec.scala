@@ -1005,6 +1005,39 @@ class OpsSpec extends AnyFunSuite with Matchers {
       m._7._5 shouldBe (m._7._1 && m._7._2 && m._7._3 && m._7._4) }
   }
 
+  test("c4 rules: line keep predicate (length, terminal punct, kill " +
+      "words), page flags, sentence floor") {
+    val d = Seq(
+      (1L, "one good sentence sits right here.\nand another one follows " +
+        "to be sure!\na third closes the page for keeps?"),  // keep
+      (2L, "only two sentences live on this page.\nso the floor of three " +
+        "fails here."),                                      // < 3 sentences
+      (3L, "lorem ipsum dolor sit amet consectetur.\nfine sentence two " +
+        "stands here today.\nfine sentence three stands here too."),
+      (4L, "a curly { brace lurks on this page.\nfine sentence two stands " +
+        "here today.\nfine sentence three stands here too."),
+      (5L, "short one.\nno terminal punctuation on this line\nenable " +
+        "JavaScript to view this page.\nplease accept that this site " +
+        "uses cookies.\nonly this line survives the whole gauntlet.")
+    ).toDF("doc_id", "text")
+    val out = TextOps.c4QualityRules(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+          r.getBoolean(5), r.getString(6), r.getBoolean(7)))).toMap
+    out(1L)._7 shouldBe true
+    out(1L)._2 shouldBe 3L
+    out(2L)._7 shouldBe false  // 2 sentences < 3
+    out(3L)._4 shouldBe true   // lorem ipsum page flag
+    out(3L)._7 shouldBe false
+    out(4L)._5 shouldBe true   // curly brace page flag
+    out(4L)._7 shouldBe false
+    // doc 5: of 5 lines only the last passes every line rule
+    out(5L)._1 shouldBe 5L
+    out(5L)._2 shouldBe 1L
+    out(5L)._6 shouldBe "only this line survives the whole gauntlet."
+    out(5L)._7 shouldBe false  // 1 sentence < 3
+  }
+
   test("novelty: corpus-first grams count as novel, repeats do not; short " +
       "docs carry null novelty") {
     val d = Seq(

@@ -155,6 +155,12 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should not include "Exchange"
   }
 
+  test("c4 rules plan ZERO exchanges — per-row array algebra") {
+    val pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(graft.ops.TextOps.c4QualityRules(pq, "doc_id", "text"))
+    p should not include "Exchange"
+  }
+
   test("novelty: cross-document comparison through a hash aggregate and " +
       "equi joins only — never a cartesian product") {
     val p = plan(graft.ops.TextOps.noveltyScores(docs, "doc_id", "text"))
