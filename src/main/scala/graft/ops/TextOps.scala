@@ -579,6 +579,119 @@ object TextOps {
       (okDupLines && okDupChars && okBullet && okEllipsis).as("keep"))
   }
 
+  /** Gopher §A1.2 thresholds, in exact percent: top-n-gram character
+    * fraction caps for n = 2..4, duplicate-n-gram character-coverage
+    * caps for n = 5..10 (Rae et al. 2021, Table A1). */
+  val GopherTopNgramMaxPct: Seq[(Int, Int)] =
+    Seq(2 -> 20, 3 -> 18, 4 -> 16)
+  val GopherDupNgramMaxPct: Seq[(Int, Int)] =
+    Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+
+  /** Gopher REPETITION rules (Rae et al. 2021 §A1.2's word-n-gram half —
+    * the line/paragraph duplicate fractions live in [[gopherLineRules]]
+    * and [[dedupParagraphs]]' domain): per document,
+    *
+    *  - '''top-n-gram char fraction''' (n = 2,3,4): characters covered
+    *    by the most repeated n-gram — `max over grams of count ×
+    *    charlen`, where charlen is the gram's summed word lengths
+    *    (separator-free, same convention as the `word_chars`
+    *    denominator). The max-product form makes the tie-break
+    *    deterministic and engine-portable where "the most common gram"
+    *    alone is not (equal counts: the larger coverage wins).
+    *  - '''duplicate-n-gram char coverage''' (n = 5..10): characters of
+    *    word positions covered by at least one n-gram occurring ≥2
+    *    times in the document — a position union, so overlapping
+    *    duplicates never double-count.
+    *
+    * Flags are exact integer cross-multiplications against Table A1's
+    * caps ([[GopherTopNgramMaxPct]], [[GopherDupNgramMaxPct]]); `keep`
+    * is the conjunction. Documents shorter than n words carry 0 for
+    * that n (no gram evidence is not a violation). Gram keys are the
+    * scoring-grade 32-bit fold ([[repeatedSpanCounts]]' reasoning — a
+    * rare collision perturbs a count, destroys nothing).
+    *
+    * Scale shape: one exploded gram stream per n (arrays built IN-ROW
+    * before the explode, so no per-row array duplication), counted by
+    * hash aggregates on (doc, n, gram); the duplicate coverage is a
+    * position-union distinct + one join against the per-word lengths —
+    * every shuffle hash-partitions on the doc id (+ gram), nothing
+    * corpus-pairwise. */
+  def gopherRepetitionRules(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = SubstrateCache.persist(
+      df.select(col(s"`$idCol`").as("__id"), tokens(col(s"`$textCol`")).as("__ws")))
+    val base = toks.select(col("__id"),
+      hashAll(col("__ws")).as("__hw"),
+      transform(col("__ws"), w => length(w).cast("long")).as("__ls"))
+    // (id, n, pos, gram, charlen) occurrences — charlen computed in-row
+    // via a slice sum so the exploded rows never carry the parent arrays
+    def gramRows(n: Int): DataFrame = base.select(col("__id"),
+        posexplode(zip_with(
+          ngramHashes(col("__hw"), n),
+          when(size(col("__ls")) < n, array().cast("array<long>"))
+            .otherwise(transform(
+              sequence(lit(1), size(col("__ls")) - (n - 1)),
+              i => aggregate(slice(col("__ls"), i, lit(n)), lit(0L), _ + _))),
+          (g, c) => struct(g.as("g"), c.as("c")))).as(Seq("__p0", "__gc")))
+      .select(col("__id"), lit(n).as("__n"), (col("__p0") + 1).as("__pos"),
+        col("__gc.g").as("__g"), col("__gc.c").as("__c"))
+    val topNs = GopherTopNgramMaxPct.map(_._1)
+    val dupNs = GopherDupNgramMaxPct.map(_._1)
+    val topGrams = topNs.map(gramRows).reduce(_ unionByName _)
+    val dupGrams = dupNs.map(gramRows).reduce(_ unionByName _)
+    // top-n: per (doc, n, gram) count × charlen, max per (doc, n)
+    val top = topGrams.groupBy("__id", "__n", "__g")
+      .agg(count(lit(1)).as("__cnt"), max("__c").as("__cl"))
+      .groupBy("__id", "__n")
+      .agg(max(col("__cnt") * col("__cl")).as("__top"))
+      .groupBy("__id").pivot("__n", topNs).agg(first("__top"))
+      .select(col("__id") +: topNs.map(n =>
+        col(n.toString).as(s"top${n}_chars")): _*)
+    // dup-n: union of word positions covered by any ≥2-count gram
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(
+      "__id", "__n", "__g")
+    val lens = toks.select(col("__id"),
+        posexplode(col("__ws")).as(Seq("__p0", "__w")))
+      .select(col("__id"), (col("__p0") + 1).as("__wp"),
+        length(col("__w")).cast("long").as("__wl"))
+    val dup = dupGrams
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__cnt") >= 2)
+      .select(col("__id"), col("__n"),
+        explode(sequence(col("__pos"), col("__pos") + col("__n") - 1))
+          .as("__wp"))
+      .distinct()
+      .join(lens, Seq("__id", "__wp"))
+      .groupBy("__id", "__n").agg(sum("__wl").as("__dup"))
+      .groupBy("__id").pivot("__n", dupNs).agg(first("__dup"))
+      .select(col("__id") +: dupNs.map(n =>
+        col(n.toString).as(s"dup${n}_chars")): _*)
+    val stats = toks.select(col("__id"),
+      size(col("__ws")).cast("long").as("n_words"),
+      aggregate(transform(col("__ws"), w => length(w).cast("long")),
+        lit(0L), _ + _).as("word_chars"))
+    val joined = stats
+      .join(top, Seq("__id"), "left")
+      .join(dup, Seq("__id"), "left")
+    val topCols = GopherTopNgramMaxPct.map { case (n, pct) =>
+      (coalesce(col(s"top${n}_chars"), lit(0L)),
+        s"top${n}_chars", s"ok_top$n", pct)
+    }
+    val dupCols = GopherDupNgramMaxPct.map { case (n, pct) =>
+      (coalesce(col(s"dup${n}_chars"), lit(0L)),
+        s"dup${n}_chars", s"ok_dup$n", pct)
+    }
+    val all = topCols ++ dupCols
+    val flags = all.map { case (c, _, okName, pct) =>
+      (c * 100L <= col("word_chars") * pct, okName)
+    }
+    joined.select(
+      (col("__id").as("doc_id") +: col("n_words") +: col("word_chars") +:
+        (all.map { case (c, name, _, _) => c.as(name) } ++
+          flags.map { case (p, okName) => p.as(okName) } :+
+          flags.map(_._1).reduce(_ && _).as("keep"))): _*)
+  }
+
   /** Page-level kill phrases and line-level kill words for
     * [[c4QualityRules]] (Raffel et al. 2020 §2.2's published lists). */
   val C4PolicyPhrases: Seq[String] =

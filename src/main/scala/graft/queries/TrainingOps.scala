@@ -454,6 +454,14 @@ object TrainingOps {
       TextOps.gopherLineRules(synth, "doc_id", "text").orderBy("doc_id")
     },
 
+    // --------------------------- text: Gopher repetition rule gate
+    // (the §A1.2 word-n-gram half: top-2/3/4-gram char fractions and
+    // duplicate-5..10-gram char coverage against Table A1's caps)
+    QueryDef("q_td_gopher_rep", gopherRepOracle) { (s, d) =>
+      TextOps.gopherRepetitionRules(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // --------------------------------- text: C4 cleaning rule gate
     // (Raffel et al. 2020 §2.2 line+page heuristics; line structure
     // synthesized deterministically like q_td_gopher_lines, with
@@ -1479,6 +1487,90 @@ object TrainingOps {
        |    AND (n_ellipsis * 10 <= n_words)
        |    AND (n_alpha_words * 5 >= n_words * 4)
        |    AND (n_req_stopwords >= 2)) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Gopher repetition oracle — mirrors [[TextOps.gopherRepetitionRules]]:
+    * per-n gram occurrences with in-row summed word lengths, count×max-len
+    * maxima for the top fractions, a position-union join for duplicate
+    * coverage, Table A1 caps as exact integer cross-multiplications. */
+  private def gopherRepOracle: String = {
+    val topNs = TextOps.GopherTopNgramMaxPct
+    val dupNs = TextOps.GopherDupNgramMaxPct
+    def gramSel(n: Int): String =
+      s"""SELECT doc_id, $n AS n, i AS pos, (${ngramHashSql(n)}) AS g,
+         |    CAST(list_sum(ls[i:i+${n - 1}]) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, hw, ls, unnest(range(1, len(hw) - ${n - 2}))
+         |          AS i
+         |        FROM hwl WHERE len(hw) >= $n)""".stripMargin
+    val grams = (topNs.map(_._1) ++ dupNs.map(_._1)).map(gramSel)
+      .mkString("\n  UNION ALL\n  ")
+    val aggCols = (topNs.map { case (n, _) =>
+        s"coalesce(max(CASE WHEN kind = 't' AND n = $n THEN v END), 0) " +
+          s"AS top${n}_chars"
+      } ++ dupNs.map { case (n, _) =>
+        s"coalesce(max(CASE WHEN kind = 'd' AND n = $n THEN v END), 0) " +
+          s"AS dup${n}_chars"
+      }).mkString(",\n    ")
+    val okCols = (topNs.map { case (n, pct) =>
+        s"(top${n}_chars * 100 <= word_chars * $pct) AS ok_top$n"
+      } ++ dupNs.map { case (n, pct) =>
+        s"(dup${n}_chars * 100 <= word_chars * $pct) AS ok_dup$n"
+      }).mkString(",\n  ")
+    val keep = (topNs.map { case (n, pct) =>
+        s"top${n}_chars * 100 <= word_chars * $pct"
+      } ++ dupNs.map { case (n, pct) =>
+        s"dup${n}_chars * 100 <= word_chars * $pct"
+      }).mkString(" AND ")
+    s"""WITH t AS (
+       |  SELECT doc_id, $Words AS ws FROM documents),
+       |hwl AS (
+       |  SELECT doc_id, list_transform(ws, w -> ${H("w")}) AS hw,
+       |    list_transform(ws, w -> CAST(len(w) AS BIGINT)) AS ls,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+       |      AS BIGINT) AS word_chars
+       |  FROM t),
+       |g AS (
+       |  $grams),
+       |topv AS (
+       |  SELECT doc_id, n, max(cnt * cl) AS v FROM (
+       |    SELECT doc_id, n, g, count(*) AS cnt, max(c) AS cl
+       |    FROM g WHERE n <= 4 GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2),
+       |wlens AS (
+       |  SELECT doc_id, i AS wp, CAST(len(ws[i]) AS BIGINT) AS wl
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+       |        FROM t)),
+       |duppos AS (
+       |  SELECT DISTINCT doc_id, n, wp FROM (
+       |    SELECT g.doc_id, g.n, g.pos + unnest(range(0, g.n)) AS wp
+       |    FROM g
+       |    JOIN (SELECT doc_id, n, g FROM g WHERE n >= 5
+       |          GROUP BY 1, 2, 3 HAVING count(*) >= 2) d
+       |      ON d.doc_id = g.doc_id AND d.n = g.n AND d.g = g.g
+       |    WHERE g.n >= 5)),
+       |dupv AS (
+       |  SELECT p.doc_id, p.n, sum(l.wl) AS v
+       |  FROM duppos p JOIN wlens l ON l.doc_id = p.doc_id AND l.wp = p.wp
+       |  GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id,
+       |    $aggCols
+       |  FROM (SELECT doc_id, 't' AS kind, n, v FROM topv
+       |        UNION ALL SELECT doc_id, 'd', n, v FROM dupv)
+       |  GROUP BY 1),
+       |m AS (
+       |  SELECT h.doc_id, h.n_words, h.word_chars,
+       |    ${(topNs.map(t => s"coalesce(a.top${t._1}_chars, 0) AS top${t._1}_chars") ++
+            dupNs.map(t => s"coalesce(a.dup${t._1}_chars, 0) AS dup${t._1}_chars"))
+            .mkString(",\n    ")}
+       |  FROM hwl h LEFT JOIN agg a ON a.doc_id = h.doc_id)
+       |SELECT doc_id, n_words, word_chars,
+       |  ${(topNs.map(t => s"top${t._1}_chars") ++
+            dupNs.map(t => s"dup${t._1}_chars")).mkString(", ")},
+       |  $okCols,
+       |  ($keep) AS keep
        |FROM m ORDER BY doc_id""".stripMargin
   }
 

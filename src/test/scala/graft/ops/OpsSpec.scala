@@ -1005,6 +1005,41 @@ class OpsSpec extends AnyFunSuite with Matchers {
       m._7._5 shouldBe (m._7._1 && m._7._2 && m._7._3 && m._7._4) }
   }
 
+  test("gopher repetition rules: top-n-gram products and duplicate " +
+      "coverage unions are exact, hand-checked") {
+    val d = Seq(
+      // bigrams (aa,bb)x2 / (bb,aa)x2 -> top2 = 2*4 = 8; trigram
+      // (aa,bb,aa)x2 -> top3 = 12; 4-grams unique (cl 8) -> top4 = 8;
+      // no 5-gram repeats -> dup5..10 = 0
+      (1L, "aa bb aa bb aa"),
+      // the 5-gram (a,b,c,d,e) repeats at positions 1 and 6: coverage
+      // is the union 1..10 -> dup5 = 10 of 11 chars; no 6-gram repeats
+      (2L, "a b c d e a b c d e x"),
+      (3L, "")  // no grams at all: zeros everywhere, keep = true
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRepetitionRules(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    r1.getLong(1) shouldBe 5L      // n_words
+    r1.getLong(2) shouldBe 10L     // word_chars
+    r1.getLong(3) shouldBe 8L      // top2_chars
+    r1.getLong(4) shouldBe 12L     // top3_chars
+    r1.getLong(5) shouldBe 8L      // top4_chars
+    (6 to 11).foreach(i => r1.getLong(i) shouldBe 0L) // dup5..dup10
+    r1.getBoolean(12) shouldBe false // ok_top2: 800 > 200
+    r1.getBoolean(21) shouldBe false // keep
+    val r2 = out(2L)
+    r2.getLong(2) shouldBe 11L
+    r2.getLong(6) shouldBe 10L     // dup5: union of the two occurrences
+    r2.getLong(7) shouldBe 0L      // dup6: no repeated 6-gram
+    r2.getBoolean(15) shouldBe false // ok_dup5: 1000 > 165
+    val r3 = out(3L)
+    r3.getLong(2) shouldBe 0L
+    (3 to 11).foreach(i => r3.getLong(i) shouldBe 0L)
+    r3.getBoolean(21) shouldBe true  // no gram evidence is not a violation
+    SubstrateCache.release(spark)
+  }
+
   test("c4 rules: line keep predicate (length, terminal punct, kill " +
       "words), page flags, sentence floor") {
     val d = Seq(
