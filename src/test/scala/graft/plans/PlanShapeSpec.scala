@@ -155,6 +155,21 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     p should not include "Exchange"
   }
 
+  test("gopher repetition rules: every exchange hash-partitions on the " +
+      "doc id (+ gram) — nothing corpus-pairwise, no global sort") {
+    val pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(graft.ops.TextOps.gopherRepetitionRules(pq, "doc_id", "text"))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // all shuffles are keyed by the doc id (alone or with gram/n) — the
+    // plan scales with documents, never with document pairs
+    val parts = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    parts should not be empty
+    parts.foreach(keys => keys should include("__id"))
+    graft.ops.SubstrateCache.release(spark)
+  }
+
   test("c4 rules plan ZERO exchanges — per-row array algebra") {
     val pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = plan(graft.ops.TextOps.c4QualityRules(pq, "doc_id", "text"))
