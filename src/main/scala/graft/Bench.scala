@@ -90,6 +90,36 @@ object Bench {
     // (round-5 adjudication showed 13x single-rep spikes that were pure
     // scheduler/GC noise), so the recorded number is a min-of-3 floor by
     // default and every rep is reported alongside it
+    // pre-flight: stray graft JVMs (e.g. an orphaned crash-fuzz child
+    // from an earlier test run — the round-16 root cause of officials
+    // landing 1.2-1.4x over floors) steal cores and silently inflate
+    // every number below. Surface them FIRST so an inflated run is
+    // diagnosable from its own stderr; never kill (not ours to reap).
+    try {
+      import scala.jdk.CollectionConverters._
+      val self = ProcessHandle.current().pid()
+      val strays = ProcessHandle.allProcesses().iterator().asScala
+        .filter(_.pid() != self)
+        .flatMap { p =>
+          val cl = p.info().commandLine()
+          if (cl.isPresent) Iterator((p.pid(), cl.get)) else Iterator.empty
+        }
+        .filter { case (_, cl) =>
+          // only the forked fuzz-child family — the processes that leak;
+          // matching any "graft." would flag sbt launchers whose ARGS
+          // name a main (e.g. "runMain graft.Bench")
+          cl.contains("java") && (cl.contains("graft.tables.Crash") ||
+            cl.contains("graft.streaming.Crash") ||
+            cl.contains("graft.tables.CrossProcess")) }
+        .toList
+      strays.foreach { case (pid, cl) =>
+        val main = cl.split("\\s+").filter(_.startsWith("graft."))
+          .headOption.getOrElse("?")
+        System.err.println(
+          s"BENCH_PREFLIGHT stray graft JVM pid=$pid main=$main — " +
+            "timings below may be inflated by its CPU use")
+      }
+    } catch { case _: Throwable => () }
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
