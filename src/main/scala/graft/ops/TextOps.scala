@@ -1673,28 +1673,8 @@ object TextOps {
   def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = DsirBuckets,
       minLogwMicro: Option[Long] = None): DataFrame = {
-    // per-DOC window for bigram adjacency only (hash-partitioned on the
-    // doc id — not the global rank dsirWeights adds)
-    import org.apache.spark.sql.expressions.Window
-    // exploded rows, not per-row array lambdas — the same reasoning as
-    // [[shingleRows]]: sha-per-word stays in whole-stage codegen and
-    // linear (an array-lambda pipeline re-evaluates the inner hash
-    // transform per element_at), and (doc, feature) rows hash-partition
-    // evenly regardless of document-length skew
-    def featRows(df: DataFrame): DataFrame = {
-      val wh = SubstrateCache.persist(
-        df.select(col(s"`$idCol`").as("__id"),
-            posexplode(tokens(col(s"`$textCol`"))).as(Seq("__pos", "__w")))
-          .select(col("__id"), col("__pos"), portableHash(col("__w")).as("__h")))
-      val uni = wh.select(col("__id"), col("__h"))
-      val win = Window.partitionBy("__id").orderBy("__pos")
-      val bi = wh.withColumn("__h2", lead("__h", 1).over(win))
-        .filter(col("__h2").isNotNull)
-        .select(col("__id"),
-          pmod(col("__h") * 1000003L + col("__h2"), lit(ShingleMod)).as("__h"))
-      uni.union(bi).select(col("__id"),
-        pmod(col("__h"), lit(buckets.toLong)).as("__b"))
-    }
+    def featRows(df: DataFrame): DataFrame =
+      hashedFeatureBuckets(df, idCol, textCol, buckets)
     val docb = featRows(raw).groupBy("__id", "__b")
       .agg(count(lit(1)).as("__c"))
     val rawb = docb.groupBy("__b").agg(sum("__c").as("__r"))
@@ -1758,5 +1738,162 @@ object TextOps {
       .orderBy(col("key_micro").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("logw_micro"), col("key_micro"))
+  }
+
+  /** (doc, position, word-hash) rows for one corpus — the shared
+    * tokenize-and-hash substrate under [[dsirScores]],
+    * [[classifierScores]], and [[lmPerplexityScores]]. Exploded rows,
+    * not per-row array lambdas — the same reasoning as [[shingleRows]]:
+    * sha-per-word stays in whole-stage codegen and linear (an
+    * array-lambda pipeline re-evaluates the inner hash transform per
+    * element_at), and (doc, position) rows hash-partition evenly
+    * regardless of document-length skew. Persisted via [[SubstrateCache]]
+    * (both the unigram and the bigram branch read it). */
+  private[ops] def hashedWordRows(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    SubstrateCache.persist(
+      df.select(col(s"`$idCol`").as("__id"),
+          posexplode(tokens(col(s"`$textCol`"))).as(Seq("__pos", "__w")))
+        .select(col("__id"), col("__pos"), portableHash(col("__w")).as("__h")))
+
+  /** (doc, feature-bucket) rows: unigram and adjacent-bigram hashes
+    * folded into `buckets` buckets — the hashed bag-of-n-grams feature
+    * space shared by the DSIR model and [[classifierScores]]. The only
+    * window is the per-DOC adjacency lead (hash-partitioned on the doc
+    * id — never global). */
+  private[ops] def hashedFeatureBuckets(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wh = hashedWordRows(df, idCol, textCol)
+    val uni = wh.select(col("__id"), col("__h"))
+    val win = Window.partitionBy("__id").orderBy("__pos")
+    val bi = wh.withColumn("__h2", lead("__h", 1).over(win))
+      .filter(col("__h2").isNotNull)
+      .select(col("__id"),
+        pmod(col("__h") * 1000003L + col("__h2"), lit(ShingleMod)).as("__h"))
+    uni.union(bi).select(col("__id"),
+      pmod(col("__h"), lit(buckets.toLong)).as("__b"))
+  }
+
+  /** Hashed bag-of-n-grams linear classifier INFERENCE — the fastText
+    * shape (Joulin et al. 2017, "Bag of Tricks for Efficient Text
+    * Classification") that model-based quality filtering runs at corpus
+    * scale (FineWeb-Edu, DCLM: a small trained classifier scores every
+    * document; the corpus keeps the high scorers). Training happens
+    * offline on a labeled sample — THIS is the apply step, the part that
+    * must scale: `score = sigmoid(bias + mean bucket weight over the
+    * document's unigram+bigram features)`, features hashed into
+    * `buckets` buckets exactly as [[dsirScores]]' model
+    * ([[hashedFeatureBuckets]]).
+    *
+    * `weights`: (bucket LONG, w_micro LONG) — per-bucket weight in
+    * micro-units (w = w_micro / 1e6); buckets absent from the table
+    * weigh 0. Bounded by `buckets` rows by construction, so it
+    * broadcasts — the one small side in the plan.
+    *
+    * Determinism: per-document sums are exact 64-bit integers
+    * (feature count, Σ w_micro); doubles appear once per document in a
+    * fixed chain — `round(1e6·σ(bias + (Σw/1e6)/n))` — on identical
+    * operands in every engine and partitioning (the [[dsirSample]]
+    * device). A cross-engine flip needs exp to disagree within one ulp
+    * of a half-micro-unit.
+    *
+    * Returns (doc_id, n_feats, prob_micro) for EVERY document —
+    * documents with no features (empty text) score `σ(bias)`: a gate
+    * must see every document, and silently dropping the empty ones
+    * would un-audit exactly the rows most likely to be filtered.
+    *
+    * Scale shape: one token scan, (doc, bucket) rows hash-aggregate
+    * map-side, weight table broadcasts, final per-doc aggregate — no
+    * global window, no corpus-scale join, no driver collect. */
+  def classifierScores(docs: DataFrame, weights: DataFrame, idCol: String,
+      textCol: String, buckets: Int = DsirBuckets,
+      biasMicro: Long = 0L): DataFrame = {
+    // broadcast-join the weights straight onto the token-level feature
+    // rows, then ONE hash aggregate on the doc id (map-side combined) —
+    // no intermediate (doc, bucket) shuffle
+    val featSums = hashedFeatureBuckets(docs, idCol, textCol, buckets)
+      .join(broadcast(
+        weights.select(col("bucket").as("__b"), col("w_micro").as("__w"))),
+        Seq("__b"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("__n"),
+        sum(coalesce(col("__w"), lit(0L))).as("__s"))
+    val logit = lit(biasMicro).cast("double") / lit(1e6) +
+      (col("__s").cast("double") / lit(1e6)) / col("__n")
+    val prob = round(lit(1e6) / (lit(1.0) + exp(-logit))).cast("long")
+    val emptyProb = math.round(1e6 / (1.0 + math.exp(-(biasMicro / 1e6))))
+    docs.select(col(s"`$idCol`").as("doc_id"))
+      .join(featSums.withColumnRenamed("__id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__n"), lit(0L)).cast("long").as("n_feats"),
+        coalesce(prob, lit(emptyProb)).cast("long").as("prob_micro"))
+  }
+
+  /** CCNet-style language-model perplexity scoring (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data" §4.3): score every raw document by its cross-entropy under a
+    * language model trained on a clean REFERENCE corpus; low perplexity
+    * reads "looks like the reference", and the corpus is then kept/cut
+    * by score (CCNet's head/middle/tail). Engine-portable stand-in for
+    * the paper's 5-gram KenLM (documented in COVERAGE.md): an add-one
+    * smoothed word-BIGRAM model over sha-hashed words —
+    * `P(w₂|w₁) = (c(w₁,w₂) + 1) / (ctx(w₁) + V)` where `c` counts
+    * reference bigrams, `ctx(w₁)` counts w₁ as a left context, and `V`
+    * is the reference's distinct-word count (a proper conditional: sums
+    * to 1 over the hashed vocabulary; unseen contexts degrade to the
+    * uniform 1/V).
+    *
+    * Determinism: each scored bigram's log-probability is quantized to
+    * integer micro-nats ONCE per distinct (doc, w₁, w₂) group — the
+    * [[dsirScores]] device — and per-document totals are exact integer
+    * sums. Returns (doc_id, n_pairs, logp_micro) for EVERY raw document
+    * (n_pairs = 0, logp_micro = 0 for docs under 2 tokens — a
+    * perplexity gate must see every document); cross-entropy in nats is
+    * `-logp_micro / 1e6 / n_pairs`, perplexity its exp.
+    *
+    * Scale shape: token-level rows hash-partition on (doc, w₁, w₂); the
+    * model joins are EQUI shuffles against the corpus-scale bigram and
+    * context count tables (never broadcast — a reference LM over a
+    * trillion-token Wikipedia-scale corpus does not fit a driver); the
+    * vocabulary size is the single scalar broadcast. The bigram join
+    * key is the exact (h₁, h₂) pair — never a 64-bit fold — so model
+    * counts cannot contaminate across hash collisions. The only windows
+    * are per-DOC adjacency leads. */
+  def lmPerplexityScores(raw: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def pairRows(df: DataFrame): DataFrame = {
+      val wh = hashedWordRows(df, idCol, textCol)
+      val win = Window.partitionBy("__id").orderBy("__pos")
+      wh.withColumn("__h2", lead("__h", 1).over(win))
+        .filter(col("__h2").isNotNull)
+        .select(col("__id"), col("__h").as("__h1"), col("__h2"))
+    }
+    val refPairs = SubstrateCache.persist(pairRows(reference))
+    val cb = refPairs.groupBy("__h1", "__h2").agg(count(lit(1)).as("__cb"))
+    val ctx = refPairs.groupBy("__h1").agg(count(lit(1)).as("__cu"))
+    val vocab = hashedWordRows(reference, idCol, textCol)
+      .agg(countDistinct(col("__h")).as("__v"))
+    val docp = pairRows(raw).groupBy("__id", "__h1", "__h2")
+      .agg(count(lit(1)).as("__c"))
+    // micro-nat log-prob per distinct scored bigram: the one place
+    // doubles appear, once per (doc, h1, h2) group
+    val lp = docp
+      .join(cb, Seq("__h1", "__h2"), "left")
+      .join(ctx, Seq("__h1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("__id"), col("__c"),
+        round(lit(1e6) * log(
+          (coalesce(col("__cb"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("__cu"), lit(0L)) + col("__v"))))
+          .cast("long").as("__lp"))
+    val scored = lp.groupBy("__id")
+      .agg(sum("__c").as("__n"), sum(col("__c") * col("__lp")).as("__s"))
+    raw.select(col(s"`$idCol`").as("doc_id"))
+      .join(scored.withColumnRenamed("__id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__n"), lit(0L)).cast("long").as("n_pairs"),
+        coalesce(col("__s"), lit(0L)).cast("long").as("logp_micro"))
   }
 }

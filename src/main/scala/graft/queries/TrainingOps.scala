@@ -928,6 +928,32 @@ object TrainingOps {
       TextOps.mixturePlan(Tables.documents(s, d), "doc_id", "source", "text",
         MixtureWeights, MixtureBudget)
         .orderBy("source")
+    },
+
+    // ------------- curation: CCNet-style LM perplexity scoring (Wenzek
+    // et al. 2020 — bigram LM learned on the 'en' reference slice scores
+    // every non-'en' document's cross-entropy; low = reference-like)
+    QueryDef("q_td_perplexity", perplexityOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextOps.lmPerplexityScores(
+        docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ------------- curation: fastText-shape classifier inference (the
+    // FineWeb-Edu / DCLM model-based quality gate: offline-trained
+    // hashed-n-gram weights applied to every document; the weight table
+    // here is deterministic so both engines can restate it)
+    QueryDef("q_td_classifier", classifierOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val b = TextOps.DsirBuckets
+      val weights = s.range(b.toLong).select(
+        col("id").as("bucket"),
+        (pmod(graft.ops.TextOps.portableHash(col("id").cast("string")),
+          lit(2000001L)) - lit(1000000L)).as("w_micro"))
+      TextOps.classifierScores(docs, weights, "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -1796,6 +1822,80 @@ object TrainingOps {
        |  SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_feats,
        |         CAST(sum(d.c * w.lw) AS BIGINT) AS logw_micro
        |  FROM docb d JOIN wt w ON d.b = w.b GROUP BY d.doc_id)""".stripMargin
+  }
+
+  /** Perplexity oracle — mirrors [[TextOps.lmPerplexityScores]]: add-one
+    * bigram LM counts from the 'en' reference slice, per-scored-bigram
+    * log quantized to integer micro-nats (the dsir device), exact
+    * integer per-doc sums, every raw document returned. */
+  private def perplexityOracle: String =
+    s"""WITH hw AS (
+       |  SELECT doc_id, lang, list_transform($Words, w -> ${H("w")}) AS hw
+       |  FROM documents),
+       |pe AS (
+       |  SELECT doc_id, lang, p[1] AS h1, p[2] AS h2 FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(CASE WHEN len(hw) < 2 THEN CAST([] AS BIGINT[][])
+       |        ELSE list_transform(range(1, len(hw)), i -> [hw[i], hw[i+1]])
+       |      END) AS p
+       |    FROM hw)),
+       |cb AS (SELECT h1, h2, count(*) AS cb FROM pe WHERE lang = 'en'
+       |       GROUP BY h1, h2),
+       |ctx AS (SELECT h1, count(*) AS cu FROM pe WHERE lang = 'en'
+       |        GROUP BY h1),
+       |v AS (SELECT count(DISTINCT h) AS v FROM
+       |        (SELECT unnest(hw) AS h FROM hw WHERE lang = 'en')),
+       |docp AS (SELECT doc_id, h1, h2, count(*) AS c FROM pe
+       |         WHERE lang <> 'en' GROUP BY doc_id, h1, h2),
+       |lp AS (
+       |  SELECT d.doc_id, d.c,
+       |    CAST(round(1e6 * ln((coalesce(cb.cb, 0) + 1.0)
+       |                      / (coalesce(ctx.cu, 0) + v.v))) AS BIGINT) AS lp
+       |  FROM docp d LEFT JOIN cb ON d.h1 = cb.h1 AND d.h2 = cb.h2
+       |    LEFT JOIN ctx ON d.h1 = ctx.h1 CROSS JOIN v),
+       |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+       |              CAST(sum(c * lp) AS BIGINT) AS s
+       |       FROM lp GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(sc.n, 0) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(sc.s, 0) AS BIGINT) AS logp_micro
+       |FROM (SELECT doc_id FROM documents WHERE lang <> 'en') d
+       |LEFT JOIN sc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Classifier-inference oracle — mirrors [[TextOps.classifierScores]]
+    * with the query's deterministic hash-derived weight table: exact
+    * integer feature count and weight sum, one double sigmoid chain per
+    * document quantized to micro-units (the dsirSample device). */
+  private def classifierOracle: String = {
+    val b = TextOps.DsirBuckets
+    s"""WITH hw AS (
+       |  SELECT doc_id, list_transform($Words, w -> ${H("w")}) AS hw
+       |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id, h % $b AS b FROM (
+       |    SELECT doc_id, unnest(hw) AS h FROM hw
+       |    UNION ALL
+       |    SELECT doc_id,
+       |      unnest(CASE WHEN len(hw) < 2 THEN CAST([] AS BIGINT[])
+       |        ELSE list_transform(range(1, len(hw)),
+       |          i -> (hw[i] * 1000003 + hw[i+1]) % ${TextOps.ShingleMod})
+       |      END) AS h
+       |    FROM hw)),
+       |wt AS (SELECT b, ${H("CAST(b AS VARCHAR)")} % 2000001 - 1000000 AS w
+       |       FROM range(0, $b) t(b)),
+       |sc AS (
+       |  SELECT f.doc_id, count(*) AS n,
+       |         CAST(sum(coalesce(wt.w, 0)) AS BIGINT) AS s
+       |  FROM feats f LEFT JOIN wt ON f.b = wt.b GROUP BY f.doc_id),
+       |pr AS (
+       |  SELECT doc_id, n,
+       |    CAST(round(1e6 / (1 + exp(-(0.0 + (CAST(s AS DOUBLE) / 1e6) / n))))
+       |      AS BIGINT) AS p
+       |  FROM sc)
+       |SELECT d.doc_id, CAST(coalesce(pr.n, 0) AS BIGINT) AS n_feats,
+       |  CAST(coalesce(pr.p, 500000) AS BIGINT) AS prob_micro
+       |FROM documents d LEFT JOIN pr USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Mixture query constants: src0 deliberately over-weighted past its

@@ -1360,4 +1360,58 @@ class OpsSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       TextOps.chunk(docs, "doc_id", "text", 4, 4)
   }
+
+  test("lm perplexity: add-one bigram micro-nat logs match hand " +
+      "computation; unseen contexts degrade to uniform 1/V; every raw " +
+      "doc returned") {
+    // reference "a b a c": V = 3 distinct words; bigrams (a,b)(b,a)(a,c)
+    // each once; contexts a→2, b→1
+    val reference = docs((100L, "a b a c"))
+    val raw = docs(
+      (1L, "a b"), // seen bigram:    ln((1+1)/(2+3)) = ln(0.4)
+      (2L, "a z"), // seen context:   ln((0+1)/(2+3)) = ln(0.2)
+      (3L, "z q"), // unseen context: ln((0+1)/(0+3)) = ln(1/3) — uniform 1/V
+      (4L, "a"))   // single token: no pairs
+    val out = TextOps.lmPerplexityScores(raw, reference, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    out(1L) shouldBe ((1L, math.round(1e6 * math.log(0.4))))
+    out(2L) shouldBe ((1L, math.round(1e6 * math.log(0.2))))
+    out(3L) shouldBe ((1L, math.round(1e6 * math.log(1.0 / 3))))
+    out(4L) shouldBe ((0L, 0L))
+    // the reference-like doc is the least surprising (highest log-prob);
+    // an unseen WORD in a well-observed context (1/5) is more surprising
+    // than a fully unseen context (uniform 1/3) — add-one concentrates
+    // mass on a known context's seen continuations
+    out(1L)._2 should be > out(3L)._2
+    out(3L)._2 should be > out(2L)._2
+    SubstrateCache.release(spark)
+  }
+
+  test("classifier inference: n_feats = 2T-1, zero weights give sigmoid" +
+      "(bias), unit weights give sigmoid(1) — micro-quantized exactly") {
+    import spark.implicits._
+    val d = docs((1L, "a b c"), (2L, "x"), (3L, "p q r s"))
+    val zero = spark.range(TextOps.DsirBuckets.toLong)
+      .select(col("id").as("bucket"), lit(0L).as("w_micro"))
+    val unit = spark.range(TextOps.DsirBuckets.toLong)
+      .select(col("id").as("bucket"), lit(1000000L).as("w_micro"))
+    val z = TextOps.classifierScores(d, zero, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    z(1L) shouldBe ((5L, 500000L)) // 3 unigrams + 2 bigrams; sigmoid(0)
+    z(2L) shouldBe ((1L, 500000L))
+    z(3L) shouldBe ((7L, 500000L))
+    // every feature weighs 1.0 → mean weight exactly 1 → sigmoid(1)
+    val sig1 = math.round(1e6 / (1.0 + math.exp(-1.0)))
+    val u = TextOps.classifierScores(d, unit, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    u.values.toSet shouldBe Set(sig1)
+    // bias shifts the logit: zero weights + bias 2.0 → sigmoid(2)
+    val b = TextOps.classifierScores(d, zero, "doc_id", "text",
+      biasMicro = 2000000L)
+      .collect().map(r => r.getLong(2)).toSet
+    b shouldBe Set(math.round(1e6 / (1.0 + math.exp(-2.0))))
+    SubstrateCache.release(spark)
+  }
 }

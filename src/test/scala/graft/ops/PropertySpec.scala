@@ -329,4 +329,76 @@ class PropertySpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  /** Independent sha-256-prefix hash — the test-side restatement of
+    * [[TextOps.portableHash]] (MessageDigest, not Spark). */
+  private def sha32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("lm perplexity matches an independent scala reimplementation of " +
+      "the add-one bigram model over random corpora; logs never positive") {
+    val corpus = randomCorpus(60, 11)
+    val (refC, rawC) = corpus.partition(_._1 % 2 == 0)
+    val out = TextOps.lmPerplexityScores(
+      rawC.toDF("doc_id", "text"), refC.toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    out.keySet shouldBe rawC.map(_._1).toSet // every raw doc returned
+    // reference model, independently: V, bigram and context counts
+    def toks(t: String): Array[String] = t.split("\\s+")
+    val refToks = refC.map(c => toks(c._2))
+    val v = refToks.flatten.distinct.size.toLong
+    val cb = refToks.flatMap(ws => ws.zip(ws.drop(1)))
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val cu = refToks.flatMap(ws => ws.dropRight(1))
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    rawC.foreach { case (id, text) =>
+      val pairs = { val ws = toks(text); ws.zip(ws.drop(1)) }
+      val want = pairs.map { case (w1, w2) =>
+        math.round(1e6 * math.log(
+          (cb.getOrElse((w1, w2), 0L) + 1.0) / (cu.getOrElse(w1, 0L) + v)))
+      }.sum
+      withClue(s"doc $id ('$text'):\n") {
+        out(id)._1 shouldBe pairs.length.toLong
+        out(id)._2 shouldBe want
+        out(id)._2 should be <= 0L
+      }
+    }
+    SubstrateCache.release(spark)
+  }
+
+  test("classifier inference matches an independent scala reimplementation " +
+      "of the hashed-feature sigmoid over random corpora; probs in [0, 1e6]") {
+    val corpus = randomCorpus(50, 12)
+    val b = TextOps.DsirBuckets
+    val weights = spark.range(b.toLong).select(
+      col("id").as("bucket"),
+      (pmod(TextOps.portableHash(col("id").cast("string")),
+        lit(2000001L)) - lit(1000000L)).as("w_micro"))
+    val out = TextOps.classifierScores(
+      corpus.toDF("doc_id", "text"), weights, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    out.keySet shouldBe corpus.map(_._1).toSet
+    def wOf(bkt: Long): Long = sha32(bkt.toString) % 2000001L - 1000000L
+    corpus.foreach { case (id, text) =>
+      val hs = text.split("\\s+").map(sha32)
+      val buckets = hs.map(_ % b) ++ hs.zip(hs.drop(1)).map { case (h1, h2) =>
+        (h1 * 1000003L + h2) % TextOps.ShingleMod % b }
+      val n = buckets.length.toLong
+      val s = buckets.map(wOf).sum
+      val want = math.round(1e6 / (1.0 + math.exp(-((s.toDouble / 1e6) / n))))
+      withClue(s"doc $id ('$text'):\n") {
+        out(id)._1 shouldBe n
+        out(id)._2 shouldBe want
+        out(id)._2 should be >= 0L
+        out(id)._2 should be <= 1000000L
+      }
+    }
+    SubstrateCache.release(spark)
+  }
 }

@@ -137,6 +137,36 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     ranked should include("row_number")
   }
 
+  test("lm perplexity: model joins are EQUI joins (never cartesian " +
+      "against the corpus-scale count tables); windows are per-doc only") {
+    val raw = docs.filter(col("doc_id") % 3 =!= 0)
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val p = plan(graft.ops.TextOps.lmPerplexityScores(raw, ref,
+      "doc_id", "text"))
+    p should not include "CartesianProduct"
+    p should not include "row_number"
+    // the only permitted non-equi join is the 1-row vocabulary-size
+    // scalar broadcast; bigram/context model joins must stay equi
+    "BroadcastNestedLoopJoin".r.findAllIn(p).size should be <= 1
+    // every window carries the per-doc partition spec
+    val windows = "Window \\[[^\\]]*\\], \\[[^\\]]*\\]".r.findAllIn(p).toList
+    windows should not be empty
+    windows.foreach(w => w should include("__id"))
+    graft.ops.SubstrateCache.release(spark)
+  }
+
+  test("classifier inference: the bounded weight table broadcasts onto " +
+      "token-level feature rows — one aggregate, no corpus-scale shuffle join") {
+    val weights = spark.range(graft.ops.TextOps.DsirBuckets.toLong)
+      .select(col("id").as("bucket"), lit(0L).as("w_micro"))
+    val p = plan(graft.ops.TextOps.classifierScores(docs, weights,
+      "doc_id", "text"))
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    graft.ops.SubstrateCache.release(spark)
+  }
+
   test("gopher rules plan ZERO exchanges — pure per-row codegen column " +
       "algebra (the filter to run before anything that pays a shuffle)") {
     // parquet-backed input: a local Seq constant-folds into a
