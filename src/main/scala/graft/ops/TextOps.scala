@@ -1896,4 +1896,35 @@ object TextOps {
         coalesce(col("__n"), lit(0L)).cast("long").as("n_pairs"),
         coalesce(col("__s"), lit(0L)).cast("long").as("logp_micro"))
   }
+
+  /** CCNet's SELECTION step (Wenzek et al. 2020 §4.3 keep the
+    * low-perplexity head of each bucket): retain the best-fitting
+    * `frac` of each group (language, source) under the reference LM.
+    * Ranks by `fit_micro = round(logp_micro / n_pairs)` — mean
+    * micro-nat log-prob per bigram; higher = less surprising = lower
+    * perplexity. Documents without a single bigram cannot be scored
+    * and are EXCLUDED (the unscorable remainder is the caller's policy
+    * decision, not silently kept or dropped inside a ranking).
+    *
+    * Returns (doc_id, groupCol, n_pairs, fit_micro) for the kept docs.
+    *
+    * Scale note: the per-group fraction is a row_number window
+    * partitioned on the group — with a handful of corpus-scale language
+    * groups that is a near-global sort (the [[dsirWeights]] caveat). At
+    * 100 TB filter [[lmPerplexityScores]] on a fit threshold instead
+    * (the [[dsirScores]] device: fully parallel predicate, same
+    * scores). */
+  def perplexityPrune(raw: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, groupCol: String, frac: Double): DataFrame = {
+    val scored = lmPerplexityScores(raw, reference, idCol, textCol)
+      .filter(col("n_pairs") >= 1L)
+      .withColumn("fit_micro",
+        round(col("logp_micro").cast("double") / col("n_pairs")).cast("long"))
+    val withGroup = raw
+      .select(col(s"`$idCol`").as("doc_id"), col(s"`$groupCol`"))
+      .join(scored, Seq("doc_id"))
+    topFractionByGroup(withGroup, groupCol, "fit_micro", "doc_id", frac)
+      .select(col("doc_id"), col(s"`$groupCol`"), col("n_pairs"),
+        col("fit_micro"))
+  }
 }

@@ -941,6 +941,17 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // ------------- curation: CCNet's selection step — keep the best-
+    // fitting half of each source under the reference LM (the paper's
+    // head/middle cut as a per-group fraction)
+    QueryDef("q_td_perplexity_prune", perplexityPruneOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextOps.perplexityPrune(
+        docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en"),
+        "doc_id", "text", "source", frac = 0.5)
+        .orderBy("doc_id")
+    },
+
     // ------------- curation: fastText-shape classifier inference (the
     // FineWeb-Edu / DCLM model-based quality gate: offline-trained
     // hashed-n-gram weights applied to every document; the weight table
@@ -1824,12 +1835,13 @@ object TrainingOps {
        |  FROM docb d JOIN wt w ON d.b = w.b GROUP BY d.doc_id)""".stripMargin
   }
 
-  /** Perplexity oracle — mirrors [[TextOps.lmPerplexityScores]]: add-one
-    * bigram LM counts from the 'en' reference slice, per-scored-bigram
-    * log quantized to integer micro-nats (the dsir device), exact
-    * integer per-doc sums, every raw document returned. */
-  private def perplexityOracle: String =
-    s"""WITH hw AS (
+  /** Shared perplexity CTE chain ending in `sc(doc_id, n, s)` — the ONE
+    * place the add-one bigram LM is stated in SQL (score and prune
+    * oracles both read it): counts from the 'en' reference slice,
+    * per-scored-bigram log quantized to integer micro-nats (the dsir
+    * device), exact integer per-doc sums. */
+  private def perplexityScoredCtes: String =
+    s"""hw AS (
        |  SELECT doc_id, lang, list_transform($Words, w -> ${H("w")}) AS hw
        |  FROM documents),
        |pe AS (
@@ -1855,12 +1867,34 @@ object TrainingOps {
        |    LEFT JOIN ctx ON d.h1 = ctx.h1 CROSS JOIN v),
        |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
        |              CAST(sum(c * lp) AS BIGINT) AS s
-       |       FROM lp GROUP BY doc_id)
+       |       FROM lp GROUP BY doc_id)""".stripMargin
+
+  /** Perplexity oracle — mirrors [[TextOps.lmPerplexityScores]]: every
+    * raw document returned, zero-pair docs coalesced to (0, 0). */
+  private def perplexityOracle: String =
+    s"""WITH $perplexityScoredCtes
        |SELECT d.doc_id, CAST(coalesce(sc.n, 0) AS BIGINT) AS n_pairs,
        |  CAST(coalesce(sc.s, 0) AS BIGINT) AS logp_micro
        |FROM (SELECT doc_id FROM documents WHERE lang <> 'en') d
        |LEFT JOIN sc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** CCNet-selection oracle — mirrors [[TextOps.perplexityPrune]]: mean
+    * micro-nat fit per bigram, keep the top half of each source by fit
+    * (row_number + ceil fraction, ties on doc_id). */
+  private def perplexityPruneOracle: String =
+    s"""WITH $perplexityScoredCtes,
+       |fit AS (
+       |  SELECT sc.doc_id, d.source, sc.n AS n_pairs,
+       |    CAST(round(CAST(sc.s AS DOUBLE) / sc.n) AS BIGINT) AS fit_micro
+       |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY source ORDER BY fit_micro DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS cnt
+       |  FROM fit)
+       |SELECT doc_id, source, n_pairs, fit_micro FROM r
+       |WHERE rn <= CAST(ceil(cnt * 0.5) AS BIGINT) ORDER BY doc_id""".stripMargin
 
   /** Classifier-inference oracle — mirrors [[TextOps.classifierScores]]
     * with the query's deterministic hash-derived weight table: exact

@@ -1388,6 +1388,26 @@ class OpsSpec extends AnyFunSuite with Matchers {
     SubstrateCache.release(spark)
   }
 
+  test("perplexity prune: keeps the best-fitting ceil(n*frac) of each " +
+      "group; unscorable single-token docs are excluded, not ranked") {
+    import spark.implicits._
+    val reference = docs((100L, "a b a b a c"))
+    val raw = Seq(
+      (1L, "a b a b", "s1"),  // reference-like
+      (2L, "z q z q", "s1"),  // alien
+      (3L, "a b", "s1"),      // reference-like
+      (4L, "x", "s1"),        // unscorable: no bigram
+      (5L, "a b a b", "s2"),
+      (6L, "q z", "s2")).toDF("doc_id", "text", "source")
+    val kept = TextOps.perplexityPrune(raw, reference, "doc_id", "text",
+      "source", frac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // s1 scores docs 1,2,3 (doc 4 unscorable) → ceil(3*0.5)=2 kept, the
+    // two reference-like ones; s2 scores 5,6 → 1 kept
+    kept shouldBe Array((1L, "s1"), (3L, "s1"), (5L, "s2"))
+    SubstrateCache.release(spark)
+  }
+
   test("classifier inference: n_feats = 2T-1, zero weights give sigmoid" +
       "(bias), unit weights give sigmoid(1) — micro-quantized exactly") {
     import spark.implicits._
