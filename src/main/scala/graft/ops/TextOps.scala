@@ -1861,7 +1861,14 @@ object TextOps {
     * counts cannot contaminate across hash collisions. The only windows
     * are per-DOC adjacency leads. */
   def lmPerplexityScores(raw: DataFrame, reference: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String): DataFrame =
+    lmPerplexityScoresCarry(raw, reference, idCol, textCol, Nil)
+
+  /** [[lmPerplexityScores]] with passenger columns carried from `raw`
+    * through the final doc-list join — [[perplexityPrune]] threads its
+    * group column here instead of paying a second corpus scan + join. */
+  private def lmPerplexityScoresCarry(raw: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, carry: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def pairRows(df: DataFrame): DataFrame = {
       val wh = hashedWordRows(df, idCol, textCol)
@@ -1890,11 +1897,12 @@ object TextOps {
           .cast("long").as("__lp"))
     val scored = lp.groupBy("__id")
       .agg(sum("__c").as("__n"), sum(col("__c") * col("__lp")).as("__s"))
-    raw.select(col(s"`$idCol`").as("doc_id"))
+    raw.select(col(s"`$idCol`").as("doc_id") +:
+        carry.map(c => col(s"`$c`")): _*)
       .join(scored.withColumnRenamed("__id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("__n"), lit(0L)).cast("long").as("n_pairs"),
-        coalesce(col("__s"), lit(0L)).cast("long").as("logp_micro"))
+      .select(col("doc_id") +: carry.map(c => col(s"`$c`")) :+
+        coalesce(col("__n"), lit(0L)).cast("long").as("n_pairs") :+
+        coalesce(col("__s"), lit(0L)).cast("long").as("logp_micro"): _*)
   }
 
   /** CCNet's SELECTION step (Wenzek et al. 2020 §4.3 keep the
@@ -1916,14 +1924,12 @@ object TextOps {
     * scores). */
   def perplexityPrune(raw: DataFrame, reference: DataFrame, idCol: String,
       textCol: String, groupCol: String, frac: Double): DataFrame = {
-    val scored = lmPerplexityScores(raw, reference, idCol, textCol)
+    val scored = lmPerplexityScoresCarry(raw, reference, idCol, textCol,
+        Seq(groupCol))
       .filter(col("n_pairs") >= 1L)
       .withColumn("fit_micro",
         round(col("logp_micro").cast("double") / col("n_pairs")).cast("long"))
-    val withGroup = raw
-      .select(col(s"`$idCol`").as("doc_id"), col(s"`$groupCol`"))
-      .join(scored, Seq("doc_id"))
-    topFractionByGroup(withGroup, groupCol, "fit_micro", "doc_id", frac)
+    topFractionByGroup(scored, groupCol, "fit_micro", "doc_id", frac)
       .select(col("doc_id"), col(s"`$groupCol`"), col("n_pairs"),
         col("fit_micro"))
   }
