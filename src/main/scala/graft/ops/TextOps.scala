@@ -1905,6 +1905,37 @@ object TextOps {
         coalesce(col("__s"), lit(0L)).cast("long").as("logp_micro"): _*)
   }
 
+  /** Temperature-based source weights for [[mixturePlan]] — the
+    * multinomial α-sampling of multilingual/multi-corpus mixture design
+    * (Raffel et al. 2020 §3.4.3's temperature-scaled rates; the same
+    * device weights the published GPT-3/Llama corpus mixes): sampling
+    * rate ∝ n_i^α, with α < 1 up-weighting small sources so a dominant
+    * crawl cannot drown curated corpora.
+    *
+    * Returns (source, avail_tokens, w_micro) with
+    * `w_micro = round(1e6 · (n_i / n_max)^α)` — MAX-normalized, so each
+    * source's weight is ONE pow chain over an exact integer ratio,
+    * micro-quantized once per source (≤ sources rows, the dsir device);
+    * never a cross-source double SUM whose fold order could flip a
+    * bit. Feed the (source, w_micro) pairs to [[mixturePlan]] as its
+    * weights (relative scale is all it reads).
+    *
+    * Scale shape: one token scan, one per-source hash aggregate, a
+    * 1-row max broadcast — nothing pairwise, nothing driver-side. */
+  def temperatureWeights(df: DataFrame, sourceCol: String, textCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0, s"temperature exponent must be >= 0, got $alpha")
+    val t = df.groupBy(col(s"`$sourceCol`").as("source"))
+      .agg(sum(size(tokens(col(s"`$textCol`"))).cast("long"))
+        .as("avail_tokens"))
+    val mx = t.agg(max("avail_tokens").as("__mx"))
+    t.crossJoin(broadcast(mx))
+      .select(col("source"), col("avail_tokens"),
+        round(lit(1e6) * pow(
+          col("avail_tokens").cast("double") / col("__mx"), lit(alpha)))
+          .cast("long").as("w_micro"))
+  }
+
   /** CCNet's SELECTION step (Wenzek et al. 2020 §4.3 keep the
     * low-perplexity head of each bucket): retain the best-fitting
     * `frac` of each group (language, source) under the reference LM.

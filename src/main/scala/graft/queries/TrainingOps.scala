@@ -930,6 +930,26 @@ object TrainingOps {
         .orderBy("source")
     },
 
+    // ----------------------- curation: temperature (α-sampling) source
+    // weights — rate ∝ tokens^α, max-normalized micro weights (the
+    // T5/GPT-3/Llama mixture device; feeds mixturePlan)
+    QueryDef(
+      "q_td_mixture_temp",
+      raw"""WITH t AS (
+           |  SELECT source,
+           |    CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+           |      AS avail_tokens
+           |  FROM documents GROUP BY source),
+           |m AS (SELECT CAST(max(avail_tokens) AS BIGINT) AS mx FROM t)
+           |SELECT source, avail_tokens,
+           |  CAST(round(1e6 * pow(CAST(avail_tokens AS DOUBLE) / mx, 0.7))
+           |    AS BIGINT) AS w_micro
+           |FROM t CROSS JOIN m ORDER BY source""".stripMargin) { (s, d) =>
+      TextOps.temperatureWeights(Tables.documents(s, d), "source", "text",
+        alpha = 0.7)
+        .orderBy("source")
+    },
+
     // ------------- curation: CCNet-style LM perplexity scoring (Wenzek
     // et al. 2020 — bigram LM learned on the 'en' reference slice scores
     // every non-'en' document's cross-entropy; low = reference-like)

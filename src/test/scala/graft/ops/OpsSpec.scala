@@ -1388,6 +1388,24 @@ class OpsSpec extends AnyFunSuite with Matchers {
     SubstrateCache.release(spark)
   }
 
+  test("temperature weights: max source pins 1e6, ratios follow (n/max)^a, " +
+      "alpha=0 flattens, alpha=1 is proportional") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "big"),  // 10 tokens
+      (2L, "w1 w2 w3 w4 w5", "small")                  // 5 tokens
+    ).toDF("doc_id", "text", "source")
+    def w(alpha: Double): Map[String, (Long, Long)] =
+      TextOps.temperatureWeights(d, "source", "text", alpha)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    val w07 = w(0.7)
+    w07("big") shouldBe ((10L, 1000000L))
+    w07("small") shouldBe ((5L, math.round(1e6 * math.pow(0.5, 0.7))))
+    w(1.0)("small")._2 shouldBe 500000L  // proportional
+    w(0.0)("small")._2 shouldBe 1000000L // flat: every source weighs max
+  }
+
   test("perplexity prune: keeps the best-fitting ceil(n*frac) of each " +
       "group; unscorable single-token docs are excluded, not ranked") {
     import spark.implicits._
