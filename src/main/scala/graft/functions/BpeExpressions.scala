@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Vocab-driven byte-pair-encoding token counting — the BPE-accurate
@@ -61,6 +62,53 @@ case class BpeTokenCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Byte-level BPE ENCODING to token ids — the materialization step a
+  * tokenize-and-pack pipeline runs after [[BpeTokenCount]] has done its
+  * budget math. Ids follow the merges-only vocabulary construction
+  * (the standard when no vocab.json artifact exists): the 256 byte-level
+  * base symbols take ids 0–255 (byte order), merge line `i` mints id
+  * `256 + i` for its fused symbol. A symbol no id covers (only possible
+  * under a malformed merges table whose fused strings disagree with its
+  * pairs) encodes as -1 rather than poisoning the task.
+  *
+  * Same codegen/memoization contract as [[BpeTokenCount]]; the two
+  * expressions share one compiled [[BpeTokenizer.Ranks]] per merge
+  * table, so running count-then-encode pays one rank map, one cache. */
+case class BpeEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType || right.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string text, string merges), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a literal merges table (it compiles to a " +
+          "rank map once per plan)")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  @transient private lazy val ranks: BpeTokenizer.Ranks =
+    BpeTokenizer.ranksFor(String.valueOf(right.eval()))
+
+  override protected def nullSafeEval(t: Any, m: Any): Any =
+    BpeTokenizer.encodeTokens(t.asInstanceOf[UTF8String].toString, ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) => {
+      val r = ctx.addReferenceObj("bpeRanks", ranks,
+        classOf[BpeTokenizer.Ranks].getName)
+      s"${ev.value} = graft.functions.BpeTokenizer.encodeTokens($t.toString(), $r);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object BpeTokenizer {
 
   /** GPT-2 `bytes_to_unicode`: printable/latin bytes map to themselves,
@@ -105,11 +153,25 @@ object BpeTokenizer {
     * per-word memo the reference encoder keeps. */
   final class Ranks(spec: String) extends Serializable {
     val rank = new java.util.HashMap[String, Integer]
+    /** Symbol → token id: byte-level base symbols are ids 0–255, merge
+      * line i mints id 256+i for its fused string (the merges-only
+      * vocabulary construction [[BpeEncode]] documents). */
+    val idOf = new java.util.HashMap[String, Integer]
+    (0 until 256).foreach { b =>
+      idOf.put(String.valueOf(byteToChar(b)), b)
+    }
     spec.split('\n').iterator.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .zipWithIndex.foreach { case (l, i) => rank.putIfAbsent(l, i) }
+      .zipWithIndex.foreach { case (l, i) =>
+        rank.putIfAbsent(l, i)
+        val sep = l.indexOf(' ')
+        if (sep > 0)
+          idOf.putIfAbsent(l.substring(0, sep) + l.substring(sep + 1), 256 + i)
+      }
     @transient lazy val cache =
       new java.util.concurrent.ConcurrentHashMap[String, Integer]
+    @transient lazy val idsCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]
   }
 
   private val ranksCache =
@@ -130,10 +192,41 @@ object BpeTokenizer {
   private def countWord(word: String, ranks: Ranks): Int = {
     val hit = ranks.cache.get(word)
     if (hit != null) return hit.intValue()
+    val n = mergeWord(word, ranks).length
+    if (ranks.cache.size < 200000) ranks.cache.put(word, n)
+    n
+  }
+
+  /** BPE token ids of `text` under `ranks` — concatenated per-pre-token
+    * encodings, per-word memoized like [[countTokens]]. */
+  def encodeTokens(text: String, ranks: Ranks): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int](text.length / 4 + 8)
+    val m = PreToken.matcher(text)
+    while (m.find()) {
+      val w = m.group()
+      var ids = ranks.idsCache.get(w)
+      if (ids == null) {
+        val syms = mergeWord(w, ranks)
+        ids = new Array[Int](syms.length)
+        var i = 0
+        while (i < syms.length) {
+          val id = ranks.idOf.get(syms(i))
+          ids(i) = if (id == null) -1 else id.intValue()
+          i += 1
+        }
+        if (ranks.idsCache.size < 200000) ranks.idsCache.put(w, ids)
+      }
+      out ++= ids
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The greedy merge fixpoint on one pre-token's byte-level symbols —
+    * shared by counting and encoding: fuse every occurrence of the
+    * lowest-ranked adjacent pair (left-to-right, non-overlapping),
+    * repeat until no pair is in the table (the reference encoder). */
+  private def mergeWord(word: String, ranks: Ranks): Array[String] = {
     var syms = initialSymbols(word)
-    // greedy merge loop: fuse every occurrence of the lowest-ranked
-    // adjacent pair (left-to-right, non-overlapping), repeat until no
-    // pair is in the table — the reference encoder's fixpoint
     var done = syms.length <= 1
     while (!done) {
       var best = Int.MaxValue
@@ -158,8 +251,6 @@ object BpeTokenizer {
         done = syms.length <= 1
       }
     }
-    val n = syms.length
-    if (ranks.cache.size < 200000) ranks.cache.put(word, n)
-    n
+    syms
   }
 }

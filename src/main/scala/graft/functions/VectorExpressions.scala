@@ -194,7 +194,8 @@ object GraftFunctions {
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
     "graft_lower_bound" -> (es => LowerBoundCount(es(0), es(1))),
-    "graft_bpe_count" -> (es => BpeTokenCount(es(0), es(1))))
+    "graft_bpe_count" -> (es => BpeTokenCount(es(0), es(1))),
+    "graft_bpe_encode" -> (es => BpeEncode(es(0), es(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

@@ -943,6 +943,21 @@ object TextOps {
       call_function("graft_bpe_count", col(s"`$textCol`"),
         lit(merges.mkString("\n"))).as("bpe_tokens"))
 
+  /** BPE token IDS per document — the tokenize-and-MATERIALIZE step a
+    * training-data pipeline runs once the [[bpeTokenCounts]] budget math
+    * is settled (the array this returns is what sequence packing
+    * actually ships to a trainer). Ids are the merges-only vocabulary:
+    * byte-level base symbols 0–255, merge line i = id 256+i (see
+    * [[graft.functions.BpeEncode]]). Same codegen expression contract
+    * as the counter — no UDF, per-word memoized, and
+    * `size(bpe_ids) == bpe_tokens` by construction (property-tested). */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String]): DataFrame =
+    df.select(
+      col(s"`$idCol`").as("doc_id"),
+      call_function("graft_bpe_encode", col(s"`$textCol`"),
+        lit(merges.mkString("\n"))).as("bpe_ids"))
+
   /** BPE VOCABULARY INDUCTION — learn a byte-level merge table from the
     * corpus itself (Sennrich et al. 2016, "Neural Machine Translation of
     * Rare Words with Subword Units", with GPT-2's byte-level start

@@ -57,6 +57,34 @@ class BpeTokenizerSpec extends AnyFunSuite with Matchers {
     count("oin onin", "o n", "i n") shouldBe (2 + 3)
   }
 
+  test("graft_bpe_encode: ids follow the merges-only vocabulary (bytes " +
+      "0-255, merge i mints 256+i) and size(ids) == graft_bpe_count") {
+    import spark.implicits._
+    // "the" under chained merges fuses to the symbol merge line 1
+    // ("th e") minted → id 257; " the" keeps the leading Ġ (byte 32)
+    val ranks = BpeTokenizer.ranksFor("t h\nth e")
+    BpeTokenizer.encodeTokens("the", ranks).toIntArray() shouldBe Array(257)
+    BpeTokenizer.encodeTokens(" the", ranks).toIntArray() shouldBe
+      Array(32, 257)
+    // unmerged bytes are their raw byte values; boundaries hold
+    BpeTokenizer.encodeTokens("don'thing", BpeTokenizer.ranksFor("t h"))
+      .toIntArray() shouldBe
+      ("don".map(_.toInt) ++ Seq(39, 116) ++ "hing".map(_.toInt)).toArray
+    // expression under codegen: the size(ids) == count identity, and no
+    // -1 sentinel under a well-formed table (multi-byte UTF-8 included)
+    val df = Seq((1L, "the thermos"), (2L, "don'thing"), (3L, " the"),
+      (4L, "héllo ü"), (5L, ""))
+      .toDF("id", "text")
+    val out = df.selectExpr("id",
+      "graft_bpe_encode(text, 't h\nth e') AS ids",
+      "graft_bpe_count(text, 't h\nth e') AS n")
+      .collect()
+    out.foreach { r =>
+      r.getSeq[Int](1).size shouldBe r.getInt(2)
+      r.getSeq[Int](1).foreach(_ should be >= 0)
+    }
+  }
+
   test("the graft_bpe_count expression matches the direct tokenizer " +
       "under codegen") {
     import spark.implicits._
