@@ -281,19 +281,37 @@ object TextOps {
     * Output: (doc_id, n_shingles, n_contaminated, contamination).
     *
     * Plan shape at 100 TB: two exploded shingle streams, a distinct
-    * each, one equi-join on the shingle hash, one count aggregate — every
-    * shuffle is a hash-partition on doc id or shingle hash, nothing
+    * each, one equi-join on the shingle key, one count aggregate — every
+    * shuffle is a hash-partition on doc id or shingle key, nothing
     * pairwise, so work is linear in corpus tokens regardless of benchmark
-    * or corpus size. */
+    * or corpus size. Shingle keys are two independent 32-bit folds
+    * (64-bit effective) — see the in-body comment. */
   def contaminationScores(
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val corpusShingles = shingleRows(corpus, idCol, textCol).distinct()
-    val benchShingles = shingleRows(benchmark, idCol, textCol)
-      .select(col("__s")).distinct()
+    // TWO independent 32-bit folds (64-bit effective — the
+    // [[noveltyScores]]/[[dedupSubstrings]] key): decontamination
+    // REMOVES data, and with a single 32-bit fold a benchmark set with
+    // 10M+ distinct shingles would spuriously flag ~|bench|/2^32 of
+    // every clean document's shingles at corpus scale — erasing good
+    // documents at a measurable rate. Per-word hash bound BEFORE the
+    // gram fold (the sourceOverlapMatrix projection-boundary trap).
+    def gramRows(df: DataFrame): DataFrame =
+      df.select(col(s"`$idCol`").as("__id"),
+          hashAll(tokens(col(s"`$textCol`"))).as("__hw"))
+        .select(col("__id"), explode(zip_with(
+            ngramHashes(col("__hw"), 2),
+            ngramHashes(col("__hw"), 2, ShingleMult2),
+            (x, y) => struct(x.as("g1"), y.as("g2")))).as("__gs"))
+        .select(col("__id"), col("__gs.g1").as("__g1"),
+          col("__gs.g2").as("__g2"))
+        .distinct()
+    val corpusShingles = gramRows(corpus)
+    val benchShingles = gramRows(benchmark)
+      .select(col("__g1"), col("__g2")).distinct()
       .withColumn("__hit", lit(1))
     val scored = corpusShingles
-      .join(benchShingles, Seq("__s"), "left")
+      .join(benchShingles, Seq("__g1", "__g2"), "left")
       .groupBy("__id")
       .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_contaminated"))
       .withColumnRenamed("__id", "doc_id")

@@ -205,11 +205,21 @@ object TrainingOps {
     // benchmark set — here the deterministic doc_id % 20 = 0 slice)
     QueryDef(
       "q_td_contamination",
-      s"""WITH sh AS ($ShingleDocs),
-         |corp AS (SELECT id, unnest(hs) AS h FROM sh),
-         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE id % 20 = 0),
-         |scored AS (SELECT c.id, count(*) AS t, count(b.h) AS m
-         |           FROM corp c LEFT JOIN bench b ON c.h = b.h GROUP BY c.id)
+      s"""WITH hw AS (SELECT doc_id,
+         |    list_transform($Words, w -> ${H("w")}) AS hw FROM documents),
+         |corp AS (SELECT DISTINCT doc_id AS id, p[1] AS g1, p[2] AS g2 FROM (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN len(hw) < 2 THEN CAST([] AS BIGINT[][])
+         |      ELSE list_transform(range(1, len(hw)),
+         |        i -> [(hw[i] * 1000003 + hw[i+1]) % ${TextOps.ShingleMod},
+         |              (hw[i] * ${TextOps.ShingleMult2} + hw[i+1])
+         |                % ${TextOps.ShingleMod}])
+         |    END) AS p
+         |  FROM hw)),
+         |bench AS (SELECT DISTINCT g1, g2 FROM corp WHERE id % 20 = 0),
+         |scored AS (SELECT c.id, count(*) AS t, count(b.g1) AS m
+         |           FROM corp c LEFT JOIN bench b
+         |             ON c.g1 = b.g1 AND c.g2 = b.g2 GROUP BY c.id)
          |SELECT d.doc_id, coalesce(s.t, 0) AS n_shingles,
          |       coalesce(s.m, 0) AS n_contaminated,
          |       coalesce(CAST(s.m AS DOUBLE) / CAST(s.t AS DOUBLE), 0.0)
