@@ -379,6 +379,55 @@ object TextOps {
         expr(s"(__cum - n_tokens) DIV $maxTokens").as("bin"))
   }
 
+  /** Materialize PACKED training sequences — the step after
+    * [[packSequences]]' budget math: concatenate each (shard, bin)'s
+    * documents into one id array in packing order, `eosId` appended
+    * after every document (the GPT-style separator convention). `idsCol`
+    * is any `array<int>` id column — [[bpeEncode]]'s output in a real
+    * pipeline; the oracle query drives it with hashed words so DuckDB
+    * can restate the packing end to end.
+    *
+    * Bin assignment is EXACTLY [[packSequences]]' (exclusive-prefix
+    * token sums over (shard; hash, id) order, n_tokens = id count), so
+    * the two surfaces agree document-for-document; the emitted array
+    * additionally carries one separator per document (`n_tokens` counts
+    * them).
+    *
+    * Output: (shard, bin, n_docs, n_tokens, ids).
+    *
+    * Scale shape: the same single window shuffle as [[packSequences]],
+    * then ONE hash aggregate on (shard, bin). The aggregation buffer is
+    * bounded by the BIN BUDGET — maxTokens plus one document's overflow
+    * — never by corpus or shard size; in-bin order is pinned by sorting
+    * the buffered (hash, id, ids) structs, so the result is identical
+    * under any aggregation arrival order. */
+  def packMaterialize(df: DataFrame, idCol: String, idsCol: String,
+      maxTokens: Long, shards: Int, eosId: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(shards > 0, "shards must be positive")
+    val base = df.select(col(s"`$idCol`").as("doc_id"),
+        coalesce(col(s"`$idsCol`"), array().cast("array<int>")).as("__ids"),
+        coalesce(portableHash(col(s"`$idCol`").cast("string")), lit(0L))
+          .as("__h"))
+      .withColumn("n_tokens", size(col("__ids")).cast("long"))
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(__cum - n_tokens) DIV $maxTokens"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        array_sort(collect_list(struct(col("__h"), col("doc_id"),
+          col("__ids")))).as("__parts"))
+      .select(col("shard"), col("bin"), col("n_docs"),
+        flatten(transform(col("__parts"),
+          p => concat(p("__ids"), array(lit(eosId))))).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
+        col("ids"))
+  }
+
   /** Per-doc SimHash signatures (16-bit) over distinct tokens. Docs with
     * equal signatures are near-dup candidates; grouping by signature is a
     * single aggregate. */

@@ -275,6 +275,45 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // ------------------- training prep: packed-sequence MATERIALIZATION
+    // (the arrays a trainer ships: per (shard, bin) the concatenated doc
+    // ids in packing order with an EOS separator; ids here are hashed
+    // words so DuckDB can restate the whole pipeline — a real run feeds
+    // bpeEncode's arrays through the same surface)
+    QueryDef(
+      "q_td_packing_mat",
+      raw"""WITH t AS (SELECT doc_id,
+           |    list_transform(string_split_regex(text, '\s+'),
+           |      w -> CAST(${H("w")} % 32768 AS INT)) AS ids,
+           |    coalesce(${H("CAST(doc_id AS VARCHAR)")}, 0) AS h
+           |  FROM documents),
+           |c AS (SELECT doc_id, ids, h, h % 8 AS shard,
+           |    CAST(len(ids) AS BIGINT) AS n_tokens,
+           |    sum(CAST(len(ids) AS BIGINT)) OVER (PARTITION BY h % 8
+           |      ORDER BY h, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM t),
+           |b AS (SELECT *, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
+           |  FROM c),
+           |p AS (SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+           |    flatten(list(list_append(ids, 50256) ORDER BY h, doc_id))
+           |      AS ids
+           |  FROM b GROUP BY shard, bin)
+           |SELECT shard, bin, n_docs, CAST(len(ids) AS BIGINT) AS n_tokens,
+           |       array_to_string(ids, ',') AS ids_csv
+           |FROM p ORDER BY shard, bin""".stripMargin) { (s, d) =>
+      val withIds = Tables.documents(s, d).select(col("doc_id"),
+        transform(TextOps.tokens(col("text")),
+          w => pmod(TextOps.portableHash(w), lit(32768L)).cast("int"))
+          .as("ids"))
+      TextOps.packMaterialize(withIds, "doc_id", "ids",
+        maxTokens = 512L, shards = 8, eosId = 50256)
+        .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
+          concat_ws(",", transform(col("ids"), _.cast("string")))
+            .as("ids_csv"))
+        .orderBy("shard", "bin")
+    },
+
     // --------------------------------------- similarity: brute-force kNN
     QueryDef("q_td_knn_brute", knnOracle) { (s, d) =>
       val e = Tables.embeddings(s, d)

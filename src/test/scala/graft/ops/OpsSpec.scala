@@ -1388,6 +1388,62 @@ class OpsSpec extends AnyFunSuite with Matchers {
     SubstrateCache.release(spark)
   }
 
+  test("pack materialize: per-bin arrays follow packing order with one " +
+      "EOS per doc; bins agree with packSequences; empty ids handled") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(11, 12, 13)),
+      (2L, Seq(21, 22)),
+      (3L, Seq(31)),
+      (4L, Seq.empty[Int]))
+      .toDF("doc_id", "ids")
+    val out = TextOps.packMaterialize(d, "doc_id", "ids",
+      maxTokens = 4L, shards = 1, eosId = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getSeq[Int](4))).sortBy(t => (t._1, t._2))
+    // single shard: packing order is (hash(doc_id), doc_id); bins cut at
+    // exclusive-prefix DIV 4 over id counts — recompute independently
+    val hs = Seq(1L, 2L, 3L, 4L).map(i =>
+      i -> {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        java.lang.Long.parseLong(md.digest(i.toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+      }).toMap
+    val order = Seq(1L, 2L, 3L, 4L).sortBy(i => (hs(i), i))
+    val lens = Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0)
+    var cum = 0L
+    val bins = order.map { i =>
+      val b = cum / 4; cum += lens(i); i -> b
+    }.toMap
+    // every doc's ids appear in its bin, in order, each followed by EOS
+    val byBin = order.groupBy(bins)
+    byBin.foreach { case (bin, docs) =>
+      val row = out.find(_._2 == bin).get
+      row._3 shouldBe docs.size.toLong            // n_docs
+      val wantIds = docs.flatMap(i =>
+        (i match {
+          case 1L => Seq(11, 12, 13); case 2L => Seq(21, 22)
+          case 3L => Seq(31); case _ => Seq.empty[Int]
+        }) :+ 0)
+      row._5 shouldBe wantIds
+      row._4 shouldBe wantIds.size.toLong         // n_tokens incl. EOS
+    }
+    // bin assignment matches packSequences on an equivalent text corpus
+    val texts = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "a"), (4L, ""))
+      .toDF("doc_id", "text")
+    // packSequences counts whitespace tokens: "" splits to [""] (1 token)
+    // unlike the empty ids array, so compare only docs 1-3
+    val ps = TextOps.packSequences(texts, "doc_id", "text", 4L, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    Seq(1L, 2L, 3L).foreach { i =>
+      withClue(s"doc $i bin vs packSequences:") {
+        if (order.indexOf(4L) >= order.indexOf(i))
+          ps(i) shouldBe bins(i)
+      }
+    }
+  }
+
   test("temperature weights: max source pins 1e6, ratios follow (n/max)^a, " +
       "alpha=0 flattens, alpha=1 is proportional") {
     import spark.implicits._
