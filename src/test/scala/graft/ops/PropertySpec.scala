@@ -371,6 +371,51 @@ class PropertySpec extends AnyFunSuite with Matchers {
     SubstrateCache.release(spark)
   }
 
+  test("packMaterialize invariants over random corpora: exact independent " +
+      "recomputation per (shard, bin), budget overflow < one document") {
+    val corpus = randomCorpus(80, 13)
+    val withIds = corpus.map { case (id, text) =>
+      (id, text.split("\\s+").map(w => (sha32(w) % 32768L).toInt).toSeq)
+    }
+    val maxTokens = 16L
+    val shards = 4
+    val eos = -7
+    val out = TextOps.packMaterialize(
+      withIds.toDF("doc_id", "ids"), "doc_id", "ids",
+      maxTokens, shards, eos)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getSeq[Int](4)))).toMap
+    // independent reimplementation: shard by hash, order by (hash, id),
+    // exclusive-prefix DIV cut, concat + EOS
+    val docs = withIds.map { case (id, ids) => (id, ids, sha32(id.toString)) }
+    val expected = docs.groupBy(_._3 % shards).flatMap { case (shard, ds) =>
+      val ordered = ds.sortBy(d => (d._3, d._1))
+      var cum = 0L
+      val binned = ordered.map { d =>
+        val b = cum / maxTokens; cum += d._2.size; (b, d)
+      }
+      binned.groupBy(_._1).map { case (bin, parts) =>
+        val ids = parts.flatMap(p => p._2._2 :+ eos)
+        (shard, bin) -> ((parts.size.toLong, ids.size.toLong, ids))
+      }
+    }
+    out.keySet shouldBe expected.keySet
+    expected.foreach { case (k, v) =>
+      withClue(s"(shard, bin) $k:\n") { out(k) shouldBe v }
+    }
+    // budget: the ids of a bin minus its separators and minus its LAST
+    // document's overflow always fit the budget (exclusive-prefix cut)
+    expected.foreach { case (k @ (shard, bin), (nd, nt, _)) =>
+      val parts = docs.filter(d => d._3 % shards == shard)
+        .sortBy(d => (d._3, d._1))
+      val lens = { var cum = 0L
+        parts.flatMap { d =>
+          val b = cum / maxTokens; cum += d._2.size
+          if (b == bin) Some(d._2.size.toLong) else None } }
+      (lens.sum - lens.last) should be < maxTokens
+    }
+  }
+
   test("classifier inference matches an independent scala reimplementation " +
       "of the hashed-feature sigmoid over random corpora; probs in [0, 1e6]") {
     val corpus = randomCorpus(50, 12)

@@ -167,6 +167,23 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     graft.ops.SubstrateCache.release(spark)
   }
 
+  test("pack materialize: one shard-keyed window shuffle + one (shard, " +
+      "bin) aggregate — no global sort, no cartesian") {
+    val withIds = docs.select(col("doc_id"),
+      transform(graft.ops.TextOps.tokens(col("text")),
+        w => pmod(graft.ops.TextOps.portableHash(w), lit(32768L)).cast("int"))
+        .as("ids"))
+    val p = plan(graft.ops.TextOps.packMaterialize(withIds, "doc_id", "ids",
+      512L, 8, 0))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the window partitions on the shard key — never an empty (global)
+    // partition spec
+    val windows = "Window \\[[^\\]]*\\], \\[[^\\]]*\\]".r.findAllIn(p).toList
+    windows should not be empty
+    windows.foreach(w => w should include("shard"))
+  }
+
   test("gopher rules plan ZERO exchanges — pure per-row codegen column " +
       "algebra (the filter to run before anything that pays a shuffle)") {
     // parquet-backed input: a local Seq constant-folds into a
