@@ -1951,20 +1951,36 @@ object TextOps {
     * group column here instead of paying a second corpus scan + join. */
   private def lmPerplexityScoresCarry(raw: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, carry: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def pairRows(df: DataFrame): DataFrame = {
-      val wh = hashedWordRows(df, idCol, textCol)
-      val win = Window.partitionBy("__id").orderBy("__pos")
-      wh.withColumn("__h2", lead("__h", 1).over(win))
-        .filter(col("__h2").isNotNull)
-        .select(col("__id"), col("__h").as("__h1"), col("__h2"))
-    }
-    val refPairs = SubstrateCache.persist(pairRows(reference))
+    val refPairs = SubstrateCache.persist(lmPairRows(reference, idCol, textCol))
     val cb = refPairs.groupBy("__h1", "__h2").agg(count(lit(1)).as("__cb"))
     val ctx = refPairs.groupBy("__h1").agg(count(lit(1)).as("__cu"))
     val vocab = hashedWordRows(reference, idCol, textCol)
       .agg(countDistinct(col("__h")).as("__v"))
-    val docp = pairRows(raw).groupBy("__id", "__h1", "__h2")
+    lmScoreAgainstModel(raw, idCol, textCol, carry, cb, ctx, vocab)
+  }
+
+  /** (doc, h1, h2) adjacent-bigram rows — the LM substrate shared by
+    * in-session model fits and [[LmIndex]]'s persisted model. */
+  private[ops] def lmPairRows(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wh = hashedWordRows(df, idCol, textCol)
+    val win = Window.partitionBy("__id").orderBy("__pos")
+    wh.withColumn("__h2", lead("__h", 1).over(win))
+      .filter(col("__h2").isNotNull)
+      .select(col("__id"), col("__h").as("__h1"), col("__h2"))
+  }
+
+  /** Score `raw` against an already-fitted bigram model: `cb(__h1, __h2,
+    * __cb)` bigram counts, `ctx(__h1, __cu)` context counts, `vocab` a
+    * 1-row `(__v)` vocabulary size. The quantization contract of
+    * [[lmPerplexityScores]] — a model persisted and reloaded
+    * ([[LmIndex]]) reproduces the in-session scores bit-for-bit because
+    * the counts it stores are exact integers. */
+  private[ops] def lmScoreAgainstModel(raw: DataFrame, idCol: String,
+      textCol: String, carry: Seq[String], cb: DataFrame, ctx: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val docp = lmPairRows(raw, idCol, textCol).groupBy("__id", "__h1", "__h2")
       .agg(count(lit(1)).as("__c"))
     // micro-nat log-prob per distinct scored bigram: the one place
     // doubles appear, once per (doc, h1, h2) group

@@ -1010,6 +1010,25 @@ object TrainingOps {
         .orderBy("doc_id")
     },
 
+    // ------------- curation: perplexity via the PERSISTED LM index —
+    // the train-once/score-many surface; same oracle as q_td_perplexity
+    // (a reloaded model must reproduce in-session scores bit-for-bit)
+    QueryDef("q_td_perplexity_index", perplexityOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val ref = docs.filter(col("lang") === "en")
+      // staged-reuse as q_td_dedup_index: sha256-keyed root revalidated
+      // against the build-time source count
+      val root = s"/tmp/graft_engine/lmindex_v1_${EngineOps.dirKey(d)}"
+      val n = ref.count()
+      val idx = {
+        val existing = graft.ops.LmIndex(s, root)
+        if (existing.exists && existing.sourceCount.contains(n)) existing
+        else graft.ops.LmIndex.create(s, ref, "doc_id", "text", root)
+      }
+      idx.score(docs.filter(col("lang") =!= "en"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ------------- curation: CCNet's selection step — keep the best-
     // fitting half of each source under the reference LM (the paper's
     // head/middle cut as a per-group fraction)

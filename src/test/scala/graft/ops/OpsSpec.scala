@@ -1482,6 +1482,35 @@ class OpsSpec extends AnyFunSuite with Matchers {
     SubstrateCache.release(spark)
   }
 
+  test("lm index: persisted model reproduces in-session scores exactly; " +
+      "addCorpus merge equals a from-scratch refit") {
+    import spark.implicits._
+    val ref1 = docs((100L, "a b a c"), (101L, "b c a"))
+    val ref2 = docs((200L, "a b d"), (201L, "d d a b"))
+    val raw = docs((1L, "a b a"), (2L, "d d"), (3L, "z"), (4L, "c a b"))
+    val root = java.nio.file.Files.createTempDirectory("graft-lmidx")
+      .toString + "/idx"
+    val idx = LmIndex.create(spark, ref1, "doc_id", "text", root)
+    val direct = TextOps.lmPerplexityScores(raw, ref1, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val viaIndex = idx.score(raw, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    viaIndex shouldBe direct
+    idx.sourceCount shouldBe Some(2L)
+    idx.vocabSize shouldBe 3L // a, b, c
+    // incremental fold: merge in ref2, compare against a fresh fit on
+    // ref1 ∪ ref2 — counts are additive, vocab is a set union
+    idx.addCorpus(ref2, "doc_id", "text")
+    idx.vocabSize shouldBe 4L // + d
+    val merged = idx.score(raw, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val refit = TextOps.lmPerplexityScores(raw, ref1.unionAll(ref2),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    merged shouldBe refit
+    SubstrateCache.release(spark)
+  }
+
   test("classifier inference: n_feats = 2T-1, zero weights give sigmoid" +
       "(bias), unit weights give sigmoid(1) — micro-quantized exactly") {
     import spark.implicits._
