@@ -1881,8 +1881,9 @@ object TextOps {
     * of a half-micro-unit.
     *
     * Returns (doc_id, n_feats, prob_micro) for EVERY document —
-    * documents with no features (empty text) score `σ(bias)`: a gate
-    * must see every document, and silently dropping the empty ones
+    * documents yielding no feature rows (null text; an empty string
+    * still tokenizes to one "" unigram) score `σ(bias)`: a gate must
+    * see every document, and silently dropping the featureless ones
     * would un-audit exactly the rows most likely to be filtered.
     *
     * Scale shape: one token scan, (doc, bucket) rows hash-aggregate
