@@ -1066,11 +1066,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
   private[graft] def filesInRangeOf(m: Manifest,
       column: String, lower: Option[Any], upper: Option[Any]): Seq[TableFile] = {
     val dt = m.schema.fields.find(_.name == column).map(_.dataType)
-    val lo = lower.flatMap(statsBound(dt, _))
-    val hi = upper.flatMap(statsBound(dt, _))
+    // bounds parsed ONCE here (not per file): this filter runs over every
+    // manifest entry — 1M for a ~100 TB table — on the driver
+    val lo = lower.flatMap(statsBound(dt, _)).map(ColStats.Bound(_))
+    val hi = upper.flatMap(statsBound(dt, _)).map(ColStats.Bound(_))
     val statKey = m.physicalName(column) // stats key by physical name
     m.files.filter(f =>
-      f.stats.get(statKey).forall(_.overlaps(lo, hi)))
+      f.stats.get(statKey).forall(_.overlapsBounds(lo, hi)))
   }
 
   /** A range bound in the footer-stats domain for a column of type `dt`;
@@ -1188,10 +1190,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       values: Seq[Any], candidates: Seq[TableFile]): Seq[TableFile] = {
     require(values.nonEmpty, "filesMightContain needs at least one value")
     val dt = m.schema.fields.find(_.name == column).map(_.dataType)
-    val bounds = values.map(v => statsBound(dt, v))
+    val bounds = values.map(v => statsBound(dt, v).map(ColStats.Bound(_)))
     val statKey = m.physicalName(column) // stats + blooms key by physical
     val ranged = candidates.filter(f => bounds.exists(b =>
-      f.stats.get(statKey).forall(_.overlaps(b, b))))
+      f.stats.get(statKey).forall(_.overlapsBounds(b, b))))
     (bloomIndexes.get(statKey), dt) match {
       case (Some(_), Some(d)) =>
         val probes = values.flatMap(v => BloomIndex.probe(d, v))

@@ -29,25 +29,44 @@ final case class ColStats(typ: String, min: String, max: String) {
     * unparsable values) conservatively return true: skipping is an
     * optimization and must never drop files. */
   def overlaps(lower: Option[Any], upper: Option[Any]): Boolean =
+    overlapsBounds(lower.map(ColStats.Bound(_)), upper.map(ColStats.Bound(_)))
+
+  /** [[overlaps]] against caller-prepared bounds. Manifest pruning
+    * evaluates ONE bound against every file of the snapshot (1M entries
+    * for a ~100 TB table), so the bound's parsed forms are hoisted into
+    * [[ColStats.Bound]] once per query instead of re-derived per file,
+    * and integral bounds against integral stats compare through a
+    * zero-allocation `Long` fast path — the BigDecimal fallback keeps
+    * the exact semantics for fractional/decimal inputs. */
+  def overlapsBounds(
+      lower: Option[ColStats.Bound], upper: Option[ColStats.Bound]): Boolean =
     try {
       // a bound only participates when its runtime type lives in the same
       // comparison domain as the stats; e.g. string stats "150" vs bound
       // 99 must NOT compare textually — Spark's filter would cast "150"
       // numerically and keep the row
-      def comparable(v: Any): Boolean = typ match {
-        case "string" => v.isInstanceOf[String]
-        case _ => v.isInstanceOf[java.lang.Number] ||
-          v.isInstanceOf[scala.math.BigDecimal]
+      def comparable(b: ColStats.Bound): Boolean = typ match {
+        case "string" => b.isString
+        case _        => b.isNumber
       }
-      def cmp(a: String, b: String): Int = typ match {
+      // compare a stat string against the bound in the type's domain
+      def cmp(stat: String, b: ColStats.Bound): Int = typ match {
         // parquet computed the min/max in unsigned UTF-8 byte order —
         // compare the same way (String.compareTo's UTF-16 order disagrees
         // beyond the BMP and would skip files that contain matches)
-        case "string" => ColStats.compareUtf8(a, b)
-        case _        => BigDecimal(a).compare(BigDecimal(b))
+        case "string" => ColStats.compareUtf8Bytes(stat, b.utf8)
+        case _ => b.asLong match {
+          case Some(l) =>
+            // exact-integer domain: identical ordering to the BigDecimal
+            // compare below, no allocation
+            try java.lang.Long.compare(java.lang.Long.parseLong(stat), l)
+            catch { case _: NumberFormatException =>
+              BigDecimal(stat).compare(b.asDecimal) }
+          case None => BigDecimal(stat).compare(b.asDecimal)
+        }
       }
-      val loOk = lower.forall(l => !comparable(l) || cmp(max, l.toString) >= 0)
-      val hiOk = upper.forall(u => !comparable(u) || cmp(min, u.toString) <= 0)
+      val loOk = lower.forall(l => !comparable(l) || cmp(max, l) >= 0)
+      val hiOk = upper.forall(u => !comparable(u) || cmp(min, u) <= 0)
       loOk && hiOk
     } catch {
       case _: NumberFormatException => true
@@ -56,9 +75,13 @@ final case class ColStats(typ: String, min: String, max: String) {
 
 object ColStats {
   /** Unsigned byte-wise UTF-8 comparison — parquet's binary stat order. */
-  def compareUtf8(a: String, b: String): Int = {
+  def compareUtf8(a: String, b: String): Int =
+    compareUtf8Bytes(a, b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** [[compareUtf8]] against pre-encoded right-hand bytes (the bound side
+    * of a prune is encoded once, the stat side per file). */
+  def compareUtf8Bytes(a: String, y: Array[Byte]): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
     val n = math.min(x.length, y.length)
     while (i < n) {
@@ -68,6 +91,30 @@ object ColStats {
     }
     x.length - y.length
   }
+
+  /** A prune bound with its parsed forms computed once (see
+    * [[ColStats.overlapsBounds]]): manifest pruning holds one bound
+    * against every file entry of a snapshot, so nothing bound-derived
+    * may be re-computed per file. */
+  final class Bound(val raw: Any) {
+    val isString: Boolean = raw.isInstanceOf[String]
+    val isNumber: Boolean = raw.isInstanceOf[java.lang.Number] ||
+      raw.isInstanceOf[scala.math.BigDecimal]
+    /** Exact-integral value — enables the allocation-free fast path. */
+    val asLong: Option[Long] = raw match {
+      case l: java.lang.Long    => Some(l.longValue)
+      case i: java.lang.Integer => Some(i.longValue)
+      case s: java.lang.Short   => Some(s.longValue)
+      case b: java.lang.Byte    => Some(b.longValue)
+      case _                    => None
+    }
+    /** Decimal form; throws NumberFormatException for non-numeric raw —
+      * callers' conservative catch keeps the file. */
+    lazy val asDecimal: BigDecimal = BigDecimal(raw.toString)
+    lazy val utf8: Array[Byte] =
+      raw.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+  object Bound { def apply(v: Any): Bound = new Bound(v) }
 }
 
 /** Streaming-writer transaction identity embedded in a commit record
