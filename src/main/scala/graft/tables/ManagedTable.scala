@@ -1288,8 +1288,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
         val uriC = "__g_ndv_uri"
         val scanSchema = org.apache.spark.sql.types.StructType(
           m.physicalSchema.fields.filter(f => phys.contains(f.name)))
-        val base = spark.read.schema(scanSchema)
-          .parquet(todo.map(f => new Path(root, f.path).toString): _*)
+        val base = manifestScan(scanSchema, todo)
           .withColumn(uriC, col("_metadata.file_path"))
         val lk = broadcast(fileUriLookup(todo).toSeq.toDF(s"${uriC}2", "file"))
         val aggd = base.join(lk, col(uriC) === col(s"${uriC}2"))
@@ -1532,6 +1531,20 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     readFilesWithTag(m, m.files, Some(tagCol))
   }
 
+  /** Manifest-backed parquet frame over `files` — the relation is built
+    * from the manifest's (path, size) entries with ZERO filesystem round
+    * trips at plan time (see [[org.apache.spark.sql.GraftManifestScan]]);
+    * entries adopted before sizes were recorded fall back to one
+    * getFileStatus each. */
+  private def manifestScan(schema: org.apache.spark.sql.types.StructType,
+      files: Seq[TableFile]): DataFrame =
+    org.apache.spark.sql.GraftManifestScan.parquet(spark, schema,
+      fs.makeQualified(root),
+      files.map { f =>
+        val p = fs.makeQualified(new Path(root, f.path))
+        p -> f.bytes.getOrElse(fs.getFileStatus(p).getLen)
+      })
+
   private def readFilesWithTag(m: Manifest, files: Seq[TableFile],
       tagReq: Option[String], posReq: Option[String] = None,
       rowId: Option[String] = None,
@@ -1582,15 +1595,39 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       new Path(f.path).isAbsolute)
     val cleanParts = Seq(
       if (plain.isEmpty) None
-      else Some(withTag(spark.read.schema(scanSchema)
-        .parquet(plain.map(f => new Path(root, f.path).toString): _*))),
+      // manifest-backed scan: the manifest already records every path AND
+      // size, so the relation is built directly from it — the
+      // DataFrameReader path would re-stat each file on the driver (and
+      // past 32 paths launch a distributed listing job PER READ: 90-220ms
+      // per pruned index probe at sf0.1; a full listing pass at a 1M-file
+      // table).
+      else Some(withTag(manifestScan(scanSchema, plain))),
       if (adopted.isEmpty) None
-      else Some(withTag(spark.read.schema(scanSchema)
-        .option("basePath", root.toString)
-        .parquet(adopted.map(f => new Path(root, f.path).toString): _*)
-        // discovery may order partition columns after data columns —
-        // normalize to the manifest schema before tagging
-        .select(scanSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*))),
+      else Some(withTag {
+        // adopted hive layouts keep partition values in directory names,
+        // not the data files — the manifest records them per file, so the
+        // relation is built with them directly (same cast semantics as
+        // partition discovery, zero listing/stat round trips)
+        val partPhys = m.partitionColumns.map(m.physicalName)
+        val (partFields, dataFields) =
+          scanSchema.fields.partition(f => partPhys.contains(f.name))
+        val partSchema = org.apache.spark.sql.types.StructType(partFields)
+        val entries = adopted.map { f =>
+          val p = fs.makeQualified(new Path(root, f.path))
+          (p, f.bytes.getOrElse(fs.getFileStatus(p).getLen),
+            partFields.toSeq.map { fld =>
+              val logical = m.partitionColumns
+                .find(c => m.physicalName(c) == fld.name).getOrElse(fld.name)
+              f.partitionValues.getOrElse(logical, null)
+            })
+        }
+        org.apache.spark.sql.GraftManifestScan.parquetPartitioned(
+            spark, org.apache.spark.sql.types.StructType(dataFields),
+            partSchema, fs.makeQualified(root), entries)
+          // partition columns surface appended — normalize to the
+          // manifest schema order before tagging
+          .select(scanSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+      }),
       if (borrowed.isEmpty) None
       else Some(readBorrowedAdopted(m, borrowed, withTag, matNulls = matCols))
     ).flatten
@@ -1732,8 +1769,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       else org.apache.spark.sql.types.StructType(m.physicalSchema.fields ++
         extraMat.map(org.apache.spark.sql.types.StructField(_,
           org.apache.spark.sql.types.LongType)))
-    val scan0 = spark.read.schema(scanSchema)
-      .parquet(files.map(f => new Path(root, f.path).toString): _*)
+    val scan0 = manifestScan(scanSchema, files)
       .withColumn(DvFileCol, col("_metadata.file_name"))
       .withColumn(DvPosCol, col("_metadata.row_index"))
     val scan = tag.fold(scan0)(t =>
@@ -2569,8 +2605,7 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
           org.apache.spark.sql.types.LongType)))
     // physical scan: row positions index the file as written, independent
     // of any DV already masking it
-    val rawPhys = spark.read.schema(scanSchema)
-      .parquet(candidates.map(f => new Path(root, f.path).toString): _*)
+    val rawPhys = manifestScan(scanSchema, candidates)
       .withColumn(DvFileCol, col("_metadata.file_name"))
       .withColumn(DvPosCol, col("_metadata.row_index"))
     // logical view (pred and rewrite speak logical names), positions kept
