@@ -212,19 +212,20 @@ final class DedupIndex(spark: SparkSession, val rootPath: String,
     // keys: a large batch of near-identical documents concentrates in a
     // handful of buckets, where skipping the prune would trade a few
     // pruned partition reads for a full corpus-bands scan — on exactly
-    // the duplicate-heavy batches the index serves. Past the row cutoff,
-    // one approx_count_distinct pass (O(batch) CPU, ≤ a few KB shuffled
-    // per task — HLL sketches, never the band rows) arbitrates: provably
-    // near-full coverage reads the table outright; a skewed batch keeps
-    // the exact bucket-list prune.
+    // the duplicate-heavy batches the index serves. The arbitration and
+    // the prune share ONE action: the distinct bucket list is bounded by
+    // the bucket count (≤ `buckets` rows after partial aggregation — the
+    // same O(batch) scan an approx_count_distinct sketch pass would
+    // cost, minus that pass), so collect it once and let its exact SIZE
+    // decide — near-full coverage reads the table outright; a skewed
+    // batch keeps the exact bucket-list prune.
+    val inBkts = inBands.select("bkt").distinct()
+      .collect().map(_.getString(0)).toSet
     val corpusBands =
       if (nInBands <= buckets.toLong * PruneCollectRowsPerBucket ||
-          inBands.agg(approx_count_distinct("bkt")).head().getLong(0) <
-            (buckets.toLong * 4) / 5) {
-        val inBkts = inBands.select("bkt").distinct()
-          .collect().map(_.getString(0)).toSet
+          inBkts.size < (buckets * 4) / 5)
         bandsTable.readPartitionsIn(Map("bkt" -> inBkts))
-      } else bandsTable.read()
+      else bandsTable.read()
     val keys = (0 until TextOps.RowsPerBand).map(r => s"k$r")
     val joinCond = (Seq("pos") ++ keys)
       .map(c => col(s"a.`$c`") === col(s"b.`$c`"))
@@ -252,13 +253,16 @@ final class DedupIndex(spark: SparkSession, val rootPath: String,
     val nCand = pairs.count()
     val corpusSigs =
       if (nCand == 0) sigsTable.read().limit(0)
-      else if (nCand <= buckets.toLong * PruneCollectRowsPerBucket ||
-          candWithBkt.agg(approx_count_distinct("sbkt")).head().getLong(0) <
-            (buckets.toLong * 4) / 5) { // same skew arbitration as bands
+      else {
+        // same fused arbitration as the band prune: one bounded collect,
+        // its exact size decides prune vs full scan
         val candBkts = candWithBkt.select("sbkt").distinct()
           .collect().map(_.getString(0)).toSet
-        sigsTable.readPartitionsIn(Map("sbkt" -> candBkts))
-      } else sigsTable.read()
+        if (nCand <= buckets.toLong * PruneCollectRowsPerBucket ||
+            candBkts.size < (buckets * 4) / 5)
+          sigsTable.readPartitionsIn(Map("sbkt" -> candBkts))
+        else sigsTable.read()
+      }
     // candidates are bounded by real duplication — broadcast them through
     // both confirm joins so neither the cached batch signatures nor the
     // pruned corpus sigs shuffle

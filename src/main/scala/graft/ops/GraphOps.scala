@@ -79,37 +79,51 @@ object GraphOps {
     // with NO exchange on the edge side (labels comes out of its
     // aggregation hash(node) with the same partition count), so rounds
     // shuffle only the (small) label union, never the edge list.
-    // AQE off for the whole propagation (restored on exit): every round's
-    // plan is zero-exchange BY CONSTRUCTION (persisted hash layout on the
-    // edge side, aggregation layout on the label side, shuffle_hash hint),
-    // so adaptive re-planning has nothing to improve — but it wraps each
-    // materialized query stage in its own Spark job, doubling-to-tripling
-    // the loop's job count (measured: q_td_dedup_groups 18 jobs with AQE,
-    // rounds+pairs-pipeline jobs without). Fewer jobs = less per-job
-    // driver/listener overhead — the exact multiplier a long service
-    // session pays on every propagation round.
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    // the symmetrized edge table is built and MATERIALIZED with AQE on:
+    // the upstream pair pipeline (minhash/LSH explodes and their
+    // aggregations — often the heaviest shuffles of the whole query)
+    // keeps AQE's partition coalescing and skew-join splitting, which
+    // apply to the cached plan's intermediate stages (Spark applies AQE
+    // inside InMemoryRelation; with canChangeCachedPlanOutputPartitioning
+    // at its false default the FINAL stage's partitioning is preserved).
+    // The explicit partition count pins the persisted hash layout the
+    // zero-exchange loop below relies on — a by-number repartition is
+    // exempt from AQE coalescing, and it equals the static count every
+    // AQE-off aggregation in the loop produces. (r16 ran the whole build
+    // inside the AQE-off window: the pairs shuffle lost coalescing/skew
+    // handling and the driver's bench regressed q_td_dedup_best 3.6→12.6 s.)
+    val loopParts = spark.sessionState.conf.numShufflePartitions
     val sym = edges.select(src.as("a"), dst.as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .select(explode(array(
         struct(col("a"), col("b")),
         struct(col("b").as("a"), col("a").as("b")))).as("__e"))
       .select(col("__e.a").as("a"), col("__e.b").as("b"))
-      .repartition(col("b"))
+      .repartition(loopParts, col("b"))
       .dropDuplicates("a", "b")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count() // materialize under AQE, BEFORE the toggle below
 
+    // AQE off for the propagation rounds ONLY (restored on exit): every
+    // round's plan is zero-exchange BY CONSTRUCTION (persisted hash layout
+    // on the edge side, aggregation layout on the label side, shuffle_hash
+    // hint), so adaptive re-planning has nothing to improve — but it wraps
+    // each materialized query stage in its own Spark job, doubling-to-
+    // tripling the loop's job count (measured: q_td_dedup_groups 18 jobs
+    // with AQE, rounds+pairs-pipeline jobs without). Fewer jobs = less
+    // per-job driver/listener overhead — the exact multiplier a long
+    // service session pays on every propagation round.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     // init: each node labeled with min(itself, its neighbors) — the first
     // propagation round fused into the node-list aggregation.
     // localCheckpoint is LAZY throughout: it caches partitions as the
     // convergence-count action computes them, so each round is ONE job
     // (propagate + materialize + change count), not a checkpoint job plus
-    // a count job — and the init frame materializes inside round 1's job,
-    // so the whole loop runs `rounds` jobs with no separate init action
-    // and no up-front emptiness probe (an empty graph surfaces as a null
-    // change count in round 1).
+    // a count job — the whole loop runs `rounds` jobs plus the edge
+    // materialization above (an empty graph surfaces as a null change
+    // count in round 1).
     var labels = sym
       .groupBy(col("a").as("node"))
       .agg(min(least(col("a"), col("b"))).as("component"))

@@ -1687,8 +1687,10 @@ object TrainingOps {
        |  GROUP BY 1),
        |m AS (
        |  SELECT h.doc_id, h.n_words, h.word_chars,
-       |    ${(topNs.map(t => s"coalesce(a.top${t._1}_chars, 0) AS top${t._1}_chars") ++
-            dupNs.map(t => s"coalesce(a.dup${t._1}_chars, 0) AS dup${t._1}_chars"))
+       |    ${(topNs.map(t => s"CAST(coalesce(a.top${t._1}_chars, 0) " +
+              s"AS BIGINT) AS top${t._1}_chars") ++
+            dupNs.map(t => s"CAST(coalesce(a.dup${t._1}_chars, 0) " +
+              s"AS BIGINT) AS dup${t._1}_chars"))
             .mkString(",\n    ")}
        |  FROM hwl h LEFT JOIN agg a ON a.doc_id = h.doc_id)
        |SELECT doc_id, n_words, word_chars,

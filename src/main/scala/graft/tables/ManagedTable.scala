@@ -1531,6 +1531,15 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     readFilesWithTag(m, m.files, Some(tagCol))
   }
 
+  /** A/B escape hatch for the manifest-backed scan: set
+    * `spark.graft.manifestScan.enabled=false` to route every table read
+    * through the classic `spark.read.parquet(paths)` DataFrameReader
+    * (per-path driver stats + >32-path listing jobs). Exists so the two
+    * read substrates can be benchmarked against each other in one
+    * session with no recompile. */
+  private def manifestScanEnabled: Boolean =
+    spark.conf.get("spark.graft.manifestScan.enabled", "true").toBoolean
+
   /** Manifest-backed parquet frame over `files` — the relation is built
     * from the manifest's (path, size) entries with ZERO filesystem round
     * trips at plan time (see [[org.apache.spark.sql.GraftManifestScan]]);
@@ -1538,7 +1547,10 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
     * getFileStatus each. */
   private def manifestScan(schema: org.apache.spark.sql.types.StructType,
       files: Seq[TableFile]): DataFrame =
-    org.apache.spark.sql.GraftManifestScan.parquet(spark, schema,
+    if (!manifestScanEnabled)
+      spark.read.schema(schema)
+        .parquet(files.map(f => new Path(root, f.path).toString): _*)
+    else org.apache.spark.sql.GraftManifestScan.parquet(spark, schema,
       fs.makeQualified(root),
       files.map { f =>
         val p = fs.makeQualified(new Path(root, f.path))
@@ -1603,6 +1615,13 @@ final class ManagedTable(spark: SparkSession, val rootPath: String) {
       // table).
       else Some(withTag(manifestScan(scanSchema, plain))),
       if (adopted.isEmpty) None
+      else if (!manifestScanEnabled) Some(withTag(
+        spark.read.schema(scanSchema)
+          .option("basePath", root.toString)
+          .parquet(adopted.map(f => new Path(root, f.path).toString): _*)
+          // discovery may order partition columns after data columns —
+          // normalize to the manifest schema before tagging
+          .select(scanSchema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)))
       else Some(withTag {
         // adopted hive layouts keep partition values in directory names,
         // not the data files — the manifest records them per file, so the

@@ -2,7 +2,8 @@ package org.apache.spark.sql
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{
+  And, AttributeReference, BoundReference, Expression, Predicate}
 import org.apache.spark.sql.execution.datasources.{
   FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -23,8 +24,42 @@ import org.apache.spark.sql.types.StructType
   * + `ParquetFileFormat` every `spark.read.parquet` produces — scan
   * execution, pushdown, column pruning, `_metadata` columns, and size
   * estimation (`sizeInBytes` = manifest byte sum) are all identical;
-  * only the filesystem round trips at plan time are gone. */
+  * only the filesystem round trips at plan time are gone.
+  *
+  * Plan-reuse contract: both FileIndex implementations define
+  * equals/hashCode over their exact (path, size[, partition values])
+  * entries. `HadoopFsRelation` is a case class whose equality includes
+  * `location`, and `ReuseExchange` / `ReuseSubquery` / AQE stage reuse
+  * all compare canonicalized plans that retain the relation — without
+  * value equality here, two scans of the SAME snapshot never compare
+  * equal and every self-join/self-union recomputes its subtree
+  * (`InMemoryFileIndex` gets this via its rootPaths-set equality; a
+  * fresh index instance per read is the norm, identity equality is
+  * not). Entry-level equality is also exactly version-safe: reads of
+  * different snapshots differ in their file lists and stay unequal. */
 object GraftManifestScan {
+
+  /** Bind partition-only predicates against `partSchema` and keep the
+    * directories whose partition values satisfy them — the contract
+    * `FileSourceStrategy` relies on: partition-only filters are REMOVED
+    * from the post-scan filter set and the FileIndex is trusted to
+    * prune (mirrors `PartitioningAwareFileIndex.prunePartitions`).
+    * Ignoring `partitionFilters` here is a semantics bug, not a missed
+    * optimization: `filter("part = x")` would return every partition. */
+  private def prunePartitions(partitionFilters: Seq[Expression],
+      partSchema: StructType,
+      dirs: Seq[PartitionDirectory]): Seq[PartitionDirectory] =
+    if (partitionFilters.isEmpty) dirs
+    else {
+      val predicate = Predicate.createInterpreted(
+        partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val idx = partSchema.indexWhere(_.name == a.name)
+            BoundReference(idx, partSchema(idx).dataType, nullable = true)
+        })
+      predicate.initialize(0)
+      dirs.filter(d => predicate.eval(d.values))
+    }
 
   private final class ListedFileIndex(files: Array[FileStatus], tableRoot: Path)
       extends FileIndex {
@@ -37,6 +72,16 @@ object GraftManifestScan {
     override def refresh(): Unit = ()
     override def sizeInBytes: Long = files.map(_.getLen).sum
     override def partitionSchema: StructType = StructType(Nil)
+    // identity = the exact file set (see object doc: plan reuse)
+    private lazy val entries: Seq[(String, Long)] =
+      files.map(f => (f.getPath.toString, f.getLen)).toSeq
+    private lazy val entriesHash: Int = entries.hashCode()
+    override def equals(other: Any): Boolean = other match {
+      case o: ListedFileIndex =>
+        (this eq o) || (entriesHash == o.entriesHash && entries == o.entries)
+      case _ => false
+    }
+    override def hashCode(): Int = entriesHash
   }
 
   /** DataFrame over exactly `files` ((qualified path, byte size) pairs,
@@ -66,16 +111,27 @@ object GraftManifestScan {
   }
 
   private final class PartitionedFileIndex(
-      dirs: Seq[PartitionDirectory], partSchema: StructType, tableRoot: Path)
+      dirs: Seq[PartitionDirectory], val partSchema: StructType,
+      tableRoot: Path, val entries: Seq[(String, Long, Seq[String])])
       extends FileIndex {
     override def rootPaths: Seq[Path] = Seq(tableRoot)
     override def listFiles(partitionFilters: Seq[Expression],
-        dataFilters: Seq[Expression]): Seq[PartitionDirectory] = dirs
+        dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+      prunePartitions(partitionFilters, partSchema, dirs)
     override def inputFiles: Array[String] =
       dirs.flatMap(_.files.map(_.getPath.toString)).toArray
     override def refresh(): Unit = ()
     override def sizeInBytes: Long = dirs.flatMap(_.files.map(_.getLen)).sum
     override def partitionSchema: StructType = partSchema
+    private lazy val entriesHash: Int = entries.hashCode()
+    override def equals(other: Any): Boolean = other match {
+      case o: PartitionedFileIndex =>
+        (this eq o) ||
+          (entriesHash == o.entriesHash && entries == o.entries &&
+            partSchema == o.partSchema)
+      case _ => false
+    }
+    override def hashCode(): Int = entriesHash
   }
 
   /** Hive-partition-valued variant of [[parquet]] for adopted layouts
@@ -84,7 +140,8 @@ object GraftManifestScan {
     * the relation is built with them directly — equivalent to
     * `spark.read.schema(...).option("basePath", root).parquet(paths)`
     * partition DISCOVERY (same `Cast(string, type)` the discovery path
-    * applies, same appended-partition-column output order) minus the
+    * applies, same appended-partition-column output order, same
+    * partition pruning against partition-only predicates) minus the
     * listing/stat round trips. `files` = (qualified path, size, partition
     * value strings aligned with `partitionSchema`; null or the hive
     * default-partition sentinel read as null). */
@@ -109,8 +166,10 @@ object GraftManifestScan {
         new FileStatus(len, false, 1, 134217728L, 0L, p)
       }.toArray)
     }.toSeq
+    val entries = files.map { case (p, len, vals) => (p.toString, len, vals) }
     val relation = HadoopFsRelation(
-      location = new PartitionedFileIndex(dirs, partitionSchema, tableRoot),
+      location = new PartitionedFileIndex(
+        dirs, partitionSchema, tableRoot, entries),
       partitionSchema = partitionSchema,
       dataSchema = dataSchema.asNullable,
       bucketSpec = None,

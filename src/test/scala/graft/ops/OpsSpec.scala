@@ -686,12 +686,16 @@ class OpsSpec extends AnyFunSuite with Matchers {
     val sc = spark.sparkContext
     // path 0-1-2-3: init (fused) labels {0:0,1:0,2:1,3:2}; round 1 fixes
     // 2 and 3 partially, round 2 fixes 3, round 3 observes zero changes —
-    // exactly 3 actions, each one job with AQE off
+    // 3 round actions, each ONE job with AQE off, plus the edge-frame
+    // materialization (one count under AQE = up to 4 stage-wrapper jobs;
+    // deliberately run with AQE ON so the upstream pair pipeline keeps
+    // coalescing/skew handling — the r16 lesson: lazily materializing it
+    // inside the AQE-off window regressed q_td_dedup_best 3.6→12.6 s)
     val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("x", "y")
-    // AQE stays ON here: connectedComponents owns the toggle now (every
-    // round's plan is zero-exchange by construction, so AQE would only
-    // wrap each query stage in an extra job — measured 18→7 jobs on
-    // q_td_dedup_groups) and must restore the session's setting on exit
+    // AQE stays ON here: connectedComponents owns the toggle now (AQE-on
+    // ROUNDS would wrap each round's query stages in extra jobs —
+    // measured 18→7 jobs on q_td_dedup_groups) and must restore the
+    // session's setting on exit
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     sc.setJobGroup("graft-cc-jobcount", "cc per-round job-count lock")
     val out =
@@ -699,7 +703,8 @@ class OpsSpec extends AnyFunSuite with Matchers {
       finally sc.clearJobGroup()
     spark.conf.get("spark.sql.adaptive.enabled") shouldBe "true"
     val jobs = sc.statusTracker.getJobIdsForGroup("graft-cc-jobcount").length
-    jobs shouldBe 3
+    // 3 round jobs + ≤4 materialization jobs; AQE-on rounds would be ≥11
+    jobs should be <= 7
     out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
       Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L)
   }

@@ -73,7 +73,14 @@ object CrashSinkMain {
     // the first run must find at least one file before the stream starts
     if (maxInput(inDir) < 0) writeInput(inDir, 0L, writerId)
     val q = spark.readStream.schema(Schema)
-      .option("maxFilesPerTrigger", "1")
+      // single-file micro-batches while being killed (the fuzz wants the
+      // kill to land inside a per-batch commit); the DRAIN replays the
+      // whole backlog and only checks exactly-once landing, so it batches
+      // wide — with one sink commit per file, a few thousand leftover
+      // inputs made the drain run MINUTES-long, and under co-hosted load
+      // it overran the 15-min ChildWatchdog: the halt then read as "did
+      // not finish cleanly" (the r16 red-suite flake)
+      .option("maxFilesPerTrigger", if (drain) "100000" else "1")
       .json(inDir)
       .writeStream.format("graft")
       .option("path", s"$root/t")
@@ -86,13 +93,24 @@ object CrashSinkMain {
       println("XCRASH_DONE")
       spark.stop()
     } else {
-      // keep feeding numbered rows until the parent kills this process
+      // feed numbered rows until the parent kills this process — BOUNDED.
+      // The parent kills within (first commit + ≤250 ms), by when the
+      // 1-file-per-trigger stream has consumed only a handful of inputs,
+      // so a few hundred files keep the backlog alive through any kill
+      // offset; unbounded 67-files/s generation during a slow first
+      // commit (up to the parent's 180 s latch) piled up thousands of
+      // single-batch replays for every later run of the same root.
       var i = maxInput(inDir) + 1
-      while (true) {
+      val cap = i + 500L
+      while (i < cap) {
         writeInput(inDir, i, writerId)
         i += 1
         Thread.sleep(15)
       }
+      // backlog capped: stay alive awaiting the parent's SIGKILL (the
+      // stream keeps committing the remaining files; the watchdog and
+      // parent-death detector still bound this process's lifetime)
+      while (true) Thread.sleep(1000)
     }
   }
 }

@@ -73,6 +73,35 @@ class ConvertSpec extends AnyFunSuite with Matchers {
       .toSeq shouldBe Seq((2, "y"), (3, "y"), (9, "x"))
   }
 
+  test("partition-column filter on an adopted hive layout prunes AND keeps " +
+      "row semantics (r16 regression: manifest scan dropped partitionFilters)") {
+    import spark.implicits._
+    val dir = tmp() + "/hivefilter"
+    Seq((1, "a", "x"), (2, "b", "y"), (3, "c", "y"), (4, "d", "z"))
+      .toDF("id", "name", "part")
+      .write.partitionBy("part").parquet(dir)
+    val t = ManagedTable(spark, dir)
+    t.convertInPlace()
+    // partition-ONLY predicate: FileSourceStrategy strips it from the
+    // post-scan filters and trusts FileIndex.listFiles(partitionFilters)
+    // to prune — a FileIndex that ignores the argument returns EVERY
+    // partition's rows (the r16 q_e_convert_replace breakage)
+    t.read().filter("part = 'y'").collect().map(_.getInt(0)).sorted shouldBe
+      Array(2, 3)
+    t.read().filter(col("part").isin("x", "z")).collect()
+      .map(_.getInt(0)).sorted shouldBe Array(1, 4)
+    // mixed partition + data predicate
+    t.read().filter("part = 'y' AND id > 2").collect()
+      .map(_.getInt(0)) shouldBe Array(3)
+    // the q_e_convert_replace shape: replaceWhere feeding on a
+    // partition-scoped read of the same adopted table
+    val doubled = t.read().filter("part = 'y'")
+      .withColumn("id", col("id") + 10)
+    t.overwriteWhere(doubled, "part = 'y'")
+    t.read().orderBy("id").collect().map(_.getInt(0)) shouldBe
+      Array(1, 4, 12, 13)
+  }
+
   test("row-level DML and compaction on an adopted hive layout") {
     import spark.implicits._
     val dir = tmp() + "/hive2"
